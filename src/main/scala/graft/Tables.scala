@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Fixture-table loaders (FIXTURES.md §B).
+  *
+  * All queries read the driver-generated parquet under a scale-factor dir
+  * (`/root/testdata/sf{0.001,0.01,0.1}`). Centralizing the readers keeps the
+  * scan declarative so Catalyst pushes filters/projections into the parquet
+  * scan (check `.explain`: `PushedFilters`, `ReadSchema`).
+  *
+  * Scale note: at 100 TB these would be partitioned/bucketed table reads
+  * (e.g. lineitem bucketed by l_orderkey); the API surface stays the same —
+  * `spark.read.parquet` over a directory of many files splits into
+  * `FilePartition`s sized by `spark.sql.files.maxPartitionBytes`.
+  */
+object Tables {
+  /** Session settings every entry point applies. `nanosAsLong` is required:
+    * events.ts is parquet INT64 TIMESTAMP(NANOS), which Spark otherwise
+    * rejects (PARQUET_TYPE_ILLEGAL). It then reads as epoch-nano Long.
+    */
+  val sessionConf: Map[String, String] = Map(
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.adaptive.enabled" -> "true",
+    // Dims (region/nation/supplier/part/customer) stay well under this at
+    // any SF we test; on a real cluster this is the default 10 MB knob.
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString
+  )
+
+  def builder(master: String, cores: Int): SparkSession.Builder = {
+    val b = SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+    sessionConf.foreach { case (k, v) => b.config(k, v) }
+    b
+  }
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame =
+    table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}
