@@ -32,12 +32,20 @@ object Tables {
     val b = SparkSession
       .builder()
       .master(master)
+      .withExtensions(graft.functions.GraftExtensions.install)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
     sessionConf.foreach { case (k, v) => b.config(k, v) }
     b
   }
+
+  /** Session for local entry points: local[cpus], graft extensions, and every
+    * sessionConf key applied (Verify/Bench/tests all come through here — see
+    * ADVICE.md r1: a session missing nanosAsLong dies on events.parquet).
+    */
+  def localSession(cpus: Int): SparkSession =
+    builder(s"local[$cpus]", cpus).getOrCreate()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")

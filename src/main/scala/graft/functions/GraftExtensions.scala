@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registers the graft native expressions as SQL functions via
+  * `SparkSessionExtensions` — usable from `spark.sql(...)`, `expr(...)`, and
+  * `functions.call_function`. Install with
+  * `SparkSession.builder.withExtensions(GraftExtensions.install)` (done by
+  * [[graft.Tables.builder]]) or
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.install(ext)
+}
+
+object GraftExtensions {
+
+  private def intArg(e: Expression, what: String): Int = e.eval() match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other   => throw new IllegalArgumentException(s"$what must be an int literal, got $other")
+  }
+
+  private def longArg(e: Expression, what: String): Long = e.eval() match {
+    case i: Int  => i.toLong
+    case l: Long => l
+    case other   => throw new IllegalArgumentException(s"$what must be a long literal, got $other")
+  }
+
+  val install: SparkSessionExtensions => Unit = { ext =>
+    def reg(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction(
+        (FunctionIdentifier(name),
+         new ExpressionInfo("graft.functions", name),
+         builder))
+
+    reg("cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    reg("simhash64", es => SimHash64(es(0)))
+    reg("fingerprint64", es => Fingerprint64(es(0)))
+    reg("min_window_fp", es => MinWindowFp(es(0), intArg(es(1), "window")))
+    reg("minhash_sig",
+        es => MinHashSig(es(0), intArg(es(1), "k"), intArg(es(2), "shingle")))
+    reg("minhash_bands",
+        es =>
+          MinHashBands(
+            es(0),
+            intArg(es(1), "k"),
+            intArg(es(2), "shingle"),
+            intArg(es(3), "r")))
+    reg("rhp_bands",
+        es =>
+          RhpBands(
+            es(0),
+            intArg(es(1), "planes"),
+            intArg(es(2), "bands"),
+            longArg(es(3), "seed")))
+  }
+}

@@ -1,0 +1,183 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Text-hashing kernels for dedup/fingerprinting, called from generated code.
+  *
+  * All hashes are defined here from first principles (FNV-1a + splitmix64
+  * finalizer) so results are deterministic, engine-independent, and need no
+  * external libs. The reference engine has no hashing surface beyond
+  * `std::hash(key) % R` partition routing (/root/reference/src/mr_tasks.h:44);
+  * these kernels are the north-star LLM-pipeline extension (SURVEY.md §2.3).
+  */
+object HashKernels {
+
+  /** splitmix64 finalizer — good avalanche, cheap, public-domain algorithm. */
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a 64 over a byte range, then splitmix64 to fix FNV's weak low bits. */
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    splitmix64(h)
+  }
+
+  /** Tokenize on single spaces without regex; skips empty tokens.
+    * Returns (startOffsets, endOffsets) into the byte array.
+    */
+  private def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
+    val starts = new ArrayBuffer[Int]
+    val ends = new ArrayBuffer[Int]
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        starts += i
+        while (i < n && bytes(i) != ' ') i += 1
+        ends += i
+      }
+    }
+    (starts.toArray, ends.toArray)
+  }
+
+  /** 64-bit SimHash over space-separated tokens: each token votes its hash's
+    * bits up/down; the sign of each bit's tally forms the signature. Documents
+    * with similar token multisets land at small Hamming distance.
+    */
+  def simhash64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val (starts, ends) = tokenSpans(bytes)
+    val tally = new Array[Int](64)
+    var t = 0
+    while (t < starts.length) {
+      val h = hashBytes(bytes, starts(t), ends(t))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) tally(b) += 1 else tally(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (tally(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def hammingDist(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Hash of the `shingle` consecutive tokens starting at token t. */
+  private def shingleHash(
+      bytes: Array[Byte],
+      starts: Array[Int],
+      ends: Array[Int],
+      t: Int,
+      shingle: Int): Long = {
+    // hash the byte span from start of token t to end of token t+shingle-1;
+    // single spaces between tokens are included, which is fine (determinism
+    // is the contract, and spans are contiguous in this corpus).
+    hashBytes(bytes, starts(t), ends(math.min(t + shingle - 1, ends.length - 1)))
+  }
+
+  /** MinHash signature (k permutations) over `shingle`-token shingles.
+    * Permutation i is the affine rehash `a_i*h + b_i` with splitmix64-derived
+    * odd multipliers — the standard cheap family for MinHash.
+    */
+  def minhashSig(s: UTF8String, k: Int, shingle: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val (starts, ends) = tokenSpans(bytes)
+    val nShingles = math.max(1, starts.length - shingle + 1)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var t = 0
+    while (t < nShingles) {
+      val h =
+        if (starts.isEmpty) hashBytes(bytes, 0, bytes.length)
+        else shingleHash(bytes, starts, ends, t, shingle)
+      var i = 0
+      while (i < k) {
+        val a = splitmix64(2L * i + 1) | 1L // odd multiplier
+        val b = splitmix64(0x5eed0000L + i)
+        val p = a * h + b
+        if (p < sig(i)) sig(i) = p
+        i += 1
+      }
+      t += 1
+    }
+    sig
+  }
+
+  def minhashArray(s: UTF8String, k: Int, shingle: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhashSig(s, k, shingle))
+
+  /** LSH band keys from a MinHash signature: k/r bands of r rows each; band
+    * key = hash(band values ++ band index). Jaccard-similar docs share at
+    * least one band key w.h.p. — the scale path replacing the O(N²) cross
+    * join with an equi-join shuffle on a long key.
+    */
+  def minhashBands(s: UTF8String, k: Int, shingle: Int, r: Int): ArrayData = {
+    val sig = minhashSig(s, k, shingle)
+    val nBands = k / r
+    val keys = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var j = 0
+      while (j < r) {
+        h = splitmix64(h ^ sig(b * r + j))
+        j += 1
+      }
+      keys(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(keys)
+  }
+
+  /** Polynomial rolling fingerprint of the whole string (Rabin-Karp style):
+    * h = h*B + byte, mod 2^64 (natural overflow), then splitmix64-finalized.
+    * Position-sensitive, unlike the token-set hashes above.
+    */
+  def fingerprint64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 1000003L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    splitmix64(h)
+  }
+
+  /** Minimum rolling-window fingerprint over `w`-byte windows — a winnowing-
+    * style content fingerprint robust to small appends/prefixes.
+    */
+  def minWindowFp(s: UTF8String, w: Int): Long = {
+    val bytes = s.getBytes
+    if (bytes.length <= w) return fingerprint64(s)
+    var min = Long.MaxValue
+    var i = 0
+    while (i + w <= bytes.length) {
+      val h = hashBytes(bytes, i, i + w)
+      if (h < min) min = h
+      i += 1
+    }
+    min
+  }
+}

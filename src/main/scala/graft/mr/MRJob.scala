@@ -1,0 +1,68 @@
+package graft.mr
+
+/** User job surface — the Spark-native equivalent of the reference's
+  * `BaseMapper`/`BaseReducer` pure-virtual pair
+  * (/root/reference/src/mr_task_factory.h:14-43). Both key and value are
+  * untyped strings, exactly as in the reference; `map` is a line→pairs
+  * flatMap (a UDTF shape) and `reduce` sees every value for one key.
+  *
+  * Semantics preserved from the reference (SURVEY.md §2.1):
+  *   - reduce is invoked in ascending key order within each output partition
+  *     (std::map iteration, worker.h:150-152)
+  *   - value order within a group is unspecified (worker.h:137) — jobs must
+  *     be value-order-insensitive
+  *   - a key lands in exactly one of R output partitions (hash routing,
+  *     mr_tasks.h:110)
+  */
+trait MRJob extends Serializable {
+  def map(line: String): IterableOnce[(String, String)]
+  def reduce(key: String, values: Seq[String]): IterableOnce[(String, String)]
+}
+
+/** Word count — the reference's only shipped job
+  * (/root/reference/test/user_tasks.cc:9-35): strtok on delimiters
+  * `" ,.\"'"` (empty tokens skipped), emit (word, "1"); reduce sums
+  * atoi-parsed values.
+  */
+object WordCount extends MRJob {
+  private val delims = Set(' ', ',', '.', '"', '\'')
+
+  def tokenize(line: String): Iterator[String] = new Iterator[String] {
+    private var i = 0
+    private def skip(): Unit = { while (i < line.length && delims(line.charAt(i))) i += 1 }
+    skip()
+    def hasNext: Boolean = i < line.length
+    def next(): String = {
+      val start = i
+      while (i < line.length && !delims(line.charAt(i))) i += 1
+      val tok = line.substring(start, i)
+      skip()
+      tok
+    }
+  }
+
+  override def map(line: String): IterableOnce[(String, String)] =
+    tokenize(line).map(_ -> "1")
+
+  override def reduce(key: String, values: Seq[String]): IterableOnce[(String, String)] =
+    Iterator(key -> values.iterator.map(_.toLong).sum.toString)
+}
+
+/** String-keyed job registry — equivalent of the reference's
+  * `register_tasks(user_id, …)` singleton factory map
+  * (/root/reference/src/mr_task_factory.cc:28-88). No factory indirection is
+  * needed on executors: Spark serializes the job closure itself.
+  */
+object JobRegistry {
+  @volatile private var jobs: Map[String, MRJob] = Map(
+    "cs6210" -> WordCount, // the reference test config's user_id
+    "wordcount" -> WordCount)
+
+  def register(userId: String, job: MRJob): Unit =
+    synchronized { jobs = jobs + (userId -> job) }
+
+  def get(userId: String): MRJob =
+    jobs.getOrElse(
+      userId,
+      throw new NoSuchElementException(s"no job registered for user_id=$userId"))
+}

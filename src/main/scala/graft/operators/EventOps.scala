@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.Entry
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table.
+  *
+  * `events.ts` is parquet INT64 TIMESTAMP(NANOS); with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` it reads as epoch-nano Long
+  * (FIXTURES.md gotcha). All bucketing is done in exact integer nanosecond
+  * arithmetic — no float time math — and exposed as epoch-second BIGINTs,
+  * which keeps the DuckDB oracle timezone-free.
+  */
+object EventOps {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val SessionGapNs = 30L * 60 * 1000 * 1000 * 1000
+
+  val entries: Seq[Entry] = Seq(
+    // q25: tumbling hourly windows. Batch `window()` semantics expressed as
+    // integer bucket math; one shuffle on (hour, type) with partial aggs.
+    Entry(
+      "q25_events_hourly",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn(
+            "hour_epoch",
+            ((col("ts") - pmod(col("ts"), lit(HourNs))) / lit(1000000000L)).cast("long"))
+          .groupBy(col("hour_epoch"), col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("value")), 2).as("sum_value"),
+            round(avg(col("value")), 4).as("avg_value"))
+          .orderBy(col("hour_epoch"), col("event_type")),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             | event_type, count(*) AS n,
+             | round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q26: sessionization — gap > 30 min starts a new session. One shuffle on
+    // user_id for the window, then the count per user. At 100 TB the window
+    // sort spills per user-partition; skewed users would get salting or the
+    // Structured Streaming state-store path (graft.streaming).
+    Entry(
+      "q26_sessionize",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn(
+            "new_session",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1L)
+              .otherwise(0L))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH g AS (
+             | SELECT user_id,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |       THEN 1 ELSE 0 END AS new_session
+             | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+             | count(*) AS n_events
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q27: JSON prop extraction (multimodal metadata column pattern:
+    // schema-on-read over a string column).
+    Entry(
+      "q27_json_extract",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+          .groupBy(pmod(col("k"), lit(10L)).as("k_mod"))
+          .agg(count(lit(1)).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+          .orderBy(col("k_mod")),
+      Some("""WITH j AS (SELECT CAST(props->>'k' AS BIGINT) AS k FROM events)
+             |SELECT k % 10 AS k_mod, count(*) AS n,
+             | min(k) AS min_k, max(k) AS max_k
+             |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q28: per-user-bucket conditional event-type stats (pivot shape as
+    // single-pass conditional aggregation).
+    Entry(
+      "q28_event_pivot",
+      (s, d) =>
+        Tables.events(s, d)
+          .groupBy(pmod(col("user_id"), lit(10L)).as("user_bucket"))
+          .agg(
+            sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+            round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 2)
+              .as("purchase_value"))
+          .orderBy(col("user_bucket")),
+      Some("""SELECT user_id % 10 AS user_bucket,
+             | CAST(sum(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+             | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+             | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+             | round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END),2) AS purchase_value
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

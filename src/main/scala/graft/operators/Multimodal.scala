@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.Entry
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata extracted by a batched per-partition decode.
+  *
+  * The decode itself is a STUB (this container has no image/audio codecs) —
+  * [[stubDecode]] derives deterministic fake dimensions from the payload
+  * bytes — but the Spark-side plumbing is real and is what matters at scale:
+  * a typed `Dataset[MediaIn] → mapPartitions → Dataset[MediaMeta]` pipeline
+  * that (a) never materializes more than one batch of payloads per task,
+  * (b) keeps the binary column out of every downstream projection (column
+  * pruning drops it after decode), and (c) processes fixed-size batches the
+  * way a vectorized decoder (or a GPU) would want them.
+  */
+object Multimodal {
+
+  final case class MediaIn(doc_id: Long, payload: Array[Byte])
+  final case class MediaMeta(
+      doc_id: Long,
+      n_bytes: Long,
+      width: Long,
+      height: Long,
+      channels: Long,
+      frames: Long)
+
+  /** Decode batch size — the shape a real vectorized decoder would consume. */
+  val decodeBatchSize = 64
+
+  /** STUB decoder: a real implementation would parse the container header
+    * (JPEG/PNG/WAV/MP4) here. Deterministic fake: dimensions derived from the
+    * byte length, replicated exactly by the SQL oracle.
+    */
+  def stubDecode(m: MediaIn): MediaMeta = {
+    val n = m.payload.length.toLong
+    MediaMeta(
+      doc_id = m.doc_id,
+      n_bytes = n,
+      width = 16L + (n % 64) * 16,
+      height = 16L + (n % 48) * 16,
+      channels = 1L + n % 3,
+      frames = 1L + n % 24)
+  }
+
+  def decodePartition(rows: Iterator[MediaIn]): Iterator[MediaMeta] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map(stubDecode))
+
+  /** documents.text reinterpreted as a binary media payload → decoded
+    * metadata. The parquet scan reads only (doc_id, text); after decode the
+    * payload is gone from the schema.
+    */
+  def mediaMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(decodePartition)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "q43_multimodal_meta",
+      mediaMeta,
+      Some("""WITH b AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents)
+             |SELECT doc_id, n AS n_bytes,
+             | 16 + (n % 64) * 16 AS width,
+             | 16 + (n % 48) * 16 AS height,
+             | 1 + n % 3 AS channels,
+             | 1 + n % 24 AS frames
+             |FROM b ORDER BY doc_id""".stripMargin))
+  )
+}

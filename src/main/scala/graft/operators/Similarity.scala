@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.Entry
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Similarity search over the `embeddings` table (`array<float>` column).
+  *
+  * q40 is brute-force top-k (the exactness baseline): broadcast the small
+  * query set against the corpus — one pass over the corpus, no shuffle except
+  * the final per-query top-k. q41 is the scale path: random-hyperplane LSH
+  * banding turns candidate generation into an equi-join on a 64-bit band key,
+  * linear-ish in corpus size; at 100 TB you tune planes/bands for the
+  * recall/candidate-count trade-off (an IVF coarse quantizer would slot into
+  * the same shape: bucket id = nearest centroid instead of hyperplane signs).
+  */
+object Similarity {
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"), col("label"))
+
+  private val nQueries = 8
+  private val topK = 5
+
+  /** Brute-force exact top-k cosine for the first `nQueries` vectors. */
+  private def bruteTopK(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    e.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+      .crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("cos", call_function("cosine_sim", col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: candidates share ≥1 random-hyperplane band key, then
+    * exact cosine + top-k within candidates only.
+    */
+  private def annTopK(s: SparkSession, d: String): DataFrame = {
+    val banded = vecs(s, d)
+      .select(
+        col("vec_id"),
+        col("v"),
+        explode(call_function("rhp_bands", col("v"), lit(16), lit(4), lit(42L))).as("band"))
+    val q = banded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("band"))
+    val cand = banded
+      .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("band"))
+      .join(broadcast(q), Seq("band"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("q_v"), col("n_id"), col("n_v"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .withColumn("cos", call_function("cosine_sim", col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val entries: Seq[Entry] = Seq(
+    Entry(
+      "q40_cosine_topk",
+      bruteTopK,
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS q_v FROM e WHERE vec_id < $nQueries),
+              |s AS (SELECT q.q_id, e.vec_id AS n_id,
+              |        list_cosine_similarity(q.q_v, e.v) AS cos
+              |      FROM q JOIN e ON e.vec_id <> q.q_id),
+              |r AS (SELECT q_id, n_id, cos,
+              |        CAST(row_number() OVER (PARTITION BY q_id
+              |          ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+              |      FROM s)
+              |SELECT q_id, rank, n_id, round(cos,4) AS cos
+              |FROM r WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin)),
+
+    // q41: approximate by construction → rows-only driver check;
+    // SimilaritySuite asserts recall ≥ threshold vs the exact q40.
+    Entry("q41_ann_lsh", annTopK, None),
+
+    // q42: vector-norm statistics per label — `aggregate` HOF dot product,
+    // strictly sequential accumulation to stay bit-identical with the oracle.
+    Entry(
+      "q42_embedding_stats",
+      (s, d) =>
+        vecs(s, d)
+          .withColumn(
+            "norm",
+            sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(
+            count(lit(1)).as("n"),
+            round(avg(col("norm")), 4).as("avg_norm"),
+            round(min(col("norm")), 4).as("min_norm"),
+            round(max(col("norm")), 4).as("max_norm"))
+          .orderBy(col("label")),
+      Some("""WITH n AS (SELECT CAST(label AS BIGINT) AS label,
+             |  sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x))) AS norm
+             | FROM embeddings)
+             |SELECT label, count(*) AS n, round(avg(norm),4) AS avg_norm,
+             | round(min(norm),4) AS min_norm, round(max(norm),4) AS max_norm
+             |FROM n GROUP BY label ORDER BY label""".stripMargin))
+  )
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import graft.mr.{MRRunner, WordCount}
+import graft.queries.Entry
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Text-analysis operators over `documents`: tokenization/word-count (via the
+  * MR surface), token statistics, quality scoring, language-ID heuristic, and
+  * content fingerprinting (custom codegen expressions).
+  */
+object TextOps {
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "to", "and", "in", "is", "it")
+
+  private def toks: Column = split(col("text"), " ")
+
+  val entries: Seq[Entry] = Seq(
+    // q30: word count THROUGH the MR-parity engine (scan → flatMap(map) →
+    // hash shuffle → sortWithinPartitions → streaming grouped reduce) — the
+    // reference's whole surface as one Spark plan. The corpus is pure
+    // [a-z ]+, so the strtok-" ,.\"'" tokenizer reduces to space-split, which
+    // keeps the SQL oracle exact.
+    Entry(
+      "q30_mr_wordcount",
+      (s, d) => {
+        import s.implicits._
+        val lines = Tables.documents(s, d).select(col("text")).as[String]
+        MRRunner
+          .transform(s, lines, WordCount, 32)
+          .toDF("word", "cnt_str")
+          .select(col("word"), col("cnt_str").cast("long").as("cnt"))
+          .orderBy(col("word"))
+      },
+      Some("""SELECT word, count(*) AS cnt FROM (
+             | SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+             |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+
+    // q31: per-language token statistics — single scan, array fns codegen'd.
+    Entry(
+      "q31_token_stats",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("lang"),
+            size(toks).cast("long").as("tokens"),
+            length(col("text")).cast("long").as("chars"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("tokens")).as("sum_tokens"),
+            round(avg(col("tokens")), 4).as("avg_tokens"),
+            max(col("tokens")).as("max_tokens"),
+            min(col("tokens")).as("min_tokens"),
+            round(avg(col("chars")), 4).as("avg_chars"))
+          .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang,
+             |  CAST(len(string_split(text,' ')) AS BIGINT) AS tokens,
+             |  length(text) AS chars FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             | CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+             | round(avg(tokens),4) AS avg_tokens,
+             | max(tokens) AS max_tokens, min(tokens) AS min_tokens,
+             | round(avg(chars),4) AS avg_chars
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q32: quality scoring — type-token ratio, stopword ratio, mean word
+    // length; the standard cheap pretraining-corpus filters, one scan.
+    Entry(
+      "q32_text_quality",
+      (s, d) => {
+        val stops = stopwords
+        Tables.documents(s, d)
+          .select(
+            col("lang"),
+            size(toks).cast("double").as("tokens"),
+            size(array_distinct(toks)).cast("double").as("dtokens"),
+            size(filter(toks, t => t.isInCollection(stops))).cast("double").as("stops"),
+            length(regexp_replace(col("text"), " ", "")).cast("double").as("wchars"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            round(avg(col("dtokens") / col("tokens")), 4).as("avg_ttr"),
+            round(avg(col("stops") / col("tokens")), 4).as("avg_stop_ratio"),
+            round(avg(col("wchars") / col("tokens")), 4).as("avg_word_len"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""WITH t AS (SELECT lang, string_split(text,' ') AS toks,
+              |  CAST(length(replace(text,' ','')) AS DOUBLE) AS wchars
+              | FROM documents),
+              |p AS (SELECT lang,
+              |  CAST(len(toks) AS DOUBLE) AS tokens,
+              |  CAST(len(list_distinct(toks)) AS DOUBLE) AS dtokens,
+              |  CAST(len(list_filter(toks, x -> x IN (${stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE) AS stops,
+              |  wchars FROM t)
+              |SELECT lang, count(*) AS n_docs,
+              | round(avg(dtokens/tokens),4) AS avg_ttr,
+              | round(avg(stops/tokens),4) AS avg_stop_ratio,
+              | round(avg(wchars/tokens),4) AS avg_word_len
+              |FROM p GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q33: language-ID by keyword-frequency heuristic (n-gram-counting shape;
+    // on this synthetic single-vocabulary corpus the interesting output is
+    // the deterministic label × guess confusion matrix).
+    Entry(
+      "q33_lang_id",
+      (s, d) => {
+        def cnt(kw: String): Column =
+          (length(col("text")) - length(regexp_replace(col("text"), kw, "")))
+            .cast("long") / lit(kw.length.toLong)
+        Tables.documents(s, d)
+          .withColumn("c_the", cnt("the"))
+          .withColumn("c_data", cnt("data"))
+          .withColumn("c_row", cnt("row"))
+          .withColumn(
+            "guess",
+            when(col("c_the") >= col("c_data") && col("c_the") >= col("c_row"), "en")
+              .when(col("c_data") >= col("c_row"), "de")
+              .otherwise("es"))
+          .groupBy(col("lang"), col("guess"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang"), col("guess"))
+      },
+      Some("""WITH c AS (SELECT lang,
+             |  (length(text)-length(replace(text,'the','')))/3 AS c_the,
+             |  (length(text)-length(replace(text,'data','')))/4 AS c_data,
+             |  (length(text)-length(replace(text,'row','')))/3 AS c_row
+             | FROM documents)
+             |SELECT lang,
+             | CASE WHEN c_the >= c_data AND c_the >= c_row THEN 'en'
+             |      WHEN c_data >= c_row THEN 'de' ELSE 'es' END AS guess,
+             | count(*) AS n
+             |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q34: document fingerprinting via the native codegen expressions —
+    // whole-text rolling hash + winnowing-style min-window hash. Not
+    // SQL-expressible (rows-only driver check); determinism is covered by
+    // HashKernelsSuite.
+    Entry(
+      "q34_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            call_function("fingerprint64", col("text")).as("fp"),
+            call_function("min_window_fp", col("text"), lit(16)).as("min_fp16"))
+          .orderBy(col("doc_id")),
+      None)
+  )
+}

@@ -1,0 +1,29 @@
+package graft.queries
+
+import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, TextOps}
+import graft.streaming.EventStreams
+
+/** Single source of truth for the declared query inventory (SURVEY.md §2).
+  * SparkEntry.queries / SparkEntry.oracleSql are both derived from this Seq —
+  * the two driver-facing maps cannot drift.
+  */
+object Registry {
+
+  val entries: Seq[Entry] =
+    Relational.entries ++
+      EventOps.entries ++
+      EventStreams.entries ++
+      TextOps.entries ++
+      Dedup.entries ++
+      Similarity.entries ++
+      Multimodal.entries
+
+  require(
+    entries.map(_.name).distinct.size == entries.size,
+    s"duplicate query names in registry: ${entries.map(_.name).diff(entries.map(_.name).distinct)}")
+
+  def byName(name: String): Entry =
+    entries
+      .find(_.name == name)
+      .getOrElse(throw new NoSuchElementException(s"no query named $name"))
+}

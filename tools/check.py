@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify, then run
+each oracle SQL in DuckDB over the same parquet tables and compare exactly
+(column names sorted, row order as produced, exact values).
+
+Usage: python3 tools/check.py [sfdir] [outdir]
+"""
+import json
+import math
+import subprocess
+import sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def run_verify():
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    env = dict(__import__("os").environ, SPARK_GRAFT_CPUS="8")
+    p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd="/root/repo")
+    sys.stdout.write(p.stdout[-3000:])
+    sys.stderr.write(p.stderr[-8000:])
+    if p.returncode != 0:
+        print("VERIFY FAILED rc=", p.returncode)
+        sys.exit(1)
+
+
+def cmp_cell(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def main():
+    if "--no-verify" not in sys.argv:
+        run_verify()
+    import duckdb
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    oracles = json.load(open(f"{OUT}/oracle_sql.json"))
+    names = sorted(oracles)
+    npass = nfail = 0
+    for name in names:
+        try:
+            ours = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
+            our_cols = list(ours.columns)
+            our_rows = ours.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read our output: {e}")
+            nfail += 1
+            continue
+        try:
+            oracle = con.sql(oracles[name])
+            o_cols = list(oracle.columns)
+            o_rows = oracle.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            nfail += 1
+            continue
+        if sorted(our_cols) != sorted(o_cols):
+            print(f"FAIL {name}: columns ours={our_cols} oracle={o_cols}")
+            nfail += 1
+            continue
+        # driver sorts columns by name before hashing
+        perm_o = [our_cols.index(c) for c in sorted(our_cols)]
+        perm_d = [o_cols.index(c) for c in sorted(o_cols)]
+        a = [tuple(r[i] for i in perm_o) for r in our_rows]
+        b = [tuple(r[i] for i in perm_d) for r in o_rows]
+        if len(a) != len(b):
+            print(f"FAIL {name}: rowcount ours={len(a)} oracle={len(b)}")
+            nfail += 1
+            continue
+        bad = None
+        for i, (ra, rb) in enumerate(zip(a, b)):
+            if not all(cmp_cell(x, y) for x, y in zip(ra, rb)):
+                bad = (i, ra, rb)
+                break
+        if bad:
+            print(f"FAIL {name}: first diff at row {bad[0]}:\n  ours  ={bad[1]}\n  oracle={bad[2]}")
+            nfail += 1
+        else:
+            print(f"PASS {name} ({len(a)} rows)")
+            npass += 1
+    # rows-only entries (no oracle): report row counts
+    import os
+    for d in sorted(os.listdir(OUT)):
+        if d not in oracles and os.path.isdir(f"{OUT}/{d}"):
+            try:
+                n = con.sql(f"SELECT count(*) FROM '{OUT}/{d}/*.parquet'").fetchone()[0]
+                print(f"ROWS {d}: {n}")
+            except Exception as e:
+                print(f"ROWS {d}: unreadable: {e}")
+    print(f"== {npass} pass / {nfail} fail")
+    sys.exit(1 if nfail else 0)
+
+
+if __name__ == "__main__":
+    main()
