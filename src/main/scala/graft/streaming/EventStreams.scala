@@ -34,10 +34,11 @@ object EventStreams {
     * oracle-comparable).
     */
   def hourlyCountsStream(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"$dir/events.parquet"
-    val schema = spark.read.parquet(path).schema
-    // basePath must be a directory; the glob then selects the single table file
-    val src = spark.readStream.schema(schema).option("basePath", dir).parquet(path)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The fixture table is a single FILE; FileStreamSource accepts only a
+    // directory or a glob, so address it as the glob `events*` (in production
+    // this is the arrival directory the stream tails).
+    val src = spark.readStream.schema(schema).parquet(s"$dir/events*")
     val agg = src
       .withColumn(
         "hour_epoch",
