@@ -71,14 +71,17 @@ object Dedup {
              |SELECT min(doc_id) AS keep_id, count(*) AS n_copies
              |FROM u GROUP BY text ORDER BY keep_id""".stripMargin)),
 
-    // q36: LSH candidates + signature-estimated Jaccard. Approximate by
-    // design → no SQL oracle (rows-only check); DedupSuite validates recall
-    // against the exact q37 pairs.
+    // q36: LSH candidates + signature-estimated Jaccard over 3-token
+    // shingles. Approximate by design → no SQL oracle (rows-only check);
+    // DedupSimilaritySuite validates recall against exact 3-shingle Jaccard
+    // computed independently (NOT q37, which measures word-SET Jaccard — a
+    // different similarity: bag-of-words vs order-sensitive shingles).
     Entry("q36_minhash_lsh", (s, d) => minhashPairs(s, d, 0.9), None),
 
-    // q37: EXACT word-set Jaccard near-dup pairs — the correctness oracle for
-    // q36. Brute-force O(N²) compare; fine at fixture scale, and exactly what
-    // the LSH path prunes at 100 TB (comment trail in minhashPairs).
+    // q37: EXACT word-set Jaccard near-dup pairs (bag-of-words similarity,
+    // complementary to q36's shingle similarity). Brute-force O(N²) compare;
+    // fine at fixture scale, and exactly the shape the LSH path prunes at
+    // 100 TB (comment trail in minhashPairs).
     Entry(
       "q37_wordset_jaccard",
       (s, d) => {

@@ -43,13 +43,21 @@ object Similarity {
 
   /** LSH-bucketed ANN: candidates share ≥1 random-hyperplane band key, then
     * exact cosine + top-k within candidates only.
+    *
+    * Parameter note (measured on the fixtures): the synthetic embeddings are
+    * near-isotropic — true top-5 neighbors sit at cos≈0.3, where sign-LSH
+    * separates weakly, so 10 bands × 4 bits buys recall≈0.75 at a ~0.5
+    * candidate fraction. On real (clustered) embedding spaces the same band
+    * join prunes orders of magnitude harder at equal recall; tune
+    * planes/bands per corpus — more bits/band = fewer candidates, more bands
+    * = higher recall.
     */
   private def annTopK(s: SparkSession, d: String): DataFrame = {
     val banded = vecs(s, d)
       .select(
         col("vec_id"),
         col("v"),
-        explode(call_function("rhp_bands", col("v"), lit(16), lit(4), lit(42L))).as("band"))
+        explode(call_function("rhp_bands", col("v"), lit(40), lit(10), lit(42L))).as("band"))
     val q = banded.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("band"))
     val cand = banded

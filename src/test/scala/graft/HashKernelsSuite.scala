@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.HashKernels
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+class HashKernelsSuite extends AnyFunSuite {
+
+  private def u(s: String) = UTF8String.fromString(s)
+
+  test("hashes are deterministic across calls") {
+    val s = "the quick brown fox jumps over the lazy dog"
+    assert(HashKernels.simhash64(u(s)) == HashKernels.simhash64(u(s)))
+    assert(HashKernels.fingerprint64(u(s)) == HashKernels.fingerprint64(u(s)))
+    assert(HashKernels.minhashSig(u(s), 32, 3).toSeq ==
+      HashKernels.minhashSig(u(s), 32, 3).toSeq)
+  }
+
+  test("fingerprint64 is position-sensitive; simhash is token-set-ish") {
+    val a = "alpha beta gamma delta"
+    val b = "beta alpha gamma delta" // same tokens, different order
+    assert(HashKernels.fingerprint64(u(a)) != HashKernels.fingerprint64(u(b)))
+    // simhash ignores order entirely (token multiset votes)
+    assert(HashKernels.simhash64(u(a)) == HashKernels.simhash64(u(b)))
+  }
+
+  test("similar docs land at small simhash Hamming distance, dissimilar far") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " other word"
+    val far = (100 to 160).map(i => s"zzz$i").mkString(" ")
+    val dNear = HashKernels.hammingDist(
+      HashKernels.simhash64(u(base)), HashKernels.simhash64(u(near)))
+    val dFar = HashKernels.hammingDist(
+      HashKernels.simhash64(u(base)), HashKernels.simhash64(u(far)))
+    assert(dNear < 12, s"near docs should be close, got $dNear")
+    assert(dFar > 20, s"unrelated docs should be far, got $dFar")
+  }
+
+  test("minhash estimates Jaccard within tolerance on overlapping shingle sets") {
+    // two docs sharing ~75% of their 1-token shingles
+    val a = (1 to 100).map(i => s"w$i").mkString(" ")
+    val b = ((26 to 100) ++ (200 to 224)).map(i => s"w$i").mkString(" ")
+    val sa = HashKernels.minhashSig(u(a), 128, 1)
+    val sb = HashKernels.minhashSig(u(b), 128, 1)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+    val trueJ = 75.0 / 125.0
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+  }
+
+  test("identical docs share every LSH band; disjoint docs share none") {
+    val a = (1 to 50).map(i => s"w$i").mkString(" ")
+    val c = (100 to 150).map(i => s"v$i").mkString(" ")
+    val ba = HashKernels.minhashBands(u(a), 32, 3, 4).toLongArray()
+    val ba2 = HashKernels.minhashBands(u(a), 32, 3, 4).toLongArray()
+    val bc = HashKernels.minhashBands(u(c), 32, 3, 4).toLongArray()
+    assert(ba.toSeq == ba2.toSeq)
+    assert(ba.length == 8) // k=32 / r=4
+    assert(ba.intersect(bc).isEmpty)
+  }
+
+  test("minWindowFp is invariant under suffix append when window min survives") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"
+    val fpBase = HashKernels.minWindowFp(u(base), 16)
+    // appending bytes can only add new windows — min can only stay or drop
+    val fpMore = HashKernels.minWindowFp(u(base + "zz"), 16)
+    assert(fpMore <= fpBase)
+    // short string degenerates to whole-string fingerprint
+    assert(HashKernels.minWindowFp(u("short"), 16) ==
+      HashKernels.fingerprint64(u("short")))
+  }
+}

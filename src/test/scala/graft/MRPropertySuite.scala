@@ -1,0 +1,53 @@
+package graft
+
+import graft.mr.{MRJob, MRRunner}
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Property tests for the MR surface (SURVEY.md §5 item 4): results are
+  * invariant under the output-partition count, word counts conserve tokens,
+  * and the streaming group-runs iterator is a faithful groupBy on sorted
+  * input. Deterministic seeded generation (scalacheck's forAll bridge for
+  * scalatest isn't in the offline cache).
+  */
+class MRPropertySuite extends AnyFunSuite {
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "eps")
+
+  object Count extends MRJob {
+    def map(line: String): IterableOnce[(String, String)] =
+      line.split(' ').iterator.filter(_.nonEmpty).map(_ -> "1")
+    def reduce(key: String, values: Seq[String]): IterableOnce[(String, String)] =
+      Iterator(key -> values.map(_.toLong).sum.toString)
+  }
+
+  test("sortedRuns groups a sorted iterator exactly (100 random cases)") {
+    val rnd = new Random(42)
+    for (_ <- 1 to 100) {
+      val pairs = List.fill(rnd.nextInt(50))(
+        ("k" + rnd.nextInt(10), rnd.nextInt(1000).toString))
+      val sorted = pairs.sortBy(_._1)
+      val runs = MRRunner.sortedRuns(sorted.iterator).toSeq
+      assert(runs.map(_._1) == runs.map(_._1).distinct.sorted)
+      val rebuilt = runs.flatMap { case (k, vs) => vs.map(k -> _) }
+      assert(rebuilt.sortBy(p => (p._1, p._2)) == sorted.sortBy(p => (p._1, p._2)))
+    }
+  }
+
+  test("MR result is invariant under R and conserves total token count") {
+    val s = SparkTestBase.spark
+    import s.implicits._
+    val rnd = new Random(7)
+    for (_ <- 1 to 5) {
+      val corpus = List.fill(30)(
+        List.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val ds = s.createDataset(corpus)
+      val r4 = MRRunner.transform(s, ds, Count, 4).collect().toMap
+      val r7 = MRRunner.transform(s, ds, Count, 7).collect().toMap
+      assert(r4 == r7)
+      val totalTokens = corpus.iterator.flatMap(_.split(' ')).count(_.nonEmpty)
+      assert(r4.values.map(_.toLong).sum == totalTokens)
+    }
+  }
+}

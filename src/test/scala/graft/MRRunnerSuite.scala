@@ -1,0 +1,102 @@
+package graft
+
+import graft.mr.{MRRunner, MRSpec, WordCount}
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** MR-surface parity with the reference engine's semantics
+  * (/root/reference/src/worker.h, mr_tasks.h — see SURVEY.md §2.1):
+  * word count over the reference's own test corpus, R output partitions,
+  * each key-sorted, every key in exactly one partition, counts exact.
+  */
+class MRRunnerSuite extends SparkTestBase {
+
+  private val refInput =
+    Seq(1, 2, 3).map(i => s"/root/reference/test/input/testdata_$i.txt")
+      .filter(f => Files.exists(Paths.get(f)))
+
+  test("word count over the reference corpus matches a naive independent count") {
+    assume(refInput.nonEmpty, "reference test corpus not present")
+    val lines = spark.read.textFile(refInput: _*)
+    val R = 8
+    val result = MRRunner.transform(spark, lines, WordCount, R)
+    val got = result.collect().map { case (k, v) => (k, v.toLong) }.toMap
+
+    // independent oracle: plain Scala count on the driver
+    val expected = spark.read.textFile(refInput: _*).collect()
+      .iterator
+      .flatMap(WordCount.tokenize)
+      .foldLeft(Map.empty[String, Long]) { (m, w) => m.updated(w, m.getOrElse(w, 0L) + 1) }
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
+  test("output has R partitions, each key-sorted, keys disjoint across partitions") {
+    assume(refInput.nonEmpty, "reference test corpus not present")
+    val lines = spark.read.textFile(refInput: _*)
+    val R = 8
+    val result = MRRunner.transform(spark, lines, WordCount, R)
+    assert(result.rdd.getNumPartitions == R)
+    val perPart: Array[Seq[String]] = result.rdd
+      .mapPartitions(it => Iterator(it.map(_._1).toSeq))
+      .collect()
+    assert(perPart.length == R)
+    perPart.foreach { keys =>
+      assert(keys == keys.sorted, "partition not key-sorted")
+      assert(keys.distinct.size == keys.size, "duplicate key within a partition")
+    }
+    val all = perPart.flatten
+    assert(all.distinct.size == all.size, "a key appeared in more than one partition")
+  }
+
+  test("full run writes exactly R text files in 'key value' format") {
+    assume(refInput.nonEmpty, "reference test corpus not present")
+    val out = Files.createTempDirectory("mr_out").toString
+    val spec = MRSpec(
+      nWorkers = 4,
+      workerAddrs = (0 until 4).map(i => s"localhost:500$i"),
+      inputFiles = refInput,
+      outputDir = out,
+      nOutputFiles = 8,
+      mapKilobytes = 500,
+      userId = "cs6210")
+    MRRunner.run(spark, spec)
+    val parts = Files.list(Paths.get(out)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq
+    assert(parts.size == 8, s"expected 8 part files, got $parts")
+    val lines = parts.flatMap(p =>
+      Files.readAllLines(Paths.get(out, p)).asScala)
+    assert(lines.nonEmpty)
+    assert(lines.forall(_.matches("\\S+ \\S+")), "sink lines must be 'key value'")
+  }
+
+  test("spec INI parse + validation mirrors the reference's checks") {
+    val ini =
+      """n_workers=2
+        |worker_ipaddr_ports=localhost:5000,localhost:5001
+        |input_files=/root/reference/test/input/testdata_1.txt
+        |output_dir=/tmp/x
+        |n_output_files=4
+        |map_kilobytes=500
+        |user_id=cs6210""".stripMargin
+    val spec = MRSpec.fromIni(ini)
+    assert(spec.nWorkers == 2 && spec.nOutputFiles == 4)
+    assert(MRSpec.validate(spec).isEmpty)
+
+    assert(MRSpec.validate(spec.copy(nWorkers = 3)).exists(_.contains("n_workers")))
+    assert(MRSpec.validate(spec.copy(workerAddrs = Seq("localhost:99999", "x")))
+      .exists(_.contains("port")))
+    assert(MRSpec.validate(spec.copy(inputFiles = Seq("/no/such/file")))
+      .exists(_.contains("missing")))
+    assert(MRSpec.validate(spec.copy(mapKilobytes = 0)).nonEmpty)
+    assert(MRSpec.validate(spec.copy(userId = "")).nonEmpty)
+  }
+
+  test("tokenizer matches strtok semantics on the reference delimiters") {
+    val toks = WordCount.tokenize("""Hello, world. "it's  a test"""").toSeq
+    // strtok(" ,.\"'") splits on every delimiter run, no empty tokens
+    assert(toks == Seq("Hello", "world", "it", "s", "a", "test"))
+    assert(WordCount.tokenize("").isEmpty)
+    assert(WordCount.tokenize(" ,.'\"").isEmpty)
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.functions._
+
+/** Spot-checks of the relational surface against independent SQL-string
+  * formulations run through spark.sql on temp views — a different front-end
+  * path (parser → analyzer) over the same data than the DataFrame builders
+  * under test. Plus physical-plan shape assertions: the properties that
+  * matter at 100 TB (pushdown, broadcast, partial agg, top-k).
+  */
+class RelationalSuite extends SparkTestBase {
+
+  private def view(name: String): Unit =
+    Tables.table(spark, sf, name).createOrReplaceTempView(name)
+
+  test("q01 matches an independent spark.sql formulation") {
+    view("lineitem")
+    val got = Registry.byName("q01_pricing_summary").q(spark, sf).collect()
+    val exp = spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),4) AS sum_qty,
+        | round(sum(l_extendedprice),4) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),4) AS sum_disc_price,
+        | round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),4) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP_NTZ'1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin).collect()
+    assert(got.map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq)
+  }
+
+  test("q05 matches an independent spark.sql formulation") {
+    Seq("region", "nation", "customer", "supplier", "orders", "lineitem").foreach(view)
+    val got = Registry.byName("q05_region_revenue").q(spark, sf).collect()
+    val exp = spark.sql(
+      """SELECT n_name, round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+        |FROM customer
+        | JOIN nation ON c_nationkey=n_nationkey
+        | JOIN region ON n_regionkey=r_regionkey
+        | JOIN orders ON o_custkey=c_custkey
+        | JOIN lineitem ON l_orderkey=o_orderkey
+        | JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+        |WHERE r_name='ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin).collect()
+    assert(got.map(_.toSeq).toSeq == exp.map(_.toSeq).toSeq)
+  }
+
+  test("q02 pushes filter and projection into the parquet scan") {
+    val plan = Registry.byName("q02_filter_project").q(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:") &&
+      (plan.contains("IsNotNull(o_orderstatus)") || plan.contains("EqualTo(o_orderstatus")),
+      s"filter not pushed:\n$plan")
+    // only the 4 needed columns reach the scan
+    assert(plan.contains("ReadSchema") && !plan.contains("o_comment"),
+      "projection not pruned to needed columns")
+  }
+
+  test("q04 broadcasts the dimension side") {
+    val plan = Registry.byName("q04_brand_revenue").q(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "fact side should not shuffle for a dim join")
+  }
+
+  test("q01 aggregate is partial (map-side combine before the shuffle)") {
+    val plan = Registry.byName("q01_pricing_summary").q(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n$plan")
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+  }
+
+  test("q08 global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val plan = Registry.byName("q08_sort_limit").q(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$plan")
+  }
+
+  test("whole-stage codegen covers the q01 hot path") {
+    // AQE prints the final plan only after execution
+    val df = Registry.byName("q01_pricing_summary").q(spark, sf)
+    df.collect()
+    // codegen'd operators print with a "*(stageId)" prefix in the tree string
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) HashAggregate") || plan.contains("WholeStageCodegen"),
+      s"scan→agg path fell out of codegen:\n$plan")
+  }
+}
