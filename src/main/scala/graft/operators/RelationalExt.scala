@@ -1,0 +1,271 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.Entry
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second tranche of the relational surface: grouping sets, full outer join,
+  * correlated subquery shapes, exact percentiles, statistical aggregates,
+  * positional explode, as-of join, range join, salted skew join, and an
+  * approximate-distinct sketch.
+  *
+  * The as-of and salted operators are the interesting ones at 100 TB — both
+  * are written in their single-shuffle scale form (union+window for as-of,
+  * salt-replicate for skew) rather than the naive per-key join.
+  */
+object RelationalExt {
+
+  private val T = Tables
+
+  /** As-of join, scale form: for each order, the customer's latest event at
+    * or before the order time. Instead of the O(|events|·|orders|)-per-user
+    * inequality join, tag and union both sides, ONE shuffle on user_id, and
+    * carry the last-seen event through an ordered running window — the
+    * standard distributed point-in-time-correctness pattern.
+    */
+  private def asofJoin(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val ev = T.events(s, d).select(
+      col("user_id").as("uid"),
+      col("ts").as("t_ns"),
+      lit(0).as("is_order"),
+      lit(null).cast("long").as("o_orderkey"))
+    val ord = T.orders(s, d).select(
+      col("o_custkey").as("uid"),
+      (col("o_orderdate").cast("timestamp").cast("long") * lit(1000000000L)).as("t_ns"),
+      lit(1).as("is_order"),
+      col("o_orderkey"))
+    // events sort before orders at equal ts => "at or before" is inclusive
+    val w = Window.partitionBy(col("uid")).orderBy(col("t_ns"), col("is_order"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.unionByName(ord)
+      .withColumn("last_event_ns",
+        max(when(col("is_order") === 0, col("t_ns"))).over(w))
+      .withColumn("n_prior",
+        sum(when(col("is_order") === 0, 1L).otherwise(0L)).over(w))
+      .filter(col("is_order") === 1)
+      .select(col("o_orderkey"), col("uid").as("o_custkey"), col("last_event_ns"), col("n_prior"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Quarter dimension shared by the Spark side and the SQL oracle of the
+    * range join: [start, next) half-open epoch-second intervals, UTC.
+    */
+  private val quarters: Seq[(String, Long, Long)] = {
+    def epoch(y: Int, m: Int): Long =
+      java.time.LocalDate.of(y, m, 1).atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+    for {
+      y <- 1995 to 1998
+      q <- 1 to 4
+    } yield {
+      val m = (q - 1) * 3 + 1
+      val next = if (q == 4) epoch(y + 1, 1) else epoch(y, m + 3)
+      (s"${y}Q$q", epoch(y, m), next)
+    }
+  }
+
+  private def quarterValuesSql: String =
+    quarters.map { case (n, a, b) => s"('$n', $a, $b)" }.mkString(", ")
+
+  val entries: Seq[Entry] = Seq(
+    // q44: GROUPING SETS — the general form rollup/cube specialize; the two
+    // requested sets share one shuffle via the expand operator.
+    Entry(
+      "q44_grouping_sets",
+      (s, d) =>
+        T.orders(s, d)
+          .groupingSets(
+            Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+            col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+          .select(
+            coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+            col("n"), col("total"))
+          .orderBy(col("o_orderstatus"), col("o_orderpriority")),
+      Some("""SELECT coalesce(o_orderstatus,'ALL') AS o_orderstatus,
+             | coalesce(o_orderpriority,'ALL') AS o_orderpriority,
+             | count(*) AS n, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // q45: FULL OUTER join — part sizes vs a filtered lineitem aggregate;
+    // unmatched rows survive on both sides.
+    Entry(
+      "q45_full_outer_join",
+      (s, d) => {
+        val bigParts = T.part(s, d).filter(col("p_size") >= 45)
+          .select(col("p_partkey"), col("p_size"))
+        val heavyLines = T.lineitem(s, d)
+          .filter(col("l_quantity") >= 45)
+          .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_heavy"))
+        bigParts.join(heavyLines, col("p_partkey") === col("l_partkey"), "full_outer")
+          .select(
+            coalesce(col("p_partkey"), col("l_partkey")).as("partkey"),
+            col("p_size"), col("n_heavy"))
+          .orderBy(col("partkey"))
+      },
+      Some("""WITH bp AS (SELECT p_partkey, p_size FROM part WHERE p_size >= 45),
+             | hl AS (SELECT l_partkey, count(*) AS n_heavy FROM lineitem
+             |        WHERE l_quantity >= 45 GROUP BY l_partkey)
+             |SELECT coalesce(p_partkey, l_partkey) AS partkey, p_size, n_heavy
+             |FROM bp FULL OUTER JOIN hl ON p_partkey = l_partkey
+             |ORDER BY partkey""".stripMargin)),
+
+    // q46: correlated aggregate subquery — orders above their own customer's
+    // average, decorrelated into a broadcast join on the per-customer agg.
+    Entry(
+      "q46_correlated_subquery",
+      (s, d) => {
+        val custAvg = T.orders(s, d).groupBy(col("o_custkey").as("ck"))
+          .agg(avg(col("o_totalprice")).as("cavg"))
+        T.orders(s, d)
+          .join(broadcast(custAvg), col("o_custkey") === col("ck"))
+          .filter(col("o_totalprice") > col("cavg") * 1.5)
+          .select(col("o_orderkey"), col("o_custkey"),
+            round(col("o_totalprice") / col("cavg"), 4).as("x_avg"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+             | round(o_totalprice / (SELECT avg(i.o_totalprice) FROM orders i
+             |                       WHERE i.o_custkey = o.o_custkey), 4) AS x_avg
+             |FROM orders o
+             |WHERE o_totalprice > 1.5 * (SELECT avg(i.o_totalprice) FROM orders i
+             |                            WHERE i.o_custkey = o.o_custkey)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // q47: exact interpolated percentiles (Spark `percentile` == DuckDB
+    // `quantile_cont`); the approximate sketch path is q52.
+    Entry(
+      "q47_percentiles",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             | round(quantile_cont(l_extendedprice, 0.25),4) AS p25,
+             | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+             | round(quantile_cont(l_extendedprice, 0.75),4) AS p75,
+             | round(quantile_cont(l_extendedprice, 0.99),4) AS p99
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // q48: statistical aggregates — stddev/variance/correlation/covariance.
+    Entry(
+      "q48_stats_agg",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_linestatus"))
+          .agg(
+            round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+            round(var_samp(col("l_discount")), 6).as("var_disc"),
+            round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+            round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qp"))
+          .orderBy(col("l_linestatus")),
+      Some("""SELECT l_linestatus,
+             | round(stddev_samp(l_quantity),4) AS sd_qty,
+             | round(var_samp(l_discount),6) AS var_disc,
+             | round(corr(l_quantity, l_extendedprice),4) AS corr_qp,
+             | round(covar_samp(l_quantity, l_extendedprice),2) AS cov_qp
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // q49: positional explode (UDTF/generator shape) — token-position stats
+    // over the first 5 positions of each document.
+    Entry(
+      "q49_posexplode_tokens",
+      (s, d) =>
+        T.documents(s, d)
+          .select(posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .filter(col("pos") < 5 && col("tok") =!= "")
+          .groupBy(col("pos").cast("long").as("pos"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("tok")).as("n_distinct"),
+            min(col("tok")).as("first_tok"))
+          .orderBy(col("pos")),
+      Some("""WITH t AS (SELECT unnest(list_transform(string_split(text,' '),
+             |   (tok, i) -> {'pos': i - 1, 'tok': tok}), recursive := true)
+             | FROM documents)
+             |SELECT CAST(pos AS BIGINT) AS pos, count(*) AS n,
+             | count(DISTINCT tok) AS n_distinct, min(tok) AS first_tok
+             |FROM t WHERE pos < 5 AND tok <> '' GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q50: as-of join (union+window scale form; see asofJoin doc).
+    Entry(
+      "q50_asof_join",
+      (s, d) => asofJoin(s, d),
+      Some("""SELECT o_orderkey, o_custkey,
+             | (SELECT max(epoch_ns(e.ts)) FROM events e
+             |  WHERE e.user_id = o.o_custkey
+             |    AND epoch_ns(e.ts) <= epoch_ns(o.o_orderdate)) AS last_event_ns,
+             | (SELECT count(*) FROM events e
+             |  WHERE e.user_id = o.o_custkey
+             |    AND epoch_ns(e.ts) <= epoch_ns(o.o_orderdate)) AS n_prior
+             |FROM orders o ORDER BY o_orderkey""".stripMargin)),
+
+    // q51: range join — lineitems bucketed into calendar quarters via an
+    // interval-containment join against a tiny broadcast dim (plans as
+    // BroadcastNestedLoopJoin; at 100 TB you'd bin first and equi-join, but
+    // the operator semantics are interval containment).
+    Entry(
+      "q51_range_join",
+      (s, d) => {
+        val s2 = s
+        import s2.implicits._
+        val qdim = broadcast(quarters.toDF("quarter", "q_start", "q_end"))
+        T.lineitem(s, d)
+          .withColumn("ship_sec", col("l_shipdate").cast("timestamp").cast("long"))
+          .join(qdim, col("ship_sec") >= col("q_start") && col("ship_sec") < col("q_end"))
+          .groupBy(col("quarter"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+          .orderBy(col("quarter"))
+      },
+      Some(s"""WITH qd(quarter, q_start, q_end) AS (VALUES $quarterValuesSql)
+              |SELECT quarter, count(*) AS n,
+              | round(sum(l_extendedprice*(1-l_discount)),4) AS revenue
+              |FROM lineitem JOIN qd
+              | ON epoch(l_shipdate) >= q_start AND epoch(l_shipdate) < q_end
+              |GROUP BY quarter ORDER BY quarter""".stripMargin)),
+
+    // q52: HLL approximate distinct next to the exact count. Sketch values
+    // are engine-defined → rows-only driver check; RelationalExtSuite bounds
+    // the relative error.
+    Entry(
+      "q52_approx_distinct",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            countDistinct(col("l_orderkey")).as("exact_orders"))
+          .orderBy(col("l_returnflag")),
+      None),
+
+    // q53: skew-salted aggregation — two-level agg keyed by (key, salt) then
+    // key, so one hot key fans out over `nSalts` reducers before the final
+    // |keys|-row combine. Result identical to the direct group-by (oracle).
+    Entry(
+      "q53_salted_skew_agg",
+      (s, d) => {
+        val nSalts = 8
+        T.lineitem(s, d)
+          .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .withColumn("salt", pmod(hash(col("l_orderkey")), lit(nSalts)))
+          .groupBy(col("o_orderpriority"), col("salt"))
+          .agg(
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_part"),
+            count(lit(1)).as("n_part"))
+          .groupBy(col("o_orderpriority"))
+          .agg(round(sum(col("rev_part")), 2).as("revenue"), sum(col("n_part")).as("n"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority,
+             | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             | count(*) AS n
+             |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+  )
+}

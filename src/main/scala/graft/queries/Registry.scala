@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, EventOps, Multimodal, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, Multimodal, Relational, RelationalExt, Similarity, TextOps}
 import graft.streaming.EventStreams
 
 /** Single source of truth for the declared query inventory (SURVEY.md §2).
@@ -11,6 +11,7 @@ object Registry {
 
   val entries: Seq[Entry] =
     Relational.entries ++
+      RelationalExt.entries ++
       EventOps.entries ++
       EventStreams.entries ++
       TextOps.entries ++

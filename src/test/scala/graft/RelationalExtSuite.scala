@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.functions._
+
+class RelationalExtSuite extends SparkTestBase {
+
+  test("q52 HLL approx distinct stays within 15% of exact") {
+    Registry.byName("q52_approx_distinct").q(spark, sf).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.15,
+        s"approx=$approx exact=$exact for ${r.getString(0)}")
+    }
+  }
+
+  test("q53 salted two-level aggregate equals the direct group-by") {
+    val salted = Registry.byName("q53_salted_skew_agg").q(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+      .collect().map(_.toSeq).toSeq
+    assert(salted == direct)
+  }
+
+  test("q50 union+window as-of join equals the naive inequality join") {
+    val fast = Registry.byName("q50_asof_join").q(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSeq
+    val ord = Tables.orders(spark, sf).select(
+      col("o_orderkey"), col("o_custkey"),
+      (col("o_orderdate").cast("timestamp").cast("long") * lit(1000000000L)).as("o_ns"))
+    val ev = Tables.events(spark, sf).select(col("user_id"), col("ts"))
+    val naive = ord
+      .join(ev, col("user_id") === col("o_custkey") && col("ts") <= col("o_ns"), "left")
+      .groupBy(col("o_orderkey"), col("o_custkey"))
+      .agg(max(col("ts")).as("last_event_ns"), count(col("ts")).as("n_prior"))
+      .orderBy(col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSeq
+    assert(fast == naive)
+  }
+
+  test("q51 range join broadcasts the quarter dim") {
+    val plan = Registry.byName("q51_range_join").q(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"interval join should broadcast the tiny dim:\n$plan")
+  }
+
+  test("q44 grouping sets covers exactly the two requested sets") {
+    val rows = Registry.byName("q44_grouping_sets").q(spark, sf).collect()
+    // every row has exactly one non-ALL grouping column
+    rows.foreach { r =>
+      val bySt = r.getString(0) != "ALL"
+      val byPr = r.getString(1) != "ALL"
+      assert(bySt ^ byPr, s"row not from a requested set: $r")
+    }
+  }
+}
