@@ -146,6 +146,70 @@ object TextOps {
             call_function("fingerprint64", col("text")).as("fp"),
             call_function("min_window_fp", col("text"), lit(16)).as("min_fp16"))
           .orderBy(col("doc_id")),
-      None)
+      None),
+
+    // q54: BPE-ish subword tokenization — greedy regex chunking into runs of
+    // ≤4 letters (the regex-pre-tokenize shape every BPE pipeline starts
+    // with; the learned-merges step would replace the fixed {1,4} quantifier).
+    // Counted per language in one scan, regex evaluated inside codegen.
+    Entry(
+      "q54_bpe_subwords",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("lang"),
+            size(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)))
+              .cast("long").as("n_sub"),
+            size(array_distinct(regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))))
+              .cast("long").as("n_uniq"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_sub")).as("subwords"),
+            round(avg(col("n_sub")), 4).as("avg_subwords"),
+            round(avg(col("n_uniq")), 4).as("avg_uniq_subwords"))
+          .orderBy(col("lang")),
+      Some("""WITH t AS (SELECT lang,
+             |  CAST(len(regexp_extract_all(text, '[a-z]{1,4}')) AS BIGINT) AS n_sub,
+             |  CAST(len(list_distinct(regexp_extract_all(text, '[a-z]{1,4}'))) AS BIGINT) AS n_uniq
+             | FROM documents)
+             |SELECT lang, count(*) AS n_docs,
+             | CAST(sum(n_sub) AS BIGINT) AS subwords,
+             | round(avg(n_sub),4) AS avg_subwords,
+             | round(avg(n_uniq),4) AS avg_uniq_subwords
+             |FROM t GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q55: character-trigram Jaccard near-dup pairs — order-sensitive n-gram
+    // similarity complementing q37 (word sets) and q36 (token shingles).
+    // Exact O(N²) at fixture scale; the LSH banding of q36 is the 100 TB
+    // pruning path for this measure too (minhash over char n-grams).
+    Entry(
+      "q55_ngram_jaccard",
+      (s, d) => {
+        val grams = Tables.documents(s, d).select(
+          col("doc_id"),
+          expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3)))")
+            .as("g"))
+        val a = grams.select(col("doc_id").as("a_id"), col("g").as("a_g"))
+        val b = grams.select(col("doc_id").as("b_id"), col("g").as("b_g"))
+        a.crossJoin(b)
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("inter", size(array_intersect(col("a_g"), col("b_g"))).cast("double"))
+          .withColumn("jac", col("inter") / (size(col("a_g")) + size(col("b_g")) - col("inter")))
+          .filter(col("jac") >= 0.9)
+          .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+          .orderBy(col("a_id"), col("b_id"))
+      },
+      Some("""WITH g AS (SELECT doc_id,
+             |  list_distinct(list_transform(range(1, greatest(length(text)-2, 1) + 1),
+             |    i -> substr(text, i, 3))) AS g
+             | FROM documents),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) AS inter,
+             |  len(a.g) AS la, len(b.g) AS lb
+             | FROM g a JOIN g b ON a.doc_id < b.doc_id)
+             |SELECT a_id, b_id, round(inter/(la+lb-inter),4) AS jac
+             |FROM p WHERE inter/(la+lb-inter) >= 0.9
+             |ORDER BY a_id, b_id""".stripMargin))
   )
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.operators.{Dedup, EventOps, Multimodal, Relational, RelationalExt, Similarity, TextOps}
+import graft.sources.Sources
 import graft.streaming.EventStreams
 
 /** Single source of truth for the declared query inventory (SURVEY.md §2).
@@ -17,7 +18,8 @@ object Registry {
       TextOps.entries ++
       Dedup.entries ++
       Similarity.entries ++
-      Multimodal.entries
+      Multimodal.entries ++
+      Sources.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,

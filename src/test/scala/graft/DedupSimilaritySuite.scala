@@ -48,6 +48,15 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(recall >= 0.6, s"ANN recall $recall < 0.6")
   }
 
+  test("q56 IVF ANN beats the LSH recall floor (vs q40)") {
+    val exact = rows("q40_cosine_topk")
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = rows("q56_ann_ivf")
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+  }
+
   test("q38 simhash: exact duplicates get identical signatures") {
     import org.apache.spark.sql.functions._
     val df = Tables.documents(spark, sf)
