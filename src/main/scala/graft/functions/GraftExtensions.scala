@@ -50,6 +50,7 @@ object GraftExtensions {
             intArg(es(1), "k"),
             intArg(es(2), "shingle"),
             intArg(es(3), "r")))
+    reg("bands_from_sig", es => BandsFromSig(es(0), intArg(es(1), "r")))
     reg("rhp_bands",
         es =>
           RhpBands(

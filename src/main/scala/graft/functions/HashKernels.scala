@@ -97,6 +97,19 @@ object HashKernels {
     hashBytes(bytes, starts(t), ends(math.min(t + shingle - 1, ends.length - 1)))
   }
 
+  /** Per-JVM cache of the k (a_i, b_i) permutation coefficients — derivation
+    * is deterministic, so caching only removes the 2k splitmix64 calls per
+    * shingle per row.
+    */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+
+  private def permCoeffs(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, { kk =>
+      (Array.tabulate(kk)(i => splitmix64(2L * i + 1) | 1L), // odd multipliers
+       Array.tabulate(kk)(i => splitmix64(0x5eed0000L + i)))
+    })
+
   /** MinHash signature (k permutations) over `shingle`-token shingles.
     * Permutation i is the affine rehash `a_i*h + b_i` with splitmix64-derived
     * odd multipliers — the standard cheap family for MinHash.
@@ -105,6 +118,7 @@ object HashKernels {
     val bytes = s.getBytes
     val (starts, ends) = tokenSpans(bytes)
     val nShingles = math.max(1, starts.length - shingle + 1)
+    val (pa, pb) = permCoeffs(k)
     val sig = Array.fill(k)(Long.MaxValue)
     var t = 0
     while (t < nShingles) {
@@ -113,9 +127,7 @@ object HashKernels {
         else shingleHash(bytes, starts, ends, t, shingle)
       var i = 0
       while (i < k) {
-        val a = splitmix64(2L * i + 1) | 1L // odd multiplier
-        val b = splitmix64(0x5eed0000L + i)
-        val p = a * h + b
+        val p = pa(i) * h + pb(i)
         if (p < sig(i)) sig(i) = p
         i += 1
       }
@@ -132,9 +144,24 @@ object HashKernels {
     * least one band key w.h.p. — the scale path replacing the O(N²) cross
     * join with an equi-join shuffle on a long key.
     */
-  def minhashBands(s: UTF8String, k: Int, shingle: Int, r: Int): ArrayData = {
-    val sig = minhashSig(s, k, shingle)
-    val nBands = k / r
+  def minhashBands(s: UTF8String, k: Int, shingle: Int, r: Int): ArrayData =
+    bandKeys(minhashSig(s, k, shingle), r)
+
+  /** Band keys from an ALREADY-COMPUTED signature array — lets a plan that
+    * needs both the signature and its bands hash the text once
+    * (`bands_from_sig(sig, r)` over the `minhash_sig` column) instead of
+    * re-shingling per expression.
+    */
+  def bandsFromSig(sig: ArrayData, r: Int): ArrayData = {
+    val n = sig.numElements()
+    val arr = new Array[Long](n)
+    var i = 0
+    while (i < n) { arr(i) = sig.getLong(i); i += 1 }
+    bandKeys(arr, r)
+  }
+
+  private def bandKeys(sig: Array[Long], r: Int): ArrayData = {
+    val nBands = sig.length / r
     val keys = new Array[Long](nBands)
     var b = 0
     while (b < nBands) {

@@ -49,6 +49,25 @@ object VectorOps {
     math.sqrt(s)
   }
 
+  /** Per-JVM cache of derived hyperplane coefficient matrices, keyed by
+    * (planes, dims, seed). Derivation is deterministic from splitmix64 — no
+    * stored model and no broadcast; every executor materializes an identical
+    * matrix ONCE instead of re-deriving planes×dims hashes per row (at
+    * planes=40, dims=64 that's 2 560 hash+divide ops saved per row).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Array[Double]]]()
+
+  private def planeMatrix(planes: Int, dims: Int, seed: Long): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes, dims, seed), { key =>
+      val (p0, d0, s0) = key
+      Array.tabulate(p0, d0) { (p, i) =>
+        val h = HashKernels.splitmix64(s0 + p.toLong * 1000003L + i)
+        // map to [-1, 1): uniform is fine for sign-of-projection LSH
+        (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+      }
+    })
+
   /** Random-hyperplane signature split into `bands` band-keys.
     *
     * `planes * dims` pseudo-gaussian coefficients are derived deterministically
@@ -62,17 +81,15 @@ object VectorOps {
     */
   def rhpBands(a: ArrayData, planes: Int, bands: Int, seed: Long): ArrayData = {
     val dims = a.numElements()
+    val mat = planeMatrix(planes, dims, seed)
     val bits = new Array[Boolean](planes)
     var p = 0
     while (p < planes) {
+      val row = mat(p)
       var s = 0.0
       var i = 0
       while (i < dims) {
-        // deterministic pseudo-gaussian coefficient for (plane p, dim i)
-        val h = HashKernels.splitmix64(seed + p.toLong * 1000003L + i)
-        // map to [-1, 1): uniform is fine for sign-of-projection LSH
-        val c = (h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
-        s += c * a.getDouble(i)
+        s += row(i) * a.getDouble(i)
         i += 1
       }
       bits(p) = s >= 0.0

@@ -135,6 +135,26 @@ case class MinHashBands(child: Expression, k: Int, shingle: Int, r: Int)
     copy(child = newChild)
 }
 
+/** LSH band keys from an already-computed MinHash signature column. */
+case class BandsFromSig(child: Expression, r: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bands_from_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    HashKernels.bandsFromSig(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], r)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.bandsFromSig($c, $r)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH band keys for ANN over embedding vectors. */
 case class RhpBands(child: Expression, planes: Int, bands: Int, seed: Long)
     extends UnaryExpression

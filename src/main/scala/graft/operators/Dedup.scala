@@ -38,11 +38,13 @@ object Dedup {
     * Jaccard = fraction of matching signature components.
     */
   private def minhashPairs(s: SparkSession, d: String, minEst: Double): DataFrame = {
+    // hash the text ONCE: bands derive from the sig column, not a second
+    // shingling pass (bands_from_sig vs minhash_bands)
     val sigs = Tables.documents(s, d)
       .select(
         col("doc_id"),
-        call_function("minhash_sig", col("text"), lit(32), lit(3)).as("sig"),
-        call_function("minhash_bands", col("text"), lit(32), lit(3), lit(4)).as("bands"))
+        call_function("minhash_sig", col("text"), lit(32), lit(3)).as("sig"))
+      .withColumn("bands", call_function("bands_from_sig", col("sig"), lit(4)))
     val banded = sigs.select(col("doc_id"), col("sig"), explode(col("bands")).as("band"))
     val a = banded.select(col("doc_id").as("a_id"), col("sig").as("a_sig"), col("band"))
     val b = banded.select(col("doc_id").as("b_id"), col("sig").as("b_sig"), col("band"))
