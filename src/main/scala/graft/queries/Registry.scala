@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, EventOps, Multimodal, Relational, RelationalExt, Similarity, TextOps}
+import graft.operators.{Dedup, EventOps, Multimodal, Relational, Relational3, RelationalExt, Similarity, TextOps}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -13,6 +13,7 @@ object Registry {
   val entries: Seq[Entry] =
     Relational.entries ++
       RelationalExt.entries ++
+      Relational3.entries ++
       EventOps.entries ++
       EventStreams.entries ++
       TextOps.entries ++

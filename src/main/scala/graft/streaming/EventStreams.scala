@@ -92,12 +92,49 @@ object EventStreams {
       }
   }
 
+  /** The stateful sessionize as a driver-checked query: stream the fixture
+    * through [[sessionize]] with AvailableNow + memory sink; bounded input ⇒
+    * results equal the batch q26 oracle exactly.
+    */
+  def sessionizeStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "ts", "user_id", "event_type", "value").schema
+    val src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventRow]
+    spark.streams.active.filter(_.name == "graft_stream_sessions").foreach(_.stop())
+    val q = sessionize(src).writeStream
+      .format("memory")
+      .queryName("graft_stream_sessions")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_sessions")
+      .groupBy(col("user_id")) // one row per user per micro-batch → keep last
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q29_stream_hourly",
       hourlyCountsStream,
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
              | event_type, count(*) AS n, round(sum(value),2) AS sum_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Entry(
+      "q63_stream_sessionize",
+      sessionizeStream,
+      Some("""WITH g AS (
+             | SELECT user_id,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |       THEN 1 ELSE 0 END AS new_session
+             | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+             | count(*) AS n_events
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }
