@@ -50,6 +50,8 @@ object GraftExtensions {
             intArg(es(1), "k"),
             intArg(es(2), "shingle"),
             intArg(es(3), "r")))
+    reg("minhash_sig_chars",
+        es => MinHashSigChars(es(0), intArg(es(1), "k"), intArg(es(2), "n")))
     reg("bands_from_sig", es => BandsFromSig(es(0), intArg(es(1), "r")))
     reg("rhp_bands",
         es =>

@@ -139,6 +139,33 @@ object HashKernels {
   def minhashArray(s: UTF8String, k: Int, shingle: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(minhashSig(s, k, shingle))
 
+  /** MinHash signature over character n-grams (byte windows) instead of token
+    * shingles — the similarity measure behind char-n-gram Jaccard (q55).
+    * Duplicate windows collapse under min, so this is set semantics, matching
+    * `array_distinct` of the substring n-grams.
+    */
+  def minhashSigChars(s: UTF8String, k: Int, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val (pa, pb) = permCoeffs(k)
+    val sig = Array.fill(k)(Long.MaxValue)
+    val nGrams = math.max(1, bytes.length - n + 1)
+    var t = 0
+    while (t < nGrams) {
+      val h = hashBytes(bytes, t, math.min(t + n, bytes.length))
+      var i = 0
+      while (i < k) {
+        val p = pa(i) * h + pb(i)
+        if (p < sig(i)) sig(i) = p
+        i += 1
+      }
+      t += 1
+    }
+    sig
+  }
+
+  def minhashCharsArray(s: UTF8String, k: Int, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(minhashSigChars(s, k, n))
+
   /** LSH band keys from a MinHash signature: k/r bands of r rows each; band
     * key = hash(band values ++ band index). Jaccard-similar docs share at
     * least one band key w.h.p. — the scale path replacing the O(N²) cross

@@ -112,6 +112,29 @@ case class MinHashSig(child: Expression, k: Int, shingle: Int)
     copy(child = newChild)
 }
 
+/** MinHash signature over character n-grams (byte windows). */
+case class MinHashSigChars(child: Expression, k: Int, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig_chars"
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.minhashCharsArray(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"graft.functions.HashKernels.minhashCharsArray($c, $k, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** LSH band keys derived from the MinHash signature (k/r keys). */
 case class MinHashBands(child: Expression, k: Int, shingle: Int, r: Int)
     extends UnaryExpression

@@ -78,9 +78,12 @@ object Relational {
              |FROM orders WHERE o_orderstatus='F' AND o_totalprice>100000
              |ORDER BY o_orderkey""".stripMargin)),
 
-    // q03: shipping-priority top-k — broadcast the filtered customer dim into
-    // the orders⋈lineitem shuffle join; top-k via sort+limit (TakeOrdered at
-    // the physical level, no full sort materialization).
+    // q03: shipping-priority top-k — orders⋈lineitem shuffles on orderkey,
+    // then a key-shuffle join against filtered customer. No broadcast hint:
+    // customer grows with the corpus (~1/5 of it passes the segment filter),
+    // so the choice is left to stats/AQE — broadcast when genuinely small,
+    // shuffle join on custkey at 100 TB. Top-k via sort+limit (TakeOrdered
+    // at the physical level, no full sort materialization).
     Entry(
       "q03_shipping_priority",
       (s, d) => {
@@ -90,7 +93,7 @@ object Relational {
         val li = T.lineitem(s, d)
           .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp_ntz"))
         li.join(ord, col("l_orderkey") === col("o_orderkey"))
-          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .join(cust, col("o_custkey") === col("c_custkey"))
           .groupBy(col("o_orderkey"), col("o_orderdate"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
             .as("revenue"))
@@ -112,13 +115,15 @@ object Relational {
              |GROUP BY o_orderkey, o_orderdate
              |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)),
 
-    // q04: fact⋈dim with an explicitly broadcast dim — zero shuffle on the
-    // fact side; the agg shuffles only |brands| rows per partition.
+    // q04: fact⋈dim join — no forced hint: part grows with the corpus, so
+    // broadcast is a stats/AQE decision (taken at every SF we test, where
+    // part is far under the threshold; a shuffle join on partkey at 100 TB).
+    // The agg then shuffles only |brands| rows per partition.
     Entry(
       "q04_brand_revenue",
       (s, d) =>
         T.lineitem(s, d)
-          .join(broadcast(T.part(s, d)), col("l_partkey") === col("p_partkey"))
+          .join(T.part(s, d), col("l_partkey") === col("p_partkey"))
           .groupBy(col("p_brand"))
           .agg(
             round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
@@ -132,21 +137,24 @@ object Relational {
              |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
 
     // q05: five-way join (region→nation→customer→orders→lineitem→supplier).
-    // All dims broadcast; the only shuffle join is orders⋈lineitem on
-    // orderkey. The c_nationkey=s_nationkey local-supplier predicate follows
-    // TPC-H Q5.
+    // Broadcast hints ONLY on the true dims (nation: 25 rows, region: 5 —
+    // bounded at any corpus size). Customer and supplier grow linearly with
+    // the corpus, so their joins shuffle on the key and stats/AQE choose
+    // broadcast only when a side is genuinely small. The c_nationkey=
+    // s_nationkey local-supplier predicate follows TPC-H Q5.
     Entry(
       "q05_region_revenue",
       (s, d) => {
-        val dims = broadcast(
-          T.customer(s, d)
-            .join(T.nation(s, d), col("c_nationkey") === col("n_nationkey"))
-            .join(T.region(s, d).filter(col("r_name") === "ASIA"),
-                  col("n_regionkey") === col("r_regionkey")))
+        val cust = T.customer(s, d)
+          .join(broadcast(
+            T.nation(s, d)
+              .join(T.region(s, d).filter(col("r_name") === "ASIA"),
+                    col("n_regionkey") === col("r_regionkey"))),
+            col("c_nationkey") === col("n_nationkey"))
         T.lineitem(s, d)
           .join(T.orders(s, d), col("l_orderkey") === col("o_orderkey"))
-          .join(dims, col("o_custkey") === col("c_custkey"))
-          .join(broadcast(T.supplier(s, d)),
+          .join(cust, col("o_custkey") === col("c_custkey"))
+          .join(T.supplier(s, d),
                 col("l_suppkey") === col("s_suppkey") &&
                   col("c_nationkey") === col("s_nationkey"))
           .groupBy(col("n_name"))
@@ -363,13 +371,15 @@ object Relational {
              |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
              |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
-    // q19: IN-subquery as a broadcast left-semi join on the filtered dim.
+    // q19: IN-subquery as a left-semi join on the filtered dim — no forced
+    // hint (part grows with the corpus; stats/AQE pick broadcast when the
+    // filtered side is small, shuffle semi-join on partkey otherwise).
     Entry(
       "q19_in_subquery",
       (s, d) =>
         T.lineitem(s, d)
           .join(
-            broadcast(T.part(s, d).filter(col("p_size") > 40).select(col("p_partkey"))),
+            T.part(s, d).filter(col("p_size") > 40).select(col("p_partkey")),
             col("l_partkey") === col("p_partkey"),
             "left_semi")
           .groupBy(col("l_returnflag"))

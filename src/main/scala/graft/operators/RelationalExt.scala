@@ -113,14 +113,16 @@ object RelationalExt {
              |ORDER BY partkey""".stripMargin)),
 
     // q46: correlated aggregate subquery — orders above their own customer's
-    // average, decorrelated into a broadcast join on the per-customer agg.
+    // average. Decorrelated as an aggregate WINDOW over the correlation key:
+    // ONE shuffle on o_custkey and no join/broadcast at all. (The earlier
+    // broadcast-the-per-customer-agg form was a scale bug: that "dim" has
+    // |customers| rows and grows with the corpus.)
     Entry(
       "q46_correlated_subquery",
       (s, d) => {
-        val custAvg = T.orders(s, d).groupBy(col("o_custkey").as("ck"))
-          .agg(avg(col("o_totalprice")).as("cavg"))
+        val w = Window.partitionBy(col("o_custkey"))
         T.orders(s, d)
-          .join(broadcast(custAvg), col("o_custkey") === col("ck"))
+          .withColumn("cavg", avg(col("o_totalprice")).over(w))
           .filter(col("o_totalprice") > col("cavg") * 1.5)
           .select(col("o_orderkey"), col("o_custkey"),
             round(col("o_totalprice") / col("cavg"), 4).as("x_avg"))
@@ -230,19 +232,29 @@ object RelationalExt {
               | ON epoch(l_shipdate) >= q_start AND epoch(l_shipdate) < q_end
               |GROUP BY quarter ORDER BY quarter""".stripMargin)),
 
-    // q52: HLL approximate distinct next to the exact count. Sketch values
-    // are engine-defined → rows-only driver check; RelationalExtSuite bounds
-    // the relative error.
+    // q52: HLL approximate distinct next to the exact count. The sketch
+    // estimate itself is engine-defined, so the query emits its own error
+    // check (|approx−exact|/exact ≤ 0.15) as a boolean the DuckDB oracle
+    // reproduces as literal TRUE — fully driver-checkable, and the exact
+    // column stays data-derived. RelationalExtSuite bounds the raw error.
     Entry(
       "q52_approx_distinct",
       (s, d) =>
         T.lineitem(s, d)
           .groupBy(col("l_returnflag"))
           .agg(
-            approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+            approx_count_distinct(col("l_orderkey")).as("approx"),
             countDistinct(col("l_orderkey")).as("exact_orders"))
+          .select(
+            col("l_returnflag"),
+            col("exact_orders"),
+            (abs(col("approx") - col("exact_orders")) / col("exact_orders") <= 0.15)
+              .as("within_bound"))
           .orderBy(col("l_returnflag")),
-      None),
+      Some("""SELECT l_returnflag,
+             | count(DISTINCT l_orderkey) AS exact_orders,
+             | TRUE AS within_bound
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // q53: skew-salted aggregation — two-level agg keyed by (key, salt) then
     // key, so one hot key fans out over `nSalts` reducers before the final

@@ -26,7 +26,7 @@ object Similarity {
   private val topK = 5
 
   /** Brute-force exact top-k cosine for the first `nQueries` vectors. */
-  private def bruteTopK(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bruteTopK(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
@@ -52,7 +52,7 @@ object Similarity {
     * planes/bands per corpus — more bits/band = fewer candidates, more bands
     * = higher recall.
     */
-  private def annTopK(s: SparkSession, d: String): DataFrame = {
+  private[graft] def annTopK(s: SparkSession, d: String): DataFrame = {
     val banded = vecs(s, d)
       .select(
         col("vec_id"),
@@ -86,7 +86,7 @@ object Similarity {
     * k×d centroid table (tiny), assignment is one scan, and candidate
     * generation is an equi-join on bucket id.
     */
-  private def ivfTopK(s: SparkSession, d: String): DataFrame = {
+  private[graft] def ivfTopK(s: SparkSession, d: String): DataFrame = {
     val k = 16
     val nprobe = 4
     val e = vecs(s, d).select(col("vec_id"), col("v"))
@@ -131,6 +131,27 @@ object Similarity {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Driver-checkable form of an approximate top-k: recall against the
+    * in-query exact baseline, reduced to (n_exact, recall_ok). The exact
+    * side is the same one-pass broadcast-8-queries scan as q40, so the
+    * whole self-check stays linear in corpus size. The DuckDB oracle
+    * reproduces the row as data-derived n_exact + literal TRUE — the driver
+    * check passes iff the ANN clears its recall bound.
+    */
+  private def recallCheck(ann: DataFrame, exact: DataFrame, bound: Double): DataFrame = {
+    val e = exact.select(col("q_id"), col("n_id"))
+    val a = ann.select(col("q_id").as("aq"), col("n_id").as("an"), lit(1L).as("hit"))
+    e.join(a, col("q_id") === col("aq") && col("n_id") === col("an"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        (sum(coalesce(col("hit"), lit(0L))) / count(lit(1))).as("recall"))
+      .select(col("n_exact"), (col("recall") >= bound).as("recall_ok"))
+  }
+
+  private val recallOracle: String =
+    s"""SELECT CAST($topK * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+       |FROM embeddings WHERE vec_id < $nQueries""".stripMargin
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q40_cosine_topk",
@@ -147,13 +168,23 @@ object Similarity {
               |SELECT q_id, rank, n_id, round(cos,4) AS cos
               |FROM r WHERE rank <= $topK ORDER BY q_id, rank""".stripMargin)),
 
-    // q41: approximate by construction → rows-only driver check;
-    // DedupSimilaritySuite asserts recall ≥ threshold vs the exact q40.
-    Entry("q41_ann_lsh", annTopK, None),
+    // q41: sign-LSH ANN, registered as its recall self-check vs the exact
+    // baseline (driver-checkable; see recallCheck). On this isotropic
+    // fixture the pruning is parameter-weak — q56's IVF is the recommended
+    // ANN (higher recall at a quarter of the candidates); q41 remains the
+    // data-independent-index variant. DedupSimilaritySuite additionally
+    // asserts recall on the raw annTopK output.
+    Entry(
+      "q41_ann_lsh",
+      (s, d) => recallCheck(annTopK(s, d), bruteTopK(s, d), 0.6),
+      Some(recallOracle)),
 
-    // q56: IVF coarse-quantizer ANN (see ivfTopK doc) — approximate →
-    // rows-only driver check; DedupSimilaritySuite asserts recall vs q40.
-    Entry("q56_ann_ivf", ivfTopK, None),
+    // q56: IVF coarse-quantizer ANN (see ivfTopK doc) — the recommended ANN
+    // path; registered as its recall self-check vs the exact baseline.
+    Entry(
+      "q56_ann_ivf",
+      (s, d) => recallCheck(ivfTopK(s, d), bruteTopK(s, d), 0.8),
+      Some(recallOracle)),
 
     // q42: vector-norm statistics per label — `aggregate` HOF dot product,
     // strictly sequential accumulation to stay bit-identical with the oracle.

@@ -133,20 +133,29 @@ object TextOps {
              | count(*) AS n
              |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
-    // q34: document fingerprinting via the native codegen expressions —
-    // whole-text rolling hash + winnowing-style min-window hash. Not
-    // SQL-expressible (rows-only driver check); determinism is covered by
-    // HashKernelsSuite.
+    // q34: document fingerprinting — whole-text digest + winnowing-style
+    // minimum-over-16-char-windows fingerprint. Expressed over md5 so the
+    // DuckDB oracle reproduces every value cross-engine (md5 is md5 in both;
+    // hex strings compare lexicographically identically). The native codegen
+    // kernels (fingerprint64/min_window_fp) remain the fast in-engine path
+    // and are pinned by HashKernelsSuite; this query's formulation trades
+    // them for full driver-checkability. Linear per-row, one scan.
     Entry(
       "q34_fingerprint",
       (s, d) =>
         Tables.documents(s, d)
           .select(
             col("doc_id"),
-            call_function("fingerprint64", col("text")).as("fp"),
-            call_function("min_window_fp", col("text"), lit(16)).as("min_fp16"))
+            md5(col("text")).as("fp"),
+            array_min(
+              transform(
+                sequence(lit(1), greatest(length(col("text")) - 15, lit(1))),
+                i => md5(col("text").substr(i, lit(16))))).as("win_fp16"))
           .orderBy(col("doc_id")),
-      None),
+      Some("""SELECT doc_id, md5(text) AS fp,
+             | list_min(list_transform(range(1, greatest(length(text)-15, 1) + 1),
+             |   i -> md5(substr(text, i, 16)))) AS win_fp16
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     // q54: BPE-ish subword tokenization — greedy regex chunking into runs of
     // ≤4 letters (the regex-pre-tokenize shape every BPE pipeline starts
@@ -181,19 +190,28 @@ object TextOps {
 
     // q55: character-trigram Jaccard near-dup pairs — order-sensitive n-gram
     // similarity complementing q37 (word sets) and q36 (token shingles).
-    // Exact O(N²) at fixture scale; the LSH banding of q36 is the 100 TB
-    // pruning path for this measure too (minhash over char n-grams).
+    // CANDIDATES-then-CONFIRM like q36/q37: candidates from a char-trigram
+    // MinHash band equi-join (minhash_sig_chars hashes the same byte windows
+    // the confirm step substrings, set semantics on both sides), exact
+    // trigram-set Jaccard within candidates only. 16 bands × 2 rows ⇒ miss
+    // prob ≤ (1−0.9²)^16 ≈ 3.1e-12 at the threshold, so output equals the
+    // brute-force oracle. No crossJoin anywhere in the plan.
     Entry(
       "q55_ngram_jaccard",
       (s, d) => {
+        val banded = Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            explode(
+              call_function(
+                "bands_from_sig",
+                call_function("minhash_sig_chars", col("text"), lit(32), lit(3)),
+                lit(2))).as("band"))
         val grams = Tables.documents(s, d).select(
           col("doc_id"),
-          expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3)))")
+          expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1), 1), i -> substr(text, i, 3)))")
             .as("g"))
-        val a = grams.select(col("doc_id").as("a_id"), col("g").as("a_g"))
-        val b = grams.select(col("doc_id").as("b_id"), col("g").as("b_g"))
-        a.crossJoin(b)
-          .filter(col("a_id") < col("b_id"))
+        Dedup.attachFeatures(Dedup.bandCandidates(banded), grams, "g")
           .withColumn("inter", size(array_intersect(col("a_g"), col("b_g"))).cast("double"))
           .withColumn("jac", col("inter") / (size(col("a_g")) + size(col("b_g")) - col("inter")))
           .filter(col("jac") >= 0.9)

@@ -42,19 +42,78 @@ class DedupSimilaritySuite extends SparkTestBase {
   test("q41 ANN LSH recalls most of the exact top-k neighbors (vs q40)") {
     val exact = rows("q40_cosine_topk")
       .map(r => (r.getLong(0), r.getLong(2))).toSet // (q_id, n_id)
-    val ann = rows("q41_ann_lsh")
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ann = graft.operators.Similarity.annTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(ann.contains).toDouble / exact.size
     assert(recall >= 0.6, s"ANN recall $recall < 0.6")
+    // and the registered self-check form agrees
+    val check = rows("q41_ann_lsh")
+    assert(check.length == 1 && check(0).getBoolean(1), "q41 recall_ok is false")
   }
 
   test("q56 IVF ANN beats the LSH recall floor (vs q40)") {
     val exact = rows("q40_cosine_topk")
       .map(r => (r.getLong(0), r.getLong(2))).toSet
-    val ivf = rows("q56_ann_ivf")
-      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.operators.Similarity.ivfTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(ivf.contains).toDouble / exact.size
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
+    val check = rows("q56_ann_ivf")
+    assert(check.length == 1 && check(0).getBoolean(1), "q56 recall_ok is false")
+  }
+
+  test("pruned pair queries carry no cartesian product in the physical plan") {
+    // q36/q37/q55: LSH band equi-join candidates; q39: grid-blocked
+    // theta-join. None may plan a CartesianProduct or a broadcast
+    // nested-loop join — the all-pairs scale-killers the pruned forms
+    // replace. (The brute-force shapes live only in tests and oracles.)
+    Seq("q36_minhash_lsh", "q37_wordset_jaccard", "q39_embedding_neardup",
+        "q55_ngram_jaccard").foreach { name =>
+      val plan = Registry.byName(name).q(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$plan")
+    }
+  }
+
+  test("q37/q55/q39 pruned outputs equal their brute-force forms") {
+    import org.apache.spark.sql.functions._
+    // brute word-set Jaccard (the pre-round-4 q37 shape, now test-only)
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val bruteWs = sets.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      .crossJoin(sets.select(col("doc_id").as("b_id"), col("toks").as("b_toks")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+      .withColumn("jac", col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")))
+      .filter(col("jac") >= 0.95)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+      .collect().map(_.toSeq).toSet
+    assert(rows("q37_wordset_jaccard").map(_.toSeq).toSet == bruteWs)
+
+    val grams = Tables.documents(spark, sf).select(
+      col("doc_id"),
+      expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1)), i -> substr(text, i, 3)))").as("g"))
+    val bruteNg = grams.select(col("doc_id").as("a_id"), col("g").as("a_g"))
+      .crossJoin(grams.select(col("doc_id").as("b_id"), col("g").as("b_g")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_g"), col("b_g"))).cast("double"))
+      .withColumn("jac", col("inter") / (size(col("a_g")) + size(col("b_g")) - col("inter")))
+      .filter(col("jac") >= 0.9)
+      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
+      .collect().map(_.toSeq).toSet
+    assert(rows("q55_ngram_jaccard").map(_.toSeq).toSet == bruteNg)
+
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val bruteCos = vecs.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+      .crossJoin(vecs.select(col("vec_id").as("b_id"), col("v").as("b_v")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", call_function("cosine_sim", col("a_v"), col("b_v")))
+      .filter(col("cos") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+      .collect().map(_.toSeq).toSet
+    assert(rows("q39_embedding_neardup").map(_.toSeq).toSet == bruteCos)
   }
 
   test("q38 simhash: exact duplicates get identical signatures") {

@@ -81,6 +81,47 @@ class RelationalSuite extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"top-k not heap-based:\n$plan")
   }
 
+  test("no forced broadcast hints on inputs that grow with the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, ResolvedHint}
+    val unboundedTables = Seq("customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings", "events")
+    // Forced `broadcast()` is allowed only on subtrees whose cardinality is
+    // bounded regardless of corpus size: fixed dims (nation 25 / region 5),
+    // literal local relations, global (ungrouped) aggregates, and the
+    // explicitly bounded probe/centroid sides enumerated here (≤8 query
+    // vectors / k=16 centroids). Everything else must leave join strategy
+    // to stats/AQE — an adaptive broadcast of a small filtered side is fine
+    // (it adapts away at 100×); a forced hint is not.
+    val boundedProbeHints: Map[String, Int] = Map(
+      "q40_cosine_topk" -> 1, // 8-query probe side (vec_id < nQueries)
+      "q41_ann_lsh" -> 2,     // banded 8-query probe + exact-baseline probe
+      "q56_ann_ivf" -> 5      // k-centroid tables + 8-query probes + exact baseline
+    )
+    val names = (graft.operators.Relational.entries ++
+      graft.operators.RelationalExt.entries ++
+      graft.operators.Relational3.entries ++
+      graft.operators.EventOps.entries ++
+      graft.operators.TextOps.entries ++
+      graft.operators.Dedup.entries ++
+      graft.operators.Similarity.entries).map(_.name)
+    names.foreach { name =>
+      val df = Registry.byName(name).q(spark, sf)
+      val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      val offending = hints.filterNot { h =>
+        val leaves = h.child.collectLeaves().map(_.toString).mkString("\n")
+        val touchesUnbounded =
+          unboundedTables.exists(t => leaves.contains(t + ".parquet"))
+        val isGlobalAgg = h.child.collect {
+          case a: Aggregate if a.groupingExpressions.isEmpty => a
+        }.nonEmpty
+        !touchesUnbounded || isGlobalAgg
+      }
+      val allowed = boundedProbeHints.getOrElse(name, 0)
+      assert(offending.size <= allowed,
+        s"$name forces broadcast of ${offending.size} corpus-sized side(s) (allowed $allowed)")
+    }
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     // AQE prints the final plan only after execution
     val df = Registry.byName("q01_pricing_summary").q(spark, sf)
