@@ -43,11 +43,16 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
       .foreach(t => Tables.table(spark, sfDir, t).count())
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory)
       headline.foreach { name =>
+        // NonFatal only — an OOM/interrupt must surface, and a query that
+        // fails warm-up gets its name logged instead of silently running cold
         try exec(SparkEntry.queries(name)(spark, warmDir))
-        catch { case _: Throwable => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+        }
       }
 
     val results = headline.map { name =>

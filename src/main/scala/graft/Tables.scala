@@ -23,6 +23,11 @@ object Tables {
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.adaptive.enabled" -> "true",
+    // Straggler mitigation — the cluster-posture equivalent of the
+    // reference master's deadline + requeue + timeout-doubling loop
+    // (/root/reference/src/master.h:271-309,338-346): re-launch slow tasks
+    // speculatively; harmless no-op under local[n].
+    "spark.speculation" -> "true",
     // Dims (region/nation/supplier/part/customer) stay well under this at
     // any SF we test; on a real cluster this is the default 10 MB knob.
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString

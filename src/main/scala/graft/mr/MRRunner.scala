@@ -81,16 +81,20 @@ object MRRunner {
     * reducers, partial-aggregate map-side so the shuffle carries one row per
     * (partition, key) instead of one per emit — the difference between
     * shuffling 100 TB and shuffling the distinct-key set at scale.
+    *
+    * Takes the map function directly (not an MRJob): the caller-supplied
+    * `merge` REPLACES the job's reduce here, and taking the whole job would
+    * invite the two to drift silently.
     */
   def reduceByKeyDF(
       spark: SparkSession,
       lines: Dataset[String],
-      job: MRJob,
+      mapFn: String => IterableOnce[(String, String)],
       merge: (String, String) => String,
       nOutput: Int): Dataset[(String, String)] = {
     import spark.implicits._
     lines
-      .flatMap(job.map _)
+      .flatMap(mapFn)
       .groupByKey(_._1)
       .reduceGroups((a, b) => (a._1, merge(a._2, b._2)))
       .map { case (k, (_, v)) => (k, v) }

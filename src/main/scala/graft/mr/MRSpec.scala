@@ -85,6 +85,19 @@ object MRSpec {
     spec.inputFiles.foreach { f =>
       if (!Files.exists(Paths.get(f))) errs += s"input file missing: $f"
     }
+    // Output-dir writability probe, mirroring the reference's create+delete
+    // of a temp file in the output dir
+    // (/root/reference/src/mapreduce_spec.h:147-155). The dir is created if
+    // absent (as the sink write would); the probe file is always removed.
+    try {
+      val dir = Paths.get(spec.outputDir)
+      if (!Files.isDirectory(dir)) Files.createDirectories(dir)
+      val probe = Files.createTempFile(dir, ".graft_probe_", "")
+      Files.delete(probe)
+    } catch {
+      case e: Exception =>
+        errs += s"output dir not writable: ${spec.outputDir} (${e.getClass.getSimpleName})"
+    }
     errs.result()
   }
 }

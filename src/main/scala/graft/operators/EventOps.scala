@@ -18,6 +18,51 @@ object EventOps {
   private val HourNs = 3600L * 1000 * 1000 * 1000
   private val SessionGapNs = 30L * 60 * 1000 * 1000 * 1000
 
+  /** Hot-key-safe sessionization: two phases keyed by (user_id, time-block)
+    * then user_id. Phase 1 sessionizes within fixed time blocks — a hot user
+    * fans out over (#blocks) reducers instead of one giant sorted partition;
+    * phase 2 merges at block boundaries with a window over per-block
+    * SUMMARIES (4 values per (user, block) — tiny). A session crossing a
+    * boundary was counted once in each block, so subtract one per bridged
+    * boundary; blockNs ≥ gap guarantees non-adjacent blocks can never
+    * bridge. Result is identical to the direct single-window sessionize
+    * (oracle-checked + EventOpsSuite equality on a skewed fixture).
+    */
+  private[graft] def sessionizeSalted(
+      events: org.apache.spark.sql.DataFrame,
+      gapNs: Long,
+      blockNs: Long): org.apache.spark.sql.DataFrame = {
+    require(blockNs >= gapNs, "blockNs must be >= gapNs for boundary merging")
+    val w1 = Window
+      .partitionBy(col("user_id"), col("blk"))
+      .orderBy(col("ts"), col("event_id"))
+    val perBlock = events
+      .withColumn("blk", floor(col("ts") / lit(blockNs)))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w1))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"), col("blk"))
+      .agg(
+        sum(col("new_session")).as("s"),
+        count(lit(1)).as("n"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"))
+    val w2 = Window.partitionBy(col("user_id")).orderBy(col("blk"))
+    perBlock
+      .withColumn("prev_last", lag(col("last_ts"), 1).over(w2))
+      .withColumn(
+        "bridged",
+        when(col("prev_last").isNotNull && col("first_ts") - col("prev_last") <= gapNs, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        (sum(col("s")) - sum(col("bridged"))).as("n_sessions"),
+        sum(col("n")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     // q25: tumbling hourly windows. Batch `window()` semantics expressed as
     // integer bucket math; one shuffle on (hour, type) with partial aggs.
@@ -57,6 +102,23 @@ object EventOps {
           .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
           .orderBy(col("user_id"))
       },
+      Some("""WITH g AS (
+             | SELECT user_id,
+             |  CASE WHEN lag(ts) OVER w IS NULL
+             |        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |       THEN 1 ELSE 0 END AS new_session
+             | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+             |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+             | count(*) AS n_events
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q64: the salted two-phase sessionize (see sessionizeSalted doc) — the
+    // skew-hardened form of q26 for hot users; same oracle, identical result.
+    // 4-hour blocks: ≥ the 30-min gap, and coarse enough that a normal user
+    // hits a handful of blocks.
+    Entry(
+      "q64_sessionize_salted",
+      (s, d) => sessionizeSalted(Tables.events(s, d), SessionGapNs, 4 * HourNs),
       Some("""WITH g AS (
              | SELECT user_id,
              |  CASE WHEN lag(ts) OVER w IS NULL

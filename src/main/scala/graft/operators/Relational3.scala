@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.mr.{MRJob, MRRunner}
+import graft.mr.MRRunner
 import graft.queries.Entry
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,12 +18,8 @@ object Relational3 {
     * one row per (map-partition, key) instead of one per token. Same result
     * as q30's sort-group path, verified by the shared oracle.
     */
-  private object CountJob extends MRJob {
-    def map(line: String): IterableOnce[(String, String)] =
-      line.split(' ').iterator.filter(_.nonEmpty).map(_ -> "1")
-    def reduce(key: String, values: Seq[String]): IterableOnce[(String, String)] =
-      Iterator(key -> values.iterator.map(_.toLong).sum.toString)
-  }
+  private def countMap(line: String): IterableOnce[(String, String)] =
+    line.split(' ').iterator.filter(_.nonEmpty).map(_ -> "1")
 
   val entries: Seq[Entry] = Seq(
     // q59: MR wordcount via map-side combine (reduceByKeyDF); oracle shared
@@ -34,7 +30,7 @@ object Relational3 {
         import s.implicits._
         val lines = T.documents(s, d).select(col("text")).as[String]
         MRRunner
-          .reduceByKeyDF(s, lines, CountJob, (a, b) => (a.toLong + b.toLong).toString, 32)
+          .reduceByKeyDF(s, lines, countMap, (a, b) => (a.toLong + b.toLong).toString, 32)
           .toDF("word", "cnt_str")
           .select(col("word"), col("cnt_str").cast("long").as("cnt"))
           .orderBy(col("word"))

@@ -17,9 +17,18 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Sources {
 
-  /** Scratch root: inside the build dir (gitignored, inside the repo). */
-  private def scratch(d: String, name: String): String =
-    s"target/graft_io/${d.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+  /** Scratch root: anchored to the repo-independent tmpdir (CWD-independent)
+    * with a per-JVM token, so concurrent runs over the same fixture never
+    * collide on SaveMode.Overwrite.
+    */
+  private val runToken =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+      .replaceAll("[^A-Za-z0-9]", "_")
+
+  private[graft] def scratch(d: String, name: String): String = {
+    val root = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$root/graft_io_$runToken/${d.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+  }
 
   /** Partitioned parquet round-trip: write lineitem partitioned by
     * l_returnflag, read back ONE partition via a filter on the partition

@@ -6,6 +6,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
+import scala.collection.mutable.ArrayBuffer
+
 /** Structured Streaming surface over `events`: the same time-series semantics
   * as the batch operators (EventOps), expressed as streams.
   *
@@ -14,18 +16,69 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *     parquet, so the driver's batch oracle applies verbatim — the point is
   *     that the SAME aggregation runs unbounded with a watermark in
   *     production.
-  *   - [[sessionize]]: custom session state via flatMapGroupsWithState — the
-  *     stateful-operator path for semantics window aggs can't express.
-  *     Exercised in StreamingSuite against the batch q26 results.
+  *   - [[sessionize]]: keyed session state via flatMapGroupsWithState. State
+  *     is a set of disjoint session INTERVALS, not an event buffer: each
+  *     event folds in as it streams past (merge into a neighboring interval
+  *     or open a new one), so per-user memory is O(#open sessions) — a hot
+  *     user with millions of events in one batch costs interval bookkeeping,
+  *     never a sort or a materialized batch. Interval state is also
+  *     ORDER-INSENSITIVE: late/out-of-order arrivals (which a multi-file
+  *     FileStreamSource does not forbid) land in the right session exactly,
+  *     for as long as the state is retained.
+  *   - [[sessionizeWatermarked]]: the production form — event-time watermark
+  *     + EventTimeTimeout. Per-user state expires (and emits its final
+  *     aggregate) once the watermark passes last-event + gap, so unbounded
+  *     runs hold state only for open sessions; events later than the
+  *     watermark delay are dropped by Spark (the documented lateness
+  *     contract, vs. the NoTimeout form which accepts any lateness but
+  *     retains state forever).
   */
 object EventStreams {
 
   final case class EventRow(event_id: Long, ts: Long, user_id: Long,
                             event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
-  final case class SessionState(lastTs: Long, nSessions: Long, nEvents: Long)
+
+  /** One session: [start, end] in event-time nanos, n = events folded in. */
+  final case class SessionInterval(start: Long, end: Long, n: Long)
+  final case class SessionState(intervals: Seq[SessionInterval])
+
+  /** Event-time row for the watermarked path (event_time = ts in micros). */
+  final case class TimedEvent(event_id: Long, ts: Long, user_id: Long,
+                              event_time: java.sql.Timestamp)
 
   private val SessionGapNs = 30L * 60 * 1000 * 1000 * 1000
+
+  /** Fold one event time into a start-sorted disjoint interval set: extend /
+    * bridge neighbors within the gap, else open a new interval. O(#intervals)
+    * per event (append-fast for in-order arrivals); the set stays tiny
+    * because intervals are maximal sessions, never raw events.
+    */
+  private[graft] def mergeEvent(
+      iv: ArrayBuffer[SessionInterval], t: Long, gap: Long): Unit = {
+    var idx = iv.indexWhere(_.start > t)
+    if (idx < 0) idx = iv.length
+    val p = idx - 1
+    val mergePrev = p >= 0 && t - iv(p).end <= gap
+    val mergeNext = idx < iv.length && iv(idx).start - t <= gap
+    if (mergePrev && mergeNext) { // t bridges two sessions into one
+      iv(p) = SessionInterval(iv(p).start, iv(idx).end, iv(p).n + iv(idx).n + 1)
+      iv.remove(idx)
+    } else if (mergePrev) {
+      iv(p) = SessionInterval(iv(p).start, math.max(iv(p).end, t), iv(p).n + 1)
+    } else if (mergeNext) {
+      iv(idx) = SessionInterval(t, iv(idx).end, iv(idx).n + 1)
+    } else {
+      iv.insert(idx, SessionInterval(t, t, 1))
+    }
+  }
+
+  private def folded(
+      state: GroupState[SessionState], rows: Iterator[EventRow]): ArrayBuffer[SessionInterval] = {
+    val buf = ArrayBuffer.from(state.getOption.map(_.intervals).getOrElse(Seq.empty))
+    rows.foreach(e => mergeEvent(buf, e.ts, SessionGapNs))
+    buf
+  }
 
   /** Event-time hourly tumbling counts as a stream. `ts` arrives as epoch
     * nanos (long); we bucket in exact integer math and aggregate on the
@@ -60,15 +113,10 @@ object EventStreams {
       .orderBy(col("hour_epoch"), col("event_type"))
   }
 
-  /** Gap-based sessionization with explicit keyed state — one state record
-    * per user, event-count and session-count accumulated as batches arrive.
-    * With real event-time watermarks you'd time out state via
-    * GroupStateTimeout.EventTimeTimeout; the fixture is bounded so state
-    * lives for the run.
-    *
-    * NOTE: exact per-batch session stitching requires events per user to
-    * arrive in ts order across batches (guaranteed here: single AvailableNow
-    * batch, sorted within group below).
+  /** Gap-based sessionization with interval state and no timeout: accepts
+    * arbitrarily late events exactly (they fold into the right interval),
+    * state lives for the run — the bounded-input/backfill form. Emits the
+    * per-user totals-so-far each batch.
     */
   def sessionize(events: Dataset[EventRow]): Dataset[SessionAgg] = {
     import events.sparkSession.implicits._
@@ -78,17 +126,46 @@ object EventStreams {
         OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.ts, e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
-          sorted.foreach { e =>
-            val newSession = st.lastTs == Long.MinValue || e.ts - st.lastTs > SessionGapNs
-            st = SessionState(
-              lastTs = e.ts,
-              nSessions = st.nSessions + (if (newSession) 1 else 0),
-              nEvents = st.nEvents + 1)
+          val buf = folded(state, rows)
+          state.update(SessionState(buf.toSeq))
+          Iterator(SessionAgg(userId, buf.length.toLong, buf.iterator.map(_.n).sum))
+      }
+  }
+
+  /** Production sessionization: event-time watermark + state expiry. Emits
+    * each user's FINAL session aggregate exactly once, when the watermark
+    * passes their last event + gap; expired state is removed, so long-running
+    * streams hold state only for open sessions.
+    */
+  def sessionizeWatermarked(
+      events: Dataset[EventRow], delay: String): Dataset[SessionAgg] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val gapMs = SessionGapNs / 1000000L
+    events
+      .withColumn("event_time", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withWatermark("event_time", delay)
+      .as[TimedEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAgg](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val iv = state.get.intervals
+            state.remove()
+            Iterator(SessionAgg(userId, iv.length.toLong, iv.iterator.map(_.n).sum))
+          } else {
+            val buf = ArrayBuffer.from(state.getOption.map(_.intervals).getOrElse(Seq.empty))
+            rows.foreach(e => mergeEvent(buf, e.ts, SessionGapNs))
+            state.update(SessionState(buf.toSeq))
+            // expire once the watermark passes last event + gap (timeout must
+            // sit strictly beyond the current watermark)
+            val lastEndMs = buf.iterator.map(_.end).max / 1000000L
+            state.setTimeoutTimestamp(
+              math.max(lastEndMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
-          state.update(st)
-          Iterator(SessionAgg(userId, st.nSessions, st.nEvents))
       }
   }
 

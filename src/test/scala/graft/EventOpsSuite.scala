@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.EventOps
+import graft.queries.Registry
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch time-series operators: the salted sessionize vs the direct window
+  * on a skewed fixture, and the session posture confs.
+  */
+class EventOpsSuite extends SparkTestBase {
+
+  test("salted sessionize == direct window sessionize on a skewed fixture") {
+    val s = spark
+    import s.implicits._
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val rnd = new scala.util.Random(11)
+    // one hot user (50k events, mixed dense runs + cross-block gaps) plus
+    // 50 normal users; timestamps deliberately land on/near block edges
+    val hot = (0 until 50000).map { i =>
+      (i.toLong, i.toLong * 700000000L + rnd.nextInt(1000), 1L)
+    }
+    val cold = (0 until 2000).map { i =>
+      (100000L + i, rnd.nextLong(50000L * 700000000L), 2L + (i % 50))
+    }
+    val events = (hot ++ cold).toDF("event_id", "ts", "user_id")
+    val salted = EventOps.sessionizeSalted(events, gapNs, 4L * 3600 * 1000 * 1000 * 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val direct = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("q64 equals q26 on the fixture (same sessions, skew-hardened plan)") {
+    val a = Registry.byName("q64_sessionize_salted").q(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val b = Registry.byName("q26_sessionize").q(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("session posture: speculation on, AQE on, UTC, nanosAsLong") {
+    assert(spark.conf.get("spark.speculation") == "true")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
+  }
+}

@@ -92,6 +92,21 @@ class MRRunnerSuite extends SparkTestBase {
     assert(MRSpec.validate(spec.copy(userId = "")).nonEmpty)
   }
 
+  test("spec validation probes output-dir writability (mapreduce_spec.h:147-155)") {
+    val spec = MRSpec(
+      nWorkers = 1,
+      workerAddrs = Seq("localhost:5000"),
+      inputFiles = refInput.take(1),
+      outputDir = "/proc/graft_no_such_writable_dir",
+      nOutputFiles = 1,
+      mapKilobytes = 500,
+      userId = "cs6210")
+    assume(refInput.nonEmpty, "reference test corpus not present")
+    assert(MRSpec.validate(spec).exists(_.contains("not writable")))
+    val ok = Files.createTempDirectory("mr_probe").toString
+    assert(!MRSpec.validate(spec.copy(outputDir = ok)).exists(_.contains("not writable")))
+  }
+
   test("tokenizer matches strtok semantics on the reference delimiters") {
     val toks = WordCount.tokenize("""Hello, world. "it's  a test"""").toSeq
     // strtok(" ,.\"'") splits on every delimiter run, no empty tokens

@@ -8,7 +8,7 @@ class SourcesSuite extends SparkTestBase {
   test("q57 partition-pruned read-back: scan touches only the filtered partition") {
     // run once to materialize the partitioned table
     Registry.byName("q57_partitioned_sink").q(spark, sf).collect()
-    val path = s"target/graft_io/${sf.replaceAll("[^A-Za-z0-9]", "_")}/lineitem_by_flag"
+    val path = graft.sources.Sources.scratch(sf, "lineitem_by_flag")
     val df = spark.read.parquet(path).filter(col("l_returnflag") === "R")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") && plan.contains("l_returnflag"),

@@ -20,6 +20,103 @@ class StreamingSuite extends SparkTestBase {
     assert(streamRows.toSeq == batchRows.toSeq)
   }
 
+  test("watermarked sessionize: state expires via EventTimeTimeout and finals match q26") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.Files
+    // Split the fixture into two time-ordered chunks plus two far-future
+    // sentinel events (user −1): multi-batch arrival via maxFilesPerTrigger,
+    // and each sentinel batch pushes the watermark so every real user's
+    // state times out and emits its final aggregate.
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val maxTs = ev.agg(max("ts")).head().getLong(0)
+    val dir = Files.createTempDirectory("wm_events").toString
+    val mid = ev.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
+    // write each chunk as ONE flat parquet file with increasing mod time —
+    // FileStreamSource orders arrivals by modification time
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = s"$dir/${name}_stage"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dir/ev_$name.parquet")
+      Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000L * order)
+    }
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    writeChunk(ev.filter(col("ts") <= mid), "c1", 1)
+    writeChunk(ev.filter(col("ts") > mid), "c2", 2)
+    writeChunk(
+      Seq((9000001L, maxTs + dayNs, -1L, "view", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), "c3", 3)
+    writeChunk(
+      Seq((9000002L, maxTs + 2 * dayNs, -1L, "view", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value"), "c4", 4)
+    val src = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/ev_*.parquet")
+      .as[EventStreams.EventRow]
+    val out = EventStreams.sessionizeWatermarked(src, "0 seconds")
+    spark.streams.active.filter(_.name == "test_wm_sessionize").foreach(_.stop())
+    val q = out.writeStream.format("memory").queryName("test_wm_sessionize")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val finals = spark.table("test_wm_sessionize")
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly one FINAL row per user — emitted by the timeout path only
+    assert(finals.map(_._1).distinct.length == finals.length, "duplicate finals")
+    val batch = Registry.byName("q26_sessionize").q(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(finals.toSet == batch,
+      s"watermarked finals != batch sessionize (missing: ${batch.diff(finals.toSet).take(5)})")
+  }
+
+  test("interval-state sessionize handles a hot user and out-of-order arrival") {
+    val s = spark
+    import s.implicits._
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    // 100k events for ONE user: runs of 1000 events 1s apart, then a jump
+    // past the gap → 100 sessions. Shuffled order: interval state must not
+    // depend on arrival order (and must never buffer/sort the batch).
+    val nRuns = 100
+    val perRun = 1000
+    val ts = for {
+      r <- 0 until nRuns
+      i <- 0 until perRun
+    } yield r.toLong * (perRun * 1000000000L + 2 * gapNs) + i * 1000000000L
+    val shuffled = new scala.util.Random(7).shuffle(ts.toVector)
+    import scala.collection.mutable.ArrayBuffer
+    val buf = ArrayBuffer.empty[EventStreams.SessionInterval]
+    shuffled.foreach(t => EventStreams.mergeEvent(buf, t, gapNs))
+    assert(buf.length == nRuns, s"expected $nRuns sessions, got ${buf.length}")
+    assert(buf.iterator.map(_.n).sum == nRuns.toLong * perRun)
+    // and through the real streaming operator (single AvailableNow batch)
+    val dir = java.nio.file.Files.createTempDirectory("hot_events").toString
+    shuffled.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, 42L, "view", 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(4).write.parquet(s"$dir/e")
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/e").schema)
+      .parquet(s"$dir/e")
+      .as[EventStreams.EventRow]
+    spark.streams.active.filter(_.name == "test_hot_sessionize").foreach(_.stop())
+    val q = EventStreams.sessionize(src).writeStream
+      .format("memory").queryName("test_hot_sessionize")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val row = spark.table("test_hot_sessionize")
+      .groupBy(col("user_id"))
+      .agg(max(col("n_sessions")).as("s"), max(col("n_events")).as("n"))
+      .head()
+    assert(row.getLong(1) == nRuns.toLong && row.getLong(2) == nRuns.toLong * perRun)
+  }
+
   test("flatMapGroupsWithState sessionize == batch window sessionize (q26)") {
     val s = spark
     import s.implicits._
