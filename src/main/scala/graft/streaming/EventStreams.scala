@@ -113,6 +113,25 @@ object EventStreams {
       .orderBy(col("hour_epoch"), col("event_type"))
   }
 
+  /** Production form of the hourly aggregate: event-time tumbling window +
+    * watermark, Append mode — each (hour, type) row is emitted exactly once,
+    * when the watermark passes the window end, and its state is dropped.
+    * q29's Complete-mode form is the bounded/oracle-comparable variant of
+    * this same aggregation; StreamingSuite proves the closed windows here
+    * equal the batch q25 results.
+    */
+  def hourlyCountsWatermarked(events: DataFrame, delay: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withWatermark("event_time", delay)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        col("window.start").cast("long").as("hour_epoch"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
   /** Gap-based sessionization with interval state and no timeout: accepts
     * arbitrarily late events exactly (they fold into the right interval),
     * state lives for the run — the bounded-input/backfill form. Emits the

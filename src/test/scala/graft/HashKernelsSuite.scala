@@ -58,6 +58,32 @@ class HashKernelsSuite extends AnyFunSuite {
     assert(ba.intersect(bc).isEmpty)
   }
 
+  test("minhashSigChars estimates char-trigram Jaccard; set semantics hold") {
+    val a = "abcdefghijklmnopqrstuvwxyz" * 4
+    val b = "abcdefghijklmnopqrstuvwxyz" * 2 + "0123456789" * 5
+    val sa = HashKernels.minhashSigChars(u(a), 128, 3)
+    val sb = HashKernels.minhashSigChars(u(b), 128, 3)
+    def grams(s: String) = (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+    val (ga, gb) = (grams(a), grams(b))
+    val trueJ = ga.intersect(gb).size.toDouble / ga.union(gb).size
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / 128
+    assert(math.abs(est - trueJ) < 0.15, s"est=$est true=$trueJ")
+    // duplicate n-grams collapse (set semantics): a periodic string has the
+    // same trigram SET at any repeat count, so the signature is unchanged
+    assert(HashKernels.minhashSigChars(u("abc" * 10), 32, 3).toSeq ==
+      HashKernels.minhashSigChars(u("abc" * 25), 32, 3).toSeq)
+    // identical strings: identical bands; disjoint alphabets: no shared band
+    val bandsA = HashKernels.bandsFromSig(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(sa), 2).toLongArray()
+    val bandsB = HashKernels.bandsFromSig(
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(HashKernels.minhashSigChars(u("0123456789" * 6), 128, 3)), 2)
+      .toLongArray()
+    assert(bandsA.length == 64) // k=128 / r=2
+    assert(bandsA.intersect(bandsB).isEmpty)
+  }
+
   test("minWindowFp is invariant under suffix append when window min survives") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"
     val fpBase = HashKernels.minWindowFp(u(base), 16)

@@ -35,6 +35,31 @@ class MRPropertySuite extends AnyFunSuite {
     }
   }
 
+  test("interval-state sessionize == sort-then-gap reference (200 random cases)") {
+    import graft.streaming.EventStreams
+    import scala.collection.mutable.ArrayBuffer
+    val rnd = new Random(13)
+    for (_ <- 1 to 200) {
+      val gap = 1 + rnd.nextInt(50)
+      val n = 1 + rnd.nextInt(60)
+      // clustered timestamps with duplicates and arbitrary arrival order
+      val ts = List.fill(n)(rnd.nextInt(500).toLong)
+      val buf = ArrayBuffer.empty[EventStreams.SessionInterval]
+      ts.foreach(t => EventStreams.mergeEvent(buf, t, gap))
+      // reference: sort, count gap-exceeding steps
+      val sorted = ts.sorted
+      val expectedSessions = 1 + sorted.zip(sorted.tail).count { case (a, b) => b - a > gap }
+      assert(buf.length == expectedSessions,
+        s"gap=$gap ts=$ts: intervals=${buf.toList} expected $expectedSessions")
+      assert(buf.iterator.map(_.n).sum == n.toLong)
+      // intervals sorted, disjoint, separated by more than the gap
+      buf.toList.sliding(2).foreach {
+        case List(a, b) => assert(b.start - a.end > gap)
+        case _          => ()
+      }
+    }
+  }
+
   test("MR result is invariant under R and conserves total token count") {
     val s = SparkTestBase.spark
     import s.implicits._

@@ -11,30 +11,22 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 class StreamingSuite extends SparkTestBase {
 
-  test("stream hourly counts == batch hourly counts (modulo avg col)") {
-    val streamRows = Registry.byName("q29_stream_hourly").q(spark, sf)
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
-    val batchRows = Registry.byName("q25_events_hourly").q(spark, sf)
-      .select(col("hour_epoch"), col("event_type"), col("n"), col("sum_value"))
-      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
-    assert(streamRows.toSeq == batchRows.toSeq)
-  }
-
-  test("watermarked sessionize: state expires via EventTimeTimeout and finals match q26") {
+  /** Build a multi-batch arrival dir from the fixture: two time-ordered
+    * chunks plus two far-future sentinel events (user −1) whose batches push
+    * the watermark past all real data. Files get increasing mod times —
+    * FileStreamSource orders arrivals by modification time — so with
+    * maxFilesPerTrigger=1 each file is one micro-batch. Returns (glob,
+    * schema).
+    */
+  private def arrivalDir(prefix: String): (String, org.apache.spark.sql.types.StructType) = {
     val s = spark
     import s.implicits._
     import java.nio.file.Files
-    // Split the fixture into two time-ordered chunks plus two far-future
-    // sentinel events (user −1): multi-batch arrival via maxFilesPerTrigger,
-    // and each sentinel batch pushes the watermark so every real user's
-    // state times out and emits its final aggregate.
     val ev = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
     val maxTs = ev.agg(max("ts")).head().getLong(0)
-    val dir = Files.createTempDirectory("wm_events").toString
+    val dir = Files.createTempDirectory(prefix).toString
     val mid = ev.agg(expr("percentile(ts, 0.5)")).head().getDouble(0).toLong
-    // write each chunk as ONE flat parquet file with increasing mod time —
-    // FileStreamSource orders arrivals by modification time
     def writeChunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
       val tmp = s"$dir/${name}_stage"
       df.coalesce(1).write.parquet(tmp)
@@ -53,8 +45,24 @@ class StreamingSuite extends SparkTestBase {
     writeChunk(
       Seq((9000002L, maxTs + 2 * dayNs, -1L, "view", 0.0))
         .toDF("event_id", "ts", "user_id", "event_type", "value"), "c4", 4)
-    val src = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", "1")
-      .parquet(s"$dir/ev_*.parquet")
+    (s"$dir/ev_*.parquet", ev.schema)
+  }
+
+  test("stream hourly counts == batch hourly counts (modulo avg col)") {
+    val streamRows = Registry.byName("q29_stream_hourly").q(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val batchRows = Registry.byName("q25_events_hourly").q(spark, sf)
+      .select(col("hour_epoch"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamRows.toSeq == batchRows.toSeq)
+  }
+
+  test("watermarked sessionize: state expires via EventTimeTimeout and finals match q26") {
+    val s = spark
+    import s.implicits._
+    val (glob, schema) = arrivalDir("wm_events")
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(glob)
       .as[EventStreams.EventRow]
     val out = EventStreams.sessionizeWatermarked(src, "0 seconds")
     spark.streams.active.filter(_.name == "test_wm_sessionize").foreach(_.stop())
@@ -72,6 +80,30 @@ class StreamingSuite extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(finals.toSet == batch,
       s"watermarked finals != batch sessionize (missing: ${batch.diff(finals.toSet).take(5)})")
+  }
+
+  test("watermarked hourly agg: closed windows equal the batch aggregate") {
+    val (glob, schema) = arrivalDir("wm_hourly")
+    val src = spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(glob)
+    val out = EventStreams.hourlyCountsWatermarked(src, "0 seconds")
+    spark.streams.active.filter(_.name == "test_wm_hourly").foreach(_.stop())
+    val q = out.writeStream.format("memory").queryName("test_wm_hourly")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // every real-data hour closes below the sentinel-driven watermark; the
+    // sentinel hours themselves may or may not have closed — exclude them
+    val batch = Registry.byName("q25_events_hourly").q(spark, sf)
+      .select(col("hour_epoch"), col("event_type"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val maxRealHour = batch.map(_._1).max
+    val got = spark.table("test_wm_hourly")
+      .filter(col("hour_epoch") <= maxRealHour)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == batch,
+      s"closed windows != batch agg (missing: ${batch.diff(got).take(5)})")
   }
 
   test("interval-state sessionize handles a hot user and out-of-order arrival") {
