@@ -41,6 +41,12 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // saveAsTable target (bucketed-table queries): CWD-independent, per-JVM
+      .config(
+        "spark.sql.warehouse.dir",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse_" +
+          java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+            .replaceAll("[^A-Za-z0-9]", "_"))
     sessionConf.foreach { case (k, v) => b.config(k, v) }
     b
   }

@@ -71,6 +71,68 @@ object Sources {
       .orderBy(col("r_name"))
   }
 
+  /** Bucketed co-located join — the 100 TB fact⋈fact layout: both tables
+    * written `bucketBy(16, orderkey)` + sorted, so the join reads bucket i
+    * against bucket i with NO shuffle and no sort on either side (the
+    * SortMergeJoin's exchanges vanish — asserted in SourcesSuite). At scale
+    * this is the difference between re-shuffling 100 TB per join and a
+    * metadata-only alignment; the bucketed write is paid once at ingest.
+    * Uses saveAsTable (bucketing lives in the catalog, not the parquet).
+    */
+  private def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = d.replaceAll("[^A-Za-z0-9]", "_")
+    val lt = s"graft_li_bucketed_$tag"
+    val ot = s"graft_ord_bucketed_$tag"
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+    // hint("merge"): the point is the bucket-aligned SortMergeJoin — at
+    // fixture scale stats would otherwise pick a broadcast and hide the
+    // exchange-free join this layout exists for (at 100 TB neither side
+    // broadcasts and SMJ is what the planner picks unaided)
+    s.table(lt).hint("merge")
+      .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Dynamic partition pruning: fact partitioned on the join key, dim side
+    * carries a selective filter — the scan of the fact prunes partitions at
+    * RUNTIME from the dim's build-side values (plan shows dynamicpruning;
+    * asserted in SourcesSuite). The standard date-dim/fact pattern at scale.
+    */
+  private def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "orders_by_priority")
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("o_orderpriority")
+      .parquet(path)
+    val dimPath = scratch(d, "priority_dim")
+    Tables.orders(s, d)
+      .select(col("o_orderpriority").as("p_priority")).distinct()
+      // equality on a literal is what DPP's selectivity heuristic looks for
+      // (a bare boolean attribute is not considered "likely selective")
+      .withColumn(
+        "p_class",
+        when(col("p_priority").startsWith("1"), "urgent").otherwise("normal"))
+      .write.mode(SaveMode.Overwrite).parquet(dimPath)
+    val fact = s.read.parquet(path)
+    val dim = s.read.parquet(dimPath).filter(col("p_class") === "urgent")
+    fact.join(dim, col("o_orderpriority") === col("p_priority"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q57_partitioned_sink",
@@ -85,6 +147,20 @@ object Sources {
       csvJsonRoundtrip,
       Some("""SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
              |FROM nation JOIN region ON n_regionkey=r_regionkey
-             |GROUP BY r_name ORDER BY r_name""".stripMargin))
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+    Entry(
+      "q65_bucketed_join",
+      bucketedJoin,
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+    Entry(
+      "q66_dpp_join",
+      dppJoin,
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             | round(sum(o_totalprice),2) AS total
+             |FROM orders WHERE o_orderpriority LIKE '1%'
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
 }

@@ -22,4 +22,23 @@ class SourcesSuite extends SparkTestBase {
     val out = Registry.byName("q58_csv_json_roundtrip").q(spark, sf).collect()
     assert(out.map(_.getLong(1)).sum == Tables.nation(spark, sf).count())
   }
+
+  test("q65 bucketed join: no shuffle reaches the join (bucket-aligned scans)") {
+    val df = Registry.byName("q65_bucketed_join").q(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ over bucketed scans:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"scan not bucketed:\n$plan")
+    // the ONLY exchanges allowed are after the join (final agg + order-by);
+    // the join inputs must come straight from the bucketed scans
+    val joinSubtree = plan.split("SortMergeJoin", 2)(1)
+    assert(!joinSubtree.contains("Exchange"),
+      s"bucketed join inputs still shuffle:\n$plan")
+  }
+
+  test("q66 join prunes fact partitions dynamically from the dim filter") {
+    val df = Registry.byName("q66_dpp_join").q(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in plan:\n$plan")
+  }
 }
