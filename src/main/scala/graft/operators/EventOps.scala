@@ -144,6 +144,43 @@ object EventOps {
              | min(k) AS min_k, max(k) AS max_k
              |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // q67: malformed-input tolerance — the PERMISSIVE schema-on-read path
+    // every large-scale ingest needs. A tenth of the JSON payloads are
+    // deliberately corrupted in-flight; from_json classifies them as null
+    // (never fails the job), and the query accounts for every record:
+    // valid rows contribute their parsed value, corrupt rows are counted.
+    // The oracle reproduces the corruption rule, proving the permissive
+    // parse classifies EXACTLY the mangled records as corrupt.
+    Entry(
+      "q67_json_malformed",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn(
+            "raw",
+            // break the opening brace — unambiguously invalid JSON with
+            // nothing salvageable (trailing garbage or truncation can be
+            // partially recovered by permissive parsers)
+            when(pmod(col("event_id"), lit(10L)) === 0,
+                 regexp_replace(col("props"), "^\\{", "<"))
+              .otherwise(col("props")))
+          .withColumn("parsed",
+            from_json(col("raw"), org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            // valid payloads always carry k, so a null parse OR null field
+            // marks a corrupt record regardless of how the permissive parser
+            // surfaces the failure (null struct vs all-null fields)
+            sum(when(col("parsed").isNull || col("parsed.k").isNull, 1L).otherwise(0L))
+              .as("n_corrupt"),
+            sum(coalesce(col("parsed.k"), lit(0L))).as("k_sum"))
+          .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*) AS n,
+             | CAST(sum(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+             | CAST(sum(CASE WHEN event_id % 10 <> 0
+             |          THEN CAST(props->>'k' AS BIGINT) ELSE 0 END) AS BIGINT) AS k_sum
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // q28: per-user-bucket conditional event-type stats (pivot shape as
     // single-pass conditional aggregation).
     Entry(

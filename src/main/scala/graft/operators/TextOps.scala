@@ -228,6 +228,37 @@ object TextOps {
              | FROM g a JOIN g b ON a.doc_id < b.doc_id)
              |SELECT a_id, b_id, round(inter/(la+lb-inter),4) AS jac
              |FROM p WHERE inter/(la+lb-inter) >= 0.9
-             |ORDER BY a_id, b_id""".stripMargin))
+             |ORDER BY a_id, b_id""".stripMargin)),
+
+    // q69: stratified sampling — per-language corpus mixing, the standard
+    // pretraining-mix operator (weight strata differently). `sampleBy` does
+    // per-row Bernoulli against the stratum's fraction — one scan, no
+    // shuffle before the small per-stratum count agg. The realized fraction
+    // is random, so the query self-checks |realized − target| ≤ 0.15 per
+    // stratum and emits the data-derived source counts; the oracle
+    // reproduces the counts and a literal TRUE (fractions chosen so the
+    // tolerance is ≥4σ at every SF's stratum size).
+    Entry(
+      "q69_stratified_sample",
+      (s, d) => {
+        val fractions = Map(
+          "en" -> 0.5, "de" -> 0.4, "es" -> 0.3, "fr" -> 0.2, "zh" -> 0.1)
+        val docs = Tables.documents(s, d)
+        val sampled = docs.stat.sampleBy("lang", fractions, 42L)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+        val totals = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val fracCol = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+          when(col("lang") === k, v).otherwise(acc)
+        }
+        totals.join(sampled, Seq("lang"), "left_outer")
+          .select(
+            col("lang"),
+            col("n_docs"),
+            (abs(coalesce(col("n_sampled"), lit(0L)) / col("n_docs") - fracCol) <= 0.15)
+              .as("frac_ok"))
+          .orderBy(col("lang"))
+      },
+      Some("""SELECT lang, count(*) AS n_docs, TRUE AS frac_ok
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

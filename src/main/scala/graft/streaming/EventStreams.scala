@@ -213,6 +213,33 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  /** Streaming exact dedup: two sources over the same files union into a
+    * stream where every event arrives twice; stateful dropDuplicates on the
+    * event id keeps exactly one. The downstream aggregate equals the plain
+    * batch aggregate over the single corpus — which is precisely what the
+    * oracle checks, so a dedup that leaked or over-dropped fails the hash.
+    * (Bounded run ⇒ unbounded dedup state is fine; the production variant
+    * is dropDuplicatesWithinWatermark, same plan shape with state expiry.)
+    */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val deduped = src.union(src).dropDuplicates("event_id")
+    val agg = deduped
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    spark.streams.active.filter(_.name == "graft_stream_dedup").foreach(_.stop())
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("graft_stream_dedup")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_dedup").orderBy(col("event_type"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q29_stream_hourly",
@@ -231,6 +258,11 @@ object EventStreams {
              | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
              |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
              | count(*) AS n_events
-             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    Entry(
+      "q68_stream_dedup",
+      streamDedup,
+      Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }
