@@ -63,6 +63,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class FrameFeat(doc_id: Long, frame_id: Long, feat: Long)
+
+  /** STUB per-frame feature extractor — a real one would decode the frame
+    * and run a vision model over the batch; the fake is exact integer math
+    * the SQL oracle replicates. Frame SAMPLING is the real logic: every
+    * ceil(frames/4)-th frame, ≤4 frames per doc regardless of length — the
+    * standard way video work is bounded per item at scale.
+    */
+  def framePartition(rows: Iterator[MediaMeta]): Iterator[FrameFeat] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.flatMap { m =>
+      val step = math.max(1L, m.frames / 4)
+      (0L until m.frames by step)
+        .map(f => FrameFeat(m.doc_id, f, (m.n_bytes * (f + 1)) % 997))
+    })
+
+  /** Frame-sample + feature-extract over the decoded metadata: the second
+    * stage of the media pipeline, same typed batched mapPartitions shape as
+    * the decode (1→N generator per doc, payload long since pruned away).
+    */
+  def frameFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(decodePartition)
+      .mapPartitions(framePartition)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("feat")).as("feat_sum"),
+        min(col("feat")).as("feat_min"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q43_multimodal_meta",
@@ -73,6 +107,18 @@ object Multimodal {
              | 16 + (n % 48) * 16 AS height,
              | 1 + n % 3 AS channels,
              | 1 + n % 24 AS frames
-             |FROM b ORDER BY doc_id""".stripMargin))
+             |FROM b ORDER BY doc_id""".stripMargin)),
+    Entry(
+      "q70_frame_features",
+      frameFeatures,
+      Some("""WITH b AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+             |m AS (SELECT doc_id, n, 1 + n % 24 AS frames FROM b),
+             |f AS (SELECT doc_id, n,
+             |        unnest(range(0, frames, greatest(frames // 4, 1))) AS fid
+             |      FROM m)
+             |SELECT doc_id, count(*) AS n_frames,
+             | CAST(sum((n * (fid + 1)) % 997) AS BIGINT) AS feat_sum,
+             | CAST(min((n * (fid + 1)) % 997) AS BIGINT) AS feat_min
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin))
   )
 }

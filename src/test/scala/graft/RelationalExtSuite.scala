@@ -15,6 +15,40 @@ class RelationalExtSuite extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed sort-merge-join partition at runtime") {
+    val s = spark
+    import s.implicits._
+    // q53/q64 are the MANUAL salting forms; this pins the AUTOMATIC path:
+    // AQE's OptimizeSkewedJoin must split the hot partition when one key
+    // dominates. Thresholds lowered so the in-memory fixture trips them.
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = ((0 until 60000).map(i => (1L, i.toLong)) ++
+        (0 until 1000).map(i => (i.toLong + 2, i.toLong))).toDF("k", "v")
+      val right = (0 until 200).map(i => ((i % 100).toLong, i.toLong)).toDF("k2", "w")
+      val j = left.join(right, col("k") === col("k2"))
+      // execute THIS DataFrame's query so its adaptive plan finalizes
+      // (a .write would build a separate QueryExecution)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not split the skewed partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("q53 salted two-level aggregate equals the direct group-by") {
     val salted = Registry.byName("q53_salted_skew_agg").q(spark, sf)
       .collect().map(_.toSeq).toSeq
