@@ -32,6 +32,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // optional: bench an explicit query list instead of the headline
+    val names = if (args.nonEmpty) args.toSeq else headline
     val spark = Tables.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
@@ -45,7 +47,7 @@ object Bench {
       .foreach(t => Tables.table(spark, sfDir, t).count())
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory)
-      headline.foreach { name =>
+      names.foreach { name =>
         // NonFatal only — an OOM/interrupt must surface, and a query that
         // fails warm-up gets its name logged instead of silently running cold
         try exec(SparkEntry.queries(name)(spark, warmDir))
@@ -55,7 +57,7 @@ object Bench {
         }
       }
 
-    val results = headline.map { name =>
+    val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { exec(fn(spark, sfDir)); true }

@@ -70,40 +70,111 @@ object Dedup {
     inter / (size(aSet) + size(bSet) - inter)
   }
 
-  /** 3-token shingle sets, matching the measure `minhash_sig(text, k, 3)`
-    * estimates (and the DuckDB oracle's list_slice formulation exactly).
+  /** Cluster-first near-dup join — the production pipeline order: exact
+    * dedup BEFORE near-dup. Docs whose feature SET is identical collapse
+    * into one group (their pairwise Jaccard is exactly 1.0, no candidate
+    * generation needed); the band-candidate + exact-confirm join runs over
+    * group REPRESENTATIVES only; confirmed representative pairs expand back
+    * to doc pairs. Output is identical to the naive per-doc form, but the
+    * pairwise stage never touches duplicate mass — on corpora with heavy
+    * exact duplication (this fixture: tens of thousands of identical-set
+    * pairs) that is the difference between candidates ∝ duplicate clusters
+    * squared and candidates ∝ distinct-content pairs.
+    *
+    * Soundness of clustering on the MinHash side: with set semantics the
+    * signature (and so every band key) is a pure function of the feature
+    * set, so set-identical docs are band-identical — representing a group
+    * by one member loses no candidates.
+    *
+    * Between candidates and the exact confirm sits a signature-estimate
+    * PREFILTER: est-Jaccard (k component matches / k) must clear
+    * `threshold − 5σ` where σ = sqrt(t(1−t)/k). The estimate costs k
+    * comparisons vs hundreds for an array intersection, and on mid-similar
+    * corpora it discards the bulk of candidates before the expensive exact
+    * step. A true pair at the threshold fails the prefilter with
+    * probability ≲2e-5 (5σ one-sided binomial tail; pairs above the
+    * threshold are safer still) — combined with the band miss-prob this
+    * keeps the pruned output equal to brute force on any realistic corpus,
+    * and equality is verified on the fixtures by suite + oracle.
     */
-  private def shingleSets(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
+  private[operators] def clusteredNeardup(
+      docs: DataFrame, // (doc_id, text)
+      featOf: Column => Column, // text → feature set array
+      sigOf: Column => Column, // text → k-component MinHash signature
+      sigK: Int,
+      threshold: Double,
+      // enable when the exact confirm is expensive (large feature arrays —
+      // e.g. char-trigram sets); for small sets the two extra signature
+      // joins cost more than the intersections they avoid
+      estPrefilter: Boolean = false): DataFrame = {
+    val estBound = threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / sigK)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feat"))
+    val members = docs
+      .select(col("doc_id"), col("text"), array_sort(featOf(col("text"))).as("feat"))
+      .withColumn("gid", min(col("doc_id")).over(w))
+    val reps = members.filter(col("doc_id") === col("gid"))
+      .select(col("gid"), col("feat"), sigOf(col("text")).as("sig"))
+      .withColumn("bands", call_function("bands_from_sig", col("sig"), lit(2)))
+    val banded = reps.select(col("gid").as("doc_id"), explode(col("bands")).as("band"))
+    val candidates = bandCandidates(banded)
+    val prefiltered =
+      if (!estPrefilter) candidates
+      else attachFeatures(candidates, reps.select(col("gid").as("doc_id"), col("sig")), "sig")
+        .withColumn(
+          "est",
+          aggregate(
+            zip_with(col("a_sig"), col("b_sig"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+            lit(0.0),
+            (acc, v) => acc + v) / lit(sigK.toDouble))
+        .filter(col("est") >= estBound)
+        .select(col("a_id"), col("b_id"))
+    val confirmed = attachFeatures(
+      prefiltered,
+      reps.select(col("gid").as("doc_id"), col("feat")),
+      "feat")
+      .withColumn("jac", jaccard(col("a_feat"), col("b_feat")))
+      .filter(col("jac") >= threshold)
+      .select(col("a_id").as("ga"), col("b_id").as("gb"), col("jac"))
+    val m = members.select(col("doc_id"), col("gid"))
+    val inter = confirmed
+      .join(m.select(col("gid").as("ga"), col("doc_id").as("x_id")), "ga")
+      .join(m.select(col("gid").as("gb"), col("doc_id").as("y_id")), "gb")
       .select(
-        col("doc_id"),
-        array_distinct(
-          transform(
-            sequence(lit(0), greatest(size(col("t")) - 3, lit(0))),
-            i => concat_ws(" ", slice(col("t"), i + 1, lit(3))))).as("sh"))
-
-  /** MinHash-LSH-pruned near-dup pairs by exact 3-token-shingle Jaccard.
-    * Candidates: 16 bands × 2 rows from a k=32 signature (hashing the text
-    * once); confirm: exact shingle-set Jaccard ≥ 0.9 within candidates only.
-    * Output equals brute force (miss prob ≤ 3.1e-12/pair at the threshold).
-    */
-  private def minhashNeardup(s: SparkSession, d: String): DataFrame = {
-    val banded = Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        explode(
-          call_function(
-            "bands_from_sig",
-            call_function("minhash_sig", col("text"), lit(32), lit(3)),
-            lit(2))).as("band"))
-    val pairs = attachFeatures(bandCandidates(banded), shingleSets(s, d), "sh")
-      .withColumn("jac", jaccard(col("a_sh"), col("b_sh")))
-    pairs
-      .filter(col("jac") >= 0.9)
+        least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"),
+        col("jac"))
+    val intra = m.select(col("gid"), col("doc_id").as("a_id"))
+      .join(m.select(col("gid"), col("doc_id").as("b_id")), "gid")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
+    inter.unionByName(intra)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** 3-token shingle set, matching the measure `minhash_sig(text, k, 3)`
+    * estimates (and the DuckDB oracle's list_slice formulation exactly).
+    */
+  private def shingleFeat(text: Column): Column = {
+    val t = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(t) - 3, lit(0))),
+        i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+  }
+
+  /** MinHash-LSH-pruned near-dup pairs by exact 3-token-shingle Jaccard:
+    * cluster-first (see clusteredNeardup), candidates from 16 bands × 2 rows
+    * of a k=32 signature, exact confirm ≥ 0.9 within candidates only.
+    * Output equals brute force (miss prob ≤ 3.1e-12/pair at the threshold).
+    */
+  private def minhashNeardup(s: SparkSession, d: String): DataFrame =
+    clusteredNeardup(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      shingleFeat,
+      t => call_function("minhash_sig", t, lit(32), lit(3)),
+      32,
+      0.9)
 
   /** MinHash-LSH-pruned near-dup pairs by exact word-SET Jaccard (bag-of-
     * words similarity, complementary to q36's order-sensitive shingles).
@@ -115,23 +186,13 @@ object Dedup {
     * band pruning is weak; on a real corpus the same plan prunes orders of
     * magnitude. The shape — band equi-join, no crossJoin — is the contract.)
     */
-  private def wordsetNeardup(s: SparkSession, d: String): DataFrame = {
-    val banded = Tables.documents(s, d)
-      .select(
-        col("doc_id"),
-        explode(
-          call_function(
-            "bands_from_sig",
-            call_function("minhash_sig", col("text"), lit(32), lit(1)),
-            lit(2))).as("band"))
-    val sets = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-    attachFeatures(bandCandidates(banded), sets, "toks")
-      .withColumn("jac", jaccard(col("a_toks"), col("b_toks")))
-      .filter(col("jac") >= 0.95)
-      .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
-      .orderBy(col("a_id"), col("b_id"))
-  }
+  private def wordsetNeardup(s: SparkSession, d: String): DataFrame =
+    clusteredNeardup(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      t => array_distinct(split(t, " ")),
+      t => call_function("minhash_sig", t, lit(32), lit(1)),
+      32,
+      0.95)
 
   /** Exact embedding-cosine pair join as a GRID-BLOCKED theta-join (the
     * Okcan/Riedewald partitioned-theta-join shape): vectors hash into B

@@ -198,26 +198,17 @@ object TextOps {
     // brute-force oracle. No crossJoin anywhere in the plan.
     Entry(
       "q55_ngram_jaccard",
-      (s, d) => {
-        val banded = Tables.documents(s, d)
-          .select(
-            col("doc_id"),
-            explode(
-              call_function(
-                "bands_from_sig",
-                call_function("minhash_sig_chars", col("text"), lit(32), lit(3)),
-                lit(2))).as("band"))
-        val grams = Tables.documents(s, d).select(
-          col("doc_id"),
-          expr("array_distinct(transform(sequence(1, greatest(length(text)-2, 1), 1), i -> substr(text, i, 3)))")
-            .as("g"))
-        Dedup.attachFeatures(Dedup.bandCandidates(banded), grams, "g")
-          .withColumn("inter", size(array_intersect(col("a_g"), col("b_g"))).cast("double"))
-          .withColumn("jac", col("inter") / (size(col("a_g")) + size(col("b_g")) - col("inter")))
-          .filter(col("jac") >= 0.9)
-          .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
-          .orderBy(col("a_id"), col("b_id"))
-      },
+      (s, d) =>
+        Dedup.clusteredNeardup(
+          Tables.documents(s, d).select(col("doc_id"), col("text")),
+          t => array_distinct(
+            transform(
+              sequence(lit(1), greatest(length(t) - 2, lit(1))),
+              i => t.substr(i, lit(3)))),
+          t => call_function("minhash_sig_chars", t, lit(32), lit(3)),
+          32,
+          0.9,
+          estPrefilter = true),
       Some("""WITH g AS (SELECT doc_id,
              |  list_distinct(list_transform(range(1, greatest(length(text)-2, 1) + 1),
              |    i -> substr(text, i, 3))) AS g
@@ -236,8 +227,10 @@ object TextOps {
     // shuffle before the small per-stratum count agg. The realized fraction
     // is random, so the query self-checks |realized − target| ≤ 0.15 per
     // stratum and emits the data-derived source counts; the oracle
-    // reproduces the counts and a literal TRUE (fractions chosen so the
-    // tolerance is ≥4σ at every SF's stratum size).
+    // reproduces the counts and a literal TRUE. Tolerance 0.2 is ≥3.4σ at
+    // the smallest stratum (and sampleBy's per-partition rand(seed) means
+    // the realized draw shifts with partition layout/cpu count, so the
+    // margin must absorb layout variation, not just one binomial draw).
     Entry(
       "q69_stratified_sample",
       (s, d) => {
@@ -254,7 +247,7 @@ object TextOps {
           .select(
             col("lang"),
             col("n_docs"),
-            (abs(coalesce(col("n_sampled"), lit(0L)) / col("n_docs") - fracCol) <= 0.15)
+            (abs(coalesce(col("n_sampled"), lit(0L)) / col("n_docs") - fracCol) <= 0.2)
               .as("frac_ok"))
           .orderBy(col("lang"))
       },
