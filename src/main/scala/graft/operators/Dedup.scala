@@ -106,12 +106,23 @@ object Dedup {
       // enable when the exact confirm is expensive (large feature arrays —
       // e.g. char-trigram sets); for small sets the two extra signature
       // joins cost more than the intersections they avoid
-      estPrefilter: Boolean = false): DataFrame = {
+      estPrefilter: Boolean = false,
+      // enable when identical feature SETS are common (order-insensitive
+      // features like word sets); for order-sensitive features (shingles,
+      // char n-grams) distinct texts rarely share a set and the clustering
+      // window is pure overhead
+      clusterFirst: Boolean = false): DataFrame = {
     val estBound = threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / sigK)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feat"))
-    val members = docs
-      .select(col("doc_id"), col("text"), array_sort(featOf(col("text"))).as("feat"))
-      .withColumn("gid", min(col("doc_id")).over(w))
+    val members =
+      if (clusterFirst)
+        docs
+          .select(col("doc_id"), col("text"), array_sort(featOf(col("text"))).as("feat"))
+          .withColumn("gid", min(col("doc_id")).over(w))
+      else
+        docs
+          .select(col("doc_id"), col("text"), featOf(col("text")).as("feat"))
+          .withColumn("gid", col("doc_id"))
     val reps = members.filter(col("doc_id") === col("gid"))
       .select(col("gid"), col("feat"), sigOf(col("text")).as("sig"))
       .withColumn("bands", call_function("bands_from_sig", col("sig"), lit(2)))
@@ -135,32 +146,45 @@ object Dedup {
       .withColumn("jac", jaccard(col("a_feat"), col("b_feat")))
       .filter(col("jac") >= threshold)
       .select(col("a_id").as("ga"), col("b_id").as("gb"), col("jac"))
-    val m = members.select(col("doc_id"), col("gid"))
-    val inter = confirmed
-      .join(m.select(col("gid").as("ga"), col("doc_id").as("x_id")), "ga")
-      .join(m.select(col("gid").as("gb"), col("doc_id").as("y_id")), "gb")
-      .select(
-        least(col("x_id"), col("y_id")).as("a_id"),
-        greatest(col("x_id"), col("y_id")).as("b_id"),
-        col("jac"))
-    val intra = m.select(col("gid"), col("doc_id").as("a_id"))
-      .join(m.select(col("gid"), col("doc_id").as("b_id")), "gid")
-      .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
-    inter.unionByName(intra)
+    val expanded =
+      if (!clusterFirst)
+        // every doc is its own group: ga < gb are already doc-id pairs
+        confirmed.select(col("ga").as("a_id"), col("gb").as("b_id"), col("jac"))
+      else {
+        val m = members.select(col("doc_id"), col("gid"))
+        val inter = confirmed
+          .join(m.select(col("gid").as("ga"), col("doc_id").as("x_id")), "ga")
+          .join(m.select(col("gid").as("gb"), col("doc_id").as("y_id")), "gb")
+          .select(
+            least(col("x_id"), col("y_id")).as("a_id"),
+            greatest(col("x_id"), col("y_id")).as("b_id"),
+            col("jac"))
+        val intra = m.select(col("gid"), col("doc_id").as("a_id"))
+          .join(m.select(col("gid"), col("doc_id").as("b_id")), "gid")
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
+        inter.unionByName(intra)
+      }
+    expanded
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
       .orderBy(col("a_id"), col("b_id"))
   }
 
   /** 3-token shingle set, matching the measure `minhash_sig(text, k, 3)`
     * estimates (and the DuckDB oracle's list_slice formulation exactly).
+    * Shingles are xxhash64-hashed: set intersections over longs run several
+    * times faster than over shingle strings, and Jaccard over hashed sets
+    * equals Jaccard over the string sets absent a 64-bit collision between
+    * two shingles of the same doc pair (≲1e-9 corpus-wide here) — the same
+    * hash-the-content-first trade q35 makes, and the MinHash signature
+    * itself already lives on these hashes.
     */
   private def shingleFeat(text: Column): Column = {
     val t = split(text, " ")
     array_distinct(
       transform(
         sequence(lit(0), greatest(size(t) - 3, lit(0))),
-        i => concat_ws(" ", slice(t, i + 1, lit(3)))))
+        i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(3))))))
   }
 
   /** MinHash-LSH-pruned near-dup pairs by exact 3-token-shingle Jaccard:
@@ -174,7 +198,7 @@ object Dedup {
       shingleFeat,
       t => call_function("minhash_sig", t, lit(32), lit(3)),
       32,
-      0.9)
+      0.9) // shingle sets: order-sensitive → no clustering, cheap confirm
 
   /** MinHash-LSH-pruned near-dup pairs by exact word-SET Jaccard (bag-of-
     * words similarity, complementary to q36's order-sensitive shingles).
@@ -192,7 +216,10 @@ object Dedup {
       t => array_distinct(split(t, " ")),
       t => call_function("minhash_sig", t, lit(32), lit(1)),
       32,
-      0.95)
+      0.95,
+      // word sets are order/multiplicity-insensitive → identical sets are
+      // common and clustering pays for itself many times over
+      clusterFirst = true)
 
   /** Exact embedding-cosine pair join as a GRID-BLOCKED theta-join (the
     * Okcan/Riedewald partitioned-theta-join shape): vectors hash into B
