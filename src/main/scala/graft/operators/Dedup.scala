@@ -45,8 +45,14 @@ object Dedup {
     * downstream touches candidate pairs, not N².
     */
   private[operators] def bandCandidates(banded: DataFrame): DataFrame = {
-    val a = banded.select(col("doc_id").as("a_id"), col("band"))
-    val b = banded.select(col("doc_id").as("b_id"), col("band"))
+    // materialize the (doc_id, band) rows through ONE exchange on the join
+    // key: both self-join sides reuse it (ReusedExchange), so the band/
+    // signature expressions are computed once — not once per join side and
+    // once more in the generator's inferred size()>0 filter — and the join
+    // itself needs no further shuffle
+    val exchanged = banded.repartition(col("band"))
+    val a = exchanged.select(col("doc_id").as("a_id"), col("band"))
+    val b = exchanged.select(col("doc_id").as("b_id"), col("band"))
     a.join(b, Seq("band"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
