@@ -256,6 +256,35 @@ object RelationalExt {
              | TRUE AS within_bound
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // q71: approximate percentile sketch next to the exact interpolated
+    // percentile (q47 is the exact path). Sketch output is engine-defined →
+    // the query emits its own relative-error check (approx within 5% of
+    // exact at p50/p95) as booleans the oracle reproduces as literal TRUE,
+    // exactly the q52 pattern. At 100 TB the sketch is the only viable
+    // path: mergeable partial state vs a full sort per group.
+    Entry(
+      "q71_approx_quantiles",
+      (s, d) =>
+        T.lineitem(s, d)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_extendedprice, 0.5)").as("ex50"),
+            expr("percentile(l_extendedprice, 0.95)").as("ex95"),
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+            expr("approx_percentile(l_extendedprice, 0.95, 1000)").as("ap95"))
+          .select(
+            col("l_returnflag"),
+            round(col("ex50"), 4).as("p50_exact"),
+            round(col("ex95"), 4).as("p95_exact"),
+            (abs(col("ap50") - col("ex50")) / col("ex50") <= 0.05).as("p50_ok"),
+            (abs(col("ap95") - col("ex95")) / col("ex95") <= 0.05).as("p95_ok"))
+          .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             | round(quantile_cont(l_extendedprice, 0.5),4) AS p50_exact,
+             | round(quantile_cont(l_extendedprice, 0.95),4) AS p95_exact,
+             | TRUE AS p50_ok, TRUE AS p95_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // q53: skew-salted aggregation — two-level agg keyed by (key, salt) then
     // key, so one hot key fans out over `nSalts` reducers before the final
     // |keys|-row combine. Result identical to the direct group-by (oracle).

@@ -122,7 +122,7 @@ object EventStreams {
     */
   def hourlyCountsWatermarked(events: DataFrame, delay: String): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("event_time", delay)
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
@@ -162,7 +162,7 @@ object EventStreams {
     import s.implicits._
     val gapMs = SessionGapNs / 1000000L
     events
-      .withColumn("event_time", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("event_time", delay)
       .as[TimedEvent]
       .groupByKey(_.user_id)
@@ -240,6 +240,56 @@ object EventStreams {
     spark.table("graft_stream_dedup").orderBy(col("event_type"))
   }
 
+  /** Stream-stream inner join with event-time watermarks — the stateful
+    * operator class where both sides buffer: clicks join purchases of the
+    * same user within the following hour. Watermarks on BOTH sides plus the
+    * time-range join condition bound each side's buffered state (Spark
+    * evicts click state once the watermark passes click_time + 1 h — this
+    * is what makes an unbounded run viable); the range condition also keeps
+    * the join from degenerating to an unbounded cross product per user.
+    * Bounded AvailableNow input ⇒ every match is emitted, so the per-user
+    * conversion counts equal the batch oracle exactly.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select(
+        col("user_id").as("c_user"),
+        col("event_id").as("c_id"),
+        col("ts").as("c_ts"),
+        col("event_time").as("c_time"))
+      .withWatermark("c_time", "0 seconds")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(
+        col("user_id").as("p_user"),
+        col("event_id").as("p_id"),
+        col("ts").as("p_ts"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "0 seconds")
+    val joined = clicks.join(
+      purchases,
+      col("c_user") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR") &&
+        col("p_ts") > col("c_ts"))
+    spark.streams.active.filter(_.name == "graft_stream_join").foreach(_.stop())
+    val q = joined.writeStream
+      .format("memory")
+      .queryName("graft_stream_join")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_join")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_conversions"),
+        countDistinct(col("c_id")).as("n_clicks_converted"))
+      .orderBy(col("user_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q29_stream_hourly",
@@ -263,6 +313,21 @@ object EventStreams {
       "q68_stream_dedup",
       streamDedup,
       Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // q72: stream-stream join — micros comparisons reproduced in exact
+    // integer math on the oracle side (epoch_ns // 1000).
+    Entry(
+      "q72_stream_stream_join",
+      streamStreamJoin,
+      Some("""WITH c AS (SELECT user_id, event_id AS c_id, epoch_ns(ts) AS c_ns
+             |          FROM events WHERE event_type = 'click'),
+             |p AS (SELECT user_id, epoch_ns(ts) AS p_ns
+             |      FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id, count(*) AS n_conversions,
+             | count(DISTINCT c_id) AS n_clicks_converted
+             |FROM c JOIN p ON c.user_id = p.user_id
+             | AND p_ns > c_ns
+             | AND p_ns // 1000 <= c_ns // 1000 + 3600000000
+             |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
   )
 }
