@@ -48,6 +48,26 @@ object WordCount extends MRJob {
     Iterator(key -> values.iterator.map(_.toLong).sum.toString)
 }
 
+/** Inverted index — the other canonical MapReduce job: input lines carry
+  * their document id as `docid:text`; map emits (word, docid) per
+  * space-separated token; reduce outputs the sorted distinct posting list.
+  * Value-order-insensitive (the reduce sorts), exactly as the reference's
+  * contract requires.
+  */
+object InvertedIndex extends MRJob {
+  override def map(line: String): IterableOnce[(String, String)] = {
+    val sep = line.indexOf(':')
+    if (sep < 0) Iterator.empty
+    else {
+      val id = line.substring(0, sep)
+      line.substring(sep + 1).split(' ').iterator.filter(_.nonEmpty).map(_ -> id)
+    }
+  }
+
+  override def reduce(key: String, values: Seq[String]): IterableOnce[(String, String)] =
+    Iterator(key -> values.iterator.map(_.toLong).toSeq.distinct.sorted.mkString(","))
+}
+
 /** String-keyed job registry — equivalent of the reference's
   * `register_tasks(user_id, …)` singleton factory map
   * (/root/reference/src/mr_task_factory.cc:28-88). No factory indirection is
@@ -56,7 +76,8 @@ object WordCount extends MRJob {
 object JobRegistry {
   @volatile private var jobs: Map[String, MRJob] = Map(
     "cs6210" -> WordCount, // the reference test config's user_id
-    "wordcount" -> WordCount)
+    "wordcount" -> WordCount,
+    "invertedindex" -> InvertedIndex)
 
   def register(userId: String, job: MRJob): Unit =
     synchronized { jobs = jobs + (userId -> job) }

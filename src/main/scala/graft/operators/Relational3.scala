@@ -39,6 +39,28 @@ object Relational3 {
              | SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
              |WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
 
+    // q73: inverted index through the MR surface (registry user_id
+    // "invertedindex") — the second canonical MapReduce job: full
+    // scan → flatMap(word, doc) → hash shuffle → key-sorted grouped reduce
+    // emitting sorted distinct posting lists.
+    Entry(
+      "q73_mr_inverted_index",
+      (s, d) => {
+        import s.implicits._
+        val lines = T.documents(s, d)
+          .select(concat(col("doc_id"), lit(":"), col("text")))
+          .as[String]
+        MRRunner
+          .transform(s, lines, graft.mr.JobRegistry.get("invertedindex"), 32)
+          .toDF("word", "doc_ids")
+          .orderBy(col("word"))
+      },
+      Some("""WITH t AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS word, doc_id
+             |  FROM documents)
+             |SELECT word,
+             | string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_ids
+             |FROM t WHERE word <> '' GROUP BY word ORDER BY word""".stripMargin)),
+
     // q60: window frames + distribution functions — running revenue (rows
     // frame), ntile quartile, cumulative distribution per customer's orders.
     Entry(

@@ -133,6 +133,54 @@ object Sources {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Schema evolution: two parquet file generations in one dataset — the
+    * older written without `n_regionkey` — read back with mergeSchema. Rows
+    * from the old generation surface the missing column as null; the
+    * aggregate accounts for every row of both generations. This is how a
+    * 100 TB table ingested over years actually looks; a reader that can't
+    * merge schemas can't read it.
+    */
+  private def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "nation_evolving")
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/gen1")
+    Tables.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/gen2")
+    s.read.option("mergeSchema", "true").parquet(s"$base/gen1", s"$base/gen2")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("n_regionkey").isNull, 1L).otherwise(0L)).as("n_old_gen"),
+        sum(coalesce(col("n_regionkey"), lit(0L))).cast("long").as("region_sum"))
+  }
+
+  /** Small-files compaction: the 64-file write is the pathology (a day of
+    * micro-batches), the repartition-to-4 rewrite is the cure; the query
+    * proves the file counts AND that no row was lost or duplicated. At
+    * 100 TB compaction is a standing background job — scan cost is
+    * dominated by file-open overhead once files shrink below a row group.
+    */
+  private def compaction(s: SparkSession, d: String): DataFrame = {
+    val small = scratch(d, "orders_small_files")
+    val compacted = scratch(d, "orders_compacted")
+    Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      .repartition(64)
+      .write.mode(SaveMode.Overwrite).parquet(small)
+    s.read.parquet(small)
+      .repartition(4)
+      .write.mode(SaveMode.Overwrite).parquet(compacted)
+    def nFiles(p: String): Long =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet")).toLong
+    val s2 = s
+    import s2.implicits._
+    val counts = s.read.parquet(compacted)
+      .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("total"))
+    counts.select(
+      lit(nFiles(small)).as("files_before"),
+      lit(nFiles(compacted)).as("files_after"),
+      col("n_rows"),
+      round(col("total"), 2).as("total"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q57_partitioned_sink",
@@ -161,6 +209,19 @@ object Sources {
       Some("""SELECT o_orderpriority, count(*) AS n,
              | round(sum(o_totalprice),2) AS total
              |FROM orders WHERE o_orderpriority LIKE '1%'
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    Entry(
+      "q74_schema_evolution",
+      schemaEvolution,
+      Some("""SELECT 2*count(*) AS n_rows, count(*) AS n_old_gen,
+             | CAST(sum(n_regionkey) AS BIGINT) AS region_sum
+             |FROM nation""".stripMargin)),
+    Entry(
+      "q75_compaction",
+      compaction,
+      Some("""SELECT CAST(64 AS BIGINT) AS files_before,
+             | CAST(4 AS BIGINT) AS files_after,
+             | count(*) AS n_rows, round(sum(o_totalprice),2) AS total
+             |FROM orders""".stripMargin))
   )
 }
