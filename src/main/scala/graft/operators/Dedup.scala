@@ -316,11 +316,12 @@ object Dedup {
              |ORDER BY a_id, b_id""".stripMargin)),
 
     // q38: SimHash signature digest. The 64-bit signatures are engine-
-    // defined (FNV-1a+splitmix kernel), so the oracle pins a GOLDEN DIGEST
-    // computed on the driver's correctness fixture (sf0.01, seed 42) — the
-    // n_docs column stays data-derived. HashKernelsSuite pins per-string
-    // signature values and similarity behavior SF-independently; if the
-    // fixture is ever regenerated, re-pin the two literals.
+    // defined (FNV-1a+splitmix kernel), so the oracle pins GOLDEN DIGESTS,
+    // one per fixture, selected by a DuckDB-computable discriminator
+    // (sum(n_chars)) — every test scale factor is covered and the n_docs
+    // column stays data-derived. HashKernelsSuite pins per-string signature
+    // values SF-independently; re-pin the table below if fixtures are ever
+    // regenerated (seed 42 digests: sf0.001 / sf0.01 / sf0.1).
     Entry(
       "q38_simhash",
       (s, d) =>
@@ -330,9 +331,18 @@ object Dedup {
             count(lit(1)).as("n_docs"),
             countDistinct(col("simhash")).as("n_sigs"),
             expr("bit_xor(simhash)").as("sig_xor")),
-      Some("""SELECT count(*) AS n_docs,
-             | CAST(497 AS BIGINT) AS n_sigs,
-             | CAST(-3175050177010307115 AS BIGINT) AS sig_xor
+      Some("""WITH disc AS (SELECT sum(n_chars) AS cs FROM documents)
+             |SELECT count(*) AS n_docs,
+             | CAST(CASE (SELECT cs FROM disc)
+             |   WHEN 153156 THEN 495
+             |   WHEN 149174 THEN 497
+             |   WHEN 1485576 THEN 4964
+             |   ELSE -1 END AS BIGINT) AS n_sigs,
+             | CAST(CASE (SELECT cs FROM disc)
+             |   WHEN 153156 THEN 7432069170953393703
+             |   WHEN 149174 THEN -3175050177010307115
+             |   WHEN 1485576 THEN -3623774043263147797
+             |   ELSE 0 END AS BIGINT) AS sig_xor
              |FROM documents""".stripMargin)),
 
     // q39: exact embedding-cosine pairs via the grid-blocked theta-join
