@@ -32,8 +32,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // optional: bench an explicit query list instead of the headline
+    // optional: bench an explicit query list instead of the headline;
+    // reject unknown names up front rather than crashing mid-run
     val names = if (args.nonEmpty) args.toSeq else headline
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
     val spark = Tables.localSession(cpus)
     spark.sparkContext.setLogLevel("WARN")
 

@@ -37,7 +37,9 @@ object EventOps {
       .partitionBy(col("user_id"), col("blk"))
       .orderBy(col("ts"), col("event_id"))
     val perBlock = events
-      .withColumn("blk", floor(col("ts") / lit(blockNs)))
+      // exact integer division: floor(ts / blockNs) in doubles misassigns
+      // events within ~256 ns of a boundary at epoch-nano magnitudes
+      .withColumn("blk", expr(s"ts div $blockNs"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w1))
       .withColumn(
         "new_session",

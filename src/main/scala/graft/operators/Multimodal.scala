@@ -73,7 +73,7 @@ object Multimodal {
     */
   def framePartition(rows: Iterator[MediaMeta]): Iterator[FrameFeat] =
     rows.grouped(decodeBatchSize).flatMap(_.iterator.flatMap { m =>
-      val step = math.max(1L, m.frames / 4)
+      val step = (m.frames + 3) / 4 // ceil: at most 4 sampled frames per doc
       (0L until m.frames by step)
         .map(f => FrameFeat(m.doc_id, f, (m.n_bytes * (f + 1)) % 997))
     })
@@ -114,7 +114,7 @@ object Multimodal {
       Some("""WITH b AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
              |m AS (SELECT doc_id, n, 1 + n % 24 AS frames FROM b),
              |f AS (SELECT doc_id, n,
-             |        unnest(range(0, frames, greatest(frames // 4, 1))) AS fid
+             |        unnest(range(0, frames, (frames + 3) // 4)) AS fid
              |      FROM m)
              |SELECT doc_id, count(*) AS n_frames,
              | CAST(sum((n * (fid + 1)) % 997) AS BIGINT) AS feat_sum,

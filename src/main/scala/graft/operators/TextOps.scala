@@ -196,6 +196,12 @@ object TextOps {
     // trigram-set Jaccard within candidates only. 16 bands × 2 rows ⇒ miss
     // prob ≤ (1−0.9²)^16 ≈ 3.1e-12 at the threshold, so output equals the
     // brute-force oracle. No crossJoin anywhere in the plan.
+    //
+    // Encoding contract: the candidate/prefilter measure is BYTE-trigram
+    // Jaccard while the confirm is CHARACTER-trigram Jaccard — identical on
+    // this corpus (and any single-byte encoding); for multibyte text the
+    // two measures diverge and the recall argument needs a byte-level
+    // confirm (or a codepoint-aware minhash kernel) before reuse.
     Entry(
       "q55_ngram_jaccard",
       (s, d) =>
@@ -225,7 +231,7 @@ object TextOps {
     // pretraining-mix operator (weight strata differently). `sampleBy` does
     // per-row Bernoulli against the stratum's fraction — one scan, no
     // shuffle before the small per-stratum count agg. The realized fraction
-    // is random, so the query self-checks |realized − target| ≤ 0.15 per
+    // is random, so the query self-checks |realized − target| ≤ 0.2 per
     // stratum and emits the data-derived source counts; the oracle
     // reproduces the counts and a literal TRUE. Tolerance 0.2 is ≥3.4σ at
     // the smallest stratum (and sampleBy's per-partition rand(seed) means

@@ -170,8 +170,6 @@ object Sources {
       .write.mode(SaveMode.Overwrite).parquet(compacted)
     def nFiles(p: String): Long =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet")).toLong
-    val s2 = s
-    import s2.implicits._
     val counts = s.read.parquet(compacted)
       .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("total"))
     counts.select(

@@ -37,11 +37,18 @@ object EventStreams {
 
   final case class EventRow(event_id: Long, ts: Long, user_id: Long,
                             event_type: String, value: Double)
-  final case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Per-user emission. `seq` is the state's batch counter: interval state
+    * makes n_sessions NON-monotonic across micro-batches (a late event can
+    * MERGE two sessions and lower the count), so "latest emission wins" must
+    * be decided by seq — never by max(n_sessions).
+    */
+  final case class SessionAgg(user_id: Long, n_sessions: Long, n_events: Long,
+                              seq: Long)
 
   /** One session: [start, end] in event-time nanos, n = events folded in. */
   final case class SessionInterval(start: Long, end: Long, n: Long)
-  final case class SessionState(intervals: Seq[SessionInterval])
+  final case class SessionState(intervals: Seq[SessionInterval], seq: Long)
 
   /** Event-time row for the watermarked path (event_time = ts in micros). */
   final case class TimedEvent(event_id: Long, ts: Long, user_id: Long,
@@ -73,10 +80,12 @@ object EventStreams {
     }
   }
 
-  private def folded(
-      state: GroupState[SessionState], rows: Iterator[EventRow]): ArrayBuffer[SessionInterval] = {
+  private def folded[T](
+      state: GroupState[SessionState],
+      rows: Iterator[T],
+      ts: T => Long): ArrayBuffer[SessionInterval] = {
     val buf = ArrayBuffer.from(state.getOption.map(_.intervals).getOrElse(Seq.empty))
-    rows.foreach(e => mergeEvent(buf, e.ts, SessionGapNs))
+    rows.foreach(e => mergeEvent(buf, ts(e), SessionGapNs))
     buf
   }
 
@@ -145,9 +154,10 @@ object EventStreams {
         OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[SessionState]) =>
-          val buf = folded(state, rows)
-          state.update(SessionState(buf.toSeq))
-          Iterator(SessionAgg(userId, buf.length.toLong, buf.iterator.map(_.n).sum))
+          val buf = folded(state, rows, (e: EventRow) => e.ts)
+          val seq = state.getOption.map(_.seq).getOrElse(0L) + 1
+          state.update(SessionState(buf.toSeq, seq))
+          Iterator(SessionAgg(userId, buf.length.toLong, buf.iterator.map(_.n).sum, seq))
       }
   }
 
@@ -171,13 +181,14 @@ object EventStreams {
         GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[TimedEvent], state: GroupState[SessionState]) =>
           if (state.hasTimedOut) {
-            val iv = state.get.intervals
+            val st = state.get
             state.remove()
-            Iterator(SessionAgg(userId, iv.length.toLong, iv.iterator.map(_.n).sum))
+            Iterator(SessionAgg(userId, st.intervals.length.toLong,
+              st.intervals.iterator.map(_.n).sum, st.seq))
           } else {
-            val buf = ArrayBuffer.from(state.getOption.map(_.intervals).getOrElse(Seq.empty))
-            rows.foreach(e => mergeEvent(buf, e.ts, SessionGapNs))
-            state.update(SessionState(buf.toSeq))
+            val buf = folded(state, rows, (e: TimedEvent) => e.ts)
+            val seq = state.getOption.map(_.seq).getOrElse(0L) + 1
+            state.update(SessionState(buf.toSeq, seq))
             // expire once the watermark passes last event + gap (timeout must
             // sit strictly beyond the current watermark)
             val lastEndMs = buf.iterator.map(_.end).max / 1000000L
@@ -208,8 +219,15 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table("graft_stream_sessions")
-      .groupBy(col("user_id")) // one row per user per micro-batch → keep last
-      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+      // one row per user per micro-batch → the LATEST batch (highest seq)
+      // wins; n_sessions itself is non-monotonic (late events merge
+      // sessions), so max(n_sessions) would keep a stale count
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_sessions"), col("n_events")), col("seq")).as("last"))
+      .select(
+        col("user_id"),
+        col("last.n_sessions").as("n_sessions"),
+        col("last.n_events").as("n_events"))
       .orderBy(col("user_id"))
   }
 

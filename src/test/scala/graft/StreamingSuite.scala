@@ -106,6 +106,52 @@ class StreamingSuite extends SparkTestBase {
       s"closed windows != batch agg (missing: ${batch.diff(got).take(5)})")
   }
 
+  test("late bridging event across batches lowers the final session count") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.Files
+    // batch 1: events at t=0 and t=40min → 2 sessions; batch 2 delivers a
+    // LATE event at t=20min that merges them into one. n_sessions is
+    // non-monotonic, so the final answer must come from the LATEST batch
+    // (seq), never max(n_sessions).
+    val minNs = 60L * 1000 * 1000 * 1000
+    val dir = Files.createTempDirectory("late_bridge").toString
+    def write(rows: Seq[(Long, Long, Long, String, Double)], name: String, order: Int): Unit = {
+      val tmp = s"$dir/${name}_stage"
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dir/ev_$name.parquet")
+      Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000L * order)
+    }
+    write(Seq((1L, 0L, 7L, "view", 0.0), (2L, 40 * minNs, 7L, "view", 0.0)), "b1", 1)
+    write(Seq((3L, 20 * minNs, 7L, "view", 0.0)), "b2", 2)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev_b1.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/ev_*.parquet")
+      .as[EventStreams.EventRow]
+    spark.streams.active.filter(_.name == "test_late_bridge").foreach(_.stop())
+    val q = EventStreams.sessionize(src).writeStream
+      .format("memory").queryName("test_late_bridge")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val emissions = spark.table("test_late_bridge")
+      .orderBy(col("seq")).collect()
+      .map(r => (r.getLong(3), r.getLong(1), r.getLong(2))) // (seq, n_sessions, n_events)
+    assert(emissions.toSeq == Seq((1L, 2L, 2L), (2L, 1L, 3L)),
+      s"unexpected emissions: ${emissions.toSeq}")
+    // the registered q63 selection (max_by seq) returns the merged count
+    val fin = spark.table("test_late_bridge")
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("n_sessions"), col("n_events")), col("seq")).as("last"))
+      .select(col("last.n_sessions"), col("last.n_events")).head()
+    assert(fin.getLong(0) == 1L && fin.getLong(1) == 3L)
+  }
+
   test("interval-state sessionize handles a hot user and out-of-order arrival") {
     val s = spark
     import s.implicits._
