@@ -272,6 +272,40 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Cross-corpus decontamination — the asymmetric two-corpus form of the
+    * near-dup join: flag training docs whose word-set Jaccard against ANY
+    * benchmark/eval doc clears the threshold (test-set leakage detection).
+    * Same candidates-then-confirm machinery as the self-joins, but the join
+    * is corpus×benchmark on the band key; the benchmark side is bounded
+    * (here: doc_id < 50 plays the eval set) so at 100 TB its banded form
+    * broadcasts while the corpus streams past in one scan. Band miss-prob
+    * at j=0.8 with 16×2 bands: (1−0.64)^16 ≈ 8.5e-8 ⇒ output equals the
+    * brute oracle.
+    */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"),
+        explode(
+          call_function(
+            "bands_from_sig",
+            call_function("minhash_sig", col("text"), lit(32), lit(1)),
+            lit(2))).as("band"))
+    val bench = docs.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("b_id"), col("toks").as("b_toks"), col("band"))
+    val corpus = docs.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("toks"), col("band"))
+    corpus.join(bench, Seq("band"))
+      .select(col("doc_id"), col("b_id"), col("toks"), col("b_toks"))
+      .distinct()
+      .withColumn("jac", jaccard(col("toks"), col("b_toks")))
+      .filter(col("jac") >= 0.8)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("max_jac"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q35_dedup_exact",
@@ -344,6 +378,21 @@ object Dedup {
              |   WHEN 1485576 THEN -3623774043263147797
              |   ELSE 0 END AS BIGINT) AS sig_xor
              |FROM documents""".stripMargin)),
+
+    // q76: cross-corpus decontamination (see decontaminate doc); brute oracle.
+    Entry(
+      "q76_decontamination",
+      decontaminate,
+      Some("""WITH s AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
+             |  FROM documents),
+             |b AS (SELECT doc_id AS b_id, toks AS b_toks FROM s WHERE doc_id < 50),
+             |c AS (SELECT doc_id, toks FROM s WHERE doc_id >= 50),
+             |p AS (SELECT c.doc_id,
+             |  CAST(len(list_intersect(c.toks, b.b_toks)) AS DOUBLE) /
+             |    (len(c.toks) + len(b.b_toks) - len(list_intersect(c.toks, b.b_toks))) AS jac
+             | FROM c CROSS JOIN b)
+             |SELECT doc_id, count(*) AS n_matches, round(max(jac),4) AS max_jac
+             |FROM p WHERE jac >= 0.8 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // q39: exact embedding-cosine pairs via the grid-blocked theta-join
     // (see embeddingNeardup doc); brute-force oracle.
