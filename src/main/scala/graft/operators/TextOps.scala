@@ -227,6 +227,52 @@ object TextOps {
              |FROM p WHERE inter/(la+lb-inter) >= 0.9
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // q77: TF-IDF top terms — the classic relevance weighting: term
+    // frequency per doc × inverse document frequency over the corpus,
+    // top-3 terms per document. Two shuffles (tf groupBy, df groupBy), the
+    // df side joins back by term (broadcast-able when the vocabulary is
+    // small, shuffle join at corpus scale), rank via window. Scores are
+    // rounded before ranking so last-ulp ln() differences between engines
+    // cannot flip the order; ties break on the term.
+    Entry(
+      "q77_tfidf_topk",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val nDocs = docs.count() // corpus size for idf (action on metadata-light count)
+        val terms = docs
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+        val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+        val df = terms.select(col("doc_id"), col("term")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        tf.join(df, Seq("term"))
+          .withColumn(
+            "score",
+            round(col("tf") * log((lit(nDocs.toDouble) + 1) / (col("df") + 1)), 6))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 3)
+          .select(col("doc_id"), col("rank"), col("term"), col("score"))
+          .orderBy(col("doc_id"), col("rank"))
+      },
+      Some("""WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM t
+             |  WHERE term <> '' GROUP BY doc_id, term),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+             |  WHERE term <> '' GROUP BY term),
+             |n AS (SELECT count(*) AS nd FROM documents),
+             |s AS (SELECT tf.doc_id, tf.term,
+             |   round(tf.tf * ln((n.nd + 1.0) / (df.df + 1)), 6) AS score
+             | FROM tf JOIN df USING (term) CROSS JOIN n),
+             |r AS (SELECT doc_id, term, score,
+             |   CAST(row_number() OVER (PARTITION BY doc_id
+             |     ORDER BY score DESC, term) AS BIGINT) AS rank
+             | FROM s)
+             |SELECT doc_id, rank, term, score FROM r
+             |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // q69: stratified sampling — per-language corpus mixing, the standard
     // pretraining-mix operator (weight strata differently). `sampleBy` does
     // per-row Bernoulli against the stratum's fraction — one scan, no
