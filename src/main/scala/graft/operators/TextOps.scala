@@ -238,7 +238,9 @@ object TextOps {
       "q77_tfidf_topk",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val nDocs = docs.count() // corpus size for idf (action on metadata-light count)
+        // corpus size as a 1-row broadcast aggregate (the q18 scalar-subquery
+        // shape) — no driver-side action in the query path
+        val nDocs = docs.agg(count(lit(1)).cast("double").as("nd"))
         val terms = docs
           .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
           .filter(col("term") =!= "")
@@ -248,9 +250,10 @@ object TextOps {
         val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("score").desc, col("term"))
         tf.join(df, Seq("term"))
+          .crossJoin(broadcast(nDocs))
           .withColumn(
             "score",
-            round(col("tf") * log((lit(nDocs.toDouble) + 1) / (col("df") + 1)), 6))
+            round(col("tf") * log((col("nd") + 1) / (col("df") + 1)), 6))
           .withColumn("rank", row_number().over(w).cast("long"))
           .filter(col("rank") <= 3)
           .select(col("doc_id"), col("rank"), col("term"), col("score"))
