@@ -35,6 +35,31 @@ class SourcesSuite extends SparkTestBase {
       s"bucketed join inputs still shuffle:\n$plan")
   }
 
+  test("bucketed table point-lookup reads a single bucket") {
+    // q65 leaves the bucketed tables in the catalog; an equality filter on
+    // the bucket column must prune the scan to 1 of 16 buckets — the
+    // metadata-only point-lookup path a 100 TB bucketed layout buys.
+    Registry.byName("q65_bucketed_join").q(spark, sf).collect()
+    val tag = sf.replaceAll("[^A-Za-z0-9]", "_")
+    val key = spark.table(s"graft_ord_bucketed_$tag").head().getLong(0)
+    // the planner auto-disables bucketed scans for filter-only queries
+    // (parallelism over pruning); pin the scan bucketed to assert the
+    // pruning path a point-lookup workload would configure
+    val conf = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.getOption(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val plan = spark.table(s"graft_ord_bucketed_$tag")
+        .filter(col("o_orderkey") === key)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SelectedBucketsCount: 1 out of 16"),
+        s"no bucket pruning:\n$plan")
+    } finally saved match {
+      case Some(v) => spark.conf.set(conf, v)
+      case None    => spark.conf.unset(conf)
+    }
+  }
+
   test("q66 join prunes fact partitions dynamically from the dim filter") {
     val df = Registry.byName("q66_dpp_join").q(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
