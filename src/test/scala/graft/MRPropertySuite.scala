@@ -60,6 +60,29 @@ class MRPropertySuite extends AnyFunSuite {
     }
   }
 
+  test("inverted index postings: sorted, distinct, complete, R-invariant") {
+    import graft.mr.InvertedIndex
+    val s = SparkTestBase.spark
+    import s.implicits._
+    val rnd = new Random(23)
+    val corpus = (0 until 40).map { id =>
+      val words = List.fill(1 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+      s"$id:${words.mkString(" ")}"
+    }
+    val ds = s.createDataset(corpus)
+    val r4 = MRRunner.transform(s, ds, InvertedIndex, 4).collect().toMap
+    val r9 = MRRunner.transform(s, ds, InvertedIndex, 9).collect().toMap
+    assert(r4 == r9, "posting lists must not depend on R")
+    // independent reference: word → sorted distinct doc ids
+    val expected = corpus.flatMap { line =>
+      val Array(id, text) = line.split(":", 2)
+      text.split(' ').filter(_.nonEmpty).map(_ -> id.toLong)
+    }.groupBy(_._1).map { case (w, ps) =>
+      w -> ps.map(_._2).distinct.sorted.mkString(",")
+    }
+    assert(r4 == expected)
+  }
+
   test("MR result is invariant under R and conserves total token count") {
     val s = SparkTestBase.spark
     import s.implicits._
