@@ -21,6 +21,8 @@ object Explain {
         spark.conf.set(k.trim, v.trim)
       })
     val names = if (args.nonEmpty) args.toSeq else Bench.headline
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown quer${if (unknown.size == 1) "y" else "ies"}: ${unknown.mkString(", ")}")
     names.foreach { name =>
       println(s"\n================ $name @ $sfDir ================")
       SparkEntry.queries(name)(spark, sfDir).explain("formatted")

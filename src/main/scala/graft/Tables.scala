@@ -33,6 +33,28 @@ object Tables {
     "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString
   )
 
+  /** Best-effort recursive delete of a per-JVM scratch path at exit; the
+    * per-run token in these paths means nothing else ever reclaims them.
+    */
+  def deleteOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(): Unit
+      }
+      try rm(new java.io.File(path))
+      catch { case _: Exception => () } // never fail shutdown over tmp cleanup
+    }))
+
+  private lazy val warehouseDir: String = {
+    val dir = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse_" +
+      java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+        .replaceAll("[^A-Za-z0-9]", "_")
+    deleteOnExit(dir)
+    dir
+  }
+
   def builder(master: String, cores: Int): SparkSession.Builder = {
     val b = SparkSession
       .builder()
@@ -41,12 +63,9 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
-      // saveAsTable target (bucketed-table queries): CWD-independent, per-JVM
-      .config(
-        "spark.sql.warehouse.dir",
-        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_warehouse_" +
-          java.lang.management.ManagementFactory.getRuntimeMXBean.getName
-            .replaceAll("[^A-Za-z0-9]", "_"))
+      // saveAsTable target (bucketed-table queries): CWD-independent, per-JVM,
+      // best-effort removed at JVM exit
+      .config("spark.sql.warehouse.dir", warehouseDir)
     sessionConf.foreach { case (k, v) => b.config(k, v) }
     b
   }

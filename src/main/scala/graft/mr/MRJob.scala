@@ -64,8 +64,15 @@ object InvertedIndex extends MRJob {
     }
   }
 
-  override def reduce(key: String, values: Seq[String]): IterableOnce[(String, String)] =
-    Iterator(key -> values.iterator.map(_.toLong).toSeq.distinct.sorted.mkString(","))
+  override def reduce(key: String, values: Seq[String]): IterableOnce[(String, String)] = {
+    // numeric ids sort numerically; any non-numeric id falls back to a
+    // lexicographic sort instead of crashing the job (both keys and values
+    // are untyped strings by the MR contract)
+    val ids = values.distinct
+    val sorted =
+      if (ids.forall(_.toLongOption.isDefined)) ids.sortBy(_.toLong) else ids.sorted
+    Iterator(key -> sorted.mkString(","))
+  }
 }
 
 /** String-keyed job registry — equivalent of the reference's

@@ -87,16 +87,20 @@ object MRSpec {
     }
     // Output-dir writability probe, mirroring the reference's create+delete
     // of a temp file in the output dir
-    // (/root/reference/src/mapreduce_spec.h:147-155). The dir is created if
-    // absent (as the sink write would); the probe file is always removed.
+    // (/root/reference/src/mapreduce_spec.h:147-155): the dir must already
+    // exist and be writable — validation never mutates the filesystem
+    // beyond the transient probe file, which is always removed.
     try {
       val dir = Paths.get(spec.outputDir)
-      if (!Files.isDirectory(dir)) Files.createDirectories(dir)
-      val probe = Files.createTempFile(dir, ".graft_probe_", "")
-      Files.delete(probe)
+      if (!Files.isDirectory(dir))
+        errs += s"output dir missing or not a directory: ${spec.outputDir}"
+      else {
+        val probe = Files.createTempFile(dir, ".graft_probe_", "")
+        Files.delete(probe)
+      }
     } catch {
       case e: Exception =>
-        errs += s"output dir not writable: ${spec.outputDir} (${e.getClass.getSimpleName})"
+        errs += s"output dir not writable: ${spec.outputDir} (${e.getClass.getSimpleName}: ${e.getMessage})"
     }
     errs.result()
   }

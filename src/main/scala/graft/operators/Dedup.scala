@@ -283,22 +283,31 @@ object Dedup {
     * brute oracle.
     */
   private def decontaminate(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    // candidate id pairs carry NO payload through the band join/distinct;
+    // token sets join back afterwards (the bandCandidates/attachFeatures
+    // shape) — a pair sharing many bands must not ship its word sets once
+    // per shared band
+    val banded = Tables.documents(s, d)
       .select(
         col("doc_id"),
-        array_distinct(split(col("text"), " ")).as("toks"),
         explode(
           call_function(
             "bands_from_sig",
             call_function("minhash_sig", col("text"), lit(32), lit(1)),
             lit(2))).as("band"))
-    val bench = docs.filter(col("doc_id") < 50)
-      .select(col("doc_id").as("b_id"), col("toks").as("b_toks"), col("band"))
-    val corpus = docs.filter(col("doc_id") >= 50)
-      .select(col("doc_id"), col("toks"), col("band"))
-    corpus.join(bench, Seq("band"))
-      .select(col("doc_id"), col("b_id"), col("toks"), col("b_toks"))
+      .repartition(col("band"))
+    val bench = banded.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("b_id"), col("band"))
+    val corpus = banded.filter(col("doc_id") >= 50)
+      .select(col("doc_id"), col("band"))
+    val cand = corpus.join(bench, Seq("band"))
+      .select(col("doc_id"), col("b_id"))
       .distinct()
+    val sets = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    cand
+      .join(sets, Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
       .withColumn("jac", jaccard(col("toks"), col("b_toks")))
       .filter(col("jac") >= 0.8)
       .groupBy(col("doc_id"))

@@ -19,16 +19,21 @@ object Sources {
 
   /** Scratch root: anchored to the repo-independent tmpdir (CWD-independent)
     * with a per-JVM token, so concurrent runs over the same fixture never
-    * collide on SaveMode.Overwrite.
+    * collide on SaveMode.Overwrite. Best-effort removed at JVM exit — the
+    * token otherwise guarantees every run leaks a fresh dataset copy.
     */
   private val runToken =
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName
       .replaceAll("[^A-Za-z0-9]", "_")
 
-  private[graft] def scratch(d: String, name: String): String = {
-    val root = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    s"$root/graft_io_$runToken/${d.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+  private lazy val scratchRoot: String = {
+    val root = s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft_io_$runToken"
+    graft.Tables.deleteOnExit(root)
+    root
   }
+
+  private[graft] def scratch(d: String, name: String): String =
+    s"$scratchRoot/${d.replaceAll("[^A-Za-z0-9]", "_")}/$name"
 
   /** Partitioned parquet round-trip: write lineitem partitioned by
     * l_returnflag, read back ONE partition via a filter on the partition

@@ -161,10 +161,15 @@ object EventStreams {
       }
   }
 
-  /** Production sessionization: event-time watermark + state expiry. Emits
-    * each user's FINAL session aggregate exactly once, when the watermark
-    * passes their last event + gap; expired state is removed, so long-running
-    * streams hold state only for open sessions.
+  /** Production sessionization: event-time watermark + state expiry. When
+    * the watermark passes a user's last event + gap, their state emits its
+    * final aggregate and is removed. Emissions are PER ACTIVITY EPOCH and
+    * ADDITIVE: a user active again after an expiry starts a fresh state
+    * (seq restarts too), so downstream totals are the SUM of that user's
+    * emissions — unlike [[sessionize]], whose running totals-so-far are
+    * deduplicated by latest seq. Each epoch's sessions are disjoint by
+    * construction (expiry requires a ≥gap quiet period at the watermark),
+    * so the sums are exact.
     */
   def sessionizeWatermarked(
       events: Dataset[EventRow], delay: String): Dataset[SessionAgg] = {

@@ -71,11 +71,12 @@ class MRRunnerSuite extends SparkTestBase {
   }
 
   test("spec INI parse + validation mirrors the reference's checks") {
+    val outDir = Files.createTempDirectory("mr_spec_out").toString
     val ini =
-      """n_workers=2
+      s"""n_workers=2
         |worker_ipaddr_ports=localhost:5000,localhost:5001
         |input_files=/root/reference/test/input/testdata_1.txt
-        |output_dir=/tmp/x
+        |output_dir=$outDir
         |n_output_files=4
         |map_kilobytes=500
         |user_id=cs6210""".stripMargin
@@ -102,9 +103,15 @@ class MRRunnerSuite extends SparkTestBase {
       mapKilobytes = 500,
       userId = "cs6210")
     assume(refInput.nonEmpty, "reference test corpus not present")
-    assert(MRSpec.validate(spec).exists(_.contains("not writable")))
+    // /proc: exists-as-dir check passes for /proc itself? use both shapes —
+    // a missing dir and an unwritable existing dir must each be rejected
+    assert(MRSpec.validate(spec).exists(e =>
+      e.contains("not writable") || e.contains("missing or not a directory")))
+    assert(MRSpec.validate(spec.copy(outputDir = "/proc"))
+      .exists(_.contains("not writable")))
     val ok = Files.createTempDirectory("mr_probe").toString
-    assert(!MRSpec.validate(spec.copy(outputDir = ok)).exists(_.contains("not writable")))
+    assert(!MRSpec.validate(spec.copy(outputDir = ok))
+      .exists(e => e.contains("not writable") || e.contains("missing")))
   }
 
   test("tokenizer matches strtok semantics on the reference delimiters") {
