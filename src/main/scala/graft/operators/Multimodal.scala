@@ -97,6 +97,36 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  final case class ResizedMeta(
+      doc_id: Long,
+      width: Long,
+      height: Long,
+      out_w: Long,
+      out_h: Long,
+      scale_pct: Long)
+
+  /** STUB resize planner — fit-within-224×224 preserving aspect ratio, all
+    * in exact integer math (percentages scaled by 100) so the SQL oracle
+    * reproduces it. A real implementation would hand each batch to a
+    * vectorized image library; the shape that matters at scale is identical:
+    * metadata-only planning first, payload work batched per partition.
+    */
+  def resizePlan(m: MediaMeta): ResizedMeta = {
+    val target = 224L
+    // scale_pct = floor(100 * target / max(dim)), capped at 100 (never upscale)
+    val pct = math.min(100L, 100L * target / math.max(m.width, m.height))
+    ResizedMeta(
+      doc_id = m.doc_id,
+      width = m.width,
+      height = m.height,
+      out_w = m.width * pct / 100,
+      out_h = m.height * pct / 100,
+      scale_pct = pct)
+  }
+
+  def resizePartition(rows: Iterator[MediaMeta]): Iterator[ResizedMeta] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map(resizePlan))
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q43_multimodal_meta",
@@ -108,6 +138,43 @@ object Multimodal {
              | 1 + n % 3 AS channels,
              | 1 + n % 24 AS frames
              |FROM b ORDER BY doc_id""".stripMargin)),
+    // q78: decode → resize — the remaining stage of the media pipeline
+    // (decode q43, frame-sample/feature q70, resize here), aggregated per
+    // scale bucket so the result is compact and fully oracle-checkable.
+    Entry(
+      "q78_media_resize",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[MediaIn]
+          .mapPartitions(decodePartition)
+          .mapPartitions(resizePartition)
+          .groupBy(col("scale_pct"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("out_w") * col("out_h")).as("out_pixels"),
+            max(col("out_w")).as("max_w"),
+            max(col("out_h")).as("max_h"))
+          .orderBy(col("scale_pct"))
+      },
+      Some("""WITH b AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+             |m AS (SELECT doc_id,
+             |        16 + (n % 64) * 16 AS width,
+             |        16 + (n % 48) * 16 AS height
+             |      FROM b),
+             |r AS (SELECT doc_id, width, height,
+             |        least(100, 100 * 224 // greatest(width, height)) AS scale_pct
+             |      FROM m),
+             |z AS (SELECT doc_id, scale_pct,
+             |        width * scale_pct // 100 AS out_w,
+             |        height * scale_pct // 100 AS out_h
+             |      FROM r)
+             |SELECT scale_pct, count(*) AS n,
+             | CAST(sum(out_w * out_h) AS BIGINT) AS out_pixels,
+             | max(out_w) AS max_w, max(out_h) AS max_h
+             |FROM z GROUP BY scale_pct ORDER BY scale_pct""".stripMargin)),
+
     Entry(
       "q70_frame_features",
       frameFeatures,
