@@ -20,8 +20,9 @@ object SparkEntry {
     graft.queries.Registry.entries.map(e => e.name -> e.q).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the approximate/engine-defined
-    * ops (LSH candidates, SimHash/fingerprint values) → rows-only check.
+    * the same parquet tables. Since round 4 EVERY query has an oracle:
+    * approximate/engine-defined ops register self-checks the SQL reproduces
+    * (recall/error bounds as literal TRUE, golden digests for hash kernels).
     */
   def oracleSql: Map[String, String] =
     graft.queries.Registry.entries.flatMap(e => e.oracle.map(e.name -> _)).toMap
