@@ -53,6 +53,8 @@ object GraftExtensions {
     reg("minhash_sig_chars",
         es => MinHashSigChars(es(0), intArg(es(1), "k"), intArg(es(2), "n")))
     reg("bands_from_sig", es => BandsFromSig(es(0), intArg(es(1), "r")))
+    reg("rhp_sig",
+        es => RhpSig(es(0), intArg(es(1), "planes"), longArg(es(2), "seed")))
     reg("rhp_bands",
         es =>
           RhpBands(

@@ -68,6 +68,31 @@ object VectorOps {
       }
     })
 
+  /** Packed random-hyperplane sign signature: bit p of the result is the
+    * sign of the projection onto plane p (planes <= 64). One kernel call per
+    * row yields BOTH the ANN blocking keys (bit slices of the signature are
+    * the band keys — pure integer ops downstream) and the signature the
+    * Hamming prefilter compares with bit_count(xor) before any d-dim cosine.
+    */
+  def rhpSig(a: ArrayData, planes: Int, seed: Long): Long = {
+    val dims = a.numElements()
+    val mat = planeMatrix(planes, dims, seed)
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      val row = mat(p)
+      var s = 0.0
+      var i = 0
+      while (i < dims) {
+        s += row(i) * a.getDouble(i)
+        i += 1
+      }
+      if (s >= 0.0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
   /** Random-hyperplane signature split into `bands` band-keys.
     *
     * `planes * dims` pseudo-gaussian coefficients are derived deterministically

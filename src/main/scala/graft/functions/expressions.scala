@@ -178,6 +178,34 @@ case class BandsFromSig(child: Expression, r: Int)
     copy(child = newChild)
 }
 
+/** Packed 64-bit random-hyperplane sign signature (bit p = sign of the
+  * projection onto plane p) — band keys and Hamming prefilter both derive
+  * from this one value with plain integer ops.
+  */
+case class RhpSig(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rhp_sig"
+
+  override protected def nullSafeEval(a: Any): Any =
+    VectorOps.rhpSig(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      planes,
+      seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"graft.functions.VectorOps.rhpSig($c, $planes, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH band keys for ANN over embedding vectors. */
 case class RhpBands(child: Expression, planes: Int, bands: Int, seed: Long)
     extends UnaryExpression

@@ -66,15 +66,24 @@ object MRRunner {
     val errs = MRSpec.validate(spec)
     require(errs.isEmpty, s"invalid spec: ${errs.mkString("; ")}")
     val job = JobRegistry.get(spec.userId)
-    // map_kilobytes ↔ input split size (file_shard.h:35's M = ceil(kb/map_kb))
-    spark.conf.set("spark.sql.files.maxPartitionBytes", spec.mapKilobytes * 1024L)
-    import spark.implicits._
-    val lines = spark.read.textFile(spec.inputFiles: _*)
-    transform(spark, lines, job, spec.nOutputFiles)
-      .map { case (k, v) => s"$k $v" }
-      .write
-      .mode("overwrite")
-      .text(spec.outputDir)
+    // map_kilobytes ↔ input split size (file_shard.h:35's M = ceil(kb/map_kb)).
+    // The split size is scoped to THIS job: restore the session's previous
+    // value afterwards so later queries don't inherit the MR split size.
+    val splitKey = "spark.sql.files.maxPartitionBytes"
+    val prevSplit = spark.conf.getOption(splitKey)
+    spark.conf.set(splitKey, spec.mapKilobytes * 1024L)
+    try {
+      import spark.implicits._
+      val lines = spark.read.textFile(spec.inputFiles: _*)
+      transform(spark, lines, job, spec.nOutputFiles)
+        .map { case (k, v) => s"$k $v" }
+        .write
+        .mode("overwrite")
+        .text(spec.outputDir)
+    } finally prevSplit match {
+      case Some(v) => spark.conf.set(splitKey, v)
+      case None    => spark.conf.unset(splitKey)
+    }
   }
 
   /** Combiner upgrade path the reference lacks: for associative+commutative

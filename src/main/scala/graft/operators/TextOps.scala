@@ -280,12 +280,15 @@ object TextOps {
     // pretraining-mix operator (weight strata differently). `sampleBy` does
     // per-row Bernoulli against the stratum's fraction — one scan, no
     // shuffle before the small per-stratum count agg. The realized fraction
-    // is random, so the query self-checks |realized − target| ≤ 0.2 per
-    // stratum and emits the data-derived source counts; the oracle
-    // reproduces the counts and a literal TRUE. Tolerance 0.2 is ≥3.4σ at
-    // the smallest stratum (and sampleBy's per-partition rand(seed) means
-    // the realized draw shifts with partition layout/cpu count, so the
-    // margin must absorb layout variation, not just one binomial draw).
+    // is random, so the query self-checks the deviation per stratum against
+    // a σ-SCALED bound — 4.5·sqrt(f(1−f)/n), the binomial standard error of
+    // that stratum's own size — and emits the data-derived source counts;
+    // the oracle reproduces the counts and a literal TRUE. σ-scaling makes
+    // the bound mean the same thing at every stratum size (the old flat 0.2
+    // was ~9σ for a 1000-doc stratum and 3.4σ for a 26-doc one); 4.5σ keeps
+    // the per-stratum false-alarm odds ≲1e-5 even though sampleBy's
+    // per-partition rand(seed) re-draws when partition layout/cpu count
+    // changes.
     Entry(
       "q69_stratified_sample",
       (s, d) => {
@@ -298,11 +301,13 @@ object TextOps {
         val fracCol = fractions.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
           when(col("lang") === k, v).otherwise(acc)
         }
+        val sigma = sqrt(fracCol * (lit(1.0) - fracCol) / col("n_docs"))
         totals.join(sampled, Seq("lang"), "left_outer")
           .select(
             col("lang"),
             col("n_docs"),
-            (abs(coalesce(col("n_sampled"), lit(0L)) / col("n_docs") - fracCol) <= 0.2)
+            (abs(coalesce(col("n_sampled"), lit(0L)) / col("n_docs") - fracCol)
+              <= sigma * 4.5)
               .as("frac_ok"))
           .orderBy(col("lang"))
       },

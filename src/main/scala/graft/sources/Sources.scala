@@ -173,8 +173,13 @@ object Sources {
     s.read.parquet(small)
       .repartition(4)
       .write.mode(SaveMode.Overwrite).parquet(compacted)
-    def nFiles(p: String): Long =
-      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet")).toLong
+    // Hadoop FileSystem, not java.io.File: at 100 TB the compacted dataset
+    // lives on HDFS/S3, where only the fs.Path API resolves.
+    def nFiles(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
     val counts = s.read.parquet(compacted)
       .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("total"))
     counts.select(

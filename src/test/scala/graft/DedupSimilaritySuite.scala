@@ -39,16 +39,24 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(recall >= 0.9, s"LSH recall $recall < 0.9 (missed ${exact.diff(lsh)})")
   }
 
-  test("q41 ANN LSH recalls most of the exact top-k neighbors (vs q40)") {
+  test("q41 ANN LSH: recall floor AND candidate-fraction budget (vs q40)") {
     val exact = rows("q40_cosine_topk")
       .map(r => (r.getLong(0), r.getLong(2))).toSet // (q_id, n_id)
     val ann = graft.operators.Similarity.annTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(ann.contains).toDouble / exact.size
     assert(recall >= 0.6, s"ANN recall $recall < 0.6")
-    // and the registered self-check form agrees
+    // the pruning claim, not just the recall claim: pairs surviving to the
+    // exact-cosine stage must be <=25% of the 8x(N-1) brute-force pairs --
+    // a fraction near 1 would mean the index re-created the cross join
+    val nVec = Tables.embeddings(spark, sf).count()
+    val nCand = graft.operators.Similarity.annCandidates(spark, sf).count()
+    val frac = nCand.toDouble / (8.0 * (nVec - 1))
+    assert(frac <= 0.25, f"ANN candidate fraction $frac%.3f > 0.25")
+    // and the registered self-check form agrees on both
     val check = rows("q41_ann_lsh")
     assert(check.length == 1 && check(0).getBoolean(1), "q41 recall_ok is false")
+    assert(check(0).getBoolean(2), "q41 cand_ok is false")
   }
 
   test("q56 IVF ANN beats the LSH recall floor (vs q40)") {
@@ -60,6 +68,18 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall < 0.8")
     val check = rows("q56_ann_ivf")
     assert(check.length == 1 && check(0).getBoolean(1), "q56 recall_ok is false")
+    // the quantizer trains on a SAMPLE: the training scan carries the
+    // hash-mod predicate and yields a strict fraction of the corpus -- the
+    // posexplode Lloyd stage must never see the full corpus
+    val train = graft.operators.Similarity.ivfTrainingSample(spark, sf)
+    assert(train.queryExecution.optimizedPlan.toString.contains("xxhash64"),
+      "training subplan lost its sampling filter")
+    val nTrain = train.count()
+    val nVec = Tables.embeddings(spark, sf).count()
+    // mod-2 keeps ~half the corpus (the recall knee on the 500-vector
+    // fixture); 60% is the slack-adjusted ceiling for "strictly a sample"
+    assert(nTrain > 0 && nTrain <= nVec * 3 / 5,
+      s"training sample $nTrain of $nVec is not a strict sample")
   }
 
   test("pruned pair queries carry no cartesian product in the physical plan") {

@@ -114,6 +114,33 @@ class MRRunnerSuite extends SparkTestBase {
       .exists(e => e.contains("not writable") || e.contains("missing")))
   }
 
+  test("run() restores the session split-size conf it scoped to the job") {
+    assume(refInput.nonEmpty, "reference test corpus not present")
+    val key = "spark.sql.files.maxPartitionBytes"
+    val before = spark.conf.getOption(key)
+    spark.conf.set(key, "134217728")
+    try {
+      val out = Files.createTempDirectory("mr_conf_out").toString
+      val spec = MRSpec(
+        nWorkers = 2,
+        workerAddrs = Seq("localhost:5000", "localhost:5001"),
+        inputFiles = refInput.take(1),
+        outputDir = out,
+        nOutputFiles = 2,
+        mapKilobytes = 64,
+        userId = "cs6210")
+      MRRunner.run(spark, spec)
+      // the MR job ran with its own 64 KB split size, but the session conf
+      // must come back exactly as it was — later queries in the same session
+      // must not inherit the job's split size
+      assert(spark.conf.get(key) == "134217728",
+        s"run() leaked its split-size override: ${spark.conf.get(key)}")
+    } finally before match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("tokenizer matches strtok semantics on the reference delimiters") {
     val toks = WordCount.tokenize("""Hello, world. "it's  a test"""").toSeq
     // strtok(" ,.\"'") splits on every delimiter run, no empty tokens

@@ -80,11 +80,16 @@ class RelationalExtSuite extends SparkTestBase {
     assert(fast == naive)
   }
 
-  test("q51 range join broadcasts the quarter dim") {
+  test("q51 range join plans a broadcast EQUI-join, never a nested loop") {
+    // the binned form must hash-join the broadcast dim on the computed
+    // quarter key; a BroadcastNestedLoopJoin means the interval predicate
+    // leaked back into the join condition (per-row interval scan at scale)
     val plan = Registry.byName("q51_range_join").q(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
-      s"interval join should broadcast the tiny dim:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"binned range join should broadcast-hash-join the quarter dim:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"q51 plans a BNLJ:\n$plan")
   }
 
   test("q44 grouping sets covers exactly the two requested sets") {
