@@ -24,7 +24,11 @@ object RelationalExt {
     * carry the last-seen event through an ordered running window — the
     * standard distributed point-in-time-correctness pattern.
     */
-  private def asofJoin(s: org.apache.spark.sql.SparkSession, d: String) = {
+  /** The tagged union both as-of forms run over: events and orders on one
+    * (uid, t_ns) axis; events sort before orders at equal ts, so "at or
+    * before" is inclusive.
+    */
+  private def asofUnion(s: org.apache.spark.sql.SparkSession, d: String) = {
     val ev = T.events(s, d).select(
       col("user_id").as("uid"),
       col("ts").as("t_ns"),
@@ -35,16 +39,63 @@ object RelationalExt {
       (col("o_orderdate").cast("timestamp").cast("long") * lit(1000000000L)).as("t_ns"),
       lit(1).as("is_order"),
       col("o_orderkey"))
-    // events sort before orders at equal ts => "at or before" is inclusive
+    ev.unionByName(ord)
+  }
+
+  private[graft] def asofDirect(u: org.apache.spark.sql.DataFrame) = {
     val w = Window.partitionBy(col("uid")).orderBy(col("t_ns"), col("is_order"), col("o_orderkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.unionByName(ord)
-      .withColumn("last_event_ns",
+    u.withColumn("last_event_ns",
         max(when(col("is_order") === 0, col("t_ns"))).over(w))
       .withColumn("n_prior",
         sum(when(col("is_order") === 0, 1L).otherwise(0L)).over(w))
       .filter(col("is_order") === 1)
       .select(col("o_orderkey"), col("uid").as("o_custkey"), col("last_event_ns"), col("n_prior"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private def asofJoin(s: org.apache.spark.sql.SparkSession, d: String) =
+    asofDirect(asofUnion(s, d))
+
+  /** Hot-key-safe as-of join — the q64 two-phase pattern applied to q50.
+    * Phase 1 windows within (uid, time-block): a hot uid fans out over
+    * (#blocks) reducers instead of one giant sorted partition. Phase 2
+    * reduces each block to a 2-value EVENT summary (last event ts, event
+    * count), prefix-scans those tiny per-(uid, blk) rows over strictly
+    * earlier blocks, and equi-joins the prefix back on (uid, blk). An
+    * order's answer is then within-block running state ⊕ prior-block
+    * prefix — identical to the direct single-window form (oracle +
+    * RelationalExtSuite equality on a skewed fixture), with no partition
+    * ever holding more than one block of one user.
+    */
+  private[graft] def asofSalted(
+      u: org.apache.spark.sql.DataFrame, blockNs: Long) = {
+    val ub = u.withColumn("blk", expr(s"t_ns div $blockNs"))
+    val w1 = Window.partitionBy(col("uid"), col("blk"))
+      .orderBy(col("t_ns"), col("is_order"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlock = ub
+      .withColumn("blk_last", max(when(col("is_order") === 0, col("t_ns"))).over(w1))
+      .withColumn("blk_prior", sum(when(col("is_order") === 0, 1L).otherwise(0L)).over(w1))
+      .filter(col("is_order") === 1)
+    // per-(uid, blk) event summaries; prefix over STRICTLY earlier blocks
+    val sums = ub.filter(col("is_order") === 0)
+      .groupBy(col("uid"), col("blk"))
+      .agg(max(col("t_ns")).as("b_max"), count(lit(1)).as("b_n"))
+    val w2 = Window.partitionBy(col("uid")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prior = ub.select(col("uid"), col("blk")).distinct()
+      .join(sums, Seq("uid", "blk"), "left_outer")
+      .withColumn("prior_last", max(col("b_max")).over(w2))
+      .withColumn("prior_n", coalesce(sum(col("b_n")).over(w2), lit(0L)))
+      .select(col("uid"), col("blk"), col("prior_last"), col("prior_n"))
+    inBlock.join(prior, Seq("uid", "blk"))
+      .select(
+        col("o_orderkey"),
+        col("uid").as("o_custkey"),
+        // greatest() skips nulls; both-null (no prior events at all) stays null
+        greatest(col("blk_last"), col("prior_last")).as("last_event_ns"),
+        (col("blk_prior") + col("prior_n")).as("n_prior"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -198,6 +249,23 @@ object RelationalExt {
     Entry(
       "q50_asof_join",
       (s, d) => asofJoin(s, d),
+      Some("""SELECT o_orderkey, o_custkey,
+             | (SELECT max(epoch_ns(e.ts)) FROM events e
+             |  WHERE e.user_id = o.o_custkey
+             |    AND epoch_ns(e.ts) <= epoch_ns(o.o_orderdate)) AS last_event_ns,
+             | (SELECT count(*) FROM events e
+             |  WHERE e.user_id = o.o_custkey
+             |    AND epoch_ns(e.ts) <= epoch_ns(o.o_orderdate)) AS n_prior
+             |FROM orders o ORDER BY o_orderkey""".stripMargin)),
+
+    // q80: the salted two-phase as-of join (see asofSalted doc) — the
+    // skew-hardened form of q50 for hot users; same oracle, identical
+    // result. 30-day blocks: the union's time axis spans years, so a normal
+    // user touches a handful of populated blocks while a hot user's events
+    // fan out over every reducer that owns one of their blocks.
+    Entry(
+      "q80_asof_salted",
+      (s, d) => asofSalted(asofUnion(s, d), 30L * 24 * 3600 * 1000000000L),
       Some("""SELECT o_orderkey, o_custkey,
              | (SELECT max(epoch_ns(e.ts)) FROM events e
              |  WHERE e.user_id = o.o_custkey

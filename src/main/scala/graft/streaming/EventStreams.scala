@@ -242,7 +242,7 @@ object EventStreams {
     * batch aggregate over the single corpus — which is precisely what the
     * oracle checks, so a dedup that leaked or over-dropped fails the hash.
     * (Bounded run ⇒ unbounded dedup state is fine; the production variant
-    * is dropDuplicatesWithinWatermark, same plan shape with state expiry.)
+    * with state expiry is [[streamDedupWatermarked]], registered as q79.)
     */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
@@ -261,6 +261,46 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table("graft_stream_dedup").orderBy(col("event_type"))
+  }
+
+  /** Production streaming dedup: `dropDuplicatesWithinWatermark`. State for
+    * a key is dropped once the watermark passes that key's event time plus
+    * the delay, so an unbounded run holds state only for the trailing
+    * window — unlike [[streamDedup]]'s `dropDuplicates`, whose state grows
+    * with the distinct-key count forever. The guarantee weakens to match:
+    * duplicates are suppressed only when they arrive within the watermark
+    * delay of the first copy — exactly the at-least-once-ingest
+    * redelivery window a pipeline actually needs to absorb.
+    *
+    * Here the doubled copies of each event arrive in the same micro-batch
+    * (both unioned sources list the same files) and the watermark only
+    * advances BETWEEN batches, so no key's state can expire before its
+    * duplicate is seen: bounded AvailableNow results equal the batch
+    * aggregate exactly, which is what the oracle checks. StreamingSuite
+    * additionally proves the expiry semantics on a multi-batch arrival
+    * sequence (dup within the delay suppressed; same key re-admitted after
+    * its state expired).
+    */
+  def streamDedupWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    def src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+      .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("event_type"), col("value"), col("event_time"))
+    val deduped = src.union(src)
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val agg = deduped
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    spark.streams.active.filter(_.name == "graft_stream_dedup_wm").foreach(_.stop())
+    val q = agg.writeStream
+      .format("memory")
+      .queryName("graft_stream_dedup_wm")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table("graft_stream_dedup_wm").orderBy(col("event_type"))
   }
 
   /** Stream-stream inner join with event-time watermarks — the stateful
@@ -335,6 +375,14 @@ object EventStreams {
     Entry(
       "q68_stream_dedup",
       streamDedup,
+      Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    // q79: the bounded-state production form of q68 (see
+    // streamDedupWatermarked doc); same oracle — the dedup must be exact on
+    // the bounded input either way.
+    Entry(
+      "q79_stream_dedup_wm",
+      streamDedupWatermarked,
       Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS sum_value
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     // q72: stream-stream join — micros comparisons reproduced in exact

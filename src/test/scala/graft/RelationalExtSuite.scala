@@ -80,6 +80,34 @@ class RelationalExtSuite extends SparkTestBase {
     assert(fast == naive)
   }
 
+  test("q80 salted as-of join equals the direct form on a skewed fixture") {
+    val s = spark
+    import s.implicits._
+    // one hot uid with 20k events spread over ~3 years + sparse orders, plus
+    // normal users; the two-phase form must agree with the single-window
+    // form exactly (nullable last_event_ns included: uid=3 orders precede
+    // every event)
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val hotEv = (0 until 20000).map(i => (1L, i.toLong * dayNs / 20, 0, None: Option[Long]))
+    val coldEv = (0 until 50).map(i => (2L, i.toLong * 30 * dayNs, 0, None: Option[Long]))
+    val orders = Seq(
+      (1L, 500 * dayNs, 1, Some(101L)), (1L, 0L, 1, Some(102L)),
+      (1L, 1200 * dayNs, 1, Some(103L)), (2L, 700 * dayNs, 1, Some(104L)),
+      (3L, 100 * dayNs, 1, Some(105L)))
+    val u = (hotEv ++ coldEv ++ orders)
+      .toDF("uid", "t_ns", "is_order", "o_orderkey")
+    val direct = graft.operators.RelationalExt.asofDirect(u)
+      .collect().map(_.toSeq).toSeq
+    val salted = graft.operators.RelationalExt.asofSalted(u, 30 * dayNs)
+      .collect().map(_.toSeq).toSeq
+    assert(salted == direct,
+      s"salted as-of diverged (first diff: ${salted.zip(direct).find(p => p._1 != p._2)})")
+    // and the registered fixture-backed q80 equals q50 row-for-row
+    val q50 = Registry.byName("q50_asof_join").q(spark, sf).collect().map(_.toSeq).toSeq
+    val q80 = Registry.byName("q80_asof_salted").q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(q80 == q50)
+  }
+
   test("q51 range join plans a broadcast EQUI-join, never a nested loop") {
     // the binned form must hash-join the broadcast dim on the computed
     // quarter key; a BroadcastNestedLoopJoin means the interval predicate

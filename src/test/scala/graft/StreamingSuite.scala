@@ -109,6 +109,67 @@ class StreamingSuite extends SparkTestBase {
       s"closed windows != batch agg (missing: ${batch.diff(got).take(5)})")
   }
 
+  test("q79 stream dedup == q68 == batch aggregate on the bounded fixture") {
+    val wm = Registry.byName("q79_stream_dedup_wm").q(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val unbounded = Registry.byName("q68_stream_dedup").q(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(wm == unbounded, "watermarked dedup diverged from unbounded dedup")
+  }
+
+  test("dropDuplicatesWithinWatermark: dup suppressed within delay, state expires after") {
+    val s = spark
+    import s.implicits._
+    import java.nio.file.Files
+    // four micro-batches (mod-time ordered, maxFilesPerTrigger=1):
+    //   b1: id=1 @ t=0        -> emitted (fresh key)
+    //   b2: id=1 @ t=1min     -> suppressed (within the 10 min delay)
+    //   b3: id=2 @ t=100min   -> emitted; pushes the max event time to 100min
+    //   b4: id=3 @ t=101min   -> emitted; runs with watermark 90min, so id=1's
+    //                            state (expiry 11min) is evicted by batch end
+    //                            (eviction happens at the end of the batch the
+    //                            advanced watermark is applied to)
+    //   b5: id=1 @ t=102min   -> EMITTED AGAIN: the key's state is gone -- the
+    //                            documented WithinWatermark re-admission that
+    //                            bounds state where dropDuplicates never would
+    val minUs = 60L * 1000 * 1000
+    val dir = Files.createTempDirectory("wm_dedup").toString
+    def write(rows: Seq[(Long, Long)], name: String, order: Int): Unit = {
+      val tmp = s"$dir/${name}_stage"
+      rows.toDF("event_id", "ts_us")
+        .withColumn("event_time", expr("timestamp_micros(ts_us)"))
+        .select("event_id", "event_time")
+        .coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dir/ev_$name.parquet")
+      Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000L * order)
+    }
+    write(Seq((1L, 0L)), "b1", 1)
+    write(Seq((1L, 1 * minUs)), "b2", 2)
+    write(Seq((2L, 100 * minUs)), "b3", 3)
+    write(Seq((3L, 101 * minUs)), "b4", 4)
+    write(Seq((1L, 102 * minUs)), "b5", 5)
+    val src = spark.readStream
+      .schema(spark.read.parquet(s"$dir/ev_b1.parquet").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/ev_*.parquet")
+    val out = src.withWatermark("event_time", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+    spark.streams.active.filter(_.name == "test_wm_dedup").foreach(_.stop())
+    val q = out.writeStream.format("memory").queryName("test_wm_dedup")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table("test_wm_dedup")
+      .groupBy(col("event_id")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 1L),
+      s"expected id=1 re-admitted after expiry (2 emissions) and the in-delay " +
+        s"dup suppressed, got $got")
+  }
+
   test("late bridging event across batches lowers the final session count") {
     val s = spark
     import s.implicits._
