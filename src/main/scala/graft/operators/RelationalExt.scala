@@ -78,14 +78,19 @@ object RelationalExt {
       .withColumn("blk_last", max(when(col("is_order") === 0, col("t_ns"))).over(w1))
       .withColumn("blk_prior", sum(when(col("is_order") === 0, 1L).otherwise(0L)).over(w1))
       .filter(col("is_order") === 1)
-    // per-(uid, blk) event summaries; prefix over STRICTLY earlier blocks
-    val sums = ub.filter(col("is_order") === 0)
-      .groupBy(col("uid"), col("blk"))
-      .agg(max(col("t_ns")).as("b_max"), count(lit(1)).as("b_n"))
+    // per-(uid, blk) summaries as CONDITIONAL aggregates over the union:
+    // every populated block appears (so no separate block list + outer
+    // join), and map-side partial aggregation means this branch re-scans
+    // the inputs but shuffles only O(populated blocks) rows — the window
+    // branch above carries the one unavoidable full-data exchange. Prefix
+    // over STRICTLY earlier blocks via w2.
+    val sums = ub.groupBy(col("uid"), col("blk"))
+      .agg(
+        max(when(col("is_order") === 0, col("t_ns"))).as("b_max"),
+        sum(when(col("is_order") === 0, 1L).otherwise(0L)).as("b_n"))
     val w2 = Window.partitionBy(col("uid")).orderBy(col("blk"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prior = ub.select(col("uid"), col("blk")).distinct()
-      .join(sums, Seq("uid", "blk"), "left_outer")
+    val prior = sums
       .withColumn("prior_last", max(col("b_max")).over(w2))
       .withColumn("prior_n", coalesce(sum(col("b_n")).over(w2), lit(0L)))
       .select(col("uid"), col("blk"), col("prior_last"), col("prior_n"))
