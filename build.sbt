@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // diagnostics knob: extra whitespace-separated JVM flags for the forked
+  // run/test JVM (e.g. SPARK_GRAFT_EXTRA_JVM="-Xlog:gc:file=/tmp/gc.log")
+  sys.env.get("SPARK_GRAFT_EXTRA_JVM").toSeq.flatMap(_.trim.split("\\s+")).filter(_.nonEmpty)

@@ -116,21 +116,46 @@ object Dedup {
       // enable when identical feature SETS are common (order-insensitive
       // features like word sets); for order-sensitive features (shingles,
       // char n-grams) distinct texts rarely share a set and the clustering
-      // window is pure overhead
+      // stage is pure overhead. NOTE the clusterFirst contract on sigOf: the
+      // signature must be a pure function of the feature SET (true for
+      // shingle-size-1 minhash — min is idempotent to duplicates/order), and
+      // reps recompute it from `concat_ws(" ", feat)` rather than the
+      // original text so the grouping aggregate never has to carry text.
       clusterFirst: Boolean = false): DataFrame = {
     val estBound = threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / sigK)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("feat"))
-    val members =
-      if (clusterFirst)
-        docs
-          .select(col("doc_id"), col("text"), array_sort(featOf(col("text"))).as("feat"))
-          .withColumn("gid", min(col("doc_id")).over(w))
-      else
-        docs
-          .select(col("doc_id"), col("text"), featOf(col("text")).as("feat"))
-          .withColumn("gid", col("doc_id"))
-    val reps = members.filter(col("doc_id") === col("gid"))
-      .select(col("gid"), col("feat"), sigOf(col("text")).as("sig"))
+    // Cluster stage (clusterFirst): group identical feature sets with a
+    // partial-agged groupBy keyed on the 64-bit xxhash64 of the set — the
+    // map side collapses duplicate mass before the exchange, and the shuffle
+    // hashes an 8-byte long, not the raw array (a whole-corpus window over
+    // the array column did both at full width; that was the old form). The
+    // set itself stays in the grouping key, so a 64-bit collision between
+    // two distinct sets cannot merge groups (the q35 hash-then-confirm
+    // trade). Member→group assignment joins back on the hash alone with the
+    // set-equality check as the join residual: the exchange key is the long.
+    val (reps0, memberOf) =
+      if (clusterFirst) {
+        val base = docs
+          .select(col("doc_id"), array_sort(featOf(col("text"))).as("feat"))
+          .withColumn("fh", xxhash64(col("feat")))
+        val groups = base.groupBy(col("fh"), col("feat"))
+          .agg(min(col("doc_id")).as("gid"))
+        val reps = groups.select(
+          col("gid"),
+          col("feat"),
+          sigOf(concat_ws(" ", col("feat"))).as("sig"))
+        val members = base
+          .join(groups.select(col("fh"), col("feat").as("gfeat"), col("gid")), Seq("fh"))
+          .filter(col("feat") === col("gfeat")) // in-group set-equality confirm
+          .select(col("doc_id"), col("gid"))
+        (reps, members)
+      } else {
+        val reps = docs.select(
+          col("doc_id").as("gid"),
+          featOf(col("text")).as("feat"),
+          sigOf(col("text")).as("sig"))
+        (reps, docs.select(col("doc_id"), col("doc_id").as("gid")))
+      }
+    val reps = reps0
       .withColumn("bands", call_function("bands_from_sig", col("sig"), lit(2)))
     val banded = reps.select(col("gid").as("doc_id"), explode(col("bands")).as("band"))
     val candidates = bandCandidates(banded)
@@ -157,7 +182,7 @@ object Dedup {
         // every doc is its own group: ga < gb are already doc-id pairs
         confirmed.select(col("ga").as("a_id"), col("gb").as("b_id"), col("jac"))
       else {
-        val m = members.select(col("doc_id"), col("gid"))
+        val m = memberOf
         val inter = confirmed
           .join(m.select(col("gid").as("ga"), col("doc_id").as("x_id")), "ga")
           .join(m.select(col("gid").as("gb"), col("doc_id").as("y_id")), "gb")
@@ -286,7 +311,11 @@ object Dedup {
     // candidate id pairs carry NO payload through the band join/distinct;
     // token sets join back afterwards (the bandCandidates/attachFeatures
     // shape) — a pair sharing many bands must not ship its word sets once
-    // per shared band
+    // per shared band. The benchmark/eval side is BOUNDED (≤50 docs playing
+    // the eval set) regardless of corpus size, so both bench sides are
+    // broadcast-hinted: the band join and the token-set confirm are then one
+    // streaming scan of the corpus each — no corpus-wide shuffle on the band
+    // key. (Allowlisted in RelationalSuite's bounded-probe hint policy.)
     val banded = Tables.documents(s, d)
       .select(
         col("doc_id"),
@@ -295,9 +324,9 @@ object Dedup {
             "bands_from_sig",
             call_function("minhash_sig", col("text"), lit(32), lit(1)),
             lit(2))).as("band"))
-      .repartition(col("band"))
-    val bench = banded.filter(col("doc_id") < 50)
-      .select(col("doc_id").as("b_id"), col("band"))
+    val bench = broadcast(
+      banded.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("b_id"), col("band")))
     val corpus = banded.filter(col("doc_id") >= 50)
       .select(col("doc_id"), col("band"))
     val cand = corpus.join(bench, Seq("band"))
@@ -307,7 +336,10 @@ object Dedup {
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
     cand
       .join(sets, Seq("doc_id"))
-      .join(sets.select(col("doc_id").as("b_id"), col("toks").as("b_toks")), Seq("b_id"))
+      .join(
+        broadcast(sets.filter(col("doc_id") < 50)
+          .select(col("doc_id").as("b_id"), col("toks").as("b_toks"))),
+        Seq("b_id"))
       .withColumn("jac", jaccard(col("toks"), col("b_toks")))
       .filter(col("jac") >= 0.8)
       .groupBy(col("doc_id"))

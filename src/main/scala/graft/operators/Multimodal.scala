@@ -31,19 +31,84 @@ object Multimodal {
   /** Decode batch size — the shape a real vectorized decoder would consume. */
   val decodeBatchSize = 64
 
-  /** STUB decoder: a real implementation would parse the container header
-    * (JPEG/PNG/WAV/MP4) here. Deterministic fake: dimensions derived from the
-    * byte length, replicated exactly by the SQL oracle.
+  /** PNG signature: the 8 fixed bytes every PNG stream starts with
+    * (public byte layout, PNG spec §5.2). */
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def beInt(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** REAL container-header parse for PNG (spec §11.2.2, pure public byte
+    * layout — no codec needed): signature, then the IHDR chunk at offset 8
+    * (4-byte big-endian length=13, type "IHDR", 4-byte BE width, 4-byte BE
+    * height, bit depth, color type). Returns (width, height, channels);
+    * channels from color type: 0 grayscale→1, 2 truecolor→3, 3 palette→1,
+    * 4 gray+alpha→2, 6 RGBA→4. CRC is not verified — header decode, not
+    * integrity check. None for anything that is not a well-formed PNG head.
+    */
+  private[operators] def parsePngHeader(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (b.length < 26) return None
+    if (!b.take(8).sameElements(PngSignature)) return None
+    // IHDR chunk: length must be 13, type bytes "IHDR"
+    if (beInt(b, 8) != 13L) return None
+    if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
+    val width = beInt(b, 16)
+    val height = beInt(b, 20)
+    if (width <= 0 || height <= 0) return None
+    val channels = b(25) match {
+      case 0 => 1L // grayscale
+      case 2 => 3L // truecolor
+      case 3 => 1L // palette-indexed
+      case 4 => 2L // grayscale + alpha
+      case 6 => 4L // RGBA
+      case _ => return None
+    }
+    Some((width, height, channels))
+  }
+
+  /** Minimal well-formed PNG head (signature + IHDR chunk, zero CRC): what
+    * [[parsePngHeader]] consumes. Used to synthesize PNG payload columns in
+    * tests and q82 — the bytes are a real PNG prefix, not a fake format.
+    */
+  private[graft] def pngHeaderBytes(width: Int, height: Int, colorType: Int): Array[Byte] = {
+    val out = new Array[Byte](33)
+    PngSignature.copyToArray(out, 0)
+    def putBe(off: Int, v: Long): Unit = {
+      out(off) = ((v >>> 24) & 0xff).toByte; out(off + 1) = ((v >>> 16) & 0xff).toByte
+      out(off + 2) = ((v >>> 8) & 0xff).toByte; out(off + 3) = (v & 0xff).toByte
+    }
+    putBe(8, 13L) // IHDR payload length
+    out(12) = 'I'; out(13) = 'H'; out(14) = 'D'; out(15) = 'R'
+    putBe(16, width.toLong)
+    putBe(20, height.toLong)
+    out(24) = 8 // bit depth
+    out(25) = colorType.toByte
+    // bytes 26-28 (compression/filter/interlace) and 29-32 (CRC) stay 0
+    out
+  }
+
+  /** Decoder: payloads carrying a real PNG header are ACTUALLY PARSED
+    * ([[parsePngHeader]]); anything else falls back to the documented STUB
+    * (this container ships no image/audio codecs — the stub derives
+    * deterministic fake dimensions from the byte length, replicated exactly
+    * by the SQL oracle).
     */
   def stubDecode(m: MediaIn): MediaMeta = {
     val n = m.payload.length.toLong
-    MediaMeta(
-      doc_id = m.doc_id,
-      n_bytes = n,
-      width = 16L + (n % 64) * 16,
-      height = 16L + (n % 48) * 16,
-      channels = 1L + n % 3,
-      frames = 1L + n % 24)
+    parsePngHeader(m.payload) match {
+      case Some((w, h, c)) =>
+        MediaMeta(m.doc_id, n_bytes = n, width = w, height = h, channels = c, frames = 1L)
+      case None =>
+        MediaMeta(
+          doc_id = m.doc_id,
+          n_bytes = n,
+          width = 16L + (n % 64) * 16,
+          height = 16L + (n % 48) * 16,
+          channels = 1L + n % 3,
+          frames = 1L + n % 24)
+    }
   }
 
   def decodePartition(rows: Iterator[MediaIn]): Iterator[MediaMeta] =
@@ -174,6 +239,37 @@ object Multimodal {
              | CAST(sum(out_w * out_h) AS BIGINT) AS out_pixels,
              | max(out_w) AS max_w, max(out_h) AS max_h
              |FROM z GROUP BY scale_pct ORDER BY scale_pct""".stripMargin)),
+
+    // q82: REAL decode over a synthesized PNG payload column — each doc gets
+    // a well-formed PNG head (signature + IHDR) with dimensions derived from
+    // doc_id; the pipeline runs the same batched decodePartition as q43, but
+    // the numbers come out of parsePngHeader's big-endian reads, not the
+    // stub. The oracle recomputes the dimensions from doc_id arithmetic —
+    // it passes iff the byte-level parse is correct.
+    Entry(
+      "q82_png_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val colorType = (id % 3) match { case 0 => 0; case 1 => 2; case _ => 6 }
+            MediaIn(id, pngHeaderBytes(
+              width = (100 + id % 500).toInt,
+              height = (50 + id % 300).toInt,
+              colorType = colorType))
+          }
+          .mapPartitions(decodePartition)
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("channels"), col("frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             | 100 + doc_id % 500 AS width,
+             | 50 + doc_id % 300 AS height,
+             | CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
+             | CAST(1 AS BIGINT) AS frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Entry(
       "q70_frame_features",

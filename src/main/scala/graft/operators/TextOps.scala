@@ -312,6 +312,81 @@ object TextOps {
           .orderBy(col("lang"))
       },
       Some("""SELECT lang, count(*) AS n_docs, TRUE AS frac_ok
-             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q81: ONE REAL BPE MERGE ROUND on top of q54's regex pre-tokenization —
+    // the actual learn step: (1) count adjacent token pairs corpus-wide,
+    // (2) pick the most frequent pair (ties break lexicographically),
+    // (3) re-segment every document by greedily merging non-overlapping
+    // occurrences left-to-right (textbook BPE application order).
+    //
+    // The greedy re-segment is computed with pure codegen string ops, no
+    // UDF: the token list is serialized with DOUBLE spaces (' a  b  c '), so
+    // every token owns one space on each side; the pair (x,y) then appears
+    // exactly as ' x  y ' and a plain left-to-right replace() to ' xy '
+    // (a) can't match x/y as substrings of longer tokens, (b) consumes the
+    // shared token on overlapping occurrences exactly like the greedy BPE
+    // scan ('a a a' merges once), and (c) still matches back-to-back
+    // disjoint occurrences (each keeps its own outer spaces). Each merge
+    // shrinks the string by exactly 2 chars, so n_merges falls out of the
+    // length delta. Scale shape: pair counting is one partial-agged
+    // groupBy; the chosen pair is a 1-row broadcast (the q77 corpus-size
+    // shape); re-segmentation is a single linear scan.
+    Entry(
+      "q81_bpe_merge",
+      (s, d) => {
+        val toks = Tables.documents(s, d).select(
+          col("lang"),
+          regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0)).as("toks"))
+        val n1 = greatest(size(col("toks")) - 1, lit(0))
+        val top = toks
+          .select(explode(zip_with(
+            slice(col("toks"), lit(1), n1),
+            slice(col("toks"), lit(2), n1),
+            (a, b) => concat(a, lit(" "), b))).as("pair"))
+          .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1)
+          .select(
+            split(col("pair"), " ").getItem(0).as("x"),
+            split(col("pair"), " ").getItem(1).as("y"))
+        val serialized = concat(lit(" "), concat_ws("  ", col("toks")), lit(" "))
+        val pat = concat(lit(" "), col("x"), lit("  "), col("y"), lit(" "))
+        val rep = concat(lit(" "), col("x"), col("y"), lit(" "))
+        toks.crossJoin(broadcast(top))
+          .select(
+            col("lang"),
+            size(col("toks")).cast("long").as("nt"),
+            ((length(serialized) - length(replace(serialized, pat, rep))) / 2)
+              .cast("long").as("nm"),
+            concat(col("x"), col("y")).as("merged"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            min(col("merged")).as("merged_token"),
+            sum(col("nt")).as("toks_before"),
+            sum(col("nm")).as("n_merges"),
+            (sum(col("nt")) - sum(col("nm"))).as("toks_after"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT lang, regexp_extract_all(text, '[a-z]{1,4}') AS toks
+             |  FROM documents),
+             |p AS (SELECT unnest(list_transform(range(2, len(toks)+1),
+             |    i -> toks[i-1] || ' ' || toks[i])) AS pair FROM t),
+             |top AS (SELECT string_split(pair,' ')[1] AS x, string_split(pair,' ')[2] AS y
+             |  FROM (SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+             |        ORDER BY cnt DESC, pair LIMIT 1)),
+             |m AS (SELECT lang, len(toks) AS nt,
+             |    ' ' || array_to_string(toks, '  ') || ' ' AS s, x, y
+             |  FROM t CROSS JOIN top),
+             |c AS (SELECT lang, nt,
+             |    (length(s) - length(replace(s, ' '||x||'  '||y||' ', ' '||x||y||' ')))//2 AS nm,
+             |    x||y AS merged
+             |  FROM m)
+             |SELECT lang, count(*) AS n_docs, min(merged) AS merged_token,
+             |  CAST(sum(nt) AS BIGINT) AS toks_before,
+             |  CAST(sum(nm) AS BIGINT) AS n_merges,
+             |  CAST(sum(nt) - sum(nm) AS BIGINT) AS toks_after
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -158,21 +158,69 @@ object Sources {
         sum(coalesce(col("n_regionkey"), lit(0L))).cast("long").as("region_sum"))
   }
 
+  /** ATOMIC dataset publish: a dataset root holds immutable generation
+    * directories plus a one-line `_current` manifest naming the active one.
+    * Publishing = write the new manifest to a temp file and swap it over
+    * `_current` with `FileContext.rename(OVERWRITE)` — a single-file rename,
+    * atomic on HDFS and POSIX — so a reader that resolves the manifest sees
+    * the old complete generation or the new complete one, never a mix and
+    * never a half-written directory. (Directory renames can't give this: a
+    * two-rename dir swap has a window with no readable dataset at all; this
+    * manifest-pointer shape is how transactional table formats publish.)
+    */
+  private[graft] def publishGeneration(s: SparkSession, root: String, gen: String): Unit = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    val conf = s.sparkContext.hadoopConfiguration
+    val manifest = new Path(s"$root/_current")
+    val tmp = new Path(s"$root/_current.tmp")
+    val fs = manifest.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    try out.write(gen.getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(manifest.toUri, conf)
+      .rename(tmp, manifest, Options.Rename.OVERWRITE)
+  }
+
+  /** Resolve the active generation dir of a dataset root via its manifest. */
+  private[graft] def currentGeneration(s: SparkSession, root: String): String = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val in = manifest.getFileSystem(conf).open(manifest)
+    val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    s"$root/$gen"
+  }
+
+  private[graft] def readCurrent(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(currentGeneration(s, root))
+
+  /** Compact the active generation into `parts` files: write a NEW
+    * generation dir in full, then atomically repoint the manifest. A crash
+    * anywhere before the final rename leaves `_current` on the old complete
+    * generation (the orphan dir is garbage-collected by the next attempt's
+    * Overwrite); a crash after it leaves the new complete one.
+    */
+  private[graft] def compactDataset(
+      s: SparkSession, root: String, gen: String, parts: Int): Unit = {
+    s.read.parquet(currentGeneration(s, root))
+      .repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$gen")
+    publishGeneration(s, root, gen)
+  }
+
   /** Small-files compaction: the 64-file write is the pathology (a day of
-    * micro-batches), the repartition-to-4 rewrite is the cure; the query
-    * proves the file counts AND that no row was lost or duplicated. At
-    * 100 TB compaction is a standing background job — scan cost is
-    * dominated by file-open overhead once files shrink below a row group.
+    * micro-batches), the repartition-to-4 rewrite into a new generation +
+    * atomic manifest swap is the cure; the query proves the file counts AND
+    * that no row was lost or duplicated, reading back through the manifest.
+    * At 100 TB compaction is a standing background job — readers must never
+    * observe the half-compacted state, hence [[publishGeneration]].
     */
   private def compaction(s: SparkSession, d: String): DataFrame = {
-    val small = scratch(d, "orders_small_files")
-    val compacted = scratch(d, "orders_compacted")
+    val root = scratch(d, "orders_generational")
     Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
       .repartition(64)
-      .write.mode(SaveMode.Overwrite).parquet(small)
-    s.read.parquet(small)
-      .repartition(4)
-      .write.mode(SaveMode.Overwrite).parquet(compacted)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/gen-small")
+    publishGeneration(s, root, "gen-small")
+    compactDataset(s, root, "gen-compact", 4)
     // Hadoop FileSystem, not java.io.File: at 100 TB the compacted dataset
     // lives on HDFS/S3, where only the fs.Path API resolves.
     def nFiles(p: String): Long = {
@@ -180,11 +228,11 @@ object Sources {
       val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.listStatus(hp).count(_.getPath.getName.endsWith(".parquet")).toLong
     }
-    val counts = s.read.parquet(compacted)
+    val counts = readCurrent(s, root)
       .agg(count(lit(1)).as("n_rows"), sum(col("o_totalprice")).as("total"))
     counts.select(
-      lit(nFiles(small)).as("files_before"),
-      lit(nFiles(compacted)).as("files_after"),
+      lit(nFiles(s"$root/gen-small")).as("files_before"),
+      lit(nFiles(s"$root/gen-compact")).as("files_after"),
       col("n_rows"),
       round(col("total"), 2).as("total"))
   }

@@ -45,7 +45,7 @@ class DedupSimilaritySuite extends SparkTestBase {
     val ann = graft.operators.Similarity.annTopK(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = exact.count(ann.contains).toDouble / exact.size
-    assert(recall >= 0.6, s"ANN recall $recall < 0.6")
+    assert(recall >= 0.75, s"ANN recall $recall < 0.75")
     // the pruning claim, not just the recall claim: pairs surviving to the
     // exact-cosine stage must be <=25% of the 8x(N-1) brute-force pairs --
     // a fraction near 1 would mean the index re-created the cross join

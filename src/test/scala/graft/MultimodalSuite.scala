@@ -18,6 +18,39 @@ class MultimodalSuite extends SparkTestBase {
     }
   }
 
+  test("PNG IHDR header is actually parsed, not stubbed") {
+    // a real PNG head built byte-by-byte (signature + IHDR): the decoder
+    // must read the big-endian dimensions and map color type → channels
+    val png = Multimodal.pngHeaderBytes(width = 640, height = 360, colorType = 6)
+    val meta = Multimodal.decodePartition(
+      Iterator(Multimodal.MediaIn(1L, png))).next()
+    assert(meta.width == 640 && meta.height == 360, s"parsed dims wrong: $meta")
+    assert(meta.channels == 4 && meta.frames == 1, s"colorType 6 → RGBA: $meta")
+
+    // all five public color types map to their channel counts
+    val chans = Seq(0 -> 1L, 2 -> 3L, 3 -> 1L, 4 -> 2L, 6 -> 4L)
+    chans.foreach { case (ct, expect) =>
+      val m = Multimodal.decodePartition(
+        Iterator(Multimodal.MediaIn(2L, Multimodal.pngHeaderBytes(8, 8, ct)))).next()
+      assert(m.channels == expect, s"colorType $ct → $expect channels, got $m")
+    }
+
+    // width/height are unsigned 32-bit big-endian reads — a large dimension
+    // must not go through a sign-extending byte path
+    val big = Multimodal.decodePartition(
+      Iterator(Multimodal.MediaIn(3L, Multimodal.pngHeaderBytes(70000, 40000, 2)))).next()
+    assert(big.width == 70000 && big.height == 40000, s"BE read wrong: $big")
+
+    // corrupted signature / truncated payloads fall back to the stub
+    val broken = png.clone(); broken(0) = 0x00
+    val stubbed = Multimodal.decodePartition(
+      Iterator(Multimodal.MediaIn(4L, broken))).next()
+    assert(stubbed.width == 16L + (33 % 64) * 16, s"broken PNG must stub: $stubbed")
+    val short = Multimodal.decodePartition(
+      Iterator(Multimodal.MediaIn(5L, png.take(20)))).next()
+    assert(short.n_bytes == 20, s"truncated PNG must stub, not crash: $short")
+  }
+
   test("q43 scan reads only the needed columns (payload pruned upstream)") {
     val plan = Multimodal.mediaMeta(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"), plan)

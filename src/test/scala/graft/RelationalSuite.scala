@@ -95,7 +95,8 @@ class RelationalSuite extends SparkTestBase {
     val boundedProbeHints: Map[String, Int] = Map(
       "q40_cosine_topk" -> 1, // 8-query probe side (vec_id < nQueries)
       "q41_ann_lsh" -> 2,     // banded 8-query probe + exact-baseline probe
-      "q56_ann_ivf" -> 5      // k-centroid tables + 8-query probes + exact baseline
+      "q56_ann_ivf" -> 5,     // k-centroid tables + 8-query probes + exact baseline
+      "q76_decontamination" -> 2 // ≤50-doc eval set: banded side + token-set side
     )
     val names = (graft.operators.Relational.entries ++
       graft.operators.RelationalExt.entries ++

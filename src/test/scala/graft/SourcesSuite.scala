@@ -66,4 +66,40 @@ class SourcesSuite extends SparkTestBase {
     assert(plan.toLowerCase.contains("dynamicpruning"),
       s"no dynamic partition pruning in plan:\n$plan")
   }
+
+  test("compaction publish is atomic: readers see old-complete or new-complete") {
+    import graft.sources.Sources
+    val root = Sources.scratch(sf, "atomic_publish_case")
+    val base = Tables.nation(spark, sf).select(col("n_nationkey"), col("n_name"))
+    val nRows = base.count()
+
+    // generation 1 published: the manifest resolves it, fully readable
+    base.repartition(8).write.mode("overwrite").parquet(s"$root/gen-1")
+    Sources.publishGeneration(spark, root, "gen-1")
+    assert(Sources.currentGeneration(spark, root).endsWith("/gen-1"))
+    assert(Sources.readCurrent(spark, root).count() == nRows)
+
+    // a compaction attempt that DIES before publish: a half-written next
+    // generation exists on disk, but the manifest still points at gen-1 —
+    // readers resolve the old complete dataset, never the partial dir
+    val partial = new java.io.File(s"$root/gen-2")
+    partial.mkdirs()
+    new java.io.File(partial, "part-00000-halfwritten.parquet").createNewFile()
+    assert(Sources.currentGeneration(spark, root).endsWith("/gen-1"))
+    assert(Sources.readCurrent(spark, root).count() == nRows)
+
+    // the retried compaction overwrites the orphan and republishes: the
+    // manifest swap is one FileContext.rename(OVERWRITE) — after it, readers
+    // resolve the new complete generation (same rows, fewer files)
+    Sources.compactDataset(spark, root, "gen-2", 2)
+    assert(Sources.currentGeneration(spark, root).endsWith("/gen-2"))
+    val after = Sources.readCurrent(spark, root)
+    assert(after.count() == nRows)
+    assert(after.inputFiles.length == 2, s"expected 2 compacted files, got ${after.inputFiles.length}")
+    // no leftover temp manifest: the swap consumed it
+    assert(!new java.io.File(s"$root/_current.tmp").exists())
+    // both generations intact on disk — the publish never deletes data a
+    // concurrent reader may still be scanning
+    assert(new java.io.File(s"$root/gen-1").list().exists(_.endsWith(".parquet")))
+  }
 }
