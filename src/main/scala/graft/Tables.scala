@@ -30,7 +30,20 @@ object Tables {
     "spark.speculation" -> "true",
     // Dims (region/nation/supplier/part/customer) stay well under this at
     // any SF we test; on a real cluster this is the default 10 MB knob.
-    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString,
+    // PIN the task-memory page size. Spark's default scales with the heap
+    // (maxMemory/cores/16, capped 64 MB): above ~40 GB of heap every sorter/
+    // hash-map page becomes a 64 MB humongous allocation under G1 (region
+    // size ≤32 MB), and the pair-join queries (q37/q55: millions of sorter
+    // rows through exchanges + distinct) then spend minutes in allocation
+    // stalls and back-to-back concurrent mark cycles — measured on this box:
+    // q37 at sf0.1 runs ~38 s with an 8 GB driver heap but 95–380 s (high
+    // variance) with a 90 GB heap, GC pause total <3 s in both, mutator time
+    // eaten by the humongous-allocation slow path. 8 MB pages (the computed
+    // default at an 8 GB heap) keep allocations in normal G1 regions at any
+    // heap size; sorters just chain more pages. Same reasoning applies to
+    // big-heap executors on a real cluster.
+    "spark.buffer.pageSize" -> (8L * 1024 * 1024).toString
   )
 
   /** Best-effort recursive delete of a per-JVM scratch path at exit; the

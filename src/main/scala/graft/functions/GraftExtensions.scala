@@ -38,6 +38,8 @@ object GraftExtensions {
          builder))
 
     reg("cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    reg("jaccard_sorted", es => JaccardSorted(es(0), es(1)))
+    reg("sig_agree_frac", es => SigAgreeFrac(es(0), es(1)))
     reg("simhash64", es => SimHash64(es(0)))
     reg("fingerprint64", es => Fingerprint64(es(0)))
     reg("min_window_fp", es => MinWindowFp(es(0), intArg(es(1), "window")))

@@ -219,6 +219,50 @@ object HashKernels {
     splitmix64(h)
   }
 
+  /** Exact Jaccard over two SORTED long arrays (each strictly ascending —
+    * the caller sorts `array_sort(array of 64-bit feature hashes)`): one
+    * primitive merge pass, zero allocation per call. This replaces
+    * `size(array_intersect(a,b)) / (|a|+|b|-inter)` in the near-dup confirm
+    * joins: the built-in intersect builds a hash set PER PAIR through
+    * generic per-element type dispatch and closure calls — measured as the
+    * dominant (and JIT-unstable: 15×+ run-to-run swings at a 90 GB heap) CPU
+    * sink of the pair queries at sf0.1 — while this merge is a monomorphic
+    * static call whole-stage codegen inlines. Division follows IEEE double
+    * semantics exactly like the Column formulation it replaces.
+    */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** Fraction of positions where two equal-length signature arrays agree —
+    * the MinHash Jaccard ESTIMATE (matches/k) used by the candidate
+    * prefilter, as one primitive loop instead of a per-pair
+    * `aggregate(zip_with(...))` lambda chain (same motivation as
+    * [[jaccardSorted]]: the HOF form was a measured JIT-unstable CPU sink).
+    */
+  def sigAgreeFrac(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var i = 0
+    var eq = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n.toDouble
+  }
+
   /** Minimum rolling-window fingerprint over `w`-byte windows — a winnowing-
     * style content fingerprint robust to small appends/prefixes.
     */

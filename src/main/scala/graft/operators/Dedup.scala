@@ -39,21 +39,45 @@ object Dedup {
       .orderBy(col("keep_id"))
   }
 
+  /** Salt slices for the band self-join: a HOT band (a key shared by many
+    * docs on a mid-similar corpus) otherwise lands its whole n² join cell —
+    * and the partial aggregate of the downstream distinct — in ONE task
+    * while every other core idles. Observed, not theoretical: at sf0.1
+    * under a 90 GB driver heap, q37 ran 50–380 s with 31/32 executor
+    * threads parked and one thread in BytesToBytesMap.growAndRehash (the
+    * partial-agg map never hits the memory limit that would make it spill
+    * and hand dedup to the post-shuffle stage, so the hot cell serializes).
+    * Salting splits each band cell S ways: the left side hashes a_id into a
+    * slice, the right side replicates per slice — output identical, hot
+    * cells parallel, at the cost of S× the (16-byte) banded rows on one
+    * join side. */
+  private val BandJoinSalt = 8
+
   /** Distinct candidate id pairs (a_id < b_id) sharing ≥1 LSH band key.
     * Input: (doc_id, band) with one row per band key. The band equi-join is
     * the ONLY pairwise step — one shuffle on the 64-bit key; everything
     * downstream touches candidate pairs, not N².
     */
   private[operators] def bandCandidates(banded: DataFrame): DataFrame = {
-    // materialize the (doc_id, band) rows through ONE exchange on the join
-    // key: both self-join sides reuse it (ReusedExchange), so the band/
-    // signature expressions are computed once — not once per join side and
-    // once more in the generator's inferred size()>0 filter — and the join
-    // itself needs no further shuffle
+    // materialize the (doc_id, band) rows through ONE exchange first: the
+    // band/signature expressions are computed once and both salted join
+    // sides read that single materialization (ReusedExchange) instead of
+    // recomputing signatures per side. The join sides are then explicitly
+    // repartitioned on (band, salt) — explicitly, because partitioning by
+    // band alone already satisfies the join's clustering requirement and
+    // Spark would otherwise keep whole band cells in single tasks, which is
+    // exactly the serialization the salt exists to break. All three
+    // exchanges move 16–24-byte id/key rows, never features.
     val exchanged = banded.repartition(col("band"))
     val a = exchanged.select(col("doc_id").as("a_id"), col("band"))
+      .withColumn("salt", pmod(xxhash64(col("a_id")), lit(BandJoinSalt.toLong)).cast("int"))
+      .repartition(col("band"), col("salt"))
     val b = exchanged.select(col("doc_id").as("b_id"), col("band"))
-    a.join(b, Seq("band"))
+      .withColumn("salt", explode(array((0 until BandJoinSalt).map(lit): _*)))
+      .repartition(col("band"), col("salt"))
+    // pair (x,y) sharing a band joins exactly once per order on
+    // salt = hash(x) mod S (left side pins the slice, right side covers all)
+    a.join(b, Seq("band", "salt"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct() // pairs sharing multiple bands counted once
@@ -70,11 +94,6 @@ object Dedup {
     cand
       .join(features.select(col("doc_id").as("a_id"), col(feat).as(s"a_$feat")), "a_id")
       .join(features.select(col("doc_id").as("b_id"), col(feat).as(s"b_$feat")), "b_id")
-
-  private def jaccard(aSet: Column, bSet: Column): Column = {
-    val inter = size(array_intersect(aSet, bSet)).cast("double")
-    inter / (size(aSet) + size(bSet) - inter)
-  }
 
   /** Cluster-first near-dup join — the production pipeline order: exact
     * dedup BEFORE near-dup. Docs whose feature SET is identical collapse
@@ -121,7 +140,11 @@ object Dedup {
       // shingle-size-1 minhash — min is idempotent to duplicates/order), and
       // reps recompute it from `concat_ws(" ", feat)` rather than the
       // original text so the grouping aggregate never has to carry text.
-      clusterFirst: Boolean = false): DataFrame = {
+      clusterFirst: Boolean = false,
+      // set true when featOf already emits 64-bit hashes (q36's shingles);
+      // string feature sets are xxhash64-hashed before the confirm — see
+      // the confirm comment below for why and for the collision trade
+      featHashed: Boolean = false): DataFrame = {
     val estBound = threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / sigK)
     // Cluster stage (clusterFirst): group identical feature sets with a
     // partial-agged groupBy keyed on the 64-bit xxhash64 of the set — the
@@ -162,19 +185,32 @@ object Dedup {
     val prefiltered =
       if (!estPrefilter) candidates
       else attachFeatures(candidates, reps.select(col("gid").as("doc_id"), col("sig")), "sig")
-        .withColumn(
-          "est",
-          aggregate(
-            zip_with(col("a_sig"), col("b_sig"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
-            lit(0.0),
-            (acc, v) => acc + v) / lit(sigK.toDouble))
+        // native positional-agreement kernel (see sig_agree_frac): one
+        // primitive loop per pair, no per-pair HOF lambda evaluation
+        .withColumn("est", call_function("sig_agree_frac", col("a_sig"), col("b_sig")))
         .filter(col("est") >= estBound)
         .select(col("a_id"), col("b_id"))
+    // The exact confirm runs over SORTED 64-BIT HASHES of the features, not
+    // the feature strings (q36's documented trade, applied to every
+    // confirm), through the native `jaccard_sorted` kernel — a zero-
+    // allocation primitive merge — instead of `array_intersect`'s per-pair
+    // hash-set build. Per-element hashing and sorting is one linear pass per
+    // REP, while the kernel runs once per CANDIDATE PAIR; the attached
+    // arrays also ship at 8 bytes/element through the two candidate joins.
+    // Jaccard over the hashed sets equals Jaccard over the raw sets absent a
+    // 64-bit collision between two features of the same candidate pair
+    // (≲1e-9 corpus-wide at these set sizes); fixture equality with the
+    // string-measure brute-force oracles is verified by the gate at every
+    // SF. Measured motivation: the array_intersect string confirm was the
+    // dominant — and on large heaps wildly JIT-unstable — CPU sink of
+    // q37/q55 at sf0.1.
+    val hashedFeat: Column => Column =
+      f => array_sort(if (featHashed) f else transform(f, x => xxhash64(x)))
     val confirmed = attachFeatures(
       prefiltered,
-      reps.select(col("gid").as("doc_id"), col("feat")),
-      "feat")
-      .withColumn("jac", jaccard(col("a_feat"), col("b_feat")))
+      reps.select(col("gid").as("doc_id"), hashedFeat(col("feat")).as("hf")),
+      "hf")
+      .withColumn("jac", call_function("jaccard_sorted", col("a_hf"), col("b_hf")))
       .filter(col("jac") >= threshold)
       .select(col("a_id").as("ga"), col("b_id").as("gb"), col("jac"))
     val expanded =
@@ -229,7 +265,8 @@ object Dedup {
       shingleFeat,
       t => call_function("minhash_sig", t, lit(32), lit(3)),
       32,
-      0.9) // shingle sets: order-sensitive → no clustering, cheap confirm
+      0.9, // shingle sets: order-sensitive → no clustering, cheap confirm
+      featHashed = true) // shingleFeat already emits xxhash64 longs
 
   /** MinHash-LSH-pruned near-dup pairs by exact word-SET Jaccard (bag-of-
     * words similarity, complementary to q36's order-sensitive shingles).
@@ -332,15 +369,20 @@ object Dedup {
     val cand = corpus.join(bench, Seq("band"))
       .select(col("doc_id"), col("b_id"))
       .distinct()
+    // confirm over sorted word-hash sets via the native merge kernel —
+    // same trade and same reasons as the clusteredNeardup confirm
     val sets = Tables.documents(s, d)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      .select(
+        col("doc_id"),
+        array_sort(transform(array_distinct(split(col("text"), " ")), x => xxhash64(x)))
+          .as("toks"))
     cand
       .join(sets, Seq("doc_id"))
       .join(
         broadcast(sets.filter(col("doc_id") < 50)
           .select(col("doc_id").as("b_id"), col("toks").as("b_toks"))),
         Seq("b_id"))
-      .withColumn("jac", jaccard(col("toks"), col("b_toks")))
+      .withColumn("jac", call_function("jaccard_sorted", col("toks"), col("b_toks")))
       .filter(col("jac") >= 0.8)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("max_jac"))

@@ -84,6 +84,34 @@ class HashKernelsSuite extends AnyFunSuite {
     assert(bandsA.intersect(bandsB).isEmpty)
   }
 
+  test("jaccardSorted equals set Jaccard on sorted hash arrays") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    // {1,3,5,7} vs {3,5,9}: inter 2, union 5
+    assert(HashKernels.jaccardSorted(arr(1, 3, 5, 7), arr(3, 5, 9)) == 2.0 / 5.0)
+    // identical sets
+    assert(HashKernels.jaccardSorted(arr(2, 4, 6), arr(2, 4, 6)) == 1.0)
+    // disjoint
+    assert(HashKernels.jaccardSorted(arr(1, 2), arr(3, 4)) == 0.0)
+    // negative hashes interleave correctly (signed 64-bit order is what
+    // array_sort produces and what the merge assumes)
+    assert(HashKernels.jaccardSorted(arr(-9, -1, 4), arr(-1, 4, 8)) == 2.0 / 4.0)
+    // matches the formulation it replaced: size(intersect)/(|a|+|b|-inter)
+    val a = Seq(-5L, 0L, 2L, 9L, 11L)
+    val b = Seq(-5L, 2L, 3L, 11L, 12L, 20L)
+    val inter = a.toSet.intersect(b.toSet).size
+    assert(HashKernels.jaccardSorted(arr(a: _*), arr(b: _*)) ==
+      inter.toDouble / (a.size + b.size - inter))
+  }
+
+  test("sigAgreeFrac counts positional matches") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    assert(HashKernels.sigAgreeFrac(arr(1, 2, 3, 4), arr(1, 9, 3, 8)) == 0.5)
+    assert(HashKernels.sigAgreeFrac(arr(7, 7), arr(7, 7)) == 1.0)
+    assert(HashKernels.sigAgreeFrac(arr(1, 2), arr(2, 1)) == 0.0) // positional, not set
+  }
+
   test("minWindowFp is invariant under suffix append when window min survives") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"
     val fpBase = HashKernels.minWindowFp(u(base), 16)
