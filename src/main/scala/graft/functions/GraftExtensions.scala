@@ -38,6 +38,10 @@ object GraftExtensions {
          builder))
 
     reg("cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    // CONTRACT: jaccard_sorted requires both arrays sorted ascending and
+    // duplicate-free (array_sort over a distinct hash set) — unsorted input
+    // returns a wrong Jaccard; sig_agree_frac requires equal-length
+    // signatures and throws otherwise. See HashKernels scaladoc.
     reg("jaccard_sorted", es => JaccardSorted(es(0), es(1)))
     reg("sig_agree_frac", es => SigAgreeFrac(es(0), es(1)))
     reg("simhash64", es => SimHash64(es(0)))

@@ -139,19 +139,41 @@ object HashKernels {
   def minhashArray(s: UTF8String, k: Int, shingle: Int): ArrayData =
     UnsafeArrayData.fromPrimitiveArray(minhashSig(s, k, shingle))
 
-  /** MinHash signature over character n-grams (byte windows) instead of token
-    * shingles — the similarity measure behind char-n-gram Jaccard (q55).
-    * Duplicate windows collapse under min, so this is set semantics, matching
-    * `array_distinct` of the substring n-grams.
+  /** Byte start offsets of UTF-8 codepoints: a byte begins a codepoint iff
+    * it is not a continuation byte (10xxxxxx). For pure-ASCII input every
+    * byte is a start, so codepoint windows degenerate to byte windows.
+    */
+  private def codepointStarts(bytes: Array[Byte]): Array[Int] = {
+    val starts = new ArrayBuffer[Int]
+    var i = 0
+    while (i < bytes.length) {
+      if ((bytes(i) & 0xc0) != 0x80) starts += i
+      i += 1
+    }
+    starts.toArray
+  }
+
+  /** MinHash signature over character n-grams instead of token shingles —
+    * the similarity measure behind char-n-gram Jaccard (q55). Windows are
+    * n UTF-8 CODEPOINTS (hashed over their byte span), never splitting a
+    * multibyte character, so the signature estimates the same
+    * character-trigram Jaccard the confirm step computes with `substr` on
+    * any text — on single-byte encodings this is exactly the byte-window
+    * measure. Duplicate windows collapse under min, so this is set
+    * semantics, matching `array_distinct` of the substring n-grams.
     */
   def minhashSigChars(s: UTF8String, k: Int, n: Int): Array[Long] = {
     val bytes = s.getBytes
+    val starts = codepointStarts(bytes)
+    val nc = starts.length
     val (pa, pb) = permCoeffs(k)
     val sig = Array.fill(k)(Long.MaxValue)
-    val nGrams = math.max(1, bytes.length - n + 1)
+    val nGrams = math.max(1, nc - n + 1)
     var t = 0
     while (t < nGrams) {
-      val h = hashBytes(bytes, t, math.min(t + n, bytes.length))
+      val from = if (nc == 0) 0 else starts(t)
+      val until = if (t + n < nc) starts(t + n) else bytes.length
+      val h = hashBytes(bytes, from, until)
       var i = 0
       while (i < k) {
         val p = pa(i) * h + pb(i)
@@ -220,7 +242,16 @@ object HashKernels {
   }
 
   /** Exact Jaccard over two SORTED long arrays (each strictly ascending —
-    * the caller sorts `array_sort(array of 64-bit feature hashes)`): one
+    * the caller sorts `array_sort(array of 64-bit feature hashes)`).
+    *
+    * PRECONDITION (also stated at the SQL registration site): each input is
+    * sorted ascending with no duplicates, i.e. the caller applies
+    * `array_sort` to a set (`array_distinct`-ed or construction-distinct)
+    * of feature hashes. On unsorted or duplicate-containing input the merge
+    * silently under/over-counts the intersection — the precondition is a
+    * contract, not checked, because this kernel is the measured hot loop of
+    * every near-dup confirm and all internal callers construct conforming
+    * input by shape. One
     * primitive merge pass, zero allocation per call. This replaces
     * `size(array_intersect(a,b)) / (|a|+|b|-inter)` in the near-dup confirm
     * joins: the built-in intersect builds a hash set PER PAIR through
@@ -251,9 +282,18 @@ object HashKernels {
     * prefilter, as one primitive loop instead of a per-pair
     * `aggregate(zip_with(...))` lambda chain (same motivation as
     * [[jaccardSorted]]: the HOF form was a measured JIT-unstable CPU sink).
+    *
+    * Both signatures must have the same k. `ArrayData.getLong` is an
+    * unchecked unsafe read, so a mismatched call would otherwise read past
+    * the shorter array and return garbage — the function is registered in
+    * the SQL namespace where callers aren't limited to the internal
+    * equal-k plans, so the length contract is enforced here.
     */
   def sigAgreeFrac(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sig_agree_frac: signature lengths differ ($n vs ${b.numElements()})")
     var i = 0
     var eq = 0
     while (i < n) {

@@ -165,7 +165,7 @@ case class MinHashSig(child: Expression, k: Int, shingle: Int)
     copy(child = newChild)
 }
 
-/** MinHash signature over character n-grams (byte windows). */
+/** MinHash signature over character n-grams (UTF-8 codepoint windows). */
 case class MinHashSigChars(child: Expression, k: Int, n: Int)
     extends UnaryExpression
     with ExpectsInputTypes {

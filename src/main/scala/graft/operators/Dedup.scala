@@ -50,8 +50,29 @@ object Dedup {
     * Salting splits each band cell S ways: the left side hashes a_id into a
     * slice, the right side replicates per slice — output identical, hot
     * cells parallel, at the cost of S× the (16-byte) banded rows on one
-    * join side. */
-  private val BandJoinSalt = 8
+    * join side.
+    *
+    * SIZING LAW: a band cell of m rows generates m²/2 candidate pairs; a
+    * slice gets m·(m/S)/2 of them, so S must satisfy S ≥ m²/(2·P) for a
+    * per-task pair budget P. At P ≈ 10⁸ cheap prefilter evaluations per
+    * task (sub-minute), the default S=8 covers any cell up to
+    * m ≈ √(2·8·10⁸) ≈ 40 k rows — far beyond what a sanely parameterized
+    * banding produces on clustered reps (a hotter cell means the threshold/
+    * band parameters are wrong for the corpus, not that S is too small).
+    * The cost side caps S: the replicated join side ships S× the 16-byte
+    * banded rows, so S is NOT derived from cluster parallelism (a 1000-
+    * executor cluster would otherwise replicate the corpus 250×). For a
+    * pathological corpus, override via `graft.dedup.bandJoinSalt` on the
+    * session conf — output is identical for any S ≥ 1.
+    */
+  private val DefaultBandJoinSalt = 8
+
+  private def bandJoinSalt(df: DataFrame): Int = {
+    val s = df.sparkSession.conf
+      .get("graft.dedup.bandJoinSalt", DefaultBandJoinSalt.toString).toInt
+    require(s >= 1, s"graft.dedup.bandJoinSalt must be >= 1, got $s")
+    s
+  }
 
   /** Distinct candidate id pairs (a_id < b_id) sharing ≥1 LSH band key.
     * Input: (doc_id, band) with one row per band key. The band equi-join is
@@ -68,12 +89,13 @@ object Dedup {
     // Spark would otherwise keep whole band cells in single tasks, which is
     // exactly the serialization the salt exists to break. All three
     // exchanges move 16–24-byte id/key rows, never features.
+    val salt = bandJoinSalt(banded)
     val exchanged = banded.repartition(col("band"))
     val a = exchanged.select(col("doc_id").as("a_id"), col("band"))
-      .withColumn("salt", pmod(xxhash64(col("a_id")), lit(BandJoinSalt.toLong)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("a_id")), lit(salt.toLong)).cast("int"))
       .repartition(col("band"), col("salt"))
     val b = exchanged.select(col("doc_id").as("b_id"), col("band"))
-      .withColumn("salt", explode(array((0 until BandJoinSalt).map(lit): _*)))
+      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
       .repartition(col("band"), col("salt"))
     // pair (x,y) sharing a band joins exactly once per order on
     // salt = hash(x) mod S (left side pins the slice, right side covers all)

@@ -56,7 +56,10 @@ object Multimodal {
     if (!(b(12) == 'I' && b(13) == 'H' && b(14) == 'D' && b(15) == 'R')) return None
     val width = beInt(b, 16)
     val height = beInt(b, 20)
-    if (width <= 0 || height <= 0) return None
+    // the spec caps dimensions at 2^31-1; the fields are unsigned 32-bit, so
+    // values in [2^31, 2^32-1] are malformed headers, not huge images
+    if (width <= 0 || height <= 0 || width > Int.MaxValue || height > Int.MaxValue)
+      return None
     val channels = b(25) match {
       case 0 => 1L // grayscale
       case 2 => 3L // truecolor

@@ -197,11 +197,11 @@ object TextOps {
     // prob ≤ (1−0.9²)^16 ≈ 3.1e-12 at the threshold, so output equals the
     // brute-force oracle. No crossJoin anywhere in the plan.
     //
-    // Encoding contract: the candidate/prefilter measure is BYTE-trigram
-    // Jaccard while the confirm is CHARACTER-trigram Jaccard — identical on
-    // this corpus (and any single-byte encoding); for multibyte text the
-    // two measures diverge and the recall argument needs a byte-level
-    // confirm (or a codepoint-aware minhash kernel) before reuse.
+    // Encoding contract: the minhash kernel windows over UTF-8 CODEPOINTS
+    // (never splitting a multibyte character), so the candidate/prefilter
+    // measure estimates the same character-trigram Jaccard the confirm
+    // computes with substr — the recall bound holds on multibyte text, not
+    // just single-byte encodings (HashKernelsSuite pins the multibyte case).
     Entry(
       "q55_ngram_jaccard",
       (s, d) =>

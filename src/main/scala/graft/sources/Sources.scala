@@ -172,7 +172,12 @@ object Sources {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val conf = s.sparkContext.hadoopConfiguration
     val manifest = new Path(s"$root/_current")
-    val tmp = new Path(s"$root/_current.tmp")
+    // per-publish tmp name: concurrent publishers of DIFFERENT generations
+    // must not interleave writes into one shared tmp file (a shared name
+    // could let publisher A's rename ship publisher B's half-written
+    // content). Same-generation racers share a tmp by design — they write
+    // identical bytes.
+    val tmp = new Path(s"$root/_current.tmp.$gen")
     val fs = manifest.getFileSystem(conf)
     val out = fs.create(tmp, true)
     try out.write(gen.getBytes("UTF-8")) finally out.close()
@@ -180,13 +185,24 @@ object Sources {
       .rename(tmp, manifest, Options.Rename.OVERWRITE)
   }
 
-  /** Resolve the active generation dir of a dataset root via its manifest. */
+  /** Resolve the active generation dir of a dataset root via its manifest.
+    * Fails fast on a corrupt manifest (empty, or naming a missing directory)
+    * instead of silently resolving to the dataset root / a bad path — a
+    * reader must never scan a half-published or deleted generation.
+    */
   private[graft] def currentGeneration(s: SparkSession, root: String): String = {
     val conf = s.sparkContext.hadoopConfiguration
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
-    val in = manifest.getFileSystem(conf).open(manifest)
+    val fs = manifest.getFileSystem(conf)
+    val in = fs.open(manifest)
     val gen = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
+    if (gen.isEmpty)
+      throw new IllegalStateException(s"empty generation manifest at $manifest")
+    val genPath = new org.apache.hadoop.fs.Path(s"$root/$gen")
+    if (!fs.exists(genPath))
+      throw new IllegalStateException(
+        s"manifest $manifest names missing generation dir $genPath")
     s"$root/$gen"
   }
 

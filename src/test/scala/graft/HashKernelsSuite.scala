@@ -84,6 +84,47 @@ class HashKernelsSuite extends AnyFunSuite {
     assert(bandsA.intersect(bandsB).isEmpty)
   }
 
+  test("minhashSigChars windows over codepoints: multibyte text tracks char-trigram Jaccard") {
+    // Shared Greek segment (2 bytes/codepoint) + distinct ASCII tails of the
+    // same CODEPOINT length. In codepoints the shared segment is half the
+    // trigram mass; in bytes it is two thirds (each Greek codepoint yields
+    // two byte windows) — so byte-trigram and codepoint-trigram Jaccard
+    // genuinely differ here, and the signature must track the codepoint one
+    // (the measure q55's substr confirm computes).
+    val greek = "αβγδεζηθικλμνξοπρστυφχψω"
+    val a = greek + "abcdefghijklmnopqrstuvwx"
+    val b = greek + "ABCDEFGHIJKLMNOPQRSTUVWX"
+    def cpGrams(s: String) = (0 to s.length - 3).map(i => s.substring(i, i + 3)).toSet
+    def byteGrams(s: String) = {
+      val bs = s.getBytes("UTF-8")
+      (0 to bs.length - 3).map(i => bs.slice(i, i + 3).toSeq).toSet
+    }
+    def jac[T](x: Set[T], y: Set[T]) =
+      x.intersect(y).size.toDouble / x.union(y).size
+    val jCp = jac(cpGrams(a), cpGrams(b))
+    val jByte = jac(byteGrams(a), byteGrams(b))
+    assert(math.abs(jCp - jByte) > 0.10, s"jCp=$jCp jByte=$jByte should differ")
+    val k = 512
+    val sa = HashKernels.minhashSigChars(u(a), k, 3)
+    val sb = HashKernels.minhashSigChars(u(b), k, 3)
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / k
+    assert(math.abs(est - jCp) < 0.08, s"est=$est should track codepoint jac $jCp")
+    assert(math.abs(est - jCp) < math.abs(est - jByte),
+      s"est=$est must be closer to codepoint jac $jCp than byte jac $jByte")
+    // ASCII degenerates to the byte-window measure: signature of an ASCII
+    // string is a pure function of its codepoint windows == byte windows
+    assert(HashKernels.minhashSigChars(u("abc" * 10), 32, 3).toSeq ==
+      HashKernels.minhashSigChars(u("abc" * 25), 32, 3).toSeq)
+  }
+
+  test("sigAgreeFrac rejects mismatched signature lengths") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    intercept[IllegalArgumentException] {
+      HashKernels.sigAgreeFrac(arr(1, 2, 3), arr(1, 2))
+    }
+  }
+
   test("jaccardSorted equals set Jaccard on sorted hash arrays") {
     import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
     def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
