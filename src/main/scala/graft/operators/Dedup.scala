@@ -411,6 +411,45 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** N-gram-collision decontamination — the verbatim-leak complement of
+    * q76's Jaccard measure: flag a training doc if ANY 8-token window of a
+    * benchmark/eval doc appears verbatim in it (the industry-standard
+    * "shared n-gram" leak detector, n sized to this corpus's short docs).
+    * Unlike a Jaccard threshold, `intersection ≥ 1` admits NO sound LSH
+    * pruning — a pair with near-zero Jaccard can still share one window, so
+    * banding would miss true leaks. The exact scale shape is the
+    * INVERTED-INDEX equi-join on the n-gram itself: explode each side into
+    * its distinct 8-gram set and equi-join on the gram. The benchmark side
+    * is bounded (doc_id < 50 plays the eval set), so its exploded grams
+    * broadcast and the corpus streams past in one scan — no corpus-wide
+    * shuffle before the final per-doc aggregate. With an unbounded eval
+    * side the same plan degrades gracefully to a shuffle equi-join keyed on
+    * xxhash64(gram) with a string-equality residual — still linear in total
+    * gram count, never pairwise.
+    */
+  private def ngramCollision(s: SparkSession, d: String): DataFrame = {
+    val n = 8
+    val toks = split(col("text"), " ")
+    val grams = when(
+      size(toks) >= n,
+      array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(lit(Array.empty[String]))
+    val exploded = Tables.documents(s, d)
+      .select(col("doc_id"), explode(grams).as("gram"))
+    val bench = broadcast(
+      exploded.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("b_id"), col("gram")))
+    exploded.filter(col("doc_id") >= 50)
+      .join(bench, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("b_id")).as("n_bench_docs"),
+        countDistinct(col("gram")).as("n_shared_grams"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q35_dedup_exact",
@@ -498,6 +537,24 @@ object Dedup {
              | FROM c CROSS JOIN b)
              |SELECT doc_id, count(*) AS n_matches, round(max(jac),4) AS max_jac
              |FROM p WHERE jac >= 0.8 GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q84: verbatim n-gram-collision decontamination (see ngramCollision
+    // doc); brute oracle unnests both 8-gram sets and joins exactly.
+    Entry(
+      "q84_ngram_collision",
+      ngramCollision,
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+             |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, greatest(len(toks)-7, 0)+1),
+             |    i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS gram
+             |  FROM t),
+             |c AS (SELECT doc_id, gram FROM g WHERE doc_id >= 50),
+             |b AS (SELECT doc_id AS b_id, gram FROM g WHERE doc_id < 50)
+             |SELECT c.doc_id,
+             |  CAST(count(DISTINCT b.b_id) AS BIGINT) AS n_bench_docs,
+             |  CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_grams
+             |FROM c JOIN b ON c.gram = b.gram
+             |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
 
     // q39: exact embedding-cosine pairs via the grid-blocked theta-join
     // (see embeddingNeardup doc); brute-force oracle.

@@ -387,6 +387,104 @@ object TextOps {
              |  CAST(sum(nt) AS BIGINT) AS toks_before,
              |  CAST(sum(nm) AS BIGINT) AS n_merges,
              |  CAST(sum(nt) - sum(nm) AS BIGINT) AS toks_after
-             |FROM c GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM c GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q83: LEARN A BPE VOCABULARY — q81's single merge round iterated N
+    // times, the actual tokenizer-training loop: each round counts adjacent
+    // token pairs corpus-wide, picks the most frequent (ties break
+    // lexicographically), and greedily re-segments every document; the
+    // merged token from round r participates in round r+1's pair counts.
+    // Output is the learned merge list (round, x, y) plus the corpus token
+    // count after each round — the last row carries the final vocabulary
+    // state.
+    //
+    // Round mechanics are exactly q81's (see that entry for why the
+    // double-space serialization makes plain replace() the greedy BPE scan);
+    // the serialized form is closed under the merge rewrite (each match
+    // keeps one space on each side), so rounds compose by re-splitting the
+    // same column. Scale shape per round: one partial-agged pair-count
+    // groupBy + a 1-row broadcast top pair + a linear re-segment scan. The
+    // lineage of round r embeds rounds 1..r-1, so an N-round plan recomputes
+    // the corpus O(N²) times — at real scale persist each round's
+    // re-segmented corpus (or checkpoint every few rounds) to make training
+    // linear in N; at N=4 on the fixtures the pure plan is cheap and keeps
+    // the query a single declarative tree the oracle can unroll as CTEs.
+    Entry(
+      "q83_bpe_vocab",
+      (s, d) => {
+        val rounds = 4
+        var cur = Tables.documents(s, d).select(
+          concat(
+            lit(" "),
+            concat_ws("  ", regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))),
+            lit(" ")).as("s"))
+        val perRound = (1 to rounds).map { r =>
+          val toksOf = filter(split(trim(col("s")), "  "), t => t =!= "")
+          val n1 = greatest(size(toksOf) - 1, lit(0))
+          val top = cur
+            .select(explode(zip_with(
+              slice(toksOf, lit(1), n1),
+              slice(toksOf, lit(2), n1),
+              (a, b) => concat(a, lit(" "), b))).as("pair"))
+            .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("pair"))
+            .limit(1)
+            .select(
+              split(col("pair"), " ").getItem(0).as("x"),
+              split(col("pair"), " ").getItem(1).as("y"),
+              col("cnt"))
+          val stepped = cur.crossJoin(broadcast(top))
+            .select(
+              replace(
+                col("s"),
+                concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
+                concat(lit(" "), col("x"), col("y"), lit(" "))).as("s"),
+              col("x"),
+              col("y"),
+              col("cnt"))
+          val row = stepped
+            .agg(
+              min(col("x")).as("x"),
+              min(col("y")).as("y"),
+              min(col("cnt")).as("pair_cnt"),
+              sum(size(filter(split(trim(col("s")), "  "), t => t =!= "")))
+                .cast("long").as("toks_after"))
+            .select(
+              lit(r.toLong).as("round"),
+              col("x"), col("y"), col("pair_cnt"), col("toks_after"))
+          cur = stepped.select(col("s"))
+          row
+        }
+        perRound.reduce(_ unionByName _).orderBy(col("round"))
+      },
+      Some {
+        // unroll the same N rounds as CTEs: s{r} is the re-segmented corpus
+        // after round r, t{r} the chosen pair, r{r} the emitted row
+        def roundCte(r: Int): String = {
+          val prev = s"s${r - 1}"
+          s"""p$r AS (SELECT unnest(list_transform(range(2, len(toks)+1),
+             |    i -> toks[i-1] || ' ' || toks[i])) AS pair
+             |  FROM (SELECT list_filter(string_split(trim(s, ' '), '  '), t -> t <> '') AS toks
+             |        FROM $prev)),
+             |t$r AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y, cnt
+             |  FROM (SELECT pair, count(*) AS cnt FROM p$r GROUP BY pair
+             |        ORDER BY cnt DESC, pair LIMIT 1)),
+             |m$r AS (SELECT replace(s, ' '||x||'  '||y||' ', ' '||x||y||' ') AS s, x, y, cnt
+             |  FROM $prev CROSS JOIN t$r),
+             |r$r AS (SELECT $r AS round, min(x) AS x, min(y) AS y, min(cnt) AS pair_cnt,
+             |    sum(len(list_filter(string_split(trim(s, ' '), '  '), t -> t <> ''))) AS toks_after
+             |  FROM m$r),
+             |s$r AS (SELECT s FROM m$r)""".stripMargin
+        }
+        s"""WITH s0 AS (SELECT ' ' || array_to_string(regexp_extract_all(text, '[a-z]{1,4}'), '  ') || ' ' AS s
+           |  FROM documents),
+           |${(1 to 4).map(roundCte).mkString(",\n")}
+           |SELECT CAST(round AS BIGINT) AS round, x, y,
+           |  CAST(pair_cnt AS BIGINT) AS pair_cnt,
+           |  CAST(toks_after AS BIGINT) AS toks_after
+           |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
+           |      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
+           |ORDER BY round""".stripMargin
+      })
   )
 }
