@@ -4,8 +4,6 @@ import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.unsafe.types.UTF8String
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Text-hashing kernels for dedup/fingerprinting, called from generated code.
   *
   * All hashes are defined here from first principles (FNV-1a + splitmix64
@@ -37,22 +35,36 @@ object HashKernels {
   }
 
   /** Tokenize on single spaces without regex; skips empty tokens.
-    * Returns (startOffsets, endOffsets) into the byte array.
+    * Returns (startOffsets, endOffsets) into the byte array. Two primitive
+    * passes (count tokens, then fill fixed-size arrays) — same no-boxing
+    * rule as [[codepointStarts]]: this runs per row inside the minhash /
+    * simhash hot kernels.
     */
   private def tokenSpans(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
-    val starts = new ArrayBuffer[Int]
-    val ends = new ArrayBuffer[Int]
-    var i = 0
     val n = bytes.length
+    var nTok = 0
+    var i = 0
     while (i < n) {
       while (i < n && bytes(i) == ' ') i += 1
       if (i < n) {
-        starts += i
+        nTok += 1
         while (i < n && bytes(i) != ' ') i += 1
-        ends += i
       }
     }
-    (starts.toArray, ends.toArray)
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var j = 0
+    i = 0
+    while (i < n) {
+      while (i < n && bytes(i) == ' ') i += 1
+      if (i < n) {
+        starts(j) = i
+        while (i < n && bytes(i) != ' ') i += 1
+        ends(j) = i
+        j += 1
+      }
+    }
+    (starts, ends)
   }
 
   /** 64-bit SimHash over space-separated tokens: each token votes its hash's
@@ -140,17 +152,30 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(minhashSig(s, k, shingle))
 
   /** Byte start offsets of UTF-8 codepoints: a byte begins a codepoint iff
-    * it is not a continuation byte (10xxxxxx). For pure-ASCII input every
-    * byte is a start, so codepoint windows degenerate to byte windows.
+    * it is not a continuation byte (10xxxxxx). Two primitive passes (count,
+    * then fill) — no growable buffer, no boxing: this runs per row in the
+    * q55 hot kernel, and a boxed `ArrayBuffer[Int]` append per input byte
+    * was a measured 2.4× driver-bench regression (BENCH_r08 q55 36.9 s vs
+    * the 15.1 s anchor). Returns null for pure-ASCII input so the caller
+    * can skip the offsets entirely (every byte is a start).
     */
   private def codepointStarts(bytes: Array[Byte]): Array[Int] = {
-    val starts = new ArrayBuffer[Int]
+    val n = bytes.length
+    var cont = 0
     var i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0xc0) != 0x80) starts += i
+    while (i < n) {
+      if ((bytes(i) & 0xc0) == 0x80) cont += 1
       i += 1
     }
-    starts.toArray
+    if (cont == 0) return null // ASCII / single-byte: starts(i) == i
+    val starts = new Array[Int](n - cont)
+    var j = 0
+    i = 0
+    while (i < n) {
+      if ((bytes(i) & 0xc0) != 0x80) { starts(j) = i; j += 1 }
+      i += 1
+    }
+    starts
   }
 
   /** MinHash signature over character n-grams instead of token shingles —
@@ -161,18 +186,26 @@ object HashKernels {
     * any text — on single-byte encodings this is exactly the byte-window
     * measure. Duplicate windows collapse under min, so this is set
     * semantics, matching `array_distinct` of the substring n-grams.
+    *
+    * ASCII fast path: when the input has no UTF-8 continuation bytes
+    * (`codepointStarts` returns null), window offsets are the byte offsets
+    * themselves and the loop runs with zero per-call allocation beyond the
+    * signature array — identical output to the general path by definition.
     */
   def minhashSigChars(s: UTF8String, k: Int, n: Int): Array[Long] = {
     val bytes = s.getBytes
     val starts = codepointStarts(bytes)
-    val nc = starts.length
+    val nc = if (starts == null) bytes.length else starts.length
     val (pa, pb) = permCoeffs(k)
     val sig = Array.fill(k)(Long.MaxValue)
     val nGrams = math.max(1, nc - n + 1)
     var t = 0
     while (t < nGrams) {
-      val from = if (nc == 0) 0 else starts(t)
-      val until = if (t + n < nc) starts(t + n) else bytes.length
+      val from = if (nc == 0) 0 else if (starts == null) t else starts(t)
+      val until =
+        if (t + n >= nc) bytes.length
+        else if (starts == null) t + n
+        else starts(t + n)
       val h = hashBytes(bytes, from, until)
       var i = 0
       while (i < k) {
@@ -247,12 +280,15 @@ object HashKernels {
     * PRECONDITION (also stated at the SQL registration site): each input is
     * sorted ascending with no duplicates, i.e. the caller applies
     * `array_sort` to a set (`array_distinct`-ed or construction-distinct)
-    * of feature hashes. On unsorted or duplicate-containing input the merge
-    * silently under/over-counts the intersection — the precondition is a
-    * contract, not checked, because this kernel is the measured hot loop of
-    * every near-dup confirm and all internal callers construct conforming
-    * input by shape. One
-    * primitive merge pass, zero allocation per call. This replaces
+    * of feature hashes. The function is registered in the public SQL
+    * namespace, where a caller handing it an unsorted array would otherwise
+    * get a silently wrong Jaccard — so the merge VERIFIES the precondition
+    * as it goes and throws on the first non-ascending step. The check is
+    * one comparison per pointer advance against already-loaded values
+    * (elements the merge never visits — the tail of the longer array after
+    * exhaustion — stay unvisited and unchecked, which is sound: they cannot
+    * affect the intersection count). One primitive merge pass, zero
+    * allocation per call. This replaces
     * `size(array_intersect(a,b)) / (|a|+|b|-inter)` in the near-dup confirm
     * joins: the built-in intersect builds a hash set PER PAIR through
     * generic per-element type dispatch and closure calls — measured as the
@@ -267,12 +303,22 @@ object HashKernels {
     var i = 0
     var j = 0
     var inter = 0
+    var prevA = 0L // only consulted when i > 0 / j > 0
+    var prevB = 0L
     while (i < na && j < nb) {
       val x = a.getLong(i)
       val y = b.getLong(j)
-      if (x == y) { inter += 1; i += 1; j += 1 }
-      else if (x < y) i += 1
-      else j += 1
+      if (i > 0 && x <= prevA)
+        throw new IllegalArgumentException(
+          s"jaccard_sorted: left array not strictly ascending at index $i " +
+            "(inputs must be array_sort of a distinct hash set)")
+      if (j > 0 && y <= prevB)
+        throw new IllegalArgumentException(
+          s"jaccard_sorted: right array not strictly ascending at index $j " +
+            "(inputs must be array_sort of a distinct hash set)")
+      if (x == y) { inter += 1; prevA = x; prevB = y; i += 1; j += 1 }
+      else if (x < y) { prevA = x; i += 1 }
+      else { prevB = y; j += 1 }
     }
     inter.toDouble / (na + nb - inter).toDouble
   }

@@ -172,17 +172,30 @@ object Sources {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val conf = s.sparkContext.hadoopConfiguration
     val manifest = new Path(s"$root/_current")
-    // per-publish tmp name: concurrent publishers of DIFFERENT generations
-    // must not interleave writes into one shared tmp file (a shared name
-    // could let publisher A's rename ship publisher B's half-written
-    // content). Same-generation racers share a tmp by design — they write
-    // identical bytes.
-    val tmp = new Path(s"$root/_current.tmp.$gen")
+    // Unique tmp name PER PUBLISH ATTEMPT, never shared: two attempts
+    // sharing a tmp path race even when they'd write identical bytes,
+    // because fs.create(tmp, overwrite=true) TRUNCATES — racer B's create
+    // can zero the file between racer A's write-close and A's rename, so A
+    // would atomically publish an empty/partial manifest (which the
+    // fail-fast reader in currentGeneration then turns into crashes). The
+    // nonce makes every attempt's tmp private; the rename consumes it.
+    val tmp = new Path(
+      s"$root/_current.tmp.$gen.${java.util.UUID.randomUUID().toString}")
     val fs = manifest.getFileSystem(conf)
-    val out = fs.create(tmp, true)
-    try out.write(gen.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(manifest.toUri, conf)
-      .rename(tmp, manifest, Options.Rename.OVERWRITE)
+    val out = fs.create(tmp, false)
+    try {
+      try out.write(gen.getBytes("UTF-8")) finally out.close()
+      FileContext.getFileContext(manifest.toUri, conf)
+        .rename(tmp, manifest, Options.Rename.OVERWRITE)
+    } catch {
+      case e: Throwable =>
+        // failed attempt: remove our own tmp so crashed publishes don't
+        // accumulate (tmps of OTHER in-flight publishers are untouchable —
+        // indistinguishable from live ones — but they are never read and
+        // each failed attempt now cleans up after itself).
+        try fs.delete(tmp, false) catch { case _: Throwable => () }
+        throw e
+    }
   }
 
   /** Resolve the active generation dir of a dataset root via its manifest.
