@@ -234,13 +234,8 @@ object HashKernels {
     * (`bands_from_sig(sig, r)` over the `minhash_sig` column) instead of
     * re-shingling per expression.
     */
-  def bandsFromSig(sig: ArrayData, r: Int): ArrayData = {
-    val n = sig.numElements()
-    val arr = new Array[Long](n)
-    var i = 0
-    while (i < n) { arr(i) = sig.getLong(i); i += 1 }
-    bandKeys(arr, r)
-  }
+  def bandsFromSig(sig: ArrayData, r: Int): ArrayData =
+    bandKeys(sig.toLongArray(), r)
 
   private def bandKeys(sig: Array[Long], r: Int): ArrayData = {
     val nBands = sig.length / r
@@ -274,76 +269,106 @@ object HashKernels {
     splitmix64(h)
   }
 
+  /** The merge itself, over primitive arrays: one monomorphic loop the JIT
+    * always inlines and unrolls — no `ArrayData.getLong` virtual dispatch in
+    * the loop body. All kernels funnel through the SAME static HashKernels
+    * methods from every generated plan, so a per-element `ArrayData` accessor
+    * call site accumulates receiver types from every query in the JVM
+    * (UnsafeArrayData post-shuffle, GenericArrayData from fresh
+    * `array_sort`/`transform` output, ColumnarArray straight off vectorized
+    * parquet) and goes MEGAMORPHIC — whether the JIT's early profile window
+    * happens to be monomorphic decides between an inlined loop and a
+    * virtual-dispatch-per-element one, which is run-to-run bimodal. Copying
+    * once per call via the specialized bulk `toLongArray` (Platform.copyMemory
+    * on unsafe rows) then merging primitives is profile-independent.
+    */
+  private def mergeJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val na = a.length
+    val nb = b.length
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a(i)
+      val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** UNCHECKED internal entry point — exact Jaccard over two strictly-
+    * ascending duplicate-free long arrays, no precondition verification.
+    * For ENGINE-CONSTRUCTED inputs only: every internal confirm feeds this
+    * from `array_sort` over a distinct hash set by plan shape, so re-proving
+    * sortedness per pair in the single hottest measured loop buys nothing.
+    * The SQL surface gets the checked [[jaccardSorted]] instead. This
+    * replaces `size(array_intersect(a,b)) / (|a|+|b|-inter)` in the near-dup
+    * confirm joins: the built-in intersect builds a hash set PER PAIR through
+    * generic per-element type dispatch and closure calls — measured as the
+    * dominant (and JIT-unstable: 15×+ run-to-run swings at a 90 GB heap) CPU
+    * sink of the pair queries at sf0.1. Division follows IEEE double
+    * semantics exactly like the Column formulation it replaces.
+    */
+  def jaccardSortedUnchecked(a: ArrayData, b: ArrayData): Double =
+    mergeJaccard(a.toLongArray(), b.toLongArray())
+
   /** Exact Jaccard over two SORTED long arrays (each strictly ascending —
     * the caller sorts `array_sort(array of 64-bit feature hashes)`).
     *
     * PRECONDITION (also stated at the SQL registration site): each input is
     * sorted ascending with no duplicates, i.e. the caller applies
     * `array_sort` to a set (`array_distinct`-ed or construction-distinct)
-    * of feature hashes. The function is registered in the public SQL
-    * namespace, where a caller handing it an unsorted array would otherwise
-    * get a silently wrong Jaccard — so the merge VERIFIES the precondition
-    * as it goes and throws on the first non-ascending step. The check is
-    * one comparison per pointer advance against already-loaded values
-    * (elements the merge never visits — the tail of the longer array after
-    * exhaustion — stay unvisited and unchecked, which is sound: they cannot
-    * affect the intersection count). One primitive merge pass, zero
-    * allocation per call. This replaces
-    * `size(array_intersect(a,b)) / (|a|+|b|-inter)` in the near-dup confirm
-    * joins: the built-in intersect builds a hash set PER PAIR through
-    * generic per-element type dispatch and closure calls — measured as the
-    * dominant (and JIT-unstable: 15×+ run-to-run swings at a 90 GB heap) CPU
-    * sink of the pair queries at sf0.1 — while this merge is a monomorphic
-    * static call whole-stage codegen inlines. Division follows IEEE double
-    * semantics exactly like the Column formulation it replaces.
+    * of feature hashes. This is the PUBLIC SQL registration, where a caller
+    * handing it an unsorted array would otherwise get a silently wrong
+    * Jaccard — so BOTH inputs are validated IN FULL (every adjacent pair of
+    * every element, including tails the merge itself would never visit)
+    * before the merge runs; any violation throws. Engine-internal plans,
+    * whose inputs are `array_sort`-constructed by shape, call
+    * [[jaccardSortedUnchecked]] and skip the validation passes.
     */
   def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
-    val na = a.numElements()
-    val nb = b.numElements()
-    var i = 0
-    var j = 0
-    var inter = 0
-    var prevA = 0L // only consulted when i > 0 / j > 0
-    var prevB = 0L
-    while (i < na && j < nb) {
-      val x = a.getLong(i)
-      val y = b.getLong(j)
-      if (i > 0 && x <= prevA)
-        throw new IllegalArgumentException(
-          s"jaccard_sorted: left array not strictly ascending at index $i " +
-            "(inputs must be array_sort of a distinct hash set)")
-      if (j > 0 && y <= prevB)
-        throw new IllegalArgumentException(
-          s"jaccard_sorted: right array not strictly ascending at index $j " +
-            "(inputs must be array_sort of a distinct hash set)")
-      if (x == y) { inter += 1; prevA = x; prevB = y; i += 1; j += 1 }
-      else if (x < y) { prevA = x; i += 1 }
-      else { prevB = y; j += 1 }
+    def validated(side: String, arr: Array[Long]): Array[Long] = {
+      var i = 1
+      while (i < arr.length) {
+        if (arr(i) <= arr(i - 1))
+          throw new IllegalArgumentException(
+            s"jaccard_sorted: $side array not strictly ascending at index $i " +
+              "(inputs must be array_sort of a distinct hash set)")
+        i += 1
+      }
+      arr
     }
-    inter.toDouble / (na + nb - inter).toDouble
+    mergeJaccard(
+      validated("left", a.toLongArray()),
+      validated("right", b.toLongArray()))
   }
 
   /** Fraction of positions where two equal-length signature arrays agree —
     * the MinHash Jaccard ESTIMATE (matches/k) used by the candidate
     * prefilter, as one primitive loop instead of a per-pair
     * `aggregate(zip_with(...))` lambda chain (same motivation as
-    * [[jaccardSorted]]: the HOF form was a measured JIT-unstable CPU sink).
+    * [[jaccardSortedUnchecked]]: the HOF form was a measured JIT-unstable
+    * CPU sink, and the bulk `toLongArray` copy keeps the loop free of
+    * megamorphic per-element `ArrayData` dispatch — see [[mergeJaccard]]).
     *
-    * Both signatures must have the same k. `ArrayData.getLong` is an
-    * unchecked unsafe read, so a mismatched call would otherwise read past
-    * the shorter array and return garbage — the function is registered in
+    * Both signatures must have the same k — a mismatched call would
+    * otherwise compare garbage positions, and the function is registered in
     * the SQL namespace where callers aren't limited to the internal
     * equal-k plans, so the length contract is enforced here.
     */
   def sigAgreeFrac(a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
-    if (b.numElements() != n)
+    val xs = a.toLongArray()
+    val ys = b.toLongArray()
+    val n = xs.length
+    if (ys.length != n)
       throw new IllegalArgumentException(
-        s"sig_agree_frac: signature lengths differ ($n vs ${b.numElements()})")
+        s"sig_agree_frac: signature lengths differ ($n vs ${ys.length})")
     var i = 0
     var eq = 0
     while (i < n) {
-      if (a.getLong(i) == b.getLong(i)) eq += 1
+      if (xs(i) == ys(i)) eq += 1
       i += 1
     }
     eq.toDouble / n.toDouble

@@ -7,8 +7,23 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * [[graft.functions]]). All accumulation is sequential left-to-right so
   * results are deterministic and bit-stable across runs/engines.
   *
+  * Every kernel converts its `ArrayData` argument to a primitive array ONCE
+  * (the specialized bulk `toDoubleArray` — Platform.copyMemory on unsafe
+  * rows, a vectorized read on ColumnarArray) and loops over primitives.
+  * Per-element `a.getDouble(i)` in the loop body is NOT equivalent: these
+  * static methods are shared by every generated plan in the JVM, so the
+  * accessor call site sees UnsafeArrayData (post-shuffle rows),
+  * ColumnarArray (straight off the vectorized parquet scan — q40's corpus
+  * side), and GenericArrayData (freshly built arrays, e.g. the IVF
+  * centroids) and goes megamorphic; whether the JIT's early profile window
+  * was monomorphic then decides between an inlined loop and a
+  * virtual-call-per-element one — measured as run-to-run bimodality (q40:
+  * 0.55 s vs 2.2–2.5 s on an unchanged plan across r7–r9). At d=64 the
+  * one-time 512-byte copy is noise; the primitive loop is stable and
+  * auto-vectorizable.
+  *
   * Scale note: these run per-row inside codegen with zero boxing beyond the
-  * ArrayData accessors; at 100 TB the same kernels apply unchanged (they are
+  * one bulk copy; at 100 TB the same kernels apply unchanged (they are
   * embarrassingly parallel per row).
   */
 object VectorOps {
@@ -16,15 +31,17 @@ object VectorOps {
   /** Cosine similarity of two equal-length double vectors. Returns 0.0 when
     * either norm is 0 (instead of NaN) so downstream thresholds stay sane.
     */
-  def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def cosine(a0: ArrayData, b0: ArrayData): Double = {
+    val a = a0.toDoubleArray()
+    val b = b0.toDoubleArray()
+    val n = math.min(a.length, b.length)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
-      val x = a.getDouble(i)
-      val y = b.getDouble(i)
+      val x = a(i)
+      val y = b(i)
       dot += x * y
       na += x * x
       nb += y * y
@@ -33,19 +50,21 @@ object VectorOps {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dot(a0: ArrayData, b0: ArrayData): Double = {
+    val a = a0.toDoubleArray()
+    val b = b0.toDoubleArray()
+    val n = math.min(a.length, b.length)
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) { s += a(i) * b(i); i += 1 }
     s
   }
 
-  def l2norm(a: ArrayData): Double = {
-    val n = a.numElements()
+  def l2norm(a0: ArrayData): Double = {
+    val a = a0.toDoubleArray()
     var s = 0.0
     var i = 0
-    while (i < n) { val x = a.getDouble(i); s += x * x; i += 1 }
+    while (i < a.length) { val x = a(i); s += x * x; i += 1 }
     math.sqrt(s)
   }
 
@@ -74,8 +93,9 @@ object VectorOps {
     * the band keys — pure integer ops downstream) and the signature the
     * Hamming prefilter compares with bit_count(xor) before any d-dim cosine.
     */
-  def rhpSig(a: ArrayData, planes: Int, seed: Long): Long = {
-    val dims = a.numElements()
+  def rhpSig(a0: ArrayData, planes: Int, seed: Long): Long = {
+    val a = a0.toDoubleArray()
+    val dims = a.length
     val mat = planeMatrix(planes, dims, seed)
     var sig = 0L
     var p = 0
@@ -84,7 +104,7 @@ object VectorOps {
       var s = 0.0
       var i = 0
       while (i < dims) {
-        s += row(i) * a.getDouble(i)
+        s += row(i) * a(i)
         i += 1
       }
       if (s >= 0.0) sig |= (1L << p)
@@ -104,8 +124,9 @@ object VectorOps {
     * standard LSH scale path for ANN: candidates = equi-join on band key (a
     * shuffle on a long), instead of an O(N²) cross join.
     */
-  def rhpBands(a: ArrayData, planes: Int, bands: Int, seed: Long): ArrayData = {
-    val dims = a.numElements()
+  def rhpBands(a0: ArrayData, planes: Int, bands: Int, seed: Long): ArrayData = {
+    val a = a0.toDoubleArray()
+    val dims = a.length
     val mat = planeMatrix(planes, dims, seed)
     val bits = new Array[Boolean](planes)
     var p = 0
@@ -114,7 +135,7 @@ object VectorOps {
       var s = 0.0
       var i = 0
       while (i < dims) {
-        s += row(i) * a.getDouble(i)
+        s += row(i) * a(i)
         i += 1
       }
       bits(p) = s >= 0.0

@@ -61,6 +61,37 @@ case class JaccardSorted(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** UNCHECKED variant of [[JaccardSorted]] ([[HashKernels
+  * .jaccardSortedUnchecked]]): same merge, no precondition validation — for
+  * ENGINE-CONSTRUCTED inputs whose sortedness is guaranteed by plan shape
+  * (`array_sort` over a distinct hash set). Every internal near-dup confirm
+  * uses this; the checked [[JaccardSorted]] guards the public SQL surface.
+  */
+case class JaccardSortedUnchecked(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted_unchecked"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccardSortedUnchecked(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"graft.functions.HashKernels.jaccardSortedUnchecked($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Positional agreement fraction of two k-component MinHash signatures
   * ([[HashKernels.sigAgreeFrac]]) — the Jaccard estimate the candidate
   * prefilter thresholds.
