@@ -74,7 +74,18 @@ object Bench {
         }
       }
 
-    def time(list: Seq[String]): Seq[(String, Double)] = list.map { name =>
+    // MULTI-SAMPLE timing: single-sample-per-query made the per-round perf
+    // record one unreplicated draw — r10's gate verdict depended on it
+    // (q37: 46.5 s driver vs 97.1 s judge, identical code, same day). Each
+    // query now runs `samples` consecutive times; the MEDIAN is the
+    // cross-round metric (robust to one JIT-recompile/GC outlier), the MIN
+    // is recorded alongside as the machine-capability floor. A run that
+    // throws contributes no sample; all-failed → -1 (the driver's existing
+    // failure sentinel).
+    val samples = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES", "3").toInt
+    require(samples >= 1, s"SPARK_GRAFT_BENCH_SAMPLES must be >= 1, got $samples")
+
+    def timeOnce(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok = try { exec(fn(spark, sfDir)); true }
@@ -82,8 +93,14 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) sec else -1.0)
+      if (ok) sec else -1.0
     }
+    // (median, min) over the successful samples of one query
+    def time(list: Seq[String]): Seq[(String, (Double, Double))] =
+      list.map { name =>
+        val ok = Seq.fill(samples)(timeOnce(name)).filter(_ >= 0).sorted
+        name -> (if (ok.isEmpty) (-1.0, -1.0) else (ok(ok.size / 2), ok.head))
+      }
     def jsonObj(results: Seq[(String, Double)]): String = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -93,12 +110,20 @@ object Bench {
     // headline first (its total is the cross-round metric), then secondary
     val results = time(primary)
     val extraResults = time(extra)
-    val total = sumOk(results)
+    val medians = results.map { case (k, (med, _)) => k -> med }
+    val mins = results.map { case (k, (_, mn)) => k -> mn }
+    val total = sumOk(medians)
     val secondaryPart =
       if (extraResults.isEmpty) ""
-      else f""","secondary":${jsonObj(extraResults)},"secondary_total":${sumOk(extraResults)}%.3f"""
+      else {
+        val m = extraResults.map { case (k, (med, _)) => k -> med }
+        val n = extraResults.map { case (k, (_, mn)) => k -> mn }
+        f""","secondary":${jsonObj(m)},"secondary_min":${jsonObj(n)},"secondary_total":${sumOk(m)}%.3f"""
+      }
+    // "queries" stays the scalar name→sec map the driver compares across
+    // rounds (now the median); "queries_min" is the per-query floor.
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jsonObj(results)}$secondaryPart,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","samples":$samples,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

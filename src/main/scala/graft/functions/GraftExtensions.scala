@@ -41,13 +41,13 @@ object GraftExtensions {
     // CONTRACT: jaccard_sorted requires both arrays sorted ascending and
     // duplicate-free (array_sort over a distinct hash set) — it validates
     // both inputs in full and throws on violation. The `_unchecked` variant
-    // skips that validation and is for ENGINE-CONSTRUCTED inputs only
-    // (every internal confirm plan feeds it from `array_sort` over a
-    // distinct hash set by shape); handing it unsorted input returns a
-    // silently wrong Jaccard. sig_agree_frac requires equal-length
-    // signatures and throws otherwise. See HashKernels scaladoc.
+    // is deliberately NOT registered here: handing it unsorted input returns
+    // a silently wrong Jaccard, so it never enters the public SQL namespace.
+    // Engine-internal confirm plans (whose inputs are array_sort-constructed
+    // by shape) build the expression directly via
+    // GraftColumns.jaccardSortedUnchecked. sig_agree_frac requires
+    // equal-length signatures and throws otherwise. See HashKernels scaladoc.
     reg("jaccard_sorted", es => JaccardSorted(es(0), es(1)))
-    reg("jaccard_sorted_unchecked", es => JaccardSortedUnchecked(es(0), es(1)))
     reg("sig_agree_frac", es => SigAgreeFrac(es(0), es(1)))
     reg("simhash64", es => SimHash64(es(0)))
     reg("fingerprint64", es => Fingerprint64(es(0)))

@@ -298,21 +298,61 @@ object HashKernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Copy-free merge over the CONCRETE `UnsafeArrayData` class — the
+    * dominant case in every confirm join, whose inputs arrive off a shuffle
+    * as unsafe rows. `getLong` on a statically-typed `UnsafeArrayData`
+    * receiver is a concrete-class call (devirtualized by CHA, unlike the
+    * megamorphic `ArrayData` accessor [[mergeJaccard]]'s doc describes), so
+    * this runs one inlined primitive loop with ZERO per-pair allocation —
+    * the r10 `toLongArray`-per-call form allocated two multi-KB long arrays
+    * per candidate pair × millions of pairs, and q36/q55/q76 regressed
+    * 1.5-5× for it.
+    */
+  private def mergeJaccardUnsafe(a: UnsafeArrayData, b: UnsafeArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   /** UNCHECKED internal entry point — exact Jaccard over two strictly-
     * ascending duplicate-free long arrays, no precondition verification.
-    * For ENGINE-CONSTRUCTED inputs only: every internal confirm feeds this
-    * from `array_sort` over a distinct hash set by plan shape, so re-proving
+    * For ENGINE-CONSTRUCTED inputs only: every internal confirm
+    * (Dedup.clusteredNeardup, Dedup.decontaminate) feeds this from
+    * `array_sort` over a distinct hash set by plan shape, so re-proving
     * sortedness per pair in the single hottest measured loop buys nothing.
-    * The SQL surface gets the checked [[jaccardSorted]] instead. This
-    * replaces `size(array_intersect(a,b)) / (|a|+|b|-inter)` in the near-dup
-    * confirm joins: the built-in intersect builds a hash set PER PAIR through
-    * generic per-element type dispatch and closure calls — measured as the
-    * dominant (and JIT-unstable: 15×+ run-to-run swings at a 90 GB heap) CPU
-    * sink of the pair queries at sf0.1. Division follows IEEE double
-    * semantics exactly like the Column formulation it replaces.
+    * Deliberately NOT registered in the SQL namespace (unsorted input would
+    * return a silently wrong Jaccard) — internal plans construct the
+    * [[JaccardSortedUnchecked]] expression directly via
+    * [[GraftColumns.jaccardSortedUnchecked]]; the SQL surface gets the
+    * checked [[jaccardSorted]].
+    *
+    * Dispatch: one `isInstanceOf` test per CALL (bimorphic, JIT-predictable)
+    * selects the zero-allocation [[mergeJaccardUnsafe]] when both sides are
+    * post-shuffle `UnsafeArrayData` — the always case in the confirm joins —
+    * and falls back to bulk-copy + primitive merge for any other ArrayData
+    * kind. This replaces `size(array_intersect(a,b)) / (|a|+|b|-inter)` in
+    * the near-dup confirm joins: the built-in intersect builds a hash set
+    * PER PAIR through generic per-element type dispatch and closure calls —
+    * measured as the dominant (and JIT-unstable: 15×+ run-to-run swings at a
+    * 90 GB heap) CPU sink of the pair queries at sf0.1. Division follows
+    * IEEE double semantics exactly like the Column formulation it replaces.
     */
   def jaccardSortedUnchecked(a: ArrayData, b: ArrayData): Double =
-    mergeJaccard(a.toLongArray(), b.toLongArray())
+    if (a.isInstanceOf[UnsafeArrayData] && b.isInstanceOf[UnsafeArrayData])
+      mergeJaccardUnsafe(
+        a.asInstanceOf[UnsafeArrayData],
+        b.asInstanceOf[UnsafeArrayData])
+    else mergeJaccard(a.toLongArray(), b.toLongArray())
 
   /** Exact Jaccard over two SORTED long arrays (each strictly ascending —
     * the caller sorts `array_sort(array of 64-bit feature hashes)`).
@@ -356,22 +396,41 @@ object HashKernels {
     * Both signatures must have the same k — a mismatched call would
     * otherwise compare garbage positions, and the function is registered in
     * the SQL namespace where callers aren't limited to the internal
-    * equal-k plans, so the length contract is enforced here.
+    * equal-k plans, so the length contract is enforced here (O(1), unlike
+    * jaccard_sorted's O(n) sortedness validation).
+    *
+    * Same dispatch as [[jaccardSortedUnchecked]]: copy-free concrete-class
+    * loop when both sides are post-shuffle `UnsafeArrayData` (the q36/q37/
+    * q55 prefilter case — it runs once per CANDIDATE PAIR, so a per-call
+    * copy is the same allocation-rate bug as in the confirm), bulk-copy
+    * fallback otherwise.
     */
   def sigAgreeFrac(a: ArrayData, b: ArrayData): Double = {
-    val xs = a.toLongArray()
-    val ys = b.toLongArray()
-    val n = xs.length
-    if (ys.length != n)
+    val n = a.numElements()
+    if (b.numElements() != n)
       throw new IllegalArgumentException(
-        s"sig_agree_frac: signature lengths differ ($n vs ${ys.length})")
-    var i = 0
-    var eq = 0
-    while (i < n) {
-      if (xs(i) == ys(i)) eq += 1
-      i += 1
+        s"sig_agree_frac: signature lengths differ ($n vs ${b.numElements()})")
+    if (a.isInstanceOf[UnsafeArrayData] && b.isInstanceOf[UnsafeArrayData]) {
+      val ua = a.asInstanceOf[UnsafeArrayData]
+      val ub = b.asInstanceOf[UnsafeArrayData]
+      var i = 0
+      var eq = 0
+      while (i < n) {
+        if (ua.getLong(i) == ub.getLong(i)) eq += 1
+        i += 1
+      }
+      eq.toDouble / n.toDouble
+    } else {
+      val xs = a.toLongArray()
+      val ys = b.toLongArray()
+      var i = 0
+      var eq = 0
+      while (i < n) {
+        if (xs(i) == ys(i)) eq += 1
+        i += 1
+      }
+      eq.toDouble / n.toDouble
     }
-    eq.toDouble / n.toDouble
   }
 
   /** Minimum rolling-window fingerprint over `w`-byte windows — a winnowing-

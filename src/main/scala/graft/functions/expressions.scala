@@ -65,7 +65,9 @@ case class JaccardSorted(left: Expression, right: Expression)
   * .jaccardSortedUnchecked]]): same merge, no precondition validation — for
   * ENGINE-CONSTRUCTED inputs whose sortedness is guaranteed by plan shape
   * (`array_sort` over a distinct hash set). Every internal near-dup confirm
-  * uses this; the checked [[JaccardSorted]] guards the public SQL surface.
+  * uses this via [[GraftColumns.jaccardSortedUnchecked]]; the checked
+  * [[JaccardSorted]] guards the public SQL surface, and this expression is
+  * deliberately NOT SQL-registered (see [[GraftExtensions]]).
   */
 case class JaccardSortedUnchecked(left: Expression, right: Expression)
     extends BinaryExpression
@@ -90,6 +92,26 @@ case class JaccardSortedUnchecked(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Column constructors for engine-internal expressions that are kept OUT of
+  * the public SQL namespace — plans wrap the Catalyst expression directly
+  * instead of routing through `call_function`, so the fast-but-unsafe
+  * variants never become callable from user SQL.
+  */
+object GraftColumns {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.ColumnShim
+
+  /** See [[HashKernels.jaccardSortedUnchecked]] for the precondition the
+    * CALLER's plan shape must guarantee (both arrays `array_sort` of a
+    * distinct hash set).
+    */
+  def jaccardSortedUnchecked(a: Column, b: Column): Column =
+    ColumnShim.column(
+      JaccardSortedUnchecked(
+        ColumnShim.expression(a),
+        ColumnShim.expression(b)))
 }
 
 /** Positional agreement fraction of two k-component MinHash signatures

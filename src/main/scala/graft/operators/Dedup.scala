@@ -214,9 +214,14 @@ object Dedup {
         .select(col("a_id"), col("b_id"))
     // The exact confirm runs over SORTED 64-BIT HASHES of the features, not
     // the feature strings (q36's documented trade, applied to every
-    // confirm), through the native `jaccard_sorted` kernel — a zero-
-    // allocation primitive merge — instead of `array_intersect`'s per-pair
-    // hash-set build. Per-element hashing and sorting is one linear pass per
+    // confirm), through the UNCHECKED native merge kernel
+    // (GraftColumns.jaccardSortedUnchecked): no sortedness re-validation and
+    // no per-pair copy on the post-shuffle UnsafeArrayData fast path — the
+    // inputs here are array_sort over a distinct hash set BY PLAN SHAPE, so
+    // the checked variant's two validation passes + two toLongArray
+    // allocations per pair (the r10 regression: q36/q55/q76 1.5-5× slower)
+    // would re-prove a precondition this plan already guarantees, once per
+    // candidate pair. Per-element hashing and sorting is one linear pass per
     // REP, while the kernel runs once per CANDIDATE PAIR; the attached
     // arrays also ship at 8 bytes/element through the two candidate joins.
     // Jaccard over the hashed sets equals Jaccard over the raw sets absent a
@@ -232,7 +237,9 @@ object Dedup {
       prefiltered,
       reps.select(col("gid").as("doc_id"), hashedFeat(col("feat")).as("hf")),
       "hf")
-      .withColumn("jac", call_function("jaccard_sorted", col("a_hf"), col("b_hf")))
+      .withColumn(
+        "jac",
+        graft.functions.GraftColumns.jaccardSortedUnchecked(col("a_hf"), col("b_hf")))
       .filter(col("jac") >= threshold)
       .select(col("a_id").as("ga"), col("b_id").as("gb"), col("jac"))
     val expanded =
@@ -391,8 +398,9 @@ object Dedup {
     val cand = corpus.join(bench, Seq("band"))
       .select(col("doc_id"), col("b_id"))
       .distinct()
-    // confirm over sorted word-hash sets via the native merge kernel —
-    // same trade and same reasons as the clusteredNeardup confirm
+    // confirm over sorted word-hash sets via the UNCHECKED native merge
+    // kernel — same trade, same plan-shape precondition (array_sort over a
+    // distinct hash set), and same reasons as the clusteredNeardup confirm
     val sets = Tables.documents(s, d)
       .select(
         col("doc_id"),
@@ -404,7 +412,9 @@ object Dedup {
         broadcast(sets.filter(col("doc_id") < 50)
           .select(col("doc_id").as("b_id"), col("toks").as("b_toks"))),
         Seq("b_id"))
-      .withColumn("jac", call_function("jaccard_sorted", col("toks"), col("b_toks")))
+      .withColumn(
+        "jac",
+        graft.functions.GraftColumns.jaccardSortedUnchecked(col("toks"), col("b_toks")))
       .filter(col("jac") >= 0.8)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("max_jac"))

@@ -100,19 +100,34 @@ object Similarity {
     val probeArr = array((for {
       b <- 0 until AnnBands; flip <- -1 until AnnBandBits
     } yield bandKey(b, flip)): _*)
-    val banded = sigs.select(
-      col("vec_id"), col("v"), col("sig"), explode(bandArr).as("band"))
+    // Banded rows carry (id, sig, band) ONLY — 24 bytes/row through the
+    // 16-band explode and join, never the d-dim vector (which would
+    // otherwise be replicated once per band). The post-join dedup likewise
+    // runs on bare (q_id, n_id) pairs: the old form ran `.distinct()` over
+    // rows still holding BOTH full vectors, so the dedup exchange moved and
+    // hash-compared ~1 KB per candidate instead of 16 bytes — flagged two
+    // rounds running as q41's bimodality suspect. Vectors re-attach AFTER
+    // the distinct: corpus side by one equi-join on n_id, query side from an
+    // 8-row broadcast (the attachFeatures shape from Dedup).
+    val banded = sigs.select(col("vec_id"), col("sig"), explode(bandArr).as("band"))
     val q = sigs.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("q_v"),
-        col("sig").as("q_sig"), explode(probeArr).as("band"))
-    banded
-      .select(col("vec_id").as("n_id"), col("v").as("n_v"),
-        col("sig").as("n_sig"), col("band"))
+      .select(col("vec_id").as("q_id"), col("sig").as("q_sig"),
+        explode(probeArr).as("band"))
+    val candIds = banded
+      .select(col("vec_id").as("n_id"), col("sig").as("n_sig"), col("band"))
       .join(broadcast(q), Seq("band"))
       .filter(col("q_id") =!= col("n_id") &&
         bit_count(col("q_sig").bitwiseXOR(col("n_sig"))) <= AnnHammingMax)
-      .select(col("q_id"), col("q_v"), col("n_id"), col("n_v"))
+      .select(col("q_id"), col("n_id"))
       .distinct()
+    val e = vecs(s, d)
+    candIds
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("n_v")), Seq("n_id"))
+      .join(
+        broadcast(e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("q_v"), col("n_id"), col("n_v"))
   }
 
   /** LSH ANN: exact cosine + top-k within [[annCandidates]] only. */

@@ -16,6 +16,76 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** N rounds of BPE vocabulary learning (q83's body — see that entry's doc
+    * for the round mechanics and the double-space serialization trick).
+    *
+    * LINEAGE: round r's plan embeds rounds 1..r-1, so the pure declarative
+    * form recomputes the corpus O(N²) times across training — fine at the
+    * fixture N=4 (and it keeps the registered query one tree the oracle
+    * unrolls as CTEs), quadratic-in-rounds at tokenizer-scale N. Setting
+    * `graft.bpe.perRoundCheckpoint=true` on the session conf truncates the
+    * lineage after each re-segmentation with an eager `localCheckpoint`
+    * (executor-local materialization — no HDFS dir needed, and failure
+    * recovery just reruns the round), making training LINEAR in N: each
+    * round then plans against the materialized previous corpus instead of
+    * the whole merge history. Output is bit-identical either way (the flag
+    * only changes where the plan is cut); TextAnalysisSuite asserts the
+    * identity and that N=16 completes in bounded time with the flag on.
+    * Default off: the driver's correctness gate exercises the same pure
+    * plan the DuckDB oracle mirrors.
+    */
+  private[graft] def bpeVocab(
+      s: org.apache.spark.sql.SparkSession,
+      d: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val checkpointPerRound =
+      s.conf.get("graft.bpe.perRoundCheckpoint", "false").toBoolean
+    var cur = Tables.documents(s, d).select(
+      concat(
+        lit(" "),
+        concat_ws("  ", regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))),
+        lit(" ")).as("s"))
+    val perRound = (1 to rounds).map { r =>
+      val toksOf = filter(split(trim(col("s")), "  "), t => t =!= "")
+      val n1 = greatest(size(toksOf) - 1, lit(0))
+      val top = cur
+        .select(explode(zip_with(
+          slice(toksOf, lit(1), n1),
+          slice(toksOf, lit(2), n1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1)
+        .select(
+          split(col("pair"), " ").getItem(0).as("x"),
+          split(col("pair"), " ").getItem(1).as("y"),
+          col("cnt"))
+      val stepped = cur.crossJoin(broadcast(top))
+        .select(
+          replace(
+            col("s"),
+            concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
+            concat(lit(" "), col("x"), col("y"), lit(" "))).as("s"),
+          col("x"),
+          col("y"),
+          col("cnt"))
+      val row = stepped
+        .agg(
+          min(col("x")).as("x"),
+          min(col("y")).as("y"),
+          min(col("cnt")).as("pair_cnt"),
+          sum(size(filter(split(trim(col("s")), "  "), t => t =!= "")))
+            .cast("long").as("toks_after"))
+        .select(
+          lit(r.toLong).as("round"),
+          col("x"), col("y"), col("pair_cnt"), col("toks_after"))
+      cur = stepped.select(col("s"))
+      if (checkpointPerRound) cur = cur.localCheckpoint()
+      row
+    }
+    perRound.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   val entries: Seq[Entry] = Seq(
     // q30: word count THROUGH the MR-parity engine (scan → flatMap(map) →
     // hash shuffle → sortWithinPartitions → streaming grouped reduce) — the
@@ -404,59 +474,14 @@ object TextOps {
     // keeps one space on each side), so rounds compose by re-splitting the
     // same column. Scale shape per round: one partial-agged pair-count
     // groupBy + a 1-row broadcast top pair + a linear re-segment scan. The
-    // lineage of round r embeds rounds 1..r-1, so an N-round plan recomputes
-    // the corpus O(N²) times — at real scale persist each round's
-    // re-segmented corpus (or checkpoint every few rounds) to make training
-    // linear in N; at N=4 on the fixtures the pure plan is cheap and keeps
-    // the query a single declarative tree the oracle can unroll as CTEs.
+    // lineage of round r embeds rounds 1..r-1, so the pure N-round plan
+    // recomputes the corpus O(N²) times — `graft.bpe.perRoundCheckpoint`
+    // (see bpeVocab) cuts the lineage per round for tokenizer-scale N; at
+    // N=4 on the fixtures the default pure plan is cheap and keeps the
+    // query a single declarative tree the oracle can unroll as CTEs.
     Entry(
       "q83_bpe_vocab",
-      (s, d) => {
-        val rounds = 4
-        var cur = Tables.documents(s, d).select(
-          concat(
-            lit(" "),
-            concat_ws("  ", regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))),
-            lit(" ")).as("s"))
-        val perRound = (1 to rounds).map { r =>
-          val toksOf = filter(split(trim(col("s")), "  "), t => t =!= "")
-          val n1 = greatest(size(toksOf) - 1, lit(0))
-          val top = cur
-            .select(explode(zip_with(
-              slice(toksOf, lit(1), n1),
-              slice(toksOf, lit(2), n1),
-              (a, b) => concat(a, lit(" "), b))).as("pair"))
-            .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
-            .orderBy(col("cnt").desc, col("pair"))
-            .limit(1)
-            .select(
-              split(col("pair"), " ").getItem(0).as("x"),
-              split(col("pair"), " ").getItem(1).as("y"),
-              col("cnt"))
-          val stepped = cur.crossJoin(broadcast(top))
-            .select(
-              replace(
-                col("s"),
-                concat(lit(" "), col("x"), lit("  "), col("y"), lit(" ")),
-                concat(lit(" "), col("x"), col("y"), lit(" "))).as("s"),
-              col("x"),
-              col("y"),
-              col("cnt"))
-          val row = stepped
-            .agg(
-              min(col("x")).as("x"),
-              min(col("y")).as("y"),
-              min(col("cnt")).as("pair_cnt"),
-              sum(size(filter(split(trim(col("s")), "  "), t => t =!= "")))
-                .cast("long").as("toks_after"))
-            .select(
-              lit(r.toLong).as("round"),
-              col("x"), col("y"), col("pair_cnt"), col("toks_after"))
-          cur = stepped.select(col("s"))
-          row
-        }
-        perRound.reduce(_ unionByName _).orderBy(col("round"))
-      },
+      (s, d) => bpeVocab(s, d, rounds = 4),
       Some {
         // unroll the same N rounds as CTEs: s{r} is the re-segmented corpus
         // after round r, t{r} the chosen pair, r{r} the emitted row
@@ -485,6 +510,55 @@ object TextOps {
            |FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2
            |      UNION ALL SELECT * FROM r3 UNION ALL SELECT * FROM r4)
            |ORDER BY round""".stripMargin
-      })
+      }),
+
+    // q85: content fingerprinting via the winnowing kernels — whole-string
+    // polynomial rolling hash (`fingerprint64`, position-sensitive: the
+    // exact-dup/citation detector) and the minimum 32-byte-window
+    // fingerprint (`min_window_fp`, a winnowing-style digest robust to
+    // small appends/prefixes — the partial-overlap detector; Schleimer/
+    // Wilkerson/Aiken's local fingerprinting idea reduced to its min-hash
+    // core). One linear codegen'd scan, trivially partition-parallel at
+    // 100 TB. The 64-bit values are engine-defined, so the oracle pins
+    // GOLDEN DIGESTS per fixture, selected by the DuckDB-computable
+    // sum(n_chars) discriminator — the q38 pattern; HashKernelsSuite pins
+    // per-string kernel values SF-independently, and `graft.PinDigests`
+    // re-prints this table if the fixtures are ever regenerated.
+    Entry(
+      "q85_winnow_fingerprint",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            call_function("fingerprint64", col("text")).as("fp"),
+            call_function("min_window_fp", col("text"), lit(32)).as("wfp"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("fp")).as("n_fp"),
+            countDistinct(col("wfp")).as("n_wfp"),
+            expr("bit_xor(fp)").as("fp_xor"),
+            expr("bit_xor(wfp)").as("wfp_xor")),
+      Some("""WITH disc AS (SELECT sum(n_chars) AS cs FROM documents)
+             |SELECT count(*) AS n_docs,
+             | CAST(CASE (SELECT cs FROM disc)
+             |   WHEN 153156 THEN 500
+             |   WHEN 149174 THEN 500
+             |   WHEN 1485576 THEN 4992
+             |   ELSE -1 END AS BIGINT) AS n_fp,
+             | CAST(CASE (SELECT cs FROM disc)
+             |   WHEN 153156 THEN 476
+             |   WHEN 149174 THEN 476
+             |   WHEN 1485576 THEN 4760
+             |   ELSE -1 END AS BIGINT) AS n_wfp,
+             | CAST(CASE (SELECT cs FROM disc)
+             |   WHEN 153156 THEN -4266715645407784269
+             |   WHEN 149174 THEN -5369659415614341168
+             |   WHEN 1485576 THEN -3605508136639703258
+             |   ELSE 0 END AS BIGINT) AS fp_xor,
+             | CAST(CASE (SELECT cs FROM disc)
+             |   WHEN 153156 THEN 483467598126922574
+             |   WHEN 149174 THEN 1854787551796979470
+             |   WHEN 1485576 THEN 3718796181079258634
+             |   ELSE 0 END AS BIGINT) AS wfp_xor
+             |FROM documents""".stripMargin))
   )
 }

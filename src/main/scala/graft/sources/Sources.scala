@@ -182,6 +182,21 @@ object Sources {
     val tmp = new Path(
       s"$root/_current.tmp.$gen.${java.util.UUID.randomUUID().toString}")
     val fs = manifest.getFileSystem(conf)
+    // GC SWEEP: a publisher hard-killed between create and rename/delete
+    // orphans its nonce tmp forever (no later attempt reuses the path), so
+    // without a sweep they accumulate unboundedly on a long-lived dataset
+    // root. Age-based: a live publish holds its tmp for seconds (one-line
+    // write + rename), so anything matching `_current.tmp.*` older than the
+    // TTL (default 1 h, conf-overridable) is provably abandoned. Sweep
+    // failures are non-fatal — GC must never block a publish.
+    val ttlMs = s.conf.get("graft.publish.tmpTtlMs", "3600000").toLong
+    val cutoff = System.currentTimeMillis() - ttlMs
+    try Option(fs.globStatus(new Path(s"$root/_current.tmp.*")))
+      .getOrElse(Array.empty).foreach { st =>
+        if (st.getModificationTime < cutoff)
+          try fs.delete(st.getPath, false) catch { case _: Throwable => () }
+      }
+    catch { case scala.util.control.NonFatal(_) => () }
     val out = fs.create(tmp, false)
     try {
       try out.write(gen.getBytes("UTF-8")) finally out.close()

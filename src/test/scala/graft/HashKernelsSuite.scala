@@ -145,6 +145,65 @@ class HashKernelsSuite extends AnyFunSuite {
       inter.toDouble / (a.size + b.size - inter))
   }
 
+  test("jaccardSorted validates BOTH arrays in full and throws on violation") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    // violation in a TAIL the merge itself never visits: right side [1] is
+    // exhausted after one step, but full validation must still reject the
+    // unsorted left tail (r10 contract: every adjacent pair is checked)
+    intercept[IllegalArgumentException] {
+      HashKernels.jaccardSorted(arr(1, 2, 100, 99), arr(1))
+    }
+    // duplicates violate strict ascent
+    intercept[IllegalArgumentException] {
+      HashKernels.jaccardSorted(arr(1, 1, 2), arr(3, 4))
+    }
+    // right side validated too
+    intercept[IllegalArgumentException] {
+      HashKernels.jaccardSorted(arr(1, 2), arr(5, 4))
+    }
+  }
+
+  test("jaccardSortedUnchecked agrees with jaccardSorted on valid sorted inputs") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 5L, 9L)),
+      (Seq(2L, 4L, 6L), Seq(2L, 4L, 6L)),
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(-9L, -1L, 4L), Seq(-1L, 4L, 8L)),
+      (Seq(-5L, 0L, 2L, 9L, 11L), Seq(-5L, 2L, 3L, 11L, 12L, 20L)),
+      (Seq.empty[Long], Seq(1L, 2L)))
+    cases.foreach { case (a, b) =>
+      val checked = HashKernels.jaccardSorted(arr(a: _*), arr(b: _*))
+      // UnsafeArrayData fast path (the post-shuffle confirm case)
+      assert(HashKernels.jaccardSortedUnchecked(arr(a: _*), arr(b: _*)) == checked)
+      // GenericArrayData fallback path must agree with the fast path
+      val ga = new GenericArrayData(a.toArray)
+      val gb = new GenericArrayData(b.toArray)
+      assert(HashKernels.jaccardSortedUnchecked(ga, gb) == checked)
+      // mixed kinds take the fallback
+      assert(HashKernels.jaccardSortedUnchecked(arr(a: _*), gb) == checked)
+    }
+  }
+
+  test("sigAgreeFrac fast path and fallback agree") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    val a = Seq(1L, 2L, 3L, 4L, 5L)
+    val b = Seq(1L, 9L, 3L, 8L, 5L)
+    val fast = HashKernels.sigAgreeFrac(arr(a: _*), arr(b: _*))
+    val slow = HashKernels.sigAgreeFrac(
+      new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+    assert(fast == slow && fast == 0.6)
+    // length check fires on the generic path too
+    intercept[IllegalArgumentException] {
+      HashKernels.sigAgreeFrac(new GenericArrayData(a.toArray), arr(1, 2))
+    }
+  }
+
   test("sigAgreeFrac counts positional matches") {
     import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
     def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)

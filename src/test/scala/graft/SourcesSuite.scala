@@ -102,4 +102,27 @@ class SourcesSuite extends SparkTestBase {
     // concurrent reader may still be scanning
     assert(new java.io.File(s"$root/gen-1").list().exists(_.endsWith(".parquet")))
   }
+
+  test("publish GC-sweeps abandoned tmp manifests past the TTL, spares fresh ones") {
+    import graft.sources.Sources
+    import org.apache.hadoop.fs.Path
+    val root = Sources.scratch(sf, "tmp_gc_case")
+    Tables.nation(spark, sf).select(col("n_nationkey"))
+      .write.mode("overwrite").parquet(s"$root/gen-1")
+    Sources.publishGeneration(spark, root, "gen-1")
+    // plant one ABANDONED tmp (hard-killed publisher: mtime past the TTL)
+    // and one FRESH tmp (indistinguishable from a live concurrent publish)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = new Path(s"$root/_current.tmp.gen-0.deadbeef")
+    val fresh = new Path(s"$root/_current.tmp.gen-9.cafebabe")
+    Seq(stale, fresh).foreach { p =>
+      val o = fs.create(p, false)
+      try o.write("gen-x".getBytes("UTF-8")) finally o.close()
+    }
+    fs.setTimes(stale, System.currentTimeMillis() - 2L * 3600 * 1000, -1)
+    Sources.publishGeneration(spark, root, "gen-1")
+    assert(!fs.exists(stale), "tmp older than the TTL must be swept at publish time")
+    assert(fs.exists(fresh), "a fresh tmp may belong to a live publisher — must survive")
+    assert(Sources.currentGeneration(spark, root).endsWith("/gen-1"))
+  }
 }
