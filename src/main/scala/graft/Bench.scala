@@ -36,7 +36,10 @@ object Bench {
     "q37_wordset_jaccard",
     "q39_embedding_neardup",
     "q55_ngram_jaccard",
-    "q76_decontamination")
+    "q76_decontamination",
+    // added round 11 with the operator (~5 s at sf0.1): winnowing overlap —
+    // subtract it when comparing secondary_total against pre-r11 artifacts
+    "q86_winnow_overlap")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

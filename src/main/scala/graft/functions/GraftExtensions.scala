@@ -52,6 +52,8 @@ object GraftExtensions {
     reg("simhash64", es => SimHash64(es(0)))
     reg("fingerprint64", es => Fingerprint64(es(0)))
     reg("min_window_fp", es => MinWindowFp(es(0), intArg(es(1), "window")))
+    reg("winnow_fps",
+        es => WinnowFps(es(0), intArg(es(1), "w"), intArg(es(2), "t")))
     reg("minhash_sig",
         es => MinHashSig(es(0), intArg(es(1), "k"), intArg(es(2), "shingle")))
     reg("minhash_bands",

@@ -433,8 +433,108 @@ object HashKernels {
     }
   }
 
-  /** Minimum rolling-window fingerprint over `w`-byte windows — a winnowing-
-    * style content fingerprint robust to small appends/prefixes.
+  /** FULL winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's
+    * local document fingerprinting, the MOSS algorithm): hash every `w`-byte
+    * window, slide a window of `t` consecutive hashes, select each window's
+    * minimum, return the DISTINCT selected fingerprints sorted ascending
+    * (ready for the sorted-merge kernels).
+    *
+    * GUARANTEE (the winnowing theorem): two documents sharing a common
+    * substring of length ≥ w + t − 1 share at least one selected
+    * fingerprint — the shared run contains ≥ t consecutive identical window
+    * hashes, so some full selection window lies inside it on both sides and
+    * both select its minimum. Expected density is ~2/(t+1) of positions, so
+    * the corpus-wide inverted index this feeds is ~4.5× smaller than
+    * exploding every window at t=8 — that is the scale story vs a full
+    * n-gram index (q84): guaranteed detection above the length threshold at
+    * a fraction of the index size.
+    *
+    * Strings of ≤ w bytes yield the single whole-string hash. O(n·t) with
+    * two primitive passes and no boxing (t is a small constant; the deque
+    * O(n) form buys nothing at t=8).
+    */
+  def winnowFps(s: UTF8String, w: Int, t: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n <= w)
+      return UnsafeArrayData.fromPrimitiveArray(Array(hashBytes(bytes, 0, n)))
+    val nW = n - w + 1
+    val hs = new Array[Long](nW)
+    var i = 0
+    while (i < nW) { hs(i) = hashBytes(bytes, i, i + w); i += 1 }
+    val nWin = math.max(1, nW - t + 1)
+    val picks = new Array[Long](nWin)
+    var p = 0
+    while (p < nWin) {
+      var m = hs(p)
+      var j = 1
+      while (j < t && p + j < nW) {
+        val h = hs(p + j)
+        if (h < m) m = h
+        j += 1
+      }
+      picks(p) = m
+      p += 1
+    }
+    java.util.Arrays.sort(picks)
+    var d = 1
+    i = 1
+    while (i < nWin) { if (picks(i) != picks(i - 1)) d += 1; i += 1 }
+    val out = new Array[Long](d)
+    out(0) = picks(0)
+    var k = 1
+    i = 1
+    while (i < nWin) {
+      if (picks(i) != picks(i - 1)) { out(k) = picks(i); k += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Size of the intersection of two strictly-ascending duplicate-free long
+    * arrays — the [[jaccardSortedUnchecked]] merge reduced to its count, with
+    * the same precondition (engine-constructed sorted inputs), the same
+    * copy-free `UnsafeArrayData` fast path, and the same reason to exist:
+    * it runs once per candidate pair. NOT SQL-registered (unsorted input
+    * would return a silently wrong count); internal plans construct the
+    * expression via [[GraftColumns.intersectCountSorted]].
+    */
+  def intersectCountSorted(a: ArrayData, b: ArrayData): Long =
+    if (a.isInstanceOf[UnsafeArrayData] && b.isInstanceOf[UnsafeArrayData]) {
+      val ua = a.asInstanceOf[UnsafeArrayData]
+      val ub = b.asInstanceOf[UnsafeArrayData]
+      val na = ua.numElements()
+      val nb = ub.numElements()
+      var i = 0
+      var j = 0
+      var inter = 0L
+      while (i < na && j < nb) {
+        val x = ua.getLong(i)
+        val y = ub.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter
+    } else {
+      val xs = a.toLongArray()
+      val ys = b.toLongArray()
+      var i = 0
+      var j = 0
+      var inter = 0L
+      while (i < xs.length && j < ys.length) {
+        val x = xs(i)
+        val y = ys(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter
+    }
+
+  /** Minimum rolling-window fingerprint over `w`-byte windows — the
+    * single-value degenerate form of [[winnowFps]] (one selection window
+    * spanning the whole string), robust to small appends/prefixes.
     */
   def minWindowFp(s: UTF8String, w: Int): Long = {
     val bytes = s.getBytes

@@ -112,6 +112,15 @@ object GraftColumns {
       JaccardSortedUnchecked(
         ColumnShim.expression(a),
         ColumnShim.expression(b)))
+
+  /** See [[HashKernels.intersectCountSorted]] — same sorted-input
+    * precondition and same internal-only status.
+    */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    ColumnShim.column(
+      IntersectCountSorted(
+        ColumnShim.expression(a),
+        ColumnShim.expression(b)))
 }
 
 /** Positional agreement fraction of two k-component MinHash signatures
@@ -138,6 +147,60 @@ case class SigAgreeFrac(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression,
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Intersection size of two sorted duplicate-free long arrays ([[HashKernels
+  * .intersectCountSorted]]) — the per-pair confirm of the winnowing overlap
+  * query. Internal-only (not SQL-registered): sortedness is a plan-shape
+  * precondition, not runtime-checked.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.intersectCountSorted(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"graft.functions.HashKernels.intersectCountSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Winnowing fingerprint selection ([[HashKernels.winnowFps]]): distinct
+  * sorted minima of `t`-hash windows over `w`-byte k-gram hashes — the MOSS
+  * local-fingerprinting scheme with its shared-substring detection
+  * guarantee at length ≥ w + t − 1.
+  */
+case class WinnowFps(child: Expression, w: Int, t: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.winnowFps(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], w, t)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.winnowFps($c, $w, $t)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class SimHash64(child: Expression)

@@ -421,6 +421,51 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared-substring overlap detection via WINNOWING (Schleimer/Wilkerson/
+    * Aiken local fingerprinting — the MOSS scheme): flag doc pairs sharing
+    * at least one exact common substring of length ≥ L = w + t − 1 bytes
+    * (w=16-byte k-grams, t=8-hash selection windows ⇒ L=23), with the count
+    * of distinct shared L-windows. The plagiarism/quote/boilerplate
+    * detector between q84's fixed-n verbatim grams and q37's bag
+    * similarity.
+    *
+    * Scale shape: candidates from an equi-join on SELECTED fingerprints
+    * only — winnowing keeps ~2/(t+1) ≈ 22 % of window positions, so the
+    * corpus-wide inverted index is ~4.5× smaller than exploding every
+    * window (q84's shape), while the winnowing theorem guarantees NO MISSED
+    * PAIR at ≥ L: a shared L-substring contains t consecutive identical
+    * window hashes, so both docs select that run's minimum. The join
+    * reuses the salted [[bandCandidates]] machinery (fingerprints are the
+    * band keys); the exact confirm intersects sorted xxhash64'd L-window
+    * sets per candidate pair via the copy-free sorted-merge count kernel —
+    * the same hashed-set trade as every confirm here (collision odds
+    * ≲1e-9 corpus-wide), so output equals the brute-force DuckDB oracle.
+    */
+  private def winnowOverlap(s: SparkSession, d: String): DataFrame = {
+    val w = 16
+    val t = 8
+    val l = w + t - 1
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val banded = docs.select(
+      col("doc_id"),
+      explode(call_function("winnow_fps", col("text"), lit(w), lit(t))).as("band"))
+    val cand = bandCandidates(banded)
+    val lwins = docs.select(
+      col("doc_id"),
+      expr(
+        s"""array_sort(transform(array_distinct(transform(
+           |  sequence(1, greatest(length(text) - ${l - 1}, 1)),
+           |  i -> substring(text, i, $l))), x -> xxhash64(x)))""".stripMargin)
+        .as("lw"))
+    attachFeatures(cand, lwins, "lw")
+      .withColumn(
+        "n_shared",
+        graft.functions.GraftColumns.intersectCountSorted(col("a_lw"), col("b_lw")))
+      .filter(col("n_shared") >= 1)
+      .select(col("a_id"), col("b_id"), col("n_shared"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** N-gram-collision decontamination — the verbatim-leak complement of
     * q76's Jaccard measure: flag a training doc if ANY 8-token window of a
     * benchmark/eval doc appears verbatim in it (the industry-standard
@@ -565,6 +610,22 @@ object Dedup {
              |  CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_grams
              |FROM c JOIN b ON c.gram = b.gram
              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // q86: winnowing shared-substring overlap (see winnowOverlap doc);
+    // brute oracle unnests every 23-byte window of every doc and joins
+    // exactly — the winnowing guarantee says the pruned plan misses nothing
+    // at ≥ L, and passing this oracle proves it on the fixture.
+    Entry(
+      "q86_winnow_overlap",
+      winnowOverlap,
+      Some("""WITH w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, greatest(length(text) - 22, 1) + 1),
+             |    i -> substr(text, i, 23)))) AS win
+             |  FROM documents)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(count(DISTINCT a.win) AS BIGINT) AS n_shared
+             |FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // q39: exact embedding-cosine pairs via the grid-blocked theta-join
     // (see embeddingNeardup doc); brute-force oracle.

@@ -212,6 +212,57 @@ class HashKernelsSuite extends AnyFunSuite {
     assert(HashKernels.sigAgreeFrac(arr(1, 2), arr(2, 1)) == 0.0) // positional, not set
   }
 
+  test("winnowFps: detection guarantee, density, determinism, short-string degenerate") {
+    val w = 16
+    val t = 8
+    val l = w + t - 1 // 23
+    def fps(s: String) = HashKernels.winnowFps(u(s), w, t).toLongArray().toSet
+    // GUARANTEE: any two strings sharing a common substring of length >= L
+    // share at least one selected fingerprint, regardless of its position
+    val shared = "the quick brown fox jumps over" // 30 chars > L
+    val a = "prefix one " + shared + " tail alpha"
+    val b = "a completely different beginning here " + shared + " and end"
+    assert(fps(a).intersect(fps(b)).nonEmpty, "shared >=L substring must share a fingerprint")
+    // strings with no common w-byte window share nothing
+    val c = "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo"
+    assert(fps(a).intersect(fps(c)).isEmpty)
+    // DENSITY: winnowing selects ~2/(t+1) of positions — assert well under
+    // half of the window count on a non-degenerate string
+    val long = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val nW = long.getBytes("UTF-8").length - w + 1
+    val k = fps(long).size
+    assert(k < nW / 2, s"density too high: $k of $nW windows selected")
+    assert(k > nW / 20, s"density implausibly low: $k of $nW")
+    // output is sorted ascending and duplicate-free (merge-kernel ready)
+    val arr = HashKernels.winnowFps(u(long), w, t).toLongArray()
+    assert(arr.toSeq == arr.toSeq.sorted && arr.distinct.length == arr.length)
+    // determinism
+    assert(HashKernels.winnowFps(u(a), w, t).toLongArray().toSeq ==
+      HashKernels.winnowFps(u(a), w, t).toLongArray().toSeq)
+    // <= w bytes degenerates to the single whole-string hash
+    val sb = "short".getBytes("UTF-8")
+    assert(HashKernels.winnowFps(u("short"), w, t).toLongArray().toSeq ==
+      Seq(HashKernels.hashBytes(sb, 0, sb.length)))
+  }
+
+  test("intersectCountSorted counts merge intersections; fast path and fallback agree") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = UnsafeArrayData.fromPrimitiveArray(xs.toArray)
+    val cases = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 5L, 9L), 2L),
+      (Seq(2L, 4L, 6L), Seq(2L, 4L, 6L), 3L),
+      (Seq(1L, 2L), Seq(3L, 4L), 0L),
+      (Seq(-9L, -1L, 4L), Seq(-1L, 4L, 8L), 2L),
+      (Seq.empty[Long], Seq(1L), 0L))
+    cases.foreach { case (a, b, want) =>
+      assert(HashKernels.intersectCountSorted(arr(a: _*), arr(b: _*)) == want)
+      assert(HashKernels.intersectCountSorted(
+        new GenericArrayData(a.toArray), new GenericArrayData(b.toArray)) == want)
+      assert(want == a.toSet.intersect(b.toSet).size.toLong)
+    }
+  }
+
   test("minWindowFp is invariant under suffix append when window min survives") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789abcdefghijklmnop"
     val fpBase = HashKernels.minWindowFp(u(base), 16)
