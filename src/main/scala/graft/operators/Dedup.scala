@@ -421,6 +421,80 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup CLUSTER extraction — the dedup pipeline's actual deliverable:
+    * connected components over the confirmed word-set near-dup pairs (q37's
+    * relation), emitted as the dedup manifest (cluster rep = min doc_id,
+    * member count; singletons included). Near-dup similarity is not
+    * transitive, so "keep one per pairwise match" is ill-defined until
+    * pairs are closed into components — this is the standard production
+    * semantics (MinHashLSH dedup à la text-corpus pipelines).
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — per round,
+    * label(n) ← min over neighbors' labels, then label ← label(label) —
+    * looped UNTIL CONVERGED (no label changed). Reach after round k is
+    * ≥ 2^k − 1 hops (neighbor-min extends the frontier, the jump composes
+    * the mapping with itself), so rounds are logarithmic in component
+    * diameter: the fixtures (max observed diameter 13 at sf0.1) converge
+    * in ≤ ~5 rounds; the `graft.dedup.ccMaxRounds` cap (default 20 ⇒
+    * reach ≥ 2^20 hops) fails loudly rather than return an unconverged
+    * labeling, and the DuckDB oracle (TRUE transitive closure via
+    * recursive CTE) would catch one anyway.
+    *
+    * Iterative form, deliberately: each round references the previous
+    * labels twice (neighbor join + jump self-join), so a pure declarative
+    * unrolling duplicates the base plan 2^R times — measured as an
+    * analyzer/optimizer heap blowup, not just slow planning. This is the
+    * one operator family where Spark's canonical shape IS iterate-with-
+    * materialization (GraphFrames/GraphX connected components do exactly
+    * this): each round eagerly `localCheckpoint`s the ≤n_docs-row
+    * (node, label) table — executor-local, nothing moves to the driver
+    * except the per-round one-boolean convergence aggregate — and the next
+    * round plans against the materialized table, keeping every plan
+    * constant-size. At 100 TB the label table is n_docs × 16 B longs,
+    * partition-parallel; the expensive pair relation is materialized ONCE
+    * up front and reused by every round.
+    */
+  private def neardupClusters(s: SparkSession, d: String): DataFrame = {
+    val maxRounds = s.conf.get("graft.dedup.ccMaxRounds", "20").toInt
+    require(maxRounds >= 1, s"graft.dedup.ccMaxRounds must be >= 1, got $maxRounds")
+    val pairs = wordsetNeardup(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = Tables.documents(s, d)
+      .select(col("doc_id").as("node"), col("doc_id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nm"))
+      val stepped = labels
+        .join(nbrMin.select(col("src").as("node"), col("nm")), Seq("node"), "left_outer")
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nm"), col("label"))).as("lbl"))
+      // pointer jump: label ← label(label); every label IS a doc id, so the
+      // mapping join hits (left_outer only guards plan-shape edge cases)
+      val next = stepped
+        .join(stepped.select(col("node").as("jn"), col("lbl").as("l2")),
+          col("lbl") === col("jn"), "left_outer")
+        .select(col("node"), col("prev"), coalesce(col("l2"), col("lbl")).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("label"))
+      r += 1
+    }
+    require(converged,
+      s"neardup clustering did not converge in $maxRounds rounds " +
+        "(raise graft.dedup.ccMaxRounds)")
+    labels
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** Shared-substring overlap detection via WINNOWING (Schleimer/Wilkerson/
     * Aiken local fingerprinting — the MOSS scheme): flag doc pairs sharing
     * at least one exact common substring of length ≥ L = w + t − 1 bytes
@@ -610,6 +684,29 @@ object Dedup {
              |  CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_grams
              |FROM c JOIN b ON c.gram = b.gram
              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // q87: near-dup clusters (see neardupClusters doc); the oracle closes
+    // the same brute-force pair relation transitively with a recursive CTE
+    // — label-propagation convergence is therefore gate-verified, not
+    // assumed.
+    Entry(
+      "q87_neardup_clusters",
+      neardupClusters,
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM p
+             |      UNION ALL SELECT b_id, a_id FROM p),
+             |r(node, reach) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach),
+             |lab AS (SELECT node, min(reach) AS cluster_id FROM r GROUP BY node)
+             |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+             |FROM lab GROUP BY cluster_id ORDER BY cluster_id""".stripMargin)),
 
     // q86: winnowing shared-substring overlap (see winnowOverlap doc);
     // brute oracle unnests every 23-byte window of every doc and joins
