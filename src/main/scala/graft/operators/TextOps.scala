@@ -512,6 +512,78 @@ object TextOps {
            |ORDER BY round""".stripMargin
       }),
 
+    // q88: REPETITION-BASED QUALITY FILTERING — the Gopher-style (Rae et
+    // al., "Scaling Language Models", §A1.1) repetition rules adapted to
+    // this corpus's single-line docs: fraction of words in the most
+    // frequent word, duplicate-word fraction, and most-frequent-bigram
+    // fraction, plus the low_quality flag (top_word > 0.12 OR dup > 0.65
+    // OR top_bigram > 0.06 — thresholds sit at the fixture's p80-p95 so
+    // the flag splits it non-trivially). Scale shape: per-doc metrics need
+    // NO shuffle at all — one scan, higher-order array functions per row
+    // (max run length over the sorted token array instead of an
+    // explode+groupBy that would shuffle every word occurrence). The flag
+    // compares INTEGERS (max_w·25 > n_words·3 etc.), so the boolean is
+    // exact across engines regardless of float rounding.
+    Entry(
+      "q88_repetition_quality",
+      (s, d) => {
+        def maxRun(arr: String): String =
+          s"""aggregate(array_sort($arr),
+             |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+             |  (acc, x) -> named_struct(
+             |    'prev', x,
+             |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
+             |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
+             |  acc -> acc.best)""".stripMargin
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"))
+          .select(
+            col("doc_id"),
+            size(col("t")).cast("long").as("n_words"),
+            size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+            expr(maxRun("t")).as("max_w"),
+            expr("zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+              "(a, b) -> concat(a, ' ', b))").as("bg"))
+          .select(
+            col("doc_id"),
+            col("n_words"),
+            col("n_distinct"),
+            col("max_w"),
+            greatest(size(col("bg")).cast("long"), lit(1L)).as("n_bg"),
+            expr(maxRun("bg")).as("max_bg"))
+          .select(
+            col("doc_id"),
+            col("n_words"),
+            round(col("max_w") / col("n_words"), 4).as("top_word_frac"),
+            round((col("n_words") - col("n_distinct")) / col("n_words"), 4)
+              .as("dup_word_frac"),
+            round(col("max_bg") / col("n_bg"), 4).as("top_bigram_frac"),
+            (col("max_w") * 25 > col("n_words") * 3 ||
+              (col("n_words") - col("n_distinct")) * 20 > col("n_words") * 13 ||
+              col("max_bg") * 50 > col("n_bg") * 3).as("low_quality"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |wc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+             |ws AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS max_w,
+             |    count(*) AS n_distinct FROM wc GROUP BY doc_id),
+             |bc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |      i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t) GROUP BY doc_id, bg),
+             |bs AS (SELECT doc_id, max(cnt) AS max_bg, sum(cnt) AS n_bg FROM bc GROUP BY doc_id)
+             |SELECT t.doc_id, CAST(ws.n_words AS BIGINT) AS n_words,
+             |  round(ws.max_w * 1.0 / ws.n_words, 4) AS top_word_frac,
+             |  round((ws.n_words - ws.n_distinct) * 1.0 / ws.n_words, 4) AS dup_word_frac,
+             |  round(coalesce(bs.max_bg, 0) * 1.0 / greatest(coalesce(bs.n_bg, 0), 1), 4)
+             |    AS top_bigram_frac,
+             |  (ws.max_w * 25 > ws.n_words * 3
+             |   OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
+             |   OR coalesce(bs.max_bg, 0) * 50 > greatest(coalesce(bs.n_bg, 0), 1) * 3)
+             |    AS low_quality
+             |FROM t JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // q85: content fingerprinting via the winnowing kernels — whole-string
     // polynomial rolling hash (`fingerprint64`, position-sensitive: the
     // exact-dup/citation detector) and the minimum 32-byte-window
