@@ -88,12 +88,55 @@ class DedupSimilaritySuite extends SparkTestBase {
     // nested-loop join — the all-pairs scale-killers the pruned forms
     // replace. (The brute-force shapes live only in tests and oracles.)
     Seq("q36_minhash_lsh", "q37_wordset_jaccard", "q39_embedding_neardup",
-        "q55_ngram_jaccard").foreach { name =>
+        "q55_ngram_jaccard", "q86_winnow_overlap").foreach { name =>
       val plan = Registry.byName(name).q(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
       assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name plans a BNLJ:\n$plan")
     }
+  }
+
+  test("q41 candidate dedup shuffles bare id pairs, never the vectors") {
+    // the distinct that dedups band-join candidates must key and carry only
+    // (q_id, n_id): the r10 form deduped rows still holding both full d-dim
+    // vectors, and the ~1 KB-per-row exchange was q41's bimodality suspect.
+    // Vectors may re-attach only AFTER the distinct.
+    import graft.operators.Similarity
+    val plan = Similarity.annCandidates(spark, sf).queryExecution
+      .optimizedPlan.toString
+    val aggLines = plan.linesIterator.filter(_.contains("Aggregate")).toSeq
+    assert(aggLines.nonEmpty, s"no aggregate (distinct) in plan:\n$plan")
+    aggLines.foreach { l =>
+      assert(!l.contains("_v#") && !l.contains("q_v") && !l.contains("n_v"),
+        s"candidate distinct carries a vector column:\n$l")
+    }
+  }
+
+  test("q87 clusters agree with brute-force union-find over brute pairs") {
+    import org.apache.spark.sql.functions._
+    // independent reference: exact pairwise Jaccard (cross join, test-only)
+    // closed into components by a driver-side union-find
+    val sets = Tables.documents(spark, sf)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+    val pairs = sets.select(col("doc_id").as("a_id"), col("toks").as("a_toks"))
+      .crossJoin(sets.select(col("doc_id").as("b_id"), col("toks").as("b_toks")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("inter", size(array_intersect(col("a_toks"), col("b_toks"))).cast("double"))
+      .filter(col("inter") / (size(col("a_toks")) + size(col("b_toks")) - col("inter")) >= 0.95)
+      .select(col("a_id"), col("b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = docs.groupBy(find).map { case (root, m) => (root, m.length.toLong) }.toSet
+    val got = Registry.byName("q87_neardup_clusters").q(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"cluster mismatch: extra=${got.diff(want)} missing=${want.diff(got)}")
   }
 
   test("q37/q55/q39 pruned outputs equal their brute-force forms") {
