@@ -512,6 +512,46 @@ object TextOps {
            |ORDER BY round""".stripMargin
       }),
 
+    // q89: PER-GROUP QUOTA CAPPING — the corpus-mixing primitive that caps
+    // each stratum (lang here; domain/source in production) at K docs,
+    // keeping the K best by a quality proxy (n_chars desc, doc_id asc for
+    // determinism). A single `row_number` window would put each whole
+    // stratum in ONE task — the classic hot-domain skew at 100 TB (one
+    // domain can be 10% of the corpus) — so this is the SALTED TWO-PHASE
+    // top-K (the q64/q80 pattern): phase 1 takes the per-(lang, salt)
+    // top-K over S hash slices in parallel; phase 2 re-ranks only the
+    // ≤ S·K survivors per lang. Exact by dominance: a doc outside its
+    // slice's top-K is beaten by ≥K same-lang docs, so it cannot be in the
+    // global top-K. Output equals the single-window oracle.
+    Entry(
+      "q89_quota_cap",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val k = 50
+        val slices = 8
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+        val w1 = Window.partitionBy(col("lang"), col("salt"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        val survivors = docs
+          .withColumn("salt", pmod(xxhash64(col("doc_id")), lit(slices.toLong)).cast("int"))
+          .withColumn("r1", row_number().over(w1))
+          .filter(col("r1") <= k)
+        val w2 = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+        survivors
+          .withColumn("rank", row_number().over(w2).cast("long"))
+          .filter(col("rank") <= k)
+          .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some("""WITH r AS (SELECT lang, doc_id, n_chars,
+             |  CAST(row_number() OVER (PARTITION BY lang
+             |    ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rank
+             |  FROM documents)
+             |SELECT lang, rank, doc_id, n_chars FROM r
+             |WHERE rank <= 50 ORDER BY lang, rank""".stripMargin)),
+
     // q88: REPETITION-BASED QUALITY FILTERING — the Gopher-style (Rae et
     // al., "Scaling Language Models", §A1.1) repetition rules adapted to
     // this corpus's single-line docs: fraction of words in the most
