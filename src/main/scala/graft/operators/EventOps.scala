@@ -66,6 +66,40 @@ object EventOps {
   }
 
   val entries: Seq[Entry] = Seq(
+    // q90: KEEP-LATEST-PER-KEY — the batch CDC-compaction primitive (last
+    // state per (user, event_type)). Deliberately an AGGREGATE, not a
+    // window: `max(struct(ts, event_id, value))` is partially aggregatable,
+    // so hot keys collapse map-side BEFORE the exchange and no salting is
+    // needed — the row_number window form ships every event of a hot key
+    // into one task. Struct max is lexicographic, so the (ts, event_id)
+    // prefix makes the pick deterministic under ts ties (event_id is
+    // unique); `value` rides along and never decides. The oracle takes the
+    // same row via a DESC row_number window. Timestamps compare and emit at
+    // MICROsecond precision on both sides: DuckDB reads the INT64
+    // TIMESTAMP(NANOS) parquet at µs, so a nano-precision order could pick
+    // a different same-µs row than the oracle — (µs, event_id) is the
+    // shared deterministic order.
+    Entry(
+      "q90_latest_event",
+      (s, d) =>
+        Tables.events(s, d)
+          .withColumn("ts_us", expr("ts div 1000"))
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"))
+          .select(
+            col("user_id"),
+            col("event_type"),
+            col("m.ts_us").as("last_ts_us"),
+            col("m.event_id").as("last_event_id"),
+            col("m.value").as("last_value"))
+          .orderBy(col("user_id"), col("event_type")),
+      Some("""SELECT user_id, event_type,
+             |  CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+             |  event_id AS last_event_id, value AS last_value
+             |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+             |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+             |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin)),
+
     // q25: tumbling hourly windows. Batch `window()` semantics expressed as
     // integer bucket math; one shuffle on (hour, type) with partial aggs.
     Entry(
