@@ -17,7 +17,7 @@ object PinDigests {
     spark.sparkContext.setLogLevel("WARN")
     args.foreach { sfDir =>
       val disc = Tables.documents(spark, sfDir).agg(sum("n_chars")).collect()(0).get(0)
-      Seq("q38_simhash", "q85_winnow_fingerprint").foreach { name =>
+      Seq("q38_simhash", "q85_winnow_fingerprint", "q91_simhash_hamming").foreach { name =>
         val row = SparkEntry.queries(name)(spark, sfDir).collect()(0)
         println(s"[pin] $sfDir disc=$disc $name -> $row")
       }

@@ -421,6 +421,45 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash near-dup pairs by Hamming radius — the Manku/Jain/Das Sarma
+    * (WWW'07) web-dedup design: doc pairs whose 64-bit SimHash signatures
+    * differ in ≤ 3 bits. Banding is EXACT here, not probabilistic: the
+    * signature splits into 4 disjoint 16-bit bands, and a pair within
+    * Hamming radius 3 has its ≤3 differing bits in ≤3 bands, so BY
+    * PIGEONHOLE at least one band matches exactly — candidates from the
+    * band equi-join (the same salted [[bandCandidates]] machinery; band
+    * key = band index ⊕ slice bits packed in one long) lose nothing, and
+    * the `bit_count(xor)` confirm is two longs of integer ops per pair.
+    * Every stage ships 16-byte rows; the signature table attaches to
+    * candidates at 8 bytes a side.
+    *
+    * The signatures are engine-defined (FNV-1a+splitmix kernel), so the
+    * registered form emits machine-checkable invariants instead of raw
+    * pairs: the pair count (golden per fixture, q38's discriminator
+    * pattern), radius compliance, and symmetry of the banding guarantee —
+    * DedupSimilaritySuite additionally proves banded == brute-force N²
+    * equality on the fixture.
+    */
+  private[graft] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val radius = 3
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(expr(
+        // band key = band index in the high bits ⊕ the 16-bit slice: four
+        // disjoint keys per doc, pure integer ops on the one signature
+        """transform(sequence(0, 3),
+          |  b -> bigint(b) * 281474976710656 + (shiftrightunsigned(sig, b * 16) & 65535))"""
+          .stripMargin)).as("band"))
+    val cand = bandCandidates(banded)
+    attachFeatures(cand, sigs, "sig")
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= radius)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Near-dup CLUSTER extraction — the dedup pipeline's actual deliverable:
     * connected components over the confirmed word-set near-dup pairs (q37's
     * relation), emitted as the dedup manifest (cluster rep = min doc_id,
@@ -684,6 +723,51 @@ object Dedup {
              |  CAST(count(DISTINCT c.gram) AS BIGINT) AS n_shared_grams
              |FROM c JOIN b ON c.gram = b.gram
              |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)),
+
+    // q91: SimHash Hamming-radius near-dup pairs (see simhashPairs doc).
+    // Signatures are engine-defined, so the registered form emits
+    // invariants: the pair count (golden per fixture via q38's sum(n_chars)
+    // discriminator) and an in-query equality check of the banded plan
+    // against a brute-force N² slice (doc_id < 100 both sides, bounded
+    // broadcast) — count AND pair-set digest must match, proving the
+    // pigeonhole banding loses nothing. The suite proves full-corpus
+    // banded == brute equality at sf0.001.
+    Entry(
+      "q91_simhash_hamming",
+      (s, d) => {
+        val pairs = simhashPairs(s, d)
+        val sigs = Tables.documents(s, d)
+          .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+        val s100 = sigs.filter(col("doc_id") < 100)
+        val brute = s100.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+          .crossJoin(broadcast(
+            s100.select(col("doc_id").as("b_id"), col("sig").as("b_sig"))))
+          .filter(col("a_id") < col("b_id") &&
+            bit_count(col("a_sig").bitwiseXOR(col("b_sig"))) <= 3)
+          .select(col("a_id"), col("b_id"))
+        def digest(df: DataFrame): DataFrame = df.agg(
+          count(lit(1)).as("n"),
+          coalesce(sum(xxhash64(col("a_id") * 1000000L + col("b_id"))), lit(0L))
+            .as("dg"))
+        val all = pairs.agg(count(lit(1)).as("n_pairs"))
+        val banded100 = digest(pairs.filter(col("a_id") < 100 && col("b_id") < 100))
+        val brute100 = digest(brute)
+        // three 1-row aggregates — broadcast-combine (the q41 shape)
+        all
+          .crossJoin(broadcast(banded100.select(col("n").as("bn"), col("dg").as("bdg"))))
+          .crossJoin(broadcast(brute100.select(col("n").as("rn"), col("dg").as("rdg"))))
+          .select(
+            col("n_pairs"),
+            (col("bn") === col("rn") && col("bdg") === col("rdg")).as("slice_check_ok"))
+      },
+      Some("""WITH disc AS (SELECT sum(n_chars) AS cs FROM documents)
+             |SELECT CAST(CASE (SELECT cs FROM disc)
+             |   WHEN 153156 THEN 33
+             |   WHEN 149174 THEN 23
+             |   WHEN 1485576 THEN 1393
+             |   ELSE -1 END AS BIGINT) AS n_pairs,
+             | TRUE AS slice_check_ok
+             |FROM (SELECT 1)""".stripMargin)),
 
     // q87: near-dup clusters (see neardupClusters doc); the oracle closes
     // the same brute-force pair relation transitively with a recursive CTE

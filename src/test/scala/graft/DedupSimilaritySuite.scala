@@ -112,6 +112,24 @@ class DedupSimilaritySuite extends SparkTestBase {
     }
   }
 
+  test("q91 pigeonhole banding equals brute-force Hamming pairs on the full fixture") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val sigs = Tables.documents(spark, sf)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("sig"))
+    val brute = sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"))
+      .crossJoin(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig")))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= 3)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .collect().map(_.toSeq).toSet
+    val banded = Dedup.simhashPairs(spark, sf).collect().map(_.toSeq).toSet
+    assert(banded == brute,
+      s"extra=${banded.diff(brute).take(5)} missing=${brute.diff(banded).take(5)}")
+    assert(brute.nonEmpty, "fixture yields no Hamming-3 pairs — test is vacuous")
+  }
+
   test("q87 clusters agree with brute-force union-find over brute pairs") {
     import org.apache.spark.sql.functions._
     // independent reference: exact pairwise Jaccard (cross join, test-only)

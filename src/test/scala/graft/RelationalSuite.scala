@@ -96,7 +96,8 @@ class RelationalSuite extends SparkTestBase {
       "q40_cosine_topk" -> 1, // 8-query probe side (vec_id < nQueries)
       "q41_ann_lsh" -> 2,     // banded 8-query probe + exact-baseline probe
       "q56_ann_ivf" -> 5,     // k-centroid tables + 8-query probes + exact baseline
-      "q76_decontamination" -> 2 // ≤50-doc eval set: banded side + token-set side
+      "q76_decontamination" -> 2, // ≤50-doc eval set: banded side + token-set side
+      "q91_simhash_hamming" -> 1  // 100-doc brute slice of the self-check
     )
     val names = (graft.operators.Relational.entries ++
       graft.operators.RelationalExt.entries ++
