@@ -294,6 +294,38 @@ object Similarity {
       (s, d) => recallCheck(ivfTopK(s, d), bruteTopK(s, d), 0.8),
       Some(recallOracle)),
 
+    // q92: INT8 SYMMETRIC QUANTIZATION of the embedding column — the ANN
+    // storage/serving primitive (8× smaller vectors; IVF/PQ pipelines
+    // quantize exactly like this before indexing). Per vector: scale =
+    // max|x|/127, q_i = floor(x_i·127 / max|x|) — floor, not round,
+    // because floor(double) is bit-identical across engines while
+    // round()'s half-tie semantics are not. Output is INTEGER-ONLY per
+    // label (vector count, sum of quantized components, clip count), so
+    // the oracle match is exact with no float-boundary risk. One scan,
+    // per-row HOFs, no shuffle beyond the final small groupBy.
+    Entry(
+      "q92_embedding_quantize",
+      (s, d) =>
+        vecs(s, d)
+          .withColumn("ma", expr("array_max(transform(v, x -> abs(x)))"))
+          .withColumn("q",
+            expr("transform(v, x -> CASE WHEN ma = 0D THEN 0L ELSE floor(x * 127 / ma) END)"))
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(
+            count(lit(1)).as("n_vecs"),
+            sum(expr("aggregate(q, 0L, (acc, x) -> acc + x)")).as("q_sum"),
+            sum(expr("size(filter(q, y -> abs(y) >= 127))").cast("long")).as("n_clip"))
+          .orderBy(col("label")),
+      Some("""WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS ma FROM e),
+             |z AS (SELECT label,
+             |    list_transform(v, x -> CASE WHEN ma = 0 THEN 0 ELSE floor(x * 127 / ma) END) AS q
+             |  FROM m)
+             |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+             |  CAST(sum(list_sum(q)) AS BIGINT) AS q_sum,
+             |  CAST(sum(len(list_filter(q, y -> abs(y) >= 127))) AS BIGINT) AS n_clip
+             |FROM z GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // q42: vector-norm statistics per label — `aggregate` HOF dot product,
     // strictly sequential accumulation to stay bit-identical with the oracle.
     Entry(
