@@ -671,6 +671,111 @@ object TextOps {
              |   WHEN 149174 THEN 1854787551796979470
              |   WHEN 1485576 THEN 3718796181079258634
              |   ELSE 0 END AS BIGINT) AS wfp_xor
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // q93: COUNT-MIN SKETCH over corpus bigrams (Cormode/Muthukrishnan) —
+    // the streaming-frequency primitive. d=4 hash rows × w=64 counters;
+    // counter(i,b) = Σ cnt over bigrams with xxhash64(bg,i) mod w = b;
+    // est(bg) = min_i counter(i, h_i(bg)). Built from the PARTIAL-AGGED
+    // exact count table (sum is associative, so sketching the aggregate
+    // equals sketching the stream) — one bigram-key shuffle, then a 4×64-row
+    // sketch; at 100 TB the sketch build is a map-side-combined agg over
+    // 8-byte (row,bucket) keys and the whole output is 256 counters.
+    // Driver-checkable outputs: exact n_bigrams/n_occurrences plus the CMS
+    // guarantees — est ≥ true ALWAYS (deterministic), and the measured
+    // overestimates against their expectation bounds (E[row overest] =
+    // (N−cnt)/w < N/w; min over 4 independent rows — avg ≤ N/w and
+    // max ≤ 4N/w hold with wide margin on the fixtures, and are
+    // deterministic per fixture since xxhash64 is seeded).
+    Entry(
+      "q93_countmin_sketch",
+      (s, d) => {
+        val w = 64L
+        val dRows = 4
+        val truth = Tables.documents(s, d)
+          .select(split(col("text"), " ").as("t"))
+          .select(explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
+            "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")).as("bg"))
+          .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        val buckets = truth.select(col("bg"), col("cnt"),
+          posexplode(array((0 until dRows).map(i =>
+            pmod(xxhash64(col("bg"), lit(i)), lit(w))): _*)).as(Seq("row", "bucket")))
+        val sketch = buckets.groupBy(col("row"), col("bucket"))
+          .agg(sum(col("cnt")).as("counter"))
+        val est = buckets
+          .join(broadcast(sketch), Seq("row", "bucket"))
+          .groupBy(col("bg"), col("cnt")).agg(min(col("counter")).as("est"))
+        val total = truth.agg(sum(col("cnt")).as("n_total"))
+        est.crossJoin(broadcast(total))
+          .agg(
+            count(lit(1)).as("n_bigrams"),
+            sum(col("cnt")).cast("long").as("n_occurrences"),
+            (min(col("est") - col("cnt")) >= 0L).as("no_underestimate"),
+            (sum(col("est") - col("cnt")) * w <= count(lit(1)) * max(col("n_total")))
+              .as("avg_overest_ok"),
+            (max(col("est") - col("cnt")) * w <= lit(4L) * max(col("n_total")))
+              .as("max_overest_ok"))
+      },
+      Some("""WITH t AS (SELECT string_split(text,' ') AS toks FROM documents),
+             |bg AS (SELECT unnest(list_transform(range(2, len(toks)+1),
+             |    i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t),
+             |c AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY 1)
+             |SELECT count(*) AS n_bigrams, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+             |  TRUE AS no_underestimate, TRUE AS avg_overest_ok, TRUE AS max_overest_ok
+             |FROM c""".stripMargin)),
+
+    // q95: BIGRAM-LM COVERAGE quality scoring — the perplexity-proxy filter
+    // a training pipeline runs when a real LM is too expensive: score each
+    // document by the fraction of its bigram OCCURRENCES whose corpus
+    // frequency clears 0.1% (cnt·1000 ≥ N — scale-free, so the threshold
+    // transfers across SFs), flag docs covered below 75%. All-integer
+    // arithmetic end-to-end (counts and cross-multiplied ratio compares),
+    // so the oracle match is exact. Plan: one bigram-key shuffle for the
+    // corpus model, one join of doc-bigrams against it (domain-bounded
+    // model table — AQE broadcasts it at fixture scale; at a real vocab it
+    // shuffle-joins on the same key the model agg just produced), corpus
+    // size as a 1-row broadcast agg, then per-doc and per-lang partial
+    // aggs. Docs with <2 tokens have no bigrams and are out of scope in
+    // both engines (explode and unnest agree on empty).
+    Entry(
+      "q95_bigram_coverage",
+      (s, d) => {
+        val docBg = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+          .select(col("doc_id"), col("lang"),
+            explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
+              "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")).as("bg"))
+        val corpus = docBg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        val total = corpus.agg(sum(col("cnt")).as("n_total"))
+        docBg.join(corpus, Seq("bg"))
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(
+            count(lit(1)).as("n_bg"),
+            sum(when(col("cnt") * 1000 >= col("n_total"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_bg")).cast("long").as("n_bigrams"),
+            sum(col("n_covered")).cast("long").as("n_covered"),
+            sum(when(col("n_covered") * 4 >= col("n_bg") * 3, 1L).otherwise(0L))
+              .as("n_well_covered"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+             |d AS (SELECT doc_id, lang, unnest(list_transform(range(2, len(toks)+1),
+             |    i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t),
+             |c AS (SELECT bg, count(*) AS cnt FROM d GROUP BY 1),
+             |tot AS (SELECT sum(cnt) AS n FROM c),
+             |pd AS (SELECT doc_id, lang, count(*) AS n_bg,
+             |    sum(CASE WHEN c.cnt * 1000 >= (SELECT n FROM tot) THEN 1 ELSE 0 END) AS n_cov
+             |  FROM d JOIN c USING (bg) GROUP BY 1, 2)
+             |SELECT lang, count(*) AS n_docs,
+             |  CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+             |  CAST(sum(n_cov) AS BIGINT) AS n_covered,
+             |  CAST(sum(CASE WHEN n_cov * 4 >= n_bg * 3 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_well_covered
+             |FROM pd GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -112,6 +112,32 @@ class DedupSimilaritySuite extends SparkTestBase {
     }
   }
 
+  test("q94 PQ encodes every vector with exactly one code per subspace") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val codebook = Similarity.pqCodebook(spark, sf)
+    // codebook bounded by construction: ≤ m×ks rows, every codeword 8-dim
+    val cb = codebook.collect()
+    assert(cb.length <= 8 * 32, s"codebook not bounded: ${cb.length} rows")
+    assert(cb.forall(_.getSeq[Double](2).length == 8), "codeword dim != subdim")
+    // recall vs brute at the suite fixture — the in-query bound is 0.75;
+    // pin the measured 0.925 here with slack so a codebook regression
+    // (not just a catastrophe) fails the suite
+    val pq = Similarity.pqTopK(spark, sf).select(col("q_id"), col("n_id"))
+    val ex = Similarity.bruteTopK(spark, sf).select(col("q_id"), col("n_id"))
+    val hit = ex.intersect(pq).count().toDouble
+    assert(hit / ex.count() >= 0.85, s"PQ recall regressed: ${hit / ex.count()}")
+  }
+
+  test("q94 PQ side plans no cartesian product or BNLJ") {
+    // pqTopK only — the registered query wraps it in recallCheck, whose
+    // EXACT side is q40's deliberate bounded-probe cross join (8-row build)
+    val plan = graft.operators.Similarity.pqTopK(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"q94 plans a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"q94 plans a BNLJ:\n$plan")
+  }
+
   test("q91 pigeonhole banding equals brute-force Hamming pairs on the full fixture") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup

@@ -97,7 +97,9 @@ class RelationalSuite extends SparkTestBase {
       "q41_ann_lsh" -> 2,     // banded 8-query probe + exact-baseline probe
       "q56_ann_ivf" -> 5,     // k-centroid tables + 8-query probes + exact baseline
       "q76_decontamination" -> 2, // ≤50-doc eval set: banded side + token-set side
-      "q91_simhash_hamming" -> 1  // 100-doc brute slice of the self-check
+      "q91_simhash_hamming" -> 1, // 100-doc brute slice of the self-check
+      "q93_countmin_sketch" -> 1, // the sketch itself: ≤ d×w = 256 counters by construction
+      "q94_ann_pq" -> 6           // codebook (m·ks rows) ×4 + ADC table (Q·m·ks) + exact-baseline probe
     )
     val names = (graft.operators.Relational.entries ++
       graft.operators.RelationalExt.entries ++
