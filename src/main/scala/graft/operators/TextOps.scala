@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.mr.{MRRunner, WordCount}
 import graft.queries.Entry
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
 
@@ -776,6 +777,67 @@ object TextOps {
              |  CAST(sum(n_cov) AS BIGINT) AS n_covered,
              |  CAST(sum(CASE WHEN n_cov * 4 >= n_bg * 3 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_well_covered
-             |FROM pd GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM pd GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q96: SEQUENCE PACKING — the pretraining batch-assembly primitive:
+    // concatenate the corpus in doc_id order and cut into fixed
+    // L=2048-token context windows; report, per window ("bin"), how many
+    // docs touch it, how many start in it, and its token fill (= L
+    // everywhere but the tail — the oracle equality proves the packing).
+    // The running token offset is a DISTRIBUTED TWO-PHASE PREFIX SCAN, not
+    // a global-order window (Spark plans an empty-partitionBy window into
+    // ONE partition — the classic scale-killer): per-block partial sums
+    // (blk = doc_id div 256) make a tiny table that a single-partition
+    // window CAN cumsum (N/256 rows — at 10^9 docs, ~4M block rows vs 10^9
+    // doc rows; size the block divisor ~√N to balance the two stages),
+    // then each block's offset joins back and an intra-block window
+    // (partitionBy blk — parallel) finishes the scan. Docs straddling a
+    // cut contribute to every bin they overlap via a bounded sequence
+    // explode (≤ n/L + 2 bins per doc). All integer arithmetic.
+    Entry(
+      "q96_sequence_packing",
+      (s, d) => {
+        val L = 2048L
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+          .filter(col("n") > 0)
+          .withColumn("blk", expr("doc_id div 256"))
+        val wB = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prefixes = docs.groupBy(col("blk")).agg(sum(col("n")).as("bn"))
+          .withColumn("prefix", coalesce(sum(col("bn")).over(wB), lit(0L)))
+          .select(col("blk"), col("prefix"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val offs = docs.join(prefixes, Seq("blk"))
+          .withColumn("cum", col("prefix") + sum(col("n")).over(wIn))
+          .select(col("doc_id"), col("n"),
+            (col("cum") - col("n")).as("off0"), col("cum").as("off1"))
+        offs
+          .select(col("off0"), col("off1"),
+            explode(sequence(expr(s"off0 div $L"), expr(s"(off1 - 1) div $L"))).as("bin"))
+          .groupBy(col("bin"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(expr(s"off0 div $L") === col("bin"), 1L).otherwise(0L))
+              .as("n_started"),
+            sum(least(col("off1"), (col("bin") + 1) * L) -
+              greatest(col("off0"), col("bin") * L)).as("n_tokens"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH d AS (SELECT doc_id, len(string_split(text,' ')) AS n FROM documents
+             |    WHERE len(string_split(text,' ')) > 0),
+             |c AS (SELECT doc_id, n,
+             |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+             |o AS (SELECT doc_id, n, CAST(cum - n AS BIGINT) AS off0,
+             |    CAST(cum AS BIGINT) AS off1 FROM c),
+             |pb AS (SELECT off0, off1,
+             |    unnest(range(off0 // 2048, (off1 - 1) // 2048 + 1)) AS bin FROM o)
+             |SELECT bin, count(*) AS n_docs,
+             |  CAST(sum(CASE WHEN off0 // 2048 = bin THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_started,
+             |  CAST(sum(least(off1, (bin + 1) * 2048) - greatest(off0, bin * 2048))
+             |    AS BIGINT) AS n_tokens
+             |FROM pb GROUP BY bin ORDER BY bin""".stripMargin))
   )
 }

@@ -59,4 +59,34 @@ class TextOpsSuite extends SparkTestBase {
       assert(sec < 240.0, f"N=16 checkpointed training took $sec%.1f s")
     } finally spark.conf.unset("graft.bpe.perRoundCheckpoint")
   }
+
+  test("q96 two-phase prefix scan equals the naive single-window packing") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // independent reference: the straightforward global-order running sum
+    // (empty partitionBy — the single-partition form q96 exists to avoid)
+    val L = 2048L
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = docs.withColumn("cum", sum(col("n")).over(w))
+      .select((col("cum") - col("n")).as("off0"), col("cum").as("off1"))
+      .select(col("off0"), col("off1"),
+        explode(sequence(expr(s"off0 div $L"), expr(s"(off1 - 1) div $L"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"off0 div $L") === col("bin"), 1L).otherwise(0L)).as("n_started"),
+        sum(least(col("off1"), (col("bin") + 1) * L) -
+          greatest(col("off0"), col("bin") * L)).as("n_tokens"))
+      .orderBy(col("bin"))
+      .collect().map(_.toSeq).toSeq
+    val twoPhase = Registry.byName("q96_sequence_packing").q(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(twoPhase == offs, "two-phase scan diverged from the single-window form")
+    // every bin but the last is filled to exactly L
+    val fills = twoPhase.map(_(3).asInstanceOf[Long])
+    assert(fills.dropRight(1).forall(_ == L), s"non-tail bin underfilled: $fills")
+  }
 }
