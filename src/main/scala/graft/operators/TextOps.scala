@@ -838,6 +838,40 @@ object TextOps {
              |    AS n_started,
              |  CAST(sum(least(off1, (bin + 1) * 2048) - greatest(off0, bin * 2048))
              |    AS BIGINT) AS n_tokens
-             |FROM pb GROUP BY bin ORDER BY bin""".stripMargin))
+             |FROM pb GROUP BY bin ORDER BY bin""".stripMargin)),
+
+    // q97: TEMPERATURE-WEIGHTED MIXTURE TARGETS (α = 0.5) — the
+    // language-rebalancing step of corpus assembly: sampling weight
+    // ∝ n_lang^α upweights rare languages (α=1 keeps natural proportions,
+    // α=0 is uniform). Emits the per-language quota for a T=1000-doc
+    // mixture; pair with q89's salted two-phase top-K to realize the
+    // selection exactly. Float determinism: sqrt/÷/× are IEEE
+    // correctly-rounded in both engines, and Σ√n folds SEQUENTIALLY over
+    // the lang-sorted list (array_sort + aggregate HOF here, list(ORDER
+    // BY) + list_reduce in the oracle — the q42 pattern), so the doubles
+    // are bit-identical and the floored quotas exact. Language cardinality
+    // is bounded (~hundreds at worst), so the collect_list row and the
+    // broadcast are O(langs) regardless of corpus size.
+    Entry(
+      "q97_temperature_mix",
+      (s, d) => {
+        val counts = Tables.documents(s, d)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        val tot = counts
+          .agg(array_sort(collect_list(struct(col("lang"), col("n_docs")))).as("a"))
+          .select(expr("aggregate(a, 0D, (acc, x) -> acc + sqrt(x.n_docs))").as("sw"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"),
+            floor(lit(1000.0) * sqrt(col("n_docs")) / col("sw")).cast("long")
+              .as("target"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+             |s AS (SELECT list_reduce(list_transform(list(n_docs ORDER BY lang),
+             |    x -> sqrt(x)), (a, b) -> a + b) AS sw FROM c)
+             |SELECT lang, n_docs,
+             |  CAST(floor(1000.0 * sqrt(n_docs) / (SELECT sw FROM s)) AS BIGINT)
+             |    AS target
+             |FROM c ORDER BY lang""".stripMargin))
   )
 }

@@ -322,6 +322,53 @@ object Sources {
       Some("""SELECT CAST(64 AS BIGINT) AS files_before,
              | CAST(4 AS BIGINT) AS files_after,
              | count(*) AS n_rows, round(sum(o_totalprice),2) AS total
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // q98: SNAPSHOT DIFF — incremental dataset versioning: classify every
+    // doc across two corpus snapshots as added/removed/changed/unchanged.
+    // The scale form compares 8-byte CONTENT DIGESTS (xxhash64), never the
+    // documents themselves: one full-outer hash join on the 8-byte doc_id,
+    // 16 bytes of payload per row, so the diff of a 100 TB corpus moves
+    // ~16·N bytes — the oracle compares raw text (no xxhash64 in DuckDB),
+    // which agrees exactly iff the digest compare does (no fixture
+    // collisions; a production run would accept the 2^-64/pair risk or
+    // widen to a 128-bit digest). v2 is fabricated from the fixture
+    // (dedupExact's pattern): every 20th doc dropped, every (10k+5)th
+    // rewritten, every 25th re-added under a fresh id.
+    Entry(
+      "q98_snapshot_diff",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val v1 = docs.select(col("doc_id"), xxhash64(col("text")).as("h1"))
+        val v2 = docs
+          .filter(col("doc_id") % 20 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 10 === 5,
+              xxhash64(concat(col("text"), lit(" v2"))))
+              .otherwise(xxhash64(col("text"))).as("h2"))
+          .unionByName(docs.filter(col("doc_id") % 25 === 3)
+            .select((col("doc_id") + 1000000000L).as("doc_id"),
+              xxhash64(col("text")).as("h2")))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .select(
+            when(col("h1").isNull, "added")
+              .when(col("h2").isNull, "removed")
+              .when(col("h1") === col("h2"), "unchanged")
+              .otherwise("changed").as("status"))
+          .groupBy(col("status")).agg(count(lit(1)).as("n"))
+          .orderBy(col("status"))
+      },
+      Some("""WITH v1 AS (SELECT doc_id, text AS t1 FROM documents),
+             |v2 AS (SELECT doc_id,
+             |    CASE WHEN doc_id % 10 = 5 THEN text || ' v2' ELSE text END AS t2
+             |  FROM documents WHERE doc_id % 20 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000000, text FROM documents WHERE doc_id % 25 = 3),
+             |j AS (SELECT CASE WHEN t1 IS NULL THEN 'added'
+             |    WHEN t2 IS NULL THEN 'removed'
+             |    WHEN t1 = t2 THEN 'unchanged' ELSE 'changed' END AS status
+             |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+             |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status"""
+        .stripMargin))
   )
 }
