@@ -872,6 +872,29 @@ object TextOps {
              |SELECT lang, n_docs,
              |  CAST(floor(1000.0 * sqrt(n_docs) / (SELECT sw FROM s)) AS BIGINT)
              |    AS target
-             |FROM c ORDER BY lang""".stripMargin))
+             |FROM c ORDER BY lang""".stripMargin)),
+
+    // q99: EQUI-WIDTH LENGTH HISTOGRAM — the profiling primitive behind
+    // length-based quality cuts: doc-length distribution in 64-char
+    // buckets (overflow clamped into the top bucket), per language AND
+    // marginal in ONE pass via grouping sets (both sets share a single
+    // expand+shuffle — the q44 mechanism). Integer bucket math end-to-end.
+    Entry(
+      "q99_length_histogram",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(col("lang"), least(expr("n_chars div 64"), lit(7L)).as("bucket"))
+          .groupingSets(
+            Seq(Seq(col("lang"), col("bucket")), Seq(col("bucket"))),
+            col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .select(coalesce(col("lang"), lit("ALL")).as("lang"), col("bucket"), col("n"))
+          .orderBy(col("lang"), col("bucket")),
+      Some("""SELECT coalesce(lang, 'ALL') AS lang,
+             |  least(n_chars // 64, 7) AS bucket, count(*) AS n
+             |FROM documents
+             |GROUP BY GROUPING SETS ((lang, least(n_chars // 64, 7)),
+             |  (least(n_chars // 64, 7)))
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -353,6 +353,42 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  /** Sliding-window counts as a stream: 2-hour windows advancing every hour,
+    * so each event lands in exactly two windows — materialized here by an
+    * explicit two-element explode over the window starts (exact integer nano
+    * math, same bucketing as q29's tumbling form; `window(col, "2 hours",
+    * "1 hour")` plans the same expand in production, this form keeps the
+    * bucket arithmetic oracle-identical). Complete mode over the bounded
+    * AvailableNow source ⇒ exact, oracle-comparable. State at 100 TB: the
+    * agg keys are (hour, type) — sliding doubles the rows into the partial
+    * agg, not the state cardinality family.
+    */
+  def slidingCountsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+    val agg = src
+      .withColumn(
+        "hour_epoch",
+        ((col("ts") - pmod(col("ts"), lit(3600L * 1000 * 1000 * 1000))) /
+          lit(1000000000L)).cast("long"))
+      .select(col("event_type"), col("value"),
+        explode(array(col("hour_epoch"), col("hour_epoch") - 3600L)).as("win_start"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+
+    spark.streams.active.filter(_.name == "graft_stream_sliding").foreach(_.stop())
+    val query = agg.writeStream
+      .format("memory")
+      .queryName("graft_stream_sliding")
+      .outputMode(OutputMode.Complete)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark
+      .table("graft_stream_sliding")
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q29_stream_hourly",
@@ -360,6 +396,17 @@ object EventStreams {
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
              | event_type, count(*) AS n, round(sum(value),2) AS sum_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    Entry(
+      "q100_stream_sliding",
+      slidingCountsStream,
+      Some("""WITH w AS (SELECT event_type, value,
+             |    unnest([CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+             |            CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600])
+             |      AS win_start
+             |  FROM events)
+             |SELECT win_start, event_type, count(*) AS n,
+             |  round(sum(value),2) AS sum_value
+             |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     Entry(
       "q63_stream_sessionize",
       sessionizeStream,
