@@ -291,7 +291,13 @@ object Similarity {
     */
   private[graft] def pqTopK(s: SparkSession, d: String): DataFrame = {
     val e = vecs(s, d).select(col("vec_id"), col("v"))
-    val codebook = pqCodebook(s, d)
+    // materialize the trained codebook (≤ m·ks = 256 rows) before fan-out:
+    // codes and qdots both consume it, and column pruning defeats exchange
+    // reuse across the two — without this the whole sample-training chain
+    // (sample scan + 2 Lloyd rounds) re-plans per consumer. In production
+    // the codebook is a persisted artifact; localCheckpoint is its
+    // in-query stand-in (the q87 idiom).
+    val codebook = pqCodebook(s, d).localCheckpoint()
     val codes = pqSlices(e, "vec_id")
       .join(broadcast(codebook), Seq("sub"))
       .withColumn("dist", l2sq("sv", "cw"))

@@ -706,7 +706,11 @@ object TextOps {
         val est = buckets
           .join(broadcast(sketch), Seq("row", "bucket"))
           .groupBy(col("bg"), col("cnt")).agg(min(col("counter")).as("est"))
-        val total = truth.agg(sum(col("cnt")).as("n_total"))
+        // N = Σ (len-1) over docs — linear, no third pass over the bigram agg
+        val total = Tables.documents(s, d)
+          .select(greatest(size(split(col("text"), " ")) - 1, lit(0))
+            .cast("long").as("nb"))
+          .agg(sum(col("nb")).as("n_total"))
         est.crossJoin(broadcast(total))
           .agg(
             count(lit(1)).as("n_bigrams"),
@@ -747,7 +751,14 @@ object TextOps {
             explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
               "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")).as("bg"))
         val corpus = docBg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
-        val total = corpus.agg(sum(col("cnt")).as("n_total"))
+        // n_total = Σ per-doc bigram counts = Σ (len-1): one LINEAR scan of
+        // doc lengths — never re-explodes the corpus or re-runs the bigram
+        // shuffle (column pruning makes the corpus-agg subtree non-reusable
+        // for this, so derive it from the cheaper identity instead)
+        val total = Tables.documents(s, d)
+          .select(greatest(size(split(col("text"), " ")) - 1, lit(0))
+            .cast("long").as("nb"))
+          .agg(sum(col("nb")).as("n_total"))
         docBg.join(corpus, Seq("bg"))
           .crossJoin(broadcast(total))
           .groupBy(col("doc_id"), col("lang"))
