@@ -3,7 +3,7 @@ package graft.sources
 import graft.Tables
 import graft.queries.Entry
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
 /** Source/sink surface beyond the default parquet scans: hive-style
   * partitioned parquet writes with partition-pruned read-back, and CSV/JSON
@@ -369,6 +369,84 @@ object Sources {
              |    WHEN t1 = t2 THEN 'unchanged' ELSE 'changed' END AS status
              |  FROM v1 FULL OUTER JOIN v2 USING (doc_id))
              |SELECT status, count(*) AS n FROM j GROUP BY status ORDER BY status"""
-        .stripMargin))
+        .stripMargin)),
+
+    // q101: Z-ORDER LAYOUT PRUNING — why multi-dimensional clustering
+    // (Delta/Iceberg OPTIMIZE ZORDER) beats single-column sort at 100 TB:
+    // quantize (l_orderkey, l_partkey) to 6 bits each against their maxima,
+    // Morton-interleave via the classic shift-and-mask bit spreading, and
+    // bucket rows into 256 simulated files per layout (morton code div 16
+    // vs orderkey-range). Per file, min/max column stats — exactly what
+    // parquet footers carry — decide whether a centered 10%×10% box
+    // predicate can skip the file. The morton layout prunes on BOTH
+    // dimensions; the linear layout only on the sort column: the reported
+    // pruned-file/pruned-row counts quantify the gap. All-integer bit
+    // math (bitwiseOR/shiftleft here, | and << in the oracle), exact.
+    Entry(
+      "q101_zorder_pruning",
+      (s, d) => {
+        def spread6(in: Column): Column = {
+          val s1 = in.bitwiseOR(shiftleft(in, 4)).bitwiseAND(lit(3855L))
+          val s2 = s1.bitwiseOR(shiftleft(s1, 2)).bitwiseAND(lit(13107L))
+          s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(21845L))
+        }
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("a"), col("l_partkey").as("b"))
+        val mx = li.agg(max(col("a")).as("ma"), max(col("b")).as("mb"))
+        val coded = li.crossJoin(broadcast(mx))
+          .withColumn("qa", expr("(a * 64) div (ma + 1)"))
+          .withColumn("qb", expr("(b * 64) div (mb + 1)"))
+          .withColumn("mcode",
+            spread6(col("qa")).bitwiseOR(shiftleft(spread6(col("qb")), 1)))
+          .withColumn("mf", expr("mcode div 16"))
+          .withColumn("lf", expr("(a * 256) div (ma + 1)"))
+        val stats = coded
+          .select(col("a"), col("b"), col("ma"), col("mb"),
+            expr("stack(2, 'morton', mf, 'linear', lf) AS (layout, f)"))
+          .groupBy(col("layout"), col("f"))
+          .agg(min(col("a")).as("mina"), max(col("a")).as("maxa"),
+            min(col("b")).as("minb"), max(col("b")).as("maxb"),
+            count(lit(1)).as("cnt"), max(col("ma")).as("ma"), max(col("mb")).as("mb"))
+        val pruned = expr("maxa < (ma + 1) * 45 div 100") ||
+          expr("mina > (ma + 1) * 55 div 100") ||
+          expr("maxb < (mb + 1) * 45 div 100") ||
+          expr("minb > (mb + 1) * 55 div 100")
+        stats.groupBy(col("layout"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(when(pruned, 1L).otherwise(0L)).as("n_pruned_files"),
+            sum(when(pruned, col("cnt")).otherwise(0L)).as("n_pruned_rows"),
+            sum(col("cnt")).cast("long").as("n_rows"))
+          .orderBy(col("layout"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS a, l_partkey AS b FROM lineitem),
+             |mx AS (SELECT max(a) AS ma, max(b) AS mb FROM li),
+             |c AS (SELECT a, b, ma, mb,
+             |    (a * 64) // (ma + 1) AS qa, (b * 64) // (mb + 1) AS qb,
+             |    (a * 256) // (ma + 1) AS lf FROM li, mx),
+             |s1 AS (SELECT *, (qa | (qa << 4)) & 3855 AS xa1,
+             |    (qb | (qb << 4)) & 3855 AS xb1 FROM c),
+             |s2 AS (SELECT *, (xa1 | (xa1 << 2)) & 13107 AS xa2,
+             |    (xb1 | (xb1 << 2)) & 13107 AS xb2 FROM s1),
+             |s3 AS (SELECT *, (xa2 | (xa2 << 1)) & 21845 AS xa3,
+             |    (xb2 | (xb2 << 1)) & 21845 AS xb3 FROM s2),
+             |m AS (SELECT a, b, ma, mb, lf,
+             |    (xa3 | (xb3 << 1)) // 16 AS mf FROM s3),
+             |u AS (SELECT 'morton' AS layout, mf AS f, a, b, ma, mb FROM m
+             |  UNION ALL SELECT 'linear', lf, a, b, ma, mb FROM m),
+             |st AS (SELECT layout, f, min(a) AS mina, max(a) AS maxa,
+             |    min(b) AS minb, max(b) AS maxb, count(*) AS cnt,
+             |    max(ma) AS ma, max(mb) AS mb FROM u GROUP BY 1, 2),
+             |pr AS (SELECT layout, cnt,
+             |    (maxa < (ma + 1) * 45 // 100 OR mina > (ma + 1) * 55 // 100
+             |     OR maxb < (mb + 1) * 45 // 100 OR minb > (mb + 1) * 55 // 100)
+             |      AS pruned FROM st)
+             |SELECT layout, count(*) AS n_files,
+             |  CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_pruned_files,
+             |  CAST(sum(CASE WHEN pruned THEN cnt ELSE 0 END) AS BIGINT)
+             |    AS n_pruned_rows,
+             |  CAST(sum(cnt) AS BIGINT) AS n_rows
+             |FROM pr GROUP BY layout ORDER BY layout""".stripMargin))
   )
 }

@@ -126,6 +126,44 @@ class RelationalSuite extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective shuffle join") {
+    // the 100 TB shuffle-reducer: a bloom filter built from the filtered dim
+    // side is pushed into the fact scan as `might_contain`, dropping
+    // non-joining rows BEFORE the exchange. Thresholds here force the
+    // fixture-scale plan into the shuffle-join regime the rule targets
+    // (creation side ≤100MB, no broadcast); result equality with the
+    // untouched plan is asserted alongside the injection.
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    def join() = {
+      val li = Tables.lineitem(spark, sf)
+      val ord = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("l_returnflag"))
+    }
+    val baseline = join().collect().map(_.toSeq).toSeq
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = join()
+      val rows = q.collect().map(_.toSeq).toSeq
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n$plan")
+      assert(rows == baseline, "bloom-filtered join changed the result")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("whole-stage codegen covers the q01 hot path") {
     // AQE prints the final plan only after execution
     val df = Registry.byName("q01_pricing_summary").q(spark, sf)
