@@ -906,6 +906,52 @@ object TextOps {
              |FROM documents
              |GROUP BY GROUPING SETS ((lang, least(n_chars // 64, 7)),
              |  (least(n_chars // 64, 7)))
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // q102: RAG/CONTEXT CHUNKING with overlap — the retrieval-indexing
+    // step: C=32-token chunks at stride S=24 (overlap O=8; sized so the
+    // ~55-token fixture docs genuinely split — C=128 would leave every doc
+    // single-chunk and the boundary logic untested), last chunk clipped to
+    // the doc end. Chunk boundaries are materialized per chunk
+    // by a bounded sequence explode (k = ceil((n−C)/S)+1 rows per doc —
+    // fan-out ∝ doc length, never corpus-quadratic), then reduced to
+    // per-lang stats. The emitted token total obeys the exact identity
+    // Σ = n + (k−1)·O per doc, which the integer oracle reproduces
+    // independently from the same boundary arithmetic.
+    Entry(
+      "q102_rag_chunking",
+      (s, d) => {
+        val C = 32L; val O = 8L; val S = C - O
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n"))
+          .filter(col("n") > 0)
+          .withColumn("k", when(col("n") <= C, 1L)
+            .otherwise(expr(s"(n - $C + $S - 1) div $S + 1")))
+          .select(col("doc_id"), col("lang"), col("n"), col("k"),
+            explode(sequence(lit(0L), col("k") - 1)).as("ci"))
+          .withColumn("toks",
+            least(col("ci") * S + C, col("n")) - col("ci") * S)
+          .groupBy(col("lang"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("toks")).cast("long").as("n_chunk_tokens"),
+            countDistinct(when(col("k") > 1, col("doc_id")))
+              .as("n_multi_chunk_docs"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, len(string_split(text,' ')) AS n
+             |    FROM documents WHERE len(string_split(text,' ')) > 0),
+             |k AS (SELECT doc_id, lang, n,
+             |    CASE WHEN n <= 32 THEN 1 ELSE (n - 32 + 23) // 24 + 1 END AS k
+             |  FROM d),
+             |ch AS (SELECT doc_id, lang, n, k, unnest(range(0, k)) AS ci FROM k),
+             |b AS (SELECT lang, doc_id, k,
+             |    least(ci * 24 + 32, n) - ci * 24 AS toks FROM ch)
+             |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+             |  CAST(sum(toks) AS BIGINT) AS n_chunk_tokens,
+             |  count(DISTINCT CASE WHEN k > 1 THEN doc_id END) AS n_multi_chunk_docs
+             |FROM b GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
