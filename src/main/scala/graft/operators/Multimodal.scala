@@ -195,7 +195,90 @@ object Multimodal {
   def resizePartition(rows: Iterator[MediaMeta]): Iterator[ResizedMeta] =
     rows.grouped(decodeBatchSize).flatMap(_.iterator.map(resizePlan))
 
+  final case class PHashRow(doc_id: Long, phash: Long)
+
+  /** Perceptual dHash over the stub-decoded 9×8 grayscale grid: bit (r,c) =
+    * pixel(r,c+1) > pixel(r,c) — the standard difference hash a visual-dedup
+    * pipeline computes after resize+grayscale. The PIXELS are the documented
+    * stub (this container has no codecs): pixel(i) = (n_bytes·(i+1)) mod 251,
+    * deterministic integer math the oracle replicates bit-for-bit. The
+    * Spark shape is the real thing: the same batched typed mapPartitions as
+    * [[stubDecode]] (payload pruned after hashing), one 8-byte signature per
+    * image downstream.
+    */
+  def phashPartition(rows: Iterator[MediaIn]): Iterator[PHashRow] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { m =>
+      val n = m.payload.length.toLong
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          val i = r * 9 + c
+          if ((n * (i + 2)) % 251 > (n * (i + 1)) % 251) h |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      PHashRow(m.doc_id, h)
+    })
+
+  private def phashes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaIn]
+      .mapPartitions(phashPartition)
+      .toDF()
+  }
+
+  /** Visual near-dup pairs at Hamming radius ≤3 over the dHash — the q91
+    * pigeonhole machinery (4×16-bit bands ⇒ EXACT at radius 3, salted band
+    * equi-join, bit_count confirm) applied to the multimodal signature:
+    * image dedup at 100 TB is phash + the same banded Hamming join the text
+    * side uses. Output is the per-distance pair histogram, which the
+    * integer-exact stub makes fully oracle-computable (the oracle builds
+    * the same 64 bits per doc in SQL and brute-forces pairs — brute is
+    * test/oracle-side only, the registered plan is the banded join).
+    */
+  private[graft] def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = phashes(s, d).select(col("doc_id"), col("phash").as("sig"))
+    val banded = sigs.select(
+      col("doc_id"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> bigint(b) * 281474976710656 + (shiftrightunsigned(sig, b * 16) & 65535))"""
+          .stripMargin)).as("band"))
+    Dedup.attachFeatures(Dedup.bandCandidates(banded), sigs, "sig")
+      .withColumn("hamming", bit_count(col("a_sig").bitwiseXOR(col("b_sig"))))
+      .filter(col("hamming") <= 3)
+      .groupBy(col("hamming").cast("long").as("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
   val entries: Seq[Entry] = Seq(
+    Entry(
+      "q103_phash_neardup",
+      phashPairs,
+      Some("""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n
+             |    FROM documents),
+             |g AS (SELECT doc_id, idx.x AS idx,
+             |    CASE WHEN (n * (idx.x + (idx.x // 8) + 2)) % 251
+             |            > (n * (idx.x + (idx.x // 8) + 1)) % 251
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM d, range(0, 64) idx(x)),
+             |h AS (SELECT doc_id,
+             |    CAST(sum(CASE WHEN idx < 32
+             |      THEN bit * (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS h1,
+             |    CAST(sum(CASE WHEN idx >= 32
+             |      THEN bit * (1::BIGINT << (idx - 32)) ELSE 0 END) AS BIGINT) AS h2
+             |  FROM g GROUP BY doc_id),
+             |p AS (SELECT bit_count(xor(a.h1, b.h1)) + bit_count(xor(a.h2, b.h2))
+             |    AS hamming
+             |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
+             |SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS n_pairs
+             |FROM p WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin)),
     Entry(
       "q43_multimodal_meta",
       mediaMeta,

@@ -156,6 +156,32 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(brute.nonEmpty, "fixture yields no Hamming-3 pairs — test is vacuous")
   }
 
+  test("q103 banded phash histogram equals brute-force pairs on the full fixture") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Multimodal
+    import graft.Tables
+    // independent reference: brute N² Hamming over the same stub dHash
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), length(col("text").cast("binary")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def dhash(n: Long): Long = {
+      var h = 0L
+      for (r <- 0 until 8; c <- 0 until 8) {
+        val i = r * 9 + c
+        if ((n * (i + 2)) % 251 > (n * (i + 1)) % 251) h |= 1L << (r * 8 + c)
+      }
+      h
+    }
+    val hs = docs.map { case (id, n) => (id, dhash(n)) }
+    val brute = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield d.toLong).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val banded = Multimodal.phashPairs(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(banded == brute, s"banded=$banded brute=$brute")
+  }
+
   test("q87 clusters agree with brute-force union-find over brute pairs") {
     import org.apache.spark.sql.functions._
     // independent reference: exact pairwise Jaccard (cross join, test-only)
