@@ -92,6 +92,64 @@ object Multimodal {
     out
   }
 
+  private def leInt(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  private def leShort(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+
+  /** Real RIFF/WAVE header parse (canonical 44-byte PCM layout, public byte
+    * format): validates the RIFF/WAVE/fmt/data magics, reads the
+    * LITTLE-endian fields (PNG above is big-endian — the pair exercises
+    * both byte orders), PCM-only. Returns (sample_rate, channels,
+    * bits_per_sample, data_size). Reference for semantic parity:
+    * /root/reference has no media surface; this extends the multimodal
+    * north-star (BASELINE.json).
+    */
+  private[graft] def parseWavHeader(b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 44) return None
+    if (!(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F')) return None
+    if (!(b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E')) return None
+    if (!(b(12) == 'f' && b(13) == 'm' && b(14) == 't' && b(15) == ' ')) return None
+    if (leShort(b, 20) != 1L) return None // PCM only
+    val channels = leShort(b, 22)
+    val rate = leInt(b, 24)
+    val bits = leShort(b, 34)
+    if (!(b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a')) return None
+    if (channels < 1 || rate < 1 || bits < 8) return None
+    Some((rate, channels, bits, leInt(b, 40)))
+  }
+
+  /** Well-formed canonical PCM WAV header — what [[parseWavHeader]]
+    * consumes; real RIFF bytes, used to synthesize audio payload columns in
+    * tests and q104 (the q82 pattern for audio).
+    */
+  private[graft] def wavHeaderBytes(
+      rate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val dataSize = nSamples.toLong * channels * (bits / 8)
+    val out = new Array[Byte](44)
+    def putAscii(off: Int, sArg: String): Unit =
+      sArg.zipWithIndex.foreach { case (ch, i) => out(off + i) = ch.toByte }
+    def putLe32(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >>> 8) & 0xff).toByte
+      out(off + 2) = ((v >>> 16) & 0xff).toByte; out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def putLe16(off: Int, v: Long): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >>> 8) & 0xff).toByte
+    }
+    putAscii(0, "RIFF"); putLe32(4, 36L + dataSize); putAscii(8, "WAVE")
+    putAscii(12, "fmt "); putLe32(16, 16L); putLe16(20, 1L)
+    putLe16(22, channels.toLong); putLe32(24, rate.toLong)
+    putLe32(28, rate.toLong * channels * (bits / 8))
+    putLe16(32, channels.toLong * (bits / 8)); putLe16(34, bits.toLong)
+    putAscii(36, "data"); putLe32(40, dataSize)
+    out
+  }
+
+  final case class WavMeta(
+      doc_id: Long, sample_rate: Long, channels: Long, bits: Long, duration_us: Long)
+
   /** Decoder: payloads carrying a real PNG header are ACTUALLY PARSED
     * ([[parsePngHeader]]); anything else falls back to the documented STUB
     * (this container ships no image/audio codecs — the stub derives
@@ -279,6 +337,50 @@ object Multimodal {
              |  FROM h a JOIN h b ON a.doc_id < b.doc_id)
              |SELECT CAST(hamming AS BIGINT) AS hamming, count(*) AS n_pairs
              |FROM p WHERE hamming <= 3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // q104: REAL audio-header decode — q82's pattern for the audio modality:
+    // each doc gets a well-formed canonical PCM WAV header with format
+    // params derived from doc_id; the batched typed decode runs
+    // parseWavHeader's LITTLE-endian reads (vs PNG's big-endian) and
+    // derives duration in exact integer µs. The oracle recomputes format
+    // and duration from doc_id arithmetic — it passes iff the byte-level
+    // parse is correct.
+    Entry(
+      "q104_wav_decode",
+      (s, d) => {
+        import s.implicits._
+        val rates = Array(8000, 16000, 22050, 44100, 48000)
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val rate = rates((id % 5).toInt)
+            val channels = 1 + (id % 2).toInt
+            val bits = if (id % 3 == 0) 24 else 16
+            val nSamples = (100 + id % 1000).toInt
+            MediaIn(id, wavHeaderBytes(rate, channels, bits, nSamples))
+          }
+          .mapPartitions(_.grouped(decodeBatchSize).flatMap(_.iterator.flatMap { m =>
+            parseWavHeader(m.payload).map { case (rate, ch, bits, dataSize) =>
+              val nSamples = dataSize / (ch * (bits / 8))
+              WavMeta(m.doc_id, rate, ch, bits, nSamples * 1000000L / rate)
+            }
+          }))
+          .groupBy(col("sample_rate"), col("channels"), col("bits"))
+          .agg(count(lit(1)).as("n"), sum(col("duration_us")).as("sum_duration_us"))
+          .orderBy(col("sample_rate"), col("channels"), col("bits"))
+      },
+      Some("""WITH m AS (SELECT doc_id,
+             |    CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+             |      WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END AS sample_rate,
+             |    1 + doc_id % 2 AS channels,
+             |    CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS bits,
+             |    100 + doc_id % 1000 AS n_samples
+             |  FROM documents)
+             |SELECT CAST(sample_rate AS BIGINT) AS sample_rate,
+             |  CAST(channels AS BIGINT) AS channels, CAST(bits AS BIGINT) AS bits,
+             |  count(*) AS n,
+             |  CAST(sum((n_samples * 1000000) // sample_rate) AS BIGINT)
+             |    AS sum_duration_us
+             |FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
     Entry(
       "q43_multimodal_meta",
       mediaMeta,

@@ -64,4 +64,21 @@ class MultimodalSuite extends SparkTestBase {
     assert(!df.schema.fields.exists(_.dataType.typeName == "binary"))
     assert(df.limit(5).collect().length == 5)
   }
+
+  test("q104 WAV header parse round-trips and rejects corrupt magics") {
+    val wav = Multimodal.wavHeaderBytes(
+      rate = 44100, channels = 2, bits = 16, nSamples = 1234)
+    assert(Multimodal.parseWavHeader(wav) ==
+      Some((44100L, 2L, 16L, 1234L * 2 * 2)))
+    // corrupt each magic independently — all four must be checked
+    for (off <- Seq(0, 8, 12, 36)) {
+      val bad = wav.clone(); bad(off) = 'X'.toByte
+      assert(Multimodal.parseWavHeader(bad).isEmpty, s"magic at $off not validated")
+    }
+    // non-PCM format code rejected
+    val nonPcm = wav.clone(); nonPcm(20) = 3
+    assert(Multimodal.parseWavHeader(nonPcm).isEmpty, "non-PCM must be rejected")
+    // truncated header rejected, not crashed
+    assert(Multimodal.parseWavHeader(wav.take(43)).isEmpty)
+  }
 }
