@@ -952,6 +952,51 @@ object TextOps {
              |SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
              |  CAST(sum(toks) AS BIGINT) AS n_chunk_tokens,
              |  count(DISTINCT CASE WHEN k > 1 THEN doc_id END) AS n_multi_chunk_docs
-             |FROM b GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM b GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q105: EXACT distributed percentiles by VALUE COUNTING — the
+    // discrete-domain alternative to sketches (q47/q71 are the approx
+    // forms): one partial-agged groupBy collapses the corpus to
+    // (lang, value, count) — bounded by the value DOMAIN, not the row
+    // count — then the cumulative walk and the rank probes run on that
+    // tiny table (window partitioned per lang over ≤|domain| rows, never
+    // the corpus; a single-partition corpus window is exactly what this
+    // shape avoids at 100 TB). Lower-median/discrete-p90 semantics
+    // (smallest v with cum ≥ ceil(q·n)) — integer ranks, no
+    // interpolation, so the oracle (quantile_disc-equivalent CTE) matches
+    // exactly.
+    Entry(
+      "q105_exact_percentiles",
+      (s, d) => {
+        val vc = Tables.documents(s, d)
+          .groupBy(col("lang"), col("n_chars").as("v"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wn = Window.partitionBy(col("lang"))
+        vc
+          .withColumn("cm", sum(col("c")).over(w))
+          .withColumn("n", sum(col("c")).over(wn))
+          .groupBy(col("lang"))
+          .agg(
+            max(col("n")).cast("long").as("n_docs"),
+            min(when(col("cm") >= expr("(n + 1) div 2"), col("v")))
+              .cast("long").as("median_lo"),
+            min(when(col("cm") >= expr("(9 * n + 9) div 10"), col("v")))
+              .cast("long").as("p90"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH vc AS (SELECT lang, n_chars AS v, count(*) AS c
+             |    FROM documents GROUP BY 1, 2),
+             |cum AS (SELECT lang, v, c,
+             |    sum(c) OVER (PARTITION BY lang ORDER BY v
+             |      ROWS UNBOUNDED PRECEDING) AS cm,
+             |    sum(c) OVER (PARTITION BY lang) AS n FROM vc)
+             |SELECT lang, CAST(max(n) AS BIGINT) AS n_docs,
+             |  CAST(min(CASE WHEN cm >= (n + 1) // 2 THEN v END) AS BIGINT)
+             |    AS median_lo,
+             |  CAST(min(CASE WHEN cm >= (9 * n + 9) // 10 THEN v END) AS BIGINT)
+             |    AS p90
+             |FROM cum GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }
