@@ -176,7 +176,7 @@ class DedupSimilaritySuite extends SparkTestBase {
     val brute = (for {
       (a, ha) <- hs; (b, hb) <- hs if a < b
       d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
-    } yield d.toLong).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    } yield d.toLong).groupBy(identity).map { case (k, v) => k -> v.length.toLong }
     val banded = Multimodal.phashPairs(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(banded == brute, s"banded=$banded brute=$brute")
@@ -197,7 +197,7 @@ class DedupSimilaritySuite extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val docs = Tables.documents(spark, sf).select(col("doc_id"))
       .collect().map(_.getLong(0))
-    val parent = scala.collection.mutable.Map(docs.map(d => d -> d): _*)
+    val parent = scala.collection.mutable.Map(docs.toIndexedSeq.map(d => d -> d): _*)
     def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
     pairs.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))
