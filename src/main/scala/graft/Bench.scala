@@ -39,7 +39,17 @@ object Bench {
     "q76_decontamination",
     // added round 11 with the operator (~5 s at sf0.1): winnowing overlap —
     // subtract it when comparing secondary_total against pre-r11 artifacts
-    "q86_winnow_overlap")
+    "q86_winnow_overlap",
+    // added round 12: the heavy round-11 operators, previously profiled only
+    // once (BASELINE.md r11 rows) — without standing coverage a regression in
+    // any of them is invisible to every future BENCH_r*.json (how the r10
+    // kernel regression hid for a round). Subtract these five when comparing
+    // secondary_total against pre-r12 artifacts.
+    "q87_neardup_clusters",
+    "q91_simhash_hamming",
+    "q94_ann_pq",
+    "q96_sequence_packing",
+    "q103_phash_neardup")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -66,6 +76,10 @@ object Bench {
         "lineitem", "events", "documents", "embeddings")
       .foreach(t => Tables.table(spark, sfDir, t).count())
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // queries whose warm-up failed (they run cold below) — recorded in the
+    // JSON as "cold":[...] so a cold timed run is distinguishable post-hoc
+    // from the artifact alone, not only from a stderr log nobody kept
+    val coldQueries = scala.collection.mutable.ListBuffer.empty[String]
     if (new java.io.File(warmDir).isDirectory)
       names.foreach { name =>
         // NonFatal only — an OOM/interrupt must surface, and a query that
@@ -74,8 +88,10 @@ object Bench {
         catch {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+            coldQueries += name
         }
       }
+    else coldQueries ++= names
 
     // MULTI-SAMPLE timing: single-sample-per-query made the per-round perf
     // record one unreplicated draw — r10's gate verdict depended on it
@@ -125,8 +141,14 @@ object Bench {
       }
     // "queries" stays the scalar name→sec map the driver compares across
     // rounds (now the median); "queries_min" is the per-query floor.
+    // "schema" versions the measurement protocol for downstream tooling:
+    // 1 = single sample per query (pre-r11, implicit), 2 = median-of-samples
+    // + queries_min (r11), 3 = + cold list and five more secondary queries
+    // (r12) — a bumped schema means totals are not comparable to prior
+    // rounds without adjustment.
+    val cold = coldQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","samples":$samples,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","schema":3,"samples":$samples,"cold":$cold,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

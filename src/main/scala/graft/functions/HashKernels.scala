@@ -454,6 +454,12 @@ object HashKernels {
     * O(n) form buys nothing at t=8).
     */
   def winnowFps(s: UTF8String, w: Int, t: Int): ArrayData = {
+    // SQL-registered, so argument misuse must fail loudly at first eval:
+    // t <= 0 would otherwise make nWin exceed the hash array length and
+    // surface as an ArrayIndexOutOfBoundsException deep in the loop
+    if (w < 1 || t < 1)
+      throw new IllegalArgumentException(
+        s"winnow_fps: w and t must be >= 1 (got w=$w, t=$t)")
     val bytes = s.getBytes
     val n = bytes.length
     if (n <= w)

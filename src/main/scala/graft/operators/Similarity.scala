@@ -251,9 +251,10 @@ object Similarity {
   private def dotC(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
 
-  /** Per-subspace codebooks: seeded by the first `pqK` vectors' slices, one
-    * Lloyd round over [[ivfTrainingSample]] ONLY (same decoupling as IVF —
-    * training touches the sample, never the corpus). Argmin is
+  /** Per-subspace codebooks: seeded by the first `pqK` vectors' slices, then
+    * `pqLloydRounds` (= 2) Lloyd rounds over [[ivfTrainingSample]] ONLY
+    * (same decoupling as IVF — training touches the sample, never the
+    * corpus; the pinned recall numbers were measured at 2 rounds). Argmin is
     * `min(struct(dist, cid))` — partial-aggregatable and deterministic
     * (cid breaks distance ties), so nothing here shuffles more than the
     * sample. Empty clusters simply drop (fewer codewords in that subspace).

@@ -698,9 +698,14 @@ object TextOps {
           .select(explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
             "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")).as("bg"))
           .groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        // materialize the bigram count table before the fan-out: `buckets`
+        // feeds both the sketch build and the estimate join, and without a
+        // barrier the bigram-count shuffle can re-plan per consumer — the
+        // same two-consumer problem the q94 codebook solves the same way.
         val buckets = truth.select(col("bg"), col("cnt"),
           posexplode(array((0 until dRows).map(i =>
             pmod(xxhash64(col("bg"), lit(i)), lit(w))): _*)).as(Seq("row", "bucket")))
+          .localCheckpoint()
         val sketch = buckets.groupBy(col("row"), col("bucket"))
           .agg(sum(col("cnt")).as("counter"))
         val est = buckets

@@ -194,7 +194,10 @@ object Sources {
     try Option(fs.globStatus(new Path(s"$root/_current.tmp.*")))
       .getOrElse(Array.empty).foreach { st =>
         if (st.getModificationTime < cutoff)
-          try fs.delete(st.getPath, false) catch { case _: Throwable => () }
+          // NonFatal: swallowing an OOM/interrupt here would also clear the
+          // thread's interrupt state — only IO-ish failures are ignorable
+          try fs.delete(st.getPath, false)
+          catch { case scala.util.control.NonFatal(_) => () }
       }
     catch { case scala.util.control.NonFatal(_) => () }
     val out = fs.create(tmp, false)

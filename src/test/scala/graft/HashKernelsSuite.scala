@@ -243,6 +243,11 @@ class HashKernelsSuite extends AnyFunSuite {
     val sb = "short".getBytes("UTF-8")
     assert(HashKernels.winnowFps(u("short"), w, t).toLongArray().toSeq ==
       Seq(HashKernels.hashBytes(sb, 0, sb.length)))
+    // SQL-registered → misuse must fail loudly, not as an
+    // ArrayIndexOutOfBoundsException deep in the selection loop
+    intercept[IllegalArgumentException] { HashKernels.winnowFps(u(a), w, 0) }
+    intercept[IllegalArgumentException] { HashKernels.winnowFps(u(a), 0, t) }
+    intercept[IllegalArgumentException] { HashKernels.winnowFps(u(a), w, -3) }
   }
 
   test("intersectCountSorted counts merge intersections; fast path and fallback agree") {
