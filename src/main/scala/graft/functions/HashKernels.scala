@@ -433,6 +433,47 @@ object HashKernels {
     }
   }
 
+  /** 0-based index of the FIRST position where two equal-length long arrays
+    * agree, or -1 if none — the dedup-free-candidates emission test for the
+    * LSH band self-join: a joined (pair, band-index) row survives iff the
+    * joined index IS the pair's first agreeing band, so each candidate pair
+    * is emitted exactly once and the corpus-sized candidate `distinct`
+    * exchange disappears. At most k integer compares per joined row
+    * (early-exits at the first agreement, which for a surviving row is ≤ the
+    * joined index). Length equality is enforced like [[sigAgreeFrac]]'s —
+    * both sides are band arrays of the same banding config by construction,
+    * so a mismatch is a caller bug worth failing loudly on.
+    *
+    * Same copy-free `UnsafeArrayData` dispatch as every per-pair kernel
+    * here: this runs once per JOINED ROW (≥ once per candidate pair), so a
+    * per-call `toLongArray` copy would be the r10 allocation-rate bug again.
+    */
+  def firstAgreeIdx(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"first_agree_idx: array lengths differ ($n vs ${b.numElements()})")
+    if (a.isInstanceOf[UnsafeArrayData] && b.isInstanceOf[UnsafeArrayData]) {
+      val ua = a.asInstanceOf[UnsafeArrayData]
+      val ub = b.asInstanceOf[UnsafeArrayData]
+      var i = 0
+      while (i < n) {
+        if (ua.getLong(i) == ub.getLong(i)) return i
+        i += 1
+      }
+      -1
+    } else {
+      val xs = a.toLongArray()
+      val ys = b.toLongArray()
+      var i = 0
+      while (i < n) {
+        if (xs(i) == ys(i)) return i
+        i += 1
+      }
+      -1
+    }
+  }
+
   /** FULL winnowing fingerprint selection (Schleimer/Wilkerson/Aiken's
     * local document fingerprinting, the MOSS algorithm): hash every `w`-byte
     * window, slide a window of `t` consecutive hashes, select each window's

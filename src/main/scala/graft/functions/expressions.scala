@@ -121,6 +121,44 @@ object GraftColumns {
       IntersectCountSorted(
         ColumnShim.expression(a),
         ColumnShim.expression(b)))
+
+  /** See [[HashKernels.firstAgreeIdx]] — the band self-join's
+    * dedup-free-candidates emission test. Internal-only: it is meaningful
+    * only against the band arrays the engine's own plans construct.
+    */
+  def firstAgreeIdx(a: Column, b: Column): Column =
+    ColumnShim.column(
+      FirstAgreeIdx(
+        ColumnShim.expression(a),
+        ColumnShim.expression(b)))
+}
+
+/** First positional agreement index of two equal-length long arrays
+  * ([[HashKernels.firstAgreeIdx]]) — the emission test that makes the LSH
+  * band self-join produce each candidate pair exactly once without a
+  * distinct exchange. Internal-only (constructed via
+  * [[GraftColumns.firstAgreeIdx]]).
+  */
+case class FirstAgreeIdx(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_agree_idx"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.firstAgreeIdx(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.firstAgreeIdx($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
 /** Positional agreement fraction of two k-component MinHash signatures

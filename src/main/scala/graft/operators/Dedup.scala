@@ -79,7 +79,7 @@ object Dedup {
     * the ONLY pairwise step — one shuffle on the 64-bit key; everything
     * downstream touches candidate pairs, not N².
     */
-  private[operators] def bandCandidates(banded: DataFrame): DataFrame = {
+  private[graft] def bandCandidates(banded: DataFrame): DataFrame = {
     // materialize the (doc_id, band) rows through ONE exchange first: the
     // band/signature expressions are computed once and both salted join
     // sides read that single materialization (ReusedExchange) instead of
@@ -103,6 +103,64 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct() // pairs sharing multiple bands counted once
+  }
+
+  /** Distinct candidate id pairs (a_id < b_id) sharing ≥1 LSH band key,
+    * WITHOUT the candidate `distinct` exchange — the dedup-free-candidates
+    * form of [[bandCandidates]]. Input: (doc_id, bands) with the FULL band
+    * array per doc; output is identical to
+    * `bandCandidates(input.select(doc_id, explode(bands)))` (suite-asserted).
+    *
+    * Both join sides carry their band ARRAY through the band equi-join, and
+    * a joined row is emitted only when the joined band index IS the first
+    * index on which the two arrays agree (`first_agree_idx` — at most k
+    * integer compares per joined row, codegen'd): a pair sharing several
+    * bands joins once per shared band as before, but exactly one of those
+    * rows survives, so downstream sees each pair once with NO distinct. The
+    * r11 stage budget pinned that distinct — a corpus-density-sized exchange
+    * plus two-phase hash agg over every (pair × shared band) row, 7.19 M
+    * rows at sf0.1 — at ~75% of q37; this deletes the exchange at the cost
+    * of shipping the k-long band array (8k+16 B vs 16 B) on the banded rows,
+    * which number 16·n_reps (corpus-linear), not candidate-count-sized.
+    * Band keys bake the band index into the hash
+    * (HashKernels.bandKeys), so key equality implies index equality and the
+    * left side's posexplode index identifies the joined band. A pair whose
+    * only shared keys are cross-index 64-bit collisions (≈2⁻⁶⁴ per pair
+    * pair-of-positions; never a true near-dup's only agreement, since a true
+    * pair shares a real band w.h.p. — the standard miss-prob bound) is
+    * dropped here where the distinct form would have passed it to the
+    * confirm as a spurious candidate.
+    *
+    * Salting is unchanged ([[bandJoinSalt]] — same sizing law, same hot-cell
+    * motivation): the left side pins slice hash(a_id) mod S, the right side
+    * replicates per slice, so each (pair, shared band) still joins exactly
+    * once per order.
+    */
+  private[graft] def bandCandidatesNoDistinct(withBands: DataFrame): DataFrame = {
+    val salt = bandJoinSalt(withBands)
+    // one materialization of the exploded (doc_id, bands, idx, band) rows;
+    // both salted sides read it (ReusedExchange) instead of recomputing the
+    // signature/band expressions per side — the bandCandidates shape, with
+    // the band array now part of the payload
+    val exchanged = withBands
+      .select(col("doc_id"), col("bands"), posexplode(col("bands")).as(Seq("idx", "band")))
+      .repartition(col("band"))
+    val a = exchanged
+      .select(col("doc_id").as("a_id"), col("bands").as("a_bands"), col("idx"), col("band"))
+      .withColumn("salt", pmod(xxhash64(col("a_id")), lit(salt.toLong)).cast("int"))
+      .repartition(col("band"), col("salt"))
+    val b = exchanged
+      .select(col("doc_id").as("b_id"), col("bands").as("b_bands"), col("band"))
+      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+      .repartition(col("band"), col("salt"))
+    a.join(b, Seq("band", "salt"))
+      .filter(col("a_id") < col("b_id"))
+      // dedup-free emission: keep the joined row iff this band index is the
+      // pair's FIRST agreeing index — one survivor per pair, no distinct
+      .filter(
+        graft.functions.GraftColumns.firstAgreeIdx(col("a_bands"), col("b_bands"))
+          === col("idx"))
+      .select(col("a_id"), col("b_id"))
   }
 
   /** Fetch a per-doc feature column for both sides of a candidate pair set:
@@ -202,8 +260,11 @@ object Dedup {
       }
     val reps = reps0
       .withColumn("bands", call_function("bands_from_sig", col("sig"), lit(2)))
-    val banded = reps.select(col("gid").as("doc_id"), explode(col("bands")).as("band"))
-    val candidates = bandCandidates(banded)
+    // dedup-free candidate generation — no candidate distinct exchange
+    // (see bandCandidatesNoDistinct; the r11 q37 stage budget pinned that
+    // distinct at ~75% of the query)
+    val candidates = bandCandidatesNoDistinct(
+      reps.select(col("gid").as("doc_id"), col("bands")))
     val prefiltered =
       if (!estPrefilter) candidates
       else attachFeatures(candidates, reps.select(col("gid").as("doc_id"), col("sig")), "sig")

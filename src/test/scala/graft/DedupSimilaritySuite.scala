@@ -249,6 +249,32 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(rows("q39_embedding_neardup").map(_.toSeq).toSet == bruteCos)
   }
 
+  test("first-shared-band candidates equal the distinct form (and per-pair uniqueness)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // the dedup-free emission (first_agree_idx == joined band index) must
+    // produce EXACTLY the candidate set the `.distinct()` form produces —
+    // same pairs, and each pair exactly once
+    val withBands = Tables.documents(spark, sf)
+      .select(
+        col("doc_id"),
+        call_function(
+          "bands_from_sig",
+          call_function("minhash_sig", col("text"), lit(32), lit(1)),
+          lit(2)).as("bands"))
+    val viaDistinct = Dedup.bandCandidates(
+      withBands.select(col("doc_id"), explode(col("bands")).as("band")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val viaFirstShared = Dedup.bandCandidatesNoDistinct(withBands)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaFirstShared.length == viaFirstShared.distinct.length,
+      "first-shared-band emission produced a duplicate pair")
+    assert(viaFirstShared.toSet == viaDistinct.toSet,
+      s"extra=${viaFirstShared.toSet.diff(viaDistinct.toSet).take(5)} " +
+        s"missing=${viaDistinct.toSet.diff(viaFirstShared.toSet).take(5)}")
+    assert(viaDistinct.nonEmpty, "fixture yields no band candidates — test is vacuous")
+  }
+
   test("q38 simhash: exact duplicates get identical signatures") {
     import org.apache.spark.sql.functions._
     val df = Tables.documents(spark, sf)
