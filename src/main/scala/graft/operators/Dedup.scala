@@ -23,20 +23,62 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   */
 object Dedup {
 
-  /** Exact dedup, scale path: group on a 64-bit content hash + full-text
-    * confirm inside the group (hash collisions can't silently merge docs),
-    * keep the minimum doc_id per text. Input is doubled (union with shifted
-    * ids) because the corpus itself is dup-free.
+  /** Exact dedup, scale path: ONE exchange keyed on the 8-byte content hash
+    * ALONE — text never appears in an exchange key (the old form grouped on
+    * `(xxhash64(text), text)`, so the exchange key carried the full document;
+    * minor at fixture scale, real at 100 TB with long documents). Map-side
+    * partial agg still collapses duplicate mass before the shuffle
+    * (min/max/count all combine); text crosses the wire only as the
+    * min/max collision-confirm VALUES — at most two distinct texts per
+    * h-group per map task, vs one per distinct text before.
+    *
+    * Collision exactness (the q35 contract: a 64-bit collision must never
+    * silently merge two documents): an h-group holding >1 distinct text has
+    * `min(text) =!= max(text)` — those groups (expected ≈ n²/2⁶⁵ corpus-wide,
+    * a handful at 10¹⁰ docs, zero on the fixtures) are re-grouped exactly by
+    * (h, text) in a residual branch whose input is semi-join-pruned to the
+    * collision hashes, so its text-keyed exchange touches collision rows
+    * only. The semi-join side is a grouped aggregate filtered to
+    * near-nothing — join strategy is left to stats/AQE per the broadcast-
+    * hint policy (it adapts to a broadcast at runtime).
+    *
+    * Input is doubled (union with shifted ids) because the corpus itself is
+    * dup-free.
     */
   private def dedupExact(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
-    doubled
-      // the 64-bit hash is the shuffle key; text only compared within groups
-      .groupBy(xxhash64(col("text")).as("h"), col("text"))
+    dedupExactOn(doubled, t => xxhash64(t))
+  }
+
+  /** [[dedupExact]]'s plan with the content hash injectable — production
+    * uses xxhash64; the suite passes a deliberately colliding hash to drive
+    * the residual branch (unreachable with a 64-bit hash on any fixture)
+    * and prove collision exactness on the real code path.
+    */
+  private[graft] def dedupExactOn(
+      docs: DataFrame, // (doc_id, text)
+      hashOf: Column => Column): DataFrame = {
+    val base = docs.withColumn("h", hashOf(col("text")))
+    val perHash = base.groupBy(col("h"))
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("text")).as("t_min"),
+        max(col("text")).as("t_max"))
+    val clean = perHash.filter(col("t_min") === col("t_max"))
+      .select(col("keep_id"), col("n_copies"))
+    val collisionHs = perHash.filter(col("t_min") =!= col("t_max")).select(col("h"))
+    val residue = base
+      .join(collisionHs, Seq("h"), "left_semi")
+      // partitioning by h alone satisfies the (h, text) clustering the
+      // aggregate needs, so even the residual branch never keys an exchange
+      // on text — and this exchange moves collision rows only
+      .repartition(col("h"))
+      .groupBy(col("h"), col("text"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
-      .orderBy(col("keep_id"))
+    clean.unionByName(residue).orderBy(col("keep_id"))
   }
 
   /** Salt slices for the band self-join: a HOT band (a key shared by many

@@ -293,4 +293,36 @@ class DedupSimilaritySuite extends SparkTestBase {
     val distinctTexts = Tables.documents(spark, sf).select("text").distinct().count()
     assert(n.toLong == distinctTexts)
   }
+
+  test("q35 exchange is keyed on the 8-byte hash alone, never the text") {
+    // every Exchange hashpartitioning key set in the main path must be hash/
+    // id columns — a text-typed partitioning key would mean the full
+    // document rides the exchange key again (the pre-r12 shape)
+    val plan = Registry.byName("q35_dedup_exact").q(spark, sf)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, s"no hash exchange in q35 plan:\n$plan")
+    exchanges.foreach { l =>
+      assert(!l.contains("text#"),
+        s"q35 exchange carries text in its partitioning key:\n$l")
+    }
+  }
+
+  test("q35 collision residual branch regroups colliding hashes exactly") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val doubled = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+    // a 3-bucket "hash" makes nearly every h-group a multi-text collision —
+    // the residual branch must still produce exactly one row per distinct
+    // text with the true min id and copy count (here: 2 copies each)
+    val got = Dedup.dedupExactOn(doubled, t => pmod(xxhash64(t), lit(3L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = doubled.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("k"), count(lit(1)).as("n"))
+      .select(col("k"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want,
+      s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
+  }
 }
