@@ -50,6 +50,7 @@ object GraftExtensions {
     reg("jaccard_sorted", es => JaccardSorted(es(0), es(1)))
     reg("sig_agree_frac", es => SigAgreeFrac(es(0), es(1)))
     reg("simhash64", es => SimHash64(es(0)))
+    reg("normalize_text", es => NormalizeText(es(0)))
     reg("fingerprint64", es => Fingerprint64(es(0)))
     reg("min_window_fp", es => MinWindowFp(es(0), intArg(es(1), "window")))
     reg("winnow_fps",

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text-normalization kernel called from generated code — the missing first
+  * stage of a real corpus pipeline: every tokenizer/shingler in this repo
+  * splits on single spaces and assumes case-folded text, which holds on the
+  * pre-cleaned fixtures but not on raw crawled corpora. `normalize_text`
+  * makes that precondition enforceable: Unicode NFC composition, then
+  * locale-independent lowercasing, then whitespace canonicalization
+  * (runs of [space \t \n  \f \r] collapse to one space; leading/
+  * trailing whitespace drops).
+  *
+  * The NFC → lowercase → collapse order matches the DuckDB oracle
+  * formulation `trim(regexp_replace(lower(nfc_normalize(x)), '[ \t\n\r]+',
+  * ' ', 'g'))` operation-for-operation — both sides implement the same
+  * Unicode algorithms (JDK `java.text.Normalizer` / utf8proc), so the
+  * oracle comparison is exact on the fixture alphabet.
+  *
+  * ASCII fast path: one byte scan classifies the input; text that is
+  * already normalized (no multibyte sequences, no uppercase ASCII, no
+  * leading/trailing/consecutive/non-space whitespace) returns the input
+  * UTF8String UNCHANGED — zero allocation. ASCII text needing only
+  * case/whitespace work is fixed in byte space (NFC is the identity on
+  * ASCII) with a single output allocation. Only genuinely multibyte text
+  * pays for the JDK Normalizer round-trip. On a mostly-clean 100 TB English
+  * corpus the hot path is therefore a read-only byte scan per document.
+  */
+object TextKernels {
+
+  private def isAsciiWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
+
+  /** Full (non-ASCII) path: JDK NFC, then ROOT-locale lowercase, then
+    * whitespace collapse over the resulting chars.
+    */
+  private def normalizeGeneral(s: String): UTF8String = {
+    val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    val lower = nfc.toLowerCase(java.util.Locale.ROOT)
+    val n = lower.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var emitted = false
+    var i = 0
+    while (i < n) {
+      val c = lower.charAt(i)
+      val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000b' ||
+        c == '\f' || c == '\r'
+      if (ws) { if (emitted) pendingSpace = true }
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+        emitted = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def normalizeText(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    // classify in one read-only pass
+    var hasNonAscii = false
+    var hasUpper = false
+    var badWs = false
+    var prevWs = false
+    var i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if ((b & 0x80) != 0) hasNonAscii = true
+      else if (b >= 'A' && b <= 'Z') hasUpper = true
+      val ws = isAsciiWs(b)
+      if (ws && (b != ' ' || prevWs || i == 0 || i == n - 1)) badWs = true
+      prevWs = ws
+      i += 1
+    }
+    if (hasNonAscii) return normalizeGeneral(s.toString)
+    if (!hasUpper && !badWs) return s // already normalized: zero-copy
+    // ASCII repair in byte space (NFC is the identity on ASCII)
+    val out = new Array[Byte](n)
+    var k = 0
+    var pendingSpace = false
+    var emitted = false
+    i = 0
+    while (i < n) {
+      val b = bytes(i)
+      if (isAsciiWs(b)) { if (emitted) pendingSpace = true }
+      else {
+        if (pendingSpace) { out(k) = ' '; k += 1; pendingSpace = false }
+        out(k) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+        k += 1
+        emitted = true
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(java.util.Arrays.copyOf(out, k))
+  }
+}

@@ -241,6 +241,29 @@ case class WinnowFps(child: Expression, w: Int, t: Int)
     copy(child = newChild)
 }
 
+/** Unicode text normalization ([[TextKernels.normalizeText]]): NFC
+  * composition, ROOT-locale lowercase, whitespace collapse/trim — the
+  * corpus-ingest first stage every downstream tokenizer here assumes.
+  * Zero-allocation pass-through on already-normalized ASCII input.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "normalize_text"
+
+  override protected def nullSafeEval(s: Any): Any =
+    TextKernels.normalizeText(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.normalizeText($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression
     with ExpectsInputTypes {

@@ -1002,6 +1002,48 @@ object TextOps {
              |    AS median_lo,
              |  CAST(min(CASE WHEN cm >= (9 * n + 9) // 10 THEN v END) AS BIGINT)
              |    AS p90
-             |FROM cum GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM cum GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q106: UNICODE TEXT NORMALIZATION (normalize_text codegen kernel:
+    // NFC composition → ROOT-locale lowercase → whitespace collapse/trim)
+    // — the corpus-ingest first stage every tokenizer in this repo assumes
+    // has already run. The fixture text is pre-normalized, so the query
+    // fabricates the raw-crawl shape in-query (the q98/q35 fixture-
+    // fabrication pattern): tab/space padding, doubled internal spaces,
+    // uppercasing, and a DECOMPOSED-accent suffix (E + combining acute,
+    // chr(769)) that only a real NFC pass composes before lowercasing.
+    // Output is the per-doc normalized text itself, hash-compared against
+    // DuckDB's independent formulation — nfc_normalize/lower/regexp_replace
+    // — so the oracle proves all three stages, not just a row count. One
+    // scan, one codegen'd projection, no shuffle before the final sort.
+    Entry(
+      "q106_normalize_text",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            call_function(
+              "normalize_text",
+              concat(
+                lit("\t "),
+                regexp_replace(upper(col("text")), lit(" "), lit("  ")),
+                // the suffix is DECOMPOSED (E + combining acute U+0301):
+                // normalize_text must NFC-compose before lowercasing to agree
+                // with the oracle, which builds the same decomposed input
+                lit(" CAFÉ \n"))).as("norm_text"))
+          .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    lower(nfc_normalize(
+             |      chr(9) || ' ' || replace(upper(text), ' ', '  ')
+             |        || ' CAFE' || chr(769) || ' ' || chr(10))),
+             |    '[ \t\n]+', ' ', 'g')) AS norm_text,
+             |  CAST(length(trim(regexp_replace(
+             |    lower(nfc_normalize(
+             |      chr(9) || ' ' || replace(upper(text), ' ', '  ')
+             |        || ' CAFE' || chr(769) || ' ' || chr(10))),
+             |    '[ \t\n]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

@@ -250,6 +250,28 @@ class HashKernelsSuite extends AnyFunSuite {
     intercept[IllegalArgumentException] { HashKernels.winnowFps(u(a), w, -3) }
   }
 
+  test("normalizeText: NFC + casefold + whitespace collapse, incl. multibyte and fast paths") {
+    import graft.functions.TextKernels
+    def norm(s: String): String = TextKernels.normalizeText(u(s)).toString
+    // already-normalized ASCII returns the INPUT OBJECT (zero-copy fast path)
+    val clean = u("already clean text")
+    assert(TextKernels.normalizeText(clean) eq clean)
+    // ASCII repair path: case + padding + runs + non-space whitespace
+    assert(norm("\t  Hello   WORLD \r\n") == "hello world")
+    assert(norm("AB\fC") == "a b c")
+    // NFC: decomposed e + combining acute composes, then lowercases, and
+    // the composed form is byte-identical to the precomposed input's output
+    assert(norm("CAFÉ") == norm("CAFÉ") && norm("CAFÉ") == "café")
+    // multibyte path also collapses whitespace and casefolds non-ASCII
+    assert(norm("  ÉTÉ   d'hiver ") == "été d'hiver")
+    // idempotence on every path
+    Seq("\t MiXeD  caSE \n", "CAFÉ  x", "plain").foreach { s =>
+      assert(norm(norm(s)) == norm(s), s"not idempotent on $s")
+    }
+    // whitespace-only and empty inputs normalize to the empty string
+    assert(norm("   \t\n") == "" && norm("") == "")
+  }
+
   test("intersectCountSorted counts merge intersections; fast path and fallback agree") {
     import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
     import org.apache.spark.sql.catalyst.util.GenericArrayData
