@@ -476,16 +476,24 @@ object Dedup {
     * at j=0.8 with 16×2 bands: (1−0.64)^16 ≈ 8.5e-8 ⇒ output equals the
     * brute oracle.
     */
-  private def decontaminate(s: SparkSession, d: String): DataFrame = {
-    // candidate id pairs carry NO payload through the band join/distinct;
-    // token sets join back afterwards (the bandCandidates/attachFeatures
-    // shape) — a pair sharing many bands must not ship its word sets once
-    // per shared band. The benchmark/eval side is BOUNDED (≤50 docs playing
-    // the eval set) regardless of corpus size, so both bench sides are
-    // broadcast-hinted: the band join and the token-set confirm are then one
-    // streaming scan of the corpus each — no corpus-wide shuffle on the band
-    // key. (Allowlisted in RelationalSuite's bounded-probe hint policy.)
-    val banded = Tables.documents(s, d)
+  /** Confirmed contamination pairs (doc_id, b_id, jac ≥ thr) of a corpus
+    * table against its bounded eval slice (doc_id < evalMax) — q76's body,
+    * parameterized so the curation pipeline (q107) can run the same
+    * machinery over its dedup survivors. Candidate id pairs carry NO
+    * payload through the band join/distinct; token sets join back
+    * afterwards (the bandCandidates/attachFeatures shape) — a pair sharing
+    * many bands must not ship its word sets once per shared band. The
+    * benchmark/eval side is BOUNDED regardless of corpus size, so both
+    * bench sides are broadcast-hinted: the band join and the token-set
+    * confirm are then one streaming scan of the corpus each — no
+    * corpus-wide shuffle on the band key. (Allowlisted in RelationalSuite's
+    * bounded-probe hint policy.)
+    */
+  private[operators] def decontamPairs(
+      docs: DataFrame, // (doc_id, text)
+      evalMax: Long,
+      thr: Double): DataFrame = {
+    val banded = docs
       .select(
         col("doc_id"),
         explode(
@@ -494,9 +502,9 @@ object Dedup {
             call_function("minhash_sig", col("text"), lit(32), lit(1)),
             lit(2))).as("band"))
     val bench = broadcast(
-      banded.filter(col("doc_id") < 50)
+      banded.filter(col("doc_id") < evalMax)
         .select(col("doc_id").as("b_id"), col("band")))
-    val corpus = banded.filter(col("doc_id") >= 50)
+    val corpus = banded.filter(col("doc_id") >= evalMax)
       .select(col("doc_id"), col("band"))
     val cand = corpus.join(bench, Seq("band"))
       .select(col("doc_id"), col("b_id"))
@@ -504,7 +512,7 @@ object Dedup {
     // confirm over sorted word-hash sets via the UNCHECKED native merge
     // kernel — same trade, same plan-shape precondition (array_sort over a
     // distinct hash set), and same reasons as the clusteredNeardup confirm
-    val sets = Tables.documents(s, d)
+    val sets = docs
       .select(
         col("doc_id"),
         array_sort(transform(array_distinct(split(col("text"), " ")), x => xxhash64(x)))
@@ -512,17 +520,21 @@ object Dedup {
     cand
       .join(sets, Seq("doc_id"))
       .join(
-        broadcast(sets.filter(col("doc_id") < 50)
+        broadcast(sets.filter(col("doc_id") < evalMax)
           .select(col("doc_id").as("b_id"), col("toks").as("b_toks"))),
         Seq("b_id"))
       .withColumn(
         "jac",
         graft.functions.GraftColumns.jaccardSortedUnchecked(col("toks"), col("b_toks")))
-      .filter(col("jac") >= 0.8)
+      .filter(col("jac") >= thr)
+      .select(col("doc_id"), col("b_id"), col("jac"))
+  }
+
+  private def decontaminate(s: SparkSession, d: String): DataFrame =
+    decontamPairs(Tables.documents(s, d).select(col("doc_id"), col("text")), 50L, 0.8)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_matches"), round(max(col("jac")), 4).as("max_jac"))
       .orderBy(col("doc_id"))
-  }
 
   /** SimHash near-dup pairs by Hamming radius — the Manku/Jain/Das Sarma
     * (WWW'07) web-dedup design: doc pairs whose 64-bit SimHash signatures

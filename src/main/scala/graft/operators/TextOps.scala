@@ -87,6 +87,81 @@ object TextOps {
     perRound.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** Per-doc repetition counters (q88's body — Gopher-style rules, see that
+    * entry's doc): token/distinct counts, max same-word run over the sorted
+    * token array, bigram counts. One scan, per-row HOFs, NO shuffle — the
+    * curation pipeline (q107) reuses this on its dedup survivors.
+    * Input: (doc_id, text). Output: (doc_id, n_words, n_distinct, max_w,
+    * n_bg, max_bg).
+    */
+  private[operators] def repetitionCounts(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def maxRun(arr: String): String =
+      s"""aggregate(array_sort($arr),
+         |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
+         |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
+         |  acc -> acc.best)""".stripMargin
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_words"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        expr(maxRun("t")).as("max_w"),
+        expr("zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> concat(a, ' ', b))").as("bg"))
+      .select(
+        col("doc_id"),
+        col("n_words"),
+        col("n_distinct"),
+        col("max_w"),
+        greatest(size(col("bg")).cast("long"), lit(1L)).as("n_bg"),
+        expr(maxRun("bg")).as("max_bg"))
+  }
+
+  /** The Gopher-rule flag over [[repetitionCounts]] columns — all-integer
+    * compares (top_word > 0.12 OR dup > 0.65 OR top_bigram > 0.06), exact
+    * across engines.
+    */
+  private[operators] def lowQuality: Column =
+    col("max_w") * 25 > col("n_words") * 3 ||
+      (col("n_words") - col("n_distinct")) * 20 > col("n_words") * 13 ||
+      col("max_bg") * 50 > col("n_bg") * 3
+
+  /** Fixed-L sequence packing over a (doc_id, n) token-count table (q96's
+    * body — see that entry's doc for the two-phase prefix scan): returns
+    * (bin, n_docs, n_started, n_tokens). Reused by the curation pipeline.
+    */
+  private[operators] def packBins(
+      counts: org.apache.spark.sql.DataFrame, L: Long): org.apache.spark.sql.DataFrame = {
+    val docs = counts.filter(col("n") > 0)
+      .withColumn("blk", expr("doc_id div 256"))
+    val wB = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = docs.groupBy(col("blk")).agg(sum(col("n")).as("bn"))
+      .withColumn("prefix", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("blk"), col("prefix"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = docs.join(prefixes, Seq("blk"))
+      .withColumn("cum", col("prefix") + sum(col("n")).over(wIn))
+      .select(col("doc_id"), col("n"),
+        (col("cum") - col("n")).as("off0"), col("cum").as("off1"))
+    offs
+      .select(col("off0"), col("off1"),
+        explode(sequence(expr(s"off0 div $L"), expr(s"(off1 - 1) div $L"))).as("bin"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(expr(s"off0 div $L") === col("bin"), 1L).otherwise(0L))
+          .as("n_started"),
+        sum(least(col("off1"), (col("bin") + 1) * L) -
+          greatest(col("off0"), col("bin") * L)).as("n_tokens"))
+  }
+
   val entries: Seq[Entry] = Seq(
     // q30: word count THROUGH the MR-parity engine (scan → flatMap(map) →
     // hash shuffle → sortWithinPartitions → streaming grouped reduce) — the
@@ -567,31 +642,8 @@ object TextOps {
     // exact across engines regardless of float rounding.
     Entry(
       "q88_repetition_quality",
-      (s, d) => {
-        def maxRun(arr: String): String =
-          s"""aggregate(array_sort($arr),
-             |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
-             |  (acc, x) -> named_struct(
-             |    'prev', x,
-             |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
-             |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
-             |  acc -> acc.best)""".stripMargin
-        Tables.documents(s, d)
-          .select(col("doc_id"), split(col("text"), " ").as("t"))
-          .select(
-            col("doc_id"),
-            size(col("t")).cast("long").as("n_words"),
-            size(array_distinct(col("t"))).cast("long").as("n_distinct"),
-            expr(maxRun("t")).as("max_w"),
-            expr("zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
-              "(a, b) -> concat(a, ' ', b))").as("bg"))
-          .select(
-            col("doc_id"),
-            col("n_words"),
-            col("n_distinct"),
-            col("max_w"),
-            greatest(size(col("bg")).cast("long"), lit(1L)).as("n_bg"),
-            expr(maxRun("bg")).as("max_bg"))
+      (s, d) =>
+        repetitionCounts(Tables.documents(s, d).select(col("doc_id"), col("text")))
           .select(
             col("doc_id"),
             col("n_words"),
@@ -599,11 +651,8 @@ object TextOps {
             round((col("n_words") - col("n_distinct")) / col("n_words"), 4)
               .as("dup_word_frac"),
             round(col("max_bg") / col("n_bg"), 4).as("top_bigram_frac"),
-            (col("max_w") * 25 > col("n_words") * 3 ||
-              (col("n_words") - col("n_distinct")) * 20 > col("n_words") * 13 ||
-              col("max_bg") * 50 > col("n_bg") * 3).as("low_quality"))
-          .orderBy(col("doc_id"))
-      },
+            lowQuality.as("low_quality"))
+          .orderBy(col("doc_id")),
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
              |wc AS (SELECT doc_id, count(*) AS cnt FROM (
              |    SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
@@ -812,35 +861,12 @@ object TextOps {
     // explode (≤ n/L + 2 bins per doc). All integer arithmetic.
     Entry(
       "q96_sequence_packing",
-      (s, d) => {
-        val L = 2048L
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
-          .filter(col("n") > 0)
-          .withColumn("blk", expr("doc_id div 256"))
-        val wB = Window.orderBy(col("blk"))
-          .rowsBetween(Window.unboundedPreceding, -1)
-        val prefixes = docs.groupBy(col("blk")).agg(sum(col("n")).as("bn"))
-          .withColumn("prefix", coalesce(sum(col("bn")).over(wB), lit(0L)))
-          .select(col("blk"), col("prefix"))
-        val wIn = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val offs = docs.join(prefixes, Seq("blk"))
-          .withColumn("cum", col("prefix") + sum(col("n")).over(wIn))
-          .select(col("doc_id"), col("n"),
-            (col("cum") - col("n")).as("off0"), col("cum").as("off1"))
-        offs
-          .select(col("off0"), col("off1"),
-            explode(sequence(expr(s"off0 div $L"), expr(s"(off1 - 1) div $L"))).as("bin"))
-          .groupBy(col("bin"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(when(expr(s"off0 div $L") === col("bin"), 1L).otherwise(0L))
-              .as("n_started"),
-            sum(least(col("off1"), (col("bin") + 1) * L) -
-              greatest(col("off0"), col("bin") * L)).as("n_tokens"))
-          .orderBy(col("bin"))
-      },
+      (s, d) =>
+        packBins(
+          Tables.documents(s, d)
+            .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n")),
+          2048L)
+          .orderBy(col("bin")),
       Some("""WITH d AS (SELECT doc_id, len(string_split(text,' ')) AS n FROM documents
              |    WHERE len(string_split(text,' ')) > 0),
              |c AS (SELECT doc_id, n,
@@ -1044,6 +1070,109 @@ object TextOps {
              |      chr(9) || ' ' || replace(upper(text), ' ', '  ')
              |        || ' CAFE' || chr(769) || ' ' || chr(10))),
              |    '[ \t\n]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q107: END-TO-END CORPUS-CURATION PIPELINE — the stages every
+    // pretraining data pipeline chains, composed as ONE registered query
+    // with no driver action between stages: raw dump (each doc ingested
+    // twice — q35's fabrication) → exact dedup (hash-keyed exchange, q35's
+    // shape) → Gopher repetition-quality filter (q88's rules via
+    // repetitionCounts) → eval-set decontamination (q76's banded machinery
+    // via decontamPairs; docs < 50 play the benchmark and leave the
+    // training set) → fixed-2048 sequence packing (q96's two-phase prefix
+    // scan via packBins). Output is the CURATION MANIFEST: per-stage
+    // surviving row counts plus packing totals — the artifact a production
+    // run logs to prove what each stage removed. The per-doc survivor
+    // table is localCheckpointed ONCE before the count/packing fan-out
+    // (the q93/q94 idiom: one materialization, many consumers); the
+    // manifest combines 1-row global aggregates by broadcast (the q41
+    // shape). The oracle replays the full chain in DuckDB CTEs, so a pass
+    // proves the stages COMPOSE, not just that each works alone.
+    Entry(
+      "q107_curation_pipeline",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val raw = docs.union(docs.select(col("doc_id") + 1000000L, col("text")))
+        // exact dedup: exchange keyed on the 8-byte hash, min id survives
+        // (ids < 1000000 are the originals, so survivors keep original ids)
+        val ded = raw.withColumn("h", xxhash64(col("text")))
+          .repartition(col("h"))
+          .groupBy(col("h"), col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+        val qual = repetitionCounts(ded)
+          .select(col("doc_id"), col("n_words"), lowQuality.as("low_quality"))
+        val flagged = Dedup.decontamPairs(ded, 50L, 0.8)
+          .select(col("doc_id")).distinct()
+          .withColumn("contaminated", lit(true))
+        val perDoc = qual
+          .join(flagged, Seq("doc_id"), "left_outer")
+          .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+          .localCheckpoint()
+        val keep = !col("low_quality") && col("doc_id") >= 50 && !col("contaminated")
+        val counts = perDoc.agg(
+          count(lit(1)).as("n_dedup"),
+          sum(when(!col("low_quality"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_train"))
+        val packed = packBins(
+          perDoc.filter(keep).select(col("doc_id"), col("n_words").as("n")), 2048L)
+        val packAgg = packed.agg(
+          count(lit(1)).as("n_bins"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"),
+          max(col("n_docs")).cast("long").as("max_docs_per_bin"))
+        raw.agg(count(lit(1)).as("n_raw"))
+          .crossJoin(broadcast(counts))
+          .crossJoin(broadcast(packAgg))
+          .select(
+            col("n_raw"), col("n_dedup"), col("n_quality"), col("n_train"),
+            col("n_bins"), col("n_tokens"), col("max_docs_per_bin"))
+      },
+      Some("""WITH raw AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+             |ded AS (SELECT min(doc_id) AS doc_id, text FROM raw GROUP BY text),
+             |t AS (SELECT doc_id, string_split(text,' ') AS toks FROM ded),
+             |wc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+             |ws AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS max_w,
+             |    count(*) AS n_distinct FROM wc GROUP BY doc_id),
+             |bc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |      i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t) GROUP BY doc_id, bg),
+             |bs AS (SELECT doc_id, max(cnt) AS max_bg, sum(cnt) AS n_bg FROM bc
+             |    GROUP BY doc_id),
+             |q AS (SELECT t.doc_id, ws.n_words,
+             |    (ws.max_w * 25 > ws.n_words * 3
+             |     OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
+             |     OR coalesce(bs.max_bg, 0) * 50 > greatest(coalesce(bs.n_bg, 0), 1) * 3)
+             |      AS low_quality
+             |  FROM t JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)),
+             |sets AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS s FROM ded),
+             |cont AS (SELECT DISTINCT c.doc_id
+             |  FROM sets c CROSS JOIN (SELECT s FROM sets WHERE doc_id < 50) b
+             |  WHERE c.doc_id >= 50 AND
+             |    CAST(len(list_intersect(c.s, b.s)) AS DOUBLE) /
+             |      (len(c.s) + len(b.s) - len(list_intersect(c.s, b.s))) >= 0.8),
+             |fin AS (SELECT q.doc_id, q.n_words FROM q
+             |  WHERE NOT q.low_quality AND q.doc_id >= 50
+             |    AND q.doc_id NOT IN (SELECT doc_id FROM cont)),
+             |c2 AS (SELECT doc_id, n_words AS n,
+             |    sum(n_words) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM fin WHERE n_words > 0),
+             |o AS (SELECT CAST(cum - n AS BIGINT) AS off0, CAST(cum AS BIGINT) AS off1
+             |  FROM c2),
+             |pb AS (SELECT off0, off1,
+             |    unnest(range(off0 // 2048, (off1 - 1) // 2048 + 1)) AS bin FROM o),
+             |pk AS (SELECT bin, count(*) AS nd,
+             |    sum(least(off1, (bin + 1) * 2048) - greatest(off0, bin * 2048)) AS nt
+             |  FROM pb GROUP BY bin)
+             |SELECT (SELECT count(*) FROM raw) AS n_raw,
+             |  (SELECT count(*) FROM ded) AS n_dedup,
+             |  (SELECT count(*) FROM q WHERE NOT low_quality) AS n_quality,
+             |  (SELECT count(*) FROM fin) AS n_train,
+             |  (SELECT count(*) FROM pk) AS n_bins,
+             |  CAST((SELECT sum(nt) FROM pk) AS BIGINT) AS n_tokens,
+             |  CAST((SELECT max(nd) FROM pk) AS BIGINT) AS max_docs_per_bin"""
+        .stripMargin))
   )
 }
