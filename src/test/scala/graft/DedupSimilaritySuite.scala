@@ -138,6 +138,32 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"q94 plans a BNLJ:\n$plan")
   }
 
+  test("q109 serve plan reads the published artifact with no training stage") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions._
+    val serve = Similarity.pqIndexServe(spark, sf)
+    val plan = serve.queryExecution.optimizedPlan.toString
+    // reads the persisted index, not an in-query codebook (file paths only
+    // print in the physical plan's scan locations)
+    val physical = serve.queryExecution.executedPlan.toString
+    assert(physical.contains("pq_index"), s"serve does not read the artifact:\n$physical")
+    // the training chain's signature is the hash-mod sampling filter — a
+    // serve plan containing it is retraining per query, the exact gap the
+    // artifact exists to close (Lloyd rounds only ever run over the sample)
+    assert(!plan.contains("xxhash64"),
+      s"serve plan contains the training-sample filter:\n$plan")
+    // serving from the artifact loses nothing vs the in-query form
+    val fromArtifact = serve.select(col("q_id"), col("n_id"))
+    val ex = Similarity.bruteTopK(spark, sf).select(col("q_id"), col("n_id"))
+    val hit = ex.intersect(fromArtifact).count().toDouble
+    assert(hit / ex.count() >= 0.85, s"artifact-served recall: ${hit / ex.count()}")
+    // and the registered self-checks agree
+    val build = rows("q108_ann_index_build")
+    assert(build.length == 1 && build(0).getBoolean(2), "q108 codebook_ok is false")
+    val check = rows("q109_ann_index_serve")
+    assert(check.length == 1 && check(0).getBoolean(1), "q109 recall_ok is false")
+  }
+
   test("q91 pigeonhole banding equals brute-force Hamming pairs on the full fixture") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup

@@ -99,7 +99,8 @@ class RelationalSuite extends SparkTestBase {
       "q76_decontamination" -> 2, // ≤50-doc eval set: banded side + token-set side
       "q91_simhash_hamming" -> 1, // 100-doc brute slice of the self-check
       "q93_countmin_sketch" -> 1, // the sketch itself: ≤ d×w = 256 counters by construction
-      "q94_ann_pq" -> 6           // codebook (m·ks rows) ×4 + ADC table (Q·m·ks) + exact-baseline probe
+      "q94_ann_pq" -> 6,          // codebook (m·ks rows) ×4 + ADC table (Q·m·ks) + exact-baseline probe
+      "q109_ann_index_serve" -> 2 // ADC table (Q·m·ks; the codebook comes from the artifact parquet) + exact-baseline probe
     )
     val names = (graft.operators.Relational.entries ++
       graft.operators.RelationalExt.entries ++
