@@ -33,7 +33,11 @@ object Q37Budget {
       col("gid"), col("feat"), sigOf(concat_ws(" ", col("feat"))).as("sig"))
       .withColumn("bands", call_function("bands_from_sig", col("sig"), lit(2)))
     val banded = reps.select(col("gid").as("doc_id"), explode(col("bands")).as("band"))
-    val candidates = Dedup.bandCandidates(banded)
+    // r12: q37 switched to the dedup-free first-shared-band emission — the
+    // budget measures THAT stage (the old distinct form remains available
+    // via Dedup.bandCandidates(banded) for comparison runs)
+    val candidates = Dedup.bandCandidatesNoDistinct(
+      reps.select(col("gid").as("doc_id"), col("bands")))
     val withFeat = Dedup.attachFeatures(
       candidates,
       reps.select(col("gid").as("doc_id"),
