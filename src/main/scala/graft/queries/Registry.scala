@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Dedup, EventOps, Multimodal, Relational, Relational3, RelationalExt, Similarity, TextOps}
+import graft.operators.{CorpusOps, Dedup, EventOps, Multimodal, Relational, Relational3, RelationalExt, Similarity, TextOps}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -20,7 +20,8 @@ object Registry {
       Dedup.entries ++
       Similarity.entries ++
       Multimodal.entries ++
-      Sources.entries
+      Sources.entries ++
+      CorpusOps.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,

@@ -1,0 +1,87 @@
+package graft
+
+import graft.queries.Registry
+import java.security.MessageDigest
+
+/** Property checks for the corpus-curation operators (q110-q113) beyond
+  * their oracle gates: redaction completeness, split determinism against an
+  * independent JVM md5, and score-shape invariants.
+  */
+class CorpusOpsSuite extends SparkTestBase {
+
+  test("q110 boilerplate: short docs keep, fully-duplicated docs drop") {
+    val rows = Registry.byName("q110_boilerplate_scrub").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nGrams, nBoiler, drop) = (r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(nBoiler <= nGrams, s"doc ${r.getLong(0)}: n_boiler > n_grams")
+      if (nGrams == 0) assert(!drop, s"doc ${r.getLong(0)}: gramless doc dropped")
+      if (nGrams > 0 && nBoiler == nGrams)
+        assert(drop, s"doc ${r.getLong(0)}: fully-boilerplate doc kept")
+    }
+    // the fixture's near-dup mass guarantees both classes are non-empty —
+    // a scrub that drops nothing (or everything) is broken even if typed
+    assert(rows.exists(_.getBoolean(3)), "no doc dropped on a corpus with near-dups")
+    assert(rows.count(!_.getBoolean(3)) > rows.length / 2, "majority of corpus dropped")
+  }
+
+  test("q111 redaction leaves no live PII pattern and exact per-type counts") {
+    val rows = Registry.byName("q111_pii_redaction").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 2L && r.getLong(2) == 1L && r.getLong(3) == 1L,
+        s"doc ${r.getLong(0)}: counts ${(r.getLong(1), r.getLong(2), r.getLong(3))}")
+      val red = r.getString(4)
+      assert(!red.contains("@example.com") && !red.contains("@mail.net"),
+        s"doc ${r.getLong(0)}: live email survived redaction")
+      assert(!red.contains("+1-555-"), s"doc ${r.getLong(0)}: live phone survived")
+      assert(!red.contains(" 10.0."), s"doc ${r.getLong(0)}: live ip survived")
+      assert(red.contains("<EMAIL>") && red.contains("<PHONE>") && red.contains("<IP>"))
+    }
+  }
+
+  test("q112 split matches an independent JVM md5 and is seed-deterministic") {
+    val rows = Registry.byName("q112_split_assign").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val md = MessageDigest.getInstance("MD5")
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val hex = md.digest(s"split:v1:$id".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val expected = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 100
+      assert(r.getLong(1) == expected,
+        s"doc $id: bucket ${r.getLong(1)} != independent md5 bucket $expected")
+      val split = r.getString(2)
+      val want =
+        if (expected < 80) "train" else if (expected < 90) "val" else "test"
+      assert(split == want, s"doc $id: split $split != $want")
+    }
+    // 80/10/10 within loose binomial tolerance on the 500-doc fixture
+    val n = rows.length.toDouble
+    val frac = rows.groupBy(_.getString(2)).view.mapValues(_.length / n).toMap
+    assert(math.abs(frac.getOrElse("train", 0.0) - 0.8) < 0.08, s"train frac $frac")
+    assert(math.abs(frac.getOrElse("val", 0.0) - 0.1) < 0.06, s"val frac $frac")
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.1) < 0.06, s"test frac $frac")
+  }
+
+  test("q113 importance: mass bounds, descending order, target docs rank high") {
+    val rows = Registry.byName("q113_importance_weights").q(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2),
+        s"doc ${r.getLong(0)}: target_mass > corpus_mass")
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val scores = rows.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "scores not descending")
+    // the scorer must find the target subset itself more target-like than
+    // the corpus at large: src13 docs are ~5% of the corpus but must be
+    // over-represented in the top-100 (a flat scorer would put ~5 here)
+    val src13 = Tables.documents(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("source") === "src13")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hit = rows.count(r => src13.contains(r.getLong(0)))
+    assert(hit >= 10, s"only $hit src13 docs in top-100 (expected enrichment)")
+  }
+}
