@@ -236,6 +236,40 @@ object EventOps {
              | CAST(sum(CASE WHEN event_type='view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
              | CAST(sum(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
              | round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END),2) AS purchase_value
-             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q116: SCD2 DIMENSION VERSIONING — build the type-2 slowly-changing
+    // dimension from an event stream: each (user, event) opens a version
+    // valid [ts, next-event ts), the newest version per user stays open
+    // (valid_to NULL, is_current). One `lead` window per user — the
+    // exchange is keyed on the 8-byte user_id and every window group is one
+    // user's bounded activity, so the shape is partition-parallel at any
+    // scale (never a corpus-wide window); ties in µs timestamps are broken
+    // by event_id so both engines emit identical intervals. This is the
+    // dimension-table counterpart of q90's keep-latest compaction: q90
+    // emits only the current row, this emits the full validity history
+    // (what a warehouse joins facts against `BETWEEN valid_from AND
+    // valid_to`).
+    Entry(
+      "q116_scd2_intervals",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("valid_from_us"), col("event_id"))
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            col("event_type").as("state"),
+            expr("ts div 1000").as("valid_from_us"))
+          .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+          .withColumn("is_current", col("valid_to_us").isNull)
+          .orderBy(col("user_id"), col("valid_from_us"), col("event_id"))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, event_type AS state,
+             |    CAST(epoch_us(ts) AS BIGINT) AS valid_from_us FROM events)
+             |SELECT user_id, event_id, state, valid_from_us,
+             |  lead(valid_from_us) OVER (PARTITION BY user_id
+             |    ORDER BY valid_from_us, event_id) AS valid_to_us,
+             |  (lead(valid_from_us) OVER (PARTITION BY user_id
+             |    ORDER BY valid_from_us, event_id) IS NULL) AS is_current
+             |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin))
   )
 }

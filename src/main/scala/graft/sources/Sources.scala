@@ -58,6 +58,76 @@ object Sources {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ORC round-trip — the second columnar format a 100 TB lakehouse holds
+    * (Spark's ORC datasource is as first-class as parquet: vectorized reads,
+    * predicate pushdown into stripe/row-group stats, partition pruning).
+    * lineitem → zstd ORC partitioned by l_linestatus, read back one
+    * partition with a quantity predicate — the plan must show the same
+    * PartitionFilters + PushedFilters a parquet scan would (asserted in
+    * SourcesSuite), proving format choice doesn't cost the pruning.
+    */
+  private def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val path = scratch(d, "lineitem_orc")
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_linestatus"))
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .partitionBy("l_linestatus")
+      .orc(path)
+    s.read.orc(path)
+      .filter(col("l_linestatus") === "F" && col("l_quantity") > 10)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("total"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** CDC UPSERT APPLY — incremental dataset maintenance, the write-side
+    * counterpart of q98's snapshot diff: apply a change stream
+    * (inserts / updates / deletes) to a snapshot in one pass. The change
+    * stream is fabricated from the snapshot (q98's fixture-fabrication
+    * pattern): deletes every 97th key, updates every 10th surviving key,
+    * inserts a shifted copy of every 50th — op classes key-disjoint by
+    * construction. The apply is ONE full-outer join keyed on the 8-byte
+    * order key (change rows win via coalesce; 'D' rows drop), then the
+    * emitted manifest combines the before/changes/after 1-row aggregates by
+    * broadcast (the q41 shape). At 100 TB both sides are bucketed on the
+    * key (q65's layout), making the apply an exchange-free merge — the
+    * plan shape Delta/Iceberg MERGE compiles to under the hood.
+    */
+  private def cdcUpsert(s: SparkSession, d: String): DataFrame = {
+    val snap = Tables.orders(s, d)
+      .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+    val dels = snap.filter(col("k") % 97 === 0)
+      .select(col("k"), lit(null).cast("double").as("cp"), lit("D").as("op"))
+    val upds = snap.filter(col("k") % 97 =!= 0 && col("k") % 10 === 0)
+      .select(col("k"), (col("p") + 1.0).as("cp"), lit("U").as("op"))
+    val ins = snap.filter(col("k") % 50 === 0)
+      .select((col("k") + 10000000L).as("k"), col("p").as("cp"), lit("I").as("op"))
+    val changes = dels.unionByName(upds).unionByName(ins)
+    val applied = snap
+      .join(changes, Seq("k"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("k"), coalesce(col("cp"), col("p")).as("fp"), col("op"))
+    val afterAgg = applied.agg(
+      count(lit(1)).as("n_after"),
+      sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"),
+      sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserted"),
+      round(sum(col("fp")), 2).as("total_after"))
+    val beforeAgg = snap.agg(count(lit(1)).as("n_before"))
+    val changeAgg = changes.agg(
+      count(lit(1)).as("n_changes"),
+      sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deleted"))
+    beforeAgg
+      .crossJoin(broadcast(changeAgg))
+      .crossJoin(broadcast(afterAgg))
+      .select(col("n_before"), col("n_changes"), col("n_after"),
+        col("n_inserted"), col("n_updated"), col("n_deleted"),
+        col("total_after"))
+  }
+
   /** CSV (with header) and JSON-lines round-trips joined back together:
     * nation → JSON, region → CSV, read both, join, count per region.
     */
@@ -299,6 +369,43 @@ object Sources {
       Some("""SELECT r_name, count(*) AS n_nations, min(n_name) AS first_nation
              |FROM nation JOIN region ON n_regionkey=r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+    // q114: ORC columnar round-trip (see orcRoundtrip doc); the oracle
+    // computes the same aggregate from the parquet original, so a pass
+    // proves the ORC write+partitioned+pushdown read is lossless.
+    Entry(
+      "q114_orc_roundtrip",
+      orcRoundtrip,
+      Some("""SELECT l_linestatus, count(*) AS n,
+             | round(sum(l_extendedprice),2) AS total,
+             | round(sum(l_quantity),2) AS qty
+             |FROM lineitem WHERE l_linestatus='F' AND l_quantity > 10
+             |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)),
+
+    // q115: CDC upsert apply (see cdcUpsert doc); oracle replays the
+    // fabricated change stream and the full-outer apply in CTEs.
+    Entry(
+      "q115_cdc_upsert",
+      cdcUpsert,
+      Some("""WITH snap AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders),
+             |ch AS (
+             |  SELECT k, CAST(NULL AS DOUBLE) AS cp, 'D' AS op FROM snap WHERE k % 97 = 0
+             |  UNION ALL
+             |  SELECT k, p + 1.0, 'U' FROM snap WHERE k % 97 <> 0 AND k % 10 = 0
+             |  UNION ALL
+             |  SELECT k + 10000000, p, 'I' FROM snap WHERE k % 50 = 0),
+             |ap AS (SELECT coalesce(ch.cp, snap.p) AS fp, ch.op
+             |  FROM snap FULL OUTER JOIN ch USING (k)
+             |  WHERE coalesce(ch.op, '') <> 'D')
+             |SELECT (SELECT count(*) FROM snap) AS n_before,
+             |  (SELECT count(*) FROM ch) AS n_changes,
+             |  count(*) AS n_after,
+             |  CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+             |  CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+             |  (SELECT CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT)
+             |    FROM ch) AS n_deleted,
+             |  round(sum(fp), 2) AS total_after
+             |FROM ap""".stripMargin)),
+
     Entry(
       "q65_bucketed_join",
       bucketedJoin,

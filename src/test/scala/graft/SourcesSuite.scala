@@ -18,6 +18,30 @@ class SourcesSuite extends SparkTestBase {
     assert(dirs.length >= 2, s"expected hive-style partition dirs, got ${dirs.toSeq}")
   }
 
+  test("q114 ORC read-back plans partition pruning AND predicate pushdown") {
+    Registry.byName("q114_orc_roundtrip").q(spark, sf).collect()
+    val path = graft.sources.Sources.scratch(sf, "lineitem_orc")
+    val df = spark.read.orc(path)
+      .filter(col("l_linestatus") === "F" && col("l_quantity") > 10)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("l_linestatus"),
+      s"no partition pruning in ORC plan:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(l_quantity"),
+      s"quantity predicate not pushed into the ORC scan:\n$plan")
+    val dirs = new java.io.File(path).listFiles().map(_.getName)
+      .filter(_.startsWith("l_linestatus="))
+    assert(dirs.length >= 2, s"expected hive-style partition dirs, got ${dirs.toSeq}")
+  }
+
+  test("q115 cdc upsert: manifest identities hold") {
+    val r = Registry.byName("q115_cdc_upsert").q(spark, sf).collect().head
+    val (before, changes, after) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (ins, upd, del) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    assert(changes == ins + upd + del, "change classes don't partition the stream")
+    assert(after == before + ins - del, "after != before + inserts - deletes")
+    assert(del > 0 && upd > 0 && ins > 0, "a change class is empty — fixture broken")
+  }
+
   test("q58 csv/json round-trip preserves row counts and keys") {
     val out = Registry.byName("q58_csv_json_roundtrip").q(spark, sf).collect()
     assert(out.map(_.getLong(1)).sum == Tables.nation(spark, sf).count())
