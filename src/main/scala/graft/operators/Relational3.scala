@@ -139,6 +139,170 @@ object Relational3 {
              |SELECT c_mktsegment, 'total_bal' AS metric, total_bal AS value FROM a
              |UNION ALL SELECT c_mktsegment, 'avg_bal', avg_bal FROM a
              |UNION ALL SELECT c_mktsegment, 'n_cust', n_cust FROM a
-             |ORDER BY c_mktsegment, metric""".stripMargin))
+             |ORDER BY c_mktsegment, metric""".stripMargin)),
+
+    // q117: DATA-QUALITY CONSTRAINT AUDIT (the Deequ/dbt-test shape): run a
+    // batch of declared constraints over a table and emit per-check
+    // violation counts. The audited input is the orders snapshot polluted
+    // with deterministic bad rows (q98's fixture-fabrication pattern —
+    // null keys, duplicate keys, rejected status, negative price, orphaned
+    // custkey — one of each per key ≡ 1 mod 1000), so every check is
+    // exercised against real violations, not vacuously green. Scale shape:
+    // the four column checks are conditional aggregates in ONE scan (one
+    // 1-row agg, no shuffle of the table); uniqueness adds the one
+    // unavoidable key-grouped exchange; referential integrity is a
+    // broadcast LEFT ANTI against the dim keys — the audit costs one pass
+    // + one keyed exchange no matter how many checks are declared.
+    Entry(
+      "q117_data_quality",
+      (s, d) => {
+        val base = T.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        val seed = base.filter(col("o_orderkey") % 1000 === 1)
+        val polluted = base
+          .unionByName(seed.select(lit(null).cast("long").as("o_orderkey"),
+            col("o_custkey"), col("o_orderstatus"), col("o_totalprice")))
+          .unionByName(seed)
+          .unionByName(seed.select((col("o_orderkey") + 7000000L).as("o_orderkey"), col("o_custkey"),
+            lit("X").as("o_orderstatus"), col("o_totalprice")))
+          .unionByName(seed.select((col("o_orderkey") + 8000000L).as("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"), lit(-1.0).as("o_totalprice")))
+          .unionByName(seed.select((col("o_orderkey") + 9000000L).as("o_orderkey"),
+            (col("o_custkey") + 10000000L).as("o_custkey"),
+            col("o_orderstatus"), col("o_totalprice")))
+        val colChecks = polluted.agg(
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+          (count(col("o_orderkey")) - countDistinct(col("o_orderkey")))
+            .as("dup_key"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L).otherwise(0L))
+            .as("bad_status"),
+          sum(when(col("o_totalprice").isNull || col("o_totalprice") <= 0, 1L)
+            .otherwise(0L)).as("bad_price"))
+        val orphans = polluted
+          .join(broadcast(T.customer(s, d).select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("orphan_custkey"))
+        colChecks.crossJoin(broadcast(orphans))
+          .select(
+            explode(array(
+              struct(lit("o_custkey_ref_integrity").as("check_name"),
+                col("orphan_custkey").as("n_violations")),
+              struct(lit("o_orderkey_not_null").as("check_name"),
+                col("null_key").as("n_violations")),
+              struct(lit("o_orderkey_unique").as("check_name"),
+                col("dup_key").as("n_violations")),
+              struct(lit("o_orderstatus_accepted").as("check_name"),
+                col("bad_status").as("n_violations")),
+              struct(lit("o_totalprice_positive").as("check_name"),
+                col("bad_price").as("n_violations")))).as("c"))
+          .select(col("c.check_name").as("check_name"),
+            col("c.n_violations").as("n_violations"),
+            (col("c.n_violations") === 0L).as("pass"))
+          .orderBy(col("check_name"))
+      },
+      Some("""WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+             |    FROM orders),
+             |seed AS (SELECT * FROM base WHERE o_orderkey % 1000 = 1),
+             |p AS (
+             |  SELECT * FROM base
+             |  UNION ALL SELECT NULL, o_custkey, o_orderstatus, o_totalprice FROM seed
+             |  UNION ALL SELECT * FROM seed
+             |  UNION ALL SELECT o_orderkey + 7000000, o_custkey, 'X', o_totalprice
+             |    FROM seed
+             |  UNION ALL SELECT o_orderkey + 8000000, o_custkey, o_orderstatus, -1.0
+             |    FROM seed
+             |  UNION ALL SELECT o_orderkey + 9000000, o_custkey + 10000000,
+             |    o_orderstatus, o_totalprice FROM seed),
+             |v AS (
+             |  SELECT 'o_custkey_ref_integrity' AS check_name, count(*) AS n_violations
+             |    FROM p WHERE NOT EXISTS
+             |      (SELECT 1 FROM customer c WHERE c.c_custkey = p.o_custkey)
+             |  UNION ALL SELECT 'o_orderkey_not_null', count(*) FROM p
+             |    WHERE o_orderkey IS NULL
+             |  UNION ALL SELECT 'o_orderkey_unique',
+             |    count(o_orderkey) - count(DISTINCT o_orderkey) FROM p
+             |  UNION ALL SELECT 'o_orderstatus_accepted', count(*) FROM p
+             |    WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+             |  UNION ALL SELECT 'o_totalprice_positive', count(*) FROM p
+             |    WHERE o_totalprice IS NULL OR o_totalprice <= 0)
+             |SELECT check_name, CAST(n_violations AS BIGINT) AS n_violations,
+             |  n_violations = 0 AS pass
+             |FROM v ORDER BY check_name""".stripMargin)),
+
+    // q118: INCREMENTAL AGGREGATE MAINTENANCE (materialized-view delta
+    // application — the IVM identity sum/count are self-maintainable
+    // under): maintain the per-status (count, sum(price)) rollup under
+    // q115's fabricated change stream by folding ONLY the deltas into the
+    // stored aggregate — deletes contribute (-1, -old), updates
+    // (0, new-old), inserts (+1, +new) — never rescanning the base. At
+    // 100 TB this is the difference between touching the change stream
+    // (MBs) and the fact table (TBs) on every refresh. The query emits the
+    // maintained rollup NEXT TO a from-scratch recompute of the applied
+    // state plus a per-status consistency flag (|maintained − scratch|
+    // < 0.01, evaluated within-engine so fp summation-order noise can't
+    // flip it) — a pass proves the delta algebra, not just the arithmetic.
+    Entry(
+      "q118_incremental_agg",
+      (s, d) => {
+        val snap = T.orders(s, d)
+          .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+            col("o_totalprice").as("p"))
+        // change stream with before/after images (q115's classes)
+        val dels = snap.filter(col("k") % 97 === 0)
+          .select(col("st"), lit(-1L).as("dn"), (-col("p")).as("dp"))
+        val upds = snap.filter(col("k") % 97 =!= 0 && col("k") % 10 === 0)
+          .select(col("st"), lit(0L).as("dn"), lit(1.0).as("dp"))
+        val ins = snap.filter(col("k") % 50 === 0)
+          .select(col("st"), lit(1L).as("dn"), col("p").as("dp"))
+        val deltaAgg = dels.unionByName(upds).unionByName(ins)
+          .groupBy(col("st"))
+          .agg(sum(col("dn")).as("dn"), sum(col("dp")).as("dp"))
+        val baseAgg = snap.groupBy(col("st"))
+          .agg(count(lit(1)).as("bn"), sum(col("p")).as("bp"))
+        val maintained = baseAgg
+          .join(deltaAgg, Seq("st"), "left_outer")
+          .select(col("st"),
+            (col("bn") + coalesce(col("dn"), lit(0L))).as("n_maintained"),
+            (col("bp") + coalesce(col("dp"), lit(0.0))).as("mp"))
+        // from-scratch recompute over the applied state (q115's apply)
+        val applied = snap
+          .filter(col("k") % 97 =!= 0)
+          .select(col("st"),
+            when(col("k") % 10 === 0, col("p") + 1.0).otherwise(col("p")).as("p"))
+          .unionByName(snap.filter(col("k") % 50 === 0).select(col("st"), col("p")))
+        val scratch = applied.groupBy(col("st"))
+          .agg(count(lit(1)).as("n_scratch"), sum(col("p")).as("sp"))
+        maintained.join(scratch, Seq("st"))
+          .select(col("st").as("o_orderstatus"),
+            col("n_maintained"), col("n_scratch"),
+            round(col("mp"), 2).as("total_maintained"),
+            (col("n_maintained") === col("n_scratch") &&
+              abs(col("mp") - col("sp")) < 0.01).as("consistent"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""WITH snap AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+             |    o_totalprice AS p FROM orders),
+             |delta AS (
+             |  SELECT st, -1 AS dn, -p AS dp FROM snap WHERE k % 97 = 0
+             |  UNION ALL SELECT st, 0, 1.0 FROM snap WHERE k % 97 <> 0 AND k % 10 = 0
+             |  UNION ALL SELECT st, 1, p FROM snap WHERE k % 50 = 0),
+             |da AS (SELECT st, sum(dn) AS dn, sum(dp) AS dp FROM delta GROUP BY st),
+             |ba AS (SELECT st, count(*) AS bn, sum(p) AS bp FROM snap GROUP BY st),
+             |m AS (SELECT ba.st, bn + coalesce(dn, 0) AS n_maintained,
+             |    bp + coalesce(dp, 0.0) AS mp
+             |  FROM ba LEFT JOIN da ON ba.st = da.st),
+             |ap AS (
+             |  SELECT st, CASE WHEN k % 10 = 0 THEN p + 1.0 ELSE p END AS p
+             |    FROM snap WHERE k % 97 <> 0
+             |  UNION ALL SELECT st, p FROM snap WHERE k % 50 = 0),
+             |sc AS (SELECT st, count(*) AS n_scratch, sum(p) AS sp
+             |  FROM ap GROUP BY st)
+             |SELECT m.st AS o_orderstatus,
+             |  CAST(n_maintained AS BIGINT) AS n_maintained,
+             |  CAST(n_scratch AS BIGINT) AS n_scratch,
+             |  round(mp, 2) AS total_maintained,
+             |  (n_maintained = n_scratch AND abs(mp - sp) < 0.01) AS consistent
+             |FROM m JOIN sc ON m.st = sc.st ORDER BY o_orderstatus""".stripMargin))
   )
 }
