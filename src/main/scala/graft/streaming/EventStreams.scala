@@ -446,6 +446,40 @@ object EventStreams {
              |FROM c JOIN p ON c.user_id = p.user_id
              | AND p_ns > c_ns
              | AND p_ns // 1000 <= c_ns // 1000 + 3600000000
-             |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
+             |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin)),
+
+    // q119: STREAM-STATIC ENRICHMENT JOIN — the most common production
+    // streaming shape after windowed aggs (q72 is stream-STREAM; this is
+    // the dimension-lookup form): the event stream joins a STATIC dim
+    // table (nation, via user_id % 25 as the foreign key) broadcast to
+    // every micro-batch — no state, no watermark bookkeeping, because the
+    // static side is re-resolved per batch (how slowly-refreshing dims are
+    // consumed; at 100 TB/day the dim stays a broadcast while the stream
+    // never shuffles for the join). Complete-mode memory sink over
+    // AvailableNow ⇒ exact, the batch oracle applies verbatim.
+    Entry(
+      "q119_stream_enrich",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val src = s.readStream.schema(schema).parquet(s"$d/events*")
+        val dim = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("nk"), col("n_name"))
+        val agg = src
+          .join(broadcast(dim), pmod(col("user_id"), lit(25L)) === col("nk"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        s.streams.active.filter(_.name == "graft_stream_enrich").foreach(_.stop())
+        val q = agg.writeStream
+          .format("memory")
+          .queryName("graft_stream_enrich")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_stream_enrich").orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n, round(sum(value),2) AS sum_value
+             |FROM events JOIN nation ON n_nationkey = user_id % 25
+             |GROUP BY n_name ORDER BY n_name""".stripMargin))
   )
 }
