@@ -112,12 +112,18 @@ object EventOps {
           .groupBy(col("hour_epoch"), col("event_type"))
           .agg(
             count(lit(1)).as("n"),
-            round(sum(col("value")), 2).as("sum_value"),
-            round(avg(col("value")), 4).as("avg_value"))
+            round(sum(col("value")), 2).as("sum_value"))
+          // avg derived from the ALREADY-ROUNDED sum — one fp rounding site:
+          // round(avg(raw),4) flipped its last decimal between engines at
+          // sf0.1 (summation-order noise amplified by the division landing
+          // exactly on a .00005 boundary); dividing the 2dp sum makes the
+          // avg consistent whenever the emitted sum is
+          .withColumn("avg_value", round(col("sum_value") / col("n"), 4))
           .orderBy(col("hour_epoch"), col("event_type")),
       Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
              | event_type, count(*) AS n,
-             | round(sum(value),2) AS sum_value, round(avg(value),4) AS avg_value
+             | round(sum(value),2) AS sum_value,
+             | round(round(sum(value),2) / count(*), 4) AS avg_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     // q26: sessionization — gap > 30 min starts a new session. One shuffle on
