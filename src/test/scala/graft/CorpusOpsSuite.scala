@@ -84,4 +84,27 @@ class CorpusOpsSuite extends SparkTestBase {
     val hit = rows.count(r => src13.contains(r.getLong(0)))
     assert(hit >= 10, s"only $hit src13 docs in top-100 (expected enrichment)")
   }
+
+  test("plan posture: q110 single gram pass, q113 broadcast+top-k, q120 group-limit") {
+    def executed(name: String): String = {
+      val df = Registry.byName(name).q(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // q110: the exploded gram table is planned once — the adaptive FINAL
+    // plan echoes the initial one, so scans appear 2× per source read; the
+    // window count-per-gram form must keep that at ≤ 2 sources (explode +
+    // final doc join), where the aggregate+join form planned 3
+    val p110 = executed("q110_boilerplate_scrub")
+    val winScans = p110.linesIterator.count(_.contains("Scan parquet"))
+    assert(winScans <= 4, s"q110 re-plans its gram subtree: $winScans scan nodes")
+    assert(p110.contains("Window"), "q110 lost its count window")
+    // q113: bounded feature table broadcast + global top-100 as partial top-k
+    val p113 = executed("q113_importance_weights")
+    assert(p113.contains("BroadcastHashJoin"), "q113 feature table not broadcast")
+    assert(p113.contains("TakeOrderedAndProject"), "q113 top-100 is a full sort")
+    // q120: rank-limit window compiles to map-side partial top-k
+    val p120 = executed("q120_knn_graph")
+    assert(p120.contains("WindowGroupLimit"), "q120 rank window not group-limited")
+  }
 }
