@@ -109,22 +109,33 @@ object EventOps {
           .withColumn(
             "hour_epoch",
             ((col("ts") - pmod(col("ts"), lit(HourNs))) / lit(1000000000L)).cast("long"))
+          // INTEGER CENT MATH end-to-end: `value` is exact 2-decimal in the
+          // fixture (suite-checked), so summing cents as longs is
+          // order-free exact, and the 4-decimal half-up avg is computed in
+          // integer e4 units — `round(double)` is NOT cross-engine stable
+          // at half points (sf0.1 found both failure modes: summation-order
+          // noise under round(avg(raw),4), then Java's shortest-decimal
+          // BigDecimal.valueOf vs DuckDB's binary-value rounding flipping
+          // round(sum/n, 4) for a quotient whose shortest repr is exactly
+          // ...5). The emitted doubles are exact-integer divisions, so both
+          // engines produce identical bits. Same single-agg plan.
           .groupBy(col("hour_epoch"), col("event_type"))
           .agg(
             count(lit(1)).as("n"),
-            round(sum(col("value")), 2).as("sum_value"))
-          // avg derived from the ALREADY-ROUNDED sum — one fp rounding site:
-          // round(avg(raw),4) flipped its last decimal between engines at
-          // sf0.1 (summation-order noise amplified by the division landing
-          // exactly on a .00005 boundary); dividing the 2dp sum makes the
-          // avg consistent whenever the emitted sum is
-          .withColumn("avg_value", round(col("sum_value") / col("n"), 4))
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+          .select(
+            col("hour_epoch"), col("event_type"), col("n"),
+            (col("cents") / 100.0).as("sum_value"),
+            (expr("(cents * 100 + n div 2) div n") / 10000.0).as("avg_value"))
           .orderBy(col("hour_epoch"), col("event_type")),
-      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
-             | event_type, count(*) AS n,
-             | round(sum(value),2) AS sum_value,
-             | round(round(sum(value),2) / count(*), 4) AS avg_value
-             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+      Some("""WITH g AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+             |    AS hour_epoch, event_type, count(*) AS n,
+             |    sum(CAST(round(value*100) AS BIGINT)) AS cents
+             |  FROM events GROUP BY 1, 2)
+             |SELECT hour_epoch, event_type, n,
+             | CAST(cents / 100.0 AS DOUBLE) AS sum_value,
+             | CAST(((cents * 100 + n // 2) // n) / 10000.0 AS DOUBLE) AS avg_value
+             |FROM g ORDER BY 1, 2""".stripMargin)),
 
     // q26: sessionization — gap > 30 min starts a new session. One shuffle on
     // user_id for the window, then the count per user. At 100 TB the window

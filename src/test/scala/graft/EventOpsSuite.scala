@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 class EventOpsSuite extends SparkTestBase {
 
+  test("q25 precondition: events.value is exact 2-decimal (cent math is exact)") {
+    // q25 sums value as integer cents — order-free exact and immune to the
+    // two cross-engine round(double) failure modes sf0.1 exposed. That is
+    // only sound while the fixture column stays 2-decimal; this canary
+    // fails loudly if regenerated fixtures ever break the precondition.
+    val bad = Tables.events(spark, sf)
+      .filter(abs(col("value") * 100 - round(col("value") * 100)) > 1e-6)
+      .count()
+    assert(bad == 0L, s"$bad event values are not exact 2-decimal")
+  }
+
   test("salted sessionize == direct window sessionize on a skewed fixture") {
     val s = spark
     import s.implicits._
