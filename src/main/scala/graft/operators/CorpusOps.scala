@@ -133,7 +133,7 @@ object CorpusOps {
     * hash trick): first 8 hex chars parsed base-16 — fits in 32 bits, so no
     * sign trouble on either engine.
     */
-  private def md5Bucket(e: Column, m: Int): Column =
+  private[operators] def md5Bucket(e: Column, m: Int): Column =
     conv(substring(md5(e), 1, 8), 16, 10).cast("long") % m
 
   /** DETERMINISTIC SPLIT ASSIGNMENT — train/val/test by seeded content

@@ -162,6 +162,38 @@ object TextOps {
           greatest(col("off0"), col("bin") * L)).as("n_tokens"))
   }
 
+  /** [[packBins]] generalized to pack INDEPENDENTLY per key: every window
+    * and aggregate gains the key as its leading partition column, so each
+    * split's bins are numbered from its own offset 0 and the block-prefix
+    * cumsum — the only unpartitioned window in the global form — becomes
+    * per-key (strictly better parallelism). Input (split, doc_id, n) →
+    * (split, bin, n_docs, n_tokens).
+    */
+  private[operators] def packBinsBy(
+      counts: org.apache.spark.sql.DataFrame, L: Long): org.apache.spark.sql.DataFrame = {
+    val docs = counts.filter(col("n") > 0)
+      .withColumn("blk", expr("doc_id div 256"))
+    val wB = Window.partitionBy(col("split")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = docs.groupBy(col("split"), col("blk")).agg(sum(col("n")).as("bn"))
+      .withColumn("prefix", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("split"), col("blk"), col("prefix"))
+    val wIn = Window.partitionBy(col("split"), col("blk")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offs = docs.join(prefixes, Seq("split", "blk"))
+      .withColumn("cum", col("prefix") + sum(col("n")).over(wIn))
+      .select(col("split"), col("doc_id"), col("n"),
+        (col("cum") - col("n")).as("off0"), col("cum").as("off1"))
+    offs
+      .select(col("split"), col("off0"), col("off1"),
+        explode(sequence(expr(s"off0 div $L"), expr(s"(off1 - 1) div $L"))).as("bin"))
+      .groupBy(col("split"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(least(col("off1"), (col("bin") + 1) * L) -
+          greatest(col("off0"), col("bin") * L)).as("n_tokens"))
+  }
+
   val entries: Seq[Entry] = Seq(
     // q30: word count THROUGH the MR-parity engine (scan → flatMap(map) →
     // hash shuffle → sortWithinPartitions → streaming grouped reduce) — the
@@ -1173,6 +1205,82 @@ object TextOps {
              |  (SELECT count(*) FROM pk) AS n_bins,
              |  CAST((SELECT sum(nt) FROM pk) AS BIGINT) AS n_tokens,
              |  CAST((SELECT max(nd) FROM pk) AS BIGINT) AS max_docs_per_bin"""
-        .stripMargin))
+        .stripMargin)),
+
+    // q121: PER-SPLIT PACKING MANIFEST — the batch-assembly step run the
+    // way training actually consumes it: Gopher quality filter (q88's
+    // rules) → seeded md5 split assignment (q112's bucket) → SEQUENCE
+    // PACKING PER SPLIT via [[packBinsBy]], the q96 two-phase prefix scan
+    // with every window/aggregate partitioned by the split key (each
+    // split's bins number from its own offset 0 — crossing splits in one
+    // packed bin would leak eval docs into training batches, the bug this
+    // operator exists to make impossible). Output: one manifest row per
+    // split with kept-doc count, bin count, token total; Σ n_tokens over
+    // splits = Σ n_words of kept docs, an identity the oracle reproduces.
+    // Composes q88+q112+q96 machinery with no driver action between stages.
+    Entry(
+      "q121_split_packing",
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        val qual = repetitionCounts(docs)
+          .select(col("doc_id"), col("n_words"), lowQuality.as("low_quality"))
+        val assigned = qual.filter(!col("low_quality"))
+          .withColumn("bucket",
+            CorpusOps.md5Bucket(
+              concat(lit("split:v1:"), col("doc_id").cast("string")), 100))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test"))
+        val packed = packBinsBy(
+          assigned.select(col("split"), col("doc_id"), col("n_words").as("n")),
+          2048L)
+        assigned.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+          .join(
+            packed.groupBy(col("split")).agg(
+              count(lit(1)).as("n_bins"),
+              sum(col("n_tokens")).cast("long").as("n_tokens")),
+            Seq("split"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |wc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w),
+             |ws AS (SELECT doc_id, sum(cnt) AS n_words, max(cnt) AS max_w,
+             |    count(*) AS n_distinct FROM wc GROUP BY doc_id),
+             |bc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |      i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t) GROUP BY doc_id, bg),
+             |bs AS (SELECT doc_id, max(cnt) AS max_bg, sum(cnt) AS n_bg FROM bc
+             |    GROUP BY doc_id),
+             |q AS (SELECT t.doc_id, ws.n_words,
+             |    (ws.max_w * 25 > ws.n_words * 3
+             |     OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
+             |     OR coalesce(bs.max_bg, 0) * 50 > greatest(coalesce(bs.n_bg, 0), 1) * 3)
+             |      AS low_quality
+             |  FROM t JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)),
+             |a AS (SELECT doc_id, n_words,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |         ELSE 'test' END AS split
+             |  FROM (SELECT doc_id, n_words,
+             |      CAST(('0x' || substr(md5('split:v1:' || doc_id::VARCHAR), 1, 8))
+             |        AS BIGINT) % 100 AS b
+             |    FROM q WHERE NOT low_quality)),
+             |c2 AS (SELECT split, doc_id, n_words AS n,
+             |    sum(n_words) OVER (PARTITION BY split ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM a WHERE n_words > 0),
+             |o AS (SELECT split, CAST(cum - n AS BIGINT) AS off0,
+             |    CAST(cum AS BIGINT) AS off1 FROM c2),
+             |pb AS (SELECT split, off0, off1,
+             |    unnest(range(off0 // 2048, (off1 - 1) // 2048 + 1)) AS bin FROM o),
+             |pk AS (SELECT split, bin,
+             |    sum(least(off1, (bin + 1) * 2048) - greatest(off0, bin * 2048)) AS nt
+             |  FROM pb GROUP BY split, bin),
+             |m AS (SELECT split, count(*) AS n_docs FROM a GROUP BY split),
+             |pa AS (SELECT split, count(*) AS n_bins, CAST(sum(nt) AS BIGINT)
+             |    AS n_tokens FROM pk GROUP BY split)
+             |SELECT m.split, m.n_docs, pa.n_bins, pa.n_tokens
+             |FROM m JOIN pa USING (split) ORDER BY m.split""".stripMargin))
   )
 }
