@@ -356,15 +356,55 @@ object Similarity {
     graft.sources.Sources.scratch(d, "pq_index")
 
   /** Train the codebook, encode the corpus, and atomically publish both as
-    * one index generation (`<root>/<gen>/{codebook,codes}`).
+    * one index generation (`<root>/<gen>/{codebook,codes}`). `rootOverride`
+    * lets q122's update lifecycle run against its OWN root so the serve
+    * queries (q109) keep reading the pristine build no matter the driver's
+    * execution order.
     */
-  private[graft] def pqIndexBuild(s: SparkSession, d: String): Unit = {
-    val root = pqIndexRoot(d)
+  private[graft] def pqIndexBuild(
+      s: SparkSession, d: String, rootOverride: Option[String] = None): Unit = {
+    val root = rootOverride.getOrElse(pqIndexRoot(d))
     val gen = "gen-build"
     val codebook = pqCodebook(s, d).localCheckpoint()
     codebook.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$gen/codebook")
     pqEncode(vecs(s, d).select(col("vec_id"), col("v")), codebook)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen/codes")
+    graft.sources.Sources.publishGeneration(s, root, gen)
+  }
+
+  private[graft] def pqIndexUpdRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "pq_index_upd")
+
+  /** INCREMENTAL index update — the third verb of the lifecycle (q108
+    * build / q109 serve / q122 update): new arrivals (vec_id < 100
+    * re-ingested with +10M ids — the q98 fixture-fabrication pattern) are
+    * encoded with the PERSISTED codebook — no Lloyd round anywhere, which
+    * is the whole point: at 100 TB re-training on every append would
+    * rescan the corpus, while encode-with-frozen-codebook touches only the
+    * delta — and published as a NEW generation carrying the unchanged
+    * codebook plus old∪delta codes. Readers see the old complete index or
+    * the new complete one (the manifest swap), never a half-appended one.
+    * Idempotent: prior delta codes are dropped before the union, so
+    * re-running converges to the same artifact. Runs against its own root
+    * (see pqIndexBuild) so q109's serve path stays pristine.
+    */
+  private[graft] def pqIndexUpdate(s: SparkSession, d: String): Unit = {
+    val root = pqIndexUpdRoot(d)
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) pqIndexBuild(s, d, Some(root))
+    val cur = graft.sources.Sources.currentGeneration(s, root)
+    val codebook = s.read.parquet(s"$cur/codebook").localCheckpoint()
+    val oldCodes = s.read.parquet(s"$cur/codes")
+      .filter(col("vec_id") < 10000000L).localCheckpoint()
+    val delta = vecs(s, d).filter(col("vec_id") < 100)
+      .select((col("vec_id") + 10000000L).as("vec_id"), col("v"))
+    val gen = "gen-update"
+    codebook.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen/codebook")
+    oldCodes.unionByName(pqEncode(delta, codebook))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$gen/codes")
     graft.sources.Sources.publishGeneration(s, root, gen)
@@ -503,6 +543,35 @@ object Similarity {
       "q109_ann_index_serve",
       (s, d) => recallCheck(pqIndexServe(s, d), bruteTopK(s, d), 0.75),
       Some(recallOracle)),
+
+    // q122: ANN INDEX INCREMENTAL UPDATE (see pqIndexUpdate) — the manifest
+    // row is read back THROUGH the updated generation: total code rows must
+    // be m·(n+100) (old corpus plus the 100-vector delta), the delta must
+    // appear exactly once (idempotency — re-running the update cannot
+    // double-append), and the codebook read from the NEW generation must
+    // still be the frozen build shape (no retraining happened).
+    Entry(
+      "q122_ann_index_update",
+      (s, d) => {
+        pqIndexUpdate(s, d)
+        val idx = graft.sources.Sources.currentGeneration(s, pqIndexUpdRoot(d))
+        val codes = s.read.parquet(s"$idx/codes")
+        val counts = codes.agg(
+          count(lit(1)).as("n_code_rows"),
+          countDistinct(when(col("vec_id") >= 10000000L, col("vec_id")))
+            .as("n_new_vecs"))
+        val cbOk = s.read.parquet(s"$idx/codebook")
+          .agg(
+            (count(lit(1)) <= pqSubs * pqK &&
+              min(size(col("cw"))) === pqSubDim &&
+              max(size(col("cw"))) === pqSubDim).as("codebook_ok"))
+        counts.crossJoin(broadcast(cbOk))
+          .select(col("n_code_rows"), col("n_new_vecs"), col("codebook_ok"))
+      },
+      Some(s"""SELECT CAST($pqSubs * (count(*) + 100) AS BIGINT) AS n_code_rows,
+              |  CAST(100 AS BIGINT) AS n_new_vecs,
+              |  TRUE AS codebook_ok
+              |FROM embeddings""".stripMargin)),
 
     // q92: INT8 SYMMETRIC QUANTIZATION of the embedding column — the ANN
     // storage/serving primitive (8× smaller vectors; IVF/PQ pipelines
