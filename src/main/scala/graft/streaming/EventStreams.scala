@@ -480,6 +480,54 @@ object EventStreams {
       },
       Some("""SELECT n_name, count(*) AS n, round(sum(value),2) AS sum_value
              |FROM events JOIN nation ON n_nationkey = user_id % 25
-             |GROUP BY n_name ORDER BY n_name""".stripMargin))
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // q123: EXACTLY-ONCE STREAMING PUBLISH — the streaming sink done the
+    // way the batch layer's q75 compaction publishes: each micro-batch
+    // lands in an EPOCH-KEYED immutable generation dir (`gen-<batchId>`)
+    // and commits via the atomic manifest swap, so a retried batch
+    // overwrites its own generation instead of double-appending (idempotent
+    // per epoch = exactly-once downstream) and readers always see a
+    // complete snapshot, never a half-written batch. foreachBatch is the
+    // production hook for this (checkpointed batch ids ARE the epochs).
+    // Bounded AvailableNow input ⇒ the published table equals the batch
+    // source exactly, so the oracle is the plain batch aggregate; the
+    // emitted cents total is integer-exact (the q25 rule).
+    Entry(
+      "q123_stream_publish",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val root = graft.sources.Sources.scratch(d, "stream_pub")
+        val src = s.readStream.schema(schema).parquet(s"$d/events*")
+        s.streams.active.filter(_.name == "graft_stream_publish").foreach(_.stop())
+        val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
+        val q = src.writeStream
+          .queryName("graft_stream_publish")
+          .outputMode(OutputMode.Append)
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            nBatches.incrementAndGet()
+            val gen = s"gen-$batchId"
+            batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+              .parquet(s"$root/$gen")
+            graft.sources.Sources.publishGeneration(batch.sparkSession, root, gen)
+          }
+          .start()
+        q.awaitTermination()
+        // the single-generation manifest equals the full table only while
+        // the bounded fixture arrives as ONE micro-batch; a multi-batch
+        // source needs the cumulative-union publish shape — fail loudly
+        // rather than silently publish a partial snapshot
+        require(nBatches.get == 1,
+          s"expected 1 micro-batch from the bounded fixture, got ${nBatches.get}")
+        val published = s.read.parquet(
+          graft.sources.Sources.currentGeneration(s, root))
+        published.agg(
+          count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      },
+      Some("""SELECT count(*) AS n_events,
+             |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events""".stripMargin))
   )
 }
