@@ -287,6 +287,84 @@ object EventOps {
              |    ORDER BY valid_from_us, event_id) AS valid_to_us,
              |  (lead(valid_from_us) OVER (PARTITION BY user_id
              |    ORDER BY valid_from_us, event_id) IS NULL) AS is_current
-             |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin))
+             |FROM v ORDER BY user_id, valid_from_us, event_id""".stripMargin)),
+
+    // q124: ORDERED FUNNEL ANALYSIS — the product-analytics staple: how
+    // many users progress signup → click → purchase IN ORDER (each later
+    // step strictly after the user's FIRST occurrence of the previous
+    // one). One conditional-min aggregate per user collapses the corpus to
+    // a per-user step-timestamp row (partial aggs do the work map-side;
+    // the exchange carries 8-byte user keys), then the funnel depth is
+    // pure integer comparison — no joins, no window, no re-scan per step,
+    // which is what makes the same plan hold at 100 TB with thousands of
+    // steps. µs timestamps keep the oracle integer-exact.
+    Entry(
+      "q124_funnel",
+      (s, d) => {
+        val us = expr("ts div 1000")
+        val perUser = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(
+            min(when(col("event_type") === "signup", us)).as("t1"),
+            min(when(col("event_type") === "click", us)).as("t2"),
+            min(when(col("event_type") === "purchase", us)).as("t3"))
+        // first click strictly after first signup; first purchase after that
+        val s2 = col("t1").isNotNull && col("t2").isNotNull && col("t2") > col("t1")
+        val s3 = s2 && col("t3").isNotNull && col("t3") > col("t2")
+        perUser.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(s2, 1L).otherwise(0L)).as("n_signup_click"),
+          sum(when(s3, 1L).otherwise(0L)).as("n_full_funnel"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    min(CASE WHEN event_type='signup' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t1,
+             |    min(CASE WHEN event_type='click' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t2,
+             |    min(CASE WHEN event_type='purchase' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t3
+             |  FROM events GROUP BY user_id)
+             |SELECT count(*) AS n_users,
+             |  CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_signup,
+             |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_signup_click,
+             |  CAST(sum(CASE WHEN t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+             |    AND t3 IS NOT NULL AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_full_funnel
+             |FROM u""".stripMargin)),
+
+    // q125: COHORT RETENTION — users cohorted by FIRST-ACTIVITY day, then
+    // counted per (cohort_day, day_offset) they were active again. Two
+    // shuffles total: the per-user first-day aggregate (8-byte keys,
+    // map-side partial min) broadcast-joined back onto the distinct
+    // (user, day) activity — cohort tables are O(users), activity is
+    // O(user·days); neither step is ever corpus-quadratic and the join
+    // side that grows with the corpus streams. Day arithmetic is integer
+    // epoch-days, so the retention triangle is oracle-exact.
+    Entry(
+      "q125_cohort_retention",
+      (s, d) => {
+        // day from exact integer µs (epoch_us is BIGINT in DuckDB, while
+        // epoch() is a DOUBLE whose BIGINT cast ROUNDS — an event within
+        // 0.5 s of midnight would land on different days in the two engines)
+        val day = expr("ts div 1000 div 86400000000")
+        val activity = Tables.events(s, d)
+          .select(col("user_id"), day.as("day")).distinct()
+        val cohorts = activity.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        activity
+          .join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .filter(col("day_offset") <= 7)
+          .orderBy(col("cohort_day"), col("day_offset"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+             |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day FROM events),
+             |c AS (SELECT user_id, min(day) AS cohort_day FROM a GROUP BY user_id)
+             |SELECT c.cohort_day, a.day - c.cohort_day AS day_offset,
+             |  count(DISTINCT a.user_id) AS n_active
+             |FROM a JOIN c USING (user_id)
+             |WHERE a.day - c.cohort_day <= 7
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
