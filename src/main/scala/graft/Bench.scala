@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit, sum}
 
 /** Benchmark main: headline queries on SPARK_GRAFT_SF_DIR, one JSON line out.
   * Results are fully materialized via the noop sink (no count-style column
@@ -49,7 +50,16 @@ object Bench {
     "q91_simhash_hamming",
     "q94_ann_pq",
     "q96_sequence_packing",
-    "q103_phash_neardup")
+    "q103_phash_neardup",
+    // added round 13: the heavy round-12 operators (≥2 s each at sf0.1),
+    // previously profiled only in one-off dedicated runs — the same
+    // standing-coverage blindness the r11/r12 verdicts flagged, recurring
+    // per cohort. Subtract these four when comparing secondary_total
+    // against pre-r13 artifacts.
+    "q110_boilerplate_scrub",
+    "q119_stream_enrich",
+    "q120_knn_graph",
+    "q121_split_packing")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -126,6 +136,25 @@ object Bench {
     def sumOk(results: Seq[(String, Double)]): Double =
       results.collect { case (_, v) if v >= 0 => v }.sum
 
+    // BOX-CONDITION CANARY: a fixed trivial op — nation scan (25 rows at
+    // EVERY SF) + 1-row agg — timed with the same protocol and recorded as
+    // "canary_s". The r12 gate read had to cross-reference out-of-band
+    // builder artifacts to attribute a uniform 1.3–1.5× elevation of
+    // untouched plans to the box; the canary quantifies scheduler/JVM/box
+    // drift inside the artifact itself: a round where queries AND canary
+    // elevate together is a box condition, queries-only is a code
+    // regression. One untimed run first so codegen/JIT warmth matches the
+    // timed queries' protocol.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      exec(Tables.table(spark, sfDir, "nation")
+        .agg(count(lit(1)).as("n"), sum(col("n_nationkey")).as("s")))
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryOnce()
+    val canarySamples = Seq.fill(samples)(canaryOnce()).sorted
+    val canary = canarySamples(canarySamples.size / 2)
+
     // headline first (its total is the cross-round metric), then secondary
     val results = time(primary)
     val extraResults = time(extra)
@@ -144,11 +173,12 @@ object Bench {
     // "schema" versions the measurement protocol for downstream tooling:
     // 1 = single sample per query (pre-r11, implicit), 2 = median-of-samples
     // + queries_min (r11), 3 = + cold list and five more secondary queries
-    // (r12) — a bumped schema means totals are not comparable to prior
+    // (r12), 4 = + canary_s box-drift probe and four more secondary queries
+    // (r13) — a bumped schema means totals are not comparable to prior
     // rounds without adjustment.
     val cold = coldQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","schema":3,"samples":$samples,"cold":$cold,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","schema":4,"samples":$samples,"canary_s":$canary%.3f,"cold":$cold,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

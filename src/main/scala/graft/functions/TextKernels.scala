@@ -15,7 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * formulation `trim(regexp_replace(lower(nfc_normalize(x)), '[ \t\n\r]+',
   * ' ', 'g'))` operation-for-operation — both sides implement the same
   * Unicode algorithms (JDK `java.text.Normalizer` / utf8proc), so the
-  * oracle comparison is exact on the fixture alphabet.
+  * oracle comparison is exact on the fixture alphabet. The lowercase
+  * steps are NOT identical on all of Unicode: JDK
+  * `toLowerCase(Locale.ROOT)` and utf8proc `lower()` diverge on
+  * expanding / context-sensitive mappings — known code points: U+0130 İ
+  * (JDK → "i̇" i + combining dot, utf8proc → "i"), U+00DF ß and U+03A3 Σ
+  * final-sigma handling. None appear in the fixtures; the suite pins the
+  * JDK behavior for U+0130 so extending the oracle alphabet past ASCII+
+  * Latin-1 fails loudly there instead of as a silent hash mismatch.
   *
   * ASCII fast path: one byte scan classifies the input; text that is
   * already normalized (no multibyte sequences, no uppercase ASCII, no

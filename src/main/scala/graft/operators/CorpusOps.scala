@@ -62,16 +62,42 @@ object CorpusOps {
     * only (64-bit collisions ≪ 1 expected below ~10^9 distinct grams);
     * the string stays here because the oracle compares exact text.
     */
-  private def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+  private def boilerplateScrub(s: SparkSession, d: String): DataFrame =
+    boilerplateScrubPlan(s, d, hashOnly = false)
+
+  /** q127: the 100 TB PRODUCTION variant the q110 doc names — after
+    * `gh = xxhash64(gram)` the gram STRING is dropped before the exchange,
+    * so the corpus-wide shuffle carries (doc_id, gh) = 16 bytes/row instead
+    * of 16 + the ~50-byte verbatim 8-gram (10–50× fewer shuffled bytes on
+    * real text). Correctness trade: two distinct grams colliding in 64 bits
+    * would merge their doc counts — expected collisions ≪ 1 below ~10⁹
+    * distinct grams (birthday bound), and the failure mode is a gram
+    * misclassified as duplicated, i.e. slightly over-eager scrubbing, not
+    * corruption. The oracle (shared verbatim with q110, which computes on
+    * exact text) IS the fixture-scale equality proof; CorpusOpsSuite
+    * additionally pins that no exchange in this plan carries a string
+    * column.
+    */
+  private def boilerplateScrubHash(s: SparkSession, d: String): DataFrame =
+    boilerplateScrubPlan(s, d, hashOnly = true)
+
+  private def boilerplateScrubPlan(
+      s: SparkSession, d: String, hashOnly: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val exploded = Tables.documents(s, d)
+    val withGram = Tables.documents(s, d)
       .select(col("doc_id"), explode(gramsCol).as("gram"))
       .withColumn("gh", xxhash64(col("gram")))
+    // hash-only: project the string away BEFORE the window exchange — the
+    // whole point of the variant is what the shuffle carries
+    val exploded =
+      if (hashOnly) withGram.select(col("doc_id"), col("gh")) else withGram
+    val partCols =
+      if (hashOnly) Seq(col("gh")) else Seq(col("gh"), col("gram"))
     // grams are per-doc distinct, so count(1) == number of containing docs
     val perDoc = exploded
       .withColumn(
         "nd",
-        count(lit(1)).over(Window.partitionBy(col("gh"), col("gram"))))
+        count(lit(1)).over(Window.partitionBy(partCols: _*)))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_grams"),
@@ -209,6 +235,31 @@ object CorpusOps {
     Entry(
       "q110_boilerplate_scrub",
       boilerplateScrub,
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             |    range(1, greatest(len(toks)-7, 0)+1),
+             |    i -> array_to_string(list_slice(toks, i, i+7), ' ')))) AS gram
+             |  FROM t),
+             |c AS (SELECT gram, count(*) AS nd FROM g GROUP BY gram),
+             |p AS (SELECT g.doc_id, count(*) AS n_grams,
+             |    sum(CASE WHEN c.nd >= 2 THEN 1 ELSE 0 END) AS n_boiler
+             |  FROM g JOIN c USING (gram) GROUP BY g.doc_id)
+             |SELECT d.doc_id, CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+             |  CAST(coalesce(p.n_boiler, 0) AS BIGINT) AS n_boiler,
+             |  (coalesce(p.n_grams, 0) > 0
+             |    AND 2 * coalesce(p.n_boiler, 0) >= coalesce(p.n_grams, 0))
+             |    AS drop_doc
+             |FROM documents d LEFT JOIN p USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // q127: the hash-only production variant of q110 (see
+    // boilerplateScrubHash doc) — same oracle TEXT as q110, which computes
+    // on exact gram strings: the oracle match is therefore the
+    // fixture-scale proof that dropping the string before the exchange
+    // loses nothing (zero 64-bit collisions on the fixture gram universe).
+    Entry(
+      "q127_boilerplate_hash",
+      boilerplateScrubHash,
       Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
              |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
              |    range(1, greatest(len(toks)-7, 0)+1),

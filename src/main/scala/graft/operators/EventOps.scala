@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.Entry
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,6 +64,49 @@ object EventOps {
         (sum(col("s")) - sum(col("bridged"))).as("n_sessions"),
         sum(col("n")).as("n_events"))
       .orderBy(col("user_id"))
+  }
+
+  /** N-STEP ordered-funnel compiler (q124 = 3 steps, q128 = 5): each step
+    * is (name, event predicate); a user reaches step k iff their FIRST
+    * event matching predicate k is strictly after their first event
+    * matching predicate k−1, chained from step 1. Output: n_users then one
+    * `n_<name>` count per step.
+    *
+    * Plan shape is INVARIANT in step count — the "thousands of steps"
+    * claim made concrete: every step compiles to one conditional-min
+    * inside the SAME per-user aggregate, so the corpus collapses through
+    * exactly one user-keyed exchange (8-byte keys, partial aggs map-side)
+    * no matter how many steps; the reach chain and final roll-up are
+    * integer comparisons over the one-row-per-user table. No join, no
+    * window, no per-step re-scan. EventOpsSuite pins the exchange count.
+    *
+    * Semantics note: steps are first-OCCURRENCE ordered (the standard
+    * analytics funnel). A step predicate may repeat an earlier one, but
+    * then its first occurrence can never be strictly after itself, so
+    * repeated-predicate steps count zero by construction — sequence-match
+    * funnels (each step consumes a fresh event) are q63's sessionize
+    * machinery, not this aggregate.
+    */
+  private[graft] def funnelPlan(
+      s: SparkSession, d: String, steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = expr("ts div 1000")
+    val aggs = steps.zipWithIndex.map { case ((_, p), i) =>
+      min(when(p, us)).as(s"t${i + 1}")
+    }
+    val perUser = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(aggs.head, aggs.tail: _*)
+    // reached(k) = reached(k-1) && t(k) after t(k-1); strictly-after chain
+    val reached = steps.indices.foldLeft(Vector.empty[Column]) { (acc, i) =>
+      val t = col(s"t${i + 1}")
+      acc :+ (if (i == 0) t.isNotNull
+              else acc(i - 1) && t.isNotNull && t > col(s"t$i"))
+    }
+    val counts = steps.zipWithIndex.map { case ((name, _), i) =>
+      sum(when(reached(i), 1L).otherwise(0L)).as(s"n_$name")
+    }
+    perUser.agg(count(lit(1)).as("n_users"), counts: _*)
   }
 
   val entries: Seq[Entry] = Seq(
@@ -292,31 +336,16 @@ object EventOps {
     // q124: ORDERED FUNNEL ANALYSIS — the product-analytics staple: how
     // many users progress signup → click → purchase IN ORDER (each later
     // step strictly after the user's FIRST occurrence of the previous
-    // one). One conditional-min aggregate per user collapses the corpus to
-    // a per-user step-timestamp row (partial aggs do the work map-side;
-    // the exchange carries 8-byte user keys), then the funnel depth is
-    // pure integer comparison — no joins, no window, no re-scan per step,
-    // which is what makes the same plan hold at 100 TB with thousands of
-    // steps. µs timestamps keep the oracle integer-exact.
+    // one). Compiled by [[funnelPlan]] from a step list — this 3-step form
+    // and q128's 5-step form share the compiler, whose plan shape is
+    // invariant in N: one conditional-min per step inside ONE per-user
+    // aggregate (the user-keyed exchange), then a bounded global roll-up.
     Entry(
       "q124_funnel",
-      (s, d) => {
-        val us = expr("ts div 1000")
-        val perUser = Tables.events(s, d)
-          .groupBy(col("user_id"))
-          .agg(
-            min(when(col("event_type") === "signup", us)).as("t1"),
-            min(when(col("event_type") === "click", us)).as("t2"),
-            min(when(col("event_type") === "purchase", us)).as("t3"))
-        // first click strictly after first signup; first purchase after that
-        val s2 = col("t1").isNotNull && col("t2").isNotNull && col("t2") > col("t1")
-        val s3 = s2 && col("t3").isNotNull && col("t3") > col("t2")
-        perUser.agg(
-          count(lit(1)).as("n_users"),
-          sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("n_signup"),
-          sum(when(s2, 1L).otherwise(0L)).as("n_signup_click"),
-          sum(when(s3, 1L).otherwise(0L)).as("n_full_funnel"))
-      },
+      (s, d) => funnelPlan(s, d, Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "signup_click" -> (col("event_type") === "click"),
+        "full_funnel" -> (col("event_type") === "purchase"))),
       Some("""WITH u AS (SELECT user_id,
              |    min(CASE WHEN event_type='signup' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t1,
              |    min(CASE WHEN event_type='click' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t2,
@@ -331,6 +360,46 @@ object EventOps {
              |    AND t3 IS NOT NULL AND t3 > t2 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_full_funnel
              |FROM u""".stripMargin)),
+
+    // q128: the ≥5-step funnel through the SAME compiler (view → signup →
+    // click → purchase → error — every fixture event type, in a plausible
+    // product order ending at a support error). Proves the N-step claim on
+    // a live plan: 5 steps, still one user-keyed exchange (suite-pinned).
+    Entry(
+      "q128_funnel_5step",
+      (s, d) => funnelPlan(s, d, Seq(
+        "view" -> (col("event_type") === "view"),
+        "signup" -> (col("event_type") === "signup"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase"),
+        "error" -> (col("event_type") === "error"))),
+      Some("""WITH u AS (SELECT user_id,
+             |    min(CASE WHEN event_type='view' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t1,
+             |    min(CASE WHEN event_type='signup' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t2,
+             |    min(CASE WHEN event_type='click' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t3,
+             |    min(CASE WHEN event_type='purchase' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t4,
+             |    min(CASE WHEN event_type='error' THEN CAST(epoch_us(ts) AS BIGINT) END) AS t5
+             |  FROM events GROUP BY user_id),
+             |r AS (SELECT
+             |    (t1 IS NOT NULL) AS r1,
+             |    (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1) AS r2,
+             |    (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+             |      AND t3 IS NOT NULL AND t3 > t2) AS r3,
+             |    (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+             |      AND t3 IS NOT NULL AND t3 > t2
+             |      AND t4 IS NOT NULL AND t4 > t3) AS r4,
+             |    (t1 IS NOT NULL AND t2 IS NOT NULL AND t2 > t1
+             |      AND t3 IS NOT NULL AND t3 > t2
+             |      AND t4 IS NOT NULL AND t4 > t3
+             |      AND t5 IS NOT NULL AND t5 > t4) AS r5
+             |  FROM u)
+             |SELECT count(*) AS n_users,
+             |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |  CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             |  CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |  CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |  CAST(sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+             |FROM r""".stripMargin)),
 
     // q125: COHORT RETENTION — users cohorted by FIRST-ACTIVITY day, then
     // counted per (cohort_day, day_offset) they were active again. Two

@@ -273,12 +273,21 @@ object Relational3 {
           .unionByName(snap.filter(col("k") % 50 === 0).select(col("st"), col("p")))
         val scratch = applied.groupBy(col("st"))
           .agg(count(lit(1)).as("n_scratch"), sum(col("p")).as("sp"))
-        maintained.join(scratch, Seq("st"))
+        // full_outer, not inner: a status whose rows vanish ENTIRELY from
+        // one side (e.g. the delta algebra drives its applied count to
+        // zero, so the from-scratch recompute has no group) must surface
+        // as a row — consistent iff the other side also reads 0 — not be
+        // silently dropped. The one case where maintenance goes maximally
+        // wrong would otherwise be the one case the check can't see.
+        maintained.join(scratch, Seq("st"), "full_outer")
           .select(col("st").as("o_orderstatus"),
-            col("n_maintained"), col("n_scratch"),
-            round(col("mp"), 2).as("total_maintained"),
-            (col("n_maintained") === col("n_scratch") &&
-              abs(col("mp") - col("sp")) < 0.01).as("consistent"))
+            coalesce(col("n_maintained"), lit(0L)).as("n_maintained"),
+            coalesce(col("n_scratch"), lit(0L)).as("n_scratch"),
+            round(coalesce(col("mp"), lit(0.0)), 2).as("total_maintained"),
+            (coalesce(col("n_maintained"), lit(0L)) ===
+              coalesce(col("n_scratch"), lit(0L)) &&
+              abs(coalesce(col("mp"), lit(0.0)) -
+                coalesce(col("sp"), lit(0.0))) < 0.01).as("consistent"))
           .orderBy(col("o_orderstatus"))
       },
       Some("""WITH snap AS (SELECT o_orderkey AS k, o_orderstatus AS st,
@@ -298,11 +307,12 @@ object Relational3 {
              |  UNION ALL SELECT st, p FROM snap WHERE k % 50 = 0),
              |sc AS (SELECT st, count(*) AS n_scratch, sum(p) AS sp
              |  FROM ap GROUP BY st)
-             |SELECT m.st AS o_orderstatus,
-             |  CAST(n_maintained AS BIGINT) AS n_maintained,
-             |  CAST(n_scratch AS BIGINT) AS n_scratch,
-             |  round(mp, 2) AS total_maintained,
-             |  (n_maintained = n_scratch AND abs(mp - sp) < 0.01) AS consistent
-             |FROM m JOIN sc ON m.st = sc.st ORDER BY o_orderstatus""".stripMargin))
+             |SELECT coalesce(m.st, sc.st) AS o_orderstatus,
+             |  CAST(coalesce(n_maintained, 0) AS BIGINT) AS n_maintained,
+             |  CAST(coalesce(n_scratch, 0) AS BIGINT) AS n_scratch,
+             |  round(coalesce(mp, 0.0), 2) AS total_maintained,
+             |  (coalesce(n_maintained, 0) = coalesce(n_scratch, 0)
+             |    AND abs(coalesce(mp, 0.0) - coalesce(sp, 0.0)) < 0.01) AS consistent
+             |FROM m FULL JOIN sc ON m.st = sc.st ORDER BY o_orderstatus""".stripMargin))
   )
 }

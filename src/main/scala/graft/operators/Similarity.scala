@@ -26,12 +26,23 @@ object Similarity {
   private val topK = 5
 
   /** Brute-force exact top-k cosine for the first `nQueries` vectors. */
-  private[graft] def bruteTopK(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bruteTopK(s: SparkSession, d: String): DataFrame =
+    bruteTopKWhere(s, d, lit(true))
+
+  /** [[bruteTopK]] with a predicate restricting the NEIGHBOR side (queries
+    * always come from the full table) — the exact baseline for recall
+    * checks against an index that no longer contains every vector (q126's
+    * post-delete serve must be compared against exact-over-survivors, not
+    * exact-over-all, or deleted ids would count as unrecallable misses).
+    */
+  private[graft] def bruteTopKWhere(
+      s: SparkSession, d: String, keepNeighbor: Column): DataFrame = {
     val e = vecs(s, d)
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("q_v"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    e.select(col("vec_id").as("n_id"), col("v").as("n_v"))
+    e.filter(keepNeighbor)
+      .select(col("vec_id").as("n_id"), col("v").as("n_v"))
       .crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
       .withColumn("cos", call_function("cosine_sim", col("q_v"), col("n_v")))
@@ -386,9 +397,18 @@ object Similarity {
     * delta — and published as a NEW generation carrying the unchanged
     * codebook plus old∪delta codes. Readers see the old complete index or
     * the new complete one (the manifest swap), never a half-appended one.
-    * Idempotent: prior delta codes are dropped before the union, so
-    * re-running converges to the same artifact. Runs against its own root
-    * (see pqIndexBuild) so q109's serve path stays pristine.
+    * Idempotent by CONTENT: prior delta codes are dropped before the union,
+    * so re-running converges to the same artifact bytes — but each run
+    * publishes under a FRESH generation name (gen-upd-1, gen-upd-2, …
+    * derived from the current manifest). A constant name would make a
+    * re-run Overwrite the directory `_current` already points at, so a
+    * concurrent reader mid-scan could see a half-rewritten generation —
+    * exactly the mix the manifest contract rules out. Superseded update
+    * generations are left on disk (a reader holding the old resolved path
+    * may still be scanning it); production would age them out with the
+    * same TTL sweep publishGeneration applies to orphaned manifest tmps.
+    * Runs against its own root (see pqIndexBuild) so q109's serve path
+    * stays pristine.
     */
   private[graft] def pqIndexUpdate(s: SparkSession, d: String): Unit = {
     val root = pqIndexUpdRoot(d)
@@ -401,13 +421,72 @@ object Similarity {
       .filter(col("vec_id") < 10000000L).localCheckpoint()
     val delta = vecs(s, d).filter(col("vec_id") < 100)
       .select((col("vec_id") + 10000000L).as("vec_id"), col("v"))
-    val gen = "gen-update"
+    val gen = nextGen(cur, "gen-upd-")
     codebook.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$gen/codebook")
     oldCodes.unionByName(pqEncode(delta, codebook))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$gen/codes")
     graft.sources.Sources.publishGeneration(s, root, gen)
+  }
+
+  private[graft] def pqIndexDelRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "pq_index_del")
+
+  /** Tombstoned delete-batch: vec_ids [nQueries, nQueries+100) — a
+    * contiguous compliance batch of 100, disjoint from the query ids so
+    * the post-delete recall check still has its 8 probes.
+    */
+  private[graft] val delLo: Int = nQueries
+  private[graft] val delHi: Int = nQueries + 100
+  private[graft] def isDeleted(id: Column): Column =
+    id >= delLo && id < delHi
+
+  /** INDEX DELETE — the fourth verb of the persisted-ANN lifecycle (q108
+    * build / q109 serve / q122 update / q126 delete): remove a batch of
+    * vec_ids from the index (the GDPR / right-to-be-forgotten path every
+    * production index needs). The codebook is NOT retrained — a delete
+    * must never rescan the corpus, exactly like q122's append — so the new
+    * generation carries the frozen codebook plus the code rows of the
+    * SURVIVORS only, published atomically through the manifest (readers
+    * see the pre-delete index or the post-delete one, never a mix).
+    * Idempotent by content (the filter is a pure predicate on vec_id);
+    * each run publishes under a fresh generation name (see [[nextGen]]).
+    * Runs against its own root so q109's serve path and q122's update
+    * lineage stay pristine regardless of driver execution order.
+    */
+  private[graft] def pqIndexDelete(s: SparkSession, d: String): Unit = {
+    val root = pqIndexDelRoot(d)
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) pqIndexBuild(s, d, Some(root))
+    val cur = graft.sources.Sources.currentGeneration(s, root)
+    val codebook = s.read.parquet(s"$cur/codebook").localCheckpoint()
+    val survivors = s.read.parquet(s"$cur/codes")
+      .filter(!isDeleted(col("vec_id"))).localCheckpoint()
+    val gen = nextGen(cur, "gen-del-")
+    codebook.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen/codebook")
+    survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen/codes")
+    graft.sources.Sources.publishGeneration(s, root, gen)
+  }
+
+  /** Fresh generation name: `<prefix><n+1>` where n is parsed from the
+    * CURRENT generation's basename (0 when current is the build or carries
+    * a different prefix). Never reuses an existing name, so a publish
+    * always writes a directory no reader can be pointed at yet — a re-run
+    * with a CONSTANT name would Overwrite the directory `_current` points
+    * at in place, letting a concurrent reader mid-scan see a half-written
+    * generation.
+    */
+  private[graft] def nextGen(currentGenPath: String, prefix: String): String = {
+    val base = currentGenPath.substring(currentGenPath.lastIndexOf('/') + 1)
+    val n =
+      if (base.startsWith(prefix))
+        scala.util.Try(base.stripPrefix(prefix).toInt).getOrElse(0)
+      else 0
+    s"$prefix${n + 1}"
   }
 
   /** Serve PQ ANN from the published artifact. Build-if-absent is SETUP
@@ -571,6 +650,40 @@ object Similarity {
       Some(s"""SELECT CAST($pqSubs * (count(*) + 100) AS BIGINT) AS n_code_rows,
               |  CAST(100 AS BIGINT) AS n_new_vecs,
               |  TRUE AS codebook_ok
+              |FROM embeddings""".stripMargin)),
+
+    // q126: ANN INDEX DELETE (see pqIndexDelete) — completes the lifecycle
+    // (build / serve / update / DELETE). Read back THROUGH the post-delete
+    // manifest: total code rows must be m·(n − 100) (the tombstoned batch
+    // gone), zero code rows for any deleted vec_id, and serving from the
+    // shrunken index must still clear the same recall bound against the
+    // exact baseline computed over SURVIVORS (deleting vectors must not
+    // degrade retrieval of what remains — the codebook is frozen, so the
+    // ADC geometry of surviving codes is untouched by construction).
+    Entry(
+      "q126_ann_index_delete",
+      (s, d) => {
+        pqIndexDelete(s, d)
+        val idx = graft.sources.Sources.currentGeneration(s, pqIndexDelRoot(d))
+        val codes = s.read.parquet(s"$idx/codes")
+        val counts = codes.agg(
+          count(lit(1)).as("n_code_rows"),
+          sum(when(isDeleted(col("vec_id")), 1L).otherwise(0L))
+            .as("n_deleted_present"))
+        val serve = recallCheck(
+          pqAdcTopK(s, d, s.read.parquet(s"$idx/codebook"), codes),
+          bruteTopKWhere(s, d, !isDeleted(col("vec_id"))),
+          0.75)
+        counts.crossJoin(broadcast(serve))
+          .select(col("n_code_rows"), col("n_deleted_present"),
+            col("n_exact"), col("recall_ok"))
+      },
+      Some(s"""SELECT
+              |  CAST($pqSubs * sum(CASE WHEN vec_id >= $delLo AND vec_id < $delHi
+              |    THEN 0 ELSE 1 END) AS BIGINT) AS n_code_rows,
+              |  CAST(0 AS BIGINT) AS n_deleted_present,
+              |  CAST($topK * $nQueries AS BIGINT) AS n_exact,
+              |  TRUE AS recall_ok
               |FROM embeddings""".stripMargin)),
 
     // q92: INT8 SYMMETRIC QUANTIZATION of the embedding column — the ANN

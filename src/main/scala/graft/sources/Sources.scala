@@ -238,7 +238,16 @@ object Sources {
     * two-rename dir swap has a window with no readable dataset at all; this
     * manifest-pointer shape is how transactional table formats publish.)
     */
-  private[graft] def publishGeneration(s: SparkSession, root: String, gen: String): Unit = {
+  private[graft] def publishGeneration(s: SparkSession, root: String, gen: String): Unit =
+    publishManifestText(s, root, gen, gen)
+
+  /** The atomic-manifest primitive behind [[publishGeneration]] (one line,
+    * one generation) and [[commitEpoch]] (many lines, cumulative epoch
+    * list): write `text` to a nonce tmp and swap it over `_current` with a
+    * single-file rename. `tag` only names the tmp for debuggability.
+    */
+  private[graft] def publishManifestText(
+      s: SparkSession, root: String, text: String, tag: String): Unit = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     val conf = s.sparkContext.hadoopConfiguration
     val manifest = new Path(s"$root/_current")
@@ -250,7 +259,7 @@ object Sources {
     // fail-fast reader in currentGeneration then turns into crashes). The
     // nonce makes every attempt's tmp private; the rename consumes it.
     val tmp = new Path(
-      s"$root/_current.tmp.$gen.${java.util.UUID.randomUUID().toString}")
+      s"$root/_current.tmp.$tag.${java.util.UUID.randomUUID().toString}")
     val fs = manifest.getFileSystem(conf)
     // GC SWEEP: a publisher hard-killed between create and rename/delete
     // orphans its nonce tmp forever (no later attempt reuses the path), so
@@ -272,7 +281,7 @@ object Sources {
     catch { case scala.util.control.NonFatal(_) => () }
     val out = fs.create(tmp, false)
     try {
-      try out.write(gen.getBytes("UTF-8")) finally out.close()
+      try out.write(text.getBytes("UTF-8")) finally out.close()
       FileContext.getFileContext(manifest.toUri, conf)
         .rename(tmp, manifest, Options.Rename.OVERWRITE)
     } catch {
@@ -309,6 +318,72 @@ object Sources {
 
   private[graft] def readCurrent(s: SparkSession, root: String): DataFrame =
     s.read.parquet(currentGeneration(s, root))
+
+  // ---- Cumulative epoch manifest (multi-batch exactly-once publish) ----
+  // A streaming sink delivers MANY epochs over a table's lifetime; the
+  // single-generation manifest above fits rewrite-style publishes
+  // (compaction, index build) where the new generation REPLACES the old.
+  // Append-style streaming needs the cumulative shape: each epoch lands in
+  // its own immutable `epoch-<id>` dir, and `_current` holds the
+  // newline-separated list of ALL committed epochs — one atomic swap per
+  // commit, so a reader resolving the manifest sees a complete prefix of
+  // the stream (every listed dir fully written before it was listed),
+  // never a half-appended epoch.
+
+  /** Committed epoch names from the cumulative manifest; empty when the
+    * root has never published. Fails fast on a manifest naming a missing
+    * directory — a listed epoch must be durably present.
+    */
+  private[graft] def committedEpochs(s: SparkSession, root: String): Seq[String] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val fs = manifest.getFileSystem(conf)
+    if (!fs.exists(manifest)) return Seq.empty
+    val in = fs.open(manifest)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val epochs = text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    epochs.foreach { e =>
+      val p = new org.apache.hadoop.fs.Path(s"$root/$e")
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"epoch manifest $manifest lists missing dir $p")
+    }
+    epochs
+  }
+
+  /** EXACTLY-ONCE epoch commit — the foreachBatch body of a streaming
+    * publish. Idempotent by the committed-check, not by blind overwrite:
+    *
+    *   1. already committed (a retry AFTER the manifest swap landed but
+    *      before the checkpoint recorded it) → NO-OP. The retry must not
+    *      rewrite the epoch dir in place — a reader could be mid-scan on
+    *      it; the data is already durable and listed.
+    *   2. not committed → Overwrite the epoch dir (clobbering any
+    *      half-written attempt from a crash BEFORE the swap — unreadable
+    *      garbage, since unlisted dirs are invisible to readers), then
+    *      atomically swap in a manifest listing old epochs + this one.
+    *
+    * A crash between dir-write and swap leaves the manifest on the old
+    * complete prefix; the epoch re-lands on retry. Exactly-once downstream
+    * with no sink-side dedup state — the manifest IS the commit log.
+    */
+  private[graft] def commitEpoch(
+      s: SparkSession, root: String, batch: DataFrame, epoch: String): Unit = {
+    val committed = committedEpochs(s, root)
+    if (committed.contains(epoch)) return
+    batch.write.mode(SaveMode.Overwrite).parquet(s"$root/$epoch")
+    publishManifestText(s, root, (committed :+ epoch).sorted.mkString("\n"), epoch)
+  }
+
+  /** Read the full published stream table: the union of every committed
+    * epoch dir, resolved through one manifest read.
+    */
+  private[graft] def readEpochs(s: SparkSession, root: String): DataFrame = {
+    val epochs = committedEpochs(s, root)
+    require(epochs.nonEmpty, s"no committed epochs under $root")
+    s.read.parquet(epochs.map(e => s"$root/$e"): _*)
+  }
 
   /** Compact the active generation into `parts` files: write a NEW
     * generation dir in full, then atomically repoint the manifest. A crash

@@ -483,46 +483,48 @@ object EventStreams {
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
     // q123: EXACTLY-ONCE STREAMING PUBLISH — the streaming sink done the
-    // way the batch layer's q75 compaction publishes: each micro-batch
-    // lands in an EPOCH-KEYED immutable generation dir (`gen-<batchId>`)
-    // and commits via the atomic manifest swap, so a retried batch
-    // overwrites its own generation instead of double-appending (idempotent
-    // per epoch = exactly-once downstream) and readers always see a
-    // complete snapshot, never a half-written batch. foreachBatch is the
-    // production hook for this (checkpointed batch ids ARE the epochs).
-    // Bounded AvailableNow input ⇒ the published table equals the batch
-    // source exactly, so the oracle is the plain batch aggregate; the
-    // emitted cents total is integer-exact (the q25 rule).
+    // way a transactional table commits: each micro-batch lands in its own
+    // immutable `epoch-<batchId>` dir and the CUMULATIVE manifest (the
+    // newline list of every committed epoch) swaps atomically per commit
+    // (Sources.commitEpoch). A retried batch whose swap already landed
+    // NO-OPs on the committed-check — it neither double-appends nor
+    // rewrites a dir a reader may be scanning — and a crash between
+    // dir-write and swap leaves readers on the old complete prefix
+    // (unlisted dirs are invisible). foreachBatch is the production hook
+    // (checkpointed batch ids ARE the epochs); maxFilesPerTrigger=1 makes
+    // the bounded fixture arrive as one epoch PER INPUT FILE, so the
+    // multi-epoch path is the one exercised, not a single-batch special
+    // case (StreamingSuite drives ≥2 epochs plus a simulated retry).
+    // The published union equals the batch source exactly ⇒ the oracle is
+    // the plain batch aggregate; cents total is integer-exact (q25 rule).
     Entry(
       "q123_stream_publish",
       (s, d) => {
         val schema = s.read.parquet(s"$d/events.parquet").schema
         val root = graft.sources.Sources.scratch(d, "stream_pub")
-        val src = s.readStream.schema(schema).parquet(s"$d/events*")
+        // fresh root per run: this query DEMONSTRATES a publish from epoch
+        // zero (each run uses a new temp checkpoint, so batch ids restart —
+        // against a stale manifest the committed-check would no-op real
+        // batches). Retry idempotency against a LIVE manifest is what
+        // StreamingSuite exercises, on its own root, without this reset.
+        val rootPath = new org.apache.hadoop.fs.Path(root)
+        val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(rootPath)) fs.delete(rootPath, true)
+        val src = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(s"$d/events*")
         s.streams.active.filter(_.name == "graft_stream_publish").foreach(_.stop())
-        val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
         val q = src.writeStream
           .queryName("graft_stream_publish")
           .outputMode(OutputMode.Append)
           .trigger(Trigger.AvailableNow())
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            nBatches.incrementAndGet()
-            val gen = s"gen-$batchId"
-            batch.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-              .parquet(s"$root/$gen")
-            graft.sources.Sources.publishGeneration(batch.sparkSession, root, gen)
+            graft.sources.Sources.commitEpoch(
+              batch.sparkSession, root, batch, f"epoch-$batchId%09d")
           }
           .start()
         q.awaitTermination()
-        // the single-generation manifest equals the full table only while
-        // the bounded fixture arrives as ONE micro-batch; a multi-batch
-        // source needs the cumulative-union publish shape — fail loudly
-        // rather than silently publish a partial snapshot
-        require(nBatches.get == 1,
-          s"expected 1 micro-batch from the bounded fixture, got ${nBatches.get}")
-        val published = s.read.parquet(
-          graft.sources.Sources.currentGeneration(s, root))
-        published.agg(
+        graft.sources.Sources.readEpochs(s, root).agg(
           count(lit(1)).as("n_events"),
           sum(round(col("value") * 100).cast("long")).as("value_cents"))
       },

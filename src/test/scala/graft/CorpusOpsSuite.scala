@@ -106,5 +106,35 @@ class CorpusOpsSuite extends SparkTestBase {
     // q120: rank-limit window compiles to map-side partial top-k
     val p120 = executed("q120_knn_graph")
     assert(p120.contains("WindowGroupLimit"), "q120 rank window not group-limited")
+    // q120: the confirmed pair set is localCheckpointed BEFORE the
+    // symmetrizing self-union (the q93/q94/q107 one-materialization idiom),
+    // so the plan downstream of the barrier contains ZERO parquet scans —
+    // the static-plan form computed the whole q37 upstream twice (48 scans,
+    // 0 ReusedExchange, r12 judge audit) and only AQE runtime stage-reuse
+    // saved it. A parquet scan reappearing here means the barrier was lost.
+    assert(!p120.contains("Scan parquet"),
+      "q120 plans its q37 upstream past the localCheckpoint barrier")
+  }
+
+  test("q127 hash-only scrub: no exchange carries a string; equals q110 exactly") {
+    // the variant's whole claim is WHAT THE SHUFFLE CARRIES: after
+    // gh = xxhash64(gram) the gram string must be projected away before
+    // every exchange (16 bytes/row on the wire instead of 16 + the ~50-byte
+    // verbatim 8-gram)
+    val df = Registry.byName("q127_boilerplate_hash").q(spark, sf)
+    df.collect()
+    val exchanges = shuffleExchanges(df)
+    assert(exchanges.nonEmpty, "expected shuffle exchanges in q127")
+    exchanges.foreach { e =>
+      val strings = e.output.filter(
+        _.dataType == org.apache.spark.sql.types.StringType)
+      assert(strings.isEmpty,
+        s"q127 exchange carries string column(s) ${strings.map(_.name).mkString(",")}")
+    }
+    // fixture-scale equality with the oracle-exact string form: zero 64-bit
+    // gram collisions ⇒ identical output, row for row
+    val exact = Registry.byName("q110_boilerplate_scrub").q(spark, sf)
+      .collect().toSeq
+    assert(df.collect().toSeq == exact, "hash-only scrub diverges from exact form")
   }
 }

@@ -62,4 +62,27 @@ class EventOpsSuite extends SparkTestBase {
     assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
     assert(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "true")
   }
+
+  test("funnel plan is one user-keyed exchange regardless of step count (q124, q128)") {
+    // the N-step claim made load-bearing: every step is a conditional-min
+    // inside the SAME per-user aggregate, so 3 steps and 5 steps plan the
+    // IDENTICAL exchange inventory — one hash exchange on user_id (the only
+    // corpus-sized shuffle) plus the bounded single-partition roll-up. A
+    // second hash exchange appearing at higher N means a step compiled to
+    // a join/window and the plan no longer scales in step count.
+    Seq("q124_funnel", "q128_funnel_5step").foreach { name =>
+      val df = Registry.byName(name).q(spark, sf)
+      df.collect()
+      val ex = shuffleExchanges(df)
+      val hashed = ex.filter(e => e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+          h.expressions.exists(_.references.exists(_.name == "user_id"))
+        case _ => false
+      })
+      assert(hashed.size == 1,
+        s"$name: expected exactly one user_id-keyed exchange, got ${hashed.size}")
+      assert(ex.size <= 2,
+        s"$name: expected at most user-keyed + global roll-up exchanges, got ${ex.size}")
+    }
+  }
 }

@@ -270,6 +270,13 @@ class HashKernelsSuite extends AnyFunSuite {
     }
     // whitespace-only and empty inputs normalize to the empty string
     assert(norm("   \t\n") == "" && norm("") == "")
+    // PIN a known JDK-vs-utf8proc divergent mapping (TextKernels header
+    // doc): U+0130 İ lowercases to "i" + U+0307 combining dot above under
+    // Locale.ROOT, while DuckDB's utf8proc lower() yields plain "i". The
+    // fixtures never contain U+0130 — this pin exists so any future oracle
+    // alphabet extension trips HERE, with the divergence named, rather than
+    // as an unexplained hash mismatch in the driver compare.
+    assert(norm("\u0130") == "i\u0307")
   }
 
   test("intersectCountSorted counts merge intersections; fast path and fallback agree") {

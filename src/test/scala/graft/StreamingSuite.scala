@@ -285,4 +285,61 @@ class StreamingSuite extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == batch)
   }
+
+  test("multi-epoch exactly-once publish: ≥2 epochs, retry no-ops, crash dir invisible") {
+    import graft.sources.Sources
+    import java.nio.file.Files
+    val s = spark
+    import s.implicits._
+    // two single-file arrival chunks (even/odd event ids) with increasing
+    // mod times, so maxFilesPerTrigger=1 delivers exactly two micro-batches
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val dir = Files.createTempDirectory("graft_pub_src").toString
+    def writeChunk(df: org.apache.spark.sql.DataFrame, name: String, order: Int): Unit = {
+      val tmp = s"$dir/${name}_stage"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dir/ev_$name.parquet")
+      Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000L * order)
+    }
+    writeChunk(ev.filter(col("event_id") % 2 === 0), "even", 1)
+    writeChunk(ev.filter(col("event_id") % 2 === 1), "odd", 2)
+    val root = Files.createTempDirectory("graft_pub_root").toString + "/tbl"
+    val src = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/ev_*.parquet")
+    spark.streams.active.filter(_.name == "test_epoch_publish").foreach(_.stop())
+    val q = src.writeStream
+      .queryName("test_epoch_publish")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        Sources.commitEpoch(batch.sparkSession, root, batch, f"epoch-$batchId%09d")
+      }
+      .start()
+    q.awaitTermination()
+    val nEvents = ev.count()
+    assert(Sources.committedEpochs(spark, root).size == 2,
+      "maxFilesPerTrigger=1 over two files must commit two epochs")
+    assert(Sources.readEpochs(spark, root).count() == nEvents)
+    // SIMULATED RETRY of a committed epoch (redelivery after the manifest
+    // swap landed but before the checkpoint recorded it): must NO-OP —
+    // no double-append, and the already-published dir is not rewritten
+    // (we pass a deliberately DIFFERENT batch; any rewrite would change
+    // the union count).
+    Sources.commitEpoch(spark, root, ev, "epoch-000000000")
+    assert(Sources.committedEpochs(spark, root).size == 2, "retry must not add an epoch")
+    assert(Sources.readEpochs(spark, root).count() == nEvents, "retry must not change data")
+    // CRASH-BEFORE-SWAP: a dir written but never listed is invisible
+    ev.limit(5).write.parquet(s"$root/epoch-000000099")
+    assert(Sources.readEpochs(spark, root).count() == nEvents,
+      "unlisted epoch dir must be invisible to readers")
+    // a genuinely new epoch appends exactly its own rows
+    Sources.commitEpoch(spark, root, ev.limit(7), "epoch-000000002")
+    assert(Sources.committedEpochs(spark, root).size == 3)
+    assert(Sources.readEpochs(spark, root).count() == nEvents + 7)
+  }
 }

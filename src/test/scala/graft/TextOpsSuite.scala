@@ -89,4 +89,38 @@ class TextOpsSuite extends SparkTestBase {
     val fills = twoPhase.map(_(3).asInstanceOf[Long])
     assert(fills.dropRight(1).forall(_ == L), s"non-tail bin underfilled: $fills")
   }
+
+  test("unpartitioned-window inventory: pinned global-WindowExec count per packing plan") {
+    // The packing plans deliberately carry at most ONE WindowExec with no
+    // partition spec: the block-prefix cumsum over the ~n_docs/256 block
+    // table (q96, q107's packing tail) — bounded by construction,
+    // documented at TextOps' packing section, and the source of the
+    // (false-alarm) `WindowExec: No Partition Defined` bench warnings. This
+    // pin turns the inventory into a build invariant: an EXTRA global
+    // window appearing in any of these plans is a real corpus-sized
+    // single-partition sort hiding in that warning noise — it must fail
+    // here, not ship. (q121 keys EVERY window, block-prefix included, by
+    // split — its pinned global-window count is ZERO.)
+    Seq("q96_sequence_packing" -> 1, "q107_curation_pipeline" -> 1,
+        "q121_split_packing" -> 0)
+      .foreach { case (name, expected) =>
+        val df = Registry.byName(name).q(spark, sf)
+        df.collect()
+        val globals = unpartitionedWindows(df)
+        assert(globals.size == expected,
+          s"$name: expected $expected unpartitioned WindowExec node(s), " +
+            s"found ${globals.size}")
+      }
+    // the counter itself must SEE a second global window when one exists —
+    // the deliberate-regression probe proving the pin can fail
+    val twoGlobals = Tables.documents(spark, sf)
+      .withColumn("c1", sum(lit(1L)).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      .groupBy(col("c1")).agg(count(lit(1)).as("n"))
+      .withColumn("c2", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c1"))))
+    twoGlobals.collect()
+    assert(unpartitionedWindows(twoGlobals).size == 2,
+      "probe: counter failed to see two global windows")
+  }
 }
