@@ -59,7 +59,14 @@ object Bench {
     "q110_boilerplate_scrub",
     "q119_stream_enrich",
     "q120_knn_graph",
-    "q121_split_packing")
+    "q121_split_packing",
+    // round-13 cohort, standing FROM BIRTH — ending the promote-one-round-
+    // late pattern the r11/r12 verdicts both flagged: every operator added
+    // this round has cross-round coverage in its first artifact. Subtract
+    // these three when comparing secondary_total against pre-r13 artifacts.
+    "q126_ann_index_delete",
+    "q127_boilerplate_hash",
+    "q128_funnel_5step")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
@@ -173,9 +180,10 @@ object Bench {
     // "schema" versions the measurement protocol for downstream tooling:
     // 1 = single sample per query (pre-r11, implicit), 2 = median-of-samples
     // + queries_min (r11), 3 = + cold list and five more secondary queries
-    // (r12), 4 = + canary_s box-drift probe and four more secondary queries
-    // (r13) — a bumped schema means totals are not comparable to prior
-    // rounds without adjustment.
+    // (r12), 4 = + canary_s box-drift probe and seven more secondary
+    // queries — the four promoted r12 heavies plus the r13 cohort (r13) —
+    // a bumped schema means totals are not comparable to prior rounds
+    // without adjustment.
     val cold = coldQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","schema":4,"samples":$samples,"canary_s":$canary%.3f,"cold":$cold,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}""")

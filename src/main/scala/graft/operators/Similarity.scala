@@ -410,8 +410,9 @@ object Similarity {
     * Runs against its own root (see pqIndexBuild) so q109's serve path
     * stays pristine.
     */
-  private[graft] def pqIndexUpdate(s: SparkSession, d: String): Unit = {
-    val root = pqIndexUpdRoot(d)
+  private[graft] def pqIndexUpdate(
+      s: SparkSession, d: String, rootOverride: Option[String] = None): Unit = {
+    val root = rootOverride.getOrElse(pqIndexUpdRoot(d))
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
     val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifest)) pqIndexBuild(s, d, Some(root))
@@ -470,6 +471,39 @@ object Similarity {
     survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$gen/codes")
     graft.sources.Sources.publishGeneration(s, root, gen)
+  }
+
+  private[graft] def pqIndexGcRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "pq_index_gc")
+
+  /** GENERATION GC — the retention half every publish verb here defers to
+    * ("superseded generations are left on disk … aged out with a TTL
+    * sweep"): delete every top-level dir under the index root that is NOT
+    * the manifest-named current generation and whose modification time is
+    * older than `ttlMs`. The TTL is the safety contract — it must exceed
+    * the longest reader scan, because a reader that resolved the OLD
+    * manifest may still be reading the old dir; with that bound, anything
+    * older and unlisted is provably unreachable (new readers resolve the
+    * manifest, which no longer names it). Returns the number of dirs
+    * removed. Sweep failures on individual dirs are non-fatal (same
+    * posture as the manifest-tmp GC in publishManifestText): retention
+    * must never block serving, and a half-deleted superseded dir is
+    * unlisted garbage the next sweep finishes.
+    */
+  private[graft] def pqIndexGc(s: SparkSession, root: String, ttlMs: Long): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val cur = graft.sources.Sources.currentGeneration(s, root)
+    val curName = cur.substring(cur.lastIndexOf('/') + 1)
+    val cutoff = System.currentTimeMillis() - ttlMs
+    fs.listStatus(rootPath).count { st =>
+      val name = st.getPath.getName
+      st.isDirectory && name != curName && st.getModificationTime < cutoff && {
+        try fs.delete(st.getPath, true)
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+    }.toLong
   }
 
   /** Fresh generation name: `<prefix><n+1>` where n is parsed from the
@@ -684,6 +718,42 @@ object Similarity {
               |  CAST(0 AS BIGINT) AS n_deleted_present,
               |  CAST($topK * $nQueries AS BIGINT) AS n_exact,
               |  TRUE AS recall_ok
+              |FROM embeddings""".stripMargin)),
+
+    // q130: ANN INDEX GENERATION GC (see pqIndexGc) — the retention verb
+    // closing the artifact lifecycle: two updates stack three generation
+    // dirs on disk (one current, two superseded); the TTL sweep removes
+    // exactly the unlisted ones, the served index is untouched (code-row
+    // accounting re-proven through the post-GC manifest). Runs on its own
+    // root; deterministic across re-runs because each update re-converges
+    // to the same content under a fresh generation name.
+    Entry(
+      "q130_ann_index_gc",
+      (s, d) => {
+        val root = pqIndexGcRoot(d)
+        pqIndexUpdate(s, d, Some(root))
+        pqIndexUpdate(s, d, Some(root))
+        def genDirs(): Long = {
+          val rp = new org.apache.hadoop.fs.Path(root)
+          rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .listStatus(rp).count(_.isDirectory).toLong
+        }
+        val before = genDirs()
+        val removed = pqIndexGc(s, root, ttlMs = 0L)
+        val after = genDirs()
+        val idx = graft.sources.Sources.currentGeneration(s, root)
+        s.read.parquet(s"$idx/codes")
+          .agg(
+            count(lit(1)).as("n_code_rows"),
+            countDistinct(when(col("vec_id") >= 10000000L, col("vec_id")))
+              .as("n_new_vecs"))
+          .select(
+            lit(before == 3L && removed == 2L && after == 1L).as("gc_ok"),
+            col("n_code_rows"), col("n_new_vecs"))
+      },
+      Some(s"""SELECT TRUE AS gc_ok,
+              |  CAST($pqSubs * (count(*) + 100) AS BIGINT) AS n_code_rows,
+              |  CAST(100 AS BIGINT) AS n_new_vecs
               |FROM embeddings""".stripMargin)),
 
     // q92: INT8 SYMMETRIC QUANTIZATION of the embedding column — the ANN

@@ -385,6 +385,72 @@ object Sources {
     s.read.parquet(epochs.map(e => s"$root/$e"): _*)
   }
 
+  /** EPOCH COMPACTION — the maintenance verb the cumulative manifest
+    * needs: a long-lived streaming table accumulates one dir (and one
+    * manifest line, and one per-file read-planning cost) per micro-batch;
+    * unchecked, a day of 1-minute epochs is 1440 dirs and the epoch list
+    * itself becomes the bottleneck. Compaction rewrites the union of every
+    * committed epoch into ONE fresh dir and atomically swaps in a
+    * manifest listing only it — the q75 generational-compaction shape
+    * applied to the epoch list. A crash before the swap leaves the full
+    * epoch list readable (the target dir is unlisted garbage, clobbered
+    * by the next attempt's Overwrite); after the swap readers resolve the
+    * single compacted epoch. Superseded epoch dirs are left for TTL GC —
+    * a reader that resolved the old manifest may still be mid-scan.
+    *
+    * Single-writer-per-root, like every publish verb here: foreachBatch
+    * serializes the stream's own commits; run compaction from the same
+    * maintenance lane (a commitEpoch racing this read-modify-write could
+    * lose its epoch from the list).
+    */
+  private[graft] def compactEpochs(s: SparkSession, root: String, parts: Int): Unit = {
+    val epochs = committedEpochs(s, root)
+    require(epochs.nonEmpty, s"no committed epochs under $root")
+    if (epochs.size == 1) return // already compact — idempotent no-op
+    // fresh name: newest epoch + suffix — never produced by commitEpoch,
+    // never the current single epoch (size-1 returned above)
+    val target = s"${epochs.last}-compacted"
+    s.read.parquet(epochs.map(e => s"$root/$e"): _*)
+      .repartition(parts)
+      .write.mode(SaveMode.Overwrite).parquet(s"$root/$target")
+    publishManifestText(s, root, target, target)
+  }
+
+  /** q129: the epoch-compaction verb end-to-end — four epochs committed
+    * through the exactly-once machinery, compacted to one, read back
+    * through the manifest proving no row lost or duplicated.
+    */
+  private def epochCompaction(s: SparkSession, d: String): DataFrame = {
+    val root = scratch(d, "epoch_compact")
+    // fresh root per run: the query demonstrates commit→compact from
+    // epoch zero (the q123 rationale)
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    (0 until 4).foreach { b =>
+      commitEpoch(s, root, ev.filter(pmod(col("event_id"), lit(4)) === b),
+        f"epoch-$b%09d")
+    }
+    val nBefore = committedEpochs(s, root).size
+    compactEpochs(s, root, parts = 2)
+    val after = committedEpochs(s, root)
+    def nFiles(p: String): Long = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .listStatus(hp).count(_.getPath.getName.endsWith(".parquet")).toLong
+    }
+    readEpochs(s, root)
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(
+        lit(nBefore.toLong).as("n_epochs_before"),
+        lit(after.size.toLong).as("n_epochs_after"),
+        lit(nFiles(s"$root/${after.head}")).as("n_files_after"),
+        col("n_events"), col("value_cents"))
+  }
+
   /** Compact the active generation into `parts` files: write a NEW
     * generation dir in full, then atomically repoint the manifest. A crash
     * anywhere before the final rename leaves `_current` on the old complete
@@ -508,6 +574,20 @@ object Sources {
              | CAST(4 AS BIGINT) AS files_after,
              | count(*) AS n_rows, round(sum(o_totalprice),2) AS total
              |FROM orders""".stripMargin)),
+
+    // q129: epoch-manifest compaction (see compactEpochs/epochCompaction
+    // docs) — 4 committed epochs → 1 compacted dir of 2 files, zero rows
+    // lost or duplicated (count + integer cents total read back through
+    // the swapped manifest equal the batch source).
+    Entry(
+      "q129_epoch_compaction",
+      epochCompaction,
+      Some("""SELECT CAST(4 AS BIGINT) AS n_epochs_before,
+             | CAST(1 AS BIGINT) AS n_epochs_after,
+             | CAST(2 AS BIGINT) AS n_files_after,
+             | count(*) AS n_events,
+             | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
+             |FROM events""".stripMargin)),
 
     // q98: SNAPSHOT DIFF — incremental dataset versioning: classify every
     // doc across two corpus snapshots as added/removed/changed/unchanged.

@@ -351,4 +351,36 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(got == want,
       s"extra=${got.diff(want).take(5)} missing=${want.diff(got).take(5)}")
   }
+
+  test("index generation names are never reused; delete is idempotent; GC spares current") {
+    import graft.operators.Similarity
+    // nextGen: monotone fresh names from any current-generation basename
+    assert(Similarity.nextGen("/r/gen-build", "gen-upd-") == "gen-upd-1")
+    assert(Similarity.nextGen("/r/gen-upd-7", "gen-upd-") == "gen-upd-8")
+    assert(Similarity.nextGen("/r/gen-upd-7", "gen-del-") == "gen-del-1")
+    assert(Similarity.nextGen("/r/gen-del-3", "gen-del-") == "gen-del-4")
+    // delete lifecycle on its own root: two runs converge to the same
+    // artifact CONTENT under fresh generation names (never an in-place
+    // rewrite of the published dir)
+    val root = Similarity.pqIndexDelRoot(sf)
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val fs = rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rp)) fs.delete(rp, true)
+    Similarity.pqIndexDelete(spark, sf)
+    val gen1 = graft.sources.Sources.currentGeneration(spark, root)
+    val rows1 = spark.read.parquet(s"$gen1/codes").count()
+    Similarity.pqIndexDelete(spark, sf)
+    val gen2 = graft.sources.Sources.currentGeneration(spark, root)
+    assert(gen1 != gen2, "re-delete must publish a FRESH generation name")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gen1)),
+      "previous generation must survive until GC (readers may be mid-scan)")
+    assert(spark.read.parquet(s"$gen2/codes").count() == rows1,
+      "delete must be idempotent by content")
+    // GC with ttl 0 removes every superseded dir, never the current one
+    val removed = Similarity.pqIndexGc(spark, root, ttlMs = 0L)
+    assert(removed >= 1, "expected at least the superseded generation swept")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gen2)), "GC removed the CURRENT generation")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(gen1)), "superseded generation not swept")
+    assert(spark.read.parquet(s"$gen2/codes").count() == rows1, "served index damaged by GC")
+  }
 }
