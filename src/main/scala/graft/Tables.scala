@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.LongType
 
 /** Fixture-table loaders (FIXTURES.md §B).
   *
@@ -100,7 +102,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame   = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
+
+  /** Pin the event-time contract — `ts` is epoch-NANO Long — in ONE place,
+    * regardless of the fixture's physical type. Driver generations have
+    * written events.ts two ways: INT64 TIMESTAMP(NANOS) (reads as Long under
+    * `nanosAsLong` — already the contract type) and TIMESTAMP(MICROS) (reads
+    * as TIMESTAMP_NTZ since the r13 regeneration). Every event-time operator
+    * in this repo does exact integer nano math (sessionize gaps, hour
+    * buckets, as-of unions), so the accessor converts at the scan: NTZ
+    * wall-clock → instant under the session UTC pin, then µs → ns in
+    * integer arithmetic. A codegen'd per-row projection fused into the scan
+    * stage — no shuffle, no precision loss, and the Long path is untouched.
+    */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df
+      case _ =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
   def documents(s: SparkSession, d: String): DataFrame =
     table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =

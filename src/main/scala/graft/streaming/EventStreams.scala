@@ -100,7 +100,8 @@ object EventStreams {
     // The fixture table is a single FILE; FileStreamSource accepts only a
     // directory or a glob, so address it as the glob `events*` (in production
     // this is the arrival directory the stream tails).
-    val src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+    val src = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events*"))
     val agg = src
       .withColumn(
         "hour_epoch",
@@ -212,8 +213,9 @@ object EventStreams {
     import spark.implicits._
     val schema = spark.read.parquet(s"$dir/events.parquet")
       .select("event_id", "ts", "user_id", "event_type", "value").schema
-    val src = spark.readStream.schema(schema).parquet(s"$dir/events*")
-      .select("event_id", "ts", "user_id", "event_type", "value")
+    val src = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events*")
+        .select("event_id", "ts", "user_id", "event_type", "value"))
       .as[EventRow]
     spark.streams.active.filter(_.name == "graft_stream_sessions").foreach(_.stop())
     val q = sessionize(src).writeStream
@@ -283,7 +285,8 @@ object EventStreams {
     */
   def streamDedupWatermarked(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+    def src = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events*"))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
       .select(col("event_id"), col("event_type"), col("value"), col("event_time"))
     val deduped = src.union(src)
@@ -315,7 +318,8 @@ object EventStreams {
     */
   def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    def src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+    def src = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events*"))
       .withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
     val clicks = src.filter(col("event_type") === "click")
       .select(
@@ -365,7 +369,8 @@ object EventStreams {
     */
   def slidingCountsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    val src = spark.readStream.schema(schema).parquet(s"$dir/events*")
+    val src = Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(s"$dir/events*"))
     val agg = src
       .withColumn(
         "hour_epoch",

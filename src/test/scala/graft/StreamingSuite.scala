@@ -265,10 +265,15 @@ class StreamingSuite extends SparkTestBase {
     val events = Tables.events(spark, sf)
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventStreams.EventRow]
-    // run the stateful function through a memory-sink stream over the same data
-    val schema = events.schema
-    val src = spark.readStream.schema(schema)
-      .parquet(s"$sf/events*")
+    // run the stateful function through a memory-sink stream over the same
+    // data. Read with the RAW file schema, then normalize — declaring the
+    // normalized Long schema over a TIMESTAMP(MICROS) file would silently
+    // read micro longs and break the nano gap math (the production sources
+    // in EventStreams use exactly this raw-schema + normalize idiom).
+    val rawSchema = spark.read.parquet(s"$sf/events.parquet").schema
+    val src = Tables.normalizeEventTs(
+      spark.readStream.schema(rawSchema).parquet(s"$sf/events*")
+        .select("event_id", "ts", "user_id", "event_type", "value"))
       .as[EventStreams.EventRow]
     val out = EventStreams.sessionize(src)
     spark.streams.active.filter(_.name == "test_sessionize").foreach(_.stop())
