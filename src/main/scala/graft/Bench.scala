@@ -66,7 +66,12 @@ object Bench {
     // these three when comparing secondary_total against pre-r13 artifacts.
     "q126_ann_index_delete",
     "q127_boilerplate_hash",
-    "q128_funnel_5step")
+    "q128_funnel_5step",
+    // the dedup-index lifecycle (also round 13, standing from birth):
+    // build + artifact-served incremental batch dedup + index update
+    "q131_dedup_index_build",
+    "q132_dedup_index_query",
+    "q133_dedup_index_update")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

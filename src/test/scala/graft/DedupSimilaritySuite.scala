@@ -383,4 +383,73 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(gen1)), "superseded generation not swept")
     assert(spark.read.parquet(s"$gen2/codes").count() == rows1, "served index damaged by GC")
   }
+
+  test("q132 serve plan reads the dedup index artifact, never the corpus") {
+    import graft.operators.Dedup
+    val serve = Dedup.dedupIndexQuery(spark, sf)
+    val physical = serve.queryExecution.executedPlan.toString
+    assert(physical.contains("dedup_index"),
+      s"serve does not read the artifact:\n$physical")
+    // the corpus contributes ONLY its persisted band/feature rows: a
+    // documents.parquet scan in the served plan means corpus text is being
+    // re-read (the batch fabrication reads it once, behind the bounded
+    // batch checkpoint, so the RETURNED plan must carry zero such scans)
+    assert(!physical.contains("documents.parquet"),
+      s"serve plan re-scans the corpus:\n$physical")
+    // and no signature computation either — batch signatures were computed
+    // batch-side before the checkpoint; corpus signatures live in the index
+    assert(!serve.queryExecution.optimizedPlan.toString.contains("minhash_sig"),
+      "serve plan recomputes MinHash signatures")
+  }
+
+  test("bandCandidatesCross equals the distinct two-sided band join") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val batch = Dedup.dedupIndexRows(Dedup.dedupBatch(spark, sf))
+      .select(col("doc_id"), col("bands")).localCheckpoint()
+    val corpus = Dedup.dedupIndexRows(
+      Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("bands")).localCheckpoint()
+    val got = Dedup.bandCandidatesCross(batch, corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = batch
+      .select(col("doc_id").as("new_id"), explode(col("bands")).as("band"))
+      .join(
+        corpus.select(col("doc_id").as("old_id"), explode(col("bands")).as("band")),
+        Seq("band"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive,
+      s"extra=${got.diff(naive).take(5)} missing=${naive.diff(got).take(5)}")
+    assert(naive.nonEmpty, "no cross candidates — test is vacuous")
+  }
+
+  test("q133 dedup index update is idempotent and advances the generation") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val root = Dedup.dedupIndexUpdRoot(sf)
+    Dedup.dedupIndexUpdate(spark, sf)
+    val gen1 = graft.sources.Sources.currentGeneration(spark, root)
+    val ids1 = spark.read.parquet(s"$gen1/index")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    Dedup.dedupIndexUpdate(spark, sf)
+    val gen2 = graft.sources.Sources.currentGeneration(spark, root)
+    assert(gen1 != gen2, "re-run must publish a FRESH generation name")
+    val ids2 = spark.read.parquet(s"$gen2/index")
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    assert(ids1.sameElements(ids2),
+      "re-running the update must converge to the same index content")
+    val nBatch = ids1.count(_ >= Dedup.dedupBatchIdOffset)
+    val nCorpus = ids1.length - nBatch
+    assert(nBatch.toLong ==
+      Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0).count(),
+      "batch must appear exactly once (no double-append)")
+    assert(nCorpus.toLong == Tables.documents(spark, sf).count(),
+      "corpus rows must survive the update")
+    // the superseded generation survives until GC (readers may be mid-scan)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(gen1)),
+      "previous generation must survive the swap")
+  }
 }
