@@ -71,7 +71,10 @@ object Bench {
     // build + artifact-served incremental batch dedup + index update
     "q131_dedup_index_build",
     "q132_dedup_index_query",
-    "q133_dedup_index_update")
+    "q133_dedup_index_update",
+    // round-13 selection/calibration ops, standing from birth
+    "q134_token_budget_select",
+    "q135_quality_calibration")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -229,6 +229,85 @@ object CorpusOps {
       .limit(100)
   }
 
+  /** q134: GREEDY TOKEN-BUDGET SELECTION — the data-mixing step that takes
+    * the best docs (by a quality score) until a global token budget is
+    * spent: "train on the top half of the corpus by quality". Needs the
+    * running token total in (score DESC, doc_id) order — a GLOBAL ordered
+    * prefix, which this plan refuses to compute as a corpus-sized
+    * single-partition window. Instead it is q96's two-phase prefix scan
+    * with the SCORE VALUE as the block key: per-score partial sums, a
+    * cumsum over the per-score table (the one unpartitioned window — its
+    * row count is bounded by the integer score DOMAIN, ≤ max doc token
+    * count, never the corpus; a continuous score would be histogram-
+    * bucketed first at scale), then per-score windows keyed on the score —
+    * partition-parallel. Score = distinct-token count (all-integer, exact
+    * across engines); budget = half the corpus's tokens, integer-div.
+    * Selection keeps docs whose running total fits ENTIRELY under the
+    * budget; (score, doc_id) order is total, so the selected set is unique
+    * and the oracle replays it with one window cumsum.
+    */
+  private def tokenBudgetSelect(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("score"))
+      .filter(col("n_tokens") > 0)
+    val wB = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = docs.groupBy(col("score")).agg(sum(col("n_tokens")).as("bn"))
+      .withColumn("prefix", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select(col("score"), col("prefix"))
+    val wIn = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = docs.join(prefixes, Seq("score"))
+      .withColumn("cum_tokens", col("prefix") + sum(col("n_tokens")).over(wIn))
+    val budget = docs.agg(expr("sum(n_tokens) div 2").as("b"))
+    cum.crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("b"))
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"))
+  }
+
+  /** q135: QUALITY-SCORE CALIBRATION — map each doc's raw quality score to
+    * its corpus percentile (percent_rank), so thresholds transfer across
+    * heterogeneously-scored corpora ("drop the bottom decile" means the
+    * same thing everywhere). percent_rank needs each doc's global rank —
+    * computed WITHOUT a corpus-sized window: per-score counts (one
+    * partial-agged exchange), a cumsum over the bounded per-score table
+    * (same domain bound as q134's block table), then a broadcast join back;
+    * rank of a doc = 1 + count of strictly-smaller scores, percent_rank =
+    * (rank−1)/(N−1) — one IEEE division of two exact integers, bit-
+    * identical cross-engine (ties share the tie-group's first rank, the
+    * SQL percent_rank contract).
+    */
+  private def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("score"))
+      .filter(col("n_tokens") > 0)
+    val wB = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val below = docs.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      .withColumn("below", coalesce(sum(col("c")).over(wB), lit(0L)))
+      .select(col("score"), col("below"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.join(broadcast(below), Seq("score"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        col("score"),
+        (col("below").cast("double") /
+          (col("n_total") - 1).cast("double")).as("pct_rank"))
+      .orderBy(col("doc_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     // q110: corpus-wide duplicated-fragment scrubbing (see boilerplateScrub
     // doc); oracle replays the inverted index + join-back exactly.
@@ -339,5 +418,35 @@ object CorpusOps {
              |SELECT doc_id, CAST(target_mass AS BIGINT) AS target_mass,
              |  CAST(corpus_mass AS BIGINT) AS corpus_mass,
              |  CAST(target_mass AS DOUBLE) / CAST(corpus_mass AS DOUBLE) AS score
-             |FROM s ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)))
+             |FROM s ORDER BY score DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // q134: greedy token-budget selection (see tokenBudgetSelect doc) —
+    // oracle replays the global quality-ordered cumsum with one window.
+    Entry(
+      "q134_token_budget_select",
+      (s, d) => tokenBudgetSelect(s, d),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS score
+             |  FROM documents),
+             |d2 AS (SELECT * FROM d WHERE n_tokens > 0),
+             |b AS (SELECT sum(n_tokens) // 2 AS b FROM d2),
+             |c AS (SELECT doc_id, score, n_tokens,
+             |    sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+             |  FROM d2)
+             |SELECT doc_id, score, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+             |FROM c, b WHERE cum_tokens <= b.b ORDER BY cum_tokens""".stripMargin)),
+
+    // q135: quality-score percentile calibration (see qualityCalibration
+    // doc); oracle is the SQL percent_rank itself.
+    Entry(
+      "q135_quality_calibration",
+      (s, d) => qualityCalibration(s, d),
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS score
+             |  FROM documents WHERE len(string_split(text,' ')) > 0),
+             |r AS (SELECT doc_id, score,
+             |    percent_rank() OVER (ORDER BY score) AS pct_rank FROM d)
+             |SELECT doc_id, score, pct_rank FROM r ORDER BY doc_id""".stripMargin)))
 }

@@ -101,8 +101,11 @@ class TextOpsSuite extends SparkTestBase {
     // single-partition sort hiding in that warning noise — it must fail
     // here, not ship. (q121 keys EVERY window, block-prefix included, by
     // split — its pinned global-window count is ZERO.)
+    // q134/q135's one global window runs over the per-SCORE table (bounded
+    // by the integer score domain, not the corpus) — same contract.
     Seq("q96_sequence_packing" -> 1, "q107_curation_pipeline" -> 1,
-        "q121_split_packing" -> 0)
+        "q121_split_packing" -> 0, "q134_token_budget_select" -> 1,
+        "q135_quality_calibration" -> 1)
       .foreach { case (name, expected) =>
         val df = Registry.byName(name).q(spark, sf)
         df.collect()
