@@ -74,7 +74,10 @@ object Bench {
     "q133_dedup_index_update",
     // round-13 selection/calibration ops, standing from birth
     "q134_token_budget_select",
-    "q135_quality_calibration")
+    "q135_quality_calibration",
+    // dedup-index compliance delete + generation GC, standing from birth
+    "q136_dedup_index_delete",
+    "q137_dedup_index_gc")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

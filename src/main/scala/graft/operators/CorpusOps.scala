@@ -229,6 +229,17 @@ object CorpusOps {
       .limit(100)
   }
 
+  /** Shared scoring pass for q134/q135: (doc_id, n_tokens, score) with
+    * score = distinct-token count — all-integer, exact across engines. */
+  private def scoredDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("score"))
+      .filter(col("n_tokens") > 0)
+
   /** q134: GREEDY TOKEN-BUDGET SELECTION — the data-mixing step that takes
     * the best docs (by a quality score) until a global token budget is
     * spent: "train on the top half of the corpus by quality". Needs the
@@ -248,13 +259,10 @@ object CorpusOps {
     */
   private def tokenBudgetSelect(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(
-        col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("t"))).cast("long").as("score"))
-      .filter(col("n_tokens") > 0)
+    // one scoring pass (the expensive text scan), three consumers (blocks,
+    // cumsum join, budget) — materialize the 24 B/doc scored table once
+    // (the q93/q107 idiom) instead of re-tokenizing the corpus per consumer
+    val docs = scoredDocs(s, d).localCheckpoint()
     val wB = Window.orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = docs.groupBy(col("score")).agg(sum(col("n_tokens")).as("bn"))
@@ -285,13 +293,8 @@ object CorpusOps {
     */
   private def qualityCalibration(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(
-        col("doc_id"),
-        size(col("t")).cast("long").as("n_tokens"),
-        size(array_distinct(col("t"))).cast("long").as("score"))
-      .filter(col("n_tokens") > 0)
+    // same one-materialization rationale as tokenBudgetSelect
+    val docs = scoredDocs(s, d).localCheckpoint()
     val wB = Window.orderBy(col("score"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val below = docs.groupBy(col("score")).agg(count(lit(1)).as("c"))

@@ -845,8 +845,13 @@ object Dedup {
     * confirm ≥ 0.9 over the persisted hashed shingle sets; band miss-prob
     * at the threshold ≤ 3.1e-12/pair (q36 bound), so the output EQUALS the
     * brute-force batch×corpus join the oracle computes. */
-  private[graft] def dedupIndexQuery(s: SparkSession, d: String): DataFrame = {
-    val gen = dedupIndexEnsure(s, dedupIndexRoot(d), d)
+  private[graft] def dedupIndexQuery(s: SparkSession, d: String): DataFrame =
+    dedupServeAgainst(s, dedupIndexEnsure(s, dedupIndexRoot(d), d), d)
+
+  /** The serve body against an EXPLICIT index generation — shared by q132
+    * (current build) and q136 (post-delete generation). */
+  private[graft] def dedupServeAgainst(
+      s: SparkSession, gen: String, d: String): DataFrame = {
     // two artifact reads, each column-pruned at the scan (bands-only for
     // candidates, hf-only for the confirm) — cheaper than one full-width
     // materialization, and the parquet footer makes the pruning free
@@ -873,6 +878,39 @@ object Dedup {
       .orderBy(col("new_id"))
   }
 
+  /** Index DELETE (q136): remove a doc_id batch from the artifact — the
+    * GDPR / right-to-be-forgotten path, the q126 verb for the dedup family.
+    * The hash family is frozen and nothing rescans the corpus: the new
+    * generation carries the SURVIVOR rows only, published atomically under
+    * a fresh name. Semantics the registered query proves end-to-end: a
+    * forgotten doc re-arriving in a later batch is no longer flagged as a
+    * duplicate of itself — compliance deletion really forgets. Idempotent
+    * by content (pure vec-id predicate); own root so q132's serve path
+    * stays pristine.
+    */
+  private[graft] def dedupIndexDelRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "dedup_index_del")
+
+  private[graft] def dedupIndexGcRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "dedup_index_gc")
+
+  private[graft] val dedupDelLo = 100L
+  private[graft] val dedupDelHi = 200L
+  private[graft] def dedupIsDeleted(id: Column): Column =
+    id >= dedupDelLo && id < dedupDelHi
+
+  private[graft] def dedupIndexDelete(s: SparkSession, d: String): Unit = {
+    val root = dedupIndexDelRoot(d)
+    val cur = dedupIndexEnsure(s, root, d)
+    val survivors = s.read.parquet(s"$cur/index")
+      .filter(!dedupIsDeleted(col("doc_id")))
+      .localCheckpoint() // never read the dir being superseded mid-write
+    val gen = Similarity.nextGen(cur, "gen-del-")
+    survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen/index")
+    graft.sources.Sources.publishGeneration(s, root, gen)
+  }
+
   /** Index UPDATE (q133): fold the deduped batch into the artifact as a new
     * generation — old rows ∪ batch rows under the FROZEN hash family (no
     * re-banding, no corpus re-scan; an append touches only the delta).
@@ -881,8 +919,9 @@ object Dedup {
     * so a re-run never Overwrites the directory `_current` points at while
     * a reader scans it. Runs on its own root so q132's serve path stays
     * pristine (the q122 isolation pattern). */
-  private[graft] def dedupIndexUpdate(s: SparkSession, d: String): Unit = {
-    val root = dedupIndexUpdRoot(d)
+  private[graft] def dedupIndexUpdate(
+      s: SparkSession, d: String, rootOverride: Option[String] = None): Unit = {
+    val root = rootOverride.getOrElse(dedupIndexUpdRoot(d))
     val cur = dedupIndexEnsure(s, root, d)
     val old = s.read.parquet(s"$cur/index")
       .filter(col("doc_id") < dedupBatchIdOffset)
@@ -1220,6 +1259,75 @@ object Dedup {
              |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_new_docs,
              |  TRUE AS bands_ok
+             |FROM documents""".stripMargin)),
+
+    // q136: DEDUP INDEX DELETE (see dedupIndexDelete) — the compliance verb
+    // proven END-TO-END: the registered result is the full batch dedup
+    // served against the POST-DELETE generation, and the oracle replays the
+    // brute-force join with the deleted corpus ids excluded. Forgotten docs
+    // stop matching (their re-ingested copies drop out or re-match other
+    // docs only) — deletion really forgets, and survivors' matches are
+    // untouched. Artifact-level accounting (deleted ids absent, survivor
+    // count exact, re-run idempotent) is suite-pinned.
+    Entry(
+      "q136_dedup_index_delete",
+      (s, d) => {
+        dedupIndexDelete(s, d)
+        val gen = graft.sources.Sources.currentGeneration(s, dedupIndexDelRoot(d))
+        dedupServeAgainst(s, gen, d)
+      },
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(toks)-2, 1) + 1),
+             |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+             |  FROM t),
+             |b AS (SELECT doc_id + 10000000 AS new_id, sh FROM s WHERE doc_id % 2 = 0),
+             |surv AS (SELECT * FROM s
+             |  WHERE doc_id < $dedupDelLo OR doc_id >= $dedupDelHi),
+             |p AS (SELECT b.new_id, surv.doc_id AS old_id,
+             |  CAST(len(list_intersect(b.sh, surv.sh)) AS DOUBLE) AS inter,
+             |  len(b.sh) AS la, len(surv.sh) AS lb
+             | FROM b CROSS JOIN surv),
+             |m AS (SELECT new_id, old_id, inter/(la+lb-inter) AS jac FROM p
+             |  WHERE inter/(la+lb-inter) >= 0.9)
+             |SELECT new_id, count(*) AS n_dups, min(old_id) AS keep_id,
+             |  round(max(jac),4) AS best_jac
+             |FROM m GROUP BY new_id ORDER BY new_id""".stripMargin)),
+
+    // q137: DEDUP INDEX GENERATION GC — the retention verb (q130's sweep,
+    // shared machinery: Similarity.pqIndexGc is root-generic): two stacked
+    // updates leave three generation dirs; the TTL sweep removes exactly
+    // the manifest-unlisted two, and the served index re-proves intact
+    // through the post-GC manifest.
+    Entry(
+      "q137_dedup_index_gc",
+      (s, d) => {
+        val root = dedupIndexGcRoot(d)
+        dedupIndexUpdate(s, d, Some(root))
+        dedupIndexUpdate(s, d, Some(root))
+        def genDirs(): Long = {
+          val rp = new org.apache.hadoop.fs.Path(root)
+          rp.getFileSystem(s.sparkContext.hadoopConfiguration)
+            .listStatus(rp).count(_.isDirectory).toLong
+        }
+        val before = genDirs()
+        val removed = Similarity.pqIndexGc(s, root, ttlMs = 0L)
+        val after = genDirs()
+        val gen = graft.sources.Sources.currentGeneration(s, root)
+        s.read.parquet(s"$gen/index")
+          .agg(
+            count(lit(1)).as("n_index_rows"),
+            sum(when(col("doc_id") >= dedupBatchIdOffset, 1L).otherwise(0L))
+              .as("n_new_docs"))
+          .select(
+            lit(before == 3L && removed == 2L && after == 1L).as("gc_ok"),
+            col("n_index_rows"), col("n_new_docs"))
+      },
+      Some("""SELECT TRUE AS gc_ok,
+             |  CAST(count(*) + sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_index_rows,
+             |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_new_docs
              |FROM documents""".stripMargin))
   )
 }

@@ -424,6 +424,27 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(naive.nonEmpty, "no cross candidates — test is vacuous")
   }
 
+  test("q136 dedup index delete: ids absent, survivors exact, idempotent") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val root = Dedup.dedupIndexDelRoot(sf)
+    Dedup.dedupIndexDelete(spark, sf)
+    val gen1 = graft.sources.Sources.currentGeneration(spark, root)
+    val idx1 = spark.read.parquet(s"$gen1/index")
+    assert(idx1.filter(Dedup.dedupIsDeleted(col("doc_id"))).count() == 0,
+      "deleted doc_ids still present in the post-delete index")
+    val expectSurvivors = Tables.documents(spark, sf)
+      .filter(!Dedup.dedupIsDeleted(col("doc_id"))).count()
+    assert(idx1.count() == expectSurvivors,
+      s"survivor count ${idx1.count()} != $expectSurvivors")
+    // re-run converges to identical content under a fresh generation name
+    Dedup.dedupIndexDelete(spark, sf)
+    val gen2 = graft.sources.Sources.currentGeneration(spark, root)
+    assert(gen1 != gen2, "re-run must publish a FRESH generation name")
+    assert(spark.read.parquet(s"$gen2/index").count() == expectSurvivors,
+      "delete must be idempotent by content")
+  }
+
   test("q133 dedup index update is idempotent and advances the generation") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
