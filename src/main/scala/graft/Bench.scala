@@ -77,7 +77,9 @@ object Bench {
     "q135_quality_calibration",
     // dedup-index compliance delete + generation GC, standing from birth
     "q136_dedup_index_delete",
-    "q137_dedup_index_gc")
+    "q137_dedup_index_gc",
+    // the composed ingest loop (classify vs index -> admit novels)
+    "q138_ingest_dedup")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

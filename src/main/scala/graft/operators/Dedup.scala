@@ -848,17 +848,19 @@ object Dedup {
   private[graft] def dedupIndexQuery(s: SparkSession, d: String): DataFrame =
     dedupServeAgainst(s, dedupIndexEnsure(s, dedupIndexRoot(d), d), d)
 
-  /** The serve body against an EXPLICIT index generation — shared by q132
-    * (current build) and q136 (post-delete generation). */
-  private[graft] def dedupServeAgainst(
-      s: SparkSession, gen: String, d: String): DataFrame = {
+  /** Confirmed (new_id, old_id, jac ≥ 0.9) matches of a CHECKPOINTED batch
+    * index-row table against an explicit index generation — the shared
+    * candidates-and-confirm core of q132/q136/q138. */
+  private[graft] def dedupMatches(
+      s: SparkSession, gen: String, batch: DataFrame,
+      // restricts which index rows the batch is matched against — q138's
+      // retry semantics needs matching against the CORPUS rows only (a
+      // retried chunk must not match its own previously-admitted copies)
+      indexFilter: Column = lit(true)): DataFrame = {
     // two artifact reads, each column-pruned at the scan (bands-only for
     // candidates, hf-only for the confirm) — cheaper than one full-width
     // materialization, and the parquet footer makes the pruning free
-    val idx = s.read.parquet(s"$gen/index")
-    // the batch rows feed two consumers (bands → candidates, hf → confirm):
-    // one materialization (the q93/q107 idiom), batch-sized by definition
-    val batch = dedupIndexRows(dedupBatch(s, d)).localCheckpoint()
+    val idx = s.read.parquet(s"$gen/index").filter(indexFilter)
     val cands = bandCandidatesCross(
       batch.select(col("doc_id"), col("bands")),
       idx.select(col("doc_id"), col("bands")))
@@ -870,6 +872,17 @@ object Dedup {
       .withColumn("jac",
         graft.functions.GraftColumns.jaccardSortedUnchecked(col("n_hf"), col("o_hf")))
       .filter(col("jac") >= 0.9)
+      .select(col("new_id"), col("old_id"), col("jac"))
+  }
+
+  /** The serve body against an EXPLICIT index generation — shared by q132
+    * (current build) and q136 (post-delete generation). */
+  private[graft] def dedupServeAgainst(
+      s: SparkSession, gen: String, d: String): DataFrame = {
+    // the batch rows feed two consumers (bands → candidates, hf → confirm):
+    // one materialization (the q93/q107 idiom), batch-sized by definition
+    val batch = dedupIndexRows(dedupBatch(s, d)).localCheckpoint()
+    dedupMatches(s, gen, batch)
       .groupBy(col("new_id"))
       .agg(
         count(lit(1)).as("n_dups"),
@@ -909,6 +922,75 @@ object Dedup {
     survivors.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$gen/index")
     graft.sources.Sources.publishGeneration(s, root, gen)
+  }
+
+  /** q138 INGEST LOOP — the production shape that composes the lifecycle
+    * verbs into the thing a 100 TB pipeline actually runs per arriving
+    * chunk: classify every batch doc as duplicate-of-corpus or novel
+    * against the persisted index, ADMIT the novel docs (their index rows
+    * join the artifact as a fresh atomic generation — the q133 append,
+    * driven by the classification instead of fiat), and emit the per-doc
+    * disposition manifest. The mixed fixture batch makes both paths real:
+    * even-id docs re-ingested verbatim (+10M — expected duplicates) plus
+    * odd-id docs with their token order REVERSED (+20M — 3-shingles are
+    * order-sensitive, so these are novel content built deterministically
+    * from corpus text; the brute-force oracle decides the truth either way,
+    * no assumption baked in). Idempotent by content: every batch-range row
+    * is dropped before the union, so re-ingesting the same chunk converges.
+    */
+  private[graft] def dedupIngestRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "dedup_index_ingest")
+
+  private[graft] val dedupNovelIdOffset = 20000000L
+
+  private[graft] def mixedBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val reIngest = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + dedupBatchIdOffset).as("doc_id"), col("text"))
+    val reversed = docs.filter(col("doc_id") % 2 === 1)
+      .select(
+        (col("doc_id") + dedupNovelIdOffset).as("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    reIngest.unionByName(reversed)
+  }
+
+  private[graft] def ingestDedup(s: SparkSession, d: String): DataFrame = {
+    val root = dedupIngestRoot(d)
+    val cur = dedupIndexEnsure(s, root, d)
+    val batch = dedupIndexRows(mixedBatch(s, d)).localCheckpoint()
+    // matches feed the disposition AND the novel-set anti-join — one
+    // materialization of the bounded match table. Classification runs
+    // against the CORPUS rows only (doc_id below the batch id range): a
+    // RETRY of this chunk must not match the chunk's own previously-
+    // admitted copies, or novel docs would flip to duplicates and the
+    // admit set would oscillate instead of converging (the q122/q133
+    // delta-drop idempotency pattern, applied to the read side too).
+    val matched = dedupMatches(s, cur, batch,
+        indexFilter = col("doc_id") < dedupBatchIdOffset)
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("keep_id"), round(max(col("jac")), 4).as("best_jac"))
+      .localCheckpoint()
+    // ADMIT: novel rows (no corpus match) join the index as a fresh
+    // generation; corpus rows pass through, prior batch-range rows dropped
+    // so re-ingest of the same chunk is a content no-op
+    val old = s.read.parquet(s"$cur/index")
+      .filter(col("doc_id") < dedupBatchIdOffset).localCheckpoint()
+    val novelRows = batch.join(
+      matched.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val gen = Similarity.nextGen(cur, "gen-ing-")
+    old.unionByName(novelRows)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen/index")
+    graft.sources.Sources.publishGeneration(s, root, gen)
+    // the disposition manifest (what a pipeline logs per chunk)
+    batch.select(col("doc_id").as("new_id"))
+      .join(matched, Seq("new_id"), "left")
+      .select(
+        col("new_id"),
+        col("keep_id").isNotNull.as("is_dup"),
+        col("keep_id"),
+        col("best_jac"))
+      .orderBy(col("new_id"))
   }
 
   /** Index UPDATE (q133): fold the deduped batch into the artifact as a new
@@ -1328,6 +1410,42 @@ object Dedup {
              |    AS BIGINT) AS n_index_rows,
              |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_new_docs
-             |FROM documents""".stripMargin))
+             |FROM documents""".stripMargin)),
+
+    // q138: INGEST LOOP (see ingestDedup) — dedup-classify an arriving
+    // mixed batch against the persisted index, admit the novel docs as a
+    // fresh index generation, emit the per-doc disposition. Oracle replays
+    // the batch fabrication (verbatim evens + token-reversed odds) and the
+    // brute-force classification; the admit side is suite-pinned.
+    Entry(
+      "q138_ingest_dedup",
+      (s, d) => ingestDedup(s, d),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(toks)-2, 1) + 1),
+             |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+             |  FROM t),
+             |bt AS (
+             |  SELECT doc_id + 10000000 AS new_id, toks FROM t WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 20000000 AS new_id, list_reverse(toks) AS toks
+             |  FROM t WHERE doc_id % 2 = 1),
+             |bs AS (SELECT new_id, list_distinct(list_transform(
+             |    range(1, greatest(len(toks)-2, 1) + 1),
+             |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+             |  FROM bt),
+             |p AS (SELECT bs.new_id, s.doc_id AS old_id,
+             |    CAST(len(list_intersect(bs.sh, s.sh)) AS DOUBLE) AS inter,
+             |    len(bs.sh) AS la, len(s.sh) AS lb
+             |  FROM bs CROSS JOIN s),
+             |m AS (SELECT new_id, old_id, inter/(la+lb-inter) AS jac FROM p
+             |  WHERE inter/(la+lb-inter) >= 0.9),
+             |g AS (SELECT new_id, min(old_id) AS keep_id,
+             |    round(max(jac),4) AS best_jac
+             |  FROM m GROUP BY new_id)
+             |SELECT b.new_id, g.keep_id IS NOT NULL AS is_dup,
+             |  g.keep_id, g.best_jac
+             |FROM bs b LEFT JOIN g ON b.new_id = g.new_id
+             |ORDER BY b.new_id""".stripMargin))
   )
 }

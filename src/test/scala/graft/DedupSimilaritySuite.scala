@@ -445,6 +445,38 @@ class DedupSimilaritySuite extends SparkTestBase {
       "delete must be idempotent by content")
   }
 
+  test("q138 ingest admits exactly the novel docs, idempotently") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val root = Dedup.dedupIngestRoot(sf)
+    val disp1 = Dedup.ingestDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val gen1 = graft.sources.Sources.currentGeneration(spark, root)
+    val idx1 = spark.read.parquet(s"$gen1/index")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val nCorpus = Tables.documents(spark, sf).count()
+    val novel = disp1.filter(!_._2).keySet
+    val dups = disp1.filter(_._2).keySet
+    assert(novel.subsetOf(idx1), "every novel doc must be admitted to the index")
+    assert(dups.intersect(idx1).isEmpty, "no duplicate doc may enter the index")
+    assert(idx1.size.toLong == nCorpus + novel.size,
+      s"index rows ${idx1.size} != corpus $nCorpus + novel ${novel.size}")
+    assert(novel.nonEmpty && dups.nonEmpty,
+      "fixture must exercise BOTH disposition branches")
+    // re-ingesting the same chunk converges: classification runs against
+    // corpus rows only, so the admitted novels do NOT match their own
+    // prior copies — disposition is stable and the index content is a
+    // fixed point, under a fresh generation name
+    val disp2 = Dedup.ingestDedup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getBoolean(1))).toMap
+    val gen2 = graft.sources.Sources.currentGeneration(spark, root)
+    assert(gen1 != gen2, "re-run must publish a FRESH generation name")
+    assert(disp2 == disp1, "retried chunk must reproduce its disposition")
+    val idx2 = spark.read.parquet(s"$gen2/index")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(idx2 == idx1, "re-ingest must converge to the same index content")
+  }
+
   test("q133 dedup index update is idempotent and advances the generation") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
