@@ -78,8 +78,10 @@ object Bench {
     // dedup-index compliance delete + generation GC, standing from birth
     "q136_dedup_index_delete",
     "q137_dedup_index_gc",
-    // the composed ingest loop (classify vs index -> admit novels)
-    "q138_ingest_dedup")
+    // the composed ingest loop (classify vs index -> admit novels) and
+    // its streaming deployment (one ingest turn per micro-batch)
+    "q138_ingest_dedup",
+    "q139_stream_ingest")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

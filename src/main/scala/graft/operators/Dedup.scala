@@ -856,11 +856,17 @@ object Dedup {
       // restricts which index rows the batch is matched against — q138's
       // retry semantics needs matching against the CORPUS rows only (a
       // retried chunk must not match its own previously-admitted copies)
-      indexFilter: Column = lit(true)): DataFrame = {
+      indexFilter: Column = lit(true)): DataFrame =
     // two artifact reads, each column-pruned at the scan (bands-only for
     // candidates, hf-only for the confirm) — cheaper than one full-width
     // materialization, and the parquet footer makes the pruning free
-    val idx = s.read.parquet(s"$gen/index").filter(indexFilter)
+    dedupMatchesOn(s.read.parquet(s"$gen/index").filter(indexFilter), batch)
+
+  /** The candidates-and-confirm core over an EXPLICIT index DataFrame —
+    * lets q139's per-chunk ingest pass a set-scoped (anti-joined) index
+    * state that a pure predicate cannot express. */
+  private[graft] def dedupMatchesOn(
+      idx: DataFrame, batch: DataFrame): DataFrame = {
     val cands = bandCandidatesCross(
       batch.select(col("doc_id"), col("bands")),
       idx.select(col("doc_id"), col("bands")))
@@ -954,31 +960,35 @@ object Dedup {
     reIngest.unionByName(reversed)
   }
 
-  private[graft] def ingestDedup(s: SparkSession, d: String): DataFrame = {
-    val root = dedupIngestRoot(d)
+  /** One turn of the ingest loop over an EXPLICIT chunk: classify against
+    * the index state MINUS the chunk's own prior copies (set-scoped
+    * anti-join — the q122/q133 delta-drop idempotency pattern applied to
+    * the read side: a RETRIED chunk must not match its own previously-
+    * admitted rows, or novels would flip to duplicates and the admit set
+    * would oscillate instead of converging), admit exactly the novel docs
+    * as a fresh generation, return the disposition manifest. Chunks only
+    * ever scope out THEMSELVES, so admissions from other chunks remain
+    * visible — the multi-chunk streaming form (q139) gets cross-chunk
+    * dedup for free. */
+  private[graft] def ingestChunk(
+      s: SparkSession, root: String, d: String, chunk: DataFrame): DataFrame = {
     val cur = dedupIndexEnsure(s, root, d)
-    val batch = dedupIndexRows(mixedBatch(s, d)).localCheckpoint()
+    val batch = dedupIndexRows(chunk).localCheckpoint()
+    // the retry-scoped visible index state: two consumers (match + carry-
+    // through into the new generation), one materialization
+    val visible = s.read.parquet(s"$cur/index")
+      .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .localCheckpoint()
     // matches feed the disposition AND the novel-set anti-join — one
-    // materialization of the bounded match table. Classification runs
-    // against the CORPUS rows only (doc_id below the batch id range): a
-    // RETRY of this chunk must not match the chunk's own previously-
-    // admitted copies, or novel docs would flip to duplicates and the
-    // admit set would oscillate instead of converging (the q122/q133
-    // delta-drop idempotency pattern, applied to the read side too).
-    val matched = dedupMatches(s, cur, batch,
-        indexFilter = col("doc_id") < dedupBatchIdOffset)
+    // materialization of the bounded match table
+    val matched = dedupMatchesOn(visible, batch)
       .groupBy(col("new_id"))
       .agg(min(col("old_id")).as("keep_id"), round(max(col("jac")), 4).as("best_jac"))
       .localCheckpoint()
-    // ADMIT: novel rows (no corpus match) join the index as a fresh
-    // generation; corpus rows pass through, prior batch-range rows dropped
-    // so re-ingest of the same chunk is a content no-op
-    val old = s.read.parquet(s"$cur/index")
-      .filter(col("doc_id") < dedupBatchIdOffset).localCheckpoint()
     val novelRows = batch.join(
       matched.select(col("new_id").as("doc_id")), Seq("doc_id"), "left_anti")
     val gen = Similarity.nextGen(cur, "gen-ing-")
-    old.unionByName(novelRows)
+    visible.unionByName(novelRows)
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .parquet(s"$root/$gen/index")
     graft.sources.Sources.publishGeneration(s, root, gen)
@@ -991,6 +1001,76 @@ object Dedup {
         col("keep_id"),
         col("best_jac"))
       .orderBy(col("new_id"))
+  }
+
+  private[graft] def ingestDedup(s: SparkSession, d: String): DataFrame =
+    ingestChunk(s, dedupIngestRoot(d), d, mixedBatch(s, d))
+
+  /** q139 STREAMING INGEST — q138's loop driven by Structured Streaming,
+    * the shape a 100 TB pipeline actually deploys: arrivals land as files,
+    * `maxFilesPerTrigger=1` turns each into one micro-batch, and every
+    * foreachBatch invocation runs one [[ingestChunk]] turn — classify
+    * against the LIVE index, admit that chunk's novels as that epoch's
+    * generation. Chunk scoping makes the loop exactly-once per chunk
+    * content (a redelivered chunk re-converges) while admissions from
+    * earlier epochs stay visible, so cross-epoch dedup happens by
+    * construction. The fixture delivers the re-ingest chunk and the
+    * novel chunk as separate files; the final accounting is read back
+    * THROUGH the post-drain manifest and the oracle recomputes it from
+    * brute-force novelty over the whole batch — chunk-order-invariant
+    * because duplicates are never admitted and batch-internal pairs are
+    * out of scope (q36 covers within-corpus pairs).
+    */
+  private[graft] def dedupStreamRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "dedup_index_stream")
+
+  private def streamIngest(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val root = dedupStreamRoot(d)
+    val batch = mixedBatch(s, d).localCheckpoint()
+    val arrivals = Files.createTempDirectory("graft_ingest_arrivals").toString
+    // two single-file arrival chunks with increasing mod times (re-ingests
+    // then novels, split by id parity) so maxFilesPerTrigger=1 delivers
+    // exactly two micro-batches
+    def writeChunk(df: DataFrame, name: String, order: Int): Unit = {
+      val tmp = s"$arrivals/${name}_stage"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$arrivals/chunk_$name.parquet")
+      Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000L * order)
+    }
+    writeChunk(batch.filter(col("doc_id") % 2 === 0), "dups", 1)
+    writeChunk(batch.filter(col("doc_id") % 2 === 1), "novel", 2)
+    val nEpochs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$arrivals/chunk_*.parquet")
+    s.streams.active.filter(_.name == "graft_stream_ingest").foreach(_.stop())
+    val q = src.writeStream
+      .queryName("graft_stream_ingest")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (chunk: DataFrame, _: Long) =>
+        nEpochs.incrementAndGet()
+        // one ingest turn; the admit + publish run inside, the disposition
+        // is the chunk's log — not needed for the final accounting
+        ingestChunk(chunk.sparkSession, root, d, chunk)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val gen = graft.sources.Sources.currentGeneration(s, root)
+    s.read.parquet(s"$gen/index")
+      .agg(
+        count(lit(1)).as("n_index_rows"),
+        sum(when(col("doc_id") >= dedupBatchIdOffset, 1L).otherwise(0L))
+          .as("n_admitted"))
+      .select(
+        lit(nEpochs.get() >= 2L).as("multi_epoch_ok"),
+        col("n_index_rows"),
+        col("n_admitted"))
   }
 
   /** Index UPDATE (q133): fold the deduped batch into the artifact as a new
@@ -1446,6 +1526,38 @@ object Dedup {
              |SELECT b.new_id, g.keep_id IS NOT NULL AS is_dup,
              |  g.keep_id, g.best_jac
              |FROM bs b LEFT JOIN g ON b.new_id = g.new_id
-             |ORDER BY b.new_id""".stripMargin))
+             |ORDER BY b.new_id""".stripMargin)),
+
+    // q139: STREAMING INGEST (see streamIngest) — the q138 loop as a
+    // Structured Streaming deployment: one ingestChunk turn per
+    // micro-batch, admissions visible across epochs, final accounting
+    // read through the post-drain manifest. Oracle recomputes the admit
+    // count from brute-force novelty over the whole batch.
+    Entry(
+      "q139_stream_ingest",
+      (s, d) => streamIngest(s, d),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(toks)-2, 1) + 1),
+             |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+             |  FROM t),
+             |bt AS (
+             |  SELECT doc_id + 10000000 AS new_id, toks FROM t WHERE doc_id % 2 = 0
+             |  UNION ALL
+             |  SELECT doc_id + 20000000 AS new_id, list_reverse(toks) AS toks
+             |  FROM t WHERE doc_id % 2 = 1),
+             |bs AS (SELECT new_id, list_distinct(list_transform(
+             |    range(1, greatest(len(toks)-2, 1) + 1),
+             |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+             |  FROM bt),
+             |m AS (SELECT DISTINCT bs.new_id FROM bs CROSS JOIN s
+             |  WHERE CAST(len(list_intersect(bs.sh, s.sh)) AS DOUBLE)
+             |    / (len(bs.sh) + len(s.sh) - len(list_intersect(bs.sh, s.sh)))
+             |    >= 0.9)
+             |SELECT TRUE AS multi_epoch_ok,
+             |  CAST((SELECT count(*) FROM t) + (SELECT count(*) FROM bs)
+             |    - (SELECT count(*) FROM m) AS BIGINT) AS n_index_rows,
+             |  CAST((SELECT count(*) FROM bs) - (SELECT count(*) FROM m)
+             |    AS BIGINT) AS n_admitted""".stripMargin))
   )
 }

@@ -291,6 +291,29 @@ class StreamingSuite extends SparkTestBase {
     assert(got == batch)
   }
 
+  test("q139 streaming ingest: redelivered chunk re-converges, admissions persist") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val root = Dedup.dedupStreamRoot(sf)
+    // drain the stream once (build-if-absent inside)
+    val acct1 = Registry.byName("q139_stream_ingest").q(spark, sf)
+      .collect()(0)
+    assert(acct1.getBoolean(0), "expected >= 2 micro-batches")
+    val gen1 = graft.sources.Sources.currentGeneration(spark, root)
+    val ids1 = spark.read.parquet(s"$gen1/index")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // REDELIVERY of one already-processed chunk (the novel-parity half):
+    // a retried foreachBatch turn must re-converge — same index content
+    // under a fresh generation, earlier admissions untouched
+    val redelivered = Dedup.mixedBatch(spark, sf).filter(col("doc_id") % 2 === 1)
+    Dedup.ingestChunk(spark, root, sf, redelivered)
+    val gen2 = graft.sources.Sources.currentGeneration(spark, root)
+    assert(gen1 != gen2, "retry must publish a FRESH generation name")
+    val ids2 = spark.read.parquet(s"$gen2/index")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids2 == ids1, "redelivered chunk must not change the index content")
+  }
+
   test("multi-epoch exactly-once publish: ≥2 epochs, retry no-ops, crash dir invisible") {
     import graft.sources.Sources
     import java.nio.file.Files
