@@ -81,7 +81,9 @@ object Bench {
     // the composed ingest loop (classify vs index -> admit novels) and
     // its streaming deployment (one ingest turn per micro-batch)
     "q138_ingest_dedup",
-    "q139_stream_ingest")
+    "q139_stream_ingest",
+    // LATERAL decorrelation (round 13, standing from birth)
+    "q140_lateral_topk")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

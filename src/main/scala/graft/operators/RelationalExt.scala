@@ -387,6 +387,36 @@ object RelationalExt {
              | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
              | count(*) AS n
              |FROM lineitem JOIN orders ON l_orderkey=o_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // q140: LATERAL correlated subquery with ORDER BY + LIMIT — top-2
+    // orders per customer, written the way a SQL user writes it and left
+    // to CATALYST'S DECORRELATION: the optimizer rewrites the per-row
+    // correlated limit into rank windows compiled to WindowGroupLimit
+    // (group-local top-k, no per-customer re-execution, no cartesian) and
+    // joins back on the correlation key — the executed plan is the same
+    // shape a hand-written q07/q120 window would produce, which is
+    // precisely what makes LATERAL safe at scale here. The only spark.sql
+    // entry in the registry: the surface under test IS the SQL front-end's
+    // lateral decorrelation. Oracle: DuckDB's native LATERAL, verbatim.
+    Entry(
+      "q140_lateral_topk",
+      (s, d) => {
+        T.customer(s, d).createOrReplaceTempView("graft_lateral_customer")
+        T.orders(s, d).createOrReplaceTempView("graft_lateral_orders")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+          FROM graft_lateral_customer c,
+          LATERAL (SELECT o_orderkey, o_totalprice FROM graft_lateral_orders
+                   WHERE o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+          ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+      },
+      Some("""SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+             |FROM customer c,
+             |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             |         WHERE o_custkey = c.c_custkey
+             |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin))
   )
 }

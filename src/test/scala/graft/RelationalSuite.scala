@@ -174,4 +174,16 @@ class RelationalSuite extends SparkTestBase {
     assert(plan.contains("*(1) HashAggregate") || plan.contains("WholeStageCodegen"),
       s"scan→agg path fell out of codegen:\n$plan")
   }
+
+  test("q140 lateral limit decorrelates to WindowGroupLimit, no cartesian") {
+    // the whole point of registering LATERAL: Catalyst must rewrite the
+    // per-row correlated LIMIT into a group-local top-k + join-back, never
+    // a per-customer re-execution or a cartesian
+    val df = Registry.byName("q140_lateral_topk").q(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"lateral limit not decorrelated to a group-limited window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"q140 plans a cartesian:\n$plan")
+  }
 }
