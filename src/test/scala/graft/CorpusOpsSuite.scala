@@ -137,4 +137,33 @@ class CorpusOpsSuite extends SparkTestBase {
       .collect().toSeq
     assert(df.collect().toSeq == exact, "hash-only scrub diverges from exact form")
   }
+
+  test("q134 two-phase budget selection equals the naive global-window form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // independent reference: the single corpus-sized global window the
+    // two-phase plan exists to avoid (fine at suite fixture scale)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("score"))
+      .filter(col("n_tokens") > 0)
+      .localCheckpoint()
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = docs.agg(expr("sum(n_tokens) div 2").as("b"))
+    val naive = docs
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("b"))
+      .select(col("doc_id"), col("score"), col("n_tokens"), col("cum_tokens"))
+      .collect().map(_.toSeq).toSet
+    val twoPhase = Registry.byName("q134_token_budget_select").q(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(twoPhase == naive,
+      s"extra=${twoPhase.diff(naive).take(3)} missing=${naive.diff(twoPhase).take(3)}")
+    assert(naive.nonEmpty, "empty selection — test is vacuous")
+  }
 }
