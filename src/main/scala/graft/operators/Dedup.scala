@@ -810,11 +810,14 @@ object Dedup {
     * persisted index: the two-sided form of [[bandCandidatesNoDistinct]].
     * Same salted band equi-join, same dedup-free first-agreeing-band
     * emission — exactly one survivor per (new, old) pair, no candidate
-    * distinct exchange. The id spaces are disjoint so no ordering filter is
-    * needed. The index side replicates per salt slice (at scale it is the
-    * big side, but its banded rows are 16·n_docs longs, not text); the
-    * batch side pins its slice by id hash — the [[bandJoinSalt]] sizing law
-    * applies unchanged. */
+    * distinct exchange. The id spaces are disjoint so no ordering filter
+    * is needed. Salting roles follow the asymmetry (unlike the self-join,
+    * where both sides are the corpus): the BATCH side replicates per salt
+    * slice — it is the small side by definition, so S× its banded rows is
+    * cheap — while the INDEX side pins its slice by id hash, so the big
+    * side is never replicated and a hot band cell's index rows still split
+    * S ways across tasks. The [[bandJoinSalt]] sizing law applies
+    * unchanged. */
   private[graft] def bandCandidatesCross(
       batch: DataFrame, // (doc_id, bands)
       index: DataFrame // (doc_id, bands)
@@ -823,12 +826,12 @@ object Dedup {
     val a = batch
       .select(col("doc_id").as("new_id"), col("bands").as("n_bands"),
         posexplode(col("bands")).as(Seq("idx", "band")))
-      .withColumn("salt", pmod(xxhash64(col("new_id")), lit(salt.toLong)).cast("int"))
+      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
       .repartition(col("band"), col("salt"))
     val b = index
       .select(col("doc_id").as("old_id"), col("bands").as("o_bands"),
         explode(col("bands")).as("band"))
-      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+      .withColumn("salt", pmod(xxhash64(col("old_id")), lit(salt.toLong)).cast("int"))
       .repartition(col("band"), col("salt"))
     a.join(b, Seq("band", "salt"))
       .filter(
@@ -969,7 +972,16 @@ object Dedup {
     * as a fresh generation, return the disposition manifest. Chunks only
     * ever scope out THEMSELVES, so admissions from other chunks remain
     * visible — the multi-chunk streaming form (q139) gets cross-chunk
-    * dedup for free. */
+    * dedup for free.
+    *
+    * Write-path honesty: each generation rewrites the full index
+    * (copy-on-write — the same shape as the ANN update q122), which is
+    * O(index) bytes per chunk. Fine at the daily-compaction cadence this
+    * models; a high-frequency ingest would instead append each chunk's
+    * admitted rows as an epoch dir under the cumulative manifest
+    * (Sources.commitEpoch — exactly q123's machinery, with q129's
+    * compaction as the maintenance verb) and read the index as the union
+    * of epochs, making the per-chunk write O(chunk). */
   private[graft] def ingestChunk(
       s: SparkSession, root: String, d: String, chunk: DataFrame): DataFrame = {
     val cur = dedupIndexEnsure(s, root, d)
