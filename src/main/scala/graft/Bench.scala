@@ -83,7 +83,9 @@ object Bench {
     "q138_ingest_dedup",
     "q139_stream_ingest",
     // LATERAL decorrelation (round 13, standing from birth)
-    "q140_lateral_topk")
+    "q140_lateral_topk",
+    // ANN near-dup-gated ingest (round 13, standing from birth)
+    "q141_ann_ingest")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -561,6 +561,80 @@ object Similarity {
     s"""SELECT CAST($topK * count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
        |FROM embeddings WHERE vec_id < $nQueries""".stripMargin
 
+  // ---- q141: ANN INGEST — near-dup-gated vector admission ----
+
+  private[graft] def pqIngestRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "pq_index_ingest")
+
+  /** The ANN side of the dedup family's ingest loop (Dedup q138): an
+    * arriving vector batch is admitted to the PQ index ONLY if genuinely
+    * novel — a re-ingested duplicate (cosine ≥ 0.99 against some corpus
+    * vector) is rejected instead of bloating the index with near-copies.
+    * Classification is the EXACT blocked cosine join (q39's bounded-task
+    * theta-join shape, with the BATCH side replicated ×B — the small side,
+    * per the bandCandidatesCross sizing lesson); admission encodes the
+    * novels with the FROZEN codebook (q122: no Lloyd round, no corpus
+    * rescan) and publishes old∪novel codes as a fresh generation. The
+    * fixture batch drives both branches: evens verbatim (+10M — cos ≈ 1.0
+    * vs their source, rejected) and odds NEGATED (+20M — cos = −1 vs their
+    * source and inside the isotropic bulk vs everything else, admitted).
+    * Fixture margins vs the 0.99 threshold are ≥ 0.44 on every pair
+    * (measured |cos| ≤ 0.55 across non-identical pairs at all gate SFs),
+    * so the float compare cannot flip between engines and the DuckDB
+    * brute-force oracle decides the truth. Classification runs against the
+    * CORPUS vectors — the index minus the batch's own prior admissions —
+    * so a retry reproduces its admit set and the artifact converges (the
+    * q138 read-side delta-drop pattern).
+    */
+  private[graft] def annIngest(s: SparkSession, d: String): DataFrame = {
+    val root = pqIngestRoot(d)
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) pqIndexBuild(s, d, Some(root))
+    val cur = graft.sources.Sources.currentGeneration(s, root)
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val batch = e.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") + 10000000L).as("new_id"), col("v"))
+      .unionByName(
+        e.filter(col("vec_id") % 2 === 1)
+          .select((col("vec_id") + 20000000L).as("new_id"),
+            transform(col("v"), x => -x).as("v")))
+      .localCheckpoint() // three consumers: probes, novel anti-join, encode
+    val blocks = 8
+    val corpus = e.select(
+      col("vec_id"), col("v"),
+      pmod(col("vec_id"), lit(blocks.toLong)).cast("int").as("blk"))
+    val probes = batch.select(
+      col("new_id"), col("v").as("bv"),
+      explode(array((0 until blocks).map(lit): _*)).as("blk"))
+    val matched = probes.join(corpus, Seq("blk"))
+      .filter(call_function("cosine_sim", col("bv"), col("v")) >= 0.99)
+      .select(col("new_id")).distinct()
+    val novel = batch.join(matched, Seq("new_id"), "left_anti")
+      .select(col("new_id").as("vec_id"), col("v"))
+    val codebook = s.read.parquet(s"$cur/codebook").localCheckpoint()
+    val oldCodes = s.read.parquet(s"$cur/codes")
+      .filter(col("vec_id") < 10000000L).localCheckpoint()
+    val gen = nextGen(cur, "gen-ing-")
+    codebook.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen/codebook")
+    oldCodes.unionByName(pqEncode(novel, codebook))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/$gen/codes")
+    graft.sources.Sources.publishGeneration(s, root, gen)
+    val idx = graft.sources.Sources.currentGeneration(s, root)
+    val counts = s.read.parquet(s"$idx/codes").agg(
+      count(lit(1)).as("n_code_rows"),
+      countDistinct(when(col("vec_id") >= 10000000L, col("vec_id")))
+        .as("n_admitted"))
+    val cbOk = s.read.parquet(s"$idx/codebook").agg(
+      (count(lit(1)) <= pqSubs * pqK &&
+        min(size(col("cw"))) === pqSubDim &&
+        max(size(col("cw"))) === pqSubDim).as("codebook_ok"))
+    counts.crossJoin(broadcast(cbOk))
+      .select(col("n_code_rows"), col("n_admitted"), col("codebook_ok"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q40_cosine_topk",
@@ -809,6 +883,27 @@ object Similarity {
              | FROM embeddings)
              |SELECT label, count(*) AS n, round(avg(norm),4) AS avg_norm,
              | round(min(norm),4) AS min_norm, round(max(norm),4) AS max_norm
-             |FROM n GROUP BY label ORDER BY label""".stripMargin))
+             |FROM n GROUP BY label ORDER BY label""".stripMargin)),
+
+    // q141: ANN INGEST (see annIngest) — near-dup-gated vector admission,
+    // the ANN counterpart of the dedup ingest loop q138. Oracle replays
+    // the batch fabrication and the brute-force cosine classification.
+    Entry(
+      "q141_ann_ingest",
+      (s, d) => annIngest(s, d),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+              |b AS (
+              |  SELECT vec_id + 10000000 AS new_id, v FROM e WHERE vec_id % 2 = 0
+              |  UNION ALL
+              |  SELECT vec_id + 20000000 AS new_id,
+              |    list_transform(v, x -> -x) AS v FROM e WHERE vec_id % 2 = 1),
+              |m AS (SELECT DISTINCT b.new_id FROM b CROSS JOIN e
+              |  WHERE list_cosine_similarity(b.v, e.v) >= 0.99)
+              |SELECT CAST($pqSubs * ((SELECT count(*) FROM e)
+              |    + (SELECT count(*) FROM b) - (SELECT count(*) FROM m))
+              |    AS BIGINT) AS n_code_rows,
+              |  CAST((SELECT count(*) FROM b) - (SELECT count(*) FROM m)
+              |    AS BIGINT) AS n_admitted,
+              |  TRUE AS codebook_ok""".stripMargin))
   )
 }

@@ -424,6 +424,28 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(naive.nonEmpty, "no cross candidates — test is vacuous")
   }
 
+  test("q141 ANN ingest gates admission and converges on retry") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val root = Similarity.pqIngestRoot(sf)
+    val r1 = Registry.byName("q141_ann_ingest").q(spark, sf).collect()(0)
+    val gen1 = graft.sources.Sources.currentGeneration(spark, root)
+    val nOdds = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 2 === 1).count()
+    assert(r1.getLong(1) == nOdds,
+      s"expected exactly the ${nOdds} negated odds admitted, got ${r1.getLong(1)}")
+    // no re-ingested duplicate may be admitted
+    val dupAdmitted = spark.read.parquet(s"$gen1/codes")
+      .filter(col("vec_id") >= 10000000L && col("vec_id") < 20000000L).count()
+    assert(dupAdmitted == 0, s"$dupAdmitted duplicate code rows admitted")
+    // retry: same accounting, fresh generation, converged content
+    val r2 = Registry.byName("q141_ann_ingest").q(spark, sf).collect()(0)
+    val gen2 = graft.sources.Sources.currentGeneration(spark, root)
+    assert(gen1 != gen2, "retry must publish a FRESH generation name")
+    assert(r2.getLong(0) == r1.getLong(0) && r2.getLong(1) == r1.getLong(1),
+      "retry must converge to the same artifact accounting")
+  }
+
   test("q136 dedup index delete: ids absent, survivors exact, idempotent") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
