@@ -85,7 +85,10 @@ object Bench {
     // LATERAL decorrelation (round 13, standing from birth)
     "q140_lateral_topk",
     // ANN near-dup-gated ingest (round 13, standing from birth)
-    "q141_ann_ingest")
+    "q141_ann_ingest",
+    // segmented (LSM) index: O(delta) append + compaction proof
+    "q142_ann_segment_append",
+    "q143_ann_segment_compact")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

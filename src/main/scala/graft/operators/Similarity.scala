@@ -635,6 +635,122 @@ object Similarity {
       .select(col("n_code_rows"), col("n_admitted"), col("codebook_ok"))
   }
 
+  // ---- q142/q143: SEGMENTED (LSM) index — O(delta) append + compaction ----
+
+  private[graft] def pqSegRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "pq_index_seg")
+
+  /** Segmented index layout: `<root>/codebook` is a single-generation
+    * manifest root (the codebook is FROZEN after build — q122's contract),
+    * and `<root>/codes` is a CUMULATIVE epoch-manifest root whose listed
+    * dirs are code SEGMENTS. This is the LSM answer to the one scale flaw
+    * left in the generational update verbs: q122/q126/q133/q136/q141 all
+    * publish `old ∪ delta` as a fresh generation — correct and atomic, but
+    * the write is O(corpus) PER APPEND. At 100 TB an append must cost
+    * O(delta): here it encodes the delta with the frozen codebook and
+    * commits ONLY those rows as a new segment dir plus one atomic manifest
+    * swap (Sources.commitEpoch — the q123 exactly-once machinery, so a
+    * redelivered batch is a no-op by committed-check, not by rewrite).
+    * Readers resolve the manifest once and scan the union of listed
+    * segments; ADC scoring is segment-invariant by construction (it
+    * depends only on the (codebook, codes) SET, not their file layout).
+    * The fixture drives one base segment (the encoded corpus) plus two
+    * 100-vector appends (+10M ids — disjoint source ranges, so the target
+    * ids never collide).
+    */
+  private[graft] def segEnsureAppends(s: SparkSession, d: String, root: String): Unit = {
+    val cbRoot = s"$root/codebook"
+    val codesRoot = s"$root/codes"
+    val manifest = new org.apache.hadoop.fs.Path(s"$codesRoot/_current")
+    val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) {
+      val cb = pqCodebook(s, d).localCheckpoint()
+      cb.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$cbRoot/gen-build")
+      graft.sources.Sources.publishGeneration(s, cbRoot, "gen-build")
+      graft.sources.Sources.commitEpoch(s, codesRoot,
+        pqEncode(vecs(s, d).select(col("vec_id"), col("v")), cb), "seg-000-base")
+    }
+    val cb = graft.sources.Sources.readCurrent(s, cbRoot).localCheckpoint()
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    def delta(lo: Int, hi: Int): DataFrame =
+      e.filter(col("vec_id") >= lo && col("vec_id") < hi)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("v"))
+    graft.sources.Sources.commitEpoch(s, codesRoot, pqEncode(delta(0, 100), cb), "seg-001")
+    graft.sources.Sources.commitEpoch(s, codesRoot, pqEncode(delta(100, 200), cb), "seg-002")
+  }
+
+  /** Serve the segmented index's CORPUS view (production tags segments
+    * with source lineage; here the +10M id range is the lineage) and check
+    * recall against the exact baseline — the segment union feeds the same
+    * [[pqAdcTopK]] the monolithic artifacts use.
+    */
+  private def segServeCorpus(s: SparkSession, d: String, root: String): DataFrame =
+    pqAdcTopK(s, d,
+      graft.sources.Sources.readCurrent(s, s"$root/codebook").localCheckpoint(),
+      graft.sources.Sources.readEpochs(s, s"$root/codes")
+        .filter(col("vec_id") < 10000000L))
+
+  /** q142 registered row: segment count, total code rows, NEWEST-segment
+    * rows (the O(delta) write proof: m·100, never m·corpus), and the
+    * recall self-check served through the multi-segment read.
+    */
+  private[graft] def annSegmentAppend(s: SparkSession, d: String): DataFrame = {
+    val root = pqSegRoot(d)
+    segEnsureAppends(s, d, root)
+    val segs = graft.sources.Sources.committedEpochs(s, s"$root/codes")
+    val counts = graft.sources.Sources.readEpochs(s, s"$root/codes")
+      .agg(count(lit(1)).as("n_code_rows"))
+      .crossJoin(broadcast(
+        s.read.parquet(s"$root/codes/${segs.last}")
+          .agg(count(lit(1)).as("n_newest_rows"))))
+    counts
+      .crossJoin(broadcast(recallCheck(segServeCorpus(s, d, root), bruteTopK(s, d), 0.75)))
+      .select(lit(segs.size.toLong).as("n_segments"), col("n_code_rows"),
+        col("n_newest_rows"), col("n_exact"), col("recall_ok"))
+  }
+
+  /** q143: SEGMENT COMPACTION — the maintenance verb the LSM shape needs
+    * (unchecked, a year of hourly appends is 8760 segment dirs and the
+    * manifest list itself becomes the read-planning bottleneck). Reuses
+    * the q129 epoch-compaction machinery verbatim: rewrite the union of
+    * listed segments into ONE dir, swap in a manifest listing only it;
+    * superseded dirs await TTL GC (q130's sweep). The registered row
+    * proves the verb END-TO-END: the served top-k is computed BEFORE
+    * compaction (materialized — the manifest is about to move) and AFTER,
+    * and the two must agree EXACTLY (same (q_id, rank, n_id, cos) rows) —
+    * ADC geometry depends only on the code set, so compaction must be
+    * invisible to every query. Fresh root per run (q129 precedent):
+    * compaction renames epochs, so pre-compaction segment names can't
+    * anchor re-run idempotency.
+    */
+  private[graft] def annSegmentCompact(s: SparkSession, d: String): DataFrame = {
+    val root = graft.sources.Sources.scratch(d, "pq_index_seg_cmp")
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(rootPath)) fs.delete(rootPath, true)
+    segEnsureAppends(s, d, root)
+    val codesRoot = s"$root/codes"
+    val nBefore = graft.sources.Sources.committedEpochs(s, codesRoot).size
+    val servedBefore = segServeCorpus(s, d, root).localCheckpoint()
+    graft.sources.Sources.compactEpochs(s, codesRoot, 4)
+    val nAfter = graft.sources.Sources.committedEpochs(s, codesRoot).size
+    val cmp = servedBefore
+      .select(col("q_id"), col("rank"), col("n_id").as("b_n"), col("cos").as("b_c"))
+      .join(segServeCorpus(s, d, root)
+        .select(col("q_id"), col("rank"), col("n_id").as("a_n"), col("cos").as("a_c")),
+        Seq("q_id", "rank"), "full_outer")
+      .agg(count(lit(1)).as("n_topk"),
+        sum(when(col("b_n") <=> col("a_n") && col("b_c") <=> col("a_c"), 0L)
+          .otherwise(1L)).as("n_mismatch"))
+    cmp
+      .crossJoin(broadcast(graft.sources.Sources.readEpochs(s, codesRoot)
+        .agg(count(lit(1)).as("n_code_rows"))))
+      .select(lit(nBefore.toLong).as("n_segments_before"),
+        lit(nAfter.toLong).as("n_segments_after"), col("n_code_rows"),
+        col("n_topk"), (col("n_mismatch") === 0L).as("topk_equal"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q40_cosine_topk",
@@ -904,6 +1020,34 @@ object Similarity {
               |    AS BIGINT) AS n_code_rows,
               |  CAST((SELECT count(*) FROM b) - (SELECT count(*) FROM m)
               |    AS BIGINT) AS n_admitted,
-              |  TRUE AS codebook_ok""".stripMargin))
+              |  TRUE AS codebook_ok""".stripMargin)),
+
+    // q142: SEGMENTED INDEX APPEND (see segEnsureAppends) — the O(delta)
+    // update the generational verbs lack: a new batch lands as ONE segment
+    // dir (m·|delta| rows) + one atomic manifest swap, never an O(corpus)
+    // codes rewrite. n_newest_rows pins the write cost; the recall check
+    // serves through the 3-segment read.
+    Entry(
+      "q142_ann_segment_append",
+      (s, d) => annSegmentAppend(s, d),
+      Some(s"""SELECT CAST(3 AS BIGINT) AS n_segments,
+              |  CAST($pqSubs * (count(*) + 200) AS BIGINT) AS n_code_rows,
+              |  CAST($pqSubs * 100 AS BIGINT) AS n_newest_rows,
+              |  CAST($topK * $nQueries AS BIGINT) AS n_exact,
+              |  TRUE AS recall_ok
+              |FROM embeddings""".stripMargin)),
+
+    // q143: SEGMENT COMPACTION (see annSegmentCompact) — q129's epoch
+    // compaction applied to the LSM index: 3 segments → 1, zero code rows
+    // lost, and the served top-k provably IDENTICAL before and after.
+    Entry(
+      "q143_ann_segment_compact",
+      (s, d) => annSegmentCompact(s, d),
+      Some(s"""SELECT CAST(3 AS BIGINT) AS n_segments_before,
+              |  CAST(1 AS BIGINT) AS n_segments_after,
+              |  CAST($pqSubs * (count(*) + 200) AS BIGINT) AS n_code_rows,
+              |  CAST($topK * $nQueries AS BIGINT) AS n_topk,
+              |  TRUE AS topk_equal
+              |FROM embeddings""".stripMargin))
   )
 }

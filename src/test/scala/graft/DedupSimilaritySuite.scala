@@ -446,6 +446,28 @@ class DedupSimilaritySuite extends SparkTestBase {
       "retry must converge to the same artifact accounting")
   }
 
+  test("q142 segment append is O(delta) and re-runs converge") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val root = Similarity.pqSegRoot(sf)
+    val r1 = Registry.byName("q142_ann_segment_append").q(spark, sf).collect()(0)
+    // the newest segment carries ONLY the delta's code rows — the O(delta)
+    // write contract (m·100, never m·corpus)
+    assert(r1.getLong(2) == 8 * 100L,
+      s"newest segment has ${r1.getLong(2)} rows — not the m*|delta| contract")
+    val segs1 = graft.sources.Sources.committedEpochs(spark, s"$root/codes")
+    assert(segs1.size == 3, s"expected 3 segments, got ${segs1.mkString(",")}")
+    // a redelivered append is a no-op by committed-check: same segments,
+    // same accounting, and the base segment's files are untouched
+    val baseFiles = spark.read.parquet(s"$root/codes/${segs1.head}").inputFiles.sorted
+    val r2 = Registry.byName("q142_ann_segment_append").q(spark, sf).collect()(0)
+    val segs2 = graft.sources.Sources.committedEpochs(spark, s"$root/codes")
+    assert(segs1 == segs2, "re-run must not add or rename segments")
+    assert(r2.getLong(1) == r1.getLong(1), "re-run must not change row accounting")
+    assert(spark.read.parquet(s"$root/codes/${segs2.head}").inputFiles.sorted
+      .sameElements(baseFiles), "re-run must not rewrite committed segment files")
+  }
+
   test("q136 dedup index delete: ids absent, survivors exact, idempotent") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
