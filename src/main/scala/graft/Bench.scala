@@ -86,9 +86,10 @@ object Bench {
     "q140_lateral_topk",
     // ANN near-dup-gated ingest (round 13, standing from birth)
     "q141_ann_ingest",
-    // segmented (LSM) index: O(delta) append + compaction proof
+    // segmented (LSM) index: O(delta) append + compaction proof, both sides
     "q142_ann_segment_append",
-    "q143_ann_segment_compact")
+    "q143_ann_segment_compact",
+    "q144_dedup_segment_append")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

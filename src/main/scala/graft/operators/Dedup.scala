@@ -1107,6 +1107,49 @@ object Dedup {
     graft.sources.Sources.publishGeneration(s, root, gen)
   }
 
+  // ---- q144: SEGMENTED dedup index — O(delta) append, multi-segment serve ----
+
+  private[graft] def dedupSegRoot(d: String): String =
+    graft.sources.Sources.scratch(d, "dedup_index_seg")
+
+  /** The dedup-index counterpart of Similarity q142: q133's generational
+    * update republishes `old ∪ batch` — an O(corpus) WRITE per append. Here
+    * the index lives as a CUMULATIVE manifest of immutable segment dirs
+    * (the q123 exactly-once epoch machinery): the base segment is the
+    * banded corpus, and an arriving batch lands as ONE segment of its own
+    * rows plus one atomic manifest swap — m·|batch| bytes written, never a
+    * corpus rewrite; a redelivered batch is a no-op by committed-check.
+    * The serve proof is chosen so segment resolution is VISIBLE IN THE
+    * DATA: the probe batch re-ingests the evens a SECOND time (+20M ids),
+    * so every probe matches its corpus source (base segment) AND its +10M
+    * copy (the appended segment) — n_dups ≥ 2 with keep_id = the corpus id
+    * can only happen if the serve read both segments. The oracle replays
+    * brute-force Jaccard of the probes against corpus ∪ appended batch.
+    * q143's compaction verb applies to this root verbatim (shared
+    * Sources.compactEpochs machinery — segments are segments).
+    */
+  private[graft] def dedupSegServe(s: SparkSession, d: String): DataFrame = {
+    val root = dedupSegRoot(d)
+    val idxRoot = s"$root/index"
+    val manifest = new org.apache.hadoop.fs.Path(s"$idxRoot/_current")
+    val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest))
+      graft.sources.Sources.commitEpoch(s, idxRoot,
+        dedupIndexRows(Tables.documents(s, d).select(col("doc_id"), col("text"))),
+        "seg-000-base")
+    graft.sources.Sources.commitEpoch(s, idxRoot,
+      dedupIndexRows(dedupBatch(s, d)), "seg-001")
+    val probes = dedupIndexRows(
+      Tables.documents(s, d).filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("text")))
+      .localCheckpoint() // two consumers: bands → candidates, hf → confirm
+    dedupMatchesOn(graft.sources.Sources.readEpochs(s, idxRoot), probes)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("old_id")).as("keep_id"),
+        round(max(col("jac")), 4).as("best_jac"))
+      .orderBy(col("new_id"))
+  }
+
   val entries: Seq[Entry] = Seq(
     Entry(
       "q35_dedup_exact",
@@ -1570,6 +1613,31 @@ object Dedup {
              |  CAST((SELECT count(*) FROM t) + (SELECT count(*) FROM bs)
              |    - (SELECT count(*) FROM m) AS BIGINT) AS n_index_rows,
              |  CAST((SELECT count(*) FROM bs) - (SELECT count(*) FROM m)
-             |    AS BIGINT) AS n_admitted""".stripMargin))
+             |    AS BIGINT) AS n_admitted""".stripMargin)),
+
+    // q144: SEGMENTED dedup index (see dedupSegServe) — O(delta) append +
+    // a serve whose n_dups>=2 rows prove both segments were read. Oracle:
+    // brute-force probes x (corpus UNION appended batch).
+    Entry(
+      "q144_dedup_segment_append",
+      (s, d) => dedupSegServe(s, d),
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |s AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(1, greatest(len(toks)-2, 1) + 1),
+             |    i -> array_to_string(list_slice(toks, i, i+2), ' '))) AS sh
+             |  FROM t),
+             |u AS (SELECT doc_id, sh FROM s
+             |  UNION ALL
+             |  SELECT doc_id + 10000000, sh FROM s WHERE doc_id % 2 = 0),
+             |b AS (SELECT doc_id + 20000000 AS new_id, sh FROM s WHERE doc_id % 2 = 0),
+             |p AS (SELECT b.new_id, u.doc_id AS old_id,
+             |  CAST(len(list_intersect(b.sh, u.sh)) AS DOUBLE) AS inter,
+             |  len(b.sh) AS la, len(u.sh) AS lb
+             | FROM b CROSS JOIN u),
+             |m AS (SELECT new_id, old_id, inter/(la+lb-inter) AS jac FROM p
+             |  WHERE inter/(la+lb-inter) >= 0.9)
+             |SELECT new_id, count(*) AS n_dups, min(old_id) AS keep_id,
+             |  round(max(jac),4) AS best_jac
+             |FROM m GROUP BY new_id ORDER BY new_id""".stripMargin))
   )
 }

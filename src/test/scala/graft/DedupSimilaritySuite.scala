@@ -468,6 +468,30 @@ class DedupSimilaritySuite extends SparkTestBase {
       .sameElements(baseFiles), "re-run must not rewrite committed segment files")
   }
 
+  test("q144 dedup segment append is O(delta), serve reads both segments") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val idxRoot = s"${Dedup.dedupSegRoot(sf)}/index"
+    val r1 = Registry.byName("q144_dedup_segment_append").q(spark, sf)
+      .collect()
+    val segs = graft.sources.Sources.committedEpochs(spark, idxRoot)
+    assert(segs.size == 2, s"expected 2 segments, got ${segs.mkString(",")}")
+    // O(delta): the appended segment carries exactly the batch's rows
+    val nBatch = Tables.documents(spark, sf).filter(col("doc_id") % 2 === 0).count()
+    val nSeg1 = spark.read.parquet(s"$idxRoot/${segs.last}").count()
+    assert(nSeg1 == nBatch, s"appended segment has $nSeg1 rows, batch is $nBatch")
+    // both segments resolved: every probe's dup set spans the corpus source
+    // (keep_id < 10M) AND its +10M copy
+    val spanning = r1.count(r => r.getLong(1) >= 2 && r.getLong(2) < 10000000L)
+    assert(spanning == nBatch,
+      s"$spanning of $nBatch probes matched across both segments")
+    // redelivery: converged accounting, no new segments
+    Registry.byName("q144_dedup_segment_append").q(spark, sf).write
+      .format("noop").mode("overwrite").save()
+    assert(graft.sources.Sources.committedEpochs(spark, idxRoot) == segs,
+      "re-run must not add segments")
+  }
+
   test("q136 dedup index delete: ids absent, survivors exact, idempotent") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup
