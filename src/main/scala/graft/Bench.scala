@@ -89,7 +89,14 @@ object Bench {
     // segmented (LSM) index: O(delta) append + compaction proof, both sides
     "q142_ann_segment_append",
     "q143_ann_segment_compact",
-    "q144_dedup_segment_append")
+    "q144_dedup_segment_append",
+    // retrieval + semantic-dedup + resample cohort (round 13, standing
+    // from birth). Subtract these four when comparing secondary_total
+    // against earlier r13 artifacts.
+    "q145_bm25_topk",
+    "q146_rrf_fusion",
+    "q147_semdedup",
+    "q148_resample_gapfill")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

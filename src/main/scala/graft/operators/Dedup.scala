@@ -441,7 +441,9 @@ object Dedup {
     * theoretically unavailable, and the honest scale form is the blocked
     * exact join. Real near-dup thresholds (≥0.8) belong to q41/q56's ANN.
     */
-  private def embeddingNeardup(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: q147 (Similarity.semDedup) reuses this as its EXACT
+  // baseline pair set — the grid-blocked form IS brute force, just bounded
+  private[graft] def embeddingNeardup(s: SparkSession, d: String): DataFrame = {
     val B = 8
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))

@@ -434,6 +434,68 @@ object EventOps {
              |  count(DISTINCT a.user_id) AS n_active
              |FROM a JOIN c USING (user_id)
              |WHERE a.day - c.cohort_day <= 7
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q148: RESAMPLE + GAP-FILL — regularize an irregular event stream onto
+    // a fixed hourly grid per event_type, filling empty buckets by
+    // last-observation-carried-forward (the time-series feature-engineering
+    // staple: a model consumer wants one row per (series, bucket), not a
+    // ragged stream). Shape: the observed-bucket aggregate is the only
+    // corpus-sized stage (one exchange, map-side partial, integer cent
+    // math — the q25 discipline); the spine is `sequence(min_hr, max_hr)`
+    // exploded from the per-series BOUNDS aggregate, so its size is
+    // calendar×series — O(series · span-hours), independent of event count
+    // — and the LOCF window partitions by series over that bounded spine,
+    // never over raw events. At 100 TB of events the spine for a year of
+    // hourly buckets × 10k series is 87.6 M rows — a rounding error next
+    // to the input, and the per-series window stays ≤ span-hours rows.
+    // The first spine bucket of each series is its own min observed hour,
+    // so LOCF never sees a leading NULL and `sum_value` is total since
+    // `filled` marks synthesized rows. Exact everywhere: integer hour
+    // buckets (nano div), integer cents, and the emitted double is an
+    // exact integer/100.0 division — identical bits in both engines.
+    Entry(
+      "q148_resample_gapfill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(
+            col("event_type"),
+            expr("ts div " + HourNs).as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val observed = ev.groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val spine = ev.groupBy(col("event_type"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        spine
+          .join(observed, Seq("event_type", "hr"), "left_outer")
+          .withColumn("filled", col("n").isNull)
+          .withColumn("cents_f", last(col("cents"), ignoreNulls = true).over(w))
+          .select(
+            col("event_type"), col("hr"), col("filled"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            (col("cents_f") / 100.0).as("sum_value"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+             |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+             |o AS (SELECT event_type, hr, count(*) AS n, sum(cents) AS cents
+             |  FROM e GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+             |  FROM e GROUP BY 1),
+             |sp AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM b),
+             |f AS (SELECT sp.event_type, sp.hr, (o.n IS NULL) AS filled,
+             |    coalesce(o.n, 0) AS n,
+             |    last_value(o.cents IGNORE NULLS) OVER (
+             |      PARTITION BY sp.event_type ORDER BY sp.hr
+             |      ROWS UNBOUNDED PRECEDING) AS cents_f
+             |  FROM sp LEFT JOIN o
+             |    ON sp.event_type = o.event_type AND sp.hr = o.hr)
+             |SELECT event_type, hr, filled, n,
+             |  CAST(cents_f / 100.0 AS DOUBLE) AS sum_value
+             |FROM f ORDER BY event_type, hr""".stripMargin))
   )
 }

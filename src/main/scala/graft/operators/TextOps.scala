@@ -5,7 +5,7 @@ import graft.mr.{MRRunner, WordCount}
 import graft.queries.Entry
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Text-analysis operators over `documents`: tokenization/word-count (via the
   * MR surface), token statistics, quality scoring, language-ID heuristic, and
@@ -193,6 +193,113 @@ object TextOps {
         sum(least(col("off1"), (col("bin") + 1) * L) -
           greatest(col("off0"), col("bin") * L)).as("n_tokens"))
   }
+
+  // ---- Keyword retrieval (q145 BM25 / q146 RRF hybrid fusion) ----
+  // The RAG-side counterpart of the ANN family: score documents against a
+  // query term set from corpus statistics alone. Queries are the first 8
+  // docs' first 4 distinct tokens — derived from the corpus, so the whole
+  // pipeline (and its oracle) is self-contained. Robertson/Zaragoza'09 BM25
+  // with the Lucene non-negative idf variant; k1=1.2, b=0.75.
+
+  private val RetrNQ = 8    // query docs: doc_id < 8
+  private val RetrQTerms = 4 // first N tokens of each query doc
+  private val RetrPoolK = 20 // per-scorer pool fed into fusion
+  private val RrfK = 60      // RRF dampening constant (Cormack/Clarke'09)
+
+  /** Per-(query, doc, term) scoring parts: tf, df, dl, and the corpus
+    * constants nd/avgdl, pruned to query terms BEFORE anything corpus-sized
+    * joins. Plan shape (the part that must survive 100 TB): the only
+    * corpus-wide stages are the tf/df/dl aggregates off one tokenize scan;
+    * the ~32-row query-term table broadcasts into tf, so the posting lists
+    * that flow further are only those of query terms (inverted-index
+    * pruning as a broadcast semi-join — no full-corpus score pass), and df
+    * is pruned the same way before it broadcasts. Every double here is
+    * derived from exact integers with literals written IDENTICALLY in the
+    * DuckDB oracles — per-term contributions round to integer micros before
+    * the per-doc sum, so cross-engine ln() last-ulp noise can't surface
+    * (the q77 discipline, hardened against summation order by integer
+    * accumulation).
+    */
+  private[graft] def retrievalParts(s: SparkSession, d: String): DataFrame = {
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), filter(toks, t => t =!= "").as("toks"))
+    val terms = tk.select(col("doc_id"), explode(col("toks")).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tk.select(col("doc_id"), size(col("toks")).cast("long").as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).cast("double").as("nd"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = tk.filter(col("doc_id") < RetrNQ)
+      .select(col("doc_id").as("q_id"), explode(slice(col("toks"), 1, RetrQTerms)).as("term"))
+      .distinct()
+    val dfq = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+    tf.join(broadcast(qterms), Seq("term"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+  }
+
+  /** Literals below (2.2, 1.2, 0.25, 0.75) are written as plain decimal
+    * literals in BOTH engines — k1+1 computed at runtime would round to a
+    * DIFFERENT double than the literal 2.2 (the sum lands exactly on a
+    * representable-double midpoint), and the oracle would drift last-ulp.
+    */
+  private[graft] def bm25Contrib: Column =
+    log((col("nd") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+      (col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+
+  private[graft] def tfidfContrib: Column =
+    col("tf") * log((col("nd") + 1.0) / (col("df") + 1.0))
+
+  /** Σ per-term round(contrib·1e6) as long — exact, order-free. */
+  private[graft] def scoreMicros(parts: DataFrame, contrib: Column): DataFrame =
+    parts
+      .withColumn("m", round(contrib * 1000000.0).cast("long"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("m")).as("micros"))
+
+  /** Top-`n` (micros desc, doc_id) per query — WindowGroupLimit shape. */
+  private[graft] def topPool(scored: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("micros").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
+
+  /** The shared CTE prefix of both retrieval oracles — must stay textually
+    * in lockstep with [[retrievalParts]] (same filters, same literals).
+    */
+  private val retrOracleParts: String =
+    s"""WITH t AS (SELECT doc_id,
+       |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
+       |  FROM documents),
+       |tm AS (SELECT doc_id, unnest(toks) AS term FROM t),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tm GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+       |    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT doc_id AS q_id, unnest(toks[1:$RetrQTerms]) AS term
+       |  FROM t WHERE doc_id < $RetrNQ),
+       |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tm GROUP BY term),
+       |p AS (SELECT qt.q_id, tf.doc_id, tf.tf, df.df, dl.dl, st.nd, st.avgdl
+       |  FROM tf JOIN qt USING (term) JOIN df USING (term)
+       |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |  WHERE tf.doc_id <> qt.q_id)""".stripMargin
+
+  private val bm25OracleScore: String =
+    """sc AS (SELECT q_id, doc_id,
+      |    CAST(sum(CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
+      |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS micros
+      |  FROM p GROUP BY 1, 2)""".stripMargin
+
+  private val tfidfOracleScore: String =
+    """sc2 AS (SELECT q_id, doc_id,
+      |    CAST(sum(CAST(round(tf * ln((nd + 1.0) / (df + 1.0))
+      |      * 1000000.0) AS BIGINT)) AS BIGINT) AS micros
+      |  FROM p GROUP BY 1, 2)""".stripMargin
 
   val entries: Seq[Entry] = Seq(
     // q30: word count THROUGH the MR-parity engine (scan → flatMap(map) →
@@ -1281,6 +1388,94 @@ object TextOps {
              |pa AS (SELECT split, count(*) AS n_bins, CAST(sum(nt) AS BIGINT)
              |    AS n_tokens FROM pk GROUP BY split)
              |SELECT m.split, m.n_docs, pa.n_bins, pa.n_tokens
-             |FROM m JOIN pa USING (split) ORDER BY m.split""".stripMargin))
+             |FROM m JOIN pa USING (split) ORDER BY m.split""".stripMargin)),
+
+    // q145: BM25 TOP-K RETRIEVAL — the keyword side of a RAG retrieval
+    // stack (the ANN family q40/q56/q94 is the dense side). See
+    // [[retrievalParts]] for the inverted-index-pruned plan shape; scores
+    // accumulate as integer micros so the oracle is exact despite ln().
+    // Top-5 per query by (score, doc_id) through the rank-window
+    // WindowGroupLimit shape (q07/q120 idiom).
+    Entry(
+      "q145_bm25_topk",
+      (s, d) => {
+        val pool = topPool(scoreMicros(retrievalParts(s, d), bm25Contrib), 5)
+        pool
+          .select(
+            col("q_id"), col("rk").cast("long").as("rank"), col("doc_id"),
+            (col("micros") / 1000000.0).as("score"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""$retrOracleParts,
+             |$bm25OracleScore,
+             |r AS (SELECT q_id, doc_id, micros,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY micros DESC, doc_id) AS BIGINT) AS rank
+             |  FROM sc)
+             |SELECT q_id, rank, doc_id,
+             |  CAST(micros / 1000000.0 AS DOUBLE) AS score
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // q146: HYBRID RETRIEVAL FUSION via Reciprocal Rank Fusion
+    // (Cormack/Clarke/Büttcher SIGIR'09): two independent scorers — BM25
+    // and TF-IDF dot-product (the q77 weighting) — each contribute a
+    // top-20 pool per query; fused score Σ 1/(60+rank) over the pools a
+    // doc appears in, as exact integer micros. The fusion stage is
+    // rank-arithmetic on two ≤20-row-per-query pools (a full-outer join on
+    // (q_id, doc_id) of two tiny sorted sets) — at 100 TB all corpus-sized
+    // work lives in the shared scoring scaffold, which is computed ONCE
+    // and feeds both scorers (one tokenize scan, suite-pinned).
+    Entry(
+      "q146_rrf_fusion",
+      (s, d) => {
+        // one scoring scaffold, two scorers — localCheckpoint the ~query×
+        // corpus-match-sized parts table so the corpus scan/tf/df stages
+        // run once, not once per scorer (the q93/q107 idiom)
+        val parts = retrievalParts(s, d).localCheckpoint()
+        def pool(contrib: Column) =
+          topPool(scoreMicros(parts, contrib), RetrPoolK)
+        val ra = pool(bm25Contrib)
+          .select(col("q_id"), col("doc_id"), col("rk").as("rk_a"))
+        val rb = pool(tfidfContrib)
+          .select(col("q_id").as("qb"), col("doc_id").as("db"), col("rk").as("rk_b"))
+        val rrf = ra.join(
+            rb, col("q_id") === col("qb") && col("doc_id") === col("db"),
+            "full_outer")
+          .select(
+            coalesce(col("q_id"), col("qb")).as("q_id"),
+            coalesce(col("doc_id"), col("db")).as("doc_id"),
+            (coalesce(round(lit(1000000.0) / (lit(RrfK) + col("rk_a"))).cast("long"), lit(0L)) +
+              coalesce(round(lit(1000000.0) / (lit(RrfK) + col("rk_b"))).cast("long"), lit(0L)))
+              .as("rrf_micros"))
+        val w = Window.partitionBy(col("q_id"))
+          .orderBy(col("rrf_micros").desc, col("doc_id"))
+        rrf
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("q_id"), col("rank"), col("doc_id"), col("rrf_micros"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""$retrOracleParts,
+             |$bm25OracleScore,
+             |$tfidfOracleScore,
+             |ra AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY micros DESC, doc_id) AS rk FROM sc),
+             |ra20 AS (SELECT * FROM ra WHERE rk <= $RetrPoolK),
+             |rb AS (SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             |    ORDER BY micros DESC, doc_id) AS rk FROM sc2),
+             |rb20 AS (SELECT * FROM rb WHERE rk <= $RetrPoolK),
+             |f AS (SELECT coalesce(ra20.q_id, rb20.q_id) AS q_id,
+             |    coalesce(ra20.doc_id, rb20.doc_id) AS doc_id,
+             |    coalesce(CAST(round(1000000.0 / ($RrfK + ra20.rk)) AS BIGINT), 0)
+             |      + coalesce(CAST(round(1000000.0 / ($RrfK + rb20.rk)) AS BIGINT), 0)
+             |      AS rrf_micros
+             |  FROM ra20 FULL OUTER JOIN rb20
+             |    ON ra20.q_id = rb20.q_id AND ra20.doc_id = rb20.doc_id),
+             |r AS (SELECT q_id, doc_id, rrf_micros,
+             |    CAST(row_number() OVER (PARTITION BY q_id
+             |      ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rank
+             |  FROM f)
+             |SELECT q_id, rank, doc_id, rrf_micros
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
   )
 }

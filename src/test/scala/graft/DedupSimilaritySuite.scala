@@ -573,4 +573,29 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(fs.exists(new org.apache.hadoop.fs.Path(gen1)),
       "previous generation must survive the swap")
   }
+
+  test("q147 SemDeDup: first-shared-cluster candidates equal the distinct form") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val probed = Similarity.semProbed(spark, sf).localCheckpoint()
+    val firstShared = Similarity.semCandidates(probed)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // reference form: explode both sides, equi-join on cid, distinct pairs
+    val side = probed.select(col("vec_id"), explode(col("cids")).as("cid"))
+    val distinctForm = side.select(col("cid"), col("vec_id").as("a_id"))
+      .join(side.select(col("cid"), col("vec_id").as("b_id")), Seq("cid"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(firstShared.length == firstShared.toSet.size,
+      "first-shared emission produced a duplicate pair")
+    assert(firstShared.toSet == distinctForm.toSet,
+      s"candidate sets differ: first-shared ${firstShared.length} vs distinct ${distinctForm.length}")
+    // and the registered self-check holds at suite scale
+    val out = Registry.byName("q147_semdedup").q(spark, sf).collect()
+    assert(out.length == 1)
+    assert(out.head.getBoolean(1), "q147 recall below bound")
+    assert(out.head.getBoolean(2), "q147 candidate budget exceeded")
+  }
 }

@@ -85,4 +85,27 @@ class EventOpsSuite extends SparkTestBase {
         s"$name: expected at most user-keyed + global roll-up exchanges, got ${ex.size}")
     }
   }
+
+  test("q148 resample: complete per-series spine, LOCF total, fill flags honest") {
+    val rows = Registry.byName("q148_resample_gapfill").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (et, rs) =>
+      val hrs = rs.map(_.getLong(1)).sorted
+      // the spine is gap-free: one row per hour from the series' first
+      // observed hour to its last
+      assert(hrs.length == (hrs.last - hrs.head + 1),
+        s"$et: spine has gaps (${hrs.length} rows over ${hrs.last - hrs.head + 1} hours)")
+      assert(hrs.distinct.length == hrs.length, s"$et: duplicate spine rows")
+      rs.foreach { r =>
+        val (filled, n) = (r.getBoolean(2), r.getLong(3))
+        assert(filled == (n == 0L), s"$et hr=${r.getLong(1)}: filled=$filled but n=$n")
+        // LOCF never yields NULL: the first spine bucket is the series'
+        // min OBSERVED hour, so a carried value always exists
+        assert(!r.isNullAt(4), s"$et hr=${r.getLong(1)}: sum_value is null")
+      }
+      // boundary rows are observed by construction
+      val first = rs.minBy(_.getLong(1))
+      assert(!first.getBoolean(2), s"$et: first spine bucket marked filled")
+    }
+  }
 }

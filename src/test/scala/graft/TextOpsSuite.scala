@@ -126,4 +126,45 @@ class TextOpsSuite extends SparkTestBase {
     assert(unpartitionedWindows(twoGlobals).size == 2,
       "probe: counter failed to see two global windows")
   }
+
+  test("q145 BM25: shape, self-exclusion, non-increasing scores") {
+    val rows = Registry.byName("q145_bm25_topk").q(spark, sf).collect()
+    assert(rows.length == 40, s"expected 8 queries x 5, got ${rows.length}")
+    rows.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq == (1L to 5L), s"q$qid ranks broken")
+      // a query doc must never retrieve itself
+      assert(byRank.forall(_.getLong(2) != qid), s"q$qid retrieved itself")
+      val scores = byRank.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"q$qid scores not ranked: $scores")
+      assert(scores.forall(_ > 0), s"q$qid non-positive BM25 score")
+    }
+  }
+
+  test("q146 RRF fusion: fused docs drawn from the pools; no corpus re-scan") {
+    import graft.operators.TextOps
+    // reconstruct the two top-20 pools with the registered query's own
+    // helpers — a fused doc outside both pools means the fusion stage is
+    // inventing rows
+    val parts = TextOps.retrievalParts(spark, sf).localCheckpoint()
+    def poolSet(c: org.apache.spark.sql.Column): Set[(Long, Long)] =
+      TextOps.topPool(TextOps.scoreMicros(parts, c), 20)
+        .select(col("q_id"), col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pools = poolSet(TextOps.bm25Contrib) ++ poolSet(TextOps.tfidfContrib)
+    val fused = Registry.byName("q146_rrf_fusion").q(spark, sf)
+    val frows = fused.collect()
+    assert(frows.length == 40, s"expected 8 queries x 5, got ${frows.length}")
+    frows.foreach { r =>
+      assert(pools.contains((r.getLong(0), r.getLong(2))),
+        s"fused (${r.getLong(0)}, ${r.getLong(2)}) is in neither scorer's pool")
+    }
+    // all corpus-sized work (tokenize scan, tf/df/dl aggregates) runs ONCE
+    // behind the localCheckpoint barrier: the registered query's executed
+    // plan must carry zero parquet scans — one reappearing means the two
+    // scorers are each re-planning the scaffold
+    val physical = fused.queryExecution.executedPlan.toString
+    assert(!physical.contains("Scan parquet"),
+      s"q146 re-plans the scoring scaffold past its checkpoint:\n$physical")
+  }
 }
