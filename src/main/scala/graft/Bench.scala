@@ -96,7 +96,9 @@ object Bench {
     "q145_bm25_topk",
     "q146_rrf_fusion",
     "q147_semdedup",
-    "q148_resample_gapfill")
+    "q148_resample_gapfill",
+    // recursive-CTE BFS reachability (round 13, standing from birth)
+    "q149_reachability_bfs")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1640,6 +1640,62 @@ object Dedup {
              |  WHERE inter/(la+lb-inter) >= 0.9)
              |SELECT new_id, count(*) AS n_dups, min(old_id) AS keep_id,
              |  round(max(jac),4) AS best_jac
-             |FROM m GROUP BY new_id ORDER BY new_id""".stripMargin))
+             |FROM m GROUP BY new_id ORDER BY new_id""".stripMargin)),
+
+    // q149: RECURSIVE REACHABILITY (WITH RECURSIVE / UnionLoop) — BFS hop
+    // distance through the embedding near-dup graph from every label-0
+    // exemplar: how many hops of "is a near-dup of" separate each vector
+    // from the nearest canonical one (the contamination-spread /
+    // provenance-radius question). Like q140 is for LATERAL, the surface
+    // under test is the SQL FRONT-END's recursion: Catalyst compiles the
+    // self-referencing CTE to UnionLoop, each level one distributed hash
+    // join of the frontier against the edge table, and the min-hop
+    // aggregate collapses path multiplicity afterward.
+    //
+    // Scale posture: the EDGE TABLE is q39's grid-blocked theta-join
+    // (reused — no CartesianProduct enters this plan) materialized ONCE
+    // behind a localCheckpoint so the loop body re-plans a tiny in-memory
+    // scan, not the O(n²/B²) pair join per level. Depth is bounded (≤4)
+    // and each level's frontier is near-dup-sparse by construction. For an
+    // UNBOUNDED-diameter production graph the right form is q87's
+    // pointer-jumping label propagation (O(log n) rounds); recursion-per-
+    // hop is the right tool exactly when the radius of interest is small
+    // and fixed, which is what "within k hops of an exemplar" asks.
+    Entry(
+      "q149_reachability_bfs",
+      (s, d) => {
+        embeddingNeardup(s, d).select(col("a_id"), col("b_id"))
+          .localCheckpoint()
+          .createOrReplaceTempView("graft_rec_edges")
+        Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+          .createOrReplaceTempView("graft_rec_vecs")
+        s.sql("""
+          WITH RECURSIVE ed AS (
+            SELECT a_id AS a, b_id AS b FROM graft_rec_edges
+            UNION ALL
+            SELECT b_id AS a, a_id AS b FROM graft_rec_edges),
+          r(node, hops) AS (
+            SELECT vec_id, 0 FROM graft_rec_vecs WHERE label = 0
+            UNION ALL
+            SELECT ed.b, r.hops + 1 FROM r JOIN ed ON r.node = ed.a
+            WHERE r.hops < 4),
+          m AS (SELECT node, min(hops) AS hops FROM r GROUP BY node)
+          SELECT CAST(hops AS BIGINT) AS hops, count(*) AS n_nodes
+          FROM m GROUP BY hops ORDER BY hops""")
+      },
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, label,
+             |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+             |ed AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+             |r(node, hops) AS (
+             |  SELECT vec_id, 0 FROM e WHERE label = 0
+             |  UNION ALL
+             |  SELECT ed.b, r.hops + 1 FROM r JOIN ed ON r.node = ed.a
+             |  WHERE r.hops < 4),
+             |m AS (SELECT node, min(hops) AS hops FROM r GROUP BY node)
+             |SELECT CAST(hops AS BIGINT) AS hops, count(*) AS n_nodes
+             |FROM m GROUP BY hops ORDER BY hops""".stripMargin))
   )
 }

@@ -598,4 +598,26 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(out.head.getBoolean(1), "q147 recall below bound")
     assert(out.head.getBoolean(2), "q147 candidate budget exceeded")
   }
+
+  test("q149 recursion: UnionLoop plan, no cartesian, exact seed level") {
+    import org.apache.spark.sql.functions._
+    val df = Registry.byName("q149_reachability_bfs").q(spark, sf)
+    val out = df.collect()
+    val physical = df.queryExecution.executedPlan.toString
+    // the recursion must compile to UnionLoop (the SQL front-end surface
+    // under test), and the edge table must enter as the grid-blocked
+    // near-dup join's checkpointed OUTPUT — a CartesianProduct anywhere
+    // means the all-pairs cosine sneaked into the recursive plan
+    assert(physical.contains("UnionLoop"), s"recursion not compiled to UnionLoop:\n$physical")
+    assert(!physical.contains("CartesianProduct"),
+      s"q149 plans an all-pairs join:\n$physical")
+    // level 0 is exactly the seed set
+    val nLabel0 = Tables.embeddings(spark, sf).filter(col("label") === 0).count()
+    val hop0 = out.find(_.getLong(0) == 0L).map(_.getLong(1))
+    assert(hop0.contains(nLabel0), s"hop-0 count $hop0 != label-0 seeds $nLabel0")
+    // hop levels are distinct, bounded, and non-empty through the frontier
+    val hops = out.map(_.getLong(0)).toSeq
+    assert(hops == hops.distinct.sorted && hops.forall(h => h >= 0 && h <= 4),
+      s"broken hop levels: $hops")
+  }
 }
