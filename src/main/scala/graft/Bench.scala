@@ -98,7 +98,11 @@ object Bench {
     "q147_semdedup",
     "q148_resample_gapfill",
     // recursive-CTE BFS reachability (round 13, standing from birth)
-    "q149_reachability_bfs")
+    "q149_reachability_bfs",
+    // per-series OLS trend + split KL-drift monitor (round 13, standing
+    // from birth)
+    "q150_trend_ols",
+    "q151_split_drift")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -451,5 +451,89 @@ object CorpusOps {
              |  FROM documents WHERE len(string_split(text,' ')) > 0),
              |r AS (SELECT doc_id, score,
              |    percent_rank() OVER (ORDER BY score) AS pct_rank FROM d)
-             |SELECT doc_id, score, pct_rank FROM r ORDER BY doc_id""".stripMargin)))
+             |SELECT doc_id, score, pct_rank FROM r ORDER BY doc_id""".stripMargin)),
+
+    // q151: SPLIT DISTRIBUTION DRIFT — smoothed KL divergence between the
+    // train and val splits' unigram distributions (q112's seeded buckets),
+    // both directions. The drift monitor a pipeline runs after every
+    // re-split/re-mix: a healthy random split reads near zero; a biased
+    // one (dedup applied to train only, a source landing wholly in val)
+    // reads high. Plan: one tokenize scan of the train∪val docs → ONE
+    // vocab-keyed exchange holding both splits' counts as conditional
+    // sums (no per-split passes, no join between splits) → corpus totals
+    // as a 1-row broadcast → per-term contributions summed as exact
+    // integer PICOS (1e-12 units; |contrib| ≤ ~0.5 and vocab ~1e4 keep
+    // the sum far under 2^63), so cross-engine ln() ulp noise is absorbed
+    // exactly as in q145's micros discipline, at the precision KL needs.
+    // Add-1 smoothing over the union vocab keeps every term's q > 0 (KL
+    // finite by construction). The emitted doubles are exact long/1e12
+    // divisions — identical bits both engines.
+    Entry(
+      "q151_split_drift",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("bucket",
+            md5Bucket(concat(lit("split:v1:"), col("doc_id").cast("string")), 100))
+          .filter(col("bucket") < 90) // train ∪ val only
+          .withColumn("is_train", col("bucket") < 80)
+        val counts = docs
+          .select(col("is_train"), explode(split(col("text"), " ")).as("term"))
+          .filter(col("term") =!= "")
+          .groupBy(col("term"))
+          .agg(
+            sum(when(col("is_train"), 1L).otherwise(0L)).as("ct"),
+            sum(when(!col("is_train"), 1L).otherwise(0L)).as("cv"))
+        val totals = counts.agg(
+          count(lit(1)).as("v"), sum(col("ct")).as("nt"), sum(col("cv")).as("nv"))
+        def contribPicos(c1: Column, n1: Column, c2: Column, n2: Column): Column =
+          round(
+            ((c1 + lit(1.0)) / (n1 + col("v"))) *
+              log(((c1 + lit(1.0)) * (n2 + col("v")).cast("double"))
+                / ((c2 + lit(1.0)) * (n1 + col("v")).cast("double")))
+              * lit(1.0e12)).cast("long")
+        counts
+          .crossJoin(broadcast(totals))
+          .agg(
+            max(col("v")).as("n_vocab"),
+            max(col("nt")).as("n_train"),
+            max(col("nv")).as("n_val"),
+            sum(contribPicos(col("ct"), col("nt"), col("cv"), col("nv"))).as("ptv"),
+            sum(contribPicos(col("cv"), col("nv"), col("ct"), col("nt"))).as("pvt"))
+          .select(
+            col("n_vocab"), col("n_train"), col("n_val"),
+            (col("ptv").cast("double") / 1.0e12).as("kl_train_val"),
+            (col("pvt").cast("double") / 1.0e12).as("kl_val_train"))
+      },
+      Some("""WITH b AS (SELECT doc_id, text,
+             |    CAST(('0x' || substr(md5('split:v1:' || doc_id::VARCHAR), 1, 8))
+             |      AS BIGINT) % 100 AS bucket
+             |  FROM documents),
+             |t AS (SELECT bucket < 80 AS is_train,
+             |    unnest(string_split(text, ' ')) AS term
+             |  FROM b WHERE bucket < 90),
+             |c AS (SELECT term,
+             |    CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |    CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS cv
+             |  FROM t WHERE term <> '' GROUP BY term),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS v,
+             |    CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cv) AS BIGINT) AS nv
+             |  FROM c),
+             |p AS (SELECT
+             |    CAST(round(((ct + 1.0) / (nt + v)) *
+             |      ln(((ct + 1.0) * CAST(nv + v AS DOUBLE))
+             |        / ((cv + 1.0) * CAST(nt + v AS DOUBLE)))
+             |      * 1000000000000.0) AS BIGINT) AS ptv,
+             |    CAST(round(((cv + 1.0) / (nv + v)) *
+             |      ln(((cv + 1.0) * CAST(nt + v AS DOUBLE))
+             |        / ((ct + 1.0) * CAST(nv + v AS DOUBLE)))
+             |      * 1000000000000.0) AS BIGINT) AS pvt
+             |  FROM c CROSS JOIN tot)
+             |SELECT (SELECT v FROM tot) AS n_vocab,
+             |  (SELECT nt FROM tot) AS n_train,
+             |  (SELECT nv FROM tot) AS n_val,
+             |  CAST(CAST(sum(ptv) AS BIGINT) AS DOUBLE) / 1000000000000.0
+             |    AS kl_train_val,
+             |  CAST(CAST(sum(pvt) AS BIGINT) AS DOUBLE) / 1000000000000.0
+             |    AS kl_val_train
+             |FROM p""".stripMargin)))
 }

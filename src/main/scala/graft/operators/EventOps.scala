@@ -496,6 +496,72 @@ object EventOps {
              |    ON sp.event_type = o.event_type AND sp.hr = o.hr)
              |SELECT event_type, hr, filled, n,
              |  CAST(cents_f / 100.0 AS DOUBLE) AS sum_value
-             |FROM f ORDER BY event_type, hr""".stripMargin))
+             |FROM f ORDER BY event_type, hr""".stripMargin)),
+
+    // q150: PER-SERIES OLS TREND — slope/intercept/R² of hourly revenue
+    // against the hour index, per event_type (the feature-engineering /
+    // monitoring staple: "is this series drifting, and how fast"). The
+    // whole regression reduces to five SUFFICIENT-STATISTIC integer sums
+    // (n, Σx, Σy, Σxy, Σx², Σy²) — partial-aggregatable, so the plan is
+    // the hourly rollup exchange plus a per-series 6-long aggregate:
+    // regression at 100 TB costs exactly one aggregation pass, no matrix
+    // library, no iteration. All sums are exact longs (magnitudes bounded:
+    // epoch-hour ~5e5, cents/hour ~1e5 ⇒ every product and sum is far
+    // under 2^63); the ONLY float ops are the final divisions of exact
+    // integers — bit-identical cross-engine, so slope/intercept/r2 emit
+    // unrounded.
+    Entry(
+      "q150_trend_ols",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(
+            col("event_type"),
+            expr("ts div " + HourNs).as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("cents")).as("y"))
+        hourly
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("hr")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("hr") * col("y")).as("sxy"),
+            sum(col("hr") * col("hr")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+          .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+          .withColumn("deny", col("n") * col("syy") - col("sy") * col("sy"))
+          .withColumn("slope", col("num").cast("double") / col("den").cast("double"))
+          .select(
+            col("event_type"), col("n"), col("slope"),
+            ((col("sy").cast("double") - col("slope") * col("sx").cast("double"))
+              / col("n").cast("double")).as("intercept"),
+            ((col("num").cast("double") * col("num").cast("double"))
+              / (col("den").cast("double") * col("deny").cast("double"))).as("r2"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+             |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+             |h AS (SELECT event_type, hr, CAST(sum(cents) AS BIGINT) AS y
+             |  FROM e GROUP BY 1, 2),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(hr) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(hr*y) AS BIGINT) AS sxy,
+             |    CAST(sum(hr*hr) AS BIGINT) AS sxx,
+             |    CAST(sum(y*y) AS BIGINT) AS syy
+             |  FROM h GROUP BY 1),
+             |k AS (SELECT event_type, n,
+             |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS den,
+             |    n*syy - sy*sy AS deny, sx, sy FROM a),
+             |s AS (SELECT event_type, n, sx, sy, num, den, deny,
+             |    CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope FROM k)
+             |SELECT event_type, n, slope,
+             |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+             |    / CAST(n AS DOUBLE) AS intercept,
+             |  (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
+             |    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
+             |FROM s ORDER BY event_type""".stripMargin))
   )
 }

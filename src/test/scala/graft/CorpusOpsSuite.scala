@@ -166,4 +166,26 @@ class CorpusOpsSuite extends SparkTestBase {
       s"extra=${twoPhase.diff(naive).take(3)} missing=${naive.diff(twoPhase).take(3)}")
     assert(naive.nonEmpty, "empty selection — test is vacuous")
   }
+
+  test("q151 split drift: non-negative, small on a random split, no split join") {
+    val df = Registry.byName("q151_split_drift").q(spark, sf)
+    val r = df.collect().head
+    val (vocab, nt, nv) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val (tv, vt) = (r.getDouble(3), r.getDouble(4))
+    assert(vocab > 0 && nt > 0 && nv > 0)
+    // smoothed distributions are both normalized, so KL >= 0 (up to the
+    // 1e-12 pico rounding) — a negative reading means the smoothing or
+    // normalization broke
+    assert(tv >= -1e-9 && vt >= -1e-9, s"negative KL: $tv / $vt")
+    // q112's split is seeded-random, so the two distributions must be
+    // close: a healthy-split reading that drifts above this bound means
+    // the assignment or the count plumbing regressed
+    assert(tv < 0.05 && vt < 0.05, s"random split reads drifted: $tv / $vt")
+    // both splits' counts come from ONE vocab-keyed aggregate of one scan
+    // — a shuffled join appearing means the splits were counted separately
+    // and joined back
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("SortMergeJoin") && !physical.contains("ShuffledHashJoin"),
+      s"q151 joins the splits instead of conditional-aggregating:\n$physical")
+  }
 }

@@ -108,4 +108,27 @@ class EventOpsSuite extends SparkTestBase {
       assert(!first.getBoolean(2), s"$et: first spine bucket marked filled")
     }
   }
+
+  test("q150 OLS: two-exchange sufficient-statistic plan, sane fit values") {
+    val df = Registry.byName("q150_trend_ols").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, slope, intercept, r2) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(n > 2, s"${r.getString(0)}: degenerate series n=$n")
+      assert(!slope.isNaN && !slope.isInfinite, s"${r.getString(0)}: slope=$slope")
+      assert(!intercept.isNaN && !intercept.isInfinite)
+      assert(r2 >= 0.0 && r2 <= 1.0, s"${r.getString(0)}: r2=$r2 out of [0,1]")
+    }
+    // the whole regression must stay a two-exchange aggregation pass:
+    // hourly rollup keyed (event_type, hr) then per-series stats keyed
+    // event_type — a third hash exchange means a join or window crept in
+    val hashEx = shuffleExchanges(df).filter(_.outputPartitioning match {
+      case _: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => true
+      case _ => false
+    })
+    assert(hashEx.size <= 2,
+      s"q150: expected hourly-rollup + per-series exchanges only, got ${hashEx.size}")
+  }
 }
