@@ -102,7 +102,9 @@ object Bench {
     // per-series OLS trend + split KL-drift monitor (round 13, standing
     // from birth)
     "q150_trend_ols",
-    "q151_split_drift")
+    "q151_split_drift",
+    // mergeable HLL sketch rollup (round 13, standing from birth)
+    "q152_hll_rollup")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

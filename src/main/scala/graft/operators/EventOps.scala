@@ -562,6 +562,51 @@ object EventOps {
              |    / CAST(n AS DOUBLE) AS intercept,
              |  (CAST(num AS DOUBLE) * CAST(num AS DOUBLE))
              |    / (CAST(den AS DOUBLE) * CAST(deny AS DOUBLE)) AS r2
-             |FROM s ORDER BY event_type""".stripMargin))
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // q152: MERGEABLE HLL SKETCH ROLLUP (Datasketches HLL via the built-in
+    // hll_sketch_agg / hll_union_agg) — distinct users per event_type
+    // computed TWO ways: daily per-(type, day) sketches UNIONED up to the
+    // period, and a direct whole-scan sketch; both checked against the
+    // exact countDistinct in-query (the q56-style self-check the driver
+    // verifies as literals). The point is the warehouse pre-aggregation
+    // contract: at 100 TB the daily sketch table is the STORED rollup
+    // (days × types rows of ~KB sketches — a rounding error next to raw
+    // events), and any period's distinct count is a union of its days'
+    // sketches — no raw re-scan, arbitrary re-slicing (week, month,
+    // rolling 7-day) from the same rollup, which exact counts can never
+    // do (distinct doesn't decompose; sketches do).
+    Entry(
+      "q152_hll_rollup",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("event_type"),
+          expr("ts div 86400000000000").as("day"),
+          col("user_id"))
+        val daily = ev.groupBy(col("event_type"), col("day"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val merged = daily.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_merged"))
+        val direct = ev.groupBy(col("event_type"))
+          .agg(
+            hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("est_direct"),
+            countDistinct(col("user_id")).as("n_exact"))
+        merged.join(direct, Seq("event_type"))
+          .select(
+            col("event_type"), col("n_days"), col("n_exact"),
+            (abs(col("est_merged") - col("n_exact"))
+              <= lit(0.05) * col("n_exact")).as("merged_ok"),
+            (abs(col("est_direct") - col("n_exact"))
+              <= lit(0.05) * col("n_exact")).as("direct_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type,
+             |  count(DISTINCT CAST(epoch_us(ts) AS BIGINT) // 86400000000)
+             |    AS n_days,
+             |  count(DISTINCT user_id) AS n_exact,
+             |  TRUE AS merged_ok, TRUE AS direct_ok
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

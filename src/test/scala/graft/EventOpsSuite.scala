@@ -131,4 +131,30 @@ class EventOpsSuite extends SparkTestBase {
     assert(hashEx.size <= 2,
       s"q150: expected hourly-rollup + per-series exchanges only, got ${hashEx.size}")
   }
+
+  test("q152 HLL rollup: merged union equals direct sketch; rollup is complete") {
+    val rows = Registry.byName("q152_hll_rollup").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)}: merged estimate out of bound")
+      assert(r.getBoolean(4), s"${r.getString(0)}: direct estimate out of bound")
+    }
+    // the mergeability claim, asserted on the estimates themselves: the
+    // union of per-day sketches and one whole-scan sketch must land on the
+    // SAME estimate (HLL registers are max-merged — partitioning the input
+    // by day cannot change the final register state)
+    val ev = Tables.events(spark, sf).select(
+      col("event_type"), expr("ts div 86400000000000").as("day"), col("user_id"))
+    val merged = ev.groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("m"))
+    val direct = ev.groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("dd"))
+    val cmp = merged.join(direct, Seq("event_type")).collect()
+    cmp.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2),
+        s"${r.getString(0)}: merged ${r.getLong(1)} != direct ${r.getLong(2)}")
+    }
+  }
 }
