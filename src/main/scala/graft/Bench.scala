@@ -104,7 +104,11 @@ object Bench {
     "q150_trend_ols",
     "q151_split_drift",
     // mergeable HLL sketch rollup (round 13, standing from birth)
-    "q152_hll_rollup")
+    "q152_hll_rollup",
+    // integer-exact 3-sigma anomaly flags + reproducible weighted sampling
+    // (round 13, standing from birth)
+    "q153_anomaly_3sigma",
+    "q154_weighted_sample")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -535,5 +535,44 @@ object CorpusOps {
              |    AS kl_train_val,
              |  CAST(CAST(sum(pvt) AS BIGINT) AS DOUBLE) / 1000000000000.0
              |    AS kl_val_train
-             |FROM p""".stripMargin)))
+             |FROM p""".stripMargin)),
+
+    // q154: REPRODUCIBLE WEIGHTED SAMPLING without replacement
+    // (Efraimidis/Spirakis'06): top-k docs by key ln(u)/w — equivalent to
+    // drawing k docs with probability proportional to weight w (here
+    // n_chars: length-proportional corpus subsampling), WITHOUT
+    // replacement, in ONE pass. The classic streaming/distributed form of
+    // weighted sampling — no sequential draw loop, no replacement
+    // bookkeeping — and made REPRODUCIBLE by deriving the uniform u from
+    // the seeded md5 hash ((h+0.5)/2^32 ∈ (0,1), the q112 determinism
+    // trick) instead of a per-partition RNG, so the same corpus + seed
+    // selects the same sample on any engine, partitioning, or day. Keys
+    // round to 1e-12 before ranking (ln ulp discipline), ties break on
+    // doc_id. Plan: map-only key computation fused into the scan +
+    // TakeOrderedAndProject global top-k — the corpus is never sorted.
+    Entry(
+      "q154_weighted_sample",
+      (s, d) => {
+        val k = 100
+        val keyed = Tables.documents(s, d)
+          .filter(col("n_chars") > 0)
+          .withColumn("h",
+            conv(substring(md5(concat(lit("wsample:v1:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long"))
+          .withColumn("u", (col("h") + lit(0.5)) / lit(4294967296.0))
+          .withColumn("key", round(log(col("u")) / col("n_chars"), 12))
+        keyed
+          .select(col("doc_id"), col("n_chars"), col("key"))
+          .orderBy(col("key").desc, col("doc_id"))
+          .limit(k)
+      },
+      Some("""WITH b AS (SELECT doc_id, n_chars,
+             |    CAST(('0x' || substr(md5('wsample:v1:' || doc_id::VARCHAR), 1, 8))
+             |      AS BIGINT) AS h
+             |  FROM documents WHERE n_chars > 0),
+             |u AS (SELECT doc_id, n_chars,
+             |    round(ln((h + 0.5) / 4294967296.0) / n_chars, 12) AS key
+             |  FROM b)
+             |SELECT doc_id, n_chars, key FROM u
+             |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin)))
 }

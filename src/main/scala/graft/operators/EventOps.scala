@@ -607,6 +607,62 @@ object EventOps {
              |    AS n_days,
              |  count(DISTINCT user_id) AS n_exact,
              |  TRUE AS merged_ok, TRUE AS direct_ok
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q153: INTEGER-EXACT 3σ ANOMALY DETECTION — flag hourly buckets whose
+    // revenue deviates ≥3 population-σ from their series mean. The trick
+    // that makes the FLAG oracle-exact (not merely probably-stable):
+    // |y − μ| ≥ 3σ with μ = Σy/n and σ² = (n·Σy² − (Σy)²)/n² is
+    // algebraically  (n·y − Σy)² ≥ 9·(n·Σy² − (Σy)²)  — every term an
+    // exact long (magnitudes bounded well under 2^63 at any plausible
+    // cents/hour), so the decision never touches a float and cannot flip
+    // cross-engine. The reported z is a display value (exact-integer
+    // inputs, one sqrt + one division, rounded to 4). Plan: the hourly
+    // rollup exchange, the per-series 3-long stats aggregate BROADCAST
+    // back (series count is tiny), one filtered scan of the hourly table
+    // — no window, no second corpus pass.
+    Entry(
+      "q153_anomaly_3sigma",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(
+            col("event_type"),
+            expr("ts div " + HourNs).as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("cents")).as("y"))
+        val stats = hourly.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+        hourly
+          .join(broadcast(stats), Seq("event_type"))
+          .withColumn("dev", col("n") * col("y") - col("sy"))
+          .withColumn("mss", col("n") * col("syy") - col("sy") * col("sy"))
+          .filter(col("dev") * col("dev") >= lit(9L) * col("mss"))
+          .select(
+            col("event_type"), col("hr"),
+            (col("y") / 100.0).as("sum_value"),
+            // z = (y−μ)/σ = dev/√mss exactly (dev = n(y−μ), mss = n²σ²)
+            round(col("dev").cast("double") / sqrt(col("mss").cast("double")), 4)
+              .as("z"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+             |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+             |h AS (SELECT event_type, hr, CAST(sum(cents) AS BIGINT) AS y
+             |  FROM e GROUP BY 1, 2),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(y*y) AS BIGINT) AS syy FROM h GROUP BY 1),
+             |j AS (SELECT h.event_type, h.hr, h.y,
+             |    a.n * h.y - a.sy AS dev, a.n * a.syy - a.sy * a.sy AS mss,
+             |    a.n FROM h JOIN a USING (event_type))
+             |SELECT event_type, hr, CAST(y / 100.0 AS DOUBLE) AS sum_value,
+             |  round(CAST(dev AS DOUBLE) / sqrt(CAST(mss AS DOUBLE)), 4) AS z
+             |FROM j WHERE dev * dev >= 9 * mss
+             |ORDER BY event_type, hr""".stripMargin))
   )
 }

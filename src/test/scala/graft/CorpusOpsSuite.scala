@@ -188,4 +188,27 @@ class CorpusOpsSuite extends SparkTestBase {
     assert(!physical.contains("SortMergeJoin") && !physical.contains("ShuffledHashJoin"),
       s"q151 joins the splits instead of conditional-aggregating:\n$physical")
   }
+
+  test("q154 weighted sample: top-k plan, ordered keys, length bias realized") {
+    import org.apache.spark.sql.functions.{avg, col}
+    val df = Registry.byName("q154_weighted_sample").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    val keys = rows.map(_.getDouble(2)).toSeq
+    assert(keys == keys.sorted.reverse, "sample not in key order")
+    assert(rows.forall(_.getLong(1) > 0), "zero-weight doc selected")
+    // weight-proportional sampling must realize its bias: the selected
+    // docs' mean length should exceed the corpus mean materially
+    val corpusMean = Tables.documents(spark, sf)
+      .filter(col("n_chars") > 0)
+      .agg(avg(col("n_chars"))).collect().head.getDouble(0)
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    assert(sampleMean > corpusMean,
+      s"length bias not realized: sample $sampleMean vs corpus $corpusMean")
+    // global top-k must compile to TakeOrderedAndProject — a full corpus
+    // sort appearing here breaks the one-pass claim
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"q154 sorts the corpus:\n$physical")
+  }
 }

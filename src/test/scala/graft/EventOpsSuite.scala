@@ -157,4 +157,22 @@ class EventOpsSuite extends SparkTestBase {
         s"${r.getString(0)}: merged ${r.getLong(1)} != direct ${r.getLong(2)}")
     }
   }
+
+  test("q153 anomaly: displayed z agrees with the integer flag; stats broadcast") {
+    val df = Registry.byName("q153_anomaly_3sigma").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "no anomalies at suite SF — test is vacuous")
+    // the FLAG is exact integer arithmetic; the z column is a float
+    // display derived separately — every flagged row must read |z| >= 3
+    // (within the 1e-4 display rounding), or the two formulas diverged
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3)) >= 2.9999,
+        s"${r.getString(0)} hr=${r.getLong(1)}: flagged but z=${r.getDouble(3)}")
+    }
+    // the per-series stats table is tiny and must broadcast — a shuffled
+    // join here means the hourly table is being exchanged a second time
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("SortMergeJoin") && !physical.contains("ShuffledHashJoin"),
+      s"q153 shuffles the stats join:\n$physical")
+  }
 }
