@@ -17,6 +17,7 @@ import org.apache.spark.sql.functions._
 object EventOps {
 
   private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val DayNs = 24L * 3600 * 1000 * 1000 * 1000
   private val SessionGapNs = 30L * 60 * 1000 * 1000 * 1000
 
   /** Hot-key-safe sessionization: two phases keyed by (user_id, time-block)
@@ -663,6 +664,263 @@ object EventOps {
              |SELECT event_type, hr, CAST(y / 100.0 AS DOUBLE) AS sum_value,
              |  round(CAST(dev AS DOUBLE) / sqrt(CAST(mss AS DOUBLE)), 4) AS z
              |FROM j WHERE dev * dev >= 9 * mss
-             |ORDER BY event_type, hr""".stripMargin))
+             |ORDER BY event_type, hr""".stripMargin)),
+
+    // q156: MARKOV TRANSITION MATRIX — counts and probabilities of
+    // consecutive event-type pairs per user (the behavioral-model /
+    // anomaly-baseline staple: "what follows what"). Hot-key-safe by the
+    // sessionizeSalted discipline applied to LAG: phase 1 pairs adjacent
+    // events WITHIN (user, hour-block) partitions — a hot user fans out
+    // over its blocks instead of one giant sorted partition; phase 2
+    // recovers exactly the block-boundary adjacencies from per-(user,
+    // block) SUMMARIES (first/last event per block, ordered by sparse
+    // block id so gaps between nonempty blocks chain correctly). The
+    // union is precisely the set of globally adjacent pairs — no
+    // corpus-sized per-user window anywhere. Transition probability is
+    // the IEEE division of two exact longs (identical bits cross-engine,
+    // the q150 discipline); the per-from totals come from a window over
+    // the ≤|types|² aggregate — bounded by construction.
+    Entry(
+      "q156_transition_matrix",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("blk", expr(s"ts div $HourNs"))
+        val w1 = Window
+          .partitionBy(col("user_id"), col("blk"))
+          .orderBy(col("ts"), col("event_id"))
+        val within = ev
+          .withColumn("from_type", lag(col("event_type"), 1).over(w1))
+          .filter(col("from_type").isNotNull)
+          .select(col("from_type"), col("event_type").as("to_type"))
+        val summaries = ev
+          .groupBy(col("user_id"), col("blk"))
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("event_type"))).as("f"),
+            max(struct(col("ts"), col("event_id"), col("event_type"))).as("l"))
+        val w2 = Window.partitionBy(col("user_id")).orderBy(col("blk"))
+        val boundary = summaries
+          .withColumn("from_type", lag(col("l.event_type"), 1).over(w2))
+          .filter(col("from_type").isNotNull)
+          .select(col("from_type"), col("f.event_type").as("to_type"))
+        val counts = within
+          .unionByName(boundary)
+          .groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        val wf = Window.partitionBy(col("from_type"))
+        counts
+          .withColumn("p", col("n").cast("double") / sum(col("n")).over(wf).cast("double"))
+          .orderBy(col("from_type"), col("to_type"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+             |  FROM events),
+             |t AS (SELECT
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id) AS from_type,
+             |    event_type AS to_type
+             |  FROM e),
+             |c AS (SELECT from_type, to_type, count(*) AS n FROM t
+             |  WHERE from_type IS NOT NULL GROUP BY 1, 2)
+             |SELECT from_type, to_type, n,
+             |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY from_type)
+             |    AS DOUBLE) AS p
+             |FROM c ORDER BY from_type, to_type""".stripMargin)),
+
+    // q157: CUMULATIVE-UNIQUE TIMELINE — per day: active users, NEW users
+    // (first-ever appearance), and the running total of distinct users to
+    // date (the growth-dashboard staple). The trick that makes cumulative
+    // DISTINCT linear instead of quadratic: a user contributes to the
+    // cumulative count exactly once, on their first-seen day — so the
+    // running distinct count is the running SUM of the daily new-user
+    // counts, and the corpus collapses through one (user, day)-distinct
+    // exchange plus a per-user min. The only unpartitioned window runs
+    // over the per-DAY table — bounded by the calendar (≤ a few thousand
+    // rows for a decade of days), never by event or user count.
+    Entry(
+      "q157_cumulative_unique",
+      (s, d) => {
+        val ud = Tables.events(s, d)
+          .select(col("user_id"), expr(s"ts div $DayNs").as("day"))
+          .distinct()
+        val daily = ud.groupBy(col("day")).agg(count(lit(1)).as("n_active"))
+        val news = ud
+          .groupBy(col("user_id"))
+          .agg(min(col("day")).as("day"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("n_new"))
+        val wc = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        daily
+          .join(news, Seq("day"), "left_outer")
+          .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+          .withColumn("cum_unique", sum(col("n_new")).over(wc))
+          .orderBy(col("day"))
+      },
+      Some("""WITH a AS (SELECT DISTINCT user_id,
+             |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day FROM events),
+             |d AS (SELECT day, count(*) AS n_active FROM a GROUP BY day),
+             |f AS (SELECT min(day) AS day FROM a GROUP BY user_id),
+             |nw AS (SELECT day, count(*) AS n_new FROM f GROUP BY day),
+             |j AS (SELECT d.day, d.n_active,
+             |    coalesce(nw.n_new, 0) AS n_new
+             |  FROM d LEFT JOIN nw ON d.day = nw.day)
+             |SELECT day, n_active, CAST(n_new AS BIGINT) AS n_new,
+             |  CAST(sum(n_new) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+             |    AS BIGINT) AS cum_unique
+             |FROM j ORDER BY day""".stripMargin)),
+
+    // q159: PEAK-CONCURRENCY SWEEP-LINE — per day: sessions started and the
+    // maximum number of simultaneously-open sessions (the capacity-planning
+    // staple: "how many live sessions must the serving tier hold"). The
+    // classic interval problem solved WITHOUT interval joins: each session
+    // becomes a +1 at its start and a −1 at its end (closed intervals —
+    // +1 sorts before −1 at a shared timestamp, so touching sessions count
+    // as concurrent), and the running sum of deltas IS the live-session
+    // count. The global running sum uses the q96 two-phase discipline: a
+    // within-DAY cumulative window (phase 1, partitioned — a day's sweep
+    // points are bounded by that day's session churn), then day offsets
+    // from an unpartitioned window over the per-DAY table only (bounded by
+    // the calendar). day_max = carry-in offset + within-day peak — exactly
+    // the global sweep's per-day max, integer arithmetic end to end.
+    // Determinism at ties: rows sharing (t, delta) are interchangeable —
+    // every prefix sum the MAX can see is the same multiset either way.
+    Entry(
+      "q159_concurrency_sweep",
+      (s, d) => {
+        val ws = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"))
+          .withColumn("prev_ts", lag(col("ts"), 1).over(ws))
+          .withColumn(
+            "ns",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1L)
+              .otherwise(0L))
+          .withColumn(
+            "sid",
+            sum(col("ns")).over(ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+        val pts = sess.select(col("st").as("t"), lit(1L).as("delta"))
+          .unionByName(sess.select(col("en").as("t"), lit(-1L).as("delta")))
+          .withColumn("day", expr(s"t div $DayNs"))
+        val wb = Window.partitionBy(col("day")).orderBy(col("t"), col("delta").desc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perDay = pts
+          .withColumn("c", sum(col("delta")).over(wb))
+          .groupBy(col("day"))
+          .agg(
+            sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+            sum(col("delta")).as("dsum"),
+            max(col("c")).as("cmax"))
+        val wo = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        perDay
+          .withColumn("carry", coalesce(sum(col("dsum")).over(wo), lit(0L)))
+          .select(
+            col("day"), col("n_starts"),
+            (col("carry") + col("cmax")).as("max_concurrent"))
+          .orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+             |g AS (SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER (PARTITION BY user_id
+             |        ORDER BY us, event_id) IS NULL
+             |      OR us - lag(us) OVER (PARTITION BY user_id
+             |        ORDER BY us, event_id) > 1800000000
+             |    THEN 1 ELSE 0 END AS ns,
+             |    event_id
+             |  FROM e),
+             |sid AS (SELECT user_id, us,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |sess AS (SELECT user_id, sid, min(us) AS st, max(us) AS en
+             |  FROM sid GROUP BY 1, 2),
+             |pts AS (
+             |  SELECT st AS t, 1 AS delta FROM sess
+             |  UNION ALL SELECT en AS t, -1 AS delta FROM sess),
+             |c AS (SELECT t, delta, t // 86400000000 AS day,
+             |    sum(delta) OVER (ORDER BY t, delta DESC
+             |      ROWS UNBOUNDED PRECEDING) AS c
+             |  FROM pts)
+             |SELECT CAST(day AS BIGINT) AS day,
+             |  CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_starts,
+             |  CAST(max(c) AS BIGINT) AS max_concurrent
+             |FROM c GROUP BY day ORDER BY day""".stripMargin)),
+
+    // q161: A/B TEST ANALYSIS — two-proportion z-test between seeded
+    // experiment arms (the product-analytics staple the warehouse runs
+    // after every experiment). Arm assignment is the q112 determinism
+    // trick (seeded md5 of user_id — any engine, any day, same arms);
+    // conversion = the user's purchase count reaching a threshold. The
+    // corpus collapses through ONE user-keyed exchange (conditional-sum
+    // partial aggs) into a 1-row arm table; z is then a handful of IEEE
+    // double ops over exact longs — the SAME operation tree written in
+    // both engines (q150 discipline: casts of longs < 2^53 are exact,
+    // each mul/div/sqrt is correctly-rounded, left-association matches),
+    // so z and the |z| ≥ 1.96 decision are bit-identical cross-engine,
+    // no rounding needed.
+    Entry(
+      "q161_ab_test",
+      (s, d) => {
+        val flags = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+          .select(
+            (CorpusOps.md5Bucket(concat(lit("ab:v1:"), col("user_id").cast("string")), 2) === 0)
+              .as("arm_a"),
+            (col("np") >= 14L).as("conv"))
+        val arms = flags.agg(
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm_a") && col("conv"), 1L).otherwise(0L)).as("x_a"),
+          sum(when(!col("arm_a") && col("conv"), 1L).otherwise(0L)).as("x_b"))
+        arms
+          .withColumn("p_a", col("x_a").cast("double") / col("n_a").cast("double"))
+          .withColumn("p_b", col("x_b").cast("double") / col("n_b").cast("double"))
+          .withColumn(
+            "phat",
+            (col("x_a") + col("x_b")).cast("double")
+              / (col("n_a") + col("n_b")).cast("double"))
+          .withColumn(
+            "se",
+            sqrt(col("phat") * (lit(1.0) - col("phat"))
+              * (lit(1.0) / col("n_a").cast("double")
+                + lit(1.0) / col("n_b").cast("double"))))
+          .withColumn("z", (col("p_a") - col("p_b")) / col("se"))
+          .select(
+            col("n_a"), col("n_b"), col("x_a"), col("x_b"),
+            col("p_a"), col("p_b"), col("z"),
+            (abs(col("z")) >= 1.96).as("significant"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np
+             |  FROM events GROUP BY user_id),
+             |f AS (SELECT
+             |    CAST(('0x' || substr(md5('ab:v1:' || user_id::VARCHAR), 1, 8))
+             |      AS BIGINT) % 2 = 0 AS arm_a,
+             |    np >= 14 AS conv FROM u),
+             |a AS (SELECT
+             |    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(sum(CASE WHEN arm_a AND conv THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS x_a,
+             |    CAST(sum(CASE WHEN NOT arm_a AND conv THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS x_b
+             |  FROM f),
+             |p AS (SELECT n_a, n_b, x_a, x_b,
+             |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+             |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+             |    CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS phat
+             |  FROM a),
+             |s AS (SELECT *,
+             |    sqrt(phat * (1.0 - phat)
+             |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+             |      AS se
+             |  FROM p),
+             |z AS (SELECT *, (p_a - p_b) / se AS z FROM s)
+             |SELECT n_a, n_b, x_a, x_b, p_a, p_b, z,
+             |  abs(z) >= 1.96 AS significant FROM z""".stripMargin))
   )
 }

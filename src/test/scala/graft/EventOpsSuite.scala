@@ -175,4 +175,91 @@ class EventOpsSuite extends SparkTestBase {
     assert(!physical.contains("SortMergeJoin") && !physical.contains("ShuffledHashJoin"),
       s"q153 shuffles the stats join:\n$physical")
   }
+
+  test("q156 transitions: block-salted lag equals the direct per-user window") {
+    val ev = Tables.events(spark, sf)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val direct = ev
+      .withColumn("from_type", lag(col("event_type"), 1).over(w))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val salted = Registry.byName("q156_transition_matrix").q(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(salted == direct, "boundary stitching lost or invented transitions")
+    // conservation: every event except each user's first is a transition
+    val total = ev.count()
+    val users = ev.select(col("user_id")).distinct().count()
+    assert(direct.toSeq.map(_._3).sum == total - users)
+    // each from-row's probabilities sum to 1
+    Registry.byName("q156_transition_matrix").q(spark, sf).collect()
+      .groupBy(_.getString(0)).foreach { case (from, rs) =>
+        val p = rs.map(_.getDouble(3)).sum
+        assert(math.abs(p - 1.0) < 1e-9, s"$from: probabilities sum to $p")
+      }
+  }
+
+  test("q157 cumulative unique: running sum of new users reproduces countDistinct") {
+    val rows = Registry.byName("q157_cumulative_unique").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(rows.last.getLong(3) == users, "final cum_unique != total distinct users")
+    // monotone, and the cumsum is internally consistent with n_new
+    rows.foldLeft(0L) { (acc, r) =>
+      val cum = r.getLong(3)
+      assert(cum == acc + r.getLong(2), s"day ${r.getLong(0)}: cumsum broken")
+      assert(r.getLong(1) <= cum, "more actives than users seen to date")
+      cum
+    }
+  }
+
+  test("q159 sweep: two-phase day-blocked concurrency equals the global window") {
+    val s = spark
+    import s.implicits._
+    val rows = Registry.byName("q159_concurrency_sweep").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // direct global-window recomputation (test-only collect is fine)
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables.events(spark, sf)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("ns",
+        when(col("prev_ts").isNull || col("ts") - col("prev_ts") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    val pts = sess.flatMap { case (st, en) => Seq((st, 1L), (en, -1L)) }
+      .sortBy { case (t, delta) => (t, -delta) }
+    var c = 0L
+    val dayMax = scala.collection.mutable.Map.empty[Long, Long]
+    pts.foreach { case (t, delta) =>
+      c += delta
+      val day = Math.floorDiv(t, dayNs)
+      dayMax(day) = math.max(dayMax.getOrElse(day, Long.MinValue), c)
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == dayMax.toMap, "two-phase sweep diverges from the global sweep")
+  }
+
+  test("q161 A/B: one exchange, arms partition the users, decision matches z") {
+    val df = Registry.byName("q161_ab_test").q(spark, sf)
+    val r = df.collect().head
+    val users = Tables.events(spark, sf).select(col("user_id")).distinct().count()
+    assert(r.getLong(0) + r.getLong(1) == users, "arms do not partition the users")
+    assert(r.getLong(2) <= r.getLong(0) && r.getLong(3) <= r.getLong(1))
+    val z = r.getDouble(6)
+    assert(!z.isNaN && !z.isInfinite)
+    assert(r.getBoolean(7) == (math.abs(z) >= 1.96))
+    // the corpus must collapse through exactly one user-keyed hash exchange
+    val hashEx = shuffleExchanges(df).filter(_.outputPartitioning match {
+      case _: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => true
+      case _ => false
+    })
+    assert(hashEx.size <= 1, s"q161: expected one user exchange, got ${hashEx.size}")
+  }
 }

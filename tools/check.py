@@ -3,21 +3,27 @@
 each oracle SQL in DuckDB over the same parquet tables and compare exactly
 (column names sorted, row order as produced, exact values).
 
-Usage: python3 tools/check.py [sfdir] [outdir]
+Usage: python3 tools/check.py [sfdir] [outdir] [--only=q1,q2] [--no-verify]
 """
 import json
 import math
 import subprocess
 import sys
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
+OUT = _pos[1] if len(_pos) > 1 else "/tmp/verify_out"
+ONLY = None
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(a[len("--only="):].split(","))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
 def run_verify():
-    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}']
+    extra = " " + ",".join(sorted(ONLY)) if ONLY else ""
+    cmd = ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{extra}']
     env = dict(__import__("os").environ, SPARK_GRAFT_CPUS="8")
     p = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd="/root/repo")
     sys.stdout.write(p.stdout[-3000:])
@@ -45,7 +51,7 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
-    names = sorted(oracles)
+    names = sorted(n for n in oracles if ONLY is None or n in ONLY)
     npass = nfail = 0
     for name in names:
         try:
