@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.Entry
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -574,5 +575,125 @@ object CorpusOps {
              |    round(ln((h + 0.5) / 4294967296.0) / n_chars, 12) AS key
              |  FROM b)
              |SELECT doc_id, n_chars, key FROM u
-             |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin)))
+             |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin)),
+
+    // q155: FUZZY CATALOG MATCH — entity resolution of dirty strings
+    // against a reference catalog by blocked edit distance (the
+    // canonicalization staple: map free-text product/entity mentions back
+    // to the catalog row). The dirty side is fabricated in-query (the
+    // corpus is clean by construction — q111's fixture discipline): each
+    // part's name loses one deterministically-chosen non-leading
+    // character. Match = levenshtein ≤ 1 within a BLOCKING predicate
+    // (equal first character, |Δlen| ≤ 1) that the corruption provably
+    // respects — single-char deletion after position 1 preserves the
+    // first char and shifts length by exactly 1, so the true origin is
+    // always a candidate and recall is 1.0 BY CONSTRUCTION (the suite
+    // asserts it). Scale shape: the catalog is dim-sized → broadcast; the
+    // corpus side streams map-only through the blocked join, and the
+    // per-row candidate set is |catalog ∩ block| — the blocking keys
+    // (first char × length band) are what keep the edit-distance calls
+    // per row bounded when the catalog is itself large (then: shuffle
+    // both sides on the block key instead of broadcasting). Ties resolve
+    // deterministically by (distance, name).
+    Entry(
+      "q155_fuzzy_match",
+      (s, d) => {
+        val catalog = Tables.part(s, d).select(col("p_name").as("cat_name")).distinct()
+        val dirty = Tables.part(s, d)
+          .select(col("p_partkey"), col("p_name"))
+          // delete 1-based position q ∈ [2, len], chosen by seeded md5
+          .withColumn(
+            "q",
+            expr("2 + CAST(conv(substring(md5(concat('fuzz:v1:', " +
+              "CAST(p_partkey AS STRING))), 1, 8), 16, 10) AS BIGINT) " +
+              "% (length(p_name) - 1)"))
+          .select(
+            col("p_partkey"),
+            expr("concat(substring(p_name, 1, CAST(q - 1 AS INT)), " +
+              "substring(p_name, CAST(q + 1 AS INT), length(p_name)))")
+              .as("dirty_name"))
+        val best = dirty
+          .join(
+            broadcast(catalog),
+            expr("substring(dirty_name, 1, 1) = substring(cat_name, 1, 1)") &&
+              abs(length(col("dirty_name")) - length(col("cat_name"))) <= 1 &&
+              levenshtein(col("dirty_name"), col("cat_name")) <= 1)
+          .groupBy(col("p_partkey"), col("dirty_name"))
+          .agg(min(struct(
+            levenshtein(col("dirty_name"), col("cat_name")).as("lev"),
+            col("cat_name"))).as("b"))
+        best
+          .select(
+            col("p_partkey"), col("dirty_name"),
+            col("b.cat_name").as("match_name"),
+            col("b.lev").cast("long").as("lev"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""WITH cat AS (SELECT DISTINCT p_name AS cat_name FROM part),
+             |dirty AS (SELECT p_partkey,
+             |    2 + CAST(('0x' || substr(md5('fuzz:v1:' || p_partkey::VARCHAR),
+             |      1, 8)) AS BIGINT) % (length(p_name) - 1) AS q,
+             |    p_name FROM part),
+             |dn AS (SELECT p_partkey,
+             |    substr(p_name, 1, CAST(q - 1 AS INT))
+             |      || substr(p_name, CAST(q + 1 AS INT), length(p_name))
+             |      AS dirty_name
+             |  FROM dirty),
+             |c AS (SELECT d.p_partkey, d.dirty_name, cat.cat_name,
+             |    levenshtein(d.dirty_name, cat.cat_name) AS lev
+             |  FROM dn d JOIN cat
+             |    ON substr(d.dirty_name, 1, 1) = substr(cat.cat_name, 1, 1)
+             |    AND abs(length(d.dirty_name) - length(cat.cat_name)) <= 1
+             |  WHERE levenshtein(d.dirty_name, cat.cat_name) <= 1),
+             |b AS (SELECT p_partkey, dirty_name,
+             |    min({'lev': lev, 'cat_name': cat_name}) AS b FROM c GROUP BY 1, 2)
+             |SELECT p_partkey, dirty_name, b.cat_name AS match_name,
+             |  CAST(b.lev AS BIGINT) AS lev
+             |FROM b ORDER BY p_partkey""".stripMargin)),
+
+    // q158: PARETO FRONTIER (skyline) — the documents no other document
+    // dominates on (maximize distinct-token score, minimize token count):
+    // the data-selection question "which docs are the best quality for
+    // their length budget" answered exactly, without the O(n²) dominance
+    // join. Construction: group docs by token count (the minimized axis),
+    // keep each group's max score, and take the groups whose max STRICTLY
+    // exceeds the running max over all smaller token counts — a doc
+    // survives iff it ties its group max and beats every cheaper group.
+    // Provably equal to the NOT-EXISTS dominance spec (the oracle IS that
+    // spec, not a plan mirror — the two forms agreeing is the test). The
+    // only unpartitioned window runs over the DISTINCT-token-count table
+    // (bounded by max doc length, not corpus size); everything else is
+    // one group-by exchange and a semi-join back to the docs.
+    Entry(
+      "q158_pareto_frontier",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("score"))
+        val groups = scored.groupBy(col("n_tokens")).agg(max(col("score")).as("smax"))
+        val wp = Window.orderBy(col("n_tokens"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val frontier = groups
+          .withColumn("prev", max(col("smax")).over(wp))
+          .filter(col("prev").isNull || col("smax") > col("prev"))
+          .select(col("n_tokens"), col("smax"))
+        scored
+          .join(frontier,
+            scored("n_tokens") === frontier("n_tokens")
+              && scored("score") === frontier("smax"),
+            "left_semi")
+          .orderBy(col("n_tokens"), col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS score
+             |  FROM documents)
+             |SELECT doc_id, n_tokens, score FROM d
+             |WHERE NOT EXISTS (SELECT 1 FROM d e
+             |  WHERE e.n_tokens <= d.n_tokens AND e.score >= d.score
+             |    AND (e.n_tokens < d.n_tokens OR e.score > d.score))
+             |ORDER BY n_tokens, doc_id""".stripMargin)))
 }

@@ -1696,6 +1696,85 @@ object Dedup {
              |  WHERE r.hops < 4),
              |m AS (SELECT node, min(hops) AS hops FROM r GROUP BY node)
              |SELECT CAST(hops AS BIGINT) AS hops, count(*) AS n_nodes
-             |FROM m GROUP BY hops ORDER BY hops""".stripMargin))
+             |FROM m GROUP BY hops ORDER BY hops""".stripMargin)),
+
+    // q160: PAGERANK over the embedding near-dup graph — which vectors sit
+    // at the CENTER of duplication mass (the canonical-representative /
+    // influence question a curation pipeline asks of its duplicate graph:
+    // the highest-rank member of a clique is the natural keeper). Fixed
+    // 5-iteration power method in INTEGER fixed-point: ranks live in
+    // picos (1e-12 units), each edge contribution is (17·r) div (20·deg)
+    // — exactly floor(0.85·r/deg) in integer arithmetic — and the damping
+    // base is 0.15e12 div N. Every quantity is an exact long (17·r ≤
+    // 17e12 ≪ 2^63), addition is order-free, so five rounds are
+    // bit-reproducible on any engine/partitioning — no float convergence
+    // noise, which is what makes an ORACLE possible at all. Dangling
+    // vectors emit no mass (documented drop — ranking is unaffected).
+    // Scale shape: the edge table is q39's grid-blocked theta-join (no
+    // CartesianProduct), localCheckpointed ONCE with degrees attached, so
+    // each of the 5 rounds is one rank-keyed join + one dst-keyed
+    // aggregate over in-memory edges — the q87 per-round materialization
+    // idiom; top-20 via TakeOrderedAndProject, never a global sort.
+    Entry(
+      "q160_pagerank",
+      (s, d) => {
+        val edges = embeddingNeardup(s, d).select(col("a_id"), col("b_id"))
+        val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+        val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val edgeDeg = sym.join(deg, Seq("src")).localCheckpoint()
+        val nodes = Tables.embeddings(s, d).select(col("vec_id").as("node"))
+        val nTotal = nodes.agg(count(lit(1)).as("n_total"))
+        var ranks = nodes.crossJoin(broadcast(nTotal))
+          .select(col("node"), expr("1000000000000 div n_total").as("r"), col("n_total"))
+          .localCheckpoint()
+        for (_ <- 1 to 5) {
+          val contrib = ranks
+            .join(edgeDeg, ranks("node") === edgeDeg("src"))
+            .select(col("dst"), expr("(17 * r) div (20 * deg)").as("m"))
+            .groupBy(col("dst"))
+            .agg(sum(col("m")).as("m"))
+          ranks = nodes.crossJoin(broadcast(nTotal))
+            .join(contrib, nodes("node") === contrib("dst"), "left_outer")
+            .select(
+              col("node"),
+              (expr("150000000000 div n_total") + coalesce(col("m"), lit(0L))).as("r"),
+              col("n_total"))
+            .localCheckpoint()
+        }
+        ranks
+          .select(col("node").as("vec_id"), col("r").as("rank_picos"))
+          .orderBy(col("rank_picos").desc, col("vec_id"))
+          .limit(20)
+      },
+      // the oracle unrolls the same 5 integer-exact iterations (DuckDB //
+      // and Spark div agree on positive longs); generated per-k so both
+      // engines share one iteration-count constant
+      Some {
+        val iters = (1 to 5).map { k =>
+          s"""c$k AS (SELECT e.vec_id AS node,
+             |    150000000000 // nn.n + coalesce(s$k.m, 0) AS r
+             |  FROM e CROSS JOIN nn LEFT JOIN (
+             |    SELECT edd.dst AS node, sum((17 * c${k - 1}.r) // (20 * edd.deg)) AS m
+             |    FROM c${k - 1} JOIN edd ON c${k - 1}.node = edd.src
+             |    GROUP BY edd.dst) s$k
+             |    ON e.vec_id = s$k.node)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           |  FROM embeddings),
+           |p AS (SELECT a.vec_id AS a, b.vec_id AS b
+           |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+           |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+           |ed AS (SELECT a AS src, b AS dst FROM p
+           |  UNION ALL SELECT b AS src, a AS dst FROM p),
+           |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+           |edd AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+           |nn AS (SELECT count(*) AS n FROM e),
+           |c0 AS (SELECT vec_id AS node, 1000000000000 // nn.n AS r
+           |  FROM e CROSS JOIN nn),
+           |$iters
+           |SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_picos FROM c5
+           |ORDER BY rank_picos DESC, vec_id LIMIT 20""".stripMargin
+      })
   )
 }

@@ -211,4 +211,49 @@ class CorpusOpsSuite extends SparkTestBase {
     assert(physical.contains("TakeOrderedAndProject"),
       s"q154 sorts the corpus:\n$physical")
   }
+
+  test("q155 fuzzy match: blocking recall is 1.0 and the catalog broadcasts") {
+    import org.apache.spark.sql.functions.col
+    val df = Registry.byName("q155_fuzzy_match").q(spark, sf)
+    val rows = df.collect()
+    val parts = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == parts.size, "a corrupted row found no candidate")
+    rows.foreach { r =>
+      val (key, dirty, matched, lev) =
+        (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))
+      // single-char deletion ⇒ the true origin is always the best match
+      assert(matched == parts(key),
+        s"part $key: '$dirty' matched '$matched', origin '${parts(key)}'")
+      assert(lev == 1L, s"part $key: expected distance 1, got $lev")
+      assert(dirty.length == parts(key).length - 1)
+      assert(dirty.head == parts(key).head, "corruption touched the blocking char")
+    }
+    // the catalog side must broadcast — a shuffled join here would exchange
+    // the corpus on a blocking key instead of streaming it map-side
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin") ||
+      physical.contains("BroadcastNestedLoopJoin"),
+      s"q155 does not broadcast the catalog:\n$physical")
+  }
+
+  test("q158 pareto frontier equals the brute-force dominance spec") {
+    import org.apache.spark.sql.functions.{array_distinct, col, size, split}
+    val scored = Tables.documents(spark, sf)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = scored.filter { case (_, n, sc) =>
+      !scored.exists { case (_, n2, s2) =>
+        n2 <= n && s2 >= sc && (n2 < n || s2 > sc)
+      }
+    }.map(t => (t._1, t._2, t._3)).toSet
+    val got = Registry.byName("q158_pareto_frontier").q(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, "two-phase skyline diverges from the dominance spec")
+    assert(got.nonEmpty)
+  }
 }

@@ -620,4 +620,31 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(hops == hops.distinct.sorted && hops.forall(h => h >= 0 && h <= 4),
       s"broken hop levels: $hops")
   }
+
+  test("q160 pagerank: distributed fixed-point equals an in-memory replay") {
+    import org.apache.spark.sql.functions._
+    val edges = graft.operators.Dedup.embeddingNeardup(spark, sf)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.embeddings(spark, sf)
+      .select(col("vec_id")).collect().map(_.getLong(0)).sorted
+    val n = nodes.length.toLong
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    var r = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to 5) {
+      val contrib = sym
+        .groupBy(_._2)
+        .map { case (dst, es) =>
+          dst -> es.map { case (src, _) => (17L * r(src)) / (20L * deg(src)) }.sum
+        }
+      r = nodes.map(v => v -> (150000000000L / n + contrib.getOrElse(v, 0L))).toMap
+    }
+    val expected = r.toSeq.sortBy { case (v, rk) => (-rk, v) }.take(20)
+    val got = rows("q160_pagerank").map(x => (x.getLong(0), x.getLong(1))).toSeq
+    assert(got == expected, "integer fixed-point replay diverges")
+    // mass sanity: rank concentrates on connected nodes — the top node must
+    // beat the isolated-node fixed point (base-only rank)
+    assert(expected.head._2 > 150000000000L / n)
+  }
 }
