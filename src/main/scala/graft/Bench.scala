@@ -108,7 +108,17 @@ object Bench {
     // integer-exact 3-sigma anomaly flags + reproducible weighted sampling
     // (round 13, standing from birth)
     "q153_anomaly_3sigma",
-    "q154_weighted_sample")
+    "q154_weighted_sample",
+    // behavioral-analytics + matching + graph cohort (round 13, standing
+    // from birth). Subtract these seven when comparing secondary_total
+    // against earlier r13 artifacts.
+    "q155_fuzzy_match",
+    "q156_transition_matrix",
+    "q157_cumulative_unique",
+    "q158_pareto_frontier",
+    "q159_concurrency_sweep",
+    "q160_pagerank",
+    "q161_ab_test")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
