@@ -118,7 +118,12 @@ object Bench {
     "q158_pareto_frontier",
     "q159_concurrency_sweep",
     "q160_pagerank",
-    "q161_ab_test")
+    "q161_ab_test",
+    // LM-familiarity filter + EWMA smoothing (round 13, standing from
+    // birth). Subtract these two when comparing secondary_total against
+    // earlier r13 artifacts.
+    "q162_lm_familiarity",
+    "q163_ewma_smooth")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

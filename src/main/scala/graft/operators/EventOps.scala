@@ -921,6 +921,88 @@ object EventOps {
              |  FROM p),
              |z AS (SELECT *, (p_a - p_b) / se AS z FROM s)
              |SELECT n_a, n_b, x_a, x_b, p_a, p_b, z,
-             |  abs(z) >= 1.96 AS significant FROM z""".stripMargin))
+             |  abs(z) >= 1.96 AS significant FROM z""".stripMargin)),
+
+    // q163: EWMA SMOOTHING — exponentially-weighted moving average of
+    // hourly revenue per event_type over an 11-bucket calendar window with
+    // α = 1/2, the monitoring/forecasting staple ("smoothed current rate").
+    // INTEGER-EXACT by construction: weights are powers of two
+    // (2^10, 2^9, …, 2^0 for lags 0..10), so the numerator is an exact
+    // long Σ cents_{t-k}·2^(10−k) and the denominator the matching weight
+    // sum over buckets inside the series span — the ONLY float op is the
+    // final num/den division of exact longs (q150 discipline, identical
+    // bits cross-engine). The geometric tail beyond 10 hours carries
+    // < 0.1% of the mass, the price of a recursion-free, purely windowed
+    // form (true infinite-tail EWMA is a sequential recurrence — the one
+    // shape a distributed engine should refuse). Calendar correctness via
+    // the q148 spine: empty hours enter as explicit zero rows (sequence()
+    // over the per-series bounds — spine size is series × span-hours,
+    // independent of event count), so a quiet hour DECAYS the average
+    // instead of being skipped. The lag window partitions per series over
+    // that bounded spine; the corpus-sized stage is the one hourly-rollup
+    // exchange (map-side partial, integer cents).
+    Entry(
+      "q163_ewma_smooth",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(
+            col("event_type"),
+            expr("ts div " + HourNs).as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val observed = ev.groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val spine = ev.groupBy(col("event_type"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        val filled = spine
+          .join(observed, Seq("event_type", "hr"), "left_outer")
+          .select(
+            col("event_type"), col("hr"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("cents"), lit(0L)).as("cents"),
+            lit(1L).as("one"))
+        val (num, den) = (0 to 10).map { k =>
+          val wt = 1L << (10 - k)
+          (coalesce(lag(col("cents"), k).over(w), lit(0L)) * wt,
+            coalesce(lag(col("one"), k).over(w), lit(0L)) * wt)
+        }.reduce[(Column, Column)] { case ((a, b), (c, e)) => (a + c, b + e) }
+        filled
+          .select(
+            col("event_type"), col("hr"), col("n"),
+            (col("cents") / 100.0).as("sum_value"),
+            num.as("ewma_num"), den.as("ewma_den"))
+          .withColumn(
+            "ewma",
+            col("ewma_num").cast("double") / col("ewma_den").cast("double") / 100.0)
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some {
+        val num = (0 to 10)
+          .map(k => s"coalesce(lag(cents, $k) OVER w, 0) * ${1L << (10 - k)}")
+          .mkString(" + ")
+        val den = (0 to 10)
+          .map(k => s"coalesce(lag(one, $k) OVER w, 0) * ${1L << (10 - k)}")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT event_type,
+           |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+           |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+           |o AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1, 2),
+           |b AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+           |  FROM e GROUP BY 1),
+           |sp AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM b),
+           |f AS (SELECT sp.event_type, sp.hr,
+           |    coalesce(o.n, 0) AS n, coalesce(o.cents, 0) AS cents,
+           |    CAST(1 AS BIGINT) AS one
+           |  FROM sp LEFT JOIN o ON sp.event_type = o.event_type AND sp.hr = o.hr),
+           |g AS (SELECT event_type, hr, n, CAST(cents / 100.0 AS DOUBLE) AS sum_value,
+           |    CAST($num AS BIGINT) AS ewma_num,
+           |    CAST($den AS BIGINT) AS ewma_den
+           |  FROM f WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+           |SELECT event_type, hr, n, sum_value, ewma_num, ewma_den,
+           |  CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) / 100.0 AS ewma
+           |FROM g ORDER BY event_type, hr""".stripMargin
+      })
   )
 }

@@ -1476,6 +1476,76 @@ object TextOps {
              |      ORDER BY rrf_micros DESC, doc_id) AS BIGINT) AS rank
              |  FROM f)
              |SELECT q_id, rank, doc_id, rrf_micros
-             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin))
+             |FROM r WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+
+    // q162: LM-FAMILIARITY QUALITY FILTER — the CCNet/KenLM perplexity
+    // filter re-expressed in the COUNT domain so the oracle match is
+    // exact: a document's familiarity is the mean corpus frequency of its
+    // bigrams, and it is "familiar" when that mean is at or above the
+    // corpus-wide mean bigram frequency (total bigram tokens / distinct
+    // bigram types). Low familiarity ≈ high perplexity (garbage/OCR
+    // noise); far-above-mean familiarity flags boilerplate — the same
+    // decision boundary KenLM filtering draws, without a float log-prob
+    // whose libm bits could differ cross-engine. Plan shape (the q95
+    // discipline): ONE bigram-keyed exchange builds the corpus model
+    // (vocab-bounded output); the doc-bigram table shuffle-joins it on
+    // the same key (AQE broadcasts the model when it fits — at 100 TB a
+    // web-scale bigram vocab is ~10^9 rows, so the join stays co-located
+    // on the model agg's own partitioning); the corpus constants are a
+    // 1-row broadcast agg OVER THE MODEL (vocab-sized input, never a
+    // corpus re-scan). The two threshold sides are IEEE divisions of
+    // exact longs (q150 discipline — identical bits in both engines; a
+    // cross-multiplied integer compare would overflow 2^63 at corpus
+    // scale: sum_cnt ~1e12 × n_distinct ~1e9). Docs with <2 tokens have
+    // no bigrams; the left join keeps them as unfamiliar with zero
+    // counts (null-safe by construction).
+    Entry(
+      "q162_lm_familiarity",
+      (s, d) => {
+        val docBg = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("t"))
+          .select(col("doc_id"),
+            explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
+              "slice(t, 2, size(t) - 1), (a, b) -> concat(a, ' ', b))")).as("bg"))
+        val model = docBg.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+        val totals = model.agg(
+          sum(col("cnt")).as("n_total"),
+          count(lit(1)).as("n_distinct"))
+        val perDoc = docBg
+          .join(model, Seq("bg"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bg"), sum(col("cnt")).as("sum_cnt"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"))
+          .join(perDoc, Seq("doc_id"), "left_outer")
+          .crossJoin(broadcast(totals))
+          .select(
+            col("doc_id"), col("lang"),
+            coalesce(col("n_bg"), lit(0L)).as("n_bg"),
+            coalesce(col("sum_cnt"), lit(0L)).as("sum_cnt"),
+            (col("n_bg").isNotNull &&
+              col("sum_cnt").cast("double") / col("n_bg").cast("double") >=
+                col("n_total").cast("double") / col("n_distinct").cast("double"))
+              .as("familiar"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |db AS (SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |    i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t),
+             |m AS (SELECT bg, count(*) AS cnt FROM db GROUP BY 1),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+             |    CAST(count(*) AS BIGINT) AS n_distinct FROM m),
+             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+             |    CAST(sum(m.cnt) AS BIGINT) AS sum_cnt
+             |  FROM db JOIN m USING (bg) GROUP BY 1)
+             |SELECT d.doc_id, d.lang,
+             |  coalesce(pd.n_bg, 0) AS n_bg,
+             |  coalesce(pd.sum_cnt, 0) AS sum_cnt,
+             |  (pd.n_bg IS NOT NULL AND
+             |    CAST(pd.sum_cnt AS DOUBLE) / CAST(pd.n_bg AS DOUBLE) >=
+             |    CAST(tot.n_total AS DOUBLE) / CAST(tot.n_distinct AS DOUBLE))
+             |    AS familiar
+             |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN tot
+             |ORDER BY d.doc_id""".stripMargin))
   )
 }

@@ -262,4 +262,27 @@ class EventOpsSuite extends SparkTestBase {
     })
     assert(hashEx.size <= 1, s"q161: expected one user exchange, got ${hashEx.size}")
   }
+
+  test("q163 EWMA: dense spine, power-of-two weights match direct recompute") {
+    val rows = Registry.byName("q163_ewma_smooth").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_.getString(0))
+    byType.foreach { case (tp, rs) =>
+      val hrs = rs.map(_.getLong(1))
+      // calendar-dense: consecutive hours from the series min to max
+      assert(hrs.zip(hrs.drop(1)).forall { case (a, b) => b == a + 1 },
+        s"$tp: spine has gaps")
+      val cents = rs.map(r => math.round(r.getDouble(3) * 100))
+      rs.zipWithIndex.foreach { case (r, t) =>
+        val ks = (0 to 10).filter(k => t - k >= 0)
+        val num = ks.map(k => cents(t - k) * (1L << (10 - k))).sum
+        val den = ks.map(k => 1L << (10 - k)).sum
+        assert(r.getLong(4) == num, s"$tp hr=${hrs(t)}: ewma_num mismatch")
+        assert(r.getLong(5) == den, s"$tp hr=${hrs(t)}: ewma_den mismatch")
+        assert(r.getDouble(6) == num.toDouble / den.toDouble / 100.0,
+          s"$tp hr=${hrs(t)}: ewma division mismatch")
+        if (t >= 10) assert(den == 2047L)
+      }
+    }
+  }
 }

@@ -167,4 +167,29 @@ class TextOpsSuite extends SparkTestBase {
     assert(!physical.contains("Scan parquet"),
       s"q146 re-plans the scoring scaffold past its checkpoint:\n$physical")
   }
+
+  test("q162 familiarity: counts tie to tokenization, flag matches threshold") {
+    val rows = Registry.byName("q162_lm_familiarity").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // direct recompute of the corpus bigram model (test-only collect)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val bigrams = docs.values.flatMap(t => t.zip(t.drop(1))).toSeq
+    val model = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val thresh = bigrams.size.toDouble / model.size.toDouble
+    rows.foreach { r =>
+      val (id, nBg, sumCnt) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val toks = docs(id)
+      assert(nBg == math.max(toks.size - 1, 0), s"doc $id: n_bg != tokens-1")
+      val expSum = toks.zip(toks.drop(1)).map(model).sum
+      assert(sumCnt == expSum, s"doc $id: sum_cnt mismatch")
+      val expFam = nBg > 0 && sumCnt.toDouble / nBg.toDouble >= thresh
+      assert(r.getBoolean(4) == expFam, s"doc $id: familiar flag mismatch")
+    }
+    // both classes populated on the fixture — the threshold separates, it
+    // doesn't degenerate to all-true/all-false
+    val fam = rows.count(_.getBoolean(4))
+    assert(fam > 0 && fam < rows.length, s"degenerate familiar split: $fam/${rows.length}")
+  }
 }
