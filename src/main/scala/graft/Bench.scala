@@ -123,7 +123,12 @@ object Bench {
     // birth). Subtract these two when comparing secondary_total against
     // earlier r13 artifacts.
     "q162_lm_familiarity",
-    "q163_ewma_smooth")
+    "q163_ewma_smooth",
+    // key-skew profiler + last-touch attribution (round 13, standing from
+    // birth). Subtract these two when comparing secondary_total against
+    // earlier r13 artifacts.
+    "q164_key_skew_profile",
+    "q165_attribution")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1003,6 +1003,131 @@ object EventOps {
            |SELECT event_type, hr, n, sum_value, ewma_num, ewma_den,
            |  CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) / 100.0 AS ewma
            |FROM g ORDER BY event_type, hr""".stripMargin
-      })
+      }),
+
+    // q164: SHUFFLE-KEY SKEW PROFILE — the pre-flight diagnostic every
+    // salting decision in this repo (q64/q80/q89/q156) starts from: per-key
+    // row counts for a prospective shuffle key (user_id), the top-10 heavy
+    // hitters with their corpus share, and the max/mean skew ratio. At
+    // 100 TB this is what tells you BEFORE the join whether AQE skew
+    // handling will be enough or the plan needs explicit salt. Shape: the
+    // corpus collapses through ONE key-keyed count exchange (map-side
+    // partial — the profile costs one aggregation pass regardless of
+    // corpus size); the global stats are a 1-row agg OVER the per-key
+    // table (key-cardinality-sized, not corpus-sized) broadcast back; the
+    // top-10 is TakeOrderedAndProject (never a global sort). share_ppm is
+    // exact integer arithmetic (cnt·10⁶ div total — no overflow below
+    // 2^63/10⁶ ≈ 9·10¹² rows per key); the skew ratio is the one IEEE
+    // float, computed left-to-right identically cross-engine from exact
+    // longs (a cross-multiplied integer form would overflow at corpus
+    // key-cardinalities).
+    Entry(
+      "q164_key_skew_profile",
+      (s, d) => {
+        val perKey = Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("cnt"))
+        val stats = perKey.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total"),
+          max(col("cnt")).as("max_cnt"))
+        perKey
+          .crossJoin(broadcast(stats))
+          .select(
+            col("user_id"), col("cnt"),
+            expr("cnt * 1000000L div total").as("share_ppm"),
+            col("n_keys"),
+            (col("max_cnt").cast("double") * col("n_keys") / col("total"))
+              .as("skew"))
+          .orderBy(col("cnt").desc, col("user_id"))
+          .limit(10)
+      },
+      Some("""WITH k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1),
+             |st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             |    CAST(sum(cnt) AS BIGINT) AS total,
+             |    CAST(max(cnt) AS BIGINT) AS max_cnt FROM k)
+             |SELECT user_id, cnt, cnt * 1000000 // total AS share_ppm, n_keys,
+             |  CAST(max_cnt AS DOUBLE) * n_keys / total AS skew
+             |FROM k CROSS JOIN st
+             |ORDER BY cnt DESC, user_id LIMIT 10""".stripMargin)),
+
+    // q165: LAST-TOUCH ATTRIBUTION — each purchase credited to the user's
+    // most recent preceding marketing event (click/view) when it landed
+    // within a 7-day window, else 'none'; conversions and total
+    // click-to-buy latency per channel (the marketing-analytics staple,
+    // and the same point-in-time-correctness shape as a feature-store
+    // lookup). HOT-KEY-SAFE by the asofSalted discipline — never a global
+    // per-user window: phase 1 carries the running last-marketing
+    // struct(ts, event_id, type) within (user, day-block) partitions;
+    // phase 2 prefix-scans per-(user, block) last-marketing SUMMARIES
+    // over strictly earlier blocks (tiny table — O(populated blocks))
+    // and joins back on (user, block); a purchase's answer is
+    // greatest(in-block, prior) — suite-proven equal to the direct
+    // global-window form. "Preceding" is strict (ts, event_id) order, so
+    // ties at one timestamp resolve identically cross-engine. Irrelevant
+    // event types are filtered BEFORE the exchange (pushdown-friendly —
+    // at 100 TB the shuffle carries only marketing+conversion rows).
+    // Latency is exact integer minutes; the final rollup is a ≤3-row
+    // aggregate.
+    Entry(
+      "q165_attribution",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .filter(col("event_type").isin("click", "view", "purchase"))
+          .select(
+            col("user_id"), col("ts"), col("event_id"), col("event_type"),
+            (col("event_type") =!= "purchase").as("mkt"))
+          .withColumn("blk", expr(s"ts div $DayNs"))
+        val w1 = Window.partitionBy(col("user_id"), col("blk"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBlock = ev
+          .withColumn(
+            "blk_last",
+            max(when(col("mkt"),
+              struct(col("ts"), col("event_id"), col("event_type")))).over(w1))
+          .filter(!col("mkt"))
+        val sums = ev.groupBy(col("user_id"), col("blk"))
+          .agg(max(when(col("mkt"),
+            struct(col("ts"), col("event_id"), col("event_type")))).as("b_last"))
+        val w2 = Window.partitionBy(col("user_id")).orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prior = sums
+          .withColumn("prior_last", max(col("b_last")).over(w2))
+          .select(col("user_id"), col("blk"), col("prior_last"))
+        val winNs = 7L * DayNs
+        inBlock.join(prior, Seq("user_id", "blk"))
+          .withColumn("lt", greatest(col("blk_last"), col("prior_last")))
+          .withColumn(
+            "channel",
+            when(col("lt").isNull || col("ts") - col("lt.ts") > winNs, "none")
+              .otherwise(col("lt.event_type")))
+          .groupBy(col("channel"))
+          .agg(
+            count(lit(1)).as("n_conv"),
+            sum(when(col("channel") =!= "none",
+              expr("(ts - lt.ts) div 60000000000"))
+              .otherwise(lit(0L))).as("latency_min"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+             |    event_type <> 'purchase' AS mkt
+             |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+             |t AS (SELECT *,
+             |    max(CASE WHEN mkt THEN {'us': us, 'event_id': event_id,
+             |      'tp': event_type} END) OVER (PARTITION BY user_id
+             |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS lt
+             |  FROM e),
+             |p AS (SELECT us, lt FROM t WHERE NOT mkt),
+             |c AS (SELECT CASE WHEN lt IS NULL
+             |      OR us - lt.us > 7 * 86400000000 THEN 'none'
+             |      ELSE lt.tp END AS channel,
+             |    CASE WHEN lt IS NOT NULL AND us - lt.us <= 7 * 86400000000
+             |      THEN (us - lt.us) // 60000000 ELSE 0 END AS lat_min
+             |  FROM p)
+             |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
+             |  CAST(sum(lat_min) AS BIGINT) AS latency_min
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -285,4 +285,55 @@ class EventOpsSuite extends SparkTestBase {
       }
     }
   }
+
+  test("q164 skew profile: exact top-10 counts, one corpus exchange, no global sort") {
+    val df = Registry.byName("q164_key_skew_profile").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 10)
+    val direct = Tables.events(spark, sf).select(col("user_id")).collect()
+      .groupBy(_.getLong(0)).map { case (k, v) => k -> v.length.toLong }
+    val top = direct.toSeq.sortBy { case (k, c) => (-c, k) }.take(10)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == top,
+      "top-10 heavy hitters diverge from the direct count")
+    val total = direct.values.sum
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / total, "share_ppm broken")
+      assert(r.getLong(3) == direct.size.toLong)
+      assert(r.getDouble(4) ==
+        direct.values.max.toDouble * direct.size / total, "skew ratio broken")
+    }
+    // one corpus-sized key exchange; the top-10 must be TakeOrderedAndProject
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      s"q164 plans a global sort instead of top-K:\n$physical")
+  }
+
+  test("q165 attribution: blocked two-phase equals the direct per-user scan") {
+    val rows = Registry.byName("q165_attribution").q(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val winNs = 7L * 24 * 3600 * 1000 * 1000 * 1000
+    val credited = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      var last: Option[(Long, Long, String)] = None
+      sorted.flatMap { case (_, ts, id, tp) =>
+        if (tp != "purchase") { last = Some((ts, id, tp)); None }
+        else last match {
+          case Some((lts, _, ltp)) if ts - lts <= winNs =>
+            Some((ltp, (ts - lts) / 60000000000L))
+          case _ => Some(("none", 0L))
+        }
+      }
+    }
+    val exp = credited.groupBy(_._1).map { case (ch, v) =>
+      ch -> (v.size.toLong, v.map(_._2).sum)
+    }
+    val got = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == exp, s"attribution diverges: got $got expected $exp")
+    // conversions partition: every purchase credited exactly once
+    val purchases = ev.count(_._4 == "purchase").toLong
+    assert(rows.map(_.getLong(1)).sum == purchases)
+  }
 }
