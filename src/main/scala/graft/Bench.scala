@@ -128,7 +128,12 @@ object Bench {
     // birth). Subtract these two when comparing secondary_total against
     // earlier r13 artifacts.
     "q164_key_skew_profile",
-    "q165_attribution")
+    "q165_attribution",
+    // posting-gap encoding + epoch shuffle (round 13, standing from
+    // birth). Subtract these two when comparing secondary_total against
+    // earlier r13 artifacts.
+    "q166_posting_gaps",
+    "q167_epoch_shuffle")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

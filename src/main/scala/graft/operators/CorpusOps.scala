@@ -695,5 +695,55 @@ object CorpusOps {
              |WHERE NOT EXISTS (SELECT 1 FROM d e
              |  WHERE e.n_tokens <= d.n_tokens AND e.score >= d.score
              |    AND (e.n_tokens < d.n_tokens OR e.score > d.score))
-             |ORDER BY n_tokens, doc_id""".stripMargin)))
+             |ORDER BY n_tokens, doc_id""".stripMargin)),
+
+    // q167: REPRODUCIBLE EPOCH SHUFFLE — the pretraining data-ORDER
+    // primitive: assign every doc a shard (of 8) and a position within its
+    // shard, as a deterministic pseudorandom permutation derived from the
+    // seeded md5 hash (the q112/q154 determinism trick: same corpus + seed
+    // ⇒ the same training order on any engine, partitioning, or day —
+    // what makes a loss-curve blip attributable to data, not scheduling).
+    // The within-shard position is the SCALE point: a naive row_number
+    // per shard is a corpus/8-sized single window — the q96 two-phase
+    // prefix discipline applies PER SHARD instead: within-(shard,
+    // hash-block) row_numbers (256 blocks — bounded partitions), plus
+    // per-shard block-offset prefixes over the 8×256-row block-count
+    // table; position = block offset + within-block rank. Suite-proven
+    // equal to the direct per-shard window. Ties in the 32-bit hash
+    // break by doc_id — total order is deterministic by construction.
+    Entry(
+      "q167_epoch_shuffle",
+      (s, d) => {
+        val keyed = Tables.documents(s, d)
+          .select(col("doc_id"))
+          .withColumn("h",
+            conv(substring(md5(concat(lit("shuffle:v1:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long"))
+          .withColumn("shard", pmod(col("h"), lit(8L)).cast("long"))
+          .withColumn("blk", expr("h div 16777216"))
+        val offsets = keyed.groupBy(col("shard"), col("blk"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn(
+            "off",
+            coalesce(
+              sum(col("c")).over(Window.partitionBy(col("shard")).orderBy(col("blk"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select(col("shard"), col("blk"), col("off"))
+        val wIn = Window.partitionBy(col("shard"), col("blk"))
+          .orderBy(col("h"), col("doc_id"))
+        keyed
+          .withColumn("rn", row_number().over(wIn).cast("long"))
+          .join(offsets, Seq("shard", "blk"))
+          .select(col("doc_id"), col("shard"), (col("off") + col("rn")).as("pos"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5('shuffle:v1:' || doc_id::VARCHAR), 1, 8))
+             |      AS BIGINT) AS h
+             |  FROM documents)
+             |SELECT doc_id, h % 8 AS shard,
+             |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+             |    AS BIGINT) AS pos
+             |FROM k ORDER BY shard, pos""".stripMargin)))
 }

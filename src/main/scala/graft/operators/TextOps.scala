@@ -1546,6 +1546,67 @@ object TextOps {
              |    CAST(tot.n_total AS DOUBLE) / CAST(tot.n_distinct AS DOUBLE))
              |    AS familiar
              |FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN tot
-             |ORDER BY d.doc_id""".stripMargin))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // q166: POSTING-LIST GAP ENCODING — the inverted-index storage
+    // estimator (Lucene/Elasticsearch posting compression): per term, the
+    // sorted doc_id posting list delta-encoded (first id stored as id+1,
+    // then gaps) with exact VARINT byte accounting — 7-bit groups, so
+    // bytes(x) = 1..5 by power-of-128 thresholds — vs the fixed 8-byte
+    // naive layout; the compression ratio is what decides whether an
+    // index tier fits in RAM. All-integer: gaps, thresholds, byte sums
+    // are exact longs; the ratio is one IEEE division of exact longs.
+    // Plan: one (term, doc_id)-distinct exchange over the exploded
+    // corpus, then a term-keyed lag window — per-TERM partitions
+    // (posting-list-sized, the natural unit: a term's gaps are inherently
+    // sequential), never a corpus-wide sort; per-term aggregate lands on
+    // the same key. Degenerate single-posting terms are kept (one
+    // absolute-id varint, ratio < 1 — honest accounting).
+    Entry(
+      "q166_posting_gaps",
+      (s, d) => {
+        val postings = Tables.documents(s, d)
+          .select(col("doc_id"), explode(toks).as("term"))
+          .distinct()
+        val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+        def varintBytes(x: Column): Column =
+          when(x < 128L, 1L)
+            .when(x < 16384L, 2L)
+            .when(x < 2097152L, 3L)
+            .when(x < 268435456L, 4L)
+            .otherwise(5L)
+        postings
+          .withColumn("gap", col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(-1L)))
+          .groupBy(col("term"))
+          .agg(
+            count(lit(1)).as("n_postings"),
+            max(col("doc_id")).as("max_doc"),
+            sum(varintBytes(col("gap"))).as("varint_bytes"))
+          .withColumn("naive_bytes", col("n_postings") * 8L)
+          .withColumn(
+            "ratio",
+            col("naive_bytes").cast("double") / col("varint_bytes").cast("double"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH p AS (SELECT DISTINCT doc_id, unnest(string_split(text,' ')) AS term
+             |  FROM documents),
+             |g AS (SELECT term, doc_id,
+             |    doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+             |      ORDER BY doc_id), -1) AS gap
+             |  FROM p),
+             |v AS (SELECT term,
+             |    CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+             |      WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+             |      ELSE 5 END AS b, doc_id
+             |  FROM g),
+             |a AS (SELECT term, CAST(count(*) AS BIGINT) AS n_postings,
+             |    CAST(max(doc_id) AS BIGINT) AS max_doc,
+             |    CAST(sum(b) AS BIGINT) AS varint_bytes
+             |  FROM v GROUP BY 1)
+             |SELECT term, n_postings, max_doc, varint_bytes,
+             |  n_postings * 8 AS naive_bytes,
+             |  CAST(n_postings * 8 AS DOUBLE) / CAST(varint_bytes AS DOUBLE)
+             |    AS ratio
+             |FROM a ORDER BY term""".stripMargin))
   )
 }

@@ -256,4 +256,29 @@ class CorpusOpsSuite extends SparkTestBase {
     assert(got == brute, "two-phase skyline diverges from the dominance spec")
     assert(got.nonEmpty)
   }
+
+  test("q167 epoch shuffle: two-phase positions equal the direct per-shard rank") {
+    val rows = Registry.byName("q167_epoch_shuffle").q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong == nDocs, "not a permutation: doc count mismatch")
+    assert(rows.map(_._1).distinct.length == rows.length, "doc appears twice")
+    // every shard's positions are exactly 1..n_shard
+    rows.groupBy(_._2).foreach { case (sh, v) =>
+      assert(v.map(_._3).sorted.toSeq == (1L to v.length.toLong),
+        s"shard $sh: positions not contiguous")
+    }
+    // direct recompute of the permutation from the seeded hash
+    val direct = rows.map { case (id, _, _) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shuffle:v1:$id".getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+      (id, h)
+    }
+    val expected = direct.groupBy { case (_, h) => h % 8 }.toSeq.flatMap { case (sh, v) =>
+      v.sortBy { case (id, h) => (h, id) }.zipWithIndex
+        .map { case ((id, _), i) => (id, sh, i + 1L) }
+    }.toSet
+    assert(rows.toSet == expected, "shuffle order diverges from the seeded hash spec")
+  }
 }

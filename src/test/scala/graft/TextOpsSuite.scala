@@ -192,4 +192,26 @@ class TextOpsSuite extends SparkTestBase {
     val fam = rows.count(_.getBoolean(4))
     assert(fam > 0 && fam < rows.length, s"degenerate familiar split: $fam/${rows.length}")
   }
+
+  test("q166 posting gaps: varint accounting matches a direct encode") {
+    val rows = Registry.byName("q166_posting_gaps").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def varint(x: Long): Long =
+      if (x < 128L) 1L else if (x < 16384L) 2L
+      else if (x < 2097152L) 3L else if (x < 268435456L) 4L else 5L
+    val postings = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).distinct.map(_ -> r.getLong(0)))
+      .groupBy(_._1).map { case (t, v) => t -> v.map(_._2).sorted.toSeq }
+    assert(rows.length == postings.size, "one output row per distinct term")
+    rows.foreach { r =>
+      val ids = postings(r.getString(0))
+      val gaps = (ids.head + 1) +: ids.zip(ids.drop(1)).map { case (a, b) => b - a }
+      assert(r.getLong(1) == ids.size.toLong)
+      assert(r.getLong(2) == ids.last)
+      assert(r.getLong(3) == gaps.map(varint).sum, s"term ${r.getString(0)}: bytes")
+      assert(r.getLong(4) == ids.size.toLong * 8)
+      assert(r.getDouble(5) == (ids.size.toLong * 8).toDouble / gaps.map(varint).sum.toDouble)
+    }
+  }
 }
