@@ -133,7 +133,12 @@ object Bench {
     // birth). Subtract these two when comparing secondary_total against
     // earlier r13 artifacts.
     "q166_posting_gaps",
-    "q167_epoch_shuffle")
+    "q167_epoch_shuffle",
+    // join-explosion diagnostic + novelty curve (round 13, standing from
+    // birth). Subtract these two when comparing secondary_total against
+    // earlier r13 artifacts.
+    "q168_join_explosion",
+    "q169_novelty_curve")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

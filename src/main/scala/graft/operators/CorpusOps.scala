@@ -745,5 +745,73 @@ object CorpusOps {
              |SELECT doc_id, h % 8 AS shard,
              |  CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
              |    AS BIGINT) AS pos
-             |FROM k ORDER BY shard, pos""".stripMargin)))
+             |FROM k ORDER BY shard, pos""".stripMargin)),
+
+    // q169: CORPUS NOVELTY CURVE — how much genuinely NEW content each
+    // slice of the (doc_id-ordered) corpus contributes: a doc's trigram is
+    // novel iff no earlier doc contains it (first-occurrence attribution
+    // = per-gram min(doc_id)), rolled up to 50-doc ingest buckets. This is
+    // the crawl-marginal-value diagnostic — a falling curve says the next
+    // crawl mostly re-collects what the corpus already has (diminishing
+    // returns), the quantified version of the dedup rate a pipeline
+    // watches per ingest batch. ONE corpus-sized exchange: the exploded
+    // per-doc-distinct trigram table keyed (xxhash64(gram), gram) — the
+    // q110 discipline, hash prefix dominating the sort, string kept for
+    // exactness — carries first_doc as an unordered min window (no
+    // join-back, no second explode); the bucket rollup then collapses
+    // through doc-sized aggregates. All integer counts; the novelty
+    // fraction is one IEEE division of exact longs.
+    Entry(
+      "q169_novelty_curve",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val tg = {
+          val toks = split(col("text"), " ")
+          when(
+            size(toks) >= 3,
+            array_distinct(transform(
+              sequence(lit(1), size(toks) - 2),
+              i => concat_ws(" ", slice(toks, i, lit(3))))))
+            .otherwise(array().cast("array<string>"))
+        }
+        val exploded = Tables.documents(s, d)
+          .select(col("doc_id"), explode(tg).as("gram"))
+          .withColumn("gh", xxhash64(col("gram")))
+        val perDoc = exploded
+          .withColumn(
+            "first_doc",
+            min(col("doc_id")).over(Window.partitionBy(col("gh"), col("gram"))))
+          .groupBy(col("doc_id"))
+          .agg(
+            count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+        perDoc
+          .groupBy(expr("doc_id div 50").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_grams")).as("n_grams"),
+            sum(col("n_novel")).as("n_novel"))
+          .withColumn(
+            "novelty",
+            col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |g AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, len(toks) - 1),
+             |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+             |  FROM t WHERE len(toks) >= 3),
+             |f AS (SELECT doc_id, gram,
+             |    min(doc_id) OVER (PARTITION BY gram) AS first_doc FROM g),
+             |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+             |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_novel
+             |  FROM f GROUP BY 1)
+             |SELECT doc_id // 50 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+             |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+             |  CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE)
+             |    AS novelty
+             |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin)))
 }

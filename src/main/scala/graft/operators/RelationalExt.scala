@@ -417,6 +417,52 @@ object RelationalExt {
              |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
              |         WHERE o_custkey = c.c_custkey
              |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
-             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin))
+             |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin)),
+
+    // q168: JOIN-EXPLOSION DIAGNOSTIC — the pre-flight the optimizer (and
+    // the on-call engineer) wants BEFORE running a many-to-many join:
+    // |A ⋈ B| = Σ_k cA(k)·cB(k) computed from the two per-key COUNT
+    // tables, never from the join itself — at 100 TB this turns "will the
+    // customer-order join blow up" into two aggregation passes plus a
+    // key-cardinality-sized join of count tables (each side collapses
+    // map-side; the fact table never meets the other fact table). Output:
+    // the top-5 keys by output contribution (TakeOrderedAndProject —
+    // which keys to salt), each with its exact pair count and ppm share,
+    // plus the total join size and matched-key count broadcast onto every
+    // row. All integer: pair products bounded by cA·cB per key (≪ 2^63
+    // until a single key pairs 9·10¹⁸ rows — at which point the answer
+    // "don't run this join" is already loud).
+    Entry(
+      "q168_join_explosion",
+      (s, d) => {
+        val ca = Tables.customer(s, d)
+          .groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("ca"))
+        val cb = Tables.supplier(s, d)
+          .groupBy(col("s_nationkey").as("k")).agg(count(lit(1)).as("cb"))
+        val pairs = ca.join(cb, Seq("k"))
+          .select(col("k"), col("ca"), col("cb"), (col("ca") * col("cb")).as("pairs"))
+        val totals = pairs.agg(
+          sum(col("pairs")).as("total_pairs"),
+          count(lit(1)).as("n_matched_keys"))
+        pairs
+          .crossJoin(broadcast(totals))
+          .select(
+            col("k"), col("ca"), col("cb"), col("pairs"),
+            expr("pairs * 1000000L div total_pairs").as("share_ppm"),
+            col("total_pairs"), col("n_matched_keys"))
+          .orderBy(col("pairs").desc, col("k"))
+          .limit(5)
+      },
+      Some("""WITH a AS (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS ca
+             |  FROM customer GROUP BY 1),
+             |b AS (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS cb
+             |  FROM supplier GROUP BY 1),
+             |p AS (SELECT k, ca, cb, ca * cb AS pairs FROM a JOIN b USING (k)),
+             |t AS (SELECT CAST(sum(pairs) AS BIGINT) AS total_pairs,
+             |    CAST(count(*) AS BIGINT) AS n_matched_keys FROM p)
+             |SELECT k, ca, cb, pairs, pairs * 1000000 // total_pairs AS share_ppm,
+             |  total_pairs, n_matched_keys
+             |FROM p CROSS JOIN t
+             |ORDER BY pairs DESC, k LIMIT 5""".stripMargin))
   )
 }

@@ -281,4 +281,34 @@ class CorpusOpsSuite extends SparkTestBase {
     }.toSet
     assert(rows.toSet == expected, "shuffle order diverges from the seeded hash spec")
   }
+
+  test("q169 novelty: first-occurrence attribution matches a direct sweep") {
+    import org.apache.spark.sql.functions.col
+    val rows = Registry.byName("q169_novelty_curve").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).split(" ", -1).sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toArray.distinct)
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    docs.sortBy(_._1).foreach { case (id, gs) =>
+      gs.foreach(g => if (!firstDoc.contains(g)) firstDoc(g) = id)
+    }
+    val perBucket = docs.groupBy(_._1 / 50).map { case (b, ds) =>
+      b -> (
+        ds.length.toLong,
+        ds.map(_._2.length.toLong).sum,
+        ds.map { case (id, gs) => gs.count(g => firstDoc(g) == id).toLong }.sum)
+    }
+    rows.foreach { r =>
+      val (b, nd, ng, nn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(perBucket(b) == ((nd, ng, nn)), s"bucket $b diverges")
+      assert(r.getDouble(4) == nn.toDouble / ng.toDouble)
+    }
+    // the novelty fraction must actually fall across the corpus: the last
+    // bucket re-collects content the corpus already has
+    assert(rows.last.getDouble(4) < rows.head.getDouble(4),
+      "novelty curve is not decreasing end-to-end — fixture assumption broken")
+  }
 }

@@ -129,4 +129,30 @@ class RelationalExtSuite extends SparkTestBase {
       assert(bySt ^ byPr, s"row not from a requested set: $r")
     }
   }
+
+  test("q168 join explosion: predicted size equals the join actually run") {
+    val rows = Registry.byName("q168_join_explosion").q(spark, sf).collect()
+    assert(rows.length == 5)
+    // ground truth: run the real join once at fixture scale
+    val actual = Tables.customer(spark, sf)
+      .join(
+        Tables.supplier(spark, sf),
+        col("c_nationkey") === col("s_nationkey"))
+      .count()
+    assert(rows.head.getLong(5) == actual,
+      s"predicted total_pairs ${rows.head.getLong(5)} != actual join size $actual")
+    // per-key contributions are the exact count products
+    val ca = Tables.customer(spark, sf).groupBy(col("c_nationkey")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val cs = Tables.supplier(spark, sf).groupBy(col("s_nationkey")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      assert(r.getLong(3) == ca(k) * cs(k), s"key $k: pair product wrong")
+    }
+    // the top-5 really are the 5 largest contributors
+    val allPairs = ca.keySet.intersect(cs.keySet).toSeq
+      .map(k => (k, ca(k) * cs(k))).sortBy { case (k, p) => (-p, k) }
+    assert(rows.map(r => (r.getInt(0), r.getLong(3))).toSeq == allPairs.take(5))
+  }
 }
