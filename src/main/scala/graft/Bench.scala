@@ -138,7 +138,12 @@ object Bench {
     // birth). Subtract these two when comparing secondary_total against
     // earlier r13 artifacts.
     "q168_join_explosion",
-    "q169_novelty_curve")
+    "q169_novelty_curve",
+    // pivot/unpivot reshaping surface (round 13, standing from birth).
+    // Subtract these two when comparing secondary_total against earlier
+    // r13 artifacts.
+    "q170_pivot_matrix",
+    "q171_unpivot_melt")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

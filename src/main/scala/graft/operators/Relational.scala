@@ -479,6 +479,96 @@ object Relational {
       Some("""SELECT o_custkey, o_orderkey,
              | round(o_totalprice - lag(o_totalprice) OVER (
              |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // q170: PIVOT — the day × event_type revenue matrix (the dashboard /
+    // report shape every BI layer asks for). `RelationalGroupedDataset
+    // .pivot` with an EXPLICIT value list — the value-DISCOVERY form (scan
+    // once to collect distinct values, again to pivot) is banned at
+    // 100 TB, and the explicit list is also what keeps the output schema
+    // static for the oracle. Catalyst compiles this to the two-phase
+    // shape: a (day, type) pre-aggregate (map-side partials collapse the
+    // corpus BEFORE its exchange, which then carries only days×types
+    // group rows) followed by a day-keyed pivot_first aggregate — both
+    // exchanges are GROUP-sized, never corpus-sized, and width is free
+    // (suite-pinned: one scan, exactly the two group-sized hash
+    // exchanges). Semantically identical to the manual sum(CASE WHEN...)
+    // plan — the oracle states that identity. Integer cents end-to-end;
+    // /100.0 only at emission.
+    Entry(
+      "q170_pivot_matrix",
+      (s, d) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val daily = Tables.events(s, d)
+          .select(
+            expr(s"ts div ${24L * 3600 * 1000 * 1000 * 1000}").as("day"),
+            col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val wide = daily
+          .groupBy(col("day"))
+          .pivot("event_type", types)
+          .agg(sum(col("cents")))
+        types.foldLeft(wide) { (df, t) =>
+          df.withColumn(t, coalesce(col(t), lit(0L)) / 100.0)
+        }.orderBy(col("day"))
+      },
+      Some("""WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             |    event_type, CAST(round(value*100) AS BIGINT) AS cents
+             |  FROM events)
+             |SELECT day,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN cents END), 0)
+             |    / 100.0 AS DOUBLE) AS click,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN cents END), 0)
+             |    / 100.0 AS DOUBLE) AS error,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN cents END), 0)
+             |    / 100.0 AS DOUBLE) AS purchase,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN cents END), 0)
+             |    / 100.0 AS DOUBLE) AS signup,
+             |  CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN cents END), 0)
+             |    / 100.0 AS DOUBLE) AS view
+             |FROM e GROUP BY day ORDER BY day""".stripMargin)),
+
+    // q171: UNPIVOT (melt) — the inverse reshaping: lineitem's four
+    // per-row measures melted to (key, measure, value) long format — the
+    // shape feature stores and plotting layers ingest. `Dataset.unpivot`
+    // compiles to a map-side EXPAND (4 output rows per input, zero
+    // shuffles before the final aggregate) — reshaping is free of
+    // exchanges at any scale; the rollup here (per-measure totals) then
+    // collapses through one 4-group aggregate. Cent/basis-point integers
+    // end-to-end so the oracle's UNION ALL formulation matches exactly.
+    Entry(
+      "q171_unpivot_melt",
+      (s, d) => {
+        val src = Tables.lineitem(s, d)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+            col("l_quantity").cast("long").as("quantity"),
+            round(col("l_discount") * 10000).cast("long").as("discount_bp"),
+            round(col("l_tax") * 10000).cast("long").as("tax_bp"))
+        src
+          .unpivot(
+            Array(col("l_orderkey"), col("l_linenumber")),
+            Array(col("price_cents"), col("quantity"), col("discount_bp"), col("tax_bp")),
+            "measure",
+            "v")
+          .groupBy(col("measure"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+          .orderBy(col("measure"))
+      },
+      Some("""WITH src AS (SELECT l_orderkey, l_linenumber,
+             |    CAST(round(l_extendedprice*100) AS BIGINT) AS price_cents,
+             |    CAST(l_quantity AS BIGINT) AS quantity,
+             |    CAST(round(l_discount*10000) AS BIGINT) AS discount_bp,
+             |    CAST(round(l_tax*10000) AS BIGINT) AS tax_bp
+             |  FROM lineitem),
+             |m AS (
+             |  SELECT 'price_cents' AS measure, price_cents AS v FROM src
+             |  UNION ALL SELECT 'quantity', quantity FROM src
+             |  UNION ALL SELECT 'discount_bp', discount_bp FROM src
+             |  UNION ALL SELECT 'tax_bp', tax_bp FROM src)
+             |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(v) AS BIGINT) AS total
+             |FROM m GROUP BY measure ORDER BY measure""".stripMargin))
   )
 }

@@ -186,4 +186,60 @@ class RelationalSuite extends SparkTestBase {
       s"lateral limit not decorrelated to a group-limited window:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"q140 plans a cartesian:\n$plan")
   }
+
+  test("q170 pivot: one scan, one exchange — never a pass per pivot column") {
+    import org.apache.spark.sql.functions._
+    val df = Registry.byName("q170_pivot_matrix").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.head.length == 6)
+    // cross-check one cell against the direct conditional aggregate
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val direct = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(expr(s"ts div $dayNs").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val exp = direct.getOrElse(r.getLong(0), 0L) / 100.0
+      assert(r.getDouble(3) == exp, s"day ${r.getLong(0)}: purchase cell wrong")
+    }
+    df.write.format("noop").mode("overwrite").save()
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"q170 scans the input $scans times")
+    // pivot's two-phase shape: the (day, type) pre-aggregate exchange and
+    // the day-keyed pivot_first exchange — both group-sized (map-side
+    // partials collapse the corpus before the first). The 30-row output
+    // sort's range exchange is not a data-sized stage.
+    val hashEx = shuffleExchanges(df).filter(_.outputPartitioning match {
+      case _: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => true
+      case _ => false
+    })
+    assert(hashEx.size == 2,
+      s"q170: pivot must cost exactly the two group-sized hash exchanges, got ${hashEx.size}")
+  }
+
+  test("q171 unpivot: map-side expand, one exchange, exact totals") {
+    import org.apache.spark.sql.functions._
+    val df = Registry.byName("q171_unpivot_melt").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val n = Tables.lineitem(spark, sf).count()
+    rows.foreach(r => assert(r.getLong(1) == n, s"${r.getString(0)}: n != |lineitem|"))
+    val qty = Tables.lineitem(spark, sf)
+      .agg(sum(col("l_quantity").cast("long"))).collect().head.getLong(0)
+    assert(rows.find(_.getString(0) == "quantity").get.getLong(2) == qty)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"q171 does not reshape via expand:\n$plan")
+    // one hash exchange for the aggregate; the 4-row output sort's range
+    // exchange is not a data-sized stage
+    val hashEx = shuffleExchanges(df).filter(_.outputPartitioning match {
+      case _: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning => true
+      case _ => false
+    })
+    assert(hashEx.size == 1,
+      s"q171: melt must reach the aggregate with one hash exchange, got ${hashEx.size}")
+  }
 }
