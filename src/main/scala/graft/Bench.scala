@@ -143,7 +143,11 @@ object Bench {
     // Subtract these two when comparing secondary_total against earlier
     // r13 artifacts.
     "q170_pivot_matrix",
-    "q171_unpivot_melt")
+    "q171_unpivot_melt",
+    // near-dup-suppressed ranking (round 13, standing from birth).
+    // Subtract it when comparing secondary_total against earlier r13
+    // artifacts.
+    "q172_dedup_ranking")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -414,7 +414,7 @@ object Dedup {
     * band pruning is weak; on a real corpus the same plan prunes orders of
     * magnitude. The shape — band equi-join, no crossJoin — is the contract.)
     */
-  private def wordsetNeardup(s: SparkSession, d: String): DataFrame =
+  private[graft] def wordsetNeardup(s: SparkSession, d: String): DataFrame =
     clusteredNeardup(
       Tables.documents(s, d).select(col("doc_id"), col("text")),
       t => array_distinct(split(t, " ")),
@@ -1775,6 +1775,80 @@ object Dedup {
            |$iters
            |SELECT node AS vec_id, CAST(r AS BIGINT) AS rank_picos FROM c5
            |ORDER BY rank_picos DESC, vec_id LIMIT 20""".stripMargin
-      })
+      }),
+
+    // q172: NEAR-DUP-SUPPRESSED RANKING — top-5 docs per language by
+    // quality (distinct-token count), with any doc that has a
+    // BETTER-RANKED near-duplicate suppressed: the search/result-page and
+    // data-selection primitive ("show the best version of each thing,
+    // once"). Suppression is DOMINANCE-based — one declarative anti-join
+    // pass: doc X drops iff some confirmed pair (X, Y) has Y ranked
+    // higher (score, then smaller doc_id — so a tied dup clique keeps
+    // exactly its smallest id). This deliberately differs from greedy
+    // MMR, whose suppressed-by-suppressed reinstatement is a sequential
+    // recurrence (the shape a distributed engine refuses — the q163
+    // argument); on near-dup pairs at 0.95 Jaccard the two agree except
+    // on 3+-doc chains of strictly-decreasing rank. Shape: the confirmed
+    // pair set (q37's LSH-pruned join, localCheckpointed ONCE — the q120
+    // barrier idiom) symmetrizes, attaches both ends' scores by two
+    // doc_id-keyed joins (pair-count-sized, not corpus-sized), and the
+    // dominated set anti-joins back; ranking compiles to WindowGroupLimit.
+    // Oracle replays brute-force pairs + the same dominance spec.
+    Entry(
+      "q172_dedup_ranking",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val pairs = wordsetNeardup(s, d).localCheckpoint()
+        // the scored table has THREE consumers (both pair-end joins + the
+        // final anti-join) — one materialization, many consumers, and it
+        // drops `text`: doc-count-sized rows only
+        val scored = Tables.documents(s, d)
+          .select(
+            col("doc_id"), col("lang"),
+            size(array_distinct(split(col("text"), " "))).cast("long").as("score"))
+          .localCheckpoint()
+        val sym = pairs
+          .select(col("a_id").as("x"), col("b_id").as("y"))
+          .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+        val dominated = sym
+          .join(scored.select(col("doc_id").as("x"), col("score").as("sx")), Seq("x"))
+          .join(scored.select(col("doc_id").as("y"), col("score").as("sy")), Seq("y"))
+          .filter(col("sy") > col("sx") || (col("sy") === col("sx") && col("y") < col("x")))
+          .select(col("x").as("doc_id"))
+          .distinct()
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("score").desc, col("doc_id"))
+        scored
+          .join(dominated, Seq("doc_id"), "left_anti")
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .filter(col("rank") <= 5)
+          .select(col("lang"), col("rank"), col("doc_id"), col("score"))
+          .orderBy(col("lang"), col("rank"))
+      },
+      Some("""WITH s AS (SELECT doc_id, lang,
+             |    CAST(len(list_distinct(string_split(text,' '))) AS BIGINT)
+             |      AS score,
+             |    list_distinct(string_split(text,' ')) AS toks
+             |  FROM documents),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+             |    len(a.toks) AS la, len(b.toks) AS lb
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+             |e AS (SELECT a_id, b_id FROM p
+             |  WHERE inter/(la+lb-inter) >= 0.95),
+             |sym AS (SELECT a_id AS x, b_id AS y FROM e
+             |  UNION ALL SELECT b_id, a_id FROM e),
+             |dom AS (SELECT DISTINCT sym.x AS doc_id
+             |  FROM sym JOIN s sa ON sym.x = sa.doc_id
+             |    JOIN s sb ON sym.y = sb.doc_id
+             |  WHERE sb.score > sa.score
+             |    OR (sb.score = sa.score AND sym.y < sym.x)),
+             |k AS (SELECT s.lang, s.doc_id, s.score,
+             |    CAST(row_number() OVER (PARTITION BY s.lang
+             |      ORDER BY s.score DESC, s.doc_id) AS BIGINT) AS rank
+             |  FROM s LEFT JOIN dom ON s.doc_id = dom.doc_id
+             |  WHERE dom.doc_id IS NULL)
+             |SELECT lang, rank, doc_id, score FROM k
+             |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
   )
 }

@@ -647,4 +647,42 @@ class DedupSimilaritySuite extends SparkTestBase {
     // beat the isolated-node fixed point (base-only rank)
     assert(expected.head._2 > 150000000000L / n)
   }
+
+  test("q172 dedup ranking: no kept doc has a better-ranked near-dup; barrier holds") {
+    import org.apache.spark.sql.functions._
+    val df = Registry.byName("q172_dedup_ranking").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // recompute scores and the confirmed pair set independently
+    val scores = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.operators.Dedup.wordsetNeardup(spark, sf)
+      .select(col("a_id"), col("b_id")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+    def better(y: Long, x: Long): Boolean =
+      scores(y) > scores(x) || (scores(y) == scores(x) && y < x)
+    val kept = rows.map(_.getLong(2)).toSet
+    kept.foreach { x =>
+      pairs.filter(_._1 == x).foreach { case (_, y) =>
+        assert(!better(y, x),
+          s"kept doc $x has better-ranked near-dup $y — suppression leaked")
+      }
+    }
+    // ranks are 1..k contiguous per lang and scores non-increasing
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length.toLong),
+        s"$lang: ranks not contiguous")
+      val ss = rs.sortBy(_.getLong(1)).map(_.getLong(3))
+      assert(ss.zip(ss.drop(1)).forall { case (a, b) => a >= b },
+        s"$lang: scores increase down the ranking")
+    }
+    // q120's barrier idiom: the plan past the localCheckpoint scans no parquet
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      "q172 plans its q37 upstream past the localCheckpoint barrier")
+    assert(plan.contains("WindowGroupLimit"), "q172 rank window not group-limited")
+  }
 }
