@@ -147,7 +147,12 @@ object Bench {
     // near-dup-suppressed ranking (round 13, standing from birth).
     // Subtract it when comparing secondary_total against earlier r13
     // artifacts.
-    "q172_dedup_ranking")
+    "q172_dedup_ranking",
+    // triangle count + hard-negative mining (round 13, standing from
+    // birth). Subtract these two when comparing secondary_total against
+    // earlier r13 artifacts.
+    "q173_triangle_count",
+    "q174_hard_negatives")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

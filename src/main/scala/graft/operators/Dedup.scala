@@ -1849,6 +1849,75 @@ object Dedup {
              |  FROM s LEFT JOIN dom ON s.doc_id = dom.doc_id
              |  WHERE dom.doc_id IS NULL)
              |SELECT lang, rank, doc_id, score FROM k
-             |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin))
+             |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
+
+    // q173: TRIANGLE COUNT + GLOBAL CLUSTERING COEFFICIENT of the
+    // embedding near-dup graph — the graph-density diagnostic of a
+    // duplicate graph (high clustering = tight duplicate CLIQUES that
+    // collapse well under keep-one dedup; low = chains/stars where
+    // transitive dedup over-merges). Algorithm is degree-ordered
+    // orientation (the compact-forward / Schank-Wagner discipline): every
+    // edge points from its (deg, id)-smaller endpoint, so each triangle
+    // is counted EXACTLY once at its unique minimum vertex, and — the
+    // 100 TB point — every out-neighborhood is O(√m)-bounded regardless
+    // of hub degree, so the wedge self-join (the quadratic step) is
+    // skew-capped by construction where the naive neighbor join explodes
+    // on hot nodes. Wedges join back to the undirected edge set on the
+    // (min, max) pair key. Edge table localCheckpointed once (degree agg,
+    // orientation, closing join — three consumers). All-integer counts;
+    // clustering = 3T/wedges is the one IEEE division of exact longs.
+    Entry(
+      "q173_triangle_count",
+      (s, d) => {
+        val edges = embeddingNeardup(s, d)
+          .select(col("a_id"), col("b_id")).localCheckpoint()
+        val sym = edges.select(col("a_id").as("u"), col("b_id").as("v"))
+          .unionByName(edges.select(col("b_id").as("u"), col("a_id").as("v")))
+        val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
+        val att = edges
+          .join(deg.select(col("u").as("a_id"), col("deg").as("da")), Seq("a_id"))
+          .join(deg.select(col("u").as("b_id"), col("deg").as("db")), Seq("b_id"))
+        val oriented = att.select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a_id") < col("b_id")),
+            struct(col("a_id").as("u"), col("b_id").as("w")))
+            .otherwise(struct(col("b_id").as("u"), col("a_id").as("w")))
+            .as("e"))
+          .select(col("e.u").as("u"), col("e.w").as("w"))
+        val wedges = oriented.as("x")
+          .join(oriented.as("y"), col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+          .select(
+            least(col("x.w"), col("y.w")).as("a_id"),
+            greatest(col("x.w"), col("y.w")).as("b_id"))
+        val tri = wedges.join(edges, Seq("a_id", "b_id"), "left_semi")
+          .agg(count(lit(1)).as("n_triangles"))
+        val stats = deg.agg(
+          expr("sum(deg) div 2").as("n_edges"),
+          expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+        stats.crossJoin(broadcast(tri))
+          .select(
+            col("n_edges"), col("n_wedges"), col("n_triangles"),
+            ((lit(3L) * col("n_triangles")).cast("double")
+              / col("n_wedges").cast("double")).as("clustering"))
+      },
+      Some("""WITH e AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+             |  FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |        FROM embeddings) a
+             |  JOIN (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+             |        FROM embeddings) b ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+             |sym AS (SELECT a_id AS u, b_id AS v FROM e
+             |  UNION ALL SELECT b_id, a_id FROM e),
+             |dg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+             |t AS (SELECT count(*) AS n_triangles
+             |  FROM e e1 JOIN e e2 ON e1.b_id = e2.a_id
+             |  JOIN e e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id)
+             |SELECT CAST((SELECT sum(deg) FROM dg) // 2 AS BIGINT) AS n_edges,
+             |  CAST((SELECT sum(deg*(deg-1)//2) FROM dg) AS BIGINT) AS n_wedges,
+             |  CAST(t.n_triangles AS BIGINT) AS n_triangles,
+             |  CAST(3 * t.n_triangles AS DOUBLE) /
+             |    CAST((SELECT sum(deg*(deg-1)//2) FROM dg) AS DOUBLE)
+             |    AS clustering
+             |FROM t""".stripMargin))
   )
 }

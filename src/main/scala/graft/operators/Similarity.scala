@@ -1155,6 +1155,77 @@ object Similarity {
               |SELECT CAST(count(*) AS BIGINT) AS n_exact,
               |  TRUE AS recall_ok, TRUE AS cand_bounded
               |FROM e a JOIN e b ON a.vec_id < b.vec_id
-              |WHERE list_cosine_similarity(a.v, b.v) >= $SemTau""".stripMargin))
+              |WHERE list_cosine_similarity(a.v, b.v) >= $SemTau""".stripMargin)),
+
+    // q174: HARD-NEGATIVE MINING — the contrastive/metric-learning batch
+    // prep (triplet mining): for each query vector, the top-5 most-similar
+    // vectors of a DIFFERENT label (the negatives a retriever most needs
+    // to learn to separate), each with the query's nearest SAME-label
+    // positive alongside and the triplet margin pos_cos − neg_cos (margin
+    // ≤ 0 = an active triplet that produces gradient). One corpus pass:
+    // the 8-query side broadcasts (bounded by construction — the q40
+    // shape), both the negative top-5 and the positive top-1 come from
+    // the SAME scored stream via two rank windows keyed (q_id ×
+    // label-match), each compiling to WindowGroupLimit; ranking is raw
+    // cosine with n_id tie-break (the proven q40 cross-engine posture),
+    // rounding only at emission.
+    Entry(
+      "q174_hard_negatives",
+      (s, d) => {
+        val e = Tables.embeddings(s, d)
+          .select(
+            col("vec_id"),
+            col("embedding").cast("array<double>").as("v"),
+            col("label"))
+        val q = e.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("q_id"), col("v").as("q_v"), col("label").as("q_label"))
+        val scored = e
+          .select(col("vec_id").as("n_id"), col("v").as("n_v"), col("label").as("n_label"))
+          .crossJoin(broadcast(q))
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("cos", call_function("cosine_sim", col("q_v"), col("n_v")))
+        val wNeg = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        val negs = scored
+          .filter(col("n_label") =!= col("q_label"))
+          .withColumn("rank", row_number().over(wNeg).cast("long"))
+          .filter(col("rank") <= topK)
+          .select(col("q_id"), col("rank"), col("n_id"), col("cos").as("neg_cos"))
+        val pos = scored
+          .filter(col("n_label") === col("q_label"))
+          .withColumn("prank", row_number().over(wNeg))
+          .filter(col("prank") === 1)
+          .select(col("q_id"), col("n_id").as("pos_id"), col("cos").as("pos_cos"))
+        // no broadcast hint on pos: it derives from the corpus-sized scored
+        // stream (the hint-policy suite bans forced broadcasts of such
+        // subtrees) — at runtime it is nQueries rows and AQE broadcasts it
+        negs.join(pos, Seq("q_id"))
+          .select(
+            col("q_id"), col("rank"), col("n_id"),
+            round(col("neg_cos"), 4).as("neg_cos"),
+            col("pos_id"),
+            round(col("pos_cos"), 4).as("pos_cos"),
+            round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+          .orderBy(col("q_id"), col("rank"))
+      },
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+              |  FROM embeddings),
+              |q AS (SELECT vec_id AS q_id, v AS q_v, label AS q_label
+              |  FROM e WHERE vec_id < $nQueries),
+              |s AS (SELECT q.q_id, q.q_label, e.vec_id AS n_id, e.label AS n_label,
+              |    list_cosine_similarity(q.q_v, e.v) AS cos
+              |  FROM q JOIN e ON e.vec_id <> q.q_id),
+              |n AS (SELECT q_id, n_id, cos,
+              |    CAST(row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS BIGINT) AS rank
+              |  FROM s WHERE n_label <> q_label),
+              |p AS (SELECT q_id, n_id AS pos_id, cos AS pos_cos,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY cos DESC, n_id) AS prank
+              |  FROM s WHERE n_label = q_label)
+              |SELECT n.q_id, n.rank, n.n_id, round(n.cos, 4) AS neg_cos,
+              |  p.pos_id, round(p.pos_cos, 4) AS pos_cos,
+              |  round(p.pos_cos - n.cos, 4) AS margin
+              |FROM n JOIN p ON n.q_id = p.q_id AND p.prank = 1
+              |WHERE n.rank <= $topK ORDER BY n.q_id, n.rank""".stripMargin))
   )
 }

@@ -685,4 +685,57 @@ class DedupSimilaritySuite extends SparkTestBase {
       "q172 plans its q37 upstream past the localCheckpoint barrier")
     assert(plan.contains("WindowGroupLimit"), "q172 rank window not group-limited")
   }
+
+  test("q173 triangles: oriented count equals brute force; barrier holds") {
+    import org.apache.spark.sql.functions.col
+    val df = Registry.byName("q173_triangle_count").q(spark, sf)
+    val r = df.collect().head
+    val edges = graft.operators.Dedup.embeddingNeardup(spark, sf)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(e => (e.getLong(0), e.getLong(1)))
+    val edgeSet = edges.toSet
+    assert(r.getLong(0) == edges.length.toLong, "edge count mismatch")
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map { case (v, o) => v -> o.length.toLong }
+    assert(r.getLong(1) == deg.values.map(d => d * (d - 1) / 2).sum, "wedges")
+    // brute-force triangle enumeration over a<b<c triples of actual edges
+    val brute = (for {
+      (a, b) <- edges
+      c <- deg.keys if c > b && edgeSet((b, c)) && edgeSet((a, c))
+    } yield 1).size.toLong
+    assert(r.getLong(2) == brute, s"triangles: got ${r.getLong(2)}, brute $brute")
+    assert(r.getDouble(3) == 3.0 * brute / deg.values.map(d => d * (d - 1) / 2).sum)
+    // edge table localCheckpointed once: nothing downstream re-scans parquet
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "q173 re-plans the edge derivation past the barrier")
+  }
+
+  test("q174 hard negatives: label constraints, margin identity, group-limit") {
+    import org.apache.spark.sql.functions.col
+    val df = Registry.byName("q174_hard_negatives").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 8 * 5, s"expected 8 queries x 5, got ${rows.length}")
+    val labels = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (q, n, p) = (r.getLong(0), r.getLong(2), r.getLong(4))
+      assert(labels(n) != labels(q), s"query $q: negative $n shares its label")
+      assert(labels(p) == labels(q), s"query $q: positive $p has a different label")
+      // margin = pos_cos - neg_cos at displayed precision (both rounded from
+      // the same raw doubles, so the identity holds within one ulp of 1e-4)
+      assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(3))) < 1.01e-4,
+        s"query $q rank ${r.getLong(1)}: margin inconsistent")
+    }
+    // negatives are rank-ordered non-increasing per query
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      val cs = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.drop(1)).forall { case (a, b) => a >= b },
+        s"query $q: negative similarity increases down the ranking")
+    }
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
+      "q174 rank windows not group-limited")
+  }
 }

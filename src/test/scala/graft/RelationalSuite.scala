@@ -100,7 +100,8 @@ class RelationalSuite extends SparkTestBase {
       "q91_simhash_hamming" -> 1, // 100-doc brute slice of the self-check
       "q93_countmin_sketch" -> 1, // the sketch itself: ≤ d×w = 256 counters by construction
       "q94_ann_pq" -> 6,          // codebook (m·ks rows) ×4 + ADC table (Q·m·ks) + exact-baseline probe
-      "q109_ann_index_serve" -> 2 // ADC table (Q·m·ks; the codebook comes from the artifact parquet) + exact-baseline probe
+      "q109_ann_index_serve" -> 2, // ADC table (Q·m·ks; the codebook comes from the artifact parquet) + exact-baseline probe
+      "q174_hard_negatives" -> 1 // 8-query probe side (vec_id < nQueries)
     )
     val names = (graft.operators.Relational.entries ++
       graft.operators.RelationalExt.entries ++
