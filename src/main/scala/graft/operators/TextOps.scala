@@ -1607,6 +1607,65 @@ object TextOps {
              |  n_postings * 8 AS naive_bytes,
              |  CAST(n_postings * 8 AS DOUBLE) / CAST(varint_bytes AS DOUBLE)
              |    AS ratio
-             |FROM a ORDER BY term""".stripMargin))
+             |FROM a ORDER BY term""".stripMargin)),
+
+    // q175: PMI COLLOCATION MINING — the corpus-linguistics / tokenizer-
+    // seeding staple: the top-20 bigrams whose co-occurrence most exceeds
+    // chance, ranked by the PMI RATIO n·c(ab) / (c(a)·c(b)) (monotone in
+    // PMI — the log adds nothing to the ORDER, and dropping it keeps the
+    // arithmetic a single composition of exact-long-to-double conversions,
+    // identical bits cross-engine; an all-integer cross-multiplied compare
+    // would overflow 2^63 at corpus scale: c(ab)·n ~ 10²²). Min-count 5
+    // (the standard PMI noise floor — hapax pairs otherwise dominate any
+    // PMI ranking). Plan: one bigram-keyed exchange (vocab²-bounded
+    // output) + the unigram model joined onto both word slots (vocab-
+    // bounded — AQE broadcasts it at fixture scale, co-locates on the
+    // model key at web scale); corpus totals are a 1-row agg OVER the
+    // unigram model; top-20 via TakeOrderedAndProject on the computed
+    // ratio with bigram tie-break — never a global sort.
+    Entry(
+      "q175_pmi_collocations",
+      (s, d) => {
+        val docToks = Tables.documents(s, d)
+          .select(col("doc_id"), toks.as("t"))
+        val uni = docToks
+          .select(explode(col("t")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val total = uni.agg(sum(col("c")).as("n"))
+        val bi = docToks
+          .select(explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
+            "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))")).as("p"))
+          .groupBy(col("p.a").as("wa"), col("p.b").as("wb"))
+          .agg(count(lit(1)).as("cab"))
+          .filter(col("cab") >= 5)
+        bi
+          .join(uni.select(col("w").as("wa"), col("c").as("ca")), Seq("wa"))
+          .join(uni.select(col("w").as("wb"), col("c").as("cb")), Seq("wb"))
+          .crossJoin(broadcast(total))
+          .withColumn(
+            "ratio",
+            (col("cab").cast("double") * col("n").cast("double"))
+              / (col("ca").cast("double") * col("cb").cast("double")))
+          .select(
+            concat(col("wa"), lit(" "), col("wb")).as("bigram"),
+            col("cab"), col("ca"), col("cb"), col("ratio"))
+          .orderBy(col("ratio").desc, col("bigram"))
+          .limit(20)
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |u AS (SELECT unnest(toks) AS w FROM t),
+             |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+             |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+             |b AS (SELECT unnest(list_transform(range(2, len(toks)+1),
+             |    i -> {'a': toks[i-1], 'b': toks[i]})) AS p FROM t),
+             |bi AS (SELECT p.a AS wa, p.b AS wb, CAST(count(*) AS BIGINT) AS cab
+             |  FROM b GROUP BY 1, 2 HAVING count(*) >= 5),
+             |j AS (SELECT bi.wa, bi.wb, bi.cab, ua.c AS ca, ub.c AS cb,
+             |    (CAST(bi.cab AS DOUBLE) * CAST(tot.n AS DOUBLE))
+             |      / (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS ratio
+             |  FROM bi JOIN uni ua ON bi.wa = ua.w
+             |    JOIN uni ub ON bi.wb = ub.w CROSS JOIN tot)
+             |SELECT wa || ' ' || wb AS bigram, cab, ca, cb, ratio
+             |FROM j ORDER BY ratio DESC, bigram LIMIT 20""".stripMargin))
   )
 }

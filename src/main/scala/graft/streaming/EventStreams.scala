@@ -535,6 +535,83 @@ object EventStreams {
       },
       Some("""SELECT count(*) AS n_events,
              |  CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // q176: STREAMING ANOMALY MONITOR — q153's integer-exact 3σ detector
+    // deployed on the live stream (the q139 pattern: batch operator →
+    // streaming deployment). Production split of labor: the per-series
+    // (n, Σy, Σy²) thresholds are TRAINED ON HISTORY batch-side at deploy
+    // time and broadcast (monitors alert against a frozen baseline — a
+    // threshold that re-fits on the data it judges masks slow drifts);
+    // the STREAM carries only the corpus-sized hourly cents rollup
+    // (Complete-mode AvailableNow memory sink — bounded source, exact);
+    // the alert decision joins the broadcast stats over the tiny
+    // hours×series table post-drain (in production: the same join inside
+    // foreachBatch per epoch). The fixture stream IS the history here, so
+    // the flagged set provably equals batch q153 — the oracle is q153's
+    // verbatim, which is the equality proof.
+    Entry(
+      "q176_stream_anomaly",
+      (s, d) => {
+        val HourNs = 3600L * 1000 * 1000 * 1000
+        // thresholds from history (batch side, frozen at deploy)
+        val stats = Tables.events(s, d)
+          .select(
+            col("event_type"),
+            expr(s"ts div $HourNs").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("cents")).as("y"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("y")).as("sy"),
+            sum(col("y") * col("y")).as("syy"))
+        // the live side: streamed hourly rollup
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val src = Tables.normalizeEventTs(
+          s.readStream.schema(schema).parquet(s"$d/events*"))
+        val hourly = src
+          .select(
+            col("event_type"),
+            expr(s"ts div $HourNs").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("cents")).as("y"))
+        s.streams.active.filter(_.name == "graft_stream_anomaly").foreach(_.stop())
+        val q = hourly.writeStream
+          .format("memory")
+          .queryName("graft_stream_anomaly")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.table("graft_stream_anomaly")
+          .join(broadcast(stats), Seq("event_type"))
+          .withColumn("dev", col("n") * col("y") - col("sy"))
+          .withColumn("mss", col("n") * col("syy") - col("sy") * col("sy"))
+          .filter(col("dev") * col("dev") >= lit(9L) * col("mss"))
+          .select(
+            col("event_type"), col("hr"),
+            (col("y") / 100.0).as("sum_value"),
+            round(col("dev").cast("double") / sqrt(col("mss").cast("double")), 4)
+              .as("z"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+             |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+             |h AS (SELECT event_type, hr, CAST(sum(cents) AS BIGINT) AS y
+             |  FROM e GROUP BY 1, 2),
+             |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(y*y) AS BIGINT) AS syy FROM h GROUP BY 1),
+             |j AS (SELECT h.event_type, h.hr, h.y,
+             |    a.n * h.y - a.sy AS dev, a.n * a.syy - a.sy * a.sy AS mss,
+             |    a.n FROM h JOIN a USING (event_type))
+             |SELECT event_type, hr, CAST(y / 100.0 AS DOUBLE) AS sum_value,
+             |  round(CAST(dev AS DOUBLE) / sqrt(CAST(mss AS DOUBLE)), 4) AS z
+             |FROM j WHERE dev * dev >= 9 * mss
+             |ORDER BY event_type, hr""".stripMargin))
   )
 }
