@@ -152,7 +152,12 @@ object Bench {
     // birth). Subtract these two when comparing secondary_total against
     // earlier r13 artifacts.
     "q173_triangle_count",
-    "q174_hard_negatives")
+    "q174_hard_negatives",
+    // PMI collocations + streaming anomaly monitor (round 13, standing
+    // from birth). Subtract these two when comparing secondary_total
+    // against earlier r13 artifacts.
+    "q175_pmi_collocations",
+    "q176_stream_anomaly")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -370,4 +370,17 @@ class StreamingSuite extends SparkTestBase {
     assert(Sources.committedEpochs(spark, root).size == 3)
     assert(Sources.readEpochs(spark, root).count() == nEvents + 7)
   }
+
+  test("q176 streaming anomaly monitor emits exactly the batch q153 alerts") {
+    // the deployment-equality proof (the q139 pattern): the streamed rollup
+    // joined to the history-trained thresholds must flag the SAME hours as
+    // the pure-batch detector — row for row, z included
+    val streamed = Registry.byName("q176_stream_anomaly")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    val batch = Registry.byName("q153_anomaly_3sigma")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamed == batch,
+      "streaming monitor diverges from the batch detector on identical data")
+    assert(streamed.nonEmpty)
+  }
 }

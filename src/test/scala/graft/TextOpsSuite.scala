@@ -214,4 +214,26 @@ class TextOpsSuite extends SparkTestBase {
       assert(r.getDouble(5) == (ids.size.toLong * 8).toDouble / gaps.map(varint).sum.toDouble)
     }
   }
+
+  test("q175 PMI: ratios tie to direct counts; top-20 is heap-based") {
+    val df = Registry.byName("q175_pmi_collocations").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 20)
+    val texts = Tables.documents(spark, sf).select(col("text")).collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    val uni = texts.flatten.groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+    val n = uni.values.sum
+    val bi = texts.flatMap(t => t.zip(t.drop(1))).groupBy(identity)
+      .map { case (p, o) => p -> o.size.toLong }.filter(_._2 >= 5)
+    val expected = bi.toSeq.map { case ((a, b), cab) =>
+      (s"$a $b", cab, uni(a), uni(b),
+        cab.toDouble * n.toDouble / (uni(a).toDouble * uni(b).toDouble))
+    }.sortBy { case (bg, _, _, _, r) => (-r, bg) }.take(20)
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))).toSeq == expected,
+      "PMI top-20 diverges from the direct computation")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "q175 top-20 plans a global sort")
+  }
 }
