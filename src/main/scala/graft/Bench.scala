@@ -157,7 +157,12 @@ object Bench {
     // from birth). Subtract these two when comparing secondary_total
     // against earlier r13 artifacts.
     "q175_pmi_collocations",
-    "q176_stream_anomaly")
+    "q176_stream_anomaly",
+    // MR grep + range-frame window (round 13, standing from birth).
+    // Subtract these two when comparing secondary_total against earlier
+    // r13 artifacts.
+    "q177_mr_grep",
+    "q178_range_frame")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

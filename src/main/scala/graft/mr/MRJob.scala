@@ -75,6 +75,33 @@ object InvertedIndex extends MRJob {
   }
 }
 
+/** Distributed grep — the OTHER canonical job from the MapReduce paper
+  * (Dean & Ghemawat §2.3 lists it right after word count): map emits a
+  * match record per pattern occurrence in its line, reduce aggregates per
+  * line id. Input lines carry their id as `docid:text` (the InvertedIndex
+  * framing); the pattern is a plain substring — matching stays engine-
+  * agnostic and the count is exactly what `grep -o pat | wc -l` reports
+  * per line. Exercises the map-side-selective job shape (most lines emit
+  * NOTHING — the profile where map output ≪ input and the shuffle is
+  * nearly free, the opposite regime from word count's fan-out).
+  */
+final class Grep(pattern: String) extends MRJob {
+  override def map(line: String): IterableOnce[(String, String)] = {
+    val sep = line.indexOf(':')
+    if (sep < 0) Iterator.empty
+    else {
+      val id = line.substring(0, sep)
+      var i = line.indexOf(pattern, sep + 1)
+      var n = 0
+      while (i >= 0) { n += 1; i = line.indexOf(pattern, i + pattern.length) }
+      if (n == 0) Iterator.empty else Iterator.fill(n)(id -> "1")
+    }
+  }
+
+  override def reduce(key: String, values: Seq[String]): IterableOnce[(String, String)] =
+    Iterator(key -> values.iterator.map(_.toLong).sum.toString)
+}
+
 /** String-keyed job registry — equivalent of the reference's
   * `register_tasks(user_id, …)` singleton factory map
   * (/root/reference/src/mr_task_factory.cc:28-88). No factory indirection is
@@ -84,7 +111,8 @@ object JobRegistry {
   @volatile private var jobs: Map[String, MRJob] = Map(
     "cs6210" -> WordCount, // the reference test config's user_id
     "wordcount" -> WordCount,
-    "invertedindex" -> InvertedIndex)
+    "invertedindex" -> InvertedIndex,
+    "grep" -> new Grep("scan"))
 
   def register(userId: String, job: MRJob): Unit =
     synchronized { jobs = jobs + (userId -> job) }

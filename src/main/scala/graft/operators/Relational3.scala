@@ -313,6 +313,80 @@ object Relational3 {
              |  round(coalesce(mp, 0.0), 2) AS total_maintained,
              |  (coalesce(n_maintained, 0) = coalesce(n_scratch, 0)
              |    AND abs(coalesce(mp, 0.0) - coalesce(sp, 0.0)) < 0.01) AS consistent
-             |FROM m FULL JOIN sc ON m.st = sc.st ORDER BY o_orderstatus""".stripMargin))
+             |FROM m FULL JOIN sc ON m.st = sc.st ORDER BY o_orderstatus""".stripMargin)),
+
+    // q177: DISTRIBUTED GREP through the MR surface — the OTHER canonical
+    // job from the MapReduce paper (Dean & Ghemawat §2.3, beside word
+    // count and inverted index, completing the paper's example set in the
+    // registry). Registry user_id "grep", pattern "scan": map emits one
+    // record per substring occurrence (most lines emit nothing — the
+    // map-selective regime where the shuffle is nearly free, the OPPOSITE
+    // profile from word count's fan-out), reduce sums per doc. Oracle
+    // counts occurrences by exact length arithmetic — the engine-agnostic
+    // `grep -o | wc -l` identity.
+    Entry(
+      "q177_mr_grep",
+      (s, d) => {
+        import s.implicits._
+        val lines = T.documents(s, d)
+          .select(concat(col("doc_id"), lit(":"), col("text")))
+          .as[String]
+        MRRunner
+          .transform(s, lines, graft.mr.JobRegistry.get("grep"), 32)
+          .toDF("doc_id_str", "n_str")
+          .select(
+            col("doc_id_str").cast("long").as("doc_id"),
+            col("n_str").cast("long").as("n_matches"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH c AS (SELECT doc_id,
+             |    (length(text) - length(replace(text, 'scan', ''))) // 4
+             |      AS n_matches
+             |  FROM documents)
+             |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+             |FROM c WHERE n_matches > 0 ORDER BY doc_id""".stripMargin)),
+
+    // q178: VALUE-RANGE WINDOW FRAME — rolling 24-hour revenue per series
+    // via RANGE BETWEEN 23 PRECEDING AND CURRENT ROW on the integer hour
+    // key: the frame is defined by VALUE distance, so calendar gaps are
+    // handled by the frame semantics themselves — no q148/q163 spine, no
+    // explode, no per-hour zero rows; the engine's range-frame machinery
+    // finds each row's frame start by value (binary search over the
+    // sorted partition). The complementary idiom to q163: RANGE frames
+    // when the aggregate is a plain sum over a value window, the
+    // spine+lag form when weights vary per calendar bucket (a RANGE
+    // frame cannot weight by distance). Integer cents; per-series
+    // partitions sorted once.
+    Entry(
+      "q178_range_frame",
+      (s, d) => {
+        val hourly = T.events(s, d)
+          .select(
+            col("event_type"),
+            expr("ts div 3600000000000").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+          .rangeBetween(-23, 0)
+        hourly
+          .select(
+            col("event_type"), col("hr"), col("n"),
+            (col("cents") / 100.0).as("sum_value"),
+            sum(col("cents")).over(w).as("win24_cents"),
+            count(lit(1)).over(w).as("win24_hours"))
+          .orderBy(col("event_type"), col("hr"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+             |    CAST(round(value*100) AS BIGINT) AS cents FROM events),
+             |h AS (SELECT event_type, hr, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(cents) AS BIGINT) AS cents FROM e GROUP BY 1, 2)
+             |SELECT event_type, hr, n, CAST(cents / 100.0 AS DOUBLE) AS sum_value,
+             |  CAST(sum(cents) OVER w AS BIGINT) AS win24_cents,
+             |  CAST(count(*) OVER w AS BIGINT) AS win24_hours
+             |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
+             |ORDER BY event_type, hr""".stripMargin))
   )
 }

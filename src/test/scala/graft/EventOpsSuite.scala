@@ -286,6 +286,24 @@ class EventOpsSuite extends SparkTestBase {
     }
   }
 
+  test("q178 range frame: value-distance window equals a direct gap-aware sweep") {
+    val rows = Registry.byName("q178_range_frame").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tp, rs) =>
+      val byHr = rs.map(r => r.getLong(1) -> math.round(r.getDouble(3) * 100)).toMap
+      rs.foreach { r =>
+        val h = r.getLong(1)
+        val inFrame = byHr.filter { case (hh, _) => hh >= h - 23 && hh <= h }
+        assert(r.getLong(4) == inFrame.values.sum,
+          s"$tp hr=$h: range-frame sum wrong")
+        // the frame must span VALUE distance — observed hours only, gaps
+        // excluded by construction (win24_hours counts frame ROWS)
+        assert(r.getLong(5) == inFrame.size.toLong,
+          s"$tp hr=$h: range-frame row count wrong")
+      }
+    }
+  }
+
   test("q164 skew profile: exact top-10 counts, one corpus exchange, no global sort") {
     val df = Registry.byName("q164_key_skew_profile").q(spark, sf)
     val rows = df.collect()

@@ -148,4 +148,27 @@ class MRRunnerSuite extends SparkTestBase {
     assert(WordCount.tokenize("").isEmpty)
     assert(WordCount.tokenize(" ,.'\"").isEmpty)
   }
+
+  test("grep job: per-line occurrence counts, overlap-free, selective emission") {
+    val g = new graft.mr.Grep("aba")
+    // non-overlapping matches only — indexOf advances past the whole pattern
+    assert(g.map("7:ababa").iterator.toSeq == Seq("7" -> "1"))
+    assert(g.map("7:abaaba xabay").iterator.toSeq.size == 3)
+    assert(g.map("7:zzz").iterator.isEmpty, "non-matching line must emit nothing")
+    assert(g.map("no separator").iterator.isEmpty)
+    assert(g.reduce("7", Seq("1", "1", "1")).iterator.toSeq == Seq("7" -> "3"))
+    // the registered q177 matches an independent Scala sweep over the corpus
+    import org.apache.spark.sql.functions.col
+    val got = graft.queries.Registry.byName("q177_mr_grep").q(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val direct = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val t = r.getString(1)
+        var (i, n) = (t.indexOf("scan"), 0)
+        while (i >= 0) { n += 1; i = t.indexOf("scan", i + 4) }
+        r.getLong(0) -> n.toLong
+      }.filter(_._2 > 0).toMap
+    assert(got == direct, "MR grep diverges from the direct substring sweep")
+  }
 }
