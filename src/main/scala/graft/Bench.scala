@@ -162,7 +162,12 @@ object Bench {
     // Subtract these two when comparing secondary_total against earlier
     // r13 artifacts.
     "q177_mr_grep",
-    "q178_range_frame")
+    "q178_range_frame",
+    // session path mining + one-pass schema profile (round 13, standing
+    // from birth). Subtract these two when comparing secondary_total
+    // against earlier r13 artifacts.
+    "q179_session_paths",
+    "q180_schema_profile")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1128,6 +1128,67 @@ object EventOps {
              |  FROM p)
              |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
              |  CAST(sum(lat_min) AS BIGINT) AS latency_min
-             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q179: SESSION PATH MINING — the top-10 most common session
+    // event-type sequences (the funnel-DISCOVERY primitive: q124/q128
+    // count a KNOWN ordered pattern; this surfaces which paths exist at
+    // all, truncated to each session's first 8 steps so path strings stay
+    // bounded). Pipeline: q26's gap sessionize (running new-session sum →
+    // sid), per-session step rank, paths assembled ORDER-DETERMINISTICALLY
+    // — collect_list is order-nondeterministic under retries/merges, so
+    // the list carries (rn, type) structs and array_sort fixes the order
+    // INSIDE the aggregate (never trust partition arrival order); top-10
+    // via TakeOrderedAndProject with path tie-break. Session paths are
+    // per-user windows — q64's block-salting applies verbatim when a
+    // device-id key goes hot.
+    Entry(
+      "q179_session_paths",
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val sess = Tables.events(s, d)
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn(
+            "ns",
+            when(col("prev_ts").isNull || col("ts") - col("prev_ts") > SessionGapNs, 1L)
+              .otherwise(0L))
+          .withColumn("sid",
+            sum(col("ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val wn = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("ts"), col("event_id"))
+        sess
+          .withColumn("rn", row_number().over(wn))
+          .filter(col("rn") <= 8)
+          .groupBy(col("user_id"), col("sid"))
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(struct(col("rn"), col("event_type")))),
+                x => x.getField("event_type")),
+              ">").as("path"))
+          .groupBy(col("path"))
+          .agg(count(lit(1)).as("n_sessions"))
+          .orderBy(col("n_sessions").desc, col("path"))
+          .limit(10)
+      },
+      Some("""WITH g AS (SELECT user_id, ts, event_id, event_type,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+             |         THEN 1 ELSE 0 END AS ns
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT user_id, ts, event_id, event_type,
+             |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |r AS (SELECT user_id, sid, event_type,
+             |    row_number() OVER (PARTITION BY user_id, sid
+             |      ORDER BY ts, event_id) AS rn
+             |  FROM s),
+             |p AS (SELECT user_id, sid,
+             |    string_agg(event_type, '>' ORDER BY rn) AS path
+             |  FROM r WHERE rn <= 8 GROUP BY 1, 2)
+             |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+             |FROM p GROUP BY path
+             |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin))
   )
 }

@@ -387,6 +387,81 @@ object Relational3 {
              |  CAST(count(*) OVER w AS BIGINT) AS win24_hours
              |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
              |  RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
-             |ORDER BY event_type, hr""".stripMargin))
+             |ORDER BY event_type, hr""".stripMargin)),
+
+    // q180: ONE-PASS SCHEMA PROFILE — the data-profiler every ingest
+    // pipeline runs on arrival (the `summarize`/dbt-docs shape): per
+    // column, rows/nulls/exact-distinct/min/max, computed in ONE corpus
+    // scan — a profiler that scans once per column is unusable at 100 TB.
+    // All 4 columns' metrics live in a single aggregate (Catalyst plans
+    // the multiple DISTINCT aggregates via one expand — still one scan,
+    // one exchange, at the cost of a 4x row expansion through the
+    // shuffle; at 100 TB swap the exact countDistinct for
+    // approx_count_distinct and the expand disappears — HLL partials are
+    // plain-aggregatable, which is why every production profiler reports
+    // approximate distincts), then the 1-row wide result melts to long
+    // format via stack (map-side, the q171 expand). Profiled columns are integer- or
+    // string-typed so min/max stringify identically cross-engine (a
+    // double column's string form is engine-formatting-dependent — cast
+    // to exact cents first if you need it profiled).
+    Entry(
+      "q180_schema_profile",
+      (s, d) => {
+        val wide = T.orders(s, d).agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn1"),
+          countDistinct(col("o_orderkey")).as("nd1"),
+          min(col("o_orderkey")).cast("string").as("mn1"),
+          max(col("o_orderkey")).cast("string").as("mx1"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn2"),
+          countDistinct(col("o_custkey")).as("nd2"),
+          min(col("o_custkey")).cast("string").as("mn2"),
+          max(col("o_custkey")).cast("string").as("mx2"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn3"),
+          countDistinct(col("o_orderstatus")).as("nd3"),
+          min(col("o_orderstatus")).cast("string").as("mn3"),
+          max(col("o_orderstatus")).cast("string").as("mx3"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn4"),
+          countDistinct(col("o_orderpriority")).as("nd4"),
+          min(col("o_orderpriority")).cast("string").as("mn4"),
+          max(col("o_orderpriority")).cast("string").as("mx4"))
+        wide.selectExpr(
+          "n_rows",
+          """stack(4,
+             'o_orderkey', nn1, nd1, mn1, mx1,
+             'o_custkey', nn2, nd2, mn2, mx2,
+             'o_orderstatus', nn3, nd3, mn3, mx3,
+             'o_orderpriority', nn4, nd4, mn4, mx4)
+             AS (column_name, n_nulls, n_distinct, min_str, max_str)""")
+          .select(
+            col("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_str"), col("max_str"))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+             |p AS (
+             |  SELECT 'o_orderkey' AS column_name,
+             |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             |    CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+             |    CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey',
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+             |    CAST(min(o_custkey) AS VARCHAR),
+             |    CAST(max(o_custkey) AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus',
+             |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             |    min(o_orderstatus), max(o_orderstatus) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority',
+             |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             |    min(o_orderpriority), max(o_orderpriority) FROM orders)
+             |SELECT column_name, n.n_rows, n_nulls, n_distinct, min_str, max_str
+             |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin))
   )
 }

@@ -286,6 +286,34 @@ class EventOpsSuite extends SparkTestBase {
     }
   }
 
+  test("q179 session paths: top-10 equals a direct sessionize-and-count sweep") {
+    val rows = Registry.byName("q179_session_paths").q(spark, sf).collect()
+    assert(rows.length == 10)
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val paths = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ListBuffer.empty[List[String]]
+      var cur = List.empty[String]
+      var prev = Long.MinValue
+      sorted.foreach { case (_, ts, _, tp) =>
+        if (prev == Long.MinValue || ts - prev > gapNs) {
+          if (cur.nonEmpty) sessions += cur.reverse
+          cur = List(tp)
+        } else cur = tp :: cur
+        prev = ts
+      }
+      if (cur.nonEmpty) sessions += cur.reverse
+      sessions.map(_.take(8).mkString(">"))
+    }
+    val expected = paths.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      .toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == expected,
+      "session path top-10 diverges from the direct sweep")
+  }
+
   test("q178 range frame: value-distance window equals a direct gap-aware sweep") {
     val rows = Registry.byName("q178_range_frame").q(spark, sf).collect()
     assert(rows.nonEmpty)

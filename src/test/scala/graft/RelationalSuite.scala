@@ -188,6 +188,29 @@ class RelationalSuite extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"q140 plans a cartesian:\n$plan")
   }
 
+  test("q180 schema profile: one scan, values tie to direct per-column queries") {
+    import org.apache.spark.sql.functions._
+    val df = Registry.byName("q180_schema_profile").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    val ord = Tables.orders(spark, sf)
+    val n = ord.count()
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == ord.filter(col(c).isNull).count(), s"$c nulls")
+      assert(r.getLong(3) == ord.select(col(c)).distinct().count(), s"$c distinct")
+      val mn = ord.agg(min(col(c)).cast("string")).collect().head.getString(0)
+      val mx = ord.agg(max(col(c)).cast("string")).collect().head.getString(0)
+      assert(r.getString(4) == mn && r.getString(5) == mx, s"$c min/max")
+    }
+    // the profiler's whole claim: ONE pass over the table
+    df.write.format("noop").mode("overwrite").save()
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"q180 scans orders $scans times — profilers scan once")
+  }
+
   test("q170 pivot: one scan, one exchange — never a pass per pivot column") {
     import org.apache.spark.sql.functions._
     val df = Registry.byName("q170_pivot_matrix").q(spark, sf)
