@@ -167,7 +167,11 @@ object Bench {
     // from birth). Subtract these two when comparing secondary_total
     // against earlier r13 artifacts.
     "q179_session_paths",
-    "q180_schema_profile")
+    "q180_schema_profile",
+    // magic-byte content sniffing (round 13, standing from birth).
+    // Subtract it when comparing secondary_total against earlier r13
+    // artifacts.
+    "q181_magic_sniff")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -470,6 +470,83 @@ object Multimodal {
              |SELECT doc_id, count(*) AS n_frames,
              | CAST(sum((n * (fid + 1)) % 997) AS BIGINT) AS feat_sum,
              | CAST(min((n * (fid + 1)) % 997) AS BIGINT) AS feat_min
-             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+             |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // q181: MAGIC-BYTE CONTENT SNIFFING — the ingest-trust audit: detect
+    // every blob's REAL format from its leading bytes and cross it against
+    // the claimed extension (a corpus at scale always contains mislabeled
+    // media — renamed files, broken transcoders, content-type lies — and
+    // downstream decoders crash or, worse, mis-parse on them). Payloads
+    // are fabricated in-query (the q111 fixture discipline): claimed label
+    // by doc_id%5, REAL header deliberately shifted one format over on
+    // doc_id%7==0 rows, so every cell of the mismatch matrix is exercised
+    // by construction. The DETECTOR is real binary machinery: prefix
+    // compares over the `binary` column (hex(substring(bin, …))) incl.
+    // WAV's two-part RIFF....WAVE check — pure codegen expressions, no
+    // UDF, map-only until the ≤25-row (claimed × detected) aggregate. The
+    // oracle re-runs fabrication AND detection independently in the
+    // hex-string domain, so a detector bug (not just a fabrication bug)
+    // fails the gate.
+    Entry(
+      "q181_magic_sniff",
+      (s, d) => {
+        val magics = Seq(
+          "89504E470D0A1A0A", // png
+          "FFD8FFE000104A46", // jpeg (JFIF)
+          "474946383761",     // gif (GIF87a)
+          "52494646" + "30303030" + "57415645", // wav: RIFF....WAVE
+          "")                 // bin: raw, no header
+        val names = Seq("png", "jpeg", "gif", "wav", "bin")
+        val idx = pmod(col("doc_id"), lit(5L)).cast("int")
+        val actualIdx =
+          when(pmod(col("doc_id"), lit(7L)) === 0, pmod(idx + 1, lit(5))).otherwise(idx)
+        val hexHeader = element_at(
+          array(magics.map(lit): _*), actualIdx + 1)
+        val claimed = element_at(array(names.map(lit): _*), idx + 1)
+        val fab = Tables.documents(s, d)
+          .select(
+            col("doc_id"), claimed.as("claimed"),
+            unhex(concat(hexHeader, hex(col("text").cast("binary")))).as("bin"))
+        val detected =
+          when(hex(substring(col("bin"), 1, 8)) === "89504E470D0A1A0A", "png")
+            .when(hex(substring(col("bin"), 1, 3)) === "FFD8FF", "jpeg")
+            .when(hex(substring(col("bin"), 1, 3)) === "474946", "gif")
+            .when(hex(substring(col("bin"), 1, 4)) === "52494646" &&
+              hex(substring(col("bin"), 9, 4)) === "57415645", "wav")
+            .otherwise("bin")
+        fab
+          .select(col("claimed"), detected.as("detected"), length(col("bin")).as("nb"))
+          .groupBy(col("claimed"), col("detected"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("nb")).cast("long").as("n_bytes"))
+          .withColumn("mislabeled", col("claimed") =!= col("detected"))
+          .orderBy(col("claimed"), col("detected"))
+      },
+      Some("""WITH f AS (SELECT doc_id,
+             |    ['png','jpeg','gif','wav','bin'][CAST(doc_id % 5 AS INT) + 1]
+             |      AS claimed,
+             |    CASE WHEN doc_id % 7 = 0
+             |      THEN CAST((doc_id % 5 + 1) % 5 AS INT) ELSE CAST(doc_id % 5 AS INT)
+             |    END AS ai,
+             |    hex(text) AS th FROM documents),
+             |b AS (SELECT doc_id, claimed,
+             |    ['89504E470D0A1A0A','FFD8FFE000104A46','474946383761',
+             |     '524946463030303057415645',''][ai + 1] || th AS ph
+             |  FROM f),
+             |det AS (SELECT claimed,
+             |    CASE
+             |      WHEN substr(ph, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+             |      WHEN substr(ph, 1, 6) = 'FFD8FF' THEN 'jpeg'
+             |      WHEN substr(ph, 1, 6) = '474946' THEN 'gif'
+             |      WHEN substr(ph, 1, 8) = '52494646'
+             |        AND substr(ph, 17, 8) = '57415645' THEN 'wav'
+             |      ELSE 'bin' END AS detected,
+             |    length(ph) // 2 AS nb
+             |  FROM b)
+             |SELECT claimed, detected, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(nb) AS BIGINT) AS n_bytes,
+             |  claimed <> detected AS mislabeled
+             |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

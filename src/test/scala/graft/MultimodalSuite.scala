@@ -81,4 +81,32 @@ class MultimodalSuite extends SparkTestBase {
     // truncated header rejected, not crashed
     assert(Multimodal.parseWavHeader(wav.take(43)).isEmpty)
   }
+
+  test("q181 sniff: mismatch cells are exactly the doc_id%7 shift; map-only") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.queries.Registry.byName("q181_magic_sniff").q(spark, sf)
+    val rows = df.collect()
+    // direct recompute of the (claimed, detected) matrix from the id rules
+    val names = Seq("png", "jpeg", "gif", "wav", "bin")
+    val ids = Tables.documents(spark, sf).select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.groupBy { id =>
+      val idx = (id % 5).toInt
+      val ai = if (id % 7 == 0) (idx + 1) % 5 else idx
+      (names(idx), names(ai))
+    }.map { case (k, v) => k -> v.length.toLong }
+    assert(rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      == expected, "sniff matrix diverges from the id rules")
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (r.getString(0) != r.getString(1)))
+      // every mislabeled cell is the one-format shift, never arbitrary
+      if (r.getBoolean(4)) {
+        val (c, det) = (names.indexOf(r.getString(0)), names.indexOf(r.getString(1)))
+        assert((c + 1) % 5 == det, s"unexpected mismatch shape ${r.getString(0)}->${r.getString(1)}")
+      }
+    }
+    // detection is map-only: no exchange before the ≤25-row aggregate's
+    df.collect()
+    val hashEx = shuffleExchanges(df)
+    assert(hashEx.size <= 2, s"q181 shuffles the corpus: ${hashEx.size} exchanges")
+  }
 }
