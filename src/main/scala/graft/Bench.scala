@@ -171,7 +171,11 @@ object Bench {
     // magic-byte content sniffing (round 13, standing from birth).
     // Subtract it when comparing secondary_total against earlier r13
     // artifacts.
-    "q181_magic_sniff")
+    "q181_magic_sniff",
+    // event-time disorder profile (round 13, standing from birth).
+    // Subtract it when comparing secondary_total against earlier r13
+    // artifacts.
+    "q182_disorder_profile")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1189,6 +1189,91 @@ object EventOps {
              |  FROM r WHERE rn <= 8 GROUP BY 1, 2)
              |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
              |FROM p GROUP BY path
-             |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin))
+             |ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin)),
+
+    // q182: EVENT-TIME DISORDER PROFILE — how late does data really
+    // arrive? For each event (in ARRIVAL order), lateness = (high-water
+    // mark of event time among everything that arrived before it) − (its
+    // own event time); the lateness distribution is THE input to choosing
+    // a watermark delay (q29/q63's `withWatermark` bound): the band that
+    // covers 99% of events is the delay that loses <1% to late drops.
+    // The fixture stream arrives in PERFECT event-time order (event_id ≡
+    // ts order — zero disorder, a vacuous profile), so arrival time is
+    // fabricated in-query (the q117 dirty-fixture discipline): a
+    // deterministic seeded-md5 heavy-tailed jitter (quadratic in the hash
+    // → up to ~28 h) whose replay in the oracle exercises every band
+    // incl. the over-1-day tail. The global running max over arrival
+    // order is the q96 two-phase discipline (never a single global
+    // window): within-(4 h arrival block) running max + a block-max
+    // prefix over the calendar-bounded block table; high-water mark =
+    // greatest(within-block, prior-blocks). Lateness bands are
+    // integer-ns compares; shares in exact ppm.
+    Entry(
+      "q182_disorder_profile",
+      (s, d) => {
+        val j =
+          conv(substring(md5(concat(lit("arr:v1:"), col("event_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long") % 10000L
+        val jitter = j * j * 1000000L
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"))
+          .withColumn("arr", col("ts") + jitter)
+          .withColumn("blk", expr(s"arr div ${4L * HourNs}"))
+        val w1 = Window.partitionBy(col("blk")).orderBy(col("arr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBlk = ev.withColumn("m_in", max(col("ts")).over(w1))
+        val sums = ev.groupBy(col("blk")).agg(max(col("ts")).as("b_max"))
+        val w2 = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val prior = sums
+          .withColumn("m_prior", max(col("b_max")).over(w2))
+          .select(col("blk"), col("m_prior"))
+        val bands = Seq(
+          (0L, "0_on_time"), (60000000000L, "1_within_1min"),
+          (3600000000000L, "2_within_1h"), (86400000000000L, "3_within_1day"))
+        val late = inBlk.join(prior, Seq("blk"))
+          .withColumn("hwm", greatest(col("m_in"), col("m_prior")))
+          .withColumn("late_ns", greatest(col("hwm") - col("ts"), lit(0L)))
+          .withColumn(
+            "band",
+            when(col("late_ns") <= bands(0)._1, bands(0)._2)
+              .when(col("late_ns") <= bands(1)._1, bands(1)._2)
+              .when(col("late_ns") <= bands(2)._1, bands(2)._2)
+              .when(col("late_ns") <= bands(3)._1, bands(3)._2)
+              .otherwise("4_over_1day"))
+        val total = late.agg(count(lit(1)).as("n_total"))
+        late
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("n_events"), max(col("late_ns")).as("max_late_ns"))
+          .crossJoin(broadcast(total))
+          .select(
+            col("band"), col("n_events"),
+            expr("n_events * 1000000L div n_total").as("share_ppm"),
+            col("max_late_ns"))
+          .orderBy(col("band"))
+      },
+      Some("""WITH e AS (SELECT event_id, epoch_ns(ts) AS ts,
+             |    CAST(('0x' || substr(md5('arr:v1:' || event_id::VARCHAR), 1, 8))
+             |      AS BIGINT) % 10000 AS j
+             |  FROM events),
+             |a AS (SELECT event_id, ts, ts + j * j * 1000000 AS arr FROM e),
+             |h AS (SELECT event_id, ts,
+             |    max(ts) OVER (ORDER BY arr, event_id ROWS UNBOUNDED PRECEDING)
+             |      AS hwm
+             |  FROM a),
+             |l AS (SELECT greatest(hwm - ts, 0) AS late_ns FROM h),
+             |b AS (SELECT CASE
+             |      WHEN late_ns <= 0 THEN '0_on_time'
+             |      WHEN late_ns <= 60000000000 THEN '1_within_1min'
+             |      WHEN late_ns <= 3600000000000 THEN '2_within_1h'
+             |      WHEN late_ns <= 86400000000000 THEN '3_within_1day'
+             |      ELSE '4_over_1day' END AS band, late_ns
+             |  FROM l),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
+             |SELECT band, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(count(*) AS BIGINT) * 1000000 // t.n_total AS share_ppm,
+             |  CAST(max(late_ns) AS BIGINT) AS max_late_ns
+             |FROM b CROSS JOIN t GROUP BY band, t.n_total
+             |ORDER BY band""".stripMargin))
   )
 }

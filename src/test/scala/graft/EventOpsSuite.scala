@@ -286,6 +286,36 @@ class EventOpsSuite extends SparkTestBase {
     }
   }
 
+  test("q182 disorder: two-phase high-water mark equals the global sweep; all bands live") {
+    val rows = Registry.byName("q182_disorder_profile").q(spark, sf).collect()
+    assert(rows.length == 5, "every lateness band must be exercised by the jitter")
+    // direct recompute: same jitter, one global arrival-ordered sweep
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), col("ts")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"arr:v1:$id".getBytes("UTF-8"))
+        val j = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 10000L
+        (id, r.getLong(1), r.getLong(1) + j * j * 1000000L)
+      }
+    var hwm = Long.MinValue
+    val lates = ev.sortBy(e => (e._3, e._1)).map { case (_, ts, _) =>
+      hwm = math.max(hwm, ts); math.max(hwm - ts, 0L)
+    }
+    def band(l: Long): String =
+      if (l <= 0) "0_on_time" else if (l <= 60000000000L) "1_within_1min"
+      else if (l <= 3600000000000L) "2_within_1h"
+      else if (l <= 86400000000000L) "3_within_1day" else "4_over_1day"
+    val expected = lates.groupBy(band).map { case (b, v) =>
+      b -> (v.length.toLong, v.max)
+    }
+    val got = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(got == expected, "blocked high-water mark diverges from the global sweep")
+    rows.foreach(r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / ev.length, "share_ppm"))
+  }
+
   test("q179 session paths: top-10 equals a direct sessionize-and-count sweep") {
     val rows = Registry.byName("q179_session_paths").q(spark, sf).collect()
     assert(rows.length == 10)
