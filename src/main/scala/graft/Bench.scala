@@ -175,7 +175,11 @@ object Bench {
     // event-time disorder profile (round 13, standing from birth).
     // Subtract it when comparing secondary_total against earlier r13
     // artifacts.
-    "q182_disorder_profile")
+    "q182_disorder_profile",
+    // point-in-time SCD2 dimension join (round 13, standing from birth).
+    // Subtract it when comparing secondary_total against earlier r13
+    // artifacts.
+    "q183_scd2_join")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

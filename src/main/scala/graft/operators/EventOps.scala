@@ -1274,6 +1274,91 @@ object EventOps {
              |  CAST(count(*) AS BIGINT) * 1000000 // t.n_total AS share_ppm,
              |  CAST(max(late_ns) AS BIGINT) AS max_late_ns
              |FROM b CROSS JOIN t GROUP BY band, t.n_total
-             |ORDER BY band""".stripMargin))
+             |ORDER BY band""".stripMargin)),
+
+    // q183: POINT-IN-TIME SCD2 DIMENSION JOIN — the warehouse join q116's
+    // history table exists FOR: each fact (order) joins the dimension
+    // version valid AT ITS OWN TIMESTAMP (`valid_from ≤ t < valid_to`),
+    // here rolled up to revenue by customer-state-at-purchase-time — the
+    // "what state were buyers in when they bought" report that silently
+    // lies if the join uses current state instead (time-travel
+    // leakage). Never an interval join: the q50 tagged-union shape —
+    // versions (events) and facts (orders) union on one (user, time)
+    // axis, ONE user-keyed exchange, and a running max(struct) carries
+    // the in-effect version to each fact; events sort before facts at an
+    // equal timestamp (a version opening at t is in effect for a fact at
+    // t), (t, event_id) ties deterministic. Facts before any version
+    // report state 'none'. The fixture's fact table lives in 1995-2001
+    // under customer keys while the dimension stream lives in Jan 2024
+    // under 15 device ids — disjoint on both axes, which would make the
+    // join vacuously 'none' — so the facts are RE-KEYED (custkey mod the
+    // user domain) and RE-TIMED (orderkey-hashed offset into the
+    // observed event span, bounds from a 1-row broadcast agg — never a
+    // literal date that breaks on fixture regeneration) in-query: the
+    // q117 dirty-fixture discipline, replayed identically by the oracle,
+    // and every state cell plus the before-first-version 'none' branch
+    // is exercised. Hot-user hardening is q80/q165's block-salted form
+    // of this same carry, verbatim.
+    Entry(
+      "q183_scd2_join",
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          col("user_id").as("uid"),
+          expr("ts div 1000").as("t_us"),
+          lit(0).as("is_order"),
+          col("event_id"),
+          col("event_type").as("state"),
+          lit(null).cast("long").as("cents"))
+        val bounds = Tables.events(s, d)
+          .agg(expr("min(ts div 1000)").as("t0"), expr("max(ts div 1000)").as("t1"))
+        val ord = Tables.orders(s, d)
+          .crossJoin(broadcast(bounds))
+          .select(
+            pmod(col("o_custkey"), lit(15L)).as("uid"),
+            (col("t0") +
+              (conv(substring(md5(concat(lit("ord:v1:"), col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+                .cast("long") % 1000000L) *
+              expr("(t1 - t0) div 1000000")).as("t_us"),
+            lit(1).as("is_order"),
+            col("o_orderkey").as("event_id"),
+            lit(null).cast("string").as("state"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy(col("uid"))
+          .orderBy(col("t_us"), col("is_order"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.unionByName(ord)
+          .withColumn(
+            "v",
+            max(when(col("is_order") === 0,
+              struct(col("t_us"), col("event_id"), col("state")))).over(w))
+          .filter(col("is_order") === 1)
+          .groupBy(coalesce(col("v.state"), lit("none")).as("state_at_purchase"))
+          .agg(
+            count(lit(1)).as("n_orders"),
+            (sum(col("cents")) / 100.0).as("revenue"))
+          .orderBy(col("state_at_purchase"))
+      },
+      Some("""WITH ev AS (SELECT user_id AS uid, epoch_us(ts) AS t_us,
+             |    0 AS is_order, event_id, event_type AS state,
+             |    CAST(NULL AS BIGINT) AS cents FROM events),
+             |b AS (SELECT min(epoch_us(ts)) AS t0, max(epoch_us(ts)) AS t1
+             |  FROM events),
+             |ord AS (SELECT o_custkey % 15,
+             |    b.t0 + (CAST(('0x' || substr(md5('ord:v1:' || o_orderkey::VARCHAR),
+             |      1, 8)) AS BIGINT) % 1000000) * ((b.t1 - b.t0) // 1000000),
+             |    1, o_orderkey, NULL, CAST(round(o_totalprice*100) AS BIGINT)
+             |  FROM orders CROSS JOIN b),
+             |u AS (SELECT * FROM ev UNION ALL SELECT * FROM ord),
+             |c AS (SELECT *,
+             |    max(CASE WHEN is_order = 0
+             |      THEN {'t_us': t_us, 'event_id': event_id, 'state': state} END)
+             |      OVER (PARTITION BY uid ORDER BY t_us, is_order, event_id
+             |        ROWS UNBOUNDED PRECEDING) AS v
+             |  FROM u)
+             |SELECT coalesce(v.state, 'none') AS state_at_purchase,
+             |  CAST(count(*) AS BIGINT) AS n_orders,
+             |  CAST(sum(cents) / 100.0 AS DOUBLE) AS revenue
+             |FROM c WHERE is_order = 1
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

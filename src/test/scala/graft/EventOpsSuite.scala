@@ -286,6 +286,37 @@ class EventOpsSuite extends SparkTestBase {
     }
   }
 
+  test("q183 SCD2 join: carried version equals a direct per-user interval lookup") {
+    val rows = Registry.byName("q183_scd2_join").q(spark, sf).collect()
+    assert(rows.length == 6, "all five states + the 'none' branch must be live")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000").as("t"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, v) =>
+      u -> v.map(e => (e._2, e._3, e._4)).sortBy(e => (e._1, e._2))
+    }
+    val (t0, t1) = (ev.map(_._2).min, ev.map(_._2).max)
+    val facts = Tables.orders(spark, sf)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map { r =>
+        val ok = r.getLong(1)
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ord:v1:$ok".getBytes("UTF-8"))
+        val h = java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 1000000L
+        (r.getLong(0) % 15, t0 + h * ((t1 - t0) / 1000000L), r.getLong(2))
+      }
+    val expected = facts.groupBy { case (u, t, _) =>
+      // the version in effect: latest event with (t_e, id) <= (t, fact) —
+      // events sort before facts at equal t, so <= on t alone is right
+      byUser.get(u).flatMap(vs => vs.takeWhile(_._1 <= t).lastOption)
+        .map(_._3).getOrElse("none")
+    }.map { case (st, v) => st -> (v.length.toLong, v.map(_._3).sum) }
+    val got = rows.map(r =>
+      r.getString(0) -> (r.getLong(1), math.round(r.getDouble(2) * 100))).toMap
+    assert(got == expected.map { case (k, (n, c)) => k -> (n, c) },
+      "carried SCD2 version diverges from the direct interval lookup")
+  }
+
   test("q182 disorder: two-phase high-water mark equals the global sweep; all bands live") {
     val rows = Registry.byName("q182_disorder_profile").q(spark, sf).collect()
     assert(rows.length == 5, "every lateness band must be exercised by the jitter")
