@@ -179,7 +179,10 @@ object Bench {
     // point-in-time SCD2 dimension join (round 13, standing from birth).
     // Subtract it when comparing secondary_total against earlier r13
     // artifacts.
-    "q183_scd2_join")
+    "q183_scd2_join",
+    // positional phrase search (round 13, standing from birth). Subtract
+    // it when comparing secondary_total against earlier r13 artifacts.
+    "q184_phrase_search")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1666,6 +1666,59 @@ object TextOps {
              |  FROM bi JOIN uni ua ON bi.wa = ua.w
              |    JOIN uni ub ON bi.wb = ub.w CROSS JOIN tot)
              |SELECT wa || ' ' || wb AS bigram, cab, ca, cb, ratio
-             |FROM j ORDER BY ratio DESC, bigram LIMIT 20""".stripMargin))
+             |FROM j ORDER BY ratio DESC, bigram LIMIT 20""".stripMargin)),
+
+    // q184: PHRASE SEARCH VIA POSITIONAL INVERTED INDEX — the IR-serving
+    // primitive a posting list alone can't answer: find exact "w1 w2"
+    // phrase occurrences by joining the two terms' POSITIONAL postings on
+    // (doc, pos+1), never re-scanning text. The probe phrase is derived
+    // from the data (top-(count, lexicographic) bigram — the corpora
+    // differ per SF, so a literal phrase would go stale; the derivation
+    // is deterministic per corpus and broadcasts as 1 row). The scale
+    // property under test: postings are FILTERED TO THE PROBE TERMS
+    // before any join (two term-selective slices of the index — at a real
+    // index this is two posting-list reads, not a corpus scan), and the
+    // occurrence join is (doc, pos)-keyed on slices whose size is the
+    // terms' document frequency. The oracle computes the same numbers
+    // from the BIGRAM MODEL (n_occurrences must equal the probe's model
+    // count — the identity that proves the positional join exact), an
+    // entirely different formulation.
+    Entry(
+      "q184_phrase_search",
+      (s, d) => {
+        val docToks = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+        val probe = docToks
+          .select(explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
+            "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))")).as("p"))
+          .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2"))
+          .limit(1)
+        val postings = docToks
+          .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))
+        val withProbe = postings.crossJoin(broadcast(probe))
+        val p1 = withProbe.filter(col("term") === col("w1"))
+          .select(col("doc_id"), col("pos"), col("w1"), col("w2"))
+        val p2 = withProbe.filter(col("term") === col("w2"))
+          .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+        p1
+          .join(p2, col("doc_id") === col("d2") && col("pos2") === col("pos") + 1)
+          .groupBy(concat(col("w1"), lit(" "), col("w2")).as("phrase"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_occurrences"))
+          .orderBy(col("phrase"))
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |b AS (SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |    i -> toks[i-1] || ' ' || toks[i])) AS bg FROM t),
+             |m AS (SELECT bg, count(*) AS cnt FROM b GROUP BY 1),
+             |probe AS (SELECT bg FROM m
+             |  ORDER BY cnt DESC, bg LIMIT 1)
+             |SELECT probe.bg AS phrase,
+             |  CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
+             |  CAST(count(*) AS BIGINT) AS n_occurrences
+             |FROM b JOIN probe ON b.bg = probe.bg
+             |GROUP BY probe.bg ORDER BY phrase""".stripMargin))
   )
 }

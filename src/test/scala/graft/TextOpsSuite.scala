@@ -236,4 +236,23 @@ class TextOpsSuite extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
       "q175 top-20 plans a global sort")
   }
+
+  test("q184 phrase search: positional join reproduces the direct text sweep") {
+    val df = Registry.byName("q184_phrase_search").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq)
+    val bigrams = texts.flatMap { case (id, t) => t.zip(t.drop(1)).map(p => (id, p)) }
+    val probe = bigrams.groupBy(_._2).toSeq
+      .map { case (p, o) => (p, o.size) }
+      .sortBy { case ((a, b), n) => (-n, a, b) }.head._1
+    val occ = bigrams.filter(_._2 == probe)
+    assert(rows.head.getString(0) == s"${probe._1} ${probe._2}")
+    assert(rows.head.getLong(1) == occ.map(_._1).distinct.length.toLong, "n_docs")
+    assert(rows.head.getLong(2) == occ.length.toLong, "n_occurrences")
+    df.collect()
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
 }
