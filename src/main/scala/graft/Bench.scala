@@ -182,7 +182,10 @@ object Bench {
     "q183_scd2_join",
     // positional phrase search (round 13, standing from birth). Subtract
     // it when comparing secondary_total against earlier r13 artifacts.
-    "q184_phrase_search")
+    "q184_phrase_search",
+    // market-basket lift (round 13, standing from birth). Subtract it
+    // when comparing secondary_total against earlier r13 artifacts.
+    "q185_market_basket")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

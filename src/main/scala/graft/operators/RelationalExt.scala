@@ -463,6 +463,60 @@ object RelationalExt {
              |SELECT k, ca, cb, pairs, pairs * 1000000 // total_pairs AS share_ppm,
              |  total_pairs, n_matched_keys
              |FROM p CROSS JOIN t
-             |ORDER BY pairs DESC, k LIMIT 5""".stripMargin))
+             |ORDER BY pairs DESC, k LIMIT 5""".stripMargin)),
+
+    // q185: MARKET-BASKET CO-OCCURRENCE — the association-rule classic
+    // ("bought X, also bought Y"): part pairs co-occurring in an order,
+    // scored by LIFT = P(X,Y)/(P(X)·P(Y)) over order baskets, min
+    // support 3 (the synthetic baskets are near-uniform over a large part
+    // catalog, so absolute co-occurrence is sparse — production sets this
+    // as a relative support). Scale shape: the pair explosion is the per-basket
+    // self-join ON THE BASKET KEY — both sides partition on l_orderkey,
+    // so after ONE exchange the join is co-located and the blowup is
+    // Σ C(basket,2), bounded by basket size (~7 for TPC-H), never
+    // |items|²; per-item supports come from the same distinct
+    // (order, part) table, and the basket count is a 1-row broadcast
+    // agg. Lift ranks on exact-long-to-double compositions (the q175
+    // overflow argument verbatim: support(xy)·n vs s(x)·s(y) cross-
+    // multiplied would pass 2^63 at warehouse scale); top-20 heap with
+    // pair tie-break.
+    Entry(
+      "q185_market_basket",
+      (s, d) => {
+        val items = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n"))
+        val supp = items.groupBy(col("pk")).agg(count(lit(1)).as("s"))
+        val pairs = items.as("a")
+          .join(items.as("b"), col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .groupBy(col("a.pk").as("x"), col("b.pk").as("y"))
+          .agg(count(lit(1)).as("sxy"))
+          .filter(col("sxy") >= 3)
+        pairs
+          .join(supp.select(col("pk").as("x"), col("s").as("sx")), Seq("x"))
+          .join(supp.select(col("pk").as("y"), col("s").as("sy")), Seq("y"))
+          .crossJoin(broadcast(nOrders))
+          .withColumn(
+            "lift",
+            (col("sxy").cast("double") * col("n").cast("double"))
+              / (col("sx").cast("double") * col("sy").cast("double")))
+          .select(col("x"), col("y"), col("sxy"), col("sx"), col("sy"), col("lift"))
+          .orderBy(col("lift").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some("""WITH i AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             |  FROM lineitem),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+             |s AS (SELECT pk, CAST(count(*) AS BIGINT) AS s FROM i GROUP BY 1),
+             |p AS (SELECT a.pk AS x, b.pk AS y, CAST(count(*) AS BIGINT) AS sxy
+             |  FROM i a JOIN i b ON a.ok = b.ok AND a.pk < b.pk
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT x, y, sxy, sa.s AS sx, sb.s AS sy,
+             |  (CAST(sxy AS DOUBLE) * CAST(n.n AS DOUBLE))
+             |    / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)) AS lift
+             |FROM p JOIN s sa ON p.x = sa.pk JOIN s sb ON p.y = sb.pk
+             |  CROSS JOIN n
+             |ORDER BY lift DESC, x, y LIMIT 20""".stripMargin))
   )
 }

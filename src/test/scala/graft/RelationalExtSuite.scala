@@ -155,4 +155,32 @@ class RelationalExtSuite extends SparkTestBase {
       .map(k => (k, ca(k) * cs(k))).sortBy { case (k, p) => (-p, k) }
     assert(rows.map(r => (r.getInt(0), r.getLong(3))).toSeq == allPairs.take(5))
   }
+
+  test("q185 market basket: pair supports and lift tie to a direct basket sweep") {
+    val rows = Registry.byName("q185_market_basket").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (_, v) => v.map(_._2).toSet }
+    val nOrders = Tables.orders(spark, sf).count()
+    val supp = baskets.toSeq.flatMap(_.toSeq).groupBy(identity)
+      .map { case (p, o) => p -> o.size.toLong }
+    val pairSupp = baskets.toSeq
+      .flatMap(b => b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      .filter(_._2 >= 3)
+    rows.foreach { r =>
+      val (x, y) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == pairSupp((x, y)), s"($x,$y) pair support")
+      assert(r.getLong(3) == supp(x) && r.getLong(4) == supp(y))
+      assert(r.getDouble(5) ==
+        pairSupp((x, y)).toDouble * nOrders.toDouble / (supp(x).toDouble * supp(y).toDouble))
+    }
+    // top-20 really are the highest-lift pairs
+    val expTop = pairSupp.toSeq.map { case ((x, y), sxy) =>
+      ((x, y), sxy.toDouble * nOrders / (supp(x).toDouble * supp(y)))
+    }.sortBy { case ((x, y), l) => (-l, x, y) }.take(20).map(_._1)
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == expTop)
+  }
 }
