@@ -185,7 +185,11 @@ object Bench {
     "q184_phrase_search",
     // market-basket lift (round 13, standing from birth). Subtract it
     // when comparing secondary_total against earlier r13 artifacts.
-    "q185_market_basket")
+    "q185_market_basket",
+    // dup-cluster size histogram (round 13, standing from birth; contains
+    // the full q87 computation). Subtract it when comparing
+    // secondary_total against earlier r13 artifacts.
+    "q186_cluster_size_histogram")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

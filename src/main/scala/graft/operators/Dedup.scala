@@ -1851,6 +1851,49 @@ object Dedup {
              |SELECT lang, rank, doc_id, score FROM k
              |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)),
 
+    // q186: DUP-CLUSTER SIZE HISTOGRAM — the over-merge alarm read off
+    // q87's connected components: how many clusters of each size exist,
+    // how many docs they hold, and how many docs keep-one dedup would
+    // remove (size−1 each). The shape of this histogram is the health
+    // check a transitive dedup NEEDS before acting — near-dup relations
+    // aren't transitive, so components only ever over-merge; a heavy tail
+    // (one giant cluster) means chained borderline pairs are gluing
+    // unrelated docs and the keep-one policy would silently delete
+    // distinct content (q173's clustering coefficient is the
+    // complementary density view). Contains the full q87 computation
+    // (label propagation to convergence); the rollup itself is two
+    // aggregates over the cluster table — free. Oracle extends q87's
+    // recursive-closure oracle with the same rollup.
+    Entry(
+      "q186_cluster_size_histogram",
+      (s, d) =>
+        neardupClusters(s, d)
+          .groupBy(col("n_members"))
+          .agg(
+            count(lit(1)).as("n_clusters"),
+            sum(col("n_members")).as("n_docs"),
+            sum(col("n_members") - 1).as("docs_removable"))
+          .orderBy(col("n_members")),
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM p
+             |  UNION ALL SELECT b_id, a_id FROM p),
+             |r(node, reach) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach),
+             |lab AS (SELECT node, min(reach) AS cluster_id FROM r GROUP BY node),
+             |cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+             |  FROM lab GROUP BY cluster_id)
+             |SELECT n_members, CAST(count(*) AS BIGINT) AS n_clusters,
+             |  CAST(sum(n_members) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_members - 1) AS BIGINT) AS docs_removable
+             |FROM cl GROUP BY n_members ORDER BY n_members""".stripMargin)),
+
     // q173: TRIANGLE COUNT + GLOBAL CLUSTERING COEFFICIENT of the
     // embedding near-dup graph — the graph-density diagnostic of a
     // duplicate graph (high clustering = tight duplicate CLIQUES that

@@ -711,6 +711,23 @@ class DedupSimilaritySuite extends SparkTestBase {
       "q173 re-plans the edge derivation past the barrier")
   }
 
+  test("q186 histogram: sizes partition the corpus; removable = docs - clusters") {
+    val rows = Registry.byName("q186_cluster_size_histogram").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nDocs,
+      "cluster sizes must partition the corpus exactly")
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1), "n_docs = size * n_clusters")
+      assert(r.getLong(3) == (r.getLong(0) - 1) * r.getLong(1), "removable")
+    }
+    // consistency with q87's cluster table itself
+    val clusters = Registry.byName("q87_neardup_clusters").q(spark, sf).collect()
+      .map(_.getLong(1)).groupBy(identity).map { case (sz, v) => sz -> v.length.toLong }
+    assert(rows.map(r => r.getLong(0) -> r.getLong(1)).toMap == clusters,
+      "histogram diverges from the q87 cluster table")
+  }
+
   test("q174 hard negatives: label constraints, margin identity, group-limit") {
     import org.apache.spark.sql.functions.col
     val df = Registry.byName("q174_hard_negatives").q(spark, sf)
