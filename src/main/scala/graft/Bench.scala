@@ -189,7 +189,11 @@ object Bench {
     // dup-cluster size histogram (round 13, standing from birth; contains
     // the full q87 computation). Subtract it when comparing
     // secondary_total against earlier r13 artifacts.
-    "q186_cluster_size_histogram")
+    "q186_cluster_size_histogram",
+    // typed-Aggregator price-quantum UDAF (round 13, standing from
+    // birth). Subtract it when comparing secondary_total against earlier
+    // r13 artifacts.
+    "q187_price_quantum")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1,0 +1,31 @@
+package graft.functions
+
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Encoder, Encoders}
+
+/** Typed-`Aggregator` UDAF: greatest common divisor of a Long column — the
+  * price-quantum detector (the gcd of every observed amount IS the unit the
+  * amounts are quantized to). This is the repo's concrete demonstration of
+  * the `Aggregator[IN, BUF, OUT]` surface SURVEY §2.2 names as the UDAF
+  * upgrade path: gcd is associative and commutative, so `reduce`/`merge`
+  * compose freely and Catalyst plans it as an ObjectHashAggregate WITH
+  * map-side partial merge — the shuffle carries one buffer per (partition,
+  * group), exactly like a built-in aggregate. The honest trade: object
+  * aggregation is not whole-stage-codegen'd — reach for an Aggregator only
+  * when no builtin/native-expression composition exists (the decision the
+  * rest of this repo makes the other way, e.g. HashKernels).
+  *
+  * gcd(0, x) = x makes 0 the identity, so empty partitions merge cleanly;
+  * inputs are taken |abs| (gcd is sign-free).
+  */
+object GcdAgg extends Aggregator[Long, Long, Long] {
+  @annotation.tailrec
+  private def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+
+  override def zero: Long = 0L
+  override def reduce(buf: Long, x: Long): Long = gcd(buf, math.abs(x))
+  override def merge(a: Long, b: Long): Long = gcd(a, b)
+  override def finish(buf: Long): Long = buf
+  override def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

@@ -1359,6 +1359,51 @@ object EventOps {
              |  CAST(count(*) AS BIGINT) AS n_orders,
              |  CAST(sum(cents) / 100.0 AS DOUBLE) AS revenue
              |FROM c WHERE is_order = 1
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q187: PRICE-QUANTUM DETECTION via a typed-Aggregator UDAF — the
+    // forensic/data-quality question "what unit are these amounts really
+    // quantized to" answered exactly: per series, the gcd of every
+    // observed cent amount IS the quantum (all-multiples-of-25¢ reveals a
+    // quarter-cent price book; quantum 1 means genuinely continuous).
+    // This is the repo's concrete `Aggregator[IN,BUF,OUT]` demonstration
+    // (graft.functions.GcdAgg — SURVEY §2.2's named UDAF upgrade path):
+    // gcd is associative+commutative so the ObjectHashAggregate gets
+    // map-side partial merge, one buffer per (partition, group) through
+    // the exchange — built-in-aggregate shuffle shape, custom logic. The
+    // raw fixture amounts are continuous (quantum 1 everywhere — a
+    // truthful but vacuous matrix), so each series' cents are quantized
+    // in-query to a hidden per-type unit (q117 dirty-fixture discipline)
+    // that the detector must RECOVER; the oracle folds gcd over the
+    // groups independently (list_reduce) and recovers the same units.
+    Entry(
+      "q187_price_quantum",
+      (s, d) => {
+        val gcdOf = udaf(graft.functions.GcdAgg)
+        val q = element_at(
+          map(
+            lit("click"), lit(5L), lit("view"), lit(10L), lit("purchase"), lit(25L),
+            lit("signup"), lit(50L), lit("error"), lit(1L)),
+          col("event_type"))
+        Tables.events(s, d)
+          .withColumn("qu", q)
+          .select(
+            col("event_type"),
+            expr("(cast(round(value * 100) as long) div qu) * qu").as("cents"))
+          .groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("n"),
+            gcdOf(col("cents")).as("quantum_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH q AS (SELECT * FROM (VALUES ('click', 5), ('view', 10),
+             |    ('purchase', 25), ('signup', 50), ('error', 1)) t(tp, u)),
+             |e AS (SELECT event_type,
+             |    (CAST(round(value*100) AS BIGINT) // u) * u AS cents
+             |  FROM events JOIN q ON event_type = tp)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(list_reduce(list(cents), (a, b) -> gcd(a, b)) AS BIGINT)
+             |    AS quantum_cents
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -286,6 +286,29 @@ class EventOpsSuite extends SparkTestBase {
     }
   }
 
+  test("q187 quantum: Aggregator laws, exact recovery, partial-merge plan") {
+    import graft.functions.GcdAgg
+    // Aggregator algebra: identity, commutativity, associativity, sign-free
+    assert(GcdAgg.reduce(GcdAgg.zero, 42L) == 42L)
+    assert(GcdAgg.merge(12L, 18L) == 6L && GcdAgg.merge(18L, 12L) == 6L)
+    assert(GcdAgg.merge(GcdAgg.merge(12L, 18L), 8L) ==
+      GcdAgg.merge(12L, GcdAgg.merge(18L, 8L)))
+    assert(GcdAgg.reduce(0L, -15L) == 15L)
+    val df = Registry.byName("q187_price_quantum").q(spark, sf)
+    val rows = df.collect()
+    // the hidden per-type units must be RECOVERED exactly
+    val expected = Map("click" -> 5L, "view" -> 10L, "purchase" -> 25L,
+      "signup" -> 50L, "error" -> 1L)
+    assert(rows.map(r => r.getString(0) -> r.getLong(2)).toMap == expected,
+      "detector failed to recover the fabricated quanta")
+    // the UDAF must aggregate with a map-side partial (ObjectHashAggregate
+    // pair), not ship raw rows to one reducer
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"typed Aggregator lost its partial-merge:\n$plan")
+  }
+
   test("q183 SCD2 join: carried version equals a direct per-user interval lookup") {
     val rows = Registry.byName("q183_scd2_join").q(spark, sf).collect()
     assert(rows.length == 6, "all five states + the 'none' branch must be live")
