@@ -193,7 +193,11 @@ object Bench {
     // typed-Aggregator price-quantum UDAF (round 13, standing from
     // birth). Subtract it when comparing secondary_total against earlier
     // r13 artifacts.
-    "q187_price_quantum")
+    "q187_price_quantum",
+    // optimizer-rule proof query (round 13, standing from birth).
+    // Subtract it when comparing secondary_total against earlier r13
+    // artifacts.
+    "q188_normalize_collapse")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

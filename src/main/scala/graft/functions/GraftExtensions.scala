@@ -76,5 +76,10 @@ object GraftExtensions {
             intArg(es(1), "planes"),
             intArg(es(2), "bands"),
             longArg(es(3), "seed")))
+
+    // the Rule[LogicalPlan] tier of the extension surface: collapse
+    // defensively-stacked normalize_text calls at plan time (sound by
+    // the kernel's suite-pinned idempotence — see the rule's scaladoc)
+    ext.injectOptimizerRule(_ => graft.plans.CollapseIdempotentNormalize)
   }
 }

@@ -1719,6 +1719,45 @@ object TextOps {
              |  CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_docs,
              |  CAST(count(*) AS BIGINT) AS n_occurrences
              |FROM b JOIN probe ON b.bg = probe.bg
-             |GROUP BY probe.bg ORDER BY phrase""".stripMargin))
+             |GROUP BY probe.bg ORDER BY phrase""".stripMargin)),
+
+    // q188: OPTIMIZER-RULE PROOF QUERY — q106's normalization pipeline
+    // with the kernel called TWICE (the defensive layer-boundary stack a
+    // composed pipeline really produces: ingest normalizes, the consumer
+    // normalizes again because it can't assume its caller did). The
+    // injected Rule[LogicalPlan] (graft.plans.CollapseIdempotentNormalize
+    // — the one custom optimizer rule in the engine) deletes the inner
+    // pass at plan time; the suite pins exactly ONE normalize_text in the
+    // optimized plan, and the ORACLE IS THE SEMANTICS PROOF: it computes
+    // the single-application form, so the gate passing means the rewrite
+    // changed the plan and not the answer.
+    Entry(
+      "q188_normalize_collapse",
+      (s, d) =>
+        Tables.documents(s, d)
+          .select(
+            col("doc_id"),
+            call_function(
+              "normalize_text",
+              call_function(
+                "normalize_text",
+                concat(
+                  lit("\t "),
+                  regexp_replace(upper(col("text")), lit(" "), lit("  ")),
+                  lit(" CAFÉ \n")))).as("norm_text"))
+          .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+          .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+             |  trim(regexp_replace(
+             |    lower(nfc_normalize(
+             |      chr(9) || ' ' || replace(upper(text), ' ', '  ')
+             |        || ' CAFE' || chr(769) || ' ' || chr(10))),
+             |    '[ \t\n]+', ' ', 'g')) AS norm_text,
+             |  CAST(length(trim(regexp_replace(
+             |    lower(nfc_normalize(
+             |      chr(9) || ' ' || replace(upper(text), ' ', '  ')
+             |        || ' CAFE' || chr(769) || ' ' || chr(10))),
+             |    '[ \t\n]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

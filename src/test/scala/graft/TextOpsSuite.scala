@@ -255,4 +255,42 @@ class TextOpsSuite extends SparkTestBase {
     df.collect()
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
+
+  test("q188: normalize_text idempotence holds; the rule collapses the stack") {
+    // the kernel-level property the optimizer rule's soundness rests on —
+    // adversarial inputs: decomposed accents, Turkish İ, stacked whitespace,
+    // already-clean ASCII (the fast path), empty string
+    val s = spark
+    import s.implicits._
+    val inputs = Seq(
+      "CAFÉ  x", "İstanbul", " a \t\n b  ", "already clean", "",
+      "ß GROSS", "ÅNGSTRÖM Å")
+    val once = inputs.toDF("t")
+      .selectExpr("normalize_text(t) AS n").as[String].collect()
+    val twice = inputs.toDF("t")
+      .selectExpr("normalize_text(normalize_text(t)) AS n").as[String].collect()
+    // note: the double form ALSO exercises the rule; equality of results is
+    // the end-to-end soundness check either way
+    assert(once.toSeq == twice.toSeq, "normalize_text is not idempotent")
+    // the optimized plan of the registered query carries exactly ONE
+    // NormalizeText — the injected rule deleted the inner defensive pass
+    val df = Registry.byName("q188_normalize_collapse").q(spark, sf)
+    val n = df.queryExecution.optimizedPlan.collect { case p =>
+      p.expressions.map(_.collect {
+        case e: graft.functions.NormalizeText => e
+      }.size).sum
+    }.sum
+    assert(n == 1, s"expected 1 NormalizeText after the collapse rule, found $n")
+    // and a triple stack collapses in the same single optimizer visit
+    // (over the parquet table — a LocalRelation input would be folded away
+    // whole by ConvertToLocalRelation before this count could see it)
+    val n3 = Tables.documents(spark, sf)
+      .selectExpr("normalize_text(normalize_text(normalize_text(text))) AS n")
+      .queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect {
+          case e: graft.functions.NormalizeText => e
+        }.size).sum
+      }.sum
+    assert(n3 == 1, s"triple stack left $n3 NormalizeText nodes")
+  }
 }
