@@ -197,7 +197,10 @@ object Bench {
     // optimizer-rule proof query (round 13, standing from birth).
     // Subtract it when comparing secondary_total against earlier r13
     // artifacts.
-    "q188_normalize_collapse")
+    "q188_normalize_collapse",
+    // RFM segmentation (round 13, standing from birth). Subtract it when
+    // comparing secondary_total against earlier r13 artifacts.
+    "q189_rfm_segments")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

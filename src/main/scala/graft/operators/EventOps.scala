@@ -1404,6 +1404,96 @@ object EventOps {
              |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
              |  CAST(list_reduce(list(cents), (a, b) -> gcd(a, b)) AS BIGINT)
              |    AS quantum_cents
-             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q189: RFM SEGMENTATION — the classic customer-value matrix: per
+    // buyer, Recency (days since last purchase, vs the corpus high-water
+    // mark), Frequency (purchase count), Monetary (total cents), each
+    // scored 1-5 by population quintile, rolled up to segment counts +
+    // revenue. The scale point is HOW the quintiles are computed: never a
+    // global sort/ntile over the user table (corpus-scaled) — the q135
+    // count-based percentile discipline per axis: per-VALUE counts (value
+    // domains bounded: recency by the calendar, frequency by activity,
+    // monetary quantized to whole dollars first — a heavy-tailed
+    // quantile is insensitive to sub-dollar detail, and exact cents stay
+    // in the output), a strictly-smaller cumsum over each bounded value
+    // table, and a join back; score = min(1 + 5·cum_smaller div n, 5) in
+    // exact integers, so ties land identically cross-engine. Recency
+    // scores DESCENDING (most recent = 5) via axis negation through the
+    // same ascending machinery.
+    Entry(
+      "q189_rfm_segments",
+      (s, d) => {
+        val p = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(
+            max(col("ts")).as("last_ts"),
+            count(lit(1)).as("f"),
+            sum(round(col("value") * 100).cast("long")).as("cents"))
+        val ref = p.agg(max(col("last_ts")).as("ref"))
+        val u = p.crossJoin(broadcast(ref))
+          .select(
+            col("user_id"),
+            expr(s"-((ref - last_ts) div $DayNs)").as("r_axis"),
+            col("f").as("f_axis"),
+            expr("cents div 100").as("m_axis"),
+            col("cents"))
+        def quintile(df: DataFrame, axis: String, out: String): DataFrame = {
+          val counts = df.groupBy(col(axis)).agg(count(lit(1)).as("cnt"))
+          val w = Window.orderBy(col(axis))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val scored = counts
+            .withColumn("smaller", coalesce(sum(col("cnt")).over(w), lit(0L)))
+            .crossJoin(broadcast(df.agg(count(lit(1)).as("n_total"))))
+            .select(
+              col(axis),
+              least(lit(1L) + expr("5 * smaller div n_total"), lit(5L)).as(out))
+          df.join(scored, Seq(axis))
+        }
+        val scoredAll =
+          quintile(quintile(quintile(u, "r_axis", "r_score"), "f_axis", "f_score"),
+            "m_axis", "m_score")
+        scoredAll
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(
+            count(lit(1)).as("n_users"),
+            (sum(col("cents")) / 100.0).as("revenue"))
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      },
+      Some("""WITH p AS (SELECT user_id, max(epoch_ns(ts)) AS last_ts,
+             |    CAST(count(*) AS BIGINT) AS f,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS cents
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |ref AS (SELECT max(last_ts) AS ref FROM p),
+             |u AS (SELECT user_id,
+             |    -((ref.ref - last_ts) // 86400000000000) AS r_axis,
+             |    f AS f_axis, cents // 100 AS m_axis, cents
+             |  FROM p CROSS JOIN ref),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u),
+             |rc AS (SELECT r_axis, count(*) AS cnt FROM u GROUP BY 1),
+             |rs AS (SELECT r_axis, least(1 + 5 * coalesce(sum(cnt) OVER
+             |    (ORDER BY r_axis ROWS BETWEEN UNBOUNDED PRECEDING
+             |     AND 1 PRECEDING), 0) // n.n_total, 5) AS r_score
+             |  FROM rc CROSS JOIN n),
+             |fc AS (SELECT f_axis, count(*) AS cnt FROM u GROUP BY 1),
+             |fs AS (SELECT f_axis, least(1 + 5 * coalesce(sum(cnt) OVER
+             |    (ORDER BY f_axis ROWS BETWEEN UNBOUNDED PRECEDING
+             |     AND 1 PRECEDING), 0) // n.n_total, 5) AS f_score
+             |  FROM fc CROSS JOIN n),
+             |mc AS (SELECT m_axis, count(*) AS cnt FROM u GROUP BY 1),
+             |ms AS (SELECT m_axis, least(1 + 5 * coalesce(sum(cnt) OVER
+             |    (ORDER BY m_axis ROWS BETWEEN UNBOUNDED PRECEDING
+             |     AND 1 PRECEDING), 0) // n.n_total, 5) AS m_score
+             |  FROM mc CROSS JOIN n),
+             |j AS (SELECT u.cents, rs.r_score, fs.f_score, ms.m_score
+             |  FROM u JOIN rs USING (r_axis) JOIN fs USING (f_axis)
+             |    JOIN ms USING (m_axis))
+             |SELECT CAST(r_score AS BIGINT) AS r_score,
+             |  CAST(f_score AS BIGINT) AS f_score,
+             |  CAST(m_score AS BIGINT) AS m_score,
+             |  CAST(count(*) AS BIGINT) AS n_users,
+             |  CAST(sum(cents) / 100.0 AS DOUBLE) AS revenue
+             |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
   )
 }

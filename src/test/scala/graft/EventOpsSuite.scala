@@ -286,6 +286,34 @@ class EventOpsSuite extends SparkTestBase {
     }
   }
 
+  test("q189 RFM: count-based quintiles equal the direct rank formula") {
+    val rows = Registry.byName("q189_rfm_segments").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val p = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(max(col("ts")).as("t"), count(lit(1)).as("f"),
+        sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dayNs = 24L * 3600 * 1000 * 1000 * 1000
+    val ref = p.map(_._2).max
+    val axes = p.map { case (_, t, f, c) => (-((ref - t) / dayNs), f, c / 100, c) }
+    def score(vals: Seq[Long], v: Long): Long =
+      math.min(1 + 5 * vals.count(_ < v).toLong / vals.length, 5L)
+    val (rs, fs, ms) = (axes.map(_._1).toSeq, axes.map(_._2).toSeq, axes.map(_._3).toSeq)
+    val expected = axes.groupBy { case (r, f, m, _) =>
+      (score(rs, r), score(fs, f), score(ms, m))
+    }.map { case (k, v) => k -> (v.length.toLong, v.map(_._4).sum) }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+      (r.getLong(3), math.round(r.getDouble(4) * 100))).toMap
+    assert(got == expected, "quintile scoring diverges from the direct rank formula")
+    // buyers partition into segments exactly once
+    assert(rows.map(_.getLong(3)).sum == p.length.toLong)
+    // scores stay in [1, 5]
+    rows.foreach(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      .foreach(sc => assert(sc >= 1 && sc <= 5)))
+  }
+
   test("q187 quantum: Aggregator laws, exact recovery, partial-merge plan") {
     import graft.functions.GcdAgg
     // Aggregator algebra: identity, commutativity, associativity, sign-free
