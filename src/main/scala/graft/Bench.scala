@@ -200,7 +200,11 @@ object Bench {
     "q188_normalize_collapse",
     // RFM segmentation (round 13, standing from birth). Subtract it when
     // comparing secondary_total against earlier r13 artifacts.
-    "q189_rfm_segments")
+    "q189_rfm_segments",
+    // revenue-concentration Gini (round 13, standing from birth).
+    // Subtract it when comparing secondary_total against earlier r13
+    // artifacts.
+    "q190_revenue_gini")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

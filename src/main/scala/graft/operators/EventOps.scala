@@ -1494,6 +1494,86 @@ object EventOps {
              |  CAST(m_score AS BIGINT) AS m_score,
              |  CAST(count(*) AS BIGINT) AS n_users,
              |  CAST(sum(cents) / 100.0 AS DOUBLE) AS revenue
-             |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+             |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
+    // q190: REVENUE CONCENTRATION — Gini coefficient + top-decile share of
+    // per-buyer spend (the whale-dependence diagnostic: "how much of
+    // revenue walks if the top 10% of buyers do"). INTEGER-EXACT via the
+    // grouped-Lorenz identity: with buyers collapsed to a (value v,
+    // count c) table, Σ rank·x over ANY ascending order is
+    // Σ_v v·(c·B + c(c+1)/2) where B = buyers strictly below v — ties
+    // contribute identically under every permutation, which is what
+    // makes an exact oracle possible; G = (2·Σrank·x − (N+1)·S)/(N·S)
+    // with the one IEEE division at the end (exact while N²·v̄ < 2^63 —
+    // ≈3M buyers at ~$10k totals; past that the same plan runs on
+    // Decimal(38) columns). B comes from the q96/q167 TWO-PHASE prefix
+    // over the value axis ($10k blocks): the value table is
+    // buyer-cardinality-scaled, so the naive global cumsum window is
+    // exactly the corpus-sized single partition this repo bans — only
+    // the ~100-row BLOCK table sees an unpartitioned window. Top-decile
+    // share takes whole groups from the top plus a clamped partial group
+    // (tie-safe for the same permutation-invariance reason), in exact
+    // ppm. The oracle uses the straightforward global row_number form —
+    // two independent formulations agreeing is the proof.
+    Entry(
+      "q190_revenue_gini",
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        val vt = u.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .withColumn("blk", expr("v div 1000000"))
+        val offs = vt.groupBy(col("blk")).agg(sum(col("c")).as("bc"))
+          .withColumn(
+            "off",
+            coalesce(
+              sum(col("bc")).over(Window.orderBy(col("blk"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select(col("blk"), col("off"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val withB = vt
+          .withColumn("in_b", coalesce(sum(col("c")).over(wIn), lit(0L)))
+          .join(offs, Seq("blk"))
+          .withColumn("b", col("off") + col("in_b"))
+        val totals = withB.agg(
+          sum(col("c")).as("n"),
+          sum(col("c") * col("v")).as("s"),
+          sum(col("v") * (col("c") * col("b") + expr("c * (c + 1) div 2")))
+            .as("wsum"))
+        withB
+          .crossJoin(broadcast(totals))
+          .withColumn("k", expr("(n + 9) div 10"))
+          .withColumn("above", col("n") - col("b") - col("c"))
+          .withColumn("take", least(col("c"), greatest(col("k") - col("above"), lit(0L))))
+          .groupBy(col("n"), col("s"), col("wsum"))
+          .agg(sum(col("take") * col("v")).as("top_cents"))
+          .select(
+            col("n").as("n_buyers"),
+            col("s").as("total_cents"),
+            ((lit(2L) * col("wsum") - (col("n") + 1) * col("s")).cast("double")
+              / (col("n") * col("s")).cast("double")).as("gini"),
+            expr("top_cents * 1000000L div s").as("top10_share_ppm"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS v
+             |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+             |r AS (SELECT v,
+             |    CAST(row_number() OVER (ORDER BY v, user_id) AS BIGINT) AS i,
+             |    CAST(row_number() OVER (ORDER BY v DESC, user_id) AS BIGINT)
+             |      AS rd
+             |  FROM u),
+             |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(v) AS BIGINT) AS s,
+             |    CAST(sum(i * v) AS BIGINT) AS wsum FROM r),
+             |top AS (SELECT CAST(sum(v) AS BIGINT) AS top_cents
+             |  FROM r CROSS JOIN t WHERE rd <= (n + 9) // 10)
+             |SELECT t.n AS n_buyers, t.s AS total_cents,
+             |  CAST(2 * wsum - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)
+             |    AS gini,
+             |  top_cents * 1000000 // s AS top10_share_ppm
+             |FROM t CROSS JOIN top""".stripMargin))
   )
 }

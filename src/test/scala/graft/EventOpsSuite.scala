@@ -286,6 +286,27 @@ class EventOpsSuite extends SparkTestBase {
     }
   }
 
+  test("q190 Gini: grouped two-phase Lorenz equals the sorted-scan formula") {
+    val r = Registry.byName("q190_revenue_gini").q(spark, sf).collect().head
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+      .collect().map(_.getLong(1)).sorted
+    val n = vals.length.toLong
+    val s = vals.sum
+    val wsum = vals.zipWithIndex.map { case (v, i) => (i + 1L) * v }.sum
+    assert(r.getLong(0) == n && r.getLong(1) == s)
+    assert(r.getDouble(2) ==
+      (2L * wsum - (n + 1) * s).toDouble / (n * s).toDouble, "gini formula")
+    val k = (n + 9) / 10
+    val top = vals.reverse.take(k.toInt).sum
+    assert(r.getLong(3) == top * 1000000L / s, "top-decile share")
+    // sanity: gini in [0, 1); top decile holds at least its uniform share
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+    assert(r.getLong(3) >= 1000000L * k / n)
+  }
+
   test("q189 RFM: count-based quintiles equal the direct rank formula") {
     val rows = Registry.byName("q189_rfm_segments").q(spark, sf).collect()
     assert(rows.nonEmpty)
