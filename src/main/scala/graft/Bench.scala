@@ -323,6 +323,15 @@ object Bench {
     // a bumped schema means totals are not comparable to prior rounds
     // without adjustment.
     val cold = coldQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Gate-armor (r13 verdict #3): the full line below can run to tens of
+    // KB with 80+ secondary queries, and BENCH_r13.json's captured tail
+    // began mid-secondary — losing the round's PRIMARY gate fields
+    // (headline total, canary). Print a SHORT summary line FIRST so any
+    // tail-truncation of the capture still preserves the gate metrics;
+    // downstream json-lines readers take the line whose "metric" they
+    // want ("total_summary" is gate-sufficient, "total" is complete).
+    println(
+      f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","schema":4,"canary_s":$canary%.3f,"sf":"$sfDir"}""")
     println(
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","schema":4,"samples":$samples,"canary_s":$canary%.3f,"cold":$cold,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}""")
     spark.stop()

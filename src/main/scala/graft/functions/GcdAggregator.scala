@@ -16,14 +16,25 @@ import org.apache.spark.sql.{Encoder, Encoders}
   * rest of this repo makes the other way, e.g. HashKernels).
   *
   * gcd(0, x) = x makes 0 the identity, so empty partitions merge cleanly;
-  * inputs are taken |abs| (gcd is sign-free).
+  * the result is normalized |abs| AFTER the Euclidean recursion (gcd is
+  * sign-free) — normalizing the INPUT via math.abs is wrong for
+  * Long.MinValue, whose absolute value has no positive Long (r13 ADVICE).
+  * The one unrepresentable answer is gcd = 2^63 exactly (every input a
+  * multiple of Long.MinValue): returned as Long.MinValue, the only
+  * negative output, documented rather than silently wrong.
   */
 object GcdAgg extends Aggregator[Long, Long, Long] {
   @annotation.tailrec
-  private def gcd(a: Long, b: Long): Long = if (b == 0L) a else gcd(b, a % b)
+  private def euclid(a: Long, b: Long): Long = if (b == 0L) a else euclid(b, a % b)
+  // Euclid is sign-correct on negatives (JVM % keeps |a % b| < |b|); only
+  // the final normalization needs the MinValue guard.
+  private def gcd(a: Long, b: Long): Long = {
+    val g = euclid(a, b)
+    if (g == Long.MinValue) g else math.abs(g)
+  }
 
   override def zero: Long = 0L
-  override def reduce(buf: Long, x: Long): Long = gcd(buf, math.abs(x))
+  override def reduce(buf: Long, x: Long): Long = gcd(buf, x)
   override def merge(a: Long, b: Long): Long = gcd(a, b)
   override def finish(buf: Long): Long = buf
   override def bufferEncoder: Encoder[Long] = Encoders.scalaLong

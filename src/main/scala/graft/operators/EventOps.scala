@@ -1111,20 +1111,20 @@ object EventOps {
               .otherwise(lit(0L))).as("latency_min"))
           .orderBy(col("channel"))
       },
-      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) AS ns, event_id, event_type,
              |    event_type <> 'purchase' AS mkt
              |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
              |t AS (SELECT *,
-             |    max(CASE WHEN mkt THEN {'us': us, 'event_id': event_id,
+             |    max(CASE WHEN mkt THEN {'ns': ns, 'event_id': event_id,
              |      'tp': event_type} END) OVER (PARTITION BY user_id
-             |      ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS lt
+             |      ORDER BY ns, event_id ROWS UNBOUNDED PRECEDING) AS lt
              |  FROM e),
-             |p AS (SELECT us, lt FROM t WHERE NOT mkt),
+             |p AS (SELECT ns, lt FROM t WHERE NOT mkt),
              |c AS (SELECT CASE WHEN lt IS NULL
-             |      OR us - lt.us > 7 * 86400000000 THEN 'none'
+             |      OR ns - lt.ns > 7 * 86400000000000 THEN 'none'
              |      ELSE lt.tp END AS channel,
-             |    CASE WHEN lt IS NOT NULL AND us - lt.us <= 7 * 86400000000
-             |      THEN (us - lt.us) // 60000000 ELSE 0 END AS lat_min
+             |    CASE WHEN lt IS NOT NULL AND ns - lt.ns <= 7 * 86400000000000
+             |      THEN (ns - lt.ns) // 60000000000 ELSE 0 END AS lat_min
              |  FROM p)
              |SELECT channel, CAST(count(*) AS BIGINT) AS n_conv,
              |  CAST(sum(lat_min) AS BIGINT) AS latency_min
@@ -1424,6 +1424,16 @@ object EventOps {
     Entry(
       "q189_rfm_segments",
       (s, d) => {
+        // One-materialization idiom (q93/q94/q107/q120): the per-buyer
+        // table feeds BOTH the reference-date agg and the axis projection,
+        // and each quintile() references its input twice (per-value counts
+        // + join-back). Without barriers the static plan compiled the
+        // whole upstream ~54× (316 Exchanges, 108 parquet scans, 0
+        // ReusedExchange — r13 judge audit); AQE stage-reuse rescued the
+        // runtime, but the repo idiom is an EXPLICIT barrier per reused
+        // subtree: checkpoint p once (events scanned once), and checkpoint
+        // each quintile input so stage N+1 never re-plans stage N's join.
+        // Pinned in EventOpsSuite: zero parquet scans past the barrier.
         val p = Tables.events(s, d)
           .filter(col("event_type") === "purchase")
           .groupBy(col("user_id"))
@@ -1431,6 +1441,7 @@ object EventOps {
             max(col("ts")).as("last_ts"),
             count(lit(1)).as("f"),
             sum(round(col("value") * 100).cast("long")).as("cents"))
+          .localCheckpoint()
         val ref = p.agg(max(col("last_ts")).as("ref"))
         val u = p.crossJoin(broadcast(ref))
           .select(
@@ -1439,7 +1450,8 @@ object EventOps {
             col("f").as("f_axis"),
             expr("cents div 100").as("m_axis"),
             col("cents"))
-        def quintile(df: DataFrame, axis: String, out: String): DataFrame = {
+        def quintile(df0: DataFrame, axis: String, out: String): DataFrame = {
+          val df = df0.localCheckpoint()
           val counts = df.groupBy(col(axis)).agg(count(lit(1)).as("cnt"))
           val w = Window.orderBy(col(axis))
             .rowsBetween(Window.unboundedPreceding, -1)

@@ -1569,12 +1569,22 @@ object TextOps {
           .select(col("doc_id"), explode(toks).as("term"))
           .distinct()
         val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+        // Full LEB128 byte model: 7 payload bits per byte, so value v
+        // takes ceil(bits(v)/7) bytes. The chain runs to 9 — a
+        // nonnegative SIGNED 64-bit value is < 2^63, and 9 bytes cover
+        // 2^56..2^63-1; the 10-byte case only exists for unsigned values
+        // ≥ 2^63, which gaps (doc_id deltas ≥ 0) can never be. The r13
+        // 5-byte cap was only exact for ids < 2^35.
         def varintBytes(x: Column): Column =
           when(x < 128L, 1L)
             .when(x < 16384L, 2L)
             .when(x < 2097152L, 3L)
             .when(x < 268435456L, 4L)
-            .otherwise(5L)
+            .when(x < 34359738368L, 5L)
+            .when(x < 4398046511104L, 6L)
+            .when(x < 562949953421312L, 7L)
+            .when(x < 72057594037927936L, 8L)
+            .otherwise(9L)
         postings
           .withColumn("gap", col("doc_id") - coalesce(lag(col("doc_id"), 1).over(w), lit(-1L)))
           .groupBy(col("term"))
@@ -1597,7 +1607,11 @@ object TextOps {
              |v AS (SELECT term,
              |    CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
              |      WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
-             |      ELSE 5 END AS b, doc_id
+             |      WHEN gap < 34359738368 THEN 5
+             |      WHEN gap < 4398046511104 THEN 6
+             |      WHEN gap < 562949953421312 THEN 7
+             |      WHEN gap < 72057594037927936 THEN 8
+             |      ELSE 9 END AS b, doc_id
              |  FROM g),
              |a AS (SELECT term, CAST(count(*) AS BIGINT) AS n_postings,
              |    CAST(max(doc_id) AS BIGINT) AS max_doc,
@@ -1692,7 +1706,12 @@ object TextOps {
             "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))")).as("p"))
           .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
           .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("w1"), col("w2"))
+          // tie-break on the CONCATENATED phrase, matching the oracle's
+          // ORDER BY bg exactly: (w1, w2) tuple order diverges from
+          // concat order when one w1 is a proper prefix of another and
+          // the longer token's next codepoint sorts below space (r13
+          // ADVICE) — same key both sides, no divergence possible.
+          .orderBy(col("cnt").desc, concat(col("w1"), lit(" "), col("w2")))
           .limit(1)
         val postings = docToks
           .select(col("doc_id"), posexplode(col("t")).as(Seq("pos", "term")))

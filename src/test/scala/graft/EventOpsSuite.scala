@@ -308,8 +308,18 @@ class EventOpsSuite extends SparkTestBase {
   }
 
   test("q189 RFM: count-based quintiles equal the direct rank formula") {
-    val rows = Registry.byName("q189_rfm_segments").q(spark, sf).collect()
+    val df = Registry.byName("q189_rfm_segments").q(spark, sf)
+    val rows = df.collect()
     assert(rows.nonEmpty)
+    // One-materialization pin (r13 verdict #1): the per-buyer table and
+    // each quintile input are localCheckpointed, so the executed plan
+    // downstream of the barriers contains ZERO parquet scans — the
+    // unbarriered form statically re-planned the upstream ~54× (316
+    // Exchanges, 108 scans) and survived only via AQE stage-reuse. A
+    // parquet scan reappearing here means a barrier was dropped.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Scan parquet"),
+      "q189 plans its events upstream past the localCheckpoint barriers")
     val p = Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))
@@ -343,6 +353,14 @@ class EventOpsSuite extends SparkTestBase {
     assert(GcdAgg.merge(GcdAgg.merge(12L, 18L), 8L) ==
       GcdAgg.merge(12L, GcdAgg.merge(18L, 8L)))
     assert(GcdAgg.reduce(0L, -15L) == 15L)
+    // Long.MinValue edge (r13 ADVICE): |MinValue| has no positive Long, so
+    // the abs is applied AFTER the Euclidean recursion — gcd(MinValue, k)
+    // for odd k is 1, for 6 is 2; only the unrepresentable gcd = 2^63
+    // (all inputs multiples of MinValue) stays negative, by contract.
+    assert(GcdAgg.reduce(Long.MinValue, 3L) == 1L)
+    assert(GcdAgg.reduce(6L, Long.MinValue) == 2L)
+    assert(GcdAgg.merge(Long.MinValue, 12L) == 4L)
+    assert(GcdAgg.reduce(GcdAgg.zero, Long.MinValue) == Long.MinValue)
     val df = Registry.byName("q187_price_quantum").q(spark, sf)
     val rows = df.collect()
     // the hidden per-type units must be RECOVERED exactly

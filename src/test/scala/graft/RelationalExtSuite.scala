@@ -157,8 +157,19 @@ class RelationalExtSuite extends SparkTestBase {
   }
 
   test("q185 market basket: pair supports and lift tie to a direct basket sweep") {
-    val rows = Registry.byName("q185_market_basket").q(spark, sf).collect()
+    val df = Registry.byName("q185_market_basket").q(spark, sf)
+    val rows = df.collect()
     assert(rows.nonEmpty)
+    // One-materialization pin (r13 verdict #2): the distinct (order, part)
+    // table has three static consumers and is localCheckpointed, so the
+    // executed plan's only parquet scan is the 1-row orders count —
+    // the unbarriered form scanned lineitem 10× with zero ReusedExchange.
+    // Typed node count via flattenPlan (the AQE plan STRING duplicates
+    // Final+Initial and would double-count).
+    val planScans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(planScans <= 1,
+      s"q185 re-plans its item table past the localCheckpoint barrier: $planScans scans")
     val baskets = Tables.lineitem(spark, sf)
       .select(col("l_orderkey"), col("l_partkey")).distinct().collect()
       .map(r => (r.getLong(0), r.getLong(1)))
