@@ -204,7 +204,15 @@ object Bench {
     // revenue-concentration Gini (round 13, standing from birth).
     // Subtract it when comparing secondary_total against earlier r13
     // artifacts.
-    "q190_revenue_gini")
+    "q190_revenue_gini",
+    // round-14 cohort, standing from birth: dedup-side LSM compaction,
+    // profile-driven adaptive salt (runs the q36 join twice), JPEG SOF
+    // decode, hashed-n-gram linear quality classifier. Subtract these
+    // four when comparing secondary_total against r13 artifacts.
+    "q191_dedup_segment_compact",
+    "q192_adaptive_salt",
+    "q193_jpeg_decode",
+    "q194_quality_classifier")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -147,6 +147,95 @@ object Multimodal {
     out
   }
 
+  private def beShort(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 8) | (b(off + 1) & 0xffL)
+
+  /** REAL JPEG header parse (ITU T.81 §B, public byte layout — no codec
+    * needed): SOI (FFD8), then a marker-segment walk — each segment is
+    * FF <marker> <2-byte BE length incl. the length field> <payload> —
+    * until a Start-Of-Frame marker (FFC0–FFCF excluding C4 DHT, C8 JPG
+    * extension, CC DAC, which share the Cx range but are NOT frames);
+    * the SOF payload carries precision, 2-byte BE height, 2-byte BE
+    * width, and the component count. Returns (width, height, channels =
+    * n_components: 1 grayscale, 3 YCbCr, 4 CMYK). Standalone markers
+    * (TEM 01, RST0–7 D0–D7) have no length field and are skipped as bare
+    * pairs; fill bytes (FF padding before a marker, §B.1.1.2) are
+    * consumed. Closes the r13 gap: q181 already DETECTS JPEG by magic
+    * bytes but the decode path stub-fell-back for it — and JPEG is the
+    * dominant web image format. None for anything not a well-formed JPEG
+    * head — dimension decode, not integrity check (same contract as
+    * [[parsePngHeader]]).
+    */
+  private[graft] def parseJpegHeader(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    if (b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
+    var off = 2
+    while (off + 3 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return None // lost marker sync
+      // consume fill bytes: any run of FF before the marker code
+      var mOff = off + 1
+      while (mOff < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1
+      if (mOff >= b.length) return None
+      val marker = b(mOff) & 0xff
+      if (marker >= 0xc0 && marker <= 0xcf &&
+        marker != 0xc4 && marker != 0xc8 && marker != 0xcc) {
+        // SOF payload: len(2) precision(1) height(2) width(2) ncomp(1)
+        if (mOff + 8 >= b.length) return None
+        if (beShort(b, mOff + 1) < 8L) return None
+        val height = beShort(b, mOff + 4)
+        val width = beShort(b, mOff + 6)
+        val ncomp = b(mOff + 8) & 0xff
+        if (width < 1 || height < 1 || ncomp < 1 || ncomp > 4) return None
+        return Some((width, height, ncomp.toLong))
+      } else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd9)) {
+        off = mOff + 1 // standalone: no length field
+      } else if (marker == 0xda) {
+        return None // entropy-coded scan began before any SOF: malformed
+      } else {
+        if (mOff + 2 >= b.length) return None
+        val len = beShort(b, mOff + 1)
+        if (len < 2L) return None
+        off = mOff + 1 + len.toInt
+      }
+    }
+    None
+  }
+
+  /** Well-formed JPEG head (SOI + APP0/JFIF + a COM segment + SOF0) — what
+    * [[parseJpegHeader]] consumes; real T.81 bytes exercising the segment
+    * walk (two skipped variable-length segments before the frame header),
+    * used to synthesize payload columns in tests and q193 (the q82/q104
+    * pattern for the third container format).
+    */
+  private[graft] def jpegHeaderBytes(width: Int, height: Int, ncomp: Int): Array[Byte] = {
+    val out = new Array[Byte](2 + 18 + 6 + 2 + 8 + 3 * ncomp)
+    def putBe16(off: Int, v: Long): Unit = {
+      out(off) = ((v >>> 8) & 0xff).toByte; out(off + 1) = (v & 0xff).toByte
+    }
+    out(0) = 0xff.toByte; out(1) = 0xd8.toByte // SOI
+    // APP0/JFIF, length 16: identifier, version 1.1, density 1×1, no thumb
+    out(2) = 0xff.toByte; out(3) = 0xe0.toByte; putBe16(4, 16L)
+    "JFIF".zipWithIndex.foreach { case (c, i) => out(6 + i) = c.toByte }
+    out(11) = 1; out(12) = 1 // version
+    putBe16(14, 1L); putBe16(16, 1L) // x/y density (unit byte 13 stays 0)
+    // COM, length 4: two comment bytes — a second walked segment
+    out(20) = 0xff.toByte; out(21) = 0xfe.toByte; putBe16(22, 4L)
+    out(24) = 'o'; out(25) = 'k'
+    // SOF0 (baseline): len 8+3·ncomp, precision 8, dims, components
+    out(26) = 0xff.toByte; out(27) = 0xc0.toByte
+    putBe16(28, 8L + 3 * ncomp)
+    out(30) = 8 // precision
+    putBe16(31, height.toLong)
+    putBe16(33, width.toLong)
+    out(35) = ncomp.toByte
+    (0 until ncomp).foreach { c =>
+      out(36 + 3 * c) = (c + 1).toByte // component id
+      out(37 + 3 * c) = 0x11 // 1×1 sampling
+      out(38 + 3 * c) = 0 // quant table
+    }
+    out
+  }
+
   final case class WavMeta(
       doc_id: Long, sample_rate: Long, channels: Long, bits: Long, duration_us: Long)
 
@@ -158,7 +247,7 @@ object Multimodal {
     */
   def stubDecode(m: MediaIn): MediaMeta = {
     val n = m.payload.length.toLong
-    parsePngHeader(m.payload) match {
+    parsePngHeader(m.payload).orElse(parseJpegHeader(m.payload)) match {
       case Some((w, h, c)) =>
         MediaMeta(m.doc_id, n_bytes = n, width = w, height = h, channels = c, frames = 1L)
       case None =>
@@ -455,6 +544,40 @@ object Multimodal {
       Some("""SELECT doc_id,
              | 100 + doc_id % 500 AS width,
              | 50 + doc_id % 300 AS height,
+             | CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
+             | CAST(1 AS BIGINT) AS frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q193: REAL JPEG decode (see parseJpegHeader) — the q82 pattern on
+    // the other marker set: each doc gets a well-formed JPEG head (SOI +
+    // APP0/JFIF + COM + SOF0) with dimensions derived from doc_id, the
+    // same batched decodePartition runs, and the numbers come out of the
+    // T.81 marker-segment walk's big-endian reads — the parse must skip
+    // two variable-length segments before finding the frame header, so a
+    // walk bug (not just a field-offset bug) fails the gate. The oracle
+    // recomputes the dimensions from doc_id arithmetic. JPEG dims are
+    // 16-bit (≤65535) — the fabricated range stays well inside.
+    Entry(
+      "q193_jpeg_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val ncomp = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+            MediaIn(id, jpegHeaderBytes(
+              width = (64 + id % 1000).toInt,
+              height = (32 + id % 600).toInt,
+              ncomp = ncomp))
+          }
+          .mapPartitions(decodePartition)
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("channels"), col("frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             | 64 + doc_id % 1000 AS width,
+             | 32 + doc_id % 600 AS height,
              | CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
              | CAST(1 AS BIGINT) AS frames
              |FROM documents ORDER BY doc_id""".stripMargin)),

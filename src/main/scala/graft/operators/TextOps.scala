@@ -983,6 +983,77 @@ object TextOps {
              |    AS n_well_covered
              |FROM pd GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    // q194: MODEL-BASED QUALITY CLASSIFIER — the production complement to
+    // the heuristic tier (Gopher q88, bigram-LM q95): a LINEAR classifier
+    // over hashed n-gram features, the fastText shape (Joulin et al. '16)
+    // every web-scale quality filter (CCNet, GPT-3's WebText classifier)
+    // actually ships. Features are lowercased alnum unigrams + bigrams
+    // (the vocabulary normalization a real tokenizer applies — and what
+    // keeps the per-codepoint fold engine-portable), hashed into 4096
+    // buckets by an explicit 31-polynomial fold (mod at every step, so
+    // the arithmetic is exact and cross-engine bit-identical); the weight
+    // vector is FROZEN — training stays offline (the verdict's framing) —
+    // as a deterministic Knuth-multiplicative function of the bucket id
+    // standing in for a loaded artifact; production swaps in a broadcast
+    // 4096-long array and nothing else changes. Score = Σ w[h(f)] over
+    // feature OCCURRENCES, all integer; keep = score > 0.
+    //
+    // THE 100 TB SHAPE IS THE POINT: inference is ONE map pass — the
+    // entire model application is a single codegen'd projection (nested
+    // higher-order aggregate, no UDF, no join, no shuffle); the only
+    // exchange in the plan is the ≤n_langs-row rollup. A classifier that
+    // joined docs against a feature table would shuffle the corpus;
+    // this ships the model to the data.
+    Entry(
+      "q194_quality_classifier",
+      (s, d) => {
+        val scored = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            expr("filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")
+              .as("u"))
+          .select(col("doc_id"), col("lang"),
+            expr("concat(u, zip_with(slice(u, 1, greatest(size(u) - 1, 0)), " +
+              "slice(u, 2, greatest(size(u) - 1, 0)), " +
+              "(a, b) -> concat(a, ' ', b)))").as("feats"))
+          .select(col("doc_id"), col("lang"),
+            size(col("feats")).cast("long").as("n_feats"),
+            expr("""aggregate(feats, 0L, (acc, f) -> acc +
+              ((aggregate(filter(split(f, ''), ch -> ch != ''), 0L,
+                  (a, c) -> (a * 31L + ascii(c)) % 4096L)
+                * 2654435761L) % 2003L) - 1001L)""").as("score"))
+        scored
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_feats")).as("n_feats"),
+            sum(col("score")).as("score_sum"),
+            sum(when(col("score") > 0L, 1L).otherwise(0L)).as("n_keep"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_filter(string_split(lower(text), ' '),
+             |      w -> regexp_matches(w, '^[a-z0-9]+$')) AS u
+             |  FROM documents),
+             |f AS (SELECT doc_id, lang,
+             |    list_concat(u, list_transform(range(2, len(u)+1),
+             |      i -> u[i-1] || ' ' || u[i])) AS feats
+             |  FROM t),
+             |e AS (SELECT doc_id, lang,
+             |    CAST(len(feats) AS BIGINT) AS n_feats,
+             |    CAST(coalesce(list_sum(list_transform(feats, g ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, length(g)+1),
+             |            i -> CAST(unicode(g[i]) AS BIGINT))),
+             |        (a, c) -> (a * 31 + c) % 4096) * 2654435761) % 2003)
+             |      - 1001)), 0) AS BIGINT) AS score
+             |  FROM f)
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n_feats) AS BIGINT) AS n_feats,
+             |  CAST(sum(score) AS BIGINT) AS score_sum,
+             |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_keep
+             |FROM e GROUP BY lang ORDER BY lang""".stripMargin)),
+
     // q96: SEQUENCE PACKING — the pretraining batch-assembly primitive:
     // concatenate the corpus in doc_id order and cut into fixed
     // L=2048-token context windows; report, per window ("bin"), how many

@@ -755,4 +755,37 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(df.queryExecution.executedPlan.toString.contains("WindowGroupLimit"),
       "q174 rank windows not group-limited")
   }
+
+  test("q192 adaptive salt: sizing law, clamps, and output invariance") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    // sizing law S = ceil(m²/(2P)) clamped to [1, 64], on synthetic band
+    // histograms with a known hottest cell: m docs sharing ONE band key
+    def bandedWithHotCell(m: Int): org.apache.spark.sql.DataFrame =
+      (0 until math.max(m, 1)).map(i => (i.toLong, Array(7L)))
+        .toDF("doc_id", "bands")
+    // m=1000 → m²/2e8 = 0.005 → clamp up to 1
+    assert(graft.operators.Dedup.adaptiveBandSalt(bandedWithHotCell(1000)) == 1)
+    // m=40000 → 1.6e9/2e8 = 8 — the default's documented design point
+    assert(graft.operators.Dedup.adaptiveBandSalt(bandedWithHotCell(40000)) == 8)
+    // m=60000 → 3.6e9/2e8 = 18
+    assert(graft.operators.Dedup.adaptiveBandSalt(bandedWithHotCell(60000)) == 18)
+    // pathological cell → hard cap 64 (the replication cost law)
+    assert(graft.operators.Dedup.adaptiveBandSalt(bandedWithHotCell(200000)) == 64)
+    // empty profile → 1 (no data, no salt — the coalesce path)
+    assert(graft.operators.Dedup.adaptiveBandSalt(
+      bandedWithHotCell(1).filter(col("doc_id") < 0L)) == 1)
+    // end-to-end: union of adaptive+static pair sets matches q36 exactly
+    // (matches_static proves the runs identical; n_pairs then proves both
+    // equal the true pair set)
+    val r = Registry.byName("q192_adaptive_salt").q(spark, sf).collect().head
+    val q36 = Registry.byName("q36_minhash_lsh").q(spark, sf).count()
+    assert(r.getBoolean(1), "derived salt out of range")
+    assert(r.getBoolean(2), "adaptive pair set diverges from static")
+    assert(r.getLong(0) == q36, "pair-set union differs from q36's pair set")
+    // the conf knob is restored after the query builds
+    assert(!spark.conf.getOption("graft.dedup.bandJoinSalt").exists(_ != "8"),
+      "q192 leaked its salt override into the session")
+  }
 }

@@ -82,6 +82,47 @@ class MultimodalSuite extends SparkTestBase {
     assert(Multimodal.parseWavHeader(wav.take(43)).isEmpty)
   }
 
+  test("q193 JPEG SOF parse: segment walk, BE dims, marker-class rejects") {
+    // round-trip through the fabricator: the walk must skip APP0 and COM
+    // before finding SOF0, for all three component counts
+    for ((nc, w, h) <- Seq((1, 640, 360), (3, 1024, 65535), (4, 65535, 17)))
+      assert(Multimodal.parseJpegHeader(Multimodal.jpegHeaderBytes(w, h, nc)) ==
+        Some((w.toLong, h.toLong, nc.toLong)), s"round-trip ($w,$h,$nc)")
+    val jpg = Multimodal.jpegHeaderBytes(800, 600, 3)
+    // dims are UNSIGNED 16-bit big-endian — 40000 > Short.MaxValue must
+    // not sign-extend (the PNG suite's BE discipline on the 16-bit fields)
+    assert(Multimodal.parseJpegHeader(Multimodal.jpegHeaderBytes(40000, 33000, 3)) ==
+      Some((40000L, 33000L, 3L)))
+    // C4 (DHT) shares the Cx range but is NOT a frame marker: patching the
+    // COM segment into a DHT must still walk past it to the real SOF
+    val dht = jpg.clone(); dht(21) = 0xc4.toByte
+    assert(Multimodal.parseJpegHeader(dht) == Some((800L, 600L, 3L)),
+      "DHT mistaken for SOF (or walk lost)")
+    // fill bytes before a marker are consumed (§B.1.1.2)
+    val fill = Array(jpg(0), jpg(1), 0xff.toByte) ++ jpg.drop(2)
+    assert(Multimodal.parseJpegHeader(fill) == Some((800L, 600L, 3L)),
+      "fill byte broke marker sync")
+    // standalone markers (TEM) carry no length field: replace the 6-byte
+    // COM with three bare FF01 pairs — the walk must step over each
+    val tem = jpg.clone()
+    Seq(20, 22, 24).foreach { i => tem(i) = 0xff.toByte; tem(i + 1) = 0x01 }
+    assert(Multimodal.parseJpegHeader(tem) == Some((800L, 600L, 3L)),
+      "standalone marker broke the walk")
+    // rejects: no SOI; SOS before any SOF; truncation mid-walk
+    val noSoi = jpg.clone(); noSoi(1) = 0x00
+    assert(Multimodal.parseJpegHeader(noSoi).isEmpty)
+    val sos = jpg.clone(); sos(27) = 0xda.toByte
+    assert(Multimodal.parseJpegHeader(sos).isEmpty, "scan-before-SOF must reject")
+    (1 until jpg.length - 9).foreach { k =>
+      assert(Multimodal.parseJpegHeader(jpg.take(k)).isEmpty, s"truncated at $k")
+    }
+    // decodePartition routes JPEG through the real parse, not the stub
+    val meta = Multimodal.decodePartition(
+      Iterator(Multimodal.MediaIn(9L, jpg))).next()
+    assert(meta.width == 800 && meta.height == 600 && meta.channels == 3
+      && meta.frames == 1, s"decoder did not use the JPEG parse: $meta")
+  }
+
   test("q181 sniff: mismatch cells are exactly the doc_id%7 shift; map-only") {
     import org.apache.spark.sql.functions.col
     val df = graft.queries.Registry.byName("q181_magic_sniff").q(spark, sf)

@@ -293,4 +293,39 @@ class TextOpsSuite extends SparkTestBase {
       }.sum
     assert(n3 == 1, s"triple stack left $n3 NormalizeText nodes")
   }
+
+  test("q194 classifier: scores equal an independent replay; one-exchange map pass") {
+    import org.apache.spark.sql.functions._
+    val df = Registry.byName("q194_quality_classifier").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // independent replay of the whole model in plain Scala: tokenize,
+    // hash by the 31-polynomial fold, weight by the Knuth stand-in, sum
+    def hash(f: String): Long =
+      f.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 4096)
+    def weight(f: String): Long = (hash(f) * 2654435761L) % 2003L - 1001L
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val expected = docs.groupBy(_._1).map { case (lang, ds) =>
+      val perDoc = ds.map { case (_, text) =>
+        val u = text.toLowerCase.split(" ").filter(_.matches("[a-z0-9]+"))
+        val feats = u.toSeq ++ u.toSeq.zip(u.toSeq.drop(1)).map { case (a, b) => s"$a $b" }
+        (feats.size.toLong, feats.map(weight).sum)
+      }
+      lang -> (ds.length.toLong, perDoc.map(_._1).sum, perDoc.map(_._2).sum,
+        perDoc.count(_._2 > 0L).toLong)
+    }
+    val got = rows.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == expected, "classifier diverges from the direct replay")
+    // THE SHAPE CLAIM: inference is one map pass — the executed plan has
+    // exactly ONE hash exchange (the ≤n_langs-row rollup; the ORDER BY's
+    // range exchange over the 5-row result is ignored), no join, no window
+    val hashEx = shuffleExchanges(df).count(_.outputPartitioning
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(hashEx == 1, s"q194 is not a single-exchange map pass: $hashEx hash shuffles")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "q194 must ship the model to the data, not join")
+  }
 }
