@@ -212,7 +212,11 @@ object Bench {
     "q191_dedup_segment_compact",
     "q192_adaptive_salt",
     "q193_jpeg_decode",
-    "q194_quality_classifier")
+    "q194_quality_classifier",
+    // approx (HLL++) schema-profiler production form (round 14, standing
+    // from birth). Subtract it when comparing secondary_total against
+    // earlier artifacts.
+    "q195_schema_profile_approx")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -462,6 +462,104 @@ object Relational3 {
              |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
              |    min(o_orderpriority), max(o_orderpriority) FROM orders)
              |SELECT column_name, n.n_rows, n_nulls, n_distinct, min_str, max_str
+             |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin)),
+
+    // q195: APPROX SCHEMA PROFILE — q180's production form. Exact
+    // multi-column DISTINCT profiling plans an Expand (4× row
+    // amplification through the single exchange); at 100 TB you swap
+    // countDistinct for approx_count_distinct (HLL++, rsd 2%) and the
+    // expand disappears — HLL partials are plain-aggregatable, so the
+    // whole profile is ONE scan, ONE 1-row exchange, zero row
+    // amplification (suite-pinned: [[approxProfile]]'s executed plan has
+    // no Expand node while q180's does). Registered here in the
+    // exact-beside-production pairing (the q110/q127 discipline): the
+    // exact branch supplies the oracle-comparable n_distinct, and the
+    // approx branch is judged in-row by `approx_ok` — |hll − exact| ≤
+    // max(10% of exact, 2) per column. HLL++ is deterministic for a
+    // given input multiset (no RNG), so this is a stable gate, not a
+    // flaky tolerance; with rsd 2% the 10% bound has enormous headroom
+    // at every SF, and small cardinalities (o_orderstatus: 3) sit in
+    // HLL++'s exact sparse regime.
+    Entry(
+      "q195_schema_profile_approx",
+      (s, d) => {
+        val prod = approxProfile(T.orders(s, d)) // the no-expand pass
+        val exact = T.orders(s, d).agg(
+          countDistinct(col("o_orderkey")).as("xd1"),
+          countDistinct(col("o_custkey")).as("xd2"),
+          countDistinct(col("o_orderstatus")).as("xd3"),
+          countDistinct(col("o_orderpriority")).as("xd4"))
+        val ok = (a: String, x: String) =>
+          (abs(col(a) - col(x)) <= greatest(
+            ceil(col(x).cast("double") * 0.10).cast("long"), lit(2L))).as("ok_" + x)
+        prod
+          .crossJoin(broadcast(exact))
+          .select(
+            col("*"),
+            ok("ad1", "xd1"), ok("ad2", "xd2"), ok("ad3", "xd3"), ok("ad4", "xd4"))
+          .selectExpr(
+            "n_rows",
+            """stack(4,
+               'o_orderkey', nn1, xd1, mn1, mx1, ok_xd1,
+               'o_custkey', nn2, xd2, mn2, mx2, ok_xd2,
+               'o_orderstatus', nn3, xd3, mn3, mx3, ok_xd3,
+               'o_orderpriority', nn4, xd4, mn4, mx4, ok_xd4)
+               AS (column_name, n_nulls, n_distinct, min_str, max_str, approx_ok)""")
+          .select(
+            col("column_name"), col("n_rows"), col("n_nulls"),
+            col("n_distinct"), col("min_str"), col("max_str"), col("approx_ok"))
+          .orderBy(col("column_name"))
+      },
+      Some("""WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders),
+             |p AS (
+             |  SELECT 'o_orderkey' AS column_name,
+             |    CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |    CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             |    CAST(min(o_orderkey) AS VARCHAR) AS min_str,
+             |    CAST(max(o_orderkey) AS VARCHAR) AS max_str FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey',
+             |    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT o_custkey) AS BIGINT),
+             |    CAST(min(o_custkey) AS VARCHAR),
+             |    CAST(max(o_custkey) AS VARCHAR) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderstatus',
+             |    CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             |    min(o_orderstatus), max(o_orderstatus) FROM orders
+             |  UNION ALL
+             |  SELECT 'o_orderpriority',
+             |    CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+             |    min(o_orderpriority), max(o_orderpriority) FROM orders)
+             |SELECT column_name, n.n_rows, n_nulls, n_distinct, min_str, max_str,
+             |  TRUE AS approx_ok
              |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin))
   )
+
+  /** q195's production pass: full 4-column profile (rows/nulls/min/max +
+    * HLL++ approx-distinct, rsd 2%) in ONE aggregate over ONE scan with NO
+    * Expand — the plan shape the suite pins. Exposed so the test can plan
+    * it standalone.
+    */
+  def approxProfile(o: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    o.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("nn1"),
+      approx_count_distinct(col("o_orderkey"), 0.02).as("ad1"),
+      min(col("o_orderkey")).cast("string").as("mn1"),
+      max(col("o_orderkey")).cast("string").as("mx1"),
+      sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn2"),
+      approx_count_distinct(col("o_custkey"), 0.02).as("ad2"),
+      min(col("o_custkey")).cast("string").as("mn2"),
+      max(col("o_custkey")).cast("string").as("mx2"),
+      sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn3"),
+      approx_count_distinct(col("o_orderstatus"), 0.02).as("ad3"),
+      min(col("o_orderstatus")).cast("string").as("mn3"),
+      max(col("o_orderstatus")).cast("string").as("mx3"),
+      sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn4"),
+      approx_count_distinct(col("o_orderpriority"), 0.02).as("ad4"),
+      min(col("o_orderpriority")).cast("string").as("mn4"),
+      max(col("o_orderpriority")).cast("string").as("mx4"))
 }

@@ -211,6 +211,35 @@ class RelationalSuite extends SparkTestBase {
     assert(scans == 1, s"q180 scans orders $scans times — profilers scan once")
   }
 
+  test("q195 approx profile: production pass has NO expand; approx_ok all true") {
+    // The production aggregate (HLL++ approx-distinct) must plan WITHOUT the
+    // Expand node the exact multi-DISTINCT form (q180) needs — that's the
+    // whole reason the approx variant exists at 100 TB.
+    val prod = graft.operators.Relational3.approxProfile(Tables.orders(spark, sf))
+    prod.write.format("noop").mode("overwrite").save()
+    val prodPlan = prod.queryExecution.executedPlan.toString
+    assert(!prodPlan.contains("Expand"),
+      s"approx profile plans an Expand — HLL partials should aggregate plainly:\n$prodPlan")
+
+    val exact = Registry.byName("q180_schema_profile").q(spark, sf)
+    exact.write.format("noop").mode("overwrite").save()
+    assert(exact.queryExecution.executedPlan.toString.contains("Expand"),
+      "q180's exact multi-DISTINCT no longer plans an Expand — update the q195 doc")
+
+    val rows = Registry.byName("q195_schema_profile_approx").q(spark, sf).collect()
+    assert(rows.length == 4)
+    rows.foreach(r => assert(r.getBoolean(6), s"${r.getString(0)}: approx outside bound"))
+    // exact columns must agree with q180's output row-for-row
+    val byCol = Registry.byName("q180_schema_profile").q(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    rows.foreach { r =>
+      val e = byCol(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2) &&
+        r.getLong(3) == e.getLong(3) && r.getString(4) == e.getString(4) &&
+        r.getString(5) == e.getString(5), s"${r.getString(0)}: drifted from q180")
+    }
+  }
+
   test("q170 pivot: one scan, one exchange — never a pass per pivot column") {
     import org.apache.spark.sql.functions._
     val df = Registry.byName("q170_pivot_matrix").q(spark, sf)
