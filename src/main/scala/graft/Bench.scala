@@ -216,7 +216,13 @@ object Bench {
     // approx (HLL++) schema-profiler production form (round 14, standing
     // from birth). Subtract it when comparing secondary_total against
     // earlier artifacts.
-    "q195_schema_profile_approx")
+    "q195_schema_profile_approx",
+    // fixed-point k-means, Heaps vocabulary-growth curve, Kneser-Ney
+    // bigram LM (round 14, standing from birth). Subtract these three
+    // when comparing secondary_total against earlier artifacts.
+    "q196_kmeans",
+    "q197_vocab_growth",
+    "q198_kneser_ney")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

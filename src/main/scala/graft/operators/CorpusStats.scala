@@ -1,0 +1,155 @@
+package graft.operators
+
+import graft.Tables
+import graft.queries.Entry
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level statistical models: vocabulary-growth (Heaps' law) curves
+  * and smoothed n-gram language models — the measurements a tokenizer/LM
+  * team runs before committing to a corpus mix.
+  */
+object CorpusStats {
+
+  private val T = Tables
+
+  /** q175's tokenization, verbatim: split on single space, no empty-token
+    * filtering — oracle mirrors with string_split.
+    */
+  private def toks: Column = split(col("text"), " ")
+
+  val entries: Seq[Entry] = Seq(
+    // q197: VOCABULARY GROWTH CURVE (Heaps' law) — cumulative distinct
+    // token types vs cumulative tokens in doc-id ingest order, bucketed
+    // by 50 docs: the "is this corpus still yielding new vocabulary"
+    // diagnostic that sizes tokenizer vocab and flags crawl exhaustion.
+    // The naive form (distinct count per prefix) is O(n²); the exact
+    // one-pass identity: a type is new at exactly ONE doc — its
+    // min(doc_id) — so new-types-per-doc is a single word-keyed exchange
+    // (first-occurrence table, the q169 novelty idiom), and every
+    // cumulative is a prefix-sum over the BUCKET table (docs/50 rows —
+    // the only unpartitioned window is over that bounded table, per the
+    // q96/q190 two-phase discipline). At 100 TB: one exchange keyed on
+    // the word, one keyed on doc_id, then driver-scale arithmetic.
+    Entry(
+      "q197_vocab_growth",
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val perDoc = docs.select(col("doc_id"), size(toks).as("ntok"))
+        val firstOcc = docs
+          .select(col("doc_id"), explode(toks).as("w"))
+          .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+        val newPerDoc = firstOcc.groupBy(col("fd").as("doc_id"))
+          .agg(count(lit(1)).as("new_types"))
+        val buckets = perDoc
+          .join(newPerDoc, Seq("doc_id"), "left")
+          .groupBy(expr("doc_id div 50").as("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("ntok")).as("bucket_tokens"),
+            sum(coalesce(col("new_types"), lit(0L))).as("new_types"))
+        // bounded-table prefix sum: |buckets| = |docs|/50
+        val w = Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        buckets
+          .select(
+            col("bucket"), col("n_docs"), col("bucket_tokens"), col("new_types"),
+            sum(col("bucket_tokens")).over(w).as("cum_tokens"),
+            sum(col("new_types")).over(w).as("cum_types"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok
+             |  FROM documents),
+             |wt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |f AS (SELECT w, min(doc_id) AS fd FROM wt GROUP BY 1),
+             |nv AS (SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS new_types
+             |  FROM f GROUP BY 1),
+             |b AS (SELECT d.doc_id // 50 AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(d.ntok) AS BIGINT) AS bucket_tokens,
+             |    CAST(sum(coalesce(nv.new_types, 0)) AS BIGINT) AS new_types
+             |  FROM d LEFT JOIN nv USING (doc_id) GROUP BY 1)
+             |SELECT bucket, n_docs, bucket_tokens, new_types,
+             |  CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT)
+             |    AS cum_tokens,
+             |  CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT)
+             |    AS cum_types
+             |FROM b ORDER BY bucket""".stripMargin)),
+
+    // q198: INTERPOLATED KNESER-NEY BIGRAM MODEL — the production
+    // complement to q95/q162's raw-count bigram familiarity: absolute
+    // discount D=0.75 with the continuation-probability backoff,
+    // P(w2|w1) = max(c12−D,0)/c1 + (D·N1+(w1·)/c1)·(N1+(·w2)/T). Every
+    // input (c12, c1 = Σ_w2 c12, the two type-fan-outs, T = bigram type
+    // count) comes from ONE bigram-keyed exchange plus two vocab-bounded
+    // aggregates of it; the model joins are vocab-keyed (AQE broadcasts
+    // them at fixture scale, co-locates at web scale). The probability is
+    // IEEE double over exact integer counts with BOTH engines evaluating
+    // the identical parenthesization — bit-identical results, so the
+    // oracle compares exactly, no tolerance. Top-30 via
+    // TakeOrderedAndProject on (P desc, w1, w2) — tuple tie-break on
+    // separate columns in both engines (the q184 lesson: never mix a
+    // concat key with a tuple key).
+    Entry(
+      "q198_kneser_ney",
+      (s, d) =>
+        knTable(s, d)
+          .filter(col("c12") >= 3)
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1f"),
+            col("n1p"), col("p_kn"))
+          .orderBy(col("p_kn").desc, col("w1"), col("w2"))
+          .limit(30),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+             |  FROM documents),
+             |b AS (SELECT unnest(list_transform(range(2, len(toks)+1),
+             |    i -> {'a': toks[i-1], 'b': toks[i]})) AS p FROM t),
+             |bi AS (SELECT p.a AS w1, p.b AS w2, CAST(count(*) AS BIGINT) AS c12
+             |  FROM b GROUP BY 1, 2),
+             |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             |    CAST(count(*) AS BIGINT) AS n1f FROM bi GROUP BY 1),
+             |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p
+             |  FROM bi GROUP BY 1),
+             |ty AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bi)
+             |SELECT bi.w1, bi.w2, bi.c12, ctx.c1, ctx.n1f, cont.n1p,
+             |  greatest(CAST(bi.c12 AS DOUBLE) - 0.75, 0.0)
+             |      / CAST(ctx.c1 AS DOUBLE)
+             |    + ((0.75 * CAST(ctx.n1f AS DOUBLE)) / CAST(ctx.c1 AS DOUBLE))
+             |      * (CAST(cont.n1p AS DOUBLE) / CAST(ty.t_types AS DOUBLE))
+             |    AS p_kn
+             |FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
+             |WHERE bi.c12 >= 3
+             |ORDER BY p_kn DESC, w1, w2 LIMIT 30""".stripMargin))
+  )
+
+  /** q198's full smoothed model (no count floor, no top-k): exposed so the
+    * suite can assert the KN normalization property Σ_w2 P(w2|w1) = 1 per
+    * context — the defining invariant of a proper smoothed distribution.
+    */
+  private[graft] def knTable(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val docToks = T.documents(s, d).select(col("doc_id"), toks.as("t"))
+    val bi = docToks
+      .select(explode(expr("zip_with(slice(t, 1, size(t) - 1), " +
+        "slice(t, 2, size(t) - 1), (a, b) -> struct(a, b))")).as("p"))
+      .groupBy(col("p.a").as("w1"), col("p.b").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val biC = bi.localCheckpoint() // three consumers: ctx, cont, T
+    val ctx = biC.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1f"))
+    val cont = biC.groupBy(col("w2")).agg(count(lit(1)).as("n1p"))
+    val types = biC.agg(count(lit(1)).as("t_types"))
+    biC
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn(
+        "p_kn",
+        greatest(col("c12").cast("double") - 0.75, lit(0.0))
+          / col("c1").cast("double")
+          + ((lit(0.75) * col("n1f").cast("double")) / col("c1").cast("double"))
+          * (col("n1p").cast("double") / col("t_types").cast("double")))
+  }
+}

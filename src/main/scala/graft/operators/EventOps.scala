@@ -1534,8 +1534,14 @@ object EventOps {
           .filter(col("event_type") === "purchase")
           .groupBy(col("user_id"))
           .agg(sum(round(col("value") * 100).cast("long")).as("v"))
+        // vt (two consumers: offs + withB) and withB (two consumers:
+        // totals + the top-decile branch) are both materialized ONCE —
+        // the q120/q189 discipline; without the barriers the static plan
+        // re-plans the events scan 5× and only AQE stage-reuse rescues
+        // it. Both tables are bounded by distinct per-buyer cent totals.
         val vt = u.groupBy(col("v")).agg(count(lit(1)).as("c"))
           .withColumn("blk", expr("v div 1000000"))
+          .localCheckpoint()
         val offs = vt.groupBy(col("blk")).agg(sum(col("c")).as("bc"))
           .withColumn(
             "off",
@@ -1550,6 +1556,7 @@ object EventOps {
           .withColumn("in_b", coalesce(sum(col("c")).over(wIn), lit(0L)))
           .join(offs, Seq("blk"))
           .withColumn("b", col("off") + col("in_b"))
+          .localCheckpoint()
         val totals = withB.agg(
           sum(col("c")).as("n"),
           sum(col("c") * col("v")).as("s"),

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{CorpusOps, Dedup, EventOps, Multimodal, Relational, Relational3, RelationalExt, Similarity, TextOps}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Multimodal, Relational, Relational3, RelationalExt, Similarity, TextOps}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -21,7 +21,9 @@ object Registry {
       Similarity.entries ++
       Multimodal.entries ++
       Sources.entries ++
-      CorpusOps.entries
+      CorpusOps.entries ++
+      Clustering.entries ++
+      CorpusStats.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,

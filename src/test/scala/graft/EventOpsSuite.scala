@@ -287,7 +287,13 @@ class EventOpsSuite extends SparkTestBase {
   }
 
   test("q190 Gini: grouped two-phase Lorenz equals the sorted-scan formula") {
-    val r = Registry.byName("q190_revenue_gini").q(spark, sf).collect().head
+    val df = Registry.byName("q190_revenue_gini").q(spark, sf)
+    val r = df.collect().head
+    // one-materialization pin (r13 verdict #1 cohort audit): vt and withB
+    // are localCheckpointed, so nothing downstream re-plans the events
+    // scan — the unbarriered form statically planned it 5×.
+    assert(!df.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "q190 re-plans its events upstream past the localCheckpoint barriers")
     val vals = Tables.events(spark, sf)
       .filter(col("event_type") === "purchase")
       .groupBy(col("user_id"))

@@ -14,9 +14,12 @@ _pos = [a for a in sys.argv[1:] if not a.startswith("--")]
 SF = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
 OUT = _pos[1] if len(_pos) > 1 else "/tmp/verify_out"
 ONLY = None
+JSON_OUT = None
 for a in sys.argv[1:]:
     if a.startswith("--only="):
         ONLY = set(a[len("--only="):].split(","))
+    if a.startswith("--json="):
+        JSON_OUT = a[len("--json="):]
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -53,6 +56,7 @@ def main():
     oracles = json.load(open(f"{OUT}/oracle_sql.json"))
     names = sorted(n for n in oracles if ONLY is None or n in ONLY)
     npass = nfail = 0
+    failures = []
     for name in names:
         try:
             ours = con.sql(f"SELECT * FROM '{OUT}/{name}/*.parquet'")
@@ -60,6 +64,7 @@ def main():
             our_rows = ours.fetchall()
         except Exception as e:
             print(f"FAIL {name}: cannot read our output: {e}")
+            failures.append({"name": name, "err": f"cannot read our output: {e}"})
             nfail += 1
             continue
         try:
@@ -68,10 +73,12 @@ def main():
             o_rows = oracle.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            failures.append({"name": name, "err": f"oracle SQL error: {e}"})
             nfail += 1
             continue
         if sorted(our_cols) != sorted(o_cols):
             print(f"FAIL {name}: columns ours={our_cols} oracle={o_cols}")
+            failures.append({"name": name, "err": f"columns ours={our_cols} oracle={o_cols}"})
             nfail += 1
             continue
         # driver sorts columns by name before hashing
@@ -81,6 +88,7 @@ def main():
         b = [tuple(r[i] for i in perm_d) for r in o_rows]
         if len(a) != len(b):
             print(f"FAIL {name}: rowcount ours={len(a)} oracle={len(b)}")
+            failures.append({"name": name, "err": f"rowcount ours={len(a)} oracle={len(b)}"})
             nfail += 1
             continue
         bad = None
@@ -90,6 +98,7 @@ def main():
                 break
         if bad:
             print(f"FAIL {name}: first diff at row {bad[0]}:\n  ours  ={bad[1]}\n  oracle={bad[2]}")
+            failures.append({"name": name, "err": f"first diff at row {bad[0]}: ours={bad[1]} oracle={bad[2]}"})
             nfail += 1
         else:
             print(f"PASS {name} ({len(a)} rows)")
@@ -104,6 +113,11 @@ def main():
             except Exception as e:
                 print(f"ROWS {d}: unreadable: {e}")
     print(f"== {npass} pass / {nfail} fail")
+    if JSON_OUT:
+        with open(JSON_OUT, "w") as f:
+            json.dump({"sf_dir": SF, "n_queries": len(names), "pass": npass,
+                       "fail": nfail, "failures": failures}, f, indent=1, default=str)
+        print(f"wrote {JSON_OUT}")
     sys.exit(1 if nfail else 0)
 
 
