@@ -222,7 +222,10 @@ object Bench {
     // when comparing secondary_total against earlier artifacts.
     "q196_kmeans",
     "q197_vocab_growth",
-    "q198_kneser_ney")
+    "q198_kneser_ney",
+    // greedy k-center seeding (round 14, standing from birth). Subtract
+    // it when comparing secondary_total against earlier artifacts.
+    "q199_kcenter_seed")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -189,6 +189,99 @@ object Clustering {
            |FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
            |        CAST(sum(dist) AS BIGINT) AS inertia FROM a3 GROUP BY cid) s
            |JOIN c3 c USING (cid) ORDER BY cid""".stripMargin
+      }),
+
+    // q199: FARTHEST-FIRST TRAVERSAL (greedy k-center, Gonzalez '85) —
+    // the deterministic seeding/diversity-sampling primitive: pick the
+    // min-vec_id point, then 7× pick the point FARTHEST from the chosen
+    // set (exact integer distance, ties to the lowest vec_id). This is
+    // the 2-approximation to k-center and the standard "maximally
+    // diverse exemplars" selector for curation and k-means seeding. The
+    // distributed shape: per round, ONE new center broadcasts (1 row),
+    // the per-point running min-distance updates map-side, and the only
+    // shuffles are the 1-row TakeOrdered argmax + max-radius aggregate —
+    // the O(n) state table materializes once per round (localCheckpoint,
+    // 8 rounds), nothing corpus-sized shuffles. Output per step: the
+    // picked center, its distance to the prior set (pick_dist — the
+    // coverage radius BEFORE the pick), and the corpus max-min-distance
+    // AFTER the pick (radius_after, the k-center objective). pick_dist
+    // is non-increasing and radius_after(t) = pick_dist(t+1) by
+    // construction — both suite-asserted; the oracle replays the
+    // identical greedy recursion in DuckDB.
+    Entry(
+      "q199_kcenter_seed",
+      (s, d) => {
+        import org.apache.spark.sql.DataFrame
+        val dist2 = (vcol: Column, ccol: Column) =>
+          aggregate(
+            zip_with(vcol, ccol, (a: Column, b: Column) => (a - b) * (a - b)),
+            lit(0L),
+            (acc: Column, x: Column) => acc + x)
+        val pts = quantized(s, d).localCheckpoint()
+        val c0 = pts.orderBy(col("vec_id")).limit(1).localCheckpoint()
+        val s0 = pts
+          .crossJoin(broadcast(c0.select(col("v").as("cv"))))
+          .withColumn("dmin", dist2(col("v"), col("cv")))
+          .drop("cv")
+          .localCheckpoint()
+        val r0 = c0
+          .select(lit(0L).as("step"), col("vec_id").as("center_id"),
+            lit(0L).as("pick_dist"))
+          .crossJoin(broadcast(s0.agg(max(col("dmin")).as("radius_after"))))
+        val (rows, _) = (1 until K).foldLeft((Seq(r0), s0)) {
+          case ((acc, state), t) =>
+            val pick = state
+              .orderBy(col("dmin").desc, col("vec_id"))
+              .limit(1)
+              .localCheckpoint() // two consumers: output row + broadcast update
+            val next = state
+              .crossJoin(broadcast(pick.select(col("v").as("pv"))))
+              .withColumn("dmin", least(col("dmin"), dist2(col("v"), col("pv"))))
+              .drop("pv")
+              .localCheckpoint()
+            val row = pick
+              .select(lit(t.toLong).as("step"), col("vec_id").as("center_id"),
+                col("dmin").as("pick_dist"))
+              .crossJoin(broadcast(next.agg(max(col("dmin")).as("radius_after"))))
+            (acc :+ row, next)
+        }
+        rows.reduce((a: DataFrame, b: DataFrame) => a.unionAll(b)).orderBy(col("step"))
+      },
+      Some {
+        def pick(prev: String, p: String): String =
+          s"""$p AS (SELECT vec_id, vd, qq, dmin FROM $prev
+             |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin
+        def updStep(prev: String, p: String, sN: String): String =
+          s"""$sN AS (SELECT s.vec_id, s.vd, s.qq,
+             |  least(s.dmin, CAST(s.qq + p.qq
+             |    - 2 * list_dot_product(s.vd, p.vd) AS BIGINT)) AS dmin
+             |  FROM $prev s CROSS JOIN $p p)""".stripMargin
+        def rowStep(t: Int, p: String, sN: String): String =
+          s"""r$t AS (SELECT CAST($t AS BIGINT) AS step, p.vec_id AS center_id,
+             |  p.dmin AS pick_dist,
+             |  (SELECT max(dmin) FROM $sN) AS radius_after FROM $p p)""".stripMargin
+        val steps = (1 until K).map { t =>
+          Seq(pick(s"s${t - 1}", s"p$t"), updStep(s"s${t - 1}", s"p$t", s"s$t"),
+            rowStep(t, s"p$t", s"s$t")).mkString(",\n")
+        }.mkString(",\n")
+        val unions = (0 until K).map(t => s"SELECT * FROM r$t").mkString(" UNION ALL ")
+        s"""WITH q AS (
+           |  SELECT vec_id,
+           |    [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE) for x in embedding] AS vd,
+           |    list_dot_product(
+           |      [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE) for x in embedding],
+           |      [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS DOUBLE) for x in embedding]) AS qq
+           |  FROM embeddings),
+           |c0 AS (SELECT * FROM q ORDER BY vec_id LIMIT 1),
+           |s0 AS (SELECT s.vec_id, s.vd, s.qq,
+           |  CAST(s.qq + c.qq - 2 * list_dot_product(s.vd, c.vd) AS BIGINT) AS dmin
+           |  FROM q s CROSS JOIN c0 c),
+           |r0 AS (SELECT CAST(0 AS BIGINT) AS step, c.vec_id AS center_id,
+           |  CAST(0 AS BIGINT) AS pick_dist,
+           |  (SELECT max(dmin) FROM s0) AS radius_after FROM c0 c),
+           |$steps
+           |SELECT step, center_id, pick_dist, radius_after
+           |FROM ($unions) ORDER BY step""".stripMargin
       })
   )
 }

@@ -39,6 +39,23 @@ class ClusteringSuite extends SparkTestBase {
     assert(i3 <= i2 + slack, s"round 3 increased inertia: $i2 -> $i3")
   }
 
+  test("q199 k-center: greedy invariants — non-increasing picks, radius chain") {
+    val rows = Registry.byName("q199_kcenter_seed").q(spark, sf).collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).distinct.length == 8, "centers are distinct points")
+    // pick t is the farthest point from the prior set, so pick distances
+    // never increase, and the radius AFTER pick t is exactly the distance
+    // of pick t+1 (both are max-min-dist over the same state).
+    val picks = rows.drop(1).map(_.getLong(2))
+    picks.sliding(2).foreach { case Array(a, b) => assert(b <= a, "pick_dist rose") }
+    rows.dropRight(1).zip(rows.drop(1)).foreach { case (cur, nxt) =>
+      assert(cur.getLong(3) == nxt.getLong(2),
+        s"radius_after(step ${cur.getLong(0)}) != pick_dist(step ${nxt.getLong(0)})")
+    }
+    // final radius covers every point: no point farther than radius_after(7)
+    assert(rows.last.getLong(3) <= rows.last.getLong(2))
+  }
+
   test("q197 vocab growth: totals tie to direct distinct/token counts, monotone") {
     val rows = Registry.byName("q197_vocab_growth").q(spark, sf).collect()
     assert(rows.nonEmpty)
