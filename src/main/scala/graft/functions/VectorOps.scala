@@ -60,6 +60,21 @@ object VectorOps {
     s
   }
 
+  /** Exact squared L2 distance between two equal-length LONG vectors (the
+    * fixed-point micro-unit embeddings of q196/q199). Pure int64 arithmetic
+    * — no rounding, no reduction-order sensitivity; overflow-free while
+    * dims·maxdiff² < 2^63 (µu embeddings: 64·(1.1·10⁶)² ≈ 7·10¹³).
+    */
+  def l2sqLong(a0: ArrayData, b0: ArrayData): Long = {
+    val a = a0.toLongArray()
+    val b = b0.toLongArray()
+    val n = math.min(a.length, b.length)
+    var s = 0L
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   def l2norm(a0: ArrayData): Double = {
     val a = a0.toDoubleArray()
     var s = 0.0

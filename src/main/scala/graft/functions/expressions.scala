@@ -34,6 +34,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Exact squared L2 distance between two long vectors ([[VectorOps
+  * .l2sqLong]]) — the fixed-point k-means/k-center distance kernel. A
+  * native codegen expression instead of `aggregate(zip_with(...))`: the
+  * HOF pair is interpreted (no codegen) and allocates an intermediate
+  * array per row·centroid; this is one static call in the generated loop.
+  */
+case class L2SqLong(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2sq_long"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2sqLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.l2sqLong($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
 /** Exact Jaccard between two sorted long-hash sets ([[HashKernels
   * .jaccardSorted]]): the near-dup confirm kernel — a primitive merge the
   * generated loop calls statically, replacing the per-pair hash-set build of
@@ -129,6 +157,13 @@ object GraftColumns {
   def firstAgreeIdx(a: Column, b: Column): Column =
     ColumnShim.column(
       FirstAgreeIdx(
+        ColumnShim.expression(a),
+        ColumnShim.expression(b)))
+
+  /** See [[VectorOps.l2sqLong]] — the fixed-point clustering distance. */
+  def l2sqLong(a: Column, b: Column): Column =
+    ColumnShim.column(
+      L2SqLong(
         ColumnShim.expression(a),
         ColumnShim.expression(b)))
 }

@@ -57,10 +57,10 @@ object Clustering {
     * can replay the identical recursion.
     */
   private def assign(points: DataFrame, centroids: DataFrame): DataFrame = {
-    val dist = aggregate(
-      zip_with(col("v"), col("cv"), (a: Column, b: Column) => (a - b) * (a - b)),
-      lit(0L),
-      (acc: Column, x: Column) => acc + x)
+    // native codegen kernel (VectorOps.l2sqLong) — the interpreted
+    // aggregate(zip_with(...)) HOF pair allocates an intermediate array
+    // per point·centroid and falls out of whole-stage codegen
+    val dist = graft.functions.GraftColumns.l2sqLong(col("v"), col("cv"))
     val scored = points
       .crossJoin(broadcast(centroids.select(col("cid"), col("v").as("cv"))))
       .withColumn("dist", dist)
@@ -213,10 +213,7 @@ object Clustering {
       (s, d) => {
         import org.apache.spark.sql.DataFrame
         val dist2 = (vcol: Column, ccol: Column) =>
-          aggregate(
-            zip_with(vcol, ccol, (a: Column, b: Column) => (a - b) * (a - b)),
-            lit(0L),
-            (acc: Column, x: Column) => acc + x)
+          graft.functions.GraftColumns.l2sqLong(vcol, ccol)
         val pts = quantized(s, d).localCheckpoint()
         val c0 = pts.orderBy(col("vec_id")).limit(1).localCheckpoint()
         val s0 = pts

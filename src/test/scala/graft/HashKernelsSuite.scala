@@ -16,6 +16,27 @@ class HashKernelsSuite extends AnyFunSuite {
       HashKernels.minhashSig(u(s), 32, 3).toSeq)
   }
 
+  test("l2sqLong equals the scalar sum-of-squared-diffs on seeded vectors") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val n = 1 + rnd.nextInt(64)
+      val a = Array.fill(n)(rnd.nextLong() % 1100000L)
+      val b = Array.fill(n)(rnd.nextLong() % 1100000L)
+      val expect = a.zip(b).map { case (x, y) => val d = x - y; d * d }.sum
+      assert(graft.functions.VectorOps.l2sqLong(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b)) == expect)
+    }
+    // SQL surface: the codegen expression agrees with the kernel
+    val s = SparkTestBase.spark
+    import org.apache.spark.sql.functions._
+    val row = s.range(1)
+      .select(graft.functions.GraftColumns.l2sqLong(
+        expr("array(1L, -3L, 5L)"), expr("array(4L, 0L, 5L)")).as("d"))
+      .collect().head
+    assert(row.getLong(0) == 9L + 9L)
+  }
+
   test("fingerprint64 is position-sensitive; simhash is token-set-ish") {
     val a = "alpha beta gamma delta"
     val b = "beta alpha gamma delta" // same tokens, different order
