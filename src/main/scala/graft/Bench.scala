@@ -225,7 +225,12 @@ object Bench {
     "q198_kneser_ney",
     // greedy k-center seeding (round 14, standing from birth). Subtract
     // it when comparing secondary_total against earlier artifacts.
-    "q199_kcenter_seed")
+    "q199_kcenter_seed",
+    // embedding per-dimension QC + per-language Chao1 richness (round 14,
+    // standing from birth). Subtract these two when comparing
+    // secondary_total against earlier artifacts.
+    "q200_embedding_dim_qc",
+    "q201_chao1_richness")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

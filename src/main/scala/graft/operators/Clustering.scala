@@ -279,6 +279,70 @@ object Clustering {
            |$steps
            |SELECT step, center_id, pick_dist, radius_after
            |FROM ($unions) ORDER BY step""".stripMargin
-      })
+      }),
+
+    // q200: EMBEDDING DIMENSION QC — the pre-indexing health report every
+    // embedding corpus gets before ANN/clustering trusts it: per
+    // dimension, n/mean/min/max, the EXACT variance numerator n·Σx²−(Σx)²
+    // (catches dead/collapsed dimensions: var_num = 0), and the count of
+    // z-outliers via the all-integer identity z² > 16 ⟺ (x·n − S)² >
+    // 16·(n·Q − S²) — no division, no sqrt, no float compare anywhere.
+    // Milli-unit quantization (round(x·10³)) keeps every intermediate
+    // inside int64 out to ~10⁶ vectors per stat group; past that the same
+    // plan runs on Decimal(38). Two passes by design: pass 1 aggregates
+    // the 64-row stat table, pass 2 re-scans the (columnar, cheap) source
+    // and joins the BROADCAST stats — materializing the 64×-exploded
+    // corpus to save a parquet re-scan would be the wrong trade at 100 TB.
+    Entry(
+      "q200_embedding_dim_qc",
+      (s, d) => {
+        def expl = T.embeddings(s, d).select(
+          posexplode(transform(
+            col("embedding"),
+            x => round(x.cast("double") * 1e3).cast("long"))).as(Seq("i", "x")))
+        val stats = expl
+          .groupBy(col("i"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("x")).as("s"),
+            sum(col("x") * col("x")).as("q"),
+            min(col("x")).as("min_mu"),
+            max(col("x")).as("max_mu"))
+          .withColumn("var_num", col("n") * col("q") - col("s") * col("s"))
+          .localCheckpoint() // 64 rows; two consumers (join + output)
+        val outliers = expl
+          .join(broadcast(stats.select(col("i"), col("n"), col("s"), col("var_num"))), Seq("i"))
+          .filter((col("x") * col("n") - col("s")) * (col("x") * col("n") - col("s"))
+            > lit(16L) * col("var_num"))
+          .groupBy(col("i")).agg(count(lit(1)).as("n_outliers"))
+        stats
+          .join(outliers, Seq("i"), "left")
+          .select(
+            (col("i") + 1).cast("long").as("dim"),
+            col("n"),
+            expr("s div n").as("mean_mu"),
+            col("min_mu"), col("max_mu"), col("var_num"),
+            (col("var_num") === 0L).as("is_dead"),
+            coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+          .orderBy(col("dim"))
+      },
+      Some("""WITH e AS (SELECT r.i,
+             |    CAST(round(CAST(embedding[r.i] AS DOUBLE) * 1000.0) AS BIGINT) AS x
+             |  FROM embeddings, range(1, 65) r(i)),
+             |st AS (SELECT i, CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS s,
+             |    CAST(sum(x * x) AS BIGINT) AS q,
+             |    min(x) AS min_mu, max(x) AS max_mu
+             |  FROM e GROUP BY i),
+             |v AS (SELECT *, n * q - s * s AS var_num FROM st),
+             |o AS (SELECT e.i, CAST(count(*) AS BIGINT) AS n_outliers
+             |  FROM e JOIN v USING (i)
+             |  WHERE (e.x * v.n - v.s) * (e.x * v.n - v.s) > 16 * v.var_num
+             |  GROUP BY e.i)
+             |SELECT CAST(v.i AS BIGINT) AS dim, v.n, v.s // v.n AS mean_mu,
+             |  v.min_mu, v.max_mu, v.var_num,
+             |  v.var_num = 0 AS is_dead,
+             |  coalesce(o.n_outliers, 0) AS n_outliers
+             |FROM v LEFT JOIN o USING (i) ORDER BY dim""".stripMargin))
   )
 }

@@ -121,7 +121,61 @@ object CorpusStats {
              |    AS p_kn
              |FROM bi JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN ty
              |WHERE bi.c12 >= 3
-             |ORDER BY p_kn DESC, w1, w2 LIMIT 30""".stripMargin))
+             |ORDER BY p_kn DESC, w1, w2 LIMIT 30""".stripMargin)),
+
+    // q201: CHAO1 VOCABULARY RICHNESS per language — the species-richness
+    // estimator applied to vocabulary: from each language's token counts,
+    // the observed type count T, singleton count n1, doubleton count n2,
+    // the bias-corrected Chao1 lower bound T + n1(n1−1)/(2(n2+1)) on the
+    // TRUE vocabulary (how much vocabulary the crawl hasn't seen yet),
+    // and Good-Turing coverage 1 − n1/N (the probability the next token
+    // is a known type). Complements q197: Heaps says how fast vocabulary
+    // grows, Chao1 says how far it has to go. Plan: one (lang, word)
+    // exchange, then a count-of-counts aggregate over the vocab-bounded
+    // type table — the frequency-of-frequencies table is tiny at any
+    // scale. Doubles are single divisions of exact integers with the
+    // identical parenthesization both engines share.
+    Entry(
+      "q201_chao1_richness",
+      (s, d) => {
+        val counts = T.documents(s, d)
+          .select(col("lang"), explode(toks).as("w"))
+          .groupBy(col("lang"), col("w"))
+          .agg(count(lit(1)).as("c"))
+        counts
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("t_types"),
+            sum(col("c")).as("n_tokens"),
+            sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+          .withColumn(
+            "chao1",
+            col("t_types").cast("double")
+              + (col("n1") * (col("n1") - 1L)).cast("double")
+              / (lit(2L) * (col("n2") + 1L)).cast("double"))
+          .withColumn(
+            "coverage",
+            lit(1.0) - col("n1").cast("double") / col("n_tokens").cast("double"))
+          .select(col("lang"), col("t_types"), col("n_tokens"), col("n1"),
+            col("n2"), col("chao1"), col("coverage"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |c AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS c
+             |  FROM w GROUP BY 1, 2),
+             |f AS (SELECT lang, CAST(count(*) AS BIGINT) AS t_types,
+             |    CAST(sum(c) AS BIGINT) AS n_tokens,
+             |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             |    CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+             |  FROM c GROUP BY 1)
+             |SELECT lang, t_types, n_tokens, n1, n2,
+             |  CAST(t_types AS DOUBLE)
+             |    + CAST(n1 * (n1 - 1) AS DOUBLE)
+             |    / CAST(2 * (n2 + 1) AS DOUBLE) AS chao1,
+             |  1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
+             |FROM f ORDER BY lang""".stripMargin))
   )
 
   /** q198's full smoothed model (no count floor, no top-k): exposed so the

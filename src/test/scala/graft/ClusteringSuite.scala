@@ -77,6 +77,47 @@ class ClusteringSuite extends SparkTestBase {
     }
   }
 
+  test("q200 embedding QC: stats tie to a direct single-dimension pass") {
+    val rows = Registry.byName("q200_embedding_dim_qc").q(spark, sf).collect()
+    assert(rows.length == 64)
+    // recompute dimension 1 locally from the raw embeddings
+    val xs = Tables.embeddings(spark, sf)
+      .select(element_at(col("embedding"), 1).cast("double").as("x"))
+      .collect().map(r => math.round(r.getDouble(0) * 1000.0))
+    val n = xs.length.toLong
+    val sSum = xs.sum
+    val q = xs.map(x => x * x).sum
+    val r0 = rows.head
+    assert(r0.getLong(0) == 1L && r0.getLong(1) == n)
+    assert(r0.getLong(2) == sSum / n, "truncated integer mean")
+    assert(r0.getLong(3) == xs.min && r0.getLong(4) == xs.max)
+    assert(r0.getLong(5) == n * q - sSum * sSum, "exact variance numerator")
+    assert(!r0.getBoolean(6), "dimension 1 is not dead on the fixture")
+    val outliers = xs.count(x => {
+      val dev = x * n - sSum
+      dev * dev > 16L * (n * q - sSum * sSum)
+    }).toLong
+    assert(r0.getLong(7) == outliers, "integer z² > 16 outlier count")
+  }
+
+  test("q201 Chao1: estimator bounds and count-of-count ties per language") {
+    val rows = Registry.byName("q201_chao1_richness").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (t, n1) = (r.getLong(1), r.getLong(3))
+      assert(r.getDouble(5) >= t.toDouble, "Chao1 is a lower bound ≥ observed types")
+      assert(r.getDouble(6) > 0.0 && r.getDouble(6) <= 1.0, "coverage in (0,1]")
+      assert(n1 <= t && r.getLong(4) <= t)
+    }
+    // n1 ties to a direct hapax count for one language
+    val lang = rows.head.getString(0)
+    val hapax = Tables.documents(spark, sf)
+      .filter(col("lang") === lang)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().filter(col("count") === 1L).count()
+    assert(rows.head.getLong(3) == hapax)
+  }
+
   test("q198 Kneser-Ney: full-vocab probabilities sum to 1 per context") {
     val tbl = graft.operators.CorpusStats.knTable(spark, sf)
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1f"),
