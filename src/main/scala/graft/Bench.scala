@@ -230,7 +230,11 @@ object Bench {
     // standing from birth). Subtract these two when comparing
     // secondary_total against earlier artifacts.
     "q200_embedding_dim_qc",
-    "q201_chao1_richness")
+    "q201_chao1_richness",
+    // persisted k-means model publish+serve (round 14, standing from
+    // birth). Subtract it when comparing secondary_total against earlier
+    // artifacts.
+    "q202_kmeans_publish_serve")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

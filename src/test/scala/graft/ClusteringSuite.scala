@@ -56,6 +56,28 @@ class ClusteringSuite extends SparkTestBase {
     assert(rows.last.getLong(3) <= rows.last.getLong(2))
   }
 
+  test("q202 model serve: artifact-backed, no re-clustering, stable across calls") {
+    val df = Registry.byName("q202_kmeans_publish_serve").q(spark, sf)
+    val first = df.collect()
+    assert(first.length == 8)
+    // serving pin: ONE embeddings scan (the batch) — retraining in the
+    // serve path would need the corpus again (and its own Lloyd barriers)
+    val scans = flattenPlan(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.rootPaths.mkString(",")
+    }
+    assert(scans.count(_.contains("embeddings")) == 1,
+      s"served plan scans embeddings more than once (the batch): $scans")
+    assert(scans.exists(_.contains("kmeans_model")),
+      s"served plan does not read the model artifact: $scans")
+    // second call: manifest exists, ensure() must serve the SAME generation
+    val again = Registry.byName("q202_kmeans_publish_serve").q(spark, sf).collect()
+    assert(first.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "re-serve drifted — artifact not stable")
+    // batch totals partition the corpus
+    assert(first.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
+  }
+
   test("q197 vocab growth: totals tie to direct distinct/token counts, monotone") {
     val rows = Registry.byName("q197_vocab_growth").q(spark, sf).collect()
     assert(rows.nonEmpty)
