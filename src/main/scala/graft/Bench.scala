@@ -234,7 +234,11 @@ object Bench {
     // persisted k-means model publish+serve (round 14, standing from
     // birth). Subtract it when comparing secondary_total against earlier
     // artifacts.
-    "q202_kmeans_publish_serve")
+    "q202_kmeans_publish_serve",
+    // DBSCAN density clustering over the embedding corpus (round 14,
+    // standing from birth). Subtract it when comparing secondary_total
+    // against earlier artifacts.
+    "q203_dbscan")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

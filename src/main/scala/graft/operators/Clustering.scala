@@ -401,8 +401,140 @@ object Clustering {
            |  CAST(sum(dist) AS BIGINT) AS batch_inertia,
            |  min(dist) AS min_dist, max(dist) AS max_dist
            |FROM served GROUP BY cid ORDER BY cid""".stripMargin
-      })
+      }),
+
+    // q203: DBSCAN over the embedding corpus — DENSITY clustering, the
+    // complement k-means can't give (k-means forces every point into a
+    // ball; DBSCAN finds arbitrary-shape dense regions AND names the
+    // noise). Neighborhood = cosine ≥ 0.4 (q39's verified exact
+    // grid-blocked theta-join REUSED as the ε-neighborhood — never an
+    // all-pairs join); core = ≥3 neighbors; clusters = min-label
+    // components over CORE-CORE edges (the q87 pointer-jumping loop over
+    // a checkpointed bounded edge set); border = non-core with a core
+    // neighbor, assigned the MIN core-neighbor cluster (classic DBSCAN
+    // border assignment is arrival-order-dependent — the min rule makes
+    // it deterministic and oracle-checkable); rest = noise (cluster −1).
+    // Output: per-cluster core/border counts + the noise row. The oracle
+    // recomputes everything from brute-force pairs with a recursive-CTE
+    // closure — agreement proves the pruned neighbor join and the
+    // iterative labeling lose nothing.
+    Entry(
+      "q203_dbscan",
+      (s, d) => {
+        val pairs = Dedup.embeddingNeardup(s, d)
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint() // consumers: degree, core-core edges, border join
+        val sym = pairs
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        val deg = sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("dg"))
+        val core = deg.filter(col("dg") >= 3).select(col("id")).localCheckpoint()
+        val coreEdges = sym
+          .join(core.select(col("id").as("src")), Seq("src"))
+          .join(core.select(col("id").as("dst")), Seq("dst"))
+          .localCheckpoint()
+        val comp = minLabelComponents(s, core, coreEdges) // (node, label)
+        val border = sym
+          .join(core.select(col("id").as("dst")), Seq("dst")) // core neighbor
+          .join(comp.select(col("node").as("dst"), col("label")), Seq("dst"))
+          .join(core.select(col("id").as("src")), Seq("src"), "left_anti") // src NOT core
+          .groupBy(col("src").as("node"))
+          .agg(min(col("label")).as("label"))
+        val coreStats = comp.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_core"))
+        val bordStats = border.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_border"))
+        val clusters = coreStats
+          .join(bordStats, Seq("cluster_id"), "left_outer")
+          .select(col("cluster_id"), col("n_core"),
+            coalesce(col("n_border"), lit(0L)).as("n_border"))
+          .withColumn("n_points", col("n_core") + col("n_border"))
+        val total = T.embeddings(s, d).agg(count(lit(1)).as("n_total"))
+        val clustered = clusters.agg(
+          coalesce(sum(col("n_points")), lit(0L)).as("n_clustered"))
+        val noise = total
+          .crossJoin(broadcast(clustered))
+          .select(
+            lit(-1L).as("cluster_id"),
+            lit(0L).as("n_core"),
+            lit(0L).as("n_border"),
+            (col("n_total") - col("n_clustered")).as("n_points"))
+        clusters
+          .select(col("cluster_id"), col("n_core"), col("n_border"), col("n_points"))
+          .unionByName(noise)
+          .orderBy(col("cluster_id"))
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |p AS (SELECT a.vec_id AS a, b.vec_id AS b FROM e a JOIN e b
+             |  ON a.vec_id < b.vec_id
+             |  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+             |sym AS (SELECT a AS src, b AS dst FROM p
+             |  UNION ALL SELECT b, a FROM p),
+             |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS dg
+             |  FROM sym GROUP BY 1),
+             |core AS (SELECT id FROM deg WHERE dg >= 3),
+             |ce AS (SELECT s.src, s.dst FROM sym s
+             |  JOIN core c1 ON s.src = c1.id JOIN core c2 ON s.dst = c2.id),
+             |reach(id, lbl) AS (
+             |  SELECT id, id FROM core
+             |  UNION
+             |  SELECT ce.src, r.lbl FROM ce JOIN reach r ON r.id = ce.dst),
+             |comp AS (SELECT id, min(lbl) AS label FROM reach GROUP BY id),
+             |bord AS (SELECT s.src AS id, min(comp.label) AS label
+             |  FROM sym s JOIN core c2 ON s.dst = c2.id
+             |  JOIN comp ON comp.id = s.dst
+             |  WHERE s.src NOT IN (SELECT id FROM core) GROUP BY 1),
+             |cs AS (SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_core
+             |  FROM comp GROUP BY 1),
+             |bs AS (SELECT label AS cluster_id, CAST(count(*) AS BIGINT) AS n_border
+             |  FROM bord GROUP BY 1),
+             |cl AS (SELECT cs.cluster_id, cs.n_core,
+             |    coalesce(bs.n_border, 0) AS n_border,
+             |    cs.n_core + coalesce(bs.n_border, 0) AS n_points
+             |  FROM cs LEFT JOIN bs USING (cluster_id)),
+             |noise AS (SELECT CAST(-1 AS BIGINT) AS cluster_id,
+             |    CAST(0 AS BIGINT) AS n_core, CAST(0 AS BIGINT) AS n_border,
+             |    (SELECT count(*) FROM e)
+             |      - coalesce((SELECT sum(n_points) FROM cl), 0) AS n_points)
+             |SELECT cluster_id, n_core, n_border, CAST(n_points AS BIGINT) AS n_points
+             |FROM (SELECT * FROM cl UNION ALL SELECT * FROM noise)
+             |ORDER BY cluster_id""".stripMargin))
   )
+
+  /** Min-label connected components over an explicit edge set — the q87
+    * pointer-jumping loop generalized to a caller-supplied node/edge table
+    * (per-round localCheckpoint, constant-size plans, loud failure on
+    * non-convergence; see neardupClusters' doc for why iterate-with-
+    * materialization IS the canonical Spark shape here).
+    */
+  private def minLabelComponents(
+      s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val maxRounds = s.conf.get("graft.dedup.ccMaxRounds", "20").toInt
+    var labels = nodes.select(col("id").as("node"), col("id").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("nl")).as("nm"))
+      val stepped = labels
+        .join(nbrMin.select(col("src").as("node"), col("nm")), Seq("node"), "left_outer")
+        .select(col("node"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nm"), col("label"))).as("lbl"))
+      val next = stepped
+        .join(stepped.select(col("node").as("jn"), col("lbl").as("l2")),
+          col("lbl") === col("jn"), "left_outer")
+        .select(col("node"), col("prev"), coalesce(col("l2"), col("lbl")).as("label"))
+        .localCheckpoint()
+      converged = next.filter(col("label") =!= col("prev")).isEmpty
+      labels = next.select(col("node"), col("label"))
+      r += 1
+    }
+    require(converged, s"component labeling did not converge in $maxRounds rounds")
+    labels
+  }
 
   private[graft] val batchIdOffset = 10000000L
 

@@ -78,6 +78,22 @@ class ClusteringSuite extends SparkTestBase {
     assert(first.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count())
   }
 
+  test("q203 DBSCAN: partition identity, roles disjoint, no cartesian") {
+    val df = Registry.byName("q203_dbscan").q(spark, sf)
+    val rows = df.collect()
+    val noise = rows.filter(_.getLong(0) == -1L)
+    assert(noise.length == 1, "exactly one noise row")
+    // clusters + noise partition the corpus
+    val total = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(3)).sum == total, "clustered + noise = corpus")
+    rows.filter(_.getLong(0) >= 0L).foreach { r =>
+      assert(r.getLong(1) >= 1L, "a cluster has at least one core point")
+      assert(r.getLong(3) == r.getLong(1) + r.getLong(2), "n_points = core + border")
+      assert(r.getLong(0) <= total, "cluster label is a vec_id")
+    }
+    assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+  }
+
   test("q197 vocab growth: totals tie to direct distinct/token counts, monotone") {
     val rows = Registry.byName("q197_vocab_growth").q(spark, sf).collect()
     assert(rows.nonEmpty)
