@@ -238,7 +238,11 @@ object Bench {
     // DBSCAN density clustering over the embedding corpus (round 14,
     // standing from birth). Subtract it when comparing secondary_total
     // against earlier artifacts.
-    "q203_dbscan")
+    "q203_dbscan",
+    // incremental k-means model update (round 14, standing from birth).
+    // Subtract it when comparing secondary_total against earlier
+    // artifacts.
+    "q204_kmeans_update")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -499,8 +499,98 @@ object Clustering {
              |      - coalesce((SELECT sum(n_points) FROM cl), 0) AS n_points)
              |SELECT cluster_id, n_core, n_border, CAST(n_points AS BIGINT) AS n_points
              |FROM (SELECT * FROM cl UNION ALL SELECT * FROM noise)
-             |ORDER BY cluster_id""".stripMargin))
+             |ORDER BY cluster_id""".stripMargin)),
+
+    // q204: K-MEANS MODEL UPDATE — the incremental fold-in verb
+    // (mini-batch k-means, Sculley '10 shape): an arriving batch is
+    // assigned against the CURRENT centroids, then each centroid moves to
+    // the count-weighted mean new_c = (old_c·n_old + Σ_batch) div
+    // (n_old + n_batch) — exact integer arithmetic, no re-clustering of
+    // history (the model stores per-cluster sizes for exactly this). The
+    // updated model publishes as a FRESH generation (gen-upd-1 — the
+    // q126 no-in-place-rewrite rule) on the update lifecycle's OWN root,
+    // so q202's serve root stays pristine; redelivery is a no-op by
+    // committed-check (manifest already past gen-base ⇒ skip). The
+    // report reads BOTH generations back through their artifacts: per
+    // cluster n_old/n_batch/n_new + exact integer centroid drift
+    // (L2SqLong(old,new)). Oracle: retrain, re-assign the +20M batch,
+    // re-fold — artifact math equals recomputed math.
+    Entry(
+      "q204_kmeans_update",
+      (s, d) => {
+        val root = graft.sources.Sources.scratch(d, "kmeans_model_upd")
+        val cur = modelEnsureAt(s, d, root)
+        if (cur.endsWith("gen-base")) {
+          val model = s.read.parquet(s"$cur/model").localCheckpoint()
+          val batch = quantized(s, d)
+            .select((col("vec_id") + updBatchIdOffset).as("vec_id"), col("v"))
+          val asg = assign(batch, model.select(col("cid"), col("v")))
+            .localCheckpoint() // two consumers: per-dim sums + counts
+          val bn = asg.groupBy(col("cid")).agg(count(lit(1)).as("bn"))
+          val bs = asg
+            .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy(col("cid"), col("i")).agg(sum(col("x")).as("sx"))
+            .groupBy(col("cid"))
+            .agg(expr("transform(array_sort(collect_list(struct(i, sx))), s -> s.sx)").as("bs"))
+          model
+            .join(bn, Seq("cid"), "left_outer")
+            .join(bs, Seq("cid"), "left_outer")
+            .withColumn("nn", col("n") + coalesce(col("bn"), lit(0L)))
+            .select(
+              col("cid"),
+              when(col("bn").isNull || col("nn") === 0L, col("v"))
+                .otherwise(expr("zip_with(v, bs, (a, b) -> (a * n + b) div nn)"))
+                .as("v"),
+              col("nn").as("n"))
+            .write
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$root/gen-upd-1/model")
+          graft.sources.Sources.publishGeneration(s, root, "gen-upd-1")
+        }
+        val base = s.read.parquet(s"$root/gen-base/model")
+          .select(col("cid"), col("v").as("v_old"), col("n").as("n_old"))
+        val upd = s.read
+          .parquet(s"${graft.sources.Sources.currentGeneration(s, root)}/model")
+          .select(col("cid"), col("v").as("v_new"), col("n").as("n_new"))
+        base
+          .join(upd, Seq("cid"))
+          .select(
+            col("cid"),
+            col("n_old"),
+            (col("n_new") - col("n_old")).as("n_batch"),
+            col("n_new"),
+            graft.functions.GraftColumns.l2sqLong(col("v_old"), col("v_new")).as("drift"),
+            element_at(col("v_new"), 1).as("c1_new"))
+          .orderBy(col("cid"))
+      },
+      Some {
+        s"""WITH $oracleLloydChain,
+           |sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM a3 GROUP BY cid),
+           |base AS (SELECT c3.cid, c3.v, c3.cvd, coalesce(sizes.n, 0) AS n
+           |  FROM c3 LEFT JOIN sizes USING (cid)),
+           |batch AS (SELECT vec_id + $updBatchIdOffset AS vec_id, v, vd, qq FROM q),
+           |${oracleAsg("base", "bas", "batch")},
+           |bsum AS (SELECT t.cid, r.i, CAST(sum(t.v[r.i]) AS BIGINT) AS sx
+           |  FROM bas t, range(1, ${Dim + 1}) r(i) GROUP BY t.cid, r.i),
+           |bn AS (SELECT cid, CAST(count(*) AS BIGINT) AS bn FROM bas GROUP BY cid),
+           |uc AS (SELECT b.cid, r.i, b.v[r.i] AS oldc,
+           |    CASE WHEN x.bn IS NULL OR b.n + coalesce(x.bn, 0) = 0
+           |      THEN b.v[r.i]
+           |      ELSE (b.v[r.i] * b.n + coalesce(s.sx, 0))
+           |        // (b.n + coalesce(x.bn, 0)) END AS comp
+           |  FROM base b CROSS JOIN range(1, ${Dim + 1}) r(i)
+           |  LEFT JOIN bsum s ON s.cid = b.cid AND s.i = r.i
+           |  LEFT JOIN bn x ON x.cid = b.cid)
+           |SELECT b.cid, b.n AS n_old, coalesce(x.bn, 0) AS n_batch,
+           |  b.n + coalesce(x.bn, 0) AS n_new,
+           |  (SELECT CAST(sum((oldc - comp) * (oldc - comp)) AS BIGINT)
+           |     FROM uc WHERE uc.cid = b.cid) AS drift,
+           |  (SELECT comp FROM uc WHERE uc.cid = b.cid AND uc.i = 1) AS c1_new
+           |FROM base b LEFT JOIN bn x ON x.cid = b.cid ORDER BY b.cid""".stripMargin
+      })
   )
+
+  private[graft] val updBatchIdOffset = 20000000L
 
   /** Min-label connected components over an explicit edge set — the q87
     * pointer-jumping loop generalized to a caller-supplied node/edge table
@@ -548,13 +638,25 @@ object Clustering {
     * construction (a re-run writes identical bytes); the Overwrite mode
     * also heals a half-written dir from a crashed earlier attempt.
     */
-  private[graft] def modelEnsure(s: SparkSession, d: String): String = {
-    val root = modelRoot(d)
+  private[graft] def modelEnsure(s: SparkSession, d: String): String =
+    modelEnsureAt(s, d, modelRoot(d))
+
+  /** Root-parameterized build (the dedup family's own-root discipline:
+    * q204's update lifecycle mutates ITS root's manifest, so it gets a
+    * separate root and q202's serve path stays pristine). The published
+    * model carries per-cluster sizes (final-assignment counts) alongside
+    * the centroids — the weights the incremental update verb needs.
+    */
+  private[graft] def modelEnsureAt(s: SparkSession, d: String, root: String): String = {
     val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
     val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(manifest)) {
-      val centroids = run(s, d, Rounds)._2
-      centroids.write
+      val (lastAssign, centroids) = run(s, d, Rounds)
+      val sizes = lastAssign.groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      centroids
+        .join(sizes, Seq("cid"), "left_outer")
+        .select(col("cid"), col("v"), coalesce(col("n"), lit(0L)).as("n"))
+        .write
         .mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$root/gen-base/model")
       graft.sources.Sources.publishGeneration(s, root, "gen-base")

@@ -94,6 +94,23 @@ class ClusteringSuite extends SparkTestBase {
     assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"))
   }
 
+  test("q204 model update: fold-in identity, fresh generation, redelivery no-op") {
+    val first = Registry.byName("q204_kmeans_update").q(spark, sf).collect()
+    assert(first.length == 8)
+    first.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) + r.getLong(2), "n_new = n_old + n_batch")
+      assert(r.getLong(4) >= 0L, "drift is a sum of squares")
+    }
+    // the +20M batch is the whole corpus re-keyed: every vector lands somewhere
+    assert(first.map(_.getLong(2)).sum == Tables.embeddings(spark, sf).count())
+    // redelivery: a second run must serve the SAME published generation
+    val again = Registry.byName("q204_kmeans_update").q(spark, sf).collect()
+    assert(first.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    val root = graft.sources.Sources.scratch(sf, "kmeans_model_upd")
+    assert(graft.sources.Sources.currentGeneration(spark, root).endsWith("gen-upd-1"),
+      "redelivered update must not publish further generations")
+  }
+
   test("q197 vocab growth: totals tie to direct distinct/token counts, monotone") {
     val rows = Registry.byName("q197_vocab_growth").q(spark, sf).collect()
     assert(rows.nonEmpty)
