@@ -242,7 +242,11 @@ object Bench {
     // incremental k-means model update (round 14, standing from birth).
     // Subtract it when comparing secondary_total against earlier
     // artifacts.
-    "q204_kmeans_update")
+    "q204_kmeans_update",
+    // streaming model inference (round 14, standing from birth).
+    // Subtract it when comparing secondary_total against earlier
+    // artifacts.
+    "q205_stream_cluster_assign")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

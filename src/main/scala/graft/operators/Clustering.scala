@@ -587,10 +587,91 @@ object Clustering {
            |     FROM uc WHERE uc.cid = b.cid) AS drift,
            |  (SELECT comp FROM uc WHERE uc.cid = b.cid AND uc.i = 1) AS c1_new
            |FROM base b LEFT JOIN bn x ON x.cid = b.cid ORDER BY b.cid""".stripMargin
+      }),
+
+    // q205: STREAMING MODEL INFERENCE — the q202 serve deployed on the
+    // live stream (the q139/q176 pattern: batch operator → foreachBatch
+    // epoch): embedding chunks arrive as files, each micro-batch scores
+    // against the BROADCAST persisted model (no corpus scan, no model
+    // mutation), and per-epoch per-cluster counts land in content-keyed
+    // Overwrite dirs so a redelivered chunk rewrites identical bytes —
+    // exactly-once accounting without a transaction log. The final
+    // report aggregates across epochs; the oracle scores the whole
+    // re-keyed corpus in one shot against the retrained centroids —
+    // chunk-order invariance is structural (assignment is per-row).
+    Entry(
+      "q205_stream_cluster_assign",
+      (s, d) => streamAssign(s, d),
+      Some {
+        s"""WITH $oracleLloydChain,
+           |batch AS (SELECT vec_id + $streamBatchIdOffset AS vec_id, v, vd, qq
+           |  FROM q),
+           |${oracleAsg("c3", "served", "batch")}
+           |SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
+           |  TRUE AS multi_epoch_ok
+           |FROM served GROUP BY cid ORDER BY cid""".stripMargin
       })
   )
 
   private[graft] val updBatchIdOffset = 20000000L
+  private[graft] val streamBatchIdOffset = 30000000L
+
+  /** q205's streaming body: arrivals land as files (the q139 discipline),
+    * `maxFilesPerTrigger=1` makes each a micro-batch, and every epoch runs
+    * the same broadcast-model argmin as q202's batch serve, writing its
+    * per-cluster counts to a CONTENT-KEYED output dir (chunk parity) in
+    * Overwrite mode — a redelivered chunk rewrites identical bytes, so the
+    * final accounting is exactly-once without a transaction log.
+    */
+  private def streamAssign(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val gen = modelEnsure(s, d) // read-only model serve root
+    val model = s.read.parquet(s"$gen/model")
+      .select(col("cid"), col("v")).localCheckpoint()
+    val outRoot = graft.sources.Sources.scratch(d, "kmeans_stream_out")
+    val batch = quantized(s, d)
+      .select((col("vec_id") + streamBatchIdOffset).as("vec_id"), col("v"))
+      .localCheckpoint()
+    val arrivals = Files.createTempDirectory("graft_assign_arrivals").toString
+    def writeChunk(df: DataFrame, name: String, order: Int): Unit = {
+      val tmp = s"$arrivals/${name}_stage"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$arrivals/chunk_$name.parquet")
+      Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000L * order)
+    }
+    writeChunk(batch.filter(col("vec_id") % 2 === 0), "even", 1)
+    writeChunk(batch.filter(col("vec_id") % 2 === 1), "odd", 2)
+    val nEpochs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val src = s.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$arrivals/chunk_*.parquet")
+    s.streams.active.filter(_.name == "graft_stream_assign").foreach(_.stop())
+    val q = src.writeStream
+      .queryName("graft_stream_assign")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (chunk: DataFrame, _: Long) =>
+        nEpochs.incrementAndGet()
+        val ss = chunk.sparkSession
+        // content key, not batchId: redelivery lands on the same dir
+        val parity = chunk.agg(min(pmod(col("vec_id"), lit(2L)))).collect().head.getLong(0)
+        assign(chunk, model)
+          .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$outRoot/chunk_$parity")
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(s"$outRoot/chunk_*")
+      .groupBy(col("cid")).agg(sum(col("n")).as("n_assigned"))
+      .select(col("cid"), col("n_assigned"),
+        lit(nEpochs.get() >= 2L).as("multi_epoch_ok"))
+      .orderBy(col("cid"))
+  }
 
   /** Min-label connected components over an explicit edge set — the q87
     * pointer-jumping loop generalized to a caller-supplied node/edge table

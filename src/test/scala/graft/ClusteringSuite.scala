@@ -111,6 +111,19 @@ class ClusteringSuite extends SparkTestBase {
       "redelivered update must not publish further generations")
   }
 
+  test("q205 streaming assignment: epochs drain, totals partition, redelivery converges") {
+    val first = Registry.byName("q205_stream_cluster_assign").q(spark, sf).collect()
+    assert(first.length == 8)
+    assert(first.forall(_.getBoolean(2)), "both arrival chunks must become epochs")
+    assert(first.map(_.getLong(1)).sum == Tables.embeddings(spark, sf).count(),
+      "every streamed vector is assigned exactly once")
+    // full redelivery (both chunks again): content-keyed Overwrite dirs
+    // must converge to the identical accounting
+    val again = Registry.byName("q205_stream_cluster_assign").q(spark, sf).collect()
+    assert(first.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "redelivered stream drifted the per-cluster accounting")
+  }
+
   test("q197 vocab growth: totals tie to direct distinct/token counts, monotone") {
     val rows = Registry.byName("q197_vocab_growth").q(spark, sf).collect()
     assert(rows.nonEmpty)
