@@ -246,7 +246,11 @@ object Bench {
     // streaming model inference (round 14, standing from birth).
     // Subtract it when comparing secondary_total against earlier
     // artifacts.
-    "q205_stream_cluster_assign")
+    "q205_stream_cluster_assign",
+    // Benford first-digit audit (round 14, standing from birth).
+    // Subtract it when comparing secondary_total against earlier
+    // artifacts.
+    "q206_benford_audit")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

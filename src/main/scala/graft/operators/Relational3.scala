@@ -535,7 +535,78 @@ object Relational3 {
              |    min(o_orderpriority), max(o_orderpriority) FROM orders)
              |SELECT column_name, n.n_rows, n_nulls, n_distinct, min_str, max_str,
              |  TRUE AS approx_ok
-             |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin))
+             |FROM p CROSS JOIN n ORDER BY column_name""".stripMargin)),
+
+    // q206: BENFORD FIRST-DIGIT AUDIT — the fabricated-data detector
+    // finance and data-QC teams run on any amount column: the leading
+    // significant digit of naturally-occurring multi-magnitude amounts
+    // follows P(d) = log10(1+1/d); synthetic or tampered values don't.
+    // Implementation is scale-free and log-free: first digit = first
+    // char of the exact cents integer's decimal form (identical string
+    // cast in both engines — no float log10 anywhere), observed shares in
+    // exact ppm, expectations as HARDCODED ppm literals (both engines
+    // read the same 9 constants — nothing derived from ln/log10 at run
+    // time), and the chi-square statistic over the 9 digit cells rounded
+    // to 1e-6 (a 9-term double sum is the one place summation order
+    // could flip an ulp — the repo's rounding discipline absorbs it).
+    // Plan: one map pass + a 9-row aggregate; the corpus never shuffles
+    // on anything wider than the digit.
+    Entry(
+      "q206_benford_audit",
+      (s, d) => {
+        // round(log10(1+1/d) * 1e6) for d = 1..9, precomputed offline
+        val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+          66947L, 57992L, 51153L, 45757L)
+        val obs = T.lineitem(s, d)
+          .select(substring(
+            round(col("l_extendedprice") * 100).cast("long").cast("string"),
+            1, 1).as("digit"))
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).as("n_obs"))
+        val exp = benfordPpm.zipWithIndex
+          .map { case (p, i) => s"(${i + 1}, ${p}L)" }
+          .mkString(", ")
+        val expected =
+          s.sql(s"SELECT CAST(d AS STRING) AS digit, e_ppm FROM VALUES $exp AS t(d, e_ppm)")
+        val joined = obs
+          .join(broadcast(expected), Seq("digit"))
+          .crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("n"))))
+          .withColumn("share_ppm", expr("n_obs * 1000000L div n"))
+        val chi2 = joined
+          .agg(round(sum(
+            ((col("n_obs") * lit(1000000L) - col("n") * col("e_ppm"))
+              .cast("double")
+              * (col("n_obs") * lit(1000000L) - col("n") * col("e_ppm"))
+                .cast("double"))
+              / (col("n") * col("e_ppm")).cast("double") / lit(1000000.0)), 6)
+            .as("chi2"))
+        joined
+          .crossJoin(broadcast(chi2))
+          .select(
+            col("digit"), col("n_obs"), col("share_ppm"),
+            col("e_ppm").as("expected_ppm"), col("chi2"),
+            // 15.51 = chi-square 95th percentile at 8 dof
+            (col("chi2") < 15.51).as("benford_ok"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH c AS (SELECT substr(CAST(CAST(round(l_extendedprice * 100)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM lineitem),
+             |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+             |  FROM c GROUP BY 1),
+             |e AS (SELECT CAST(d AS VARCHAR) AS digit, e_ppm FROM (VALUES
+             |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+             |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)) t(d, e_ppm)),
+             |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
+             |j AS (SELECT o.digit, o.n_obs, CAST(e.e_ppm AS BIGINT) AS e_ppm,
+             |    n.n, n_obs * 1000000 // n.n AS share_ppm
+             |  FROM o JOIN e USING (digit) CROSS JOIN n),
+             |x AS (SELECT round(sum(
+             |    (CAST(n_obs * 1000000 - n * e_ppm AS DOUBLE)
+             |     * CAST(n_obs * 1000000 - n * e_ppm AS DOUBLE))
+             |    / CAST(n * e_ppm AS DOUBLE) / 1000000.0), 6) AS chi2 FROM j)
+             |SELECT j.digit, j.n_obs, j.share_ppm, j.e_ppm AS expected_ppm,
+             |  x.chi2, x.chi2 < 15.51 AS benford_ok
+             |FROM j CROSS JOIN x ORDER BY j.digit""".stripMargin))
   )
 
   /** q195's production pass: full 4-column profile (rows/nulls/min/max +

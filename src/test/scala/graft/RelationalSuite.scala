@@ -211,6 +211,26 @@ class RelationalSuite extends SparkTestBase {
     assert(scans == 1, s"q180 scans orders $scans times — profilers scan once")
   }
 
+  test("q206 Benford audit: digit cells tie to direct counts, chi2 well-formed") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("q206_benford_audit").q(spark, sf).collect()
+    assert(rows.length == 9, "all nine leading digits observed on the fixture")
+    assert(rows.map(_.getString(0)).toSeq == (1 to 9).map(_.toString))
+    val n = Tables.lineitem(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == n, "digit cells partition the rows")
+    // digit-1 count recomputed directly from raw prices
+    val d1 = Tables.lineitem(spark, sf)
+      .filter(substring(round(col("l_extendedprice") * 100).cast("long")
+        .cast("string"), 1, 1) === "1")
+      .count()
+    assert(rows.head.getLong(1) == d1)
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) * 1000000L / n, "exact ppm share")
+      assert(r.getDouble(4) > 0.0, "chi2 positive")
+      assert(r.getBoolean(5) == (r.getDouble(4) < 15.51))
+    }
+  }
+
   test("q195 approx profile: production pass has NO expand; approx_ok all true") {
     // The production aggregate (HLL++ approx-distinct) must plan WITHOUT the
     // Expand node the exact multi-DISTINCT form (q180) needs — that's the
