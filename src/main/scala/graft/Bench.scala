@@ -250,7 +250,11 @@ object Bench {
     // Benford first-digit audit (round 14, standing from birth).
     // Subtract it when comparing secondary_total against earlier
     // artifacts.
-    "q206_benford_audit")
+    "q206_benford_audit",
+    // source x lang chi-square independence audit (round 14, standing
+    // from birth). Subtract it when comparing secondary_total against
+    // earlier artifacts.
+    "q207_source_lang_independence")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -175,7 +175,79 @@ object CorpusStats {
              |    + CAST(n1 * (n1 - 1) AS DOUBLE)
              |    / CAST(2 * (n2 + 1) AS DOUBLE) AS chao1,
              |  1.0 - CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS coverage
-             |FROM f ORDER BY lang""".stripMargin))
+             |FROM f ORDER BY lang""".stripMargin)),
+
+    // q207: CHI-SQUARE INDEPENDENCE TEST (source × lang) — the corpus-
+    // composition audit: is language distributed independently of source,
+    // or do sources carry language skew the sampler must stratify on? The
+    // statistic is computed from the SCALED integer identity
+    // (O·N − R·C)²/(N·R·C) per cell — numerators exact int64 (≤ ~6·10¹⁴
+    // at sf0.1), one IEEE division per cell, the ~100-term sum rounded to
+    // 1e-6 (summation-order discipline), plus Cramér's V effect size
+    // (IEEE sqrt is correctly rounded — bit-identical cross-engine) and
+    // the 95th-percentile decision at the fixture's fixed dof 76
+    // (critical value 97.351, a shared literal). Plan: ONE (source,
+    // lang)-keyed exchange; margins are aggregates OF the ≤|s|·|l| cell
+    // table; every corpus row touches the wire exactly once.
+    Entry(
+      "q207_source_lang_independence",
+      (s, d) => {
+        val cells = T.documents(s, d)
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_obs"))
+          .localCheckpoint() // consumers: margins ×2, total, cell output
+        val rowT = cells.groupBy(col("source")).agg(sum(col("n_obs")).as("r"))
+        val colT = cells.groupBy(col("lang")).agg(sum(col("n_obs")).as("c"))
+        val tot = cells.agg(
+          sum(col("n_obs")).as("n"),
+          countDistinct(col("source")).as("nr"),
+          countDistinct(col("lang")).as("nc"))
+        val j = cells
+          .join(rowT, Seq("source"))
+          .join(colT, Seq("lang"))
+          .crossJoin(broadcast(tot))
+        val dev = col("n_obs") * col("n") - col("r") * col("c")
+        val stats = j
+          .agg(
+            round(sum((dev.cast("double") * dev.cast("double"))
+              / (col("n") * col("r") * col("c")).cast("double")), 6).as("chi2"),
+            max((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+            max(col("n")).as("n"),
+            max(least(col("nr") - 1, col("nc") - 1)).as("mindim"))
+          .withColumn(
+            "cramers_v",
+            round(sqrt(col("chi2") / (col("n") * col("mindim")).cast("double")), 6))
+          .select(col("chi2"), col("dof"), col("cramers_v"),
+            (col("chi2") < 97.351).as("independent_ok"))
+        cells
+          .select(col("source"), col("lang"), col("n_obs"))
+          .crossJoin(broadcast(stats))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_obs
+             |  FROM documents GROUP BY 1, 2),
+             |r AS (SELECT source, CAST(sum(n_obs) AS BIGINT) AS r
+             |  FROM cells GROUP BY 1),
+             |c AS (SELECT lang, CAST(sum(n_obs) AS BIGINT) AS c
+             |  FROM cells GROUP BY 1),
+             |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS nr,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS nc FROM cells),
+             |j AS (SELECT cells.source, cells.lang, cells.n_obs, r.r, c.c,
+             |    t.n, t.nr, t.nc
+             |  FROM cells JOIN r USING (source) JOIN c USING (lang) CROSS JOIN t),
+             |x AS (SELECT
+             |    round(sum((CAST(n_obs * n - r * c AS DOUBLE)
+             |      * CAST(n_obs * n - r * c AS DOUBLE))
+             |      / CAST(n * r * c AS DOUBLE)), 6) AS chi2,
+             |    max((nr - 1) * (nc - 1)) AS dof,
+             |    max(n) AS n, max(least(nr - 1, nc - 1)) AS mindim FROM j),
+             |x2 AS (SELECT chi2, dof,
+             |    round(sqrt(chi2 / CAST(n * mindim AS DOUBLE)), 6) AS cramers_v,
+             |    chi2 < 97.351 AS independent_ok FROM x)
+             |SELECT cells.source, cells.lang, cells.n_obs,
+             |  x2.chi2, x2.dof, x2.cramers_v, x2.independent_ok
+             |FROM cells CROSS JOIN x2 ORDER BY cells.source, cells.lang""".stripMargin))
   )
 
   /** q198's full smoothed model (no count floor, no top-k): exposed so the

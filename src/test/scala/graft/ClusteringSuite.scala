@@ -186,6 +186,24 @@ class ClusteringSuite extends SparkTestBase {
     assert(rows.head.getLong(3) == hapax)
   }
 
+  test("q207 chi-square independence: margins tie, statistic matches local recompute") {
+    val rows = Registry.byName("q207_source_lang_independence").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == n, "cells partition the corpus")
+    assert(rows.head.getLong(4) == 76L, "dof = (20-1)*(5-1) on the fixture")
+    // local chi-square recompute from the emitted cells
+    val cells = rows.map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val rT = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cT = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val chi2 = cells.map { case ((s0, l0), o) =>
+      val dev = (o * n - rT(s0) * cT(l0)).toDouble
+      dev * dev / (n.toDouble * rT(s0) * cT(l0))
+    }.sum
+    assert(math.abs(rows.head.getDouble(3) - chi2) < 1e-4, "chi2 recompute")
+    assert(rows.head.getBoolean(6) == (rows.head.getDouble(3) < 97.351))
+  }
+
   test("q198 Kneser-Ney: full-vocab probabilities sum to 1 per context") {
     val tbl = graft.operators.CorpusStats.knTable(spark, sf)
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1f"),
