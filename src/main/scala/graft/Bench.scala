@@ -254,7 +254,11 @@ object Bench {
     // source x lang chi-square independence audit (round 14, standing
     // from birth). Subtract it when comparing secondary_total against
     // earlier artifacts.
-    "q207_source_lang_independence")
+    "q207_source_lang_independence",
+    // Davies-Bouldin cluster-quality index (round 14, standing from
+    // birth). Subtract it when comparing secondary_total against earlier
+    // artifacts.
+    "q208_davies_bouldin")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

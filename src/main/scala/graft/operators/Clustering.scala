@@ -610,6 +610,79 @@ object Clustering {
            |SELECT cid, CAST(count(*) AS BIGINT) AS n_assigned,
            |  TRUE AS multi_epoch_ok
            |FROM served GROUP BY cid ORDER BY cid""".stripMargin
+      }),
+
+    // q208: DAVIES-BOULDIN CLUSTER QUALITY (squared-distance variant) —
+    // the "is k right / did clustering collapse" diagnostic consumed
+    // before anyone trusts q196's assignment: per cluster the scatter
+    // S_i = inertia_i/n_i vs the separation M_ij = ‖c_i−c_j‖², worst-case
+    // ratio max_j (S_i+S_j)/M_ij per cluster, and the index = mean of the
+    // worst ratios (lower = tighter/better-separated). Squared distances
+    // keep every numerator an exact int64 (the classic sqrt form would
+    // put a reduction-order-sensitive mean-of-sqrts in the pipeline);
+    // ratios are single IEEE divisions of exact longs, the max is a
+    // deterministic double compare with a j tie-break, and only the
+    // final 8-term mean is rounded (1e-6). Plan: q196's recursion + an
+    // 8×8 broadcast pair matrix — nothing corpus-sized beyond the
+    // training pass itself.
+    Entry(
+      "q208_davies_bouldin",
+      (s, d) => {
+        val (lastAssign, centroids) = run(s, d, Rounds)
+        val stats = lastAssign
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n_points"), sum(col("dist")).as("inertia"))
+          .join(centroids, Seq("cid"))
+          .localCheckpoint() // 8 rows; consumers: both pair sides + output
+        val a = stats.select(col("cid"), col("n_points").as("na"),
+          col("inertia").as("ia"), col("v").as("va"))
+        val b = stats.select(col("cid").as("cj"), col("n_points").as("nb"),
+          col("inertia").as("ib"), col("v").as("vb"))
+        val pairs = a
+          .crossJoin(broadcast(b))
+          .filter(col("cid") =!= col("cj"))
+          .withColumn("m", graft.functions.GraftColumns.l2sqLong(col("va"), col("vb")))
+          .withColumn(
+            "ratio",
+            (col("ia").cast("double") / col("na").cast("double")
+              + col("ib").cast("double") / col("nb").cast("double"))
+              / col("m").cast("double"))
+        val worst = pairs
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("cid")).orderBy(col("ratio").desc, col("cj"))))
+          .filter(col("rn") === 1)
+          .select(col("cid"), col("cj").as("worst_j"),
+            round(col("ratio"), 6).as("worst_ratio"), col("ratio"))
+        val db = worst.agg(round(avg(col("ratio")), 6).as("db_index"))
+        stats
+          .select(col("cid"), col("n_points"), col("inertia"))
+          .join(worst.select(col("cid"), col("worst_j"), col("worst_ratio")), Seq("cid"))
+          .crossJoin(broadcast(db))
+          .orderBy(col("cid"))
+      },
+      Some {
+        s"""WITH $oracleLloydChain,
+           |st AS (SELECT s.cid, s.n_points, s.inertia, c.v, c.cvd
+           |  FROM (SELECT cid, CAST(count(*) AS BIGINT) AS n_points,
+           |          CAST(sum(dist) AS BIGINT) AS inertia FROM a3 GROUP BY cid) s
+           |  JOIN c3 c USING (cid)),
+           |pr AS (SELECT a.cid, b.cid AS cj, a.n_points AS na, a.inertia AS ia,
+           |    b.n_points AS nb, b.inertia AS ib,
+           |    CAST(list_dot_product(a.cvd, a.cvd) + list_dot_product(b.cvd, b.cvd)
+           |      - 2 * list_dot_product(a.cvd, b.cvd) AS BIGINT) AS m
+           |  FROM st a CROSS JOIN st b WHERE a.cid <> b.cid),
+           |rt AS (SELECT cid, cj,
+           |    (CAST(ia AS DOUBLE) / CAST(na AS DOUBLE)
+           |     + CAST(ib AS DOUBLE) / CAST(nb AS DOUBLE)) / CAST(m AS DOUBLE)
+           |      AS ratio FROM pr),
+           |w AS (SELECT cid, cj AS worst_j, round(ratio, 6) AS worst_ratio, ratio,
+           |    row_number() OVER (PARTITION BY cid ORDER BY ratio DESC, cj) AS rn
+           |  FROM rt),
+           |w1 AS (SELECT cid, worst_j, worst_ratio, ratio FROM w WHERE rn = 1),
+           |db AS (SELECT round(avg(ratio), 6) AS db_index FROM w1)
+           |SELECT st.cid, st.n_points, st.inertia, w1.worst_j, w1.worst_ratio,
+           |  db.db_index
+           |FROM st JOIN w1 USING (cid) CROSS JOIN db ORDER BY st.cid""".stripMargin
       })
   )
 

@@ -563,6 +563,7 @@ object Relational3 {
             1, 1).as("digit"))
           .groupBy(col("digit"))
           .agg(count(lit(1)).as("n_obs"))
+          .localCheckpoint() // ≤9 rows; consumers: join, total-n aggregate
         val exp = benfordPpm.zipWithIndex
           .map { case (p, i) => s"(${i + 1}, ${p}L)" }
           .mkString(", ")
@@ -572,6 +573,7 @@ object Relational3 {
           .join(broadcast(expected), Seq("digit"))
           .crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("n"))))
           .withColumn("share_ppm", expr("n_obs * 1000000L div n"))
+          .localCheckpoint() // ≤9 rows; consumers: chi2 aggregate, cell output
         val chi2 = joined
           .agg(round(sum(
             ((col("n_obs") * lit(1000000L) - col("n") * col("e_ppm"))

@@ -204,6 +204,30 @@ class ClusteringSuite extends SparkTestBase {
     assert(rows.head.getBoolean(6) == (rows.head.getDouble(3) < 97.351))
   }
 
+  test("q208 Davies-Bouldin: worst ratios tie to a full local recompute") {
+    val rows = Registry.byName("q208_davies_bouldin").q(spark, sf).collect()
+    assert(rows.length == 8)
+    // full local recompute: centroids from the same recursion, scatter from
+    // the emitted (n, inertia), separation from exact centroid distances
+    val cents = graft.operators.Clustering.run(spark, sf, 3)._2.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val s2 = rows.map(r => r.getLong(0) -> (r.getLong(2).toDouble / r.getLong(1))).toMap
+    def m(i: Long, j: Long): Double =
+      cents(i).zip(cents(j)).map { case (x, y) => val d = x - y; (d * d).toDouble }.sum
+    val worst = s2.keys.map { i =>
+      i -> s2.keys.filter(_ != i)
+        .map(j => (((s2(i) + s2(j)) / m(i, j)), j))
+        .minBy { case (r0, j) => (-r0, j) }
+    }.toMap
+    rows.foreach { r =>
+      val (ratio, j) = worst(r.getLong(0))
+      assert(r.getLong(3) == j, s"cluster ${r.getLong(0)}: worst_j")
+      assert(math.abs(r.getDouble(4) - ratio) < 1e-5, "worst_ratio")
+    }
+    val dbExpect = worst.values.map(_._1).sum / 8.0
+    assert(math.abs(rows.head.getDouble(5) - dbExpect) < 1e-5, "db_index is the mean")
+  }
+
   test("q198 Kneser-Ney: full-vocab probabilities sum to 1 per context") {
     val tbl = graft.operators.CorpusStats.knTable(spark, sf)
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1f"),
