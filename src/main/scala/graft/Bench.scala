@@ -258,7 +258,11 @@ object Bench {
     // Davies-Bouldin cluster-quality index (round 14, standing from
     // birth). Subtract it when comparing secondary_total against earlier
     // artifacts.
-    "q208_davies_bouldin")
+    "q208_davies_bouldin",
+    // exact tie-aware classifier AUC (round 14, standing from birth).
+    // Subtract it when comparing secondary_total against earlier
+    // artifacts.
+    "q209_classifier_auc")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -247,7 +247,115 @@ object CorpusStats {
              |    chi2 < 97.351 AS independent_ok FROM x)
              |SELECT cells.source, cells.lang, cells.n_obs,
              |  x2.chi2, x2.dof, x2.cramers_v, x2.independent_ok
-             |FROM cells CROSS JOIN x2 ORDER BY cells.source, cells.lang""".stripMargin))
+             |FROM cells CROSS JOIN x2 ORDER BY cells.source, cells.lang""".stripMargin)),
+
+    // q209: CLASSIFIER AUC — evaluate q194's model scores against q88's
+    // heuristic labels (positive = NOT low_quality) with the EXACT
+    // tie-aware Mann-Whitney identity: AUC = (2R₊ − n₊(n₊+1))/(2n₊n₋)
+    // where 2R₊ = Σ_pos (2·below + cnt + 1) over the per-SCORE count
+    // table (doubled ranks keep the tied-average exact in integers — no
+    // fractional ranks, no float rank sums). NO GLOBAL SORT: ranks come
+    // from per-score-value counts + the q96/q190 two-phase block prefix
+    // over the score axis — the score table is doc-cardinality-scaled,
+    // so the naive ORDER BY score window is exactly the banned
+    // corpus-sized partition; only the ~score/10⁵ block table sees an
+    // unpartitioned window. The one float op is the final division of
+    // exact longs (int64-safe to ~3·10⁹ docs; past that the same plan
+    // runs on Decimal(38)). Oracle replays the identical count-based
+    // formulation. The fixture's deterministic stand-in weights score
+    // NEAR CHANCE against the repetition labels (AUC ≈ 0.5) — the
+    // evaluation honestly measures an untrained model, which is exactly
+    // what it exists to detect; production swaps in trained weights and
+    // this query becomes the promotion gate.
+    Entry(
+      "q209_classifier_auc",
+      (s, d) => {
+        val scored = TextOps.classifierScores(s, d).select(col("doc_id"), col("score"))
+        val labels = TextOps
+          .repetitionCounts(T.documents(s, d).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), (!TextOps.lowQuality).as("pos"))
+        val t = scored.join(labels, Seq("doc_id"))
+        val perScore = t
+          .groupBy(col("score"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+          .withColumn("blk", expr("score div 100000"))
+          .localCheckpoint() // consumers: block offsets + the rank join
+        val offs = perScore.groupBy(col("blk")).agg(sum(col("cnt")).as("bc"))
+          .withColumn(
+            "off",
+            coalesce(
+              sum(col("bc")).over(Window.orderBy(col("blk"))
+                .rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select(col("blk"), col("off"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = perScore
+          .withColumn("in_b", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+          .join(offs, Seq("blk"))
+          .withColumn("below", col("off") + col("in_b"))
+        ranked
+          .agg(
+            sum(col("npos")).as("n_pos"),
+            sum(col("cnt") - col("npos")).as("n_neg"),
+            sum(col("npos") * (lit(2L) * col("below") + col("cnt") + 1L)).as("r2"))
+          .select(
+            col("n_pos"), col("n_neg"), col("r2"),
+            round((col("r2") - col("n_pos") * (col("n_pos") + 1L)).cast("double")
+              / (lit(2L) * col("n_pos") * col("n_neg")).cast("double"), 6).as("auc"))
+          .withColumn("gini", round(lit(2.0) * col("auc") - 1.0, 6))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_filter(string_split(lower(text), ' '),
+             |      w -> regexp_matches(w, '^[a-z0-9]+$')) AS u
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |    list_concat(u, list_transform(range(2, len(u)+1),
+             |      i -> u[i-1] || ' ' || u[i])) AS feats
+             |  FROM t),
+             |e AS (SELECT doc_id,
+             |    CAST(coalesce(list_sum(list_transform(feats, g ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, length(g)+1),
+             |            i -> CAST(unicode(g[i]) AS BIGINT))),
+             |        (a, c) -> (a * 31 + c) % 4096) * 2654435761) % 2003)
+             |      - 1001)), 0) AS BIGINT) AS score
+             |  FROM f),
+             |tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |wc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY doc_id, w),
+             |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+             |    CAST(max(cnt) AS BIGINT) AS max_w,
+             |    CAST(count(*) AS BIGINT) AS n_distinct FROM wc GROUP BY doc_id),
+             |bgc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |      i -> toks[i-1] || ' ' || toks[i])) AS bg FROM tk)
+             |  GROUP BY doc_id, bg),
+             |bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg,
+             |    CAST(max(cnt) AS BIGINT) AS max_bg FROM bgc GROUP BY doc_id),
+             |lab AS (SELECT ws.doc_id,
+             |    NOT (ws.max_w * 25 > ws.n_words * 3
+             |      OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
+             |      OR bs.max_bg * 50 > bs.n_bg * 3) AS pos
+             |  FROM ws JOIN bs USING (doc_id)),
+             |j AS (SELECT e.score, lab.pos FROM e JOIN lab USING (doc_id)),
+             |ps AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos
+             |  FROM j GROUP BY score),
+             |rk AS (SELECT score, cnt, npos,
+             |    CAST(coalesce(sum(cnt) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             |      AS below FROM ps),
+             |agg AS (SELECT CAST(sum(npos) AS BIGINT) AS n_pos,
+             |    CAST(sum(cnt - npos) AS BIGINT) AS n_neg,
+             |    CAST(sum(npos * (2 * below + cnt + 1)) AS BIGINT) AS r2 FROM rk)
+             |SELECT n_pos, n_neg, r2,
+             |  round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+             |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc,
+             |  round(2.0 * round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+             |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) - 1.0, 6) AS gini
+             |FROM agg""".stripMargin))
   )
 
   /** q198's full smoothed model (no count floor, no top-k): exposed so the

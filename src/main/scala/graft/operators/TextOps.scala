@@ -94,7 +94,7 @@ object TextOps {
     * Input: (doc_id, text). Output: (doc_id, n_words, n_distinct, max_w,
     * n_bg, max_bg).
     */
-  private[operators] def repetitionCounts(
+  private[graft] def repetitionCounts(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def maxRun(arr: String): String =
       s"""aggregate(array_sort($arr),
@@ -126,10 +126,31 @@ object TextOps {
     * compares (top_word > 0.12 OR dup > 0.65 OR top_bigram > 0.06), exact
     * across engines.
     */
-  private[operators] def lowQuality: Column =
+  private[graft] def lowQuality: Column =
     col("max_w") * 25 > col("n_words") * 3 ||
       (col("n_words") - col("n_distinct")) * 20 > col("n_words") * 13 ||
       col("max_bg") * 50 > col("n_bg") * 3
+
+  /** q194's per-doc model inference (doc_id, lang, n_feats, score) —
+    * hashed-n-gram linear classifier, one codegen map pass, no shuffle.
+    * Exposed so q209 can evaluate the same scores against the q88 labels.
+    */
+  private[graft] def classifierScores(
+      s: SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")
+          .as("u"))
+      .select(col("doc_id"), col("lang"),
+        expr("concat(u, zip_with(slice(u, 1, greatest(size(u) - 1, 0)), " +
+          "slice(u, 2, greatest(size(u) - 1, 0)), " +
+          "(a, b) -> concat(a, ' ', b)))").as("feats"))
+      .select(col("doc_id"), col("lang"),
+        size(col("feats")).cast("long").as("n_feats"),
+        expr("""aggregate(feats, 0L, (acc, f) -> acc +
+          ((aggregate(filter(split(f, ''), ch -> ch != ''), 0L,
+              (a, c) -> (a * 31L + ascii(c)) % 4096L)
+            * 2654435761L) % 2003L) - 1001L)""").as("score"))
 
   /** Fixed-L sequence packing over a (doc_id, n) token-count table (q96's
     * body — see that entry's doc for the two-phase prefix scan): returns
@@ -1007,20 +1028,7 @@ object TextOps {
     Entry(
       "q194_quality_classifier",
       (s, d) => {
-        val scored = Tables.documents(s, d)
-          .select(col("doc_id"), col("lang"),
-            expr("filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")
-              .as("u"))
-          .select(col("doc_id"), col("lang"),
-            expr("concat(u, zip_with(slice(u, 1, greatest(size(u) - 1, 0)), " +
-              "slice(u, 2, greatest(size(u) - 1, 0)), " +
-              "(a, b) -> concat(a, ' ', b)))").as("feats"))
-          .select(col("doc_id"), col("lang"),
-            size(col("feats")).cast("long").as("n_feats"),
-            expr("""aggregate(feats, 0L, (acc, f) -> acc +
-              ((aggregate(filter(split(f, ''), ch -> ch != ''), 0L,
-                  (a, c) -> (a * 31L + ascii(c)) % 4096L)
-                * 2654435761L) % 2003L) - 1001L)""").as("score"))
+        val scored = classifierScores(s, d)
         scored
           .groupBy(col("lang"))
           .agg(

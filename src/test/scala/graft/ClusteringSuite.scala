@@ -228,6 +228,28 @@ class ClusteringSuite extends SparkTestBase {
     assert(math.abs(rows.head.getDouble(5) - dbExpect) < 1e-5, "db_index is the mean")
   }
 
+  test("q209 AUC: exact tie-aware Mann-Whitney equals a brute pair count") {
+    val r = Registry.byName("q209_classifier_auc").q(spark, sf).collect().head
+    val n = Tables.documents(spark, sf).count()
+    assert(r.getLong(0) + r.getLong(1) == n, "every doc labeled and scored")
+    // brute-force AUC: P(score_pos > score_neg) + 0.5 P(equal)
+    val scored = graft.operators.TextOps.classifierScores(spark, sf)
+      .select(col("doc_id"), col("score")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val labels = graft.operators.TextOps
+      .repetitionCounts(Tables.documents(spark, sf).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), (!graft.operators.TextOps.lowQuality).as("pos"))
+      .collect().map(x => x.getLong(0) -> x.getBoolean(1))
+    val pos = labels.filter(_._2).map(x => scored(x._1))
+    val neg = labels.filterNot(_._2).map(x => scored(x._1))
+    var num = 0.0
+    for (p <- pos; q <- neg)
+      num += (if (p > q) 1.0 else if (p == q) 0.5 else 0.0)
+    val brute = num / (pos.length.toDouble * neg.length)
+    assert(math.abs(r.getDouble(3) - brute) < 1e-6,
+      s"count-based AUC ${r.getDouble(3)} != brute $brute")
+  }
+
   test("q198 Kneser-Ney: full-vocab probabilities sum to 1 per context") {
     val tbl = graft.operators.CorpusStats.knTable(spark, sf)
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1f"),
