@@ -262,7 +262,11 @@ object Bench {
     // exact tie-aware classifier AUC (round 14, standing from birth).
     // Subtract it when comparing secondary_total against earlier
     // artifacts.
-    "q209_classifier_auc")
+    "q209_classifier_auc",
+    // classifier confusion matrix + MCC (round 14, standing from birth).
+    // Subtract it when comparing secondary_total against earlier
+    // artifacts.
+    "q210_classifier_confusion")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

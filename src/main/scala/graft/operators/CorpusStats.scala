@@ -355,7 +355,96 @@ object CorpusStats {
              |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) AS auc,
              |  round(2.0 * round(CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
              |    / CAST(2 * n_pos * n_neg AS DOUBLE), 6) - 1.0, 6) AS gini
-             |FROM agg""".stripMargin))
+             |FROM agg""".stripMargin)),
+
+    // q210: CONFUSION MATRIX + MCC at the production threshold — q209
+    // ranks the scorer threshold-free; this evaluates the DEPLOYED
+    // decision (q194's keep = score > 0) against the q88 labels: TP/FP/
+    // FN/TN from ONE aggregate over the scored-and-labeled table,
+    // precision/recall in exact ppm, F1 via the exact harmonic identity
+    // 2TP/(2TP+FP+FN) (never P·R/(P+R) on rounded intermediates), and
+    // Matthews correlation (TP·TN−FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    // — the numerator exact int64, the radicand < 2^53 at fixture scale
+    // so the double is exact and IEEE sqrt correctly rounded
+    // (bit-identical cross-engine; at ≳10⁴ docs per 2^53^(1/4)... the
+    // same plan runs on Decimal(38)). The near-chance MCC ≈ 0 is the
+    // honest reading of the untrained stand-in weights (q209's finding
+    // at the decision threshold).
+    Entry(
+      "q210_classifier_confusion",
+      (s, d) => {
+        val scored = TextOps.classifierScores(s, d).select(col("doc_id"), col("score"))
+        val labels = TextOps
+          .repetitionCounts(T.documents(s, d).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), (!TextOps.lowQuality).as("pos"))
+        val cm = scored
+          .join(labels, Seq("doc_id"))
+          .agg(
+            sum(when(col("pos") && col("score") > 0L, 1L).otherwise(0L)).as("tp"),
+            sum(when(!col("pos") && col("score") > 0L, 1L).otherwise(0L)).as("fp"),
+            sum(when(col("pos") && col("score") <= 0L, 1L).otherwise(0L)).as("fn"),
+            sum(when(!col("pos") && col("score") <= 0L, 1L).otherwise(0L)).as("tn"))
+        cm.select(
+          col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000000L div (tp + fp)").as("precision_ppm"),
+          expr("tp * 1000000L div (tp + fn)").as("recall_ppm"),
+          expr("2L * tp * 1000000L div (2L * tp + fp + fn)").as("f1_ppm"),
+          round((col("tp") * col("tn") - col("fp") * col("fn")).cast("double")
+            / sqrt(((col("tp") + col("fp")) * (col("tp") + col("fn"))
+              * (col("tn") + col("fp")) * (col("tn") + col("fn"))).cast("double")), 6)
+            .as("mcc"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_filter(string_split(lower(text), ' '),
+             |      w -> regexp_matches(w, '^[a-z0-9]+$')) AS u
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |    list_concat(u, list_transform(range(2, len(u)+1),
+             |      i -> u[i-1] || ' ' || u[i])) AS feats
+             |  FROM t),
+             |e AS (SELECT doc_id,
+             |    CAST(coalesce(list_sum(list_transform(feats, g ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, length(g)+1),
+             |            i -> CAST(unicode(g[i]) AS BIGINT))),
+             |        (a, c) -> (a * 31 + c) % 4096) * 2654435761) % 2003)
+             |      - 1001)), 0) AS BIGINT) AS score
+             |  FROM f),
+             |tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |wc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY doc_id, w),
+             |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+             |    CAST(max(cnt) AS BIGINT) AS max_w,
+             |    CAST(count(*) AS BIGINT) AS n_distinct FROM wc GROUP BY doc_id),
+             |bgc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |      i -> toks[i-1] || ' ' || toks[i])) AS bg FROM tk)
+             |  GROUP BY doc_id, bg),
+             |bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg,
+             |    CAST(max(cnt) AS BIGINT) AS max_bg FROM bgc GROUP BY doc_id),
+             |lab AS (SELECT ws.doc_id,
+             |    NOT (ws.max_w * 25 > ws.n_words * 3
+             |      OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
+             |      OR bs.max_bg * 50 > bs.n_bg * 3) AS pos
+             |  FROM ws JOIN bs USING (doc_id)),
+             |cm AS (SELECT
+             |    CAST(sum(CASE WHEN pos AND score > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS tp,
+             |    CAST(sum(CASE WHEN NOT pos AND score > 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS fp,
+             |    CAST(sum(CASE WHEN pos AND score <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS fn,
+             |    CAST(sum(CASE WHEN NOT pos AND score <= 0 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS tn
+             |  FROM e JOIN lab USING (doc_id))
+             |SELECT tp, fp, fn, tn,
+             |  tp * 1000000 // (tp + fp) AS precision_ppm,
+             |  tp * 1000000 // (tp + fn) AS recall_ppm,
+             |  2 * tp * 1000000 // (2 * tp + fp + fn) AS f1_ppm,
+             |  round(CAST(tp * tn - fp * fn AS DOUBLE)
+             |    / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+             |        AS DOUBLE)), 6) AS mcc
+             |FROM cm""".stripMargin))
   )
 
   /** q198's full smoothed model (no count floor, no top-k): exposed so the

@@ -250,6 +250,19 @@ class ClusteringSuite extends SparkTestBase {
       s"count-based AUC ${r.getDouble(3)} != brute $brute")
   }
 
+  test("q210 confusion matrix: cells partition, identities hold") {
+    val r = Registry.byName("q210_classifier_confusion").q(spark, sf).collect().head
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(tp + fp + fn + tn == Tables.documents(spark, sf).count())
+    assert(r.getLong(4) == tp * 1000000L / (tp + fp), "precision ppm")
+    assert(r.getLong(5) == tp * 1000000L / (tp + fn), "recall ppm")
+    assert(r.getLong(6) == 2L * tp * 1000000L / (2L * tp + fp + fn), "F1 harmonic")
+    val mcc = (tp * tn - fp * fn).toDouble /
+      math.sqrt(((tp + fp) * (tp + fn)).toDouble * ((tn + fp) * (tn + fn)).toDouble)
+    assert(math.abs(r.getDouble(7) - mcc) < 1e-5, "MCC")
+    assert(math.abs(r.getDouble(7)) < 0.5, "untrained stand-in scores near chance")
+  }
+
   test("q198 Kneser-Ney: full-vocab probabilities sum to 1 per context") {
     val tbl = graft.operators.CorpusStats.knTable(spark, sf)
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1f"),
