@@ -266,7 +266,11 @@ object Bench {
     // classifier confusion matrix + MCC (round 14, standing from birth).
     // Subtract it when comparing secondary_total against earlier
     // artifacts.
-    "q210_classifier_confusion")
+    "q210_classifier_confusion",
+    // source-level duplication matrix (round 14, standing from birth;
+    // contains the full q37 pair computation). Subtract it when comparing
+    // secondary_total against earlier artifacts.
+    "q211_dup_source_matrix")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1327,6 +1327,66 @@ object Dedup {
              |FROM p WHERE inter/(la+lb-inter) >= 0.95
              |ORDER BY a_id, b_id""".stripMargin)),
 
+    // q211: SOURCE-LEVEL DUPLICATION MATRIX — the provenance diagnostic
+    // consumed BEFORE dedup acts: which sources mirror which (a heavy
+    // off-diagonal cell = source B republishes source A — dedup by
+    // keep-min-id would then silently erase B; a heavy diagonal = a
+    // source self-duplicates). Confirmed q37 near-dup pairs (REUSED, the
+    // exact LSH-pruned set) are labeled with both endpoints' sources
+    // (unordered, lexicographic normalization) and rolled to per-cell
+    // counts plus the corpus-wide cross-source share in exact ppm. Plan:
+    // the pair set materializes once (two source-label consumers), the
+    // doc→source map is corpus-row-sized but 2 columns (AQE broadcasts
+    // it at fixture scale; at web scale both joins co-locate on the id);
+    // the matrix itself is ≤|sources|² rows. Oracle replays brute-force
+    // pairs + the same labeling.
+    Entry(
+      "q211_dup_source_matrix",
+      (s, d) => {
+        val pairs = wordsetNeardup(s, d)
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint() // two label joins consume it
+        val meta = Tables.documents(s, d).select(col("doc_id"), col("source"))
+        val labeled = pairs
+          .join(meta.select(col("doc_id").as("a_id"), col("source").as("sa")), Seq("a_id"))
+          .join(meta.select(col("doc_id").as("b_id"), col("source").as("sb")), Seq("b_id"))
+          .select(
+            least(col("sa"), col("sb")).as("source_a"),
+            greatest(col("sa"), col("sb")).as("source_b"))
+        val cellsM = labeled
+          .groupBy(col("source_a"), col("source_b"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .localCheckpoint() // consumers: totals + output
+        val totals = cellsM.agg(
+          sum(col("n_pairs")).as("n_total"),
+          sum(when(col("source_a") =!= col("source_b"), col("n_pairs"))
+            .otherwise(0L)).as("n_cross"))
+          .select(col("n_total"),
+            expr("n_cross * 1000000L div n_total").as("cross_ppm"))
+        cellsM
+          .crossJoin(broadcast(totals))
+          .select(col("source_a"), col("source_b"), col("n_pairs"),
+            col("n_total"), col("cross_ppm"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH s AS (SELECT doc_id, source,
+             |    list_distinct(string_split(text,' ')) AS toks FROM documents),
+             |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    a.source AS sa, b.source AS sb,
+             |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS inter,
+             |    len(a.toks) AS la, len(b.toks) AS lb
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+             |e AS (SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b
+             |  FROM p WHERE inter/(la+lb-inter) >= 0.95),
+             |cells AS (SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM e GROUP BY 1, 2),
+             |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n_total,
+             |    CAST(sum(CASE WHEN source_a <> source_b THEN n_pairs ELSE 0 END)
+             |      AS BIGINT) AS n_cross FROM cells)
+             |SELECT cells.source_a, cells.source_b, cells.n_pairs,
+             |  t.n_total, t.n_cross * 1000000 // t.n_total AS cross_ppm
+             |FROM cells CROSS JOIN t ORDER BY source_a, source_b""".stripMargin)),
+
     // q38: SimHash signature digest. The 64-bit signatures are engine-
     // defined (FNV-1a+splitmix kernel), so the oracle pins GOLDEN DIGESTS,
     // one per fixture, selected by a DuckDB-computable discriminator

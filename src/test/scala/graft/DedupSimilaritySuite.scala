@@ -788,4 +788,21 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(!spark.conf.getOption("graft.dedup.bandJoinSalt").exists(_ != "8"),
       "q192 leaked its salt override into the session")
   }
+
+  test("q211 source matrix: cells tie to the labeled pair set; ppm identity") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("q211_dup_source_matrix").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // cells sum to the confirmed q37 pair count
+    val nPairs = Registry.byName("q37_wordset_jaccard").q(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == nPairs, "matrix cells partition the pairs")
+    val total = rows.head.getLong(3)
+    assert(total == nPairs)
+    rows.foreach { r =>
+      assert(r.getString(0) <= r.getString(1), "unordered cell normalization")
+      assert(r.getLong(3) == total)
+    }
+    val cross = rows.filter(r => r.getString(0) != r.getString(1)).map(_.getLong(2)).sum
+    assert(rows.head.getLong(4) == cross * 1000000L / total, "cross-source ppm")
+  }
 }
