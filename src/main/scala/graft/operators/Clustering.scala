@@ -145,10 +145,11 @@ object Clustering {
   }
 
   /** Exact inertia of the FINAL assignment after `rounds` Lloyd rounds —
-    * the suite's monotonicity probe.
+    * the suite's monotonicity probe ONLY (never on a registered query
+    * path; the action is a 1-row aggregate).
     */
   private[graft] def inertiaAfter(s: SparkSession, d: String, rounds: Int): Long =
-    run(s, d, rounds)._1.agg(sum(col("dist"))).collect().head.getLong(0)
+    run(s, d, rounds)._1.agg(sum(col("dist"))).head().getLong(0)
 
   private def update(assigned: DataFrame, centroids: DataFrame): DataFrame = {
     val comps = assigned
@@ -729,8 +730,10 @@ object Clustering {
       .foreachBatch { (chunk: DataFrame, _: Long) =>
         nEpochs.incrementAndGet()
         val ss = chunk.sparkSession
-        // content key, not batchId: redelivery lands on the same dir
-        val parity = chunk.agg(min(pmod(col("vec_id"), lit(2L)))).collect().head.getLong(0)
+        // content key, not batchId: redelivery lands on the same dir. A
+        // 1-row scalar steering the output path — the adaptiveBandSalt
+        // plan-knob discipline (Dedup.scala:140), not a data collect.
+        val parity = chunk.agg(min(pmod(col("vec_id"), lit(2L)))).head().getLong(0)
         assign(chunk, model)
           .groupBy(col("cid")).agg(count(lit(1)).as("n"))
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
