@@ -270,7 +270,11 @@ object Bench {
     // source-level duplication matrix (round 14, standing from birth;
     // contains the full q37 pair computation). Subtract it when comparing
     // secondary_total against earlier artifacts.
-    "q211_dup_source_matrix")
+    "q211_dup_source_matrix",
+    // native session_window sessionize (round 14, standing from birth).
+    // Subtract it when comparing secondary_total against earlier
+    // artifacts.
+    "q212_session_window_native")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

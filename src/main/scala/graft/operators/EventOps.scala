@@ -210,6 +210,56 @@ object EventOps {
              | count(*) AS n_events
              |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // q212: NATIVE session_window SESSIONIZE — Spark's built-in session
+    // aggregation (the streaming-capable form: state-store-mergeable
+    // sessions, no lag window) run in batch and proven against the same
+    // gap spec as q26. Semantics pinned PRECISELY: timestamps truncate
+    // to µs (session_window takes TimestampType; the raw column is ns —
+    // the q165 lesson says make BOTH engines do the identical
+    // truncation), and session_window opens a NEW session at gap ≥ 30
+    // min where q26's lag form uses > — the oracle replays µs-trunc +
+    // ≥ so the boundary is bit-deterministic, not fixture luck. Output
+    // adds what the window form can't express cheaply: per-user max
+    // session SPAN (last−first event, exact µs) straight from the
+    // session_window struct. Plan: one user-keyed exchange into
+    // UpdatingSessions — no per-event lag window at all.
+    Entry(
+      "q212_session_window_native",
+      (s, d) => {
+        val sess = Tables.events(s, d)
+          .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("tsu"))
+          .groupBy(col("user_id"), session_window(col("tsu"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_ev"))
+          // session_window's end = last event + gap; span = end − gap − start
+          .withColumn(
+            "span_us",
+            expr("unix_micros(w.end) - 1800000000L - unix_micros(w.start)"))
+        sess
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).as("n_events"),
+            max(col("span_us")).as("max_span_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+             |g AS (SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |          OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+             |      AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |sid AS (SELECT user_id, us,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |ss AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+             |    CAST(max(us) - min(us) AS BIGINT) AS span_us
+             |  FROM sid GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+             |  CAST(max(span_us) AS BIGINT) AS max_span_us
+             |FROM ss GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // q64: the salted two-phase sessionize (see sessionizeSalted doc) — the
     // skew-hardened form of q26 for hot users; same oracle, identical result.
     // 4-hour blocks: ≥ the 30-min gap, and coarse enough that a normal user

@@ -313,6 +313,26 @@ class EventOpsSuite extends SparkTestBase {
     assert(r.getLong(3) >= 1000000L * k / n)
   }
 
+  test("q212 native session_window agrees with the lag sessionize on the fixture") {
+    val native = Registry.byName("q212_session_window_native").q(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val lagForm = Registry.byName("q26_sessionize").q(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(native.keySet == lagForm.keySet)
+    // boundary semantics differ only within ±1µs of an exact 30-minute gap
+    // (µs-trunc + ≥ vs ns + >) — absent from the frozen fixture, so the
+    // two formulations must agree user-for-user
+    native.foreach { case (u, v) =>
+      assert(lagForm(u) == v, s"user $u: native $v vs lag ${lagForm(u)}")
+    }
+    // the plan is the sessionized aggregate, not a per-event lag window
+    val df = Registry.byName("q212_session_window_native").q(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("UpdatingSessions") || plan.contains("session_window"),
+      s"expected the native session aggregation in the plan:\n$plan")
+  }
+
   test("q189 RFM: count-based quintiles equal the direct rank formula") {
     val df = Registry.byName("q189_rfm_segments").q(spark, sf)
     val rows = df.collect()
