@@ -447,6 +447,50 @@ object CorpusStats {
              |FROM cm""".stripMargin))
   )
 
+  /** ONE-PASS (doc_id, score, pos) for the classifier-evaluation tier:
+    * q194's hashed-n-gram score and q88's repetition label are BOTH
+    * per-doc map computations over the same text row, so computing them
+    * in one projection removes a whole corpus scan AND the doc_id
+    * join/exchange the two-pass form needs — at 100 TB that join is the
+    * bottleneck, not the arithmetic. Same expressions as
+    * [[TextOps.classifierScores]] / [[TextOps.repetitionCounts]] +
+    * [[TextOps.lowQuality]], fused; suite-pinned single scan (q210).
+    */
+  private[graft] def scoredLabeledDocs(
+      s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    def maxRun(arr: String): String =
+      s"""aggregate(array_sort($arr),
+         |  named_struct('prev', cast(null as string), 'run', 0L, 'best', 0L),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
+         |    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1L, 1L))),
+         |  acc -> acc.best)""".stripMargin
+    T.documents(s, d)
+      .select(
+        col("doc_id"),
+        split(col("text"), " ").as("t"),
+        expr("filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')").as("u"))
+      .select(
+        col("doc_id"),
+        expr("""aggregate(concat(u, zip_with(slice(u, 1, greatest(size(u) - 1, 0)),
+            slice(u, 2, greatest(size(u) - 1, 0)), (a, b) -> concat(a, ' ', b))),
+          0L, (acc, f) -> acc +
+          ((aggregate(filter(split(f, ''), ch -> ch != ''), 0L,
+              (a, c) -> (a * 31L + ascii(c)) % 4096L)
+            * 2654435761L) % 2003L) - 1001L)""").as("score"),
+        size(col("t")).cast("long").as("n_words"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        expr(maxRun("t")).as("max_w"),
+        expr("zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(a, b) -> concat(a, ' ', b))").as("bg"))
+      .select(
+        col("doc_id"), col("score"),
+        (!(col("max_w") * 25 > col("n_words") * 3 ||
+          (col("n_words") - col("n_distinct")) * 20 > col("n_words") * 13 ||
+          expr(maxRun("bg")) * 50 > size(col("bg")).cast("long") * 3)).as("pos"))
+  }
+
   /** q198's full smoothed model (no count floor, no top-k): exposed so the
     * suite can assert the KN normalization property Σ_w2 P(w2|w1) = 1 per
     * context — the defining invariant of a proper smoothed distribution.
