@@ -68,10 +68,15 @@ object VectorOps {
   def l2sqLong(a0: ArrayData, b0: ArrayData): Long = {
     val a = a0.toLongArray()
     val b = b0.toLongArray()
-    val n = math.min(a.length, b.length)
+    // A dimension mismatch (model/batch schema drift in a serving path)
+    // must fail loudly — truncating to min(len) would return a plausible
+    // but wrong distance and silently mis-assign every row.
+    if (a.length != b.length)
+      throw new IllegalArgumentException(
+        s"l2sqLong: dimension mismatch ${a.length} vs ${b.length}")
     var s = 0L
     var i = 0
-    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s
   }
 

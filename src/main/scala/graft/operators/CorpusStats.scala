@@ -270,11 +270,10 @@ object CorpusStats {
     Entry(
       "q209_classifier_auc",
       (s, d) => {
-        val scored = TextOps.classifierScores(s, d).select(col("doc_id"), col("score"))
-        val labels = TextOps
-          .repetitionCounts(T.documents(s, d).select(col("doc_id"), col("text")))
-          .select(col("doc_id"), (!TextOps.lowQuality).as("pos"))
-        val t = scored.join(labels, Seq("doc_id"))
+        // ONE corpus scan: score and label are both per-doc map work, so
+        // scoredLabeledDocs fuses them — no doc_id join/exchange (at 100 TB
+        // that join dominates the arithmetic). Suite-pinned single scan.
+        val t = scoredLabeledDocs(s, d)
         val perScore = t
           .groupBy(col("score"))
           .agg(count(lit(1)).as("cnt"),
@@ -337,8 +336,9 @@ object CorpusStats {
              |lab AS (SELECT ws.doc_id,
              |    NOT (ws.max_w * 25 > ws.n_words * 3
              |      OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
-             |      OR bs.max_bg * 50 > bs.n_bg * 3) AS pos
-             |  FROM ws JOIN bs USING (doc_id)),
+             |      OR coalesce(bs.max_bg, 0) * 50
+             |         > greatest(coalesce(bs.n_bg, 0), 1) * 3) AS pos
+             |  FROM ws LEFT JOIN bs USING (doc_id)),
              |j AS (SELECT e.score, lab.pos FROM e JOIN lab USING (doc_id)),
              |ps AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
              |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos
@@ -373,12 +373,9 @@ object CorpusStats {
     Entry(
       "q210_classifier_confusion",
       (s, d) => {
-        val scored = TextOps.classifierScores(s, d).select(col("doc_id"), col("score"))
-        val labels = TextOps
-          .repetitionCounts(T.documents(s, d).select(col("doc_id"), col("text")))
-          .select(col("doc_id"), (!TextOps.lowQuality).as("pos"))
-        val cm = scored
-          .join(labels, Seq("doc_id"))
+        // Same fused single-scan scaffold as q209 (scoredLabeledDocs):
+        // TP/FP/FN/TN from ONE aggregate over ONE corpus scan, no join.
+        val cm = scoredLabeledDocs(s, d)
           .agg(
             sum(when(col("pos") && col("score") > 0L, 1L).otherwise(0L)).as("tp"),
             sum(when(!col("pos") && col("score") > 0L, 1L).otherwise(0L)).as("fp"),
@@ -425,8 +422,9 @@ object CorpusStats {
              |lab AS (SELECT ws.doc_id,
              |    NOT (ws.max_w * 25 > ws.n_words * 3
              |      OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
-             |      OR bs.max_bg * 50 > bs.n_bg * 3) AS pos
-             |  FROM ws JOIN bs USING (doc_id)),
+             |      OR coalesce(bs.max_bg, 0) * 50
+             |         > greatest(coalesce(bs.n_bg, 0), 1) * 3) AS pos
+             |  FROM ws LEFT JOIN bs USING (doc_id)),
              |cm AS (SELECT
              |    CAST(sum(CASE WHEN pos AND score > 0 THEN 1 ELSE 0 END) AS BIGINT)
              |      AS tp,
@@ -486,9 +484,13 @@ object CorpusStats {
           "(a, b) -> concat(a, ' ', b))").as("bg"))
       .select(
         col("doc_id"), col("score"),
+        // identical guards to TextOps.repetitionCounts + lowQuality: n_bg
+        // floored at 1 so a single-token doc (no bigrams) compares 0 > 3,
+        // same as the two-pass form and the q88-style oracle.
         (!(col("max_w") * 25 > col("n_words") * 3 ||
           (col("n_words") - col("n_distinct")) * 20 > col("n_words") * 13 ||
-          expr(maxRun("bg")) * 50 > size(col("bg")).cast("long") * 3)).as("pos"))
+          expr(maxRun("bg")) * 50 >
+            greatest(size(col("bg")).cast("long"), lit(1L)) * 3)).as("pos"))
   }
 
   /** q198's full smoothed model (no count floor, no top-k): exposed so the

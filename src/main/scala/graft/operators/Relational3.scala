@@ -553,44 +553,8 @@ object Relational3 {
     // on anything wider than the digit.
     Entry(
       "q206_benford_audit",
-      (s, d) => {
-        // round(log10(1+1/d) * 1e6) for d = 1..9, precomputed offline
-        val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
-          66947L, 57992L, 51153L, 45757L)
-        val obs = T.lineitem(s, d)
-          .select(substring(
-            round(col("l_extendedprice") * 100).cast("long").cast("string"),
-            1, 1).as("digit"))
-          .groupBy(col("digit"))
-          .agg(count(lit(1)).as("n_obs"))
-          .localCheckpoint() // ≤9 rows; consumers: join, total-n aggregate
-        val exp = benfordPpm.zipWithIndex
-          .map { case (p, i) => s"(${i + 1}, ${p}L)" }
-          .mkString(", ")
-        val expected =
-          s.sql(s"SELECT CAST(d AS STRING) AS digit, e_ppm FROM VALUES $exp AS t(d, e_ppm)")
-        val joined = obs
-          .join(broadcast(expected), Seq("digit"))
-          .crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("n"))))
-          .withColumn("share_ppm", expr("n_obs * 1000000L div n"))
-          .localCheckpoint() // ≤9 rows; consumers: chi2 aggregate, cell output
-        val chi2 = joined
-          .agg(round(sum(
-            ((col("n_obs") * lit(1000000L) - col("n") * col("e_ppm"))
-              .cast("double")
-              * (col("n_obs") * lit(1000000L) - col("n") * col("e_ppm"))
-                .cast("double"))
-              / (col("n") * col("e_ppm")).cast("double") / lit(1000000.0)), 6)
-            .as("chi2"))
-        joined
-          .crossJoin(broadcast(chi2))
-          .select(
-            col("digit"), col("n_obs"), col("share_ppm"),
-            col("e_ppm").as("expected_ppm"), col("chi2"),
-            // 15.51 = chi-square 95th percentile at 8 dof
-            (col("chi2") < 15.51).as("benford_ok"))
-          .orderBy(col("digit"))
-      },
+      (s, d) => benfordAudit(s,
+        T.lineitem(s, d).select(col("l_extendedprice").as("amount"))),
       Some("""WITH c AS (SELECT substr(CAST(CAST(round(l_extendedprice * 100)
              |      AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM lineitem),
              |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
@@ -599,9 +563,10 @@ object Relational3 {
              |  (1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
              |  (6, 66947), (7, 57992), (8, 51153), (9, 45757)) t(d, e_ppm)),
              |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o),
-             |j AS (SELECT o.digit, o.n_obs, CAST(e.e_ppm AS BIGINT) AS e_ppm,
-             |    n.n, n_obs * 1000000 // n.n AS share_ppm
-             |  FROM o JOIN e USING (digit) CROSS JOIN n),
+             |j AS (SELECT e.digit, CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+             |    CAST(e.e_ppm AS BIGINT) AS e_ppm,
+             |    n.n, coalesce(o.n_obs, 0) * 1000000 // n.n AS share_ppm
+             |  FROM e LEFT JOIN o USING (digit) CROSS JOIN n),
              |x AS (SELECT round(sum(
              |    (CAST(n_obs * 1000000 - n * e_ppm AS DOUBLE)
              |     * CAST(n_obs * 1000000 - n * e_ppm AS DOUBLE))
@@ -610,6 +575,57 @@ object Relational3 {
              |  x.chi2, x.chi2 < 15.51 AS benford_ok
              |FROM j CROSS JOIN x ORDER BY j.digit""".stripMargin))
   )
+
+  /** q206's body over any (amount: double-dollars) table — exposed so the
+    * suite can prove the missing-digit path on a fixture: the join is driven
+    * FROM the 9-row expected table (LEFT JOIN observed, absent digits
+    * coalesced to 0) so a digit class that never occurs still contributes
+    * its full expected mass to chi2. An inner join would understate the
+    * statistic exactly when the violation is strongest (a missing digit IS
+    * the Benford alarm) — and the cross-engine gate can't catch that class
+    * of bug because the oracle would share it.
+    */
+  private[graft] def benfordAudit(
+      s: org.apache.spark.sql.SparkSession,
+      amounts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // round(log10(1+1/d) * 1e6) for d = 1..9, precomputed offline
+    val benfordPpm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val obs = amounts
+      .select(substring(
+        round(col("amount") * 100).cast("long").cast("string"),
+        1, 1).as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+      .localCheckpoint() // ≤9 rows; consumers: join, total-n aggregate
+    val exp = benfordPpm.zipWithIndex
+      .map { case (p, i) => s"(${i + 1}, ${p}L)" }
+      .mkString(", ")
+    val expected =
+      s.sql(s"SELECT CAST(d AS STRING) AS digit, e_ppm FROM VALUES $exp AS t(d, e_ppm)")
+    val joined = expected
+      .join(broadcast(obs), Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("n"))))
+      .withColumn("share_ppm", expr("n_obs * 1000000L div n"))
+      .localCheckpoint() // ≤9 rows; consumers: chi2 aggregate, cell output
+    val chi2 = joined
+      .agg(round(sum(
+        ((col("n_obs") * lit(1000000L) - col("n") * col("e_ppm"))
+          .cast("double")
+          * (col("n_obs") * lit(1000000L) - col("n") * col("e_ppm"))
+            .cast("double"))
+          / (col("n") * col("e_ppm")).cast("double") / lit(1000000.0)), 6)
+        .as("chi2"))
+    joined
+      .crossJoin(broadcast(chi2))
+      .select(
+        col("digit"), col("n_obs"), col("share_ppm"),
+        col("e_ppm").as("expected_ppm"), col("chi2"),
+        // 15.51 = chi-square 95th percentile at 8 dof
+        (col("chi2") < 15.51).as("benford_ok"))
+      .orderBy(col("digit"))
+  }
 
   /** q195's production pass: full 4-column profile (rows/nulls/min/max +
     * HLL++ approx-distinct, rsd 2%) in ONE aggregate over ONE scan with NO

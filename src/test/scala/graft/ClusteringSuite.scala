@@ -250,6 +250,26 @@ class ClusteringSuite extends SparkTestBase {
       s"count-based AUC ${r.getDouble(3)} != brute $brute")
   }
 
+  test("q209/q210 classifier evaluation plans ONE corpus scan (fused " +
+    "score+label, no doc_id join)") {
+    // score and label are both per-doc map work over the same text row —
+    // scoredLabeledDocs fuses them, so neither evaluation may scan the
+    // corpus twice nor exchange on doc_id to join the two passes.
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      df.write.format("noop").mode("overwrite").save()
+      flattenPlan(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    }
+    val fused = graft.operators.CorpusStats.scoredLabeledDocs(spark, sf)
+    assert(scans(fused) == 1, "fused score+label scaffold must scan ONCE")
+    assert(scans(Registry.byName("q210_classifier_confusion").q(spark, sf)) == 1,
+      "q210 scans the corpus more than once — must plan the fused scaffold")
+    // q209's one corpus scan happens INSIDE its per-score localCheckpoint;
+    // the rank phase after the barrier must plan ZERO parquet re-scans.
+    assert(scans(Registry.byName("q209_classifier_auc").q(spark, sf)) == 0,
+      "q209's rank phase re-scans parquet — all corpus work is pre-barrier")
+  }
+
   test("q210 confusion matrix: cells partition, identities hold") {
     val r = Registry.byName("q210_classifier_confusion").q(spark, sf).collect().head
     val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))

@@ -37,6 +37,18 @@ class HashKernelsSuite extends AnyFunSuite {
     assert(row.getLong(0) == 9L + 9L)
   }
 
+  test("l2sqLong REJECTS a dimension mismatch instead of truncating") {
+    // schema drift between a model and a batch must fail loudly — a
+    // min(len) truncation returns a plausible but wrong distance.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.VectorOps.l2sqLong(
+        ArrayData.toArrayData(Array(1L, 2L, 3L)),
+        ArrayData.toArrayData(Array(1L, 2L)))
+    }
+    assert(e.getMessage.contains("dimension mismatch"))
+  }
+
   test("fingerprint64 is position-sensitive; simhash is token-set-ish") {
     val a = "alpha beta gamma delta"
     val b = "beta alpha gamma delta" // same tokens, different order

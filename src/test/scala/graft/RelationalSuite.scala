@@ -231,6 +231,33 @@ class RelationalSuite extends SparkTestBase {
     }
   }
 
+  test("q206 Benford audit: a NEVER-OBSERVED digit still contributes its " +
+    "full expected mass to chi2 (expected-driven left join)") {
+    import org.apache.spark.sql.functions._
+    // fixture: 96 amounts, 12 per digit 1..8, digit 9 absent — the
+    // strongest violation class, which an observed-driven inner join
+    // silently drops.
+    val amounts = spark.range(96)
+      .select(((col("id") % 8 + 1).cast("double") * 10.0).as("amount"))
+    val rows = graft.operators.Relational3.benfordAudit(spark, amounts)
+      .collect()
+    assert(rows.length == 9, "all nine digit cells present even when absent")
+    val d9 = rows.last
+    assert(d9.getString(0) == "9" && d9.getLong(1) == 0L && d9.getLong(2) == 0L)
+    // chi2 must include digit 9's full expected term n*e9/1e6
+    val n = 96L
+    val ppm = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val obs = (1 to 8).map(_ => 12L) :+ 0L
+    val chi2 = obs.zip(ppm).map { case (o, e) =>
+      val diff = (o * 1000000L - n * e).toDouble
+      diff * diff / (n * e).toDouble / 1e6
+    }.sum
+    assert(math.abs(rows.head.getDouble(4) - chi2) < 1e-4,
+      s"chi2 ${rows.head.getDouble(4)} != expected-inclusive $chi2")
+    assert(!d9.getBoolean(5), "uniform 1-8 fixture must fail the Benford gate")
+  }
+
   test("q195 approx profile: production pass has NO expand; approx_ok all true") {
     // The production aggregate (HLL++ approx-distinct) must plan WITHOUT the
     // Expand node the exact multi-DISTINCT form (q180) needs — that's the
