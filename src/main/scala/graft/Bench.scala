@@ -274,7 +274,13 @@ object Bench {
     // native session_window sessionize (round 14, standing from birth).
     // Subtract it when comparing secondary_total against earlier
     // artifacts.
-    "q212_session_window_native")
+    "q212_session_window_native",
+    // integrity family: order-independent checksum, HRW reshard, Merkle
+    // copy diff (round 15, standing from birth). Subtract these three when
+    // comparing secondary_total against r14 artifacts.
+    "q213_table_checksum",
+    "q214_rendezvous_reshard",
+    "q215_copy_diff")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

