@@ -280,7 +280,13 @@ object Bench {
     // comparing secondary_total against r14 artifacts.
     "q213_table_checksum",
     "q214_rendezvous_reshard",
-    "q215_copy_diff")
+    "q215_copy_diff",
+    // substring-dup profile, Simpson diversity, vocab overlap (round 15,
+    // standing from birth). Subtract these three when comparing
+    // secondary_total against r14 artifacts.
+    "q216_dup_spans",
+    "q217_simpson_diversity",
+    "q218_vocab_overlap")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -442,7 +442,181 @@ object CorpusStats {
              |  round(CAST(tp * tn - fp * fn AS DOUBLE)
              |    / sqrt(CAST((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
              |        AS DOUBLE)), 6) AS mcc
-             |FROM cm""".stripMargin))
+             |FROM cm""".stripMargin)),
+
+    // q216: SUBSTRING-LEVEL DUPLICATION PROFILE — the Lee et al.
+    // "Deduplicating Training Data" signal at 8-gram granularity: document-
+    // level dedup (q35-q37) misses boilerplate PARAGRAPHS shared across
+    // otherwise-distinct pages, which is where memorization risk lives.
+    // Per token position, the 8-gram starting there is hashed (char-
+    // polynomial token hashes folded positionally, all mod 2^31-1 — same
+    // integer pipeline both engines); a position is DUPLICATED when its
+    // gram appears in ≥2 distinct docs. Output: per-source duplicated-
+    // position share in exact ppm. Plan: one corpus scan → per-row gram
+    // array (scalar HOFs, no explode until the exchange) → ONE exchange
+    // keyed (gram, doc) → localCheckpoint (two consumers: per-gram doc
+    // counts + the position join-back) → per-doc then per-source rollup.
+    // At 100 TB the (gram, doc) exchange is the cost — keyed on an 8-byte
+    // int, salt-friendly, and ~tokens-sized, the same budget as the
+    // inverted-index build (q73); docs shorter than 8 tokens contribute no
+    // positions (guarded identically in both engines).
+    Entry(
+      "q216_dup_spans",
+      (s, d) => {
+        val th = "transform(t, w -> aggregate(filter(split(w, ''), ch -> ch != ''), " +
+          "0L, (a, c) -> (a * 131 + ascii(c)) % 2147483647))"
+        val grams = "if(size(th) >= 8, transform(sequence(1, size(th) - 7), i -> " +
+          "aggregate(transform(sequence(0, 7), k -> element_at(th, i + k)), " +
+          "0L, (a, c) -> (a * 131 + c) % 2147483647)), array())"
+        val c = T.documents(s, d)
+          .select(col("doc_id"), col("source"), toks.as("t"))
+          .select(col("doc_id"), col("source"), expr(th).as("th"))
+          .select(col("doc_id"), col("source"), explode(expr(grams)).as("gh"))
+          .groupBy(col("gh"), col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("npos"))
+          .localCheckpoint() // consumers: per-gram doc counts + join-back
+        val gc = c.groupBy(col("gh")).agg(count(lit(1)).as("ndocs"))
+        val p = c
+          .join(gc, Seq("gh"))
+          .groupBy(col("doc_id"), col("source"))
+          .agg(
+            sum(col("npos")).as("total"),
+            sum(when(col("ndocs") >= 2, col("npos")).otherwise(0L)).as("dup"))
+        p.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("total")).as("n_grams"),
+            sum(col("dup")).as("dup_grams"))
+          .withColumn("dup_ppm",
+            expr("dup_grams * 1000000L div greatest(n_grams, 1L)"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             |  FROM documents),
+             |tht AS (SELECT doc_id, source, list_transform(t, w ->
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(w) + 1),
+             |        i -> CAST(unicode(w[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % 2147483647)) AS th FROM tk),
+             |g AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(th) - 6), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(0, 8), k -> th[i + k])),
+             |        (a, c) -> (a * 131 + c) % 2147483647))) AS gh FROM tht),
+             |c AS (SELECT gh, doc_id, source, CAST(count(*) AS BIGINT) AS npos
+             |  FROM g GROUP BY 1, 2, 3),
+             |gc AS (SELECT gh, CAST(count(*) AS BIGINT) AS ndocs
+             |  FROM c GROUP BY 1),
+             |p AS (SELECT doc_id, source, CAST(sum(npos) AS BIGINT) AS total,
+             |    CAST(sum(CASE WHEN ndocs >= 2 THEN npos ELSE 0 END) AS BIGINT)
+             |      AS dup
+             |  FROM c JOIN gc USING (gh) GROUP BY 1, 2)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(total) AS BIGINT) AS n_grams,
+             |  CAST(sum(dup) AS BIGINT) AS dup_grams,
+             |  CAST(sum(dup) AS BIGINT) * 1000000
+             |    // greatest(CAST(sum(total) AS BIGINT), 1) AS dup_ppm
+             |FROM p GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q217: SIMPSON REPEAT-PROBABILITY DIVERSITY — the log-free lexical-
+    // diversity quality score: the probability two DISTINCT token positions
+    // of a doc hold the same word, (Σc²−n) / (n(n−1)) in exact ppm —
+    // entropy's job (template/spam detection) without entropy's cross-
+    // engine libm hazard (ln is not correctly-rounded; this is pure
+    // int64). Σc² is computed per row by a sorted-run fold (the q88 maxRun
+    // idiom extended with a run² accumulator) — ZERO shuffle until the
+    // 5-row language rollup; the oracle recomputes via a word-count
+    // subquery, proving the fold against the set-semantics form.
+    Entry(
+      "q217_simpson_diversity",
+      (s, d) => {
+        val s2 =
+          """aggregate(array_sort(t),
+            |  named_struct('prev', cast(null as string), 'run', 0L, 's2', 0L),
+            |  (acc, x) -> named_struct(
+            |    'prev', x,
+            |    'run', if(x <=> acc.prev, acc.run + 1L, 1L),
+            |    's2', if(x <=> acc.prev, acc.s2, acc.s2 + acc.run * acc.run)),
+            |  acc -> acc.s2 + acc.run * acc.run)""".stripMargin
+        T.documents(s, d)
+          .select(col("lang"), toks.as("t"))
+          .select(col("lang"), size(col("t")).cast("long").as("n"),
+            expr(s2).as("s2"))
+          .select(col("lang"),
+            when(col("n") >= 2,
+              expr("(s2 - n) * 1000000L div (n * (n - 1L))"))
+              .otherwise(0L).as("repeat_ppm"))
+          .groupBy(col("lang"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            expr("sum(repeat_ppm) div count(1)").as("mean_repeat_ppm"),
+            max(col("repeat_ppm")).as("max_repeat_ppm"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+             |  FROM documents),
+             |wc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS cnt FROM (
+             |    SELECT doc_id, unnest(t) AS w FROM tk) GROUP BY doc_id, w),
+             |st AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,
+             |    CAST(sum(cnt * cnt) AS BIGINT) AS s2 FROM wc GROUP BY doc_id),
+             |r AS (SELECT tk.lang,
+             |    CASE WHEN st.n >= 2
+             |      THEN (st.s2 - st.n) * 1000000 // (st.n * (st.n - 1))
+             |      ELSE 0 END AS repeat_ppm
+             |  FROM tk JOIN st USING (doc_id))
+             |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(repeat_ppm) // count(*) AS BIGINT) AS mean_repeat_ppm,
+             |  CAST(max(repeat_ppm) AS BIGINT) AS max_repeat_ppm
+             |FROM r GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    // q218: CROSS-LANGUAGE VOCABULARY OVERLAP MATRIX — pairwise Jaccard
+    // between per-language vocabularies in exact ppm: high en↔es overlap
+    // is expected (shared latin cognates/numbers); high zh↔anything flags
+    // mislabeled language tags upstream — the lang-id QC a mixture
+    // designer runs before trusting per-lang token budgets. Plan: ONE
+    // (lang, word) distinct exchange → localCheckpoint (three consumers:
+    // sizes + both join sides) → word-keyed self-join for intersections
+    // (vocab-sized, not corpus-sized) → broadcast the 5-row size table
+    // into the C(5,2)-row output. |A∪B| = |A|+|B|−|A∩B| keeps everything
+    // integer-exact.
+    Entry(
+      "q218_vocab_overlap",
+      (s, d) => {
+        val v = T.documents(s, d)
+          .select(col("lang"), explode(toks).as("w"))
+          .distinct()
+          .localCheckpoint() // consumers: sizes + both self-join sides
+        val sizes = v.groupBy(col("lang")).agg(count(lit(1)).as("vsize"))
+        val inter = v.as("a")
+          .join(v.as("b"), col("a.w") === col("b.w") && col("a.lang") < col("b.lang"))
+          .groupBy(col("a.lang").as("lang1"), col("b.lang").as("lang2"))
+          .agg(count(lit(1)).as("n_inter"))
+        inter
+          .join(broadcast(sizes.withColumnRenamed("lang", "lang1")
+            .withColumnRenamed("vsize", "size1")), Seq("lang1"))
+          .join(broadcast(sizes.withColumnRenamed("lang", "lang2")
+            .withColumnRenamed("vsize", "size2")), Seq("lang2"))
+          .select(col("lang1"), col("lang2"), col("size1"), col("size2"),
+            col("n_inter"),
+            expr("n_inter * 1000000L div (size1 + size2 - n_inter)")
+              .as("jaccard_ppm"))
+          .orderBy(col("lang1"), col("lang2"))
+      },
+      Some("""WITH v AS (SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS vsize
+             |  FROM v GROUP BY lang),
+             |iv AS (SELECT a.lang AS lang1, b.lang AS lang2,
+             |    CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+             |  GROUP BY 1, 2)
+             |SELECT lang1, lang2, s1.vsize AS size1, s2.vsize AS size2,
+             |  n_inter, n_inter * 1000000 // (s1.vsize + s2.vsize - n_inter)
+             |    AS jaccard_ppm
+             |FROM iv
+             |JOIN sz s1 ON s1.lang = iv.lang1
+             |JOIN sz s2 ON s2.lang = iv.lang2
+             |ORDER BY lang1, lang2""".stripMargin))
   )
 
   /** ONE-PASS (doc_id, score, pos) for the classifier-evaluation tier:

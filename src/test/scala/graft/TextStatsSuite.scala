@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Corpus-statistics additions (q216-q218): each operator's hashed /
+  * fold-based distributed formulation is proven against an independent
+  * driver-side brute force over the raw strings.
+  */
+class TextStatsSuite extends SparkTestBase {
+
+  private lazy val docs: Array[(Long, String, String, String)] =
+    Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+
+  test("q216 dup spans equal a brute-force string-gram count per source") {
+    val grams = docs.map { case (id, src, _, text) =>
+      val t = text.split(" ", -1)
+      val gs = (0 to t.length - 8).map(i => t.slice(i, i + 8).mkString(" "))
+      (id, src, gs)
+    }
+    val docsPerGram = grams
+      .flatMap { case (id, _, gs) => gs.distinct.map(g => (g, id)) }
+      .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+    val expect = grams
+      .groupBy(_._2)
+      .map { case (src, ds) =>
+        val total = ds.map(_._3.length.toLong).sum
+        val dup = ds.map(_._3.count(g => docsPerGram(g) >= 2).toLong).sum
+        src -> ((ds.length.toLong, total, dup))
+      }
+    val rows = Registry.byName("q216_dup_spans").q(spark, sf).collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (nd, total, dup) = expect(r.getString(0))
+      assert(r.getLong(1) == nd, s"${r.getString(0)} n_docs")
+      assert(r.getLong(2) == total, s"${r.getString(0)} n_grams")
+      assert(r.getLong(3) == dup,
+        s"${r.getString(0)} dup_grams ${r.getLong(3)} != brute $dup")
+      assert(r.getLong(4) == dup * 1000000L / math.max(total, 1L), "ppm")
+    }
+  }
+
+  test("q216 rollup after the (gram,doc) barrier plans ZERO parquet re-scans") {
+    val df = Registry.byName("q216_dup_spans").q(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 0,
+      s"q216 re-scans parquet $scans times after the checkpoint barrier")
+  }
+
+  test("q217 sorted-run Sigma-c-squared fold equals word-count arithmetic") {
+    val expect = docs.groupBy(_._3).map { case (lang, ds) =>
+      val ppms = ds.map { case (_, _, _, text) =>
+        val t = text.split(" ", -1)
+        val n = t.length.toLong
+        val s2 = t.groupBy(identity).values.map(g => g.length.toLong * g.length).sum
+        if (n >= 2) (s2 - n) * 1000000L / (n * (n - 1)) else 0L
+      }
+      lang -> ((ds.length.toLong, ppms.sum / ds.length, ppms.max))
+    }
+    val rows = Registry.byName("q217_simpson_diversity").q(spark, sf).collect()
+    assert(rows.length == expect.size)
+    rows.foreach { r =>
+      val (nd, mean, mx) = expect(r.getString(0))
+      assert(r.getLong(1) == nd && r.getLong(2) == mean && r.getLong(3) == mx,
+        s"${r.getString(0)}: (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)})" +
+          s" != brute ($nd,$mean,$mx)")
+    }
+  }
+
+  test("q218 vocab overlap equals brute-force set intersection per lang pair") {
+    val vocab = docs.groupBy(_._3).map { case (lang, ds) =>
+      lang -> ds.flatMap(_._4.split(" ", -1)).toSet
+    }
+    val rows = Registry.byName("q218_vocab_overlap").q(spark, sf).collect()
+    val langs = vocab.keys.toSeq.sorted
+    assert(rows.length == langs.combinations(2).size)
+    rows.foreach { r =>
+      val (va, vb) = (vocab(r.getString(0)), vocab(r.getString(1)))
+      assert(r.getLong(2) == va.size.toLong, s"${r.getString(0)} size1")
+      assert(r.getLong(3) == vb.size.toLong, s"${r.getString(1)} size2")
+      val inter = (va intersect vb).size.toLong
+      assert(r.getLong(4) == inter, "intersection")
+      assert(r.getLong(5) == inter * 1000000L / (va.size + vb.size - inter),
+        "jaccard ppm")
+    }
+  }
+}
