@@ -286,7 +286,12 @@ object Bench {
     // secondary_total against r14 artifacts.
     "q216_dup_spans",
     "q217_simpson_diversity",
-    "q218_vocab_overlap")
+    "q218_vocab_overlap",
+    // containment near-dup + streaming dead-letter split (round 15,
+    // standing from birth). Subtract these two when comparing
+    // secondary_total against r14 artifacts.
+    "q219_containment",
+    "q220_stream_dead_letter")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

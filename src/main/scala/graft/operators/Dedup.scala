@@ -2185,6 +2185,100 @@ object Dedup {
              |  CAST(3 * t.n_triangles AS DOUBLE) /
              |    CAST((SELECT sum(deg*(deg-1)//2) FROM dg) AS DOUBLE)
              |    AS clustering
-             |FROM t""".stripMargin))
+             |FROM t""".stripMargin)),
+
+    // q219: CONTAINMENT DETECTION (quote/inclusion near-dup) — the pair
+    // class RESEMBLANCE dedup structurally misses: a short doc pasted
+    // inside a much longer one has |A∩B|/|A∪B| ≈ |A|/|B| → far below any
+    // Jaccard threshold, while containment |A∩B|/min(|A|,|B|) ≈ 1. This is
+    // the Broder containment measure; training pipelines need it because
+    // boilerplate inclusion (TOS blocks, quoted articles) survives q36/q37
+    // untouched. Candidates by RARE-SHINGLE BLOCKING (the prefix-filter
+    // family): only shingles with global document frequency in [2, 10]
+    // generate pairs — a contained doc shares ALL its shingles with its
+    // container, so the pair is found iff the contained doc owns ≥1
+    // non-stop shingle; candidate volume is bounded by Σ_sh df² ≤
+    // 10·Σ df (positions-linear, never N²). Declared semantics (oracle
+    // mirrors exactly): candidates from the DF band, confirm exact
+    // containment ≥ 0.6 on distinct 3-token shingle SETS. Shingles stay
+    // STRINGS here so DuckDB replays them verbatim; the production form
+    // hashes them through the q36 xxhash64 pipeline (same plan, 8-byte
+    // keys). Plan: one corpus scan → shingle explode → DF filter → pair
+    // join on the shingle — per-pair intersection counted by GROUPING the
+    // join output (never array_intersect on attached features: the shared-
+    // shingle rows ARE the intersection) → sizes joined back → exact ppm.
+    Entry(
+      "q219_containment",
+      (s, d) => containmentPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))),
+      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+             |      i -> array_to_string(t[i:least(i+2, len(t))], ' '))) AS sh
+             |  FROM tk),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+             |  FROM sh GROUP BY doc_id),
+             |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh
+             |  GROUP BY sh) WHERE df BETWEEN 2 AND 10),
+             |rsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM rsh a JOIN rsh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+             |fi AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.a_id
+             |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+             |  GROUP BY 1, 2)
+             |SELECT fi.a_id, fi.b_id, za.nsh AS a_n, zb.nsh AS b_n, fi.n_inter,
+             |  fi.n_inter * 1000000 // least(za.nsh, zb.nsh) AS containment_ppm,
+             |  fi.n_inter * 1000000 // (za.nsh + zb.nsh - fi.n_inter)
+             |    AS jaccard_ppm
+             |FROM fi
+             |JOIN sz za ON za.doc_id = fi.a_id
+             |JOIN sz zb ON zb.doc_id = fi.b_id
+             |WHERE fi.n_inter * 1000000 // least(za.nsh, zb.nsh) >= 600000
+             |ORDER BY fi.a_id, fi.b_id""".stripMargin))
   )
+
+  /** q219's body over any (doc_id, text) table — exposed so the suite can
+    * prove the ASYMMETRIC case the fixture lacks: a short doc pasted inside
+    * a long one (containment ≈ 1, Jaccard ≪ threshold), the pair class
+    * resemblance dedup structurally misses.
+    */
+  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "array_distinct(transform(sequence(1, greatest(size(t) - 2, 1)), " +
+          "i -> concat_ws(' ', slice(t, i, 3))))")).as("sh"))
+      .localCheckpoint() // consumers: sizes, DF table, pair join sides
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= 10)
+      .select(col("sh"))
+    val rsh = sh.join(rare, Seq("sh"))
+    val cand = rsh.select(col("sh"), col("doc_id").as("a_id"))
+      .join(rsh.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    // exact intersection over ALL shingles for the candidate pairs: the
+    // shared-shingle join rows ARE the intersection (candidate-sized work)
+    val full = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    full
+      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("a_n")), Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("b_n")), Seq("b_id"))
+      .withColumn("containment_ppm",
+        expr("n_inter * 1000000L div least(a_n, b_n)"))
+      .withColumn("jaccard_ppm",
+        expr("n_inter * 1000000L div (a_n + b_n - n_inter)"))
+      .filter(col("containment_ppm") >= 600000)
+      .select(col("a_id"), col("b_id"), col("a_n"), col("b_n"),
+        col("n_inter"), col("containment_ppm"), col("jaccard_ppm"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -612,6 +612,139 @@ object EventStreams {
              |SELECT event_type, hr, CAST(y / 100.0 AS DOUBLE) AS sum_value,
              |  round(CAST(dev AS DOUBLE) / sqrt(CAST(mss AS DOUBLE)), 4) AS z
              |FROM j WHERE dev * dev >= 9 * mss
-             |ORDER BY event_type, hr""".stripMargin))
+             |ORDER BY event_type, hr""".stripMargin)),
+
+    // q220: LATE-DATA DEAD-LETTER SPLIT — the accounting Structured
+    // Streaming does NOT give you: `withWatermark` silently DROPS late
+    // rows, so a production pipeline that must explain "where did my
+    // events go" (billing, audit) routes them to a dead-letter channel
+    // instead. Two fabricated arrival epochs (the q205 file-arrival
+    // discipline; arrival time = event time + the q182 seeded heavy-tail
+    // jitter, split at the arrival midpoint): epoch 1 establishes the
+    // watermark (max event time − 30 min) and persists it as 1-row state;
+    // epoch 2 splits against that frozen watermark — on-time rows into
+    // the aggregate, late ROWS (full payload, re-processable) into the
+    // dead-letter dir. All sinks are content-keyed Overwrite dirs
+    // (redelivery rewrites identical bytes — q205's exactly-once
+    // accounting). Output per type: epoch-1 count, on-time count, late
+    // count + share (exact ppm), and the watermark itself. At 100 TB the
+    // split is one codegen filter per batch; the DLQ write is
+    // late-rows-sized, not stream-sized. Oracle replays jitter, split,
+    // and watermark in closed form — integer ns end to end.
+    Entry(
+      "q220_stream_dead_letter",
+      (s, d) => deadLetterStream(s, d),
+      Some("""WITH e AS (SELECT event_id, event_type, epoch_ns(ts) AS tn,
+             |    epoch_ns(ts) + (CAST(('0x' ||
+             |        substr(md5('arr:v1:' || event_id::VARCHAR), 1, 8))
+             |      AS BIGINT) % 10000)
+             |      * (CAST(('0x' ||
+             |        substr(md5('arr:v1:' || event_id::VARCHAR), 1, 8))
+             |      AS BIGINT) % 10000) * 1000000 AS arr
+             |  FROM events),
+             |sp AS (SELECT (min(arr) + max(arr)) // 2 AS split FROM e),
+             |w AS (SELECT max(tn) - 1800000000000 AS wm
+             |  FROM e CROSS JOIN sp WHERE arr < split)
+             |SELECT event_type,
+             |  CAST(sum(CASE WHEN arr < split THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_first,
+             |  CAST(sum(CASE WHEN arr >= split AND tn >= wm THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_ontime,
+             |  CAST(sum(CASE WHEN arr >= split AND tn < wm THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_late,
+             |  CAST(sum(CASE WHEN arr >= split AND tn < wm THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000000
+             |    // greatest(CAST(sum(CASE WHEN arr >= split THEN 1 ELSE 0 END)
+             |      AS BIGINT), 1) AS late_ppm,
+             |  CAST(w.wm AS BIGINT) AS wm_ns
+             |FROM e CROSS JOIN sp CROSS JOIN w
+             |GROUP BY event_type, w.wm ORDER BY event_type""".stripMargin))
   )
+
+  /** q220's body: two deterministic arrival epochs through ONE streaming
+    * query (maxFilesPerTrigger=1 over mod-time-ordered chunk files), a
+    * frozen 1-row watermark handed from epoch 1 to epoch 2 via a persisted
+    * state dir, and a dead-letter dir holding the late rows themselves.
+    */
+  private def deadLetterStream(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val HalfHourNs = 1800L * 1000000000L
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("ts"))
+      .withColumn("j",
+        conv(substring(md5(concat(lit("arr:v1:"), col("event_id").cast("string"))),
+          1, 8), 16, 10).cast("long") % 10000L)
+      .withColumn("arr", col("ts") + col("j") * col("j") * lit(1000000L))
+      .select(col("event_id"), col("event_type"), col("ts"), col("arr"))
+      .localCheckpoint() // consumers: split bounds + both arrival chunks
+    val bounds = ev.agg(min(col("arr")), max(col("arr"))).head()
+    val split = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val outRoot = graft.sources.Sources.scratch(d, "dead_letter_out")
+    val arrivals = Files.createTempDirectory("graft_dlq_arrivals").toString
+    def writeChunk(df: DataFrame, name: String, order: Int): Unit = {
+      val tmp = s"$arrivals/${name}_stage"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$arrivals/chunk_$name.parquet")
+      Files.move(part.toPath, target.toPath)
+      target.setLastModified(1000000L * order)
+    }
+    writeChunk(ev.filter(col("arr") < split), "first", 1)
+    writeChunk(ev.filter(col("arr") >= split), "second", 2)
+    val src = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$arrivals/chunk_*.parquet")
+    s.streams.active.filter(_.name == "graft_dead_letter").foreach(_.stop())
+    val q = src.writeStream
+      .queryName("graft_dead_letter")
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (chunk: DataFrame, _: Long) =>
+        val ss = chunk.sparkSession
+        // content key (all-first vs all-second arrival), not batchId — the
+        // q205 plan-knob discipline: redelivery lands on the same dirs.
+        val isFirst = chunk
+          .agg(max(col("arr"))).head().getLong(0) < split
+        if (isFirst) {
+          chunk.groupBy(col("event_type")).agg(count(lit(1)).as("n_first"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outRoot/first")
+          // the frozen watermark: 1-row state handed to the next epoch
+          chunk.agg((max(col("ts")) - HalfHourNs).as("wm"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outRoot/wm")
+        } else {
+          val wm = ss.read.parquet(s"$outRoot/wm").head().getLong(0)
+          chunk.filter(col("ts") >= wm)
+            .groupBy(col("event_type")).agg(count(lit(1)).as("n_ontime"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outRoot/ontime")
+          // the dead letter carries the ROWS — re-processable, not a count
+          chunk.filter(col("ts") < wm)
+            .select(col("event_id"), col("event_type"), col("ts"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$outRoot/late_rows")
+        }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val wmNs = s.read.parquet(s"$outRoot/wm").head().getLong(0)
+    val first = s.read.parquet(s"$outRoot/first")
+    val ontime = s.read.parquet(s"$outRoot/ontime")
+    val late = s.read.parquet(s"$outRoot/late_rows")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_late"))
+    first
+      .join(ontime, Seq("event_type"), "full_outer")
+      .join(late, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        coalesce(col("n_first"), lit(0L)).as("n_first"),
+        coalesce(col("n_ontime"), lit(0L)).as("n_ontime"),
+        coalesce(col("n_late"), lit(0L)).as("n_late"))
+      .withColumn("late_ppm",
+        expr("n_late * 1000000L div greatest(n_ontime + n_late, 1L)"))
+      .withColumn("wm_ns", lit(wmNs))
+      .orderBy(col("event_type"))
+  }
 }

@@ -805,4 +805,34 @@ class DedupSimilaritySuite extends SparkTestBase {
     val cross = rows.filter(r => r.getString(0) != r.getString(1)).map(_.getLong(2)).sum
     assert(rows.head.getLong(4) == cross * 1000000L / total, "cross-source ppm")
   }
+
+  test("q219 containment finds the small-inside-big pair resemblance misses") {
+    val sess = spark
+    import sess.implicits._
+    // big doc of 100 distinct tokens; small doc = tokens 40..59 verbatim
+    // (containment 1.0, Jaccard ~0.18 -- far below any near-dup gate);
+    // a third unrelated doc must stay unpaired.
+    val big = (0 until 100).map(i => s"w$i").mkString(" ")
+    val small = (40 until 60).map(i => s"w$i").mkString(" ")
+    val other = (0 until 50).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, big), (2L, small), (3L, other)).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.containmentPairs(docs).collect()
+    assert(rows.length == 1, s"exactly the contained pair: ${rows.mkString(";")}")
+    val r = rows.head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(r.getLong(2) == 98L && r.getLong(3) == 18L && r.getLong(4) == 18L)
+    assert(r.getLong(5) == 1000000L, "full containment")
+    assert(r.getLong(6) < 600000L,
+      s"Jaccard ${r.getLong(6)} must sit BELOW the resemblance gate -- " +
+        "that is the pair class this operator exists for")
+  }
+
+  test("q219 registered query matches its declared blocking semantics") {
+    val rows = Registry.byName("q219_containment").q(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 600000L, "containment threshold applied")
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)),
+        "intersection bounded by set sizes")
+    }
+  }
 }

@@ -383,4 +383,23 @@ class StreamingSuite extends SparkTestBase {
       "streaming monitor diverges from the batch detector on identical data")
     assert(streamed.nonEmpty)
   }
+
+  test("q220 dead letter: counts partition the stream, rerun is idempotent") {
+    val rows = Registry.byName("q220_stream_dead_letter").q(spark, sf).collect()
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum == total,
+      "first + on-time + late must partition every event")
+    assert(rows.map(_.getLong(3)).sum > 0, "fixture jitter must produce late rows")
+    val wms = rows.map(_.getLong(5)).distinct
+    assert(wms.length == 1, "one frozen watermark across all types")
+    rows.foreach { r =>
+      assert(r.getLong(4) ==
+        r.getLong(3) * 1000000L / math.max(r.getLong(2) + r.getLong(3), 1L))
+    }
+    // exactly-once accounting: a full redelivery (second run over the same
+    // content-keyed dirs) must reproduce identical bytes
+    val again = Registry.byName("q220_stream_dead_letter").q(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
+      "rerun diverged -- the sinks are not content-keyed idempotent")
+  }
 }
