@@ -291,7 +291,12 @@ object Bench {
     // standing from birth). Subtract these two when comparing
     // secondary_total against r14 artifacts.
     "q219_containment",
-    "q220_stream_dead_letter")
+    "q220_stream_dead_letter",
+    // schema-drift audit + power-iteration principal direction (round 15,
+    // standing from birth). Subtract these two when comparing
+    // secondary_total against r14 artifacts.
+    "q221_schema_drift",
+    "q222_power_iteration")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

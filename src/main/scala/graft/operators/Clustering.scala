@@ -684,6 +684,82 @@ object Clustering {
            |SELECT st.cid, st.n_points, st.inertia, w1.worst_j, w1.worst_ratio,
            |  db.db_index
            |FROM st JOIN w1 USING (cid) CROSS JOIN db ORDER BY st.cid""".stripMargin
+      }),
+
+    // q222: DOMINANT PRINCIPAL DIRECTION BY POWER ITERATION — the linear-
+    // algebra primitive under PCA whitening, spectral outlier checks, and
+    // "is this embedding space collapsing to one axis" QC, built from the
+    // engine's own verbs with NO floating-point drift anywhere: the 64×64
+    // uncentered Gram matrix is an exact int64 aggregate over the micro-
+    // unit vectors (scaled div 2^0→1e6 after summing so the iteration
+    // stays in range — |C'|≤5e10 at sf0.1, y = C'x ≤ 64·5e10·1e6 ≈ 3e18
+    // < 2^63; past sf1 the same plan runs on Decimal(38)); each of the 10
+    // iterations is y = C'x (a 4096-row broadcast-scale join), then an
+    // INTEGER renormalization x' = y div max(|y|) scaled to micro-units —
+    // truncating division is identical in both engines, so the iterate is
+    // bit-reproducible, sign convention included. Plan: ONE corpus-sized
+    // stage (the Gram aggregate: posexplode² → 4096-key partial-agg
+    // shuffle; at 100 TB this is the map-side-combine pattern — 4096
+    // accumulators per task, nothing corpus-sized ever exchanges); the
+    // iteration touches only 64/4096-row tables (per-round
+    // localCheckpoint, the q87/q196 fixed-point discipline). The 1-row
+    // max(|y|) head() per round is the adaptiveBandSalt plan-knob idiom.
+    Entry(
+      "q222_power_iteration",
+      (s, d) => {
+        val cs = quantized(s, d)
+          .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+          .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("vi") * col("vj")).as("c"))
+          .withColumn("cs", expr("c div 1000000L"))
+          .select(col("i"), col("j"), col("cs"))
+          .localCheckpoint() // 4096 rows; consumed once per iteration
+        var x = s.sql("SELECT explode(sequence(0, 63)) AS j, 1000000L AS x")
+          .localCheckpoint()
+        var lambdaScale = 0L
+        for (_ <- 1 to 10) {
+          val y = cs.join(x, Seq("j"))
+            .groupBy(col("i"))
+            .agg(sum(col("cs") * col("x")).as("y"))
+            .localCheckpoint() // 64 rows; consumers: max + renormalize
+          val m = y.agg(greatest(expr("max(abs(y)) div 1000000L"), lit(1L)))
+            .head().getLong(0)
+          lambdaScale = m
+          x = y.select(col("i").as("j"), expr(s"y div ${m}L").as("x"))
+            .localCheckpoint()
+        }
+        x.select(col("j").as("dim"), col("x").as("x_mu"),
+            lit(lambdaScale).as("lambda_scale"))
+          .orderBy(col("dim"))
+      },
+      Some {
+        val q =
+          """q AS (SELECT vec_id,
+            |  [CAST(round(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+            |    for x in embedding] AS v FROM embeddings),
+            |dims AS (SELECT unnest(range(0, 64)) AS d),
+            |cs AS MATERIALIZED (SELECT d1.d AS i, d2.d AS j,
+            |    CAST(sum(q.v[d1.d + 1] * q.v[d2.d + 1]) AS BIGINT) // 1000000
+            |      AS cs
+            |  FROM q CROSS JOIN dims d1 CROSS JOIN dims d2
+            |  GROUP BY 1, 2),
+            |x0 AS (SELECT d AS j, CAST(1000000 AS BIGINT) AS x FROM dims)"""
+            .stripMargin
+        val iters = (1 to 10).map { k =>
+          s"""y$k AS MATERIALIZED (
+             |  SELECT cs.i, CAST(sum(cs.cs * x${k - 1}.x) AS BIGINT) AS y
+             |  FROM cs JOIN x${k - 1} ON cs.j = x${k - 1}.j GROUP BY cs.i),
+             |m$k AS (SELECT greatest(max(abs(y)) // 1000000, 1) AS m FROM y$k),
+             |x$k AS MATERIALIZED (
+             |  SELECT i AS j, y // m$k.m AS x FROM y$k CROSS JOIN m$k)"""
+            .stripMargin
+        }.mkString(",\n")
+        s"""WITH $q,
+           |$iters
+           |SELECT x10.j AS dim, CAST(x10.x AS BIGINT) AS x_mu,
+           |  CAST(m10.m AS BIGINT) AS lambda_scale
+           |FROM x10 CROSS JOIN m10 ORDER BY dim""".stripMargin
       })
   )
 

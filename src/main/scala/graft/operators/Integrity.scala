@@ -246,6 +246,112 @@ object Integrity {
               |  od.dg AS digest_orig, cd.dg AS digest_copy
               |FROM od JOIN cd USING (doc_id)
               |WHERE od.bucket IN (SELECT bucket FROM dmg) AND od.dg != cd.dg
-              |ORDER BY od.doc_id""".stripMargin))
+              |ORDER BY od.doc_id""".stripMargin)),
+
+    // q221: SCHEMA + CONTENT DRIFT AUDIT between two versions of a table —
+    // the pre-flight a 100 TB pipeline runs before swapping a producer:
+    // which columns were added / dropped / re-typed (schema metadata, free)
+    // and, for columns whose type survived, did the VALUES drift (one
+    // order-independent digest aggregate per side — the q213 machinery, so
+    // the compare ships two 1-row digest frames, never data). Fixture
+    // version B is fabricated in-query (q35/q98 pattern): `source` dropped,
+    // `score` added, `n_chars` re-typed bigint→double, `text` mutated on
+    // doc_id ≡ 13 (mod 101), `doc_id`/`lang` untouched. Structural
+    // statuses are schema-derived; same-vs-values_changed is DATA-derived
+    // (digest equality) in BOTH engines.
+    Entry(
+      "q221_schema_drift",
+      (s, d) => {
+        val a = T.documents(s, d)
+        val b = T.documents(s, d)
+          .withColumn("n_chars", col("n_chars").cast("double"))
+          .withColumn("score", col("doc_id") % 7)
+          .withColumn("text",
+            when(col("doc_id") % 101 === 13, concat(col("text"), lit(" drifted")))
+              .otherwise(col("text")))
+          .drop("source")
+        schemaDrift(a, b)
+      },
+      Some {
+        def dig(c: String) =
+          s"""CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(1, length(coalesce(CAST($c AS VARCHAR),
+             |      'NUL')) + 1),
+             |      i -> CAST(unicode(coalesce(CAST($c AS VARCHAR), 'NUL')[i])
+             |        AS BIGINT))),
+             |    (a, x) -> (a * 131 + x) % 2147483647)) AS BIGINT)""".stripMargin
+        s"""WITH bsrc AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 101 = 13 THEN text || ' drifted' ELSE text END
+           |      AS text, lang FROM documents),
+           |da AS (SELECT ${dig("doc_id")} AS d1, ${dig("lang")} AS d2,
+           |    ${dig("text")} AS d3 FROM documents),
+           |db AS (SELECT ${dig("doc_id")} AS d1, ${dig("lang")} AS d2,
+           |    ${dig("text")} AS d3 FROM bsrc)
+           |SELECT * FROM (
+           |  SELECT 'doc_id' AS col_name,
+           |    CASE WHEN da.d1 = db.d1 THEN 'same' ELSE 'values_changed' END
+           |      AS status, da.d1 AS digest_a, db.d1 AS digest_b
+           |    FROM da CROSS JOIN db
+           |  UNION ALL
+           |  SELECT 'lang',
+           |    CASE WHEN da.d2 = db.d2 THEN 'same' ELSE 'values_changed' END,
+           |    da.d2, db.d2 FROM da CROSS JOIN db
+           |  UNION ALL
+           |  SELECT 'n_chars', 'type_changed', CAST(-1 AS BIGINT),
+           |    CAST(-1 AS BIGINT)
+           |  UNION ALL
+           |  SELECT 'score', 'added', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+           |  UNION ALL
+           |  SELECT 'source', 'dropped', CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+           |  UNION ALL
+           |  SELECT 'text',
+           |    CASE WHEN da.d3 = db.d3 THEN 'same' ELSE 'values_changed' END,
+           |    da.d3, db.d3 FROM da CROSS JOIN db
+           |) ORDER BY col_name""".stripMargin
+      })
   )
+
+  /** q221's body over ANY two table versions: structural statuses from
+    * schema metadata, value drift from one order-independent digest
+    * aggregate per side (columns whose type matches on both sides). The
+    * compare ships two 1-row digest frames — never data rows.
+    */
+  private[graft] def schemaDrift(
+      a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ta = a.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val tb = b.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val names = (ta.keySet ++ tb.keySet).toSeq.sorted
+    def dig(c: String) =
+      s"sum(aggregate(filter(split(coalesce(cast(`$c` as string), 'NUL'), ''), " +
+        "ch -> ch != ''), 0L, (acc, ch) -> (acc * 131 + ascii(ch)) % 2147483647))"
+    val comparable = names.filter(n => ta.get(n).isDefined && ta.get(n) == tb.get(n))
+    val digA = a.agg(
+      expr(dig(comparable.head)).as(s"da_${comparable.head}"),
+      comparable.tail.map(n => expr(dig(n)).as(s"da_$n")): _*)
+    val digB = b.agg(
+      expr(dig(comparable.head)).as(s"db_${comparable.head}"),
+      comparable.tail.map(n => expr(dig(n)).as(s"db_$n")): _*)
+    val cells = names.map { n =>
+      if (ta.get(n).isEmpty)
+        struct(lit(n).as("col_name"), lit("added").as("status"),
+          lit(-1L).as("digest_a"), lit(-1L).as("digest_b"))
+      else if (tb.get(n).isEmpty)
+        struct(lit(n).as("col_name"), lit("dropped").as("status"),
+          lit(-1L).as("digest_a"), lit(-1L).as("digest_b"))
+      else if (ta(n) != tb(n))
+        struct(lit(n).as("col_name"), lit("type_changed").as("status"),
+          lit(-1L).as("digest_a"), lit(-1L).as("digest_b"))
+      else
+        struct(lit(n).as("col_name"),
+          when(col(s"da_$n") === col(s"db_$n"), "same")
+            .otherwise("values_changed").as("status"),
+          col(s"da_$n").as("digest_a"), col(s"db_$n").as("digest_b"))
+    }
+    digA.crossJoin(digB)
+      .select(explode(array(cells: _*)).as("cell"))
+      .select(col("cell.col_name").as("col_name"), col("cell.status").as("status"),
+        col("cell.digest_a").as("digest_a"), col("cell.digest_b").as("digest_b"))
+      .orderBy(col("col_name"))
+  }
 }

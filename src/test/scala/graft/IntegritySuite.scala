@@ -66,4 +66,47 @@ class IntegritySuite extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"expected a semi-join drill-down:\n$plan")
   }
+
+  test("q221 schemaDrift: identical tables report all-same; each drift class detected") {
+    val a = Tables.documents(spark, sf)
+    val same = graft.operators.Integrity.schemaDrift(a, a).collect()
+    assert(same.length == a.schema.fields.length)
+    assert(same.forall(_.getString(1) == "same"), "identical versions must be all-same")
+    same.foreach(r => assert(r.getLong(2) == r.getLong(3)))
+    val rows = Registry.byName("q221_schema_drift").q(spark, sf).collect()
+    val statuses = rows.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(statuses == Map(
+      "doc_id" -> "same", "lang" -> "same", "n_chars" -> "type_changed",
+      "score" -> "added", "source" -> "dropped", "text" -> "values_changed"))
+    // the values_changed verdict is DATA-derived: digests differ
+    val txt = rows.find(_.getString(0) == "text").get
+    assert(txt.getLong(2) != txt.getLong(3))
+  }
+
+  test("q222 power iteration converges: C'x is parallel to x, rerun identical") {
+    import org.apache.spark.sql.functions._
+    val rows = Registry.byName("q222_power_iteration").q(spark, sf).collect()
+    assert(rows.length == 64)
+    val x = rows.sortBy(_.getInt(0)).map(_.getLong(1).toDouble)
+    // rebuild the scaled Gram matrix the query iterates with
+    val cs = Tables.embeddings(spark, sf)
+      .select(transform(col("embedding"),
+        v => round(v.cast("double") * 1e6).cast("long")).as("v"))
+      .select(posexplode(col("v")).as(Seq("i", "vi")), col("v"))
+      .select(col("i"), col("vi"), posexplode(col("v")).as(Seq("j", "vj")))
+      .groupBy(col("i"), col("j")).agg(expr("sum(vi * vj) div 1000000L").as("cs"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+    val y = Array.tabulate(64)(i =>
+      (0 until 64).map(j => cs((i, j)).toDouble * x(j)).sum)
+    val cos = y.zip(x).map { case (a, b) => a * b }.sum /
+      (math.sqrt(y.map(v => v * v).sum) * math.sqrt(x.map(v => v * v).sum))
+    // the synthetic embeddings are near-isotropic (λ2/λ1 close to 1), so
+    // convergence is eigengap-limited: measured cos ≈ 0.9985 after the 10
+    // registered rounds at sf0.001. The bound asserts genuine alignment
+    // (chance cos in 64-dim is ~0.1) while tolerating the fixture's gap.
+    assert(cos > 0.995, s"iterate not converged: cos(C'x, x) = $cos")
+    val again = Registry.byName("q222_power_iteration").q(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
+      "power iteration must be bit-deterministic")
+  }
 }
