@@ -296,7 +296,12 @@ object Bench {
     // standing from birth). Subtract these two when comparing
     // secondary_total against r14 artifacts.
     "q221_schema_drift",
-    "q222_power_iteration")
+    "q222_power_iteration",
+    // join-cardinality sampling + TVD distribution drift (round 15,
+    // standing from birth). Subtract these two when comparing
+    // secondary_total against r14 artifacts.
+    "q223_join_card_sample",
+    "q224_distribution_drift")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

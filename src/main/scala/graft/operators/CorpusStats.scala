@@ -616,7 +616,61 @@ object CorpusStats {
              |FROM iv
              |JOIN sz s1 ON s1.lang = iv.lang1
              |JOIN sz s2 ON s2.lang = iv.lang2
-             |ORDER BY lang1, lang2""".stripMargin))
+             |ORDER BY lang1, lang2""".stripMargin)),
+
+    // q224: DISTRIBUTION DRIFT BY TOTAL VARIATION DISTANCE — "which source
+    // stopped looking like the corpus": per-source doc-length distribution
+    // (100-char buckets) vs the corpus-wide marginal, TVD = ½·Σ|p_i − q_i|
+    // — the log-free drift metric (PSI/KL carry the cross-engine ln()
+    // hazard; TVD is exact integer arithmetic by cross-multiplication:
+    // Σ|n_i·N − m_i·n| · 10⁶ div (2·n·N), int64-safe to n·N < ~9·10¹⁸ —
+    // beyond that the same plan runs on Decimal(38)). Plan: ONE
+    // (source, bucket) exchange; the marginal is a rollup OF that table
+    // (never a second corpus scan); the |sources|×|buckets| compare is
+    // broadcast-sized. The fixture drifts naturally (sources have
+    // different length profiles) — ranking is the deliverable.
+    Entry(
+      "q224_distribution_drift",
+      (s, d) => {
+        val sb = T.documents(s, d)
+          .select(col("source"), expr("n_chars div 100").as("bucket"))
+          .groupBy(col("source"), col("bucket"))
+          .agg(count(lit(1)).as("n_i"))
+          .localCheckpoint() // consumers: marginal rollup + the compare
+        val marg = sb.groupBy(col("bucket")).agg(sum(col("n_i")).as("m_i"))
+        val totals = sb.groupBy(col("source")).agg(sum(col("n_i")).as("n"))
+        val bigN = sb.agg(sum(col("n_i")).as("nn"))
+        // every (source, bucket) cell — including buckets a source never
+        // hits, which contribute m_i·n to the distance (the q206 lesson:
+        // absent classes carry mass)
+        val cells = totals.crossJoin(broadcast(marg))
+          .join(sb, Seq("source", "bucket"), "left")
+          .withColumn("n_i", coalesce(col("n_i"), lit(0L)))
+        cells
+          .crossJoin(broadcast(bigN))
+          .groupBy(col("source"), col("n"), col("nn"))
+          .agg(sum(abs(col("n_i") * col("nn") - col("m_i") * col("n"))).as("l1"))
+          .select(col("source"), col("n").as("n_docs"),
+            expr("l1 * 1000000L div (2L * n * nn)").as("tvd_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH sb AS (SELECT source, n_chars // 100 AS bucket,
+             |    CAST(count(*) AS BIGINT) AS n_i
+             |  FROM documents GROUP BY 1, 2),
+             |marg AS (SELECT bucket, CAST(sum(n_i) AS BIGINT) AS m_i
+             |  FROM sb GROUP BY 1),
+             |tot AS (SELECT source, CAST(sum(n_i) AS BIGINT) AS n
+             |  FROM sb GROUP BY 1),
+             |bign AS (SELECT CAST(sum(n_i) AS BIGINT) AS N FROM sb),
+             |cells AS (SELECT t.source, t.n, m.bucket, m.m_i,
+             |    CAST(coalesce(sb.n_i, 0) AS BIGINT) AS n_i
+             |  FROM tot t CROSS JOIN marg m
+             |  LEFT JOIN sb ON sb.source = t.source AND sb.bucket = m.bucket)
+             |SELECT c.source, c.n AS n_docs,
+             |  CAST(sum(abs(c.n_i * b.N - c.m_i * c.n)) AS BIGINT) * 1000000
+             |    // (2 * c.n * b.N) AS tvd_ppm
+             |FROM cells c CROSS JOIN bign b
+             |GROUP BY c.source, c.n, b.N ORDER BY c.source""".stripMargin))
   )
 
   /** ONE-PASS (doc_id, score, pos) for the classifier-evaluation tier:

@@ -576,6 +576,76 @@ object Relational3 {
              |FROM j CROSS JOIN x ORDER BY j.digit""".stripMargin))
   )
 
+  /** q223's entries live in [[entries2]] so the primary Seq stays under the
+    * JVM method-size comfort zone.
+    */
+  val entries2: Seq[Entry] = Seq(
+    // q223: JOIN-CARDINALITY ESTIMATION BY KEY SAMPLING — the planner-
+    // adjacent diagnostic a 100 TB engine runs before committing to a join
+    // strategy: estimate |A ⋈ B| from a 1/32 sample. The operator teaches
+    // (and the output exhibits) the classic pitfall: sampling KEYS
+    // (correlated — both sides keep the same 1/32 key bucket, estimate =
+    // 32 × sample-join count, unbiased with per-key-group variance only)
+    // vs sampling ROWS independently (each side keeps ~1/32 by unrelated
+    // hashes; a pair survives with prob 1/1024, so the scale-up is 1024×
+    // and the realized error is catastrophic at moderate cardinalities —
+    // the number the output shows). Hash = the engine's integer affine-mod
+    // family (no xxhash in the oracle engine), deterministic both sides.
+    // Plan: both estimates are filter-then-join — the sample predicate
+    // pushes to the scan, so the key-sampled estimate reads ~1/32 of each
+    // input; nothing corpus-sized shuffles unsampled.
+    Entry(
+      "q223_join_card_sample",
+      (s, d) => {
+        val li = T.lineitem(s, d)
+          .filter(col("l_discount") > 0.05)
+          .select(col("l_orderkey").as("k"), col("l_linenumber").as("ln"))
+        val o = T.orders(s, d)
+          .filter(col("o_orderstatus") === "O")
+          .select(col("o_orderkey").as("k"))
+        def keyB(c: String) =
+          s"(($c % 2147483647) * 2654435761 + 12345) % 2147483647 % 32"
+        val exact = li.join(o, Seq("k")).agg(count(lit(1)).as("n_exact"))
+        val keyEst = li.filter(expr(s"${keyB("k")} = 0"))
+          .join(o.filter(expr(s"${keyB("k")} = 0")), Seq("k"))
+          .agg((count(lit(1)) * 32L).as("est_key"))
+        val rowEst = li
+          .filter(expr(s"((k * 131 + ln) % 2147483647 * 40503 + 7) % 2147483647 % 32 = 0"))
+          .join(o.filter(expr(s"((k % 2147483647) * 69069 + 77) % 2147483647 % 32 = 0")),
+            Seq("k"))
+          .agg((count(lit(1)) * 1024L).as("est_row"))
+        exact.crossJoin(broadcast(keyEst)).crossJoin(broadcast(rowEst))
+          .select(col("n_exact"), col("est_key"), col("est_row"),
+            expr("abs(est_key - n_exact) * 1000000L div greatest(n_exact, 1L)")
+              .as("err_key_ppm"),
+            expr("abs(est_row - n_exact) * 1000000L div greatest(n_exact, 1L)")
+              .as("err_row_ppm"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey AS k, l_linenumber AS ln
+             |  FROM lineitem WHERE l_discount > 0.05),
+             |o AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'O'),
+             |ex AS (SELECT CAST(count(*) AS BIGINT) AS n_exact
+             |  FROM li JOIN o USING (k)),
+             |ke AS (SELECT CAST(count(*) * 32 AS BIGINT) AS est_key
+             |  FROM (SELECT k FROM li
+             |    WHERE ((k % 2147483647) * 2654435761 + 12345) % 2147483647 % 32 = 0) a
+             |  JOIN (SELECT k FROM o
+             |    WHERE ((k % 2147483647) * 2654435761 + 12345) % 2147483647 % 32 = 0) b
+             |  USING (k)),
+             |re AS (SELECT CAST(count(*) * 1024 AS BIGINT) AS est_row
+             |  FROM (SELECT k FROM li
+             |    WHERE ((k * 131 + ln) % 2147483647 * 40503 + 7) % 2147483647 % 32 = 0) a
+             |  JOIN (SELECT k FROM o
+             |    WHERE ((k % 2147483647) * 69069 + 77) % 2147483647 % 32 = 0) b
+             |  USING (k))
+             |SELECT n_exact, est_key, est_row,
+             |  abs(est_key - n_exact) * 1000000 // greatest(n_exact, 1)
+             |    AS err_key_ppm,
+             |  abs(est_row - n_exact) * 1000000 // greatest(n_exact, 1)
+             |    AS err_row_ppm
+             |FROM ex CROSS JOIN ke CROSS JOIN re""".stripMargin))
+  )
+
   /** q206's body over any (amount: double-dollars) table — exposed so the
     * suite can prove the missing-digit path on a fixture: the join is driven
     * FROM the 9-row expected table (LEFT JOIN observed, absent digits

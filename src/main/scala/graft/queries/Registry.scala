@@ -14,6 +14,7 @@ object Registry {
     Relational.entries ++
       RelationalExt.entries ++
       Relational3.entries ++
+      Relational3.entries2 ++
       EventOps.entries ++
       EventStreams.entries ++
       TextOps.entries ++

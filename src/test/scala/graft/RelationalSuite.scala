@@ -342,4 +342,19 @@ class RelationalSuite extends SparkTestBase {
     assert(hashEx.size == 1,
       s"q171: melt must reach the aggregate with one hash exchange, got ${hashEx.size}")
   }
+
+  test("q223 join-cardinality sampling: key-sampling beats independent row-sampling") {
+    val r = Registry.byName("q223_join_card_sample").q(spark, sf).collect().head
+    val (exact, ek, er) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(exact > 0)
+    assert(ek % 32 == 0, "key estimate is 32x an integer sample count")
+    assert(er % 1024 == 0, "row estimate is 1024x an integer sample count")
+    assert(r.getLong(3) == math.abs(ek - exact) * 1000000L / exact)
+    assert(r.getLong(4) == math.abs(er - exact) * 1000000L / exact)
+    // the operator's thesis: correlated key-sampling estimates the join far
+    // better than independently row-sampling both sides (which surviving
+    // pairs hit with prob 1/1024) -- holds at both fixture SFs
+    assert(r.getLong(3) < r.getLong(4),
+      s"key-sampled error ${r.getLong(3)} ppm should beat row-sampled ${r.getLong(4)} ppm")
+  }
 }

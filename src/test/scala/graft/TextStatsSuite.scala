@@ -89,4 +89,22 @@ class TextStatsSuite extends SparkTestBase {
         "jaccard ppm")
     }
   }
+
+  test("q224 TVD drift equals brute-force distribution arithmetic per source") {
+    val bySource = docs.groupBy(_._2)
+    val global = docs.groupBy(d => d._4.length / 100).map { case (b, xs) => b -> xs.length.toLong }
+    val bigN = docs.length.toLong
+    val rows = Registry.byName("q224_distribution_drift").q(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == bigN, "per-source docs partition the corpus")
+    rows.foreach { r =>
+      val ds = bySource(r.getString(0))
+      val n = ds.length.toLong
+      val mine = ds.groupBy(d => d._4.length / 100).map { case (b, xs) => b -> xs.length.toLong }
+      val l1 = global.map { case (b, m) => math.abs(mine.getOrElse(b, 0L) * bigN - m * n) }.sum
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == l1 * 1000000L / (2 * n * bigN),
+        s"${r.getString(0)}: tvd ${r.getLong(2)} != brute")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
+    }
+  }
 }
