@@ -301,7 +301,12 @@ object Bench {
     // standing from birth). Subtract these two when comparing
     // secondary_total against r14 artifacts.
     "q223_join_card_sample",
-    "q224_distribution_drift")
+    "q224_distribution_drift",
+    // PCM sample-level audio audit + incremental checksum maintenance
+    // (round 15, standing from birth). Subtract these two when comparing
+    // secondary_total against r14 artifacts.
+    "q225_wav_pcm_audit",
+    "q226_checksum_incremental")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

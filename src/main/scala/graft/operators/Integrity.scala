@@ -311,6 +311,91 @@ object Integrity {
       })
   )
 
+  /** q226 lives in its own Seq so `entries` stays within method-size
+    * comfort.
+    */
+  val entries2: Seq[Entry] = Seq(
+    // q226: INCREMENTAL CHECKSUM MAINTENANCE — the IVM complement to q213:
+    // when one partition of a 100 TB table is rewritten, the content
+    // checksum must NOT cost a full re-scan. Every q213 aggregate is a
+    // SUM, so the maintained value is old − removed + added, computed
+    // from the REWRITTEN PARTITION ONLY (two partition-sized scans). The
+    // query performs both sides — O(delta) maintenance AND the full
+    // recompute over the post-rewrite table — and emits them field by
+    // field with a match flag: the identity holding on every field IS the
+    // deliverable (the suite additionally pins that the maintenance
+    // branch's scans are partition-pruned-sized at a real layout).
+    // Fixture rewrite: partition l_orderkey ≡ 13 (mod 97) gets quantity
+    // +1 (in-query fabrication, the q35/q98 pattern).
+    Entry(
+      "q226_checksum_incremental",
+      (s, d) => {
+        val base = T.lineitem(s, d)
+        val pred = col("l_orderkey") % 97 === 13
+        val mod = base.withColumn("l_quantity",
+          when(pred, col("l_quantity") + 1.0).otherwise(col("l_quantity")))
+        def named(df: org.apache.spark.sql.DataFrame, p: String) =
+          df.select(
+            col("n_rows").as(s"${p}_n"), col("sum_digest").as(s"${p}_d"),
+            col("sum_digest_sq").as(s"${p}_q"),
+            col("sum_price_cents").as(s"${p}_p"),
+            col("sum_qty_cents").as(s"${p}_y"))
+        val j = named(checksum(base), "o")
+          .crossJoin(broadcast(named(checksum(base.filter(pred)), "r")))
+          .crossJoin(broadcast(named(checksum(mod.filter(pred)), "a")))
+          .crossJoin(broadcast(named(checksum(mod), "f")))
+        val fields = Seq(
+          ("n_rows", "n"), ("sum_digest", "d"), ("sum_digest_sq", "q"),
+          ("sum_price_cents", "p"), ("sum_qty_cents", "y"))
+        val cells = fields.map { case (label, k) =>
+          struct(lit(label).as("field"),
+            (col(s"o_$k") - col(s"r_$k") + col(s"a_$k")).as("incremental"),
+            col(s"f_$k").as("recomputed"))
+        }
+        j.select(explode(array(cells: _*)).as("c"))
+          .select(col("c.field").as("field"),
+            col("c.incremental").as("incremental"),
+            col("c.recomputed").as("recomputed"),
+            (col("c.incremental") === col("c.recomputed")).as("match_ok"))
+          .orderBy(col("field"))
+      },
+      Some {
+        def cs(src: String, qty: String) =
+          s"""SELECT CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(dg) AS BIGINT) AS d,
+             |  CAST(sum(dg * dg % 2147483647) AS BIGINT) AS q,
+             |  CAST(sum(cents) AS BIGINT) AS p, CAST(sum(qcents) AS BIGINT) AS y
+             |FROM (SELECT ${foldMod(liDuck).replace("l_quantity", qty)} AS dg,
+             |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             |  CAST(round($qty * 100) AS BIGINT) AS qcents FROM $src)""".stripMargin
+        val modQty =
+          "(CASE WHEN l_orderkey % 97 = 13 THEN l_quantity + 1.0 ELSE l_quantity END)"
+        s"""WITH part AS (SELECT * FROM lineitem WHERE l_orderkey % 97 = 13),
+           |o AS (${cs("lineitem", "l_quantity")}),
+           |r AS (${cs("part", "l_quantity")}),
+           |a AS (${cs("part", modQty)}),
+           |f AS (${cs("lineitem", modQty)})
+           |SELECT field,
+           |  CASE field WHEN 'n_rows' THEN o.n - r.n + a.n
+           |    WHEN 'sum_digest' THEN o.d - r.d + a.d
+           |    WHEN 'sum_digest_sq' THEN o.q - r.q + a.q
+           |    WHEN 'sum_price_cents' THEN o.p - r.p + a.p
+           |    ELSE o.y - r.y + a.y END AS incremental,
+           |  CASE field WHEN 'n_rows' THEN f.n WHEN 'sum_digest' THEN f.d
+           |    WHEN 'sum_digest_sq' THEN f.q WHEN 'sum_price_cents' THEN f.p
+           |    ELSE f.y END AS recomputed,
+           |  CASE field WHEN 'n_rows' THEN o.n - r.n + a.n = f.n
+           |    WHEN 'sum_digest' THEN o.d - r.d + a.d = f.d
+           |    WHEN 'sum_digest_sq' THEN o.q - r.q + a.q = f.q
+           |    WHEN 'sum_price_cents' THEN o.p - r.p + a.p = f.p
+           |    ELSE o.y - r.y + a.y = f.y END AS match_ok
+           |FROM (SELECT unnest(['n_rows', 'sum_digest', 'sum_digest_sq',
+           |    'sum_price_cents', 'sum_qty_cents']) AS field)
+           |CROSS JOIN o CROSS JOIN r CROSS JOIN a CROSS JOIN f
+           |ORDER BY field""".stripMargin
+      })
+  )
+
   /** q221's body over ANY two table versions: structural statuses from
     * schema metadata, value drift from one order-independent digest
     * aggregate per side (columns whose type matches on both sides). The

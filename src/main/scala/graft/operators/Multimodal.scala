@@ -670,6 +670,99 @@ object Multimodal {
              |SELECT claimed, detected, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(nb) AS BIGINT) AS n_bytes,
              |  claimed <> detected AS mislabeled
-             |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM det GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // q225: PCM SAMPLE-LEVEL AUDIO AUDIT — the first SAMPLE-decoding (not
+    // just header-decoding) stage of the audio pipeline: energy (exact
+    // Σsample² — RMS without the sqrt) and rail-clipping counts, the two
+    // QC signals an audio-training corpus is filtered on. The payload is a
+    // REAL little-endian 16-bit mono PCM WAV (canonical header + two's-
+    // complement sample bytes, deterministic full-range noise with every
+    // 50th sample forced to the +32767 rail) and the Spark side ACTUALLY
+    // parses the bytes — header magics via parseWavHeader, then a
+    // byte-pair walk of the data chunk ([[parseWavPcm16]]); the oracle
+    // replays the sample GENERATOR formula in closed form (the q104
+    // contract: binary parse on the engine side, arithmetic replay on the
+    // oracle side). A sample is 'clipped' when it SITS ON a rail — the
+    // parser can't distinguish forced from natural rail hits, so the
+    // oracle counts both branches identically. Plan: typed mapPartitions
+    // batches (the q43 decode discipline), one 7-bucket aggregate; at
+    // 100 TB the decode is embarrassingly map-parallel and only
+    // per-bucket sums move.
+    Entry(
+      "q225_wav_pcm_audit",
+      (s, d) => {
+        import s.implicits._
+        val gen = Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            val n = (200 + id % 300).toInt
+            val header = wavHeaderBytes(16000, 1, 16, n)
+            val bytes = new Array[Byte](44 + 2 * n)
+            System.arraycopy(header, 0, bytes, 0, 44)
+            var i = 0
+            while (i < n) {
+              val raw = ((id * 31 + i.toLong * 40503 + 7) % 65536L) - 32768L
+              val v = if (i % 50 == 0) 32767L else raw
+              bytes(44 + 2 * i) = (v & 0xff).toByte
+              bytes(45 + 2 * i) = ((v >> 8) & 0xff).toByte
+              i += 1
+            }
+            MediaIn(id, bytes)
+          }
+        gen
+          .mapPartitions(_.grouped(decodeBatchSize).flatMap(_.iterator.flatMap { m =>
+            parseWavPcm16(m.payload).map { case (n, sumSq, nClip) =>
+              (m.doc_id % 7, n, sumSq, nClip)
+            }
+          }))
+          .toDF("bucket", "n_samples", "sum_sq", "n_clipped")
+          .groupBy(col("bucket"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_samples")).as("total_samples"),
+            sum(col("sum_sq")).as("energy"),
+            sum(col("n_clipped")).as("total_clipped"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH m AS (SELECT doc_id, 200 + doc_id % 300 AS n FROM documents),
+             |p AS (SELECT doc_id % 7 AS bucket, n,
+             |    CAST(list_sum(list_transform(range(0, n), i ->
+             |      CASE WHEN i % 50 = 0 THEN CAST(1073676289 AS BIGINT)
+             |        ELSE ((doc_id * 31 + i * 40503 + 7) % 65536 - 32768)
+             |           * ((doc_id * 31 + i * 40503 + 7) % 65536 - 32768)
+             |      END)) AS BIGINT) AS sum_sq,
+             |    CAST(list_sum(list_transform(range(0, n), i ->
+             |      CASE WHEN i % 50 = 0
+             |          OR (doc_id * 31 + i * 40503 + 7) % 65536 IN (0, 65535)
+             |        THEN 1 ELSE 0 END)) AS BIGINT) AS n_clipped
+             |  FROM m)
+             |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(n) AS BIGINT) AS total_samples,
+             |  CAST(sum(sum_sq) AS BIGINT) AS energy,
+             |  CAST(sum(n_clipped) AS BIGINT) AS total_clipped
+             |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
+
+  /** Real sample-level PCM parse: header via [[parseWavHeader]] (16-bit
+    * mono PCM only), then a little-endian two's-complement byte-pair walk
+    * of the data chunk. Returns (n_samples, Σsample², rail-clip count).
+    */
+  private[graft] def parseWavPcm16(b: Array[Byte]): Option[(Long, Long, Long)] =
+    parseWavHeader(b).flatMap { case (_, channels, bits, dataSize) =>
+      if (channels != 1L || bits != 16L || b.length < 44 + dataSize) None
+      else {
+        val n = (dataSize / 2).toInt
+        var sumSq = 0L
+        var clip = 0L
+        var i = 0
+        while (i < n) {
+          val v = (((b(45 + 2 * i) & 0xff) << 8) | (b(44 + 2 * i) & 0xff)).toShort.toLong
+          sumSq += v * v
+          if (v == 32767L || v == -32768L) clip += 1
+          i += 1
+        }
+        Some((n.toLong, sumSq, clip))
+      }
+    }
 }

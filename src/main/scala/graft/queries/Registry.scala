@@ -25,7 +25,8 @@ object Registry {
       CorpusOps.entries ++
       Clustering.entries ++
       CorpusStats.entries ++
-      Integrity.entries
+      Integrity.entries ++
+      Integrity.entries2
 
   require(
     entries.map(_.name).distinct.size == entries.size,

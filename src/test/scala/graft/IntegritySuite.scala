@@ -109,4 +109,20 @@ class IntegritySuite extends SparkTestBase {
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
       "power iteration must be bit-deterministic")
   }
+
+  test("q226 incremental checksum maintenance matches the full recompute") {
+    val rows = Registry.byName("q226_checksum_incremental").q(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"${r.getString(0)} diverged")
+      assert(r.getLong(1) == r.getLong(2))
+    }
+    // the digest fields actually moved vs the pre-rewrite table -- the
+    // identity is not vacuous
+    val before = Registry.byName("q213_table_checksum").q(spark, sf).collect().head
+    val after = rows.map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(after("n_rows") == before.getLong(0), "rewrite preserves row count")
+    assert(after("sum_digest") != before.getLong(1), "rewrite must move the digest")
+    assert(after("sum_qty_cents") != before.getLong(4), "quantity sum must move")
+  }
 }

@@ -150,4 +150,35 @@ class MultimodalSuite extends SparkTestBase {
     val hashEx = shuffleExchanges(df)
     assert(hashEx.size <= 2, s"q181 shuffles the corpus: ${hashEx.size} exchanges")
   }
+
+  test("q225 parseWavPcm16: exact sample walk, rejects non-16-bit-mono") {
+    import graft.operators.Multimodal
+    // hand-built 3-sample mono 16-bit WAV: 100, -2, 32767
+    val h = Multimodal.wavHeaderBytes(8000, 1, 16, 3)
+    val bytes = new Array[Byte](50)
+    System.arraycopy(h, 0, bytes, 0, 44)
+    for ((v, i) <- Seq(100, -2, 32767).zipWithIndex) {
+      bytes(44 + 2 * i) = (v & 0xff).toByte
+      bytes(45 + 2 * i) = ((v >> 8) & 0xff).toByte
+    }
+    assert(Multimodal.parseWavPcm16(bytes) ==
+      Some((3L, 100L * 100 + 4 + 32767L * 32767, 1L)))
+    assert(Multimodal.parseWavPcm16(
+      Multimodal.wavHeaderBytes(8000, 2, 16, 3)).isEmpty, "stereo rejected")
+    assert(Multimodal.parseWavPcm16(
+      Multimodal.wavHeaderBytes(8000, 1, 24, 3)).isEmpty, "24-bit rejected")
+  }
+
+  test("q225 registered audit: buckets partition docs, forced rails visible") {
+    val rows = graft.queries.Registry.byName("q225_wav_pcm_audit").q(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "every payload decoded")
+    rows.foreach { r =>
+      // every 50th sample is a forced rail, so clipping is at least
+      // ceil(n/50) per doc summed -- and energy is bounded by n * 32768^2
+      assert(r.getLong(4) * 50 >= r.getLong(2), "forced rails undercounted")
+      assert(r.getLong(3) <= r.getLong(2) * 32768L * 32768L, "energy bound")
+      assert(r.getLong(3) > 0)
+    }
+  }
 }
