@@ -306,7 +306,10 @@ object Bench {
     // (round 15, standing from birth). Subtract these two when comparing
     // secondary_total against r14 artifacts.
     "q225_wav_pcm_audit",
-    "q226_checksum_incremental")
+    "q226_checksum_incremental",
+    // cross-source quantile calibration (round 15, standing from birth).
+    // Subtract it when comparing secondary_total against r14 artifacts.
+    "q227_quantile_qq_map")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

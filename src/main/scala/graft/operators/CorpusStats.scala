@@ -670,7 +670,87 @@ object CorpusStats {
              |  CAST(sum(abs(c.n_i * b.N - c.m_i * c.n)) AS BIGINT) * 1000000
              |    // (2 * c.n * b.N) AS tvd_ppm
              |FROM cells c CROSS JOIN bign b
-             |GROUP BY c.source, c.n, b.N ORDER BY c.source""".stripMargin))
+             |GROUP BY c.source, c.n, b.N ORDER BY c.source""".stripMargin)),
+
+    // q227: CROSS-SOURCE QUANTILE (QQ) CALIBRATION TABLE — before mixing
+    // per-source quality scores into one training-data ranking, the scores
+    // must be comparable: a source whose scorer runs hot would dominate
+    // any global threshold. The fix is rank-space: for each source and
+    // each decile k, the source's k-th decile boundary beside the GLOBAL
+    // k-th decile boundary, and their ratio — the calibration table a
+    // mixer applies as a per-source monotone map (q135 ranks docs
+    // globally; this compares DISTRIBUTIONS per source). Exact integer
+    // quantiles by the q135/q189 count-based discipline: per-(source,
+    // score) counts, a cumulative over the SCORE AXIS only (partitions
+    // are score-domain-bounded, never corpus-sized), boundary(k) = min
+    // score with 10·cum ≥ k·n. Score = distinct-token count (the q135
+    // scorer). Plan: one tokenize scan → one (source, score) exchange →
+    // value-axis windows over bounded partitions → a 9-row decile
+    // broadcast; the global table is a rollup OF the per-source counts,
+    // not a second scan.
+    Entry(
+      "q227_quantile_qq_map",
+      (s, d) => {
+        val sc = T.documents(s, d)
+          .select(col("source"),
+            size(array_distinct(toks)).cast("long").as("score"))
+          .groupBy(col("source"), col("score"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // consumers: per-source cum + global rollup
+        val wS = Window.partitionBy(col("source")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val perSrc = sc
+          .withColumn("cum", sum(col("c")).over(wS))
+          .withColumn("n", sum(col("c")).over(Window.partitionBy(col("source"))))
+        val g = sc.groupBy(col("score")).agg(sum(col("c")).as("c"))
+        val wG = Window.orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val globalCum = g
+          .withColumn("cum", sum(col("c")).over(wG))
+          .withColumn("n", sum(col("c")).over())
+        val deciles = s.sql("SELECT explode(sequence(1, 9)) AS k")
+        def bounds(t: org.apache.spark.sql.DataFrame, keys: Seq[String]) = t
+          .crossJoin(broadcast(deciles))
+          .filter(col("cum") * 10 >= col("k") * col("n"))
+          .groupBy((keys :+ "k").map(col): _*)
+          .agg(min(col("score")).as("q"))
+        val srcB = bounds(perSrc, Seq("source"))
+        val glbB = bounds(globalCum, Seq.empty)
+          .withColumnRenamed("q", "global_q")
+        srcB
+          .join(broadcast(glbB), Seq("k"))
+          .select(col("source"), col("k").cast("long").as("decile"),
+            col("q").as("source_q"),
+            col("global_q"),
+            expr("q * 1000000L div greatest(global_q, 1L)").as("lift_ppm"))
+          .orderBy(col("source"), col("decile"))
+      },
+      Some("""WITH d AS (SELECT source,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS score
+             |  FROM documents),
+             |sc AS (SELECT source, score, CAST(count(*) AS BIGINT) AS c
+             |  FROM d GROUP BY 1, 2),
+             |ps AS (SELECT source, score,
+             |    CAST(sum(c) OVER (PARTITION BY source ORDER BY score
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+             |  FROM sc),
+             |g AS (SELECT score, CAST(sum(c) AS BIGINT) AS c FROM sc GROUP BY 1),
+             |pg AS (SELECT score,
+             |    CAST(sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum,
+             |    CAST(sum(c) OVER () AS BIGINT) AS n FROM g),
+             |ks AS (SELECT unnest(range(1, 10)) AS k),
+             |sb AS (SELECT source, k, CAST(min(score) AS BIGINT) AS source_q
+             |  FROM ps CROSS JOIN ks WHERE cum * 10 >= k * n GROUP BY 1, 2),
+             |gb AS (SELECT k, CAST(min(score) AS BIGINT) AS global_q
+             |  FROM pg CROSS JOIN ks WHERE cum * 10 >= k * n GROUP BY 1)
+             |SELECT sb.source, CAST(sb.k AS BIGINT) AS decile, sb.source_q,
+             |  gb.global_q,
+             |  sb.source_q * 1000000 // greatest(gb.global_q, 1) AS lift_ppm
+             |FROM sb JOIN gb USING (k)
+             |ORDER BY sb.source, decile""".stripMargin))
   )
 
   /** ONE-PASS (doc_id, score, pos) for the classifier-evaluation tier:

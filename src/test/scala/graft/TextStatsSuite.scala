@@ -107,4 +107,27 @@ class TextStatsSuite extends SparkTestBase {
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
     }
   }
+
+  test("q227 QQ calibration equals brute-force count-based deciles") {
+    val scores = docs.map { case (_, src, _, text) =>
+      src -> text.split(" ", -1).distinct.length.toLong }
+    def decile(xs: Seq[Long], k: Int): Long = {
+      val sorted = xs.sorted
+      val n = sorted.length.toLong
+      sorted.zipWithIndex.collectFirst {
+        case (v, i) if (i + 1) * 10L >= k * n => v }.get
+    }
+    val global = scores.map(_._2)
+    val rows = Registry.byName("q227_quantile_qq_map").q(spark, sf).collect()
+    assert(rows.length == scores.map(_._1).distinct.length * 9)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val k = r.getLong(1).toInt
+      val sq = decile(scores.filter(_._1 == src).map(_._2).toSeq, k)
+      val gq = decile(global.toSeq, k)
+      assert(r.getLong(2) == sq, s"$src decile $k source_q")
+      assert(r.getLong(3) == gq, s"decile $k global_q")
+      assert(r.getLong(4) == sq * 1000000L / math.max(gq, 1L))
+    }
+  }
 }
