@@ -309,7 +309,10 @@ object Bench {
     "q226_checksum_incremental",
     // cross-source quantile calibration (round 15, standing from birth).
     // Subtract it when comparing secondary_total against r14 artifacts.
-    "q227_quantile_qq_map")
+    "q227_quantile_qq_map",
+    // split rebalancing after curation (round 15, standing from birth).
+    // Subtract it when comparing secondary_total against r14 artifacts.
+    "q228_split_rebalance")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -813,5 +813,157 @@ object CorpusOps {
              |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
              |  CAST(sum(n_novel) AS DOUBLE) / CAST(sum(n_grams) AS DOUBLE)
              |    AS novelty
-             |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin)))
+             |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // q228: SPLIT REBALANCING AFTER CURATION — filters and dedup remove
+    // docs non-uniformly, so the q112 80/10/10 assignment drifts; naively
+    // re-splitting from scratch LEAKS (docs hop between train and the
+    // eval splits — the q121 contamination class). The repair keeps every
+    // surviving doc's split unless it must move, and moves the MINIMUM
+    // set deterministically: each over-full split sheds its lowest
+    // move-hash docs into the under-full splits. Crucially the selection
+    // is BUCKET-GRANULAR so no corpus-sized sort/rank ever runs (the
+    // q189 count-based-quantile discipline on the hash axis): move-hash
+    // mod 1000 buckets → per-(split, bucket) counts → cumulative over
+    // the ≤3×1000-row bucket table → a split sheds exactly the whole-
+    // prefix buckets whose cumulative fits its excess, and shed buckets
+    // route to deficit splits by interval assignment on the same bounded
+    // table. Residual imbalance is bounded by one bucket (~n/1000),
+    // reported as dev_ppm with a 1% gate. Fixture curation: drop docs
+    // with n_chars < 250. Output: per split, before/target/moved/after.
+    Entry(
+      "q228_split_rebalance",
+      (s, d) => {
+        val kept = Tables.documents(s, d)
+          .filter(col("n_chars") >= 250)
+          .select(col("doc_id"),
+            (conv(substring(md5(concat(lit("split:v1:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 100L).as("bucket"),
+            (conv(substring(md5(concat(lit("move:v1:"),
+              col("doc_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 1000L).as("mh"))
+          .withColumn("split0",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+        val sb = kept.groupBy(col("split0"), col("mh"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // ≤3000 rows; all downstream arithmetic
+        val counts = sb.groupBy(col("split0")).agg(sum(col("c")).as("n_before"))
+        val n = counts.agg(sum(col("n_before")).as("n_total"))
+        val targets = counts.crossJoin(broadcast(n))
+          .withColumn("target", expr(
+            "CASE split0 WHEN 'train' THEN n_total * 80 div 100 " +
+              "WHEN 'val' THEN n_total * 10 div 100 " +
+              "ELSE n_total - n_total * 80 div 100 - n_total * 10 div 100 END"))
+          .withColumn("excess", col("n_before") - col("target"))
+          .localCheckpoint() // 3 rows
+        // shed set: whole-prefix buckets of each over-full split
+        val wS = Window.partitionBy(col("split0")).orderBy(col("mh"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val shed = sb
+          .join(broadcast(targets.select(col("split0"), col("excess"))), Seq("split0"))
+          .filter(col("excess") > 0)
+          .withColumn("cum", sum(col("c")).over(wS))
+          .filter(col("cum") <= col("excess"))
+          .localCheckpoint() // ≤3000 rows; consumers: ordering + sums
+        // global shed ordering (split0 asc, mh asc) over the bounded table
+        val wG = Window.orderBy(col("split0"), col("mh"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ordered = shed
+          .withColumn("gstart", coalesce(sum(col("c")).over(wG), lit(0L)))
+        // deficit intervals in split-name order over the 3-row table
+        val wD = Window.orderBy(col("dest"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val deficits = targets
+          .filter(col("excess") < 0)
+          .select(col("split0").as("dest"), (-col("excess")).as("d"))
+          .withColumn("dstart", coalesce(sum(col("d")).over(wD), lit(0L)))
+        val routed = ordered
+          .join(broadcast(deficits),
+            col("gstart") >= col("dstart") && col("gstart") < col("dstart") + col("d"))
+          .groupBy(col("dest")).agg(sum(col("c")).as("moved_in"))
+        val movedOut = shed.groupBy(col("split0")).agg(sum(col("c")).as("moved_out"))
+        targets
+          .join(movedOut, Seq("split0"), "left")
+          .join(routed.withColumnRenamed("dest", "split0"), Seq("split0"), "left")
+          .select(col("split0").as("split"), col("n_before"), col("target"),
+            coalesce(col("moved_out"), lit(0L)).as("moved_out"),
+            coalesce(col("moved_in"), lit(0L)).as("moved_in"))
+          .withColumn("n_after",
+            col("n_before") - col("moved_out") + col("moved_in"))
+          .withColumn("dev_ppm", expr(
+            "abs(n_after - target) * 1000000L div greatest(target, 1L)"))
+          // absolute gate: ≤ max(3 docs, 1% of target) — bucket-granular
+          // shedding undershoots by < 1 bucket per over-full split, so a
+          // pure ppm gate would fail vacuously on splits whose target is
+          // a handful of docs; at scale the 1% branch governs.
+          .withColumn("balanced_ok",
+            expr("abs(n_after - target) <= greatest(3L, target div 100)"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH kept AS (SELECT doc_id,
+             |    CAST(('0x' || substr(md5('split:v1:' || doc_id::VARCHAR), 1, 8))
+             |      AS BIGINT) % 100 AS bucket,
+             |    CAST(('0x' || substr(md5('move:v1:' || doc_id::VARCHAR), 1, 8))
+             |      AS BIGINT) % 1000 AS mh
+             |  FROM documents WHERE n_chars >= 250),
+             |k2 AS (SELECT doc_id, mh,
+             |    CASE WHEN bucket < 80 THEN 'train'
+             |         WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split0
+             |  FROM kept),
+             |sb AS (SELECT split0, mh, CAST(count(*) AS BIGINT) AS c
+             |  FROM k2 GROUP BY 1, 2),
+             |cnt AS (SELECT split0, CAST(sum(c) AS BIGINT) AS n_before
+             |  FROM sb GROUP BY 1),
+             |nt AS (SELECT CAST(sum(n_before) AS BIGINT) AS n_total FROM cnt),
+             |tg AS (SELECT split0, n_before,
+             |    CASE split0 WHEN 'train' THEN n_total * 80 // 100
+             |      WHEN 'val' THEN n_total * 10 // 100
+             |      ELSE n_total - n_total * 80 // 100 - n_total * 10 // 100
+             |    END AS target,
+             |    n_before - CASE split0 WHEN 'train' THEN n_total * 80 // 100
+             |      WHEN 'val' THEN n_total * 10 // 100
+             |      ELSE n_total - n_total * 80 // 100 - n_total * 10 // 100
+             |    END AS excess
+             |  FROM cnt CROSS JOIN nt),
+             |shed AS (SELECT s.split0, s.mh, s.c, cum FROM (
+             |    SELECT split0, mh, c,
+             |      CAST(sum(c) OVER (PARTITION BY split0 ORDER BY mh
+             |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |    FROM sb) s
+             |  JOIN tg USING (split0)
+             |  WHERE tg.excess > 0 AND s.cum <= tg.excess),
+             |ord AS (SELECT split0, mh, c,
+             |    CAST(coalesce(sum(c) OVER (ORDER BY split0, mh
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS gstart
+             |  FROM shed),
+             |def AS (SELECT split0 AS dest, -excess AS d,
+             |    CAST(coalesce(sum(-excess) OVER (ORDER BY split0
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS dstart
+             |  FROM tg WHERE excess < 0),
+             |rt AS (SELECT def.dest, CAST(sum(ord.c) AS BIGINT) AS moved_in
+             |  FROM ord JOIN def
+             |    ON ord.gstart >= def.dstart AND ord.gstart < def.dstart + def.d
+             |  GROUP BY 1),
+             |mo AS (SELECT split0, CAST(sum(c) AS BIGINT) AS moved_out
+             |  FROM shed GROUP BY 1)
+             |SELECT tg.split0 AS split, tg.n_before, tg.target,
+             |  CAST(coalesce(mo.moved_out, 0) AS BIGINT) AS moved_out,
+             |  CAST(coalesce(rt.moved_in, 0) AS BIGINT) AS moved_in,
+             |  tg.n_before - coalesce(mo.moved_out, 0) + coalesce(rt.moved_in, 0)
+             |    AS n_after,
+             |  abs(tg.n_before - coalesce(mo.moved_out, 0)
+             |      + coalesce(rt.moved_in, 0) - tg.target) * 1000000
+             |    // greatest(tg.target, 1) AS dev_ppm,
+             |  abs(tg.n_before - coalesce(mo.moved_out, 0)
+             |      + coalesce(rt.moved_in, 0) - tg.target)
+             |    <= greatest(3, tg.target // 100) AS balanced_ok
+             |FROM tg
+             |LEFT JOIN mo ON mo.split0 = tg.split0
+             |LEFT JOIN rt ON rt.dest = tg.split0
+             |ORDER BY split""".stripMargin))
+  )
 }

@@ -311,4 +311,27 @@ class CorpusOpsSuite extends SparkTestBase {
     assert(rows.last.getDouble(4) < rows.head.getDouble(4),
       "novelty curve is not decreasing end-to-end — fixture assumption broken")
   }
+
+  test("q228 rebalance: conservation, direction, gate, determinism") {
+    val rows = graft.queries.Registry.byName("q228_split_rebalance")
+      .q(spark, sf).collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getLong(3)).sum == rows.map(_.getLong(4)).sum,
+      "every shed doc is received exactly once")
+    assert(rows.map(_.getLong(1)).sum == rows.map(_.getLong(5)).sum,
+      "rebalancing conserves the corpus")
+    rows.foreach { r =>
+      val (before, target, out, in, after) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(after == before - out + in)
+      if (out > 0) assert(before > target, "only over-full splits shed")
+      if (in > 0) assert(before < target, "only under-full splits receive")
+      assert(!(out > 0 && in > 0), "no split both sheds and receives")
+      assert(r.getBoolean(7), s"${r.getString(0)} missed the balance gate")
+      assert(math.abs(after - target) <= math.max(3L, target / 100))
+    }
+    val again = graft.queries.Registry.byName("q228_split_rebalance")
+      .q(spark, sf).collect()
+    assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
 }
