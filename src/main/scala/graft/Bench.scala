@@ -312,7 +312,10 @@ object Bench {
     "q227_quantile_qq_map",
     // split rebalancing after curation (round 15, standing from birth).
     // Subtract it when comparing secondary_total against r14 artifacts.
-    "q228_split_rebalance")
+    "q228_split_rebalance",
+    // content-defined chunking (round 15, standing from birth). Subtract
+    // it when comparing secondary_total against r14 artifacts.
+    "q229_cdc_chunking")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

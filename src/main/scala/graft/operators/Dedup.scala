@@ -2240,6 +2240,117 @@ object Dedup {
              |ORDER BY fi.a_id, fi.b_id""".stripMargin))
   )
 
+  /** Round-15 additions kept out of the primary Seq (JVM method-size). */
+  val entries2: Seq[Entry] = Seq(
+    // q229: CONTENT-DEFINED CHUNKING (the rsync/FastCDC/borg primitive) —
+    // dedup below document granularity with SHIFT-RESISTANT boundaries:
+    // fixed 8-gram spans (q216) break when one byte is inserted upstream;
+    // CDC cuts wherever a 16-char rolling hash ≡ 0 (mod 64), so an edit
+    // perturbs only its own chunk and every other chunk re-deduplicates
+    // byte-identically — the property the suite proves by prepending one
+    // char to a doc. Expected chunk ~64 chars; no min/max clamp (the
+    // production knobs are documented, orthogonal to the cut rule).
+    // Per-chunk content hash (char polynomial + length fold, mod 2^31-1,
+    // identical pipeline both engines); a chunk is DUPLICATED when its
+    // hash appears ≥2 times corpus-wide. Output per source: chunks, mean
+    // length, duplicated-chunk share in exact ppm. Plan: boundary
+    // detection and chunk hashing are per-row scalar HOFs (one scan, no
+    // explode until the chunk-hash exchange); then ONE (chunk-hash)
+    // exchange + the per-source rollup — the same budget as q216 with
+    // positions replaced by ~len/64 chunks, an 8× lighter shuffle.
+    Entry(
+      "q229_cdc_chunking",
+      (s, d) => cdcChunkStats(
+        Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))),
+      Some("""WITH ch AS (SELECT doc_id, source, text,
+             |    list_transform(range(16, length(text) + 1), i ->
+             |      CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(0, 16),
+             |            k -> CAST(unicode(text[i - 15 + k]) AS BIGINT))),
+             |          (a, c) -> (a * 131 + c) % 2147483647) % 64 = 0
+             |        THEN i ELSE -1 END) AS marks
+             |  FROM documents),
+             |bd AS (SELECT doc_id, source, text,
+             |    list_filter(marks, x -> x != -1) AS cuts FROM ch),
+             |sp AS (SELECT doc_id, source, text,
+             |    list_prepend(CAST(0 AS BIGINT), cuts) AS starts,
+             |    list_append(cuts, CAST(length(text) AS BIGINT)) AS ends
+             |  FROM bd),
+             |ck AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(starts) + 1), j ->
+             |      substr(text, CAST(starts[j] + 1 AS INT),
+             |        CAST(ends[j] - starts[j] AS INT)))) AS chunk
+             |  FROM sp WHERE length(text) > 0),
+             |h AS (SELECT doc_id, source, length(chunk) AS clen,
+             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(chunk) + 1),
+             |          i -> CAST(unicode(chunk[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % 2147483647)
+             |      * 131 + length(chunk)) % 2147483647 AS chash
+             |  FROM ck WHERE length(chunk) > 0),
+             |gc AS (SELECT chash, CAST(count(*) AS BIGINT) AS n_copies
+             |  FROM h GROUP BY 1)
+             |SELECT h.source, CAST(count(*) AS BIGINT) AS n_chunks,
+             |  CAST(sum(h.clen) AS BIGINT) AS n_chars,
+             |  CAST(sum(h.clen) AS BIGINT) // count(*) AS mean_len,
+             |  CAST(sum(CASE WHEN gc.n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS dup_chunks,
+             |  CAST(sum(CASE WHEN gc.n_copies >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    * 1000000 // count(*) AS dup_ppm
+             |FROM h JOIN gc USING (chash)
+             |GROUP BY h.source ORDER BY h.source""".stripMargin))
+  )
+
+  /** q229's body over any (doc_id, source, text) table — exposed so the
+    * suite can prove SHIFT RESISTANCE: after prepending one char to a doc,
+    * every chunk except the one containing the edit re-deduplicates
+    * byte-identically against the original (fixed-width spans lose ALL
+    * alignment). Boundary rule: cut after position i when the 16-char
+    * rolling hash ending at i ≡ 0 (mod 64).
+    */
+  private[graft] def cdcChunkStats(docs: DataFrame): DataFrame = {
+    val ck = cdcChunks(docs)
+    val gc = ck.groupBy(col("chash")).agg(count(lit(1)).as("n_copies"))
+    ck.join(gc, Seq("chash"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("n_chars"),
+        expr("sum(clen) div count(1)").as("mean_len"),
+        sum(when(col("n_copies") >= 2, 1L).otherwise(0L)).as("dup_chunks"))
+      .withColumn("dup_ppm", expr("dup_chunks * 1000000L div n_chunks"))
+      .select(col("source"), col("n_chunks"), col("n_chars"), col("mean_len"),
+        col("dup_chunks"), col("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** Per-chunk rows (doc_id, source, clen, chash) under the q229 cut rule —
+    * all boundary detection and hashing as per-row scalar HOFs; the only
+    * explode is chunk-level (~len/64 rows per doc).
+    */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    val marks =
+      """transform(sequence(16, greatest(length(text), 16)), i ->
+        |  if(i <= length(text) and aggregate(transform(sequence(0, 15),
+        |      k -> ascii(substring(text, i - 15 + k, 1))),
+        |    0L, (a, c) -> (a * 131 + c) % 2147483647) % 64 = 0, i, -1))"""
+        .stripMargin
+    docs
+      .filter(length(col("text")) > 0)
+      .withColumn("cuts", expr(s"filter($marks, x -> x != -1)"))
+      .withColumn("starts", expr("concat(array(0), cuts)"))
+      .withColumn("ends",
+        expr("concat(cuts, array(cast(length(text) as int)))"))
+      .withColumn("chunk", explode(expr(
+        "zip_with(starts, ends, (st, en) -> substring(text, st + 1, en - st))")))
+      .filter(length(col("chunk")) > 0)
+      .select(col("doc_id"), col("source"),
+        length(col("chunk")).cast("long").as("clen"),
+        expr("(aggregate(filter(split(chunk, ''), ch -> ch != ''), 0L, " +
+          "(a, c) -> (a * 131 + ascii(c)) % 2147483647) " +
+          "* 131 + length(chunk)) % 2147483647").as("chash"))
+  }
+
   /** q219's body over any (doc_id, text) table — exposed so the suite can
     * prove the ASYMMETRIC case the fixture lacks: a short doc pasted inside
     * a long one (containment ≈ 1, Jaccard ≪ threshold), the pair class

@@ -19,6 +19,7 @@ object Registry {
       EventStreams.entries ++
       TextOps.entries ++
       Dedup.entries ++
+      Dedup.entries2 ++
       Similarity.entries ++
       Multimodal.entries ++
       Sources.entries ++

@@ -835,4 +835,36 @@ class DedupSimilaritySuite extends SparkTestBase {
         "intersection bounded by set sizes")
     }
   }
+
+  test("q229 CDC chunking is SHIFT-RESISTANT: one prepended char perturbs one chunk") {
+    import org.apache.spark.sql.functions._
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(1234)
+    val base = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = Seq((1L, "s", base), (2L, "s", "X" + base))
+      .toDF("doc_id", "source", "text")
+    val ch = graft.operators.Dedup.cdcChunks(docs).collect()
+    val a = ch.filter(_.getLong(0) == 1L).map(_.getLong(3))
+    val b = ch.filter(_.getLong(0) == 2L).map(_.getLong(3))
+    assert(a.length > 3, s"fixture must produce several chunks, got ${a.length}")
+    assert(b.length == a.length, "a 1-char prepend must not change the cut count")
+    // every chunk except the first re-deduplicates byte-identically
+    assert(a.drop(1).toSeq == b.drop(1).toSeq,
+      "all chunks after the first must re-align after a 1-char shift")
+    assert(a.head != b.head, "the edited chunk itself must differ")
+    // and the registered rollup agrees with a direct recount
+    val rows = graft.queries.Registry.byName("q229_cdc_chunking")
+      .q(spark, sf).collect()
+    val all = graft.operators.Dedup.cdcChunks(
+      Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text")))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val copies = all.groupBy(_._3).map { case (h, xs) => h -> xs.length }
+    rows.foreach { r =>
+      val mine = all.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == mine.length, s"${r.getString(0)} n_chunks")
+      assert(r.getLong(2) == mine.map(_._2).sum, "n_chars")
+      assert(r.getLong(4) == mine.count(c => copies(c._3) >= 2), "dup_chunks")
+    }
+  }
 }
