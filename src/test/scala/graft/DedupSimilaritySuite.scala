@@ -88,7 +88,10 @@ class DedupSimilaritySuite extends SparkTestBase {
     // nested-loop join — the all-pairs scale-killers the pruned forms
     // replace. (The brute-force shapes live only in tests and oracles.)
     Seq("q36_minhash_lsh", "q37_wordset_jaccard", "q39_embedding_neardup",
-        "q55_ngram_jaccard", "q86_winnow_overlap").foreach { name =>
+        "q55_ngram_jaccard", "q86_winnow_overlap",
+        // r15 pair/fragment queries: rare-shingle-blocked containment,
+        // positional dup spans, CDC chunk dedup
+        "q219_containment", "q216_dup_spans", "q229_cdc_chunking").foreach { name =>
       val plan = Registry.byName(name).q(spark, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
