@@ -856,9 +856,13 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(a.drop(1).toSeq == b.drop(1).toSeq,
       "all chunks after the first must re-align after a 1-char shift")
     assert(a.head != b.head, "the edited chunk itself must differ")
-    // and the registered rollup agrees with a direct recount
-    val rows = graft.queries.Registry.byName("q229_cdc_chunking")
-      .q(spark, sf).collect()
+    // and the registered rollup agrees with a direct recount, off ONE scan
+    val reg = graft.queries.Registry.byName("q229_cdc_chunking").q(spark, sf)
+    reg.write.format("noop").mode("overwrite").save()
+    val scans = flattenPlan(reg.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"q229 scans the corpus $scans times — window form scans once")
+    val rows = reg.collect()
     val all = graft.operators.Dedup.cdcChunks(
       Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text")))
       .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
