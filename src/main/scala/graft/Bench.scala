@@ -315,7 +315,11 @@ object Bench {
     "q228_split_rebalance",
     // content-defined chunking (round 15, standing from birth). Subtract
     // it when comparing secondary_total against r14 artifacts.
-    "q229_cdc_chunking")
+    "q229_cdc_chunking",
+    // hash-only containment production variant (round 15, standing from
+    // birth). Subtract it when comparing secondary_total against r14
+    // artifacts.
+    "q230_containment_hash")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

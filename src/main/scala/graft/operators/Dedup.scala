@@ -2211,33 +2211,25 @@ object Dedup {
       "q219_containment",
       (s, d) => containmentPairs(
         Tables.documents(s, d).select(col("doc_id"), col("text"))),
-      Some("""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
-             |  FROM documents),
-             |sh AS (SELECT DISTINCT doc_id,
-             |    unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
-             |      i -> array_to_string(t[i:least(i+2, len(t))], ' '))) AS sh
-             |  FROM tk),
-             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
-             |  FROM sh GROUP BY doc_id),
-             |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh
-             |  GROUP BY sh) WHERE df BETWEEN 2 AND 10),
-             |rsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-             |  FROM rsh a JOIN rsh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-             |fi AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_inter
-             |  FROM cand c
-             |  JOIN sh sa ON sa.doc_id = c.a_id
-             |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
-             |  GROUP BY 1, 2)
-             |SELECT fi.a_id, fi.b_id, za.nsh AS a_n, zb.nsh AS b_n, fi.n_inter,
-             |  fi.n_inter * 1000000 // least(za.nsh, zb.nsh) AS containment_ppm,
-             |  fi.n_inter * 1000000 // (za.nsh + zb.nsh - fi.n_inter)
-             |    AS jaccard_ppm
-             |FROM fi
-             |JOIN sz za ON za.doc_id = fi.a_id
-             |JOIN sz zb ON zb.doc_id = fi.b_id
-             |WHERE fi.n_inter * 1000000 // least(za.nsh, zb.nsh) >= 600000
-             |ORDER BY fi.a_id, fi.b_id""".stripMargin))
+      Some(containmentOracle)),
+
+    // q230: the 100 TB PRODUCTION variant of q219 (the q110→q127 pairing
+    // applied to containment): after `sh = xxhash64(shingle)` the string
+    // is dropped, so the DF table, the blocking join, and the
+    // intersection join all exchange 8-byte keys instead of ~20-byte
+    // verbatim 3-grams (2-3× fewer shuffled bytes on real text; the same
+    // candidate/confirm plan otherwise). Correctness trade: two shingles
+    // colliding in 64 bits could inflate an intersection by 1 — expected
+    // collisions ≪ 1 below ~10⁹ distinct shingles, and the oracle
+    // (SHARED verbatim with q219's exact-string form) IS the
+    // fixture-scale equality proof; the suite additionally pins that no
+    // exchange in this plan carries a string column.
+    Entry(
+      "q230_containment_hash",
+      (s, d) => containmentPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        hashOnly = true),
+      Some(containmentOracle))
   )
 
   /** Round-15 additions kept out of the primary Seq (JVM method-size). */
@@ -2369,12 +2361,45 @@ object Dedup {
     * a long one (containment ≈ 1, Jaccard ≪ threshold), the pair class
     * resemblance dedup structurally misses.
     */
-  private[graft] def containmentPairs(docs: DataFrame): DataFrame = {
-    val sh = docs
+  private[graft] def containmentOracle: String = """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
+             |      i -> array_to_string(t[i:least(i+2, len(t))], ' '))) AS sh
+             |  FROM tk),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
+             |  FROM sh GROUP BY doc_id),
+             |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh
+             |  GROUP BY sh) WHERE df BETWEEN 2 AND 10),
+             |rsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM rsh a JOIN rsh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+             |fi AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_inter
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.a_id
+             |  JOIN sh sb ON sb.doc_id = c.b_id AND sb.sh = sa.sh
+             |  GROUP BY 1, 2)
+             |SELECT fi.a_id, fi.b_id, za.nsh AS a_n, zb.nsh AS b_n, fi.n_inter,
+             |  fi.n_inter * 1000000 // least(za.nsh, zb.nsh) AS containment_ppm,
+             |  fi.n_inter * 1000000 // (za.nsh + zb.nsh - fi.n_inter)
+             |    AS jaccard_ppm
+             |FROM fi
+             |JOIN sz za ON za.doc_id = fi.a_id
+             |JOIN sz zb ON zb.doc_id = fi.b_id
+             |WHERE fi.n_inter * 1000000 // least(za.nsh, zb.nsh) >= 600000
+             |ORDER BY fi.a_id, fi.b_id""".stripMargin
+
+  private[graft] def containmentPairs(
+      docs: DataFrame, hashOnly: Boolean = false): DataFrame = {
+    val shRaw = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
         "array_distinct(transform(sequence(1, greatest(size(t) - 2, 1)), " +
           "i -> concat_ws(' ', slice(t, i, 3))))")).as("sh"))
+    // hash-only (q230): drop the string BEFORE the checkpoint/exchanges —
+    // every downstream shuffle carries 8-byte keys
+    val sh = (if (hashOnly) shRaw.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
+      else shRaw)
       .localCheckpoint() // consumers: sizes, DF table, pair join sides
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))

@@ -874,4 +874,21 @@ class DedupSimilaritySuite extends SparkTestBase {
       assert(r.getLong(4) == mine.count(c => copies(c._3) >= 2), "dup_chunks")
     }
   }
+
+  test("q230 hash-only containment: no exchange carries a string; equals q219") {
+    val df = graft.queries.Registry.byName("q230_containment_hash").q(spark, sf)
+    df.collect()
+    val exchanges = shuffleExchanges(df)
+    assert(exchanges.nonEmpty, "expected shuffle exchanges in q230")
+    exchanges.foreach { e =>
+      val strings = e.output.filter(
+        _.dataType == org.apache.spark.sql.types.StringType)
+      assert(strings.isEmpty,
+        s"q230 exchange carries string column(s) ${strings.map(_.name).mkString(",")}")
+    }
+    val exact = graft.queries.Registry.byName("q219_containment")
+      .q(spark, sf).collect().toSeq
+    assert(df.collect().toSeq == exact,
+      "hash-only containment diverges from the exact-string form")
+  }
 }
