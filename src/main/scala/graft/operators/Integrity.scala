@@ -205,12 +205,18 @@ object Integrity {
     Entry(
       "q215_copy_diff",
       (s, d) => {
+        // each digest table has TWO static consumers (bucket sums + the
+        // drill-down join) — checkpoint once or the char-polynomial digest
+        // pass re-plans per consumer (ReuseCheck measured 4 corpus scans
+        // for the unbarriered form vs 2 here; 16-byte rows, cheap barrier)
         val orig = T.documents(s, d)
           .select(col("doc_id"), expr(docSparkDigest("text")).as("dg"))
+          .localCheckpoint()
         val copyText =
           "CASE WHEN doc_id % 97 = 7 THEN concat(text, 'X') ELSE text END"
         val copy = T.documents(s, d)
           .select(col("doc_id"), expr(docSparkDigest(copyText)).as("dg"))
+          .localCheckpoint()
         def buckets(t: org.apache.spark.sql.DataFrame) = t
           .groupBy(expr("doc_id div 64").as("bucket"))
           .agg(sum(col("dg")).as("bsum"), count(lit(1)).as("bn"))

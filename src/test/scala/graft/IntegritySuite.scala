@@ -65,6 +65,11 @@ class IntegritySuite extends SparkTestBase {
     df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("LeftSemi"), s"expected a semi-join drill-down:\n$plan")
+    // the two digest tables are checkpointed ONCE each — the post-barrier
+    // plan must not re-run the char-polynomial digest pass per consumer
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 0, s"q215 re-scans parquet $scans times after the digest barrier")
   }
 
   test("q221 schemaDrift: identical tables report all-same; each drift class detected") {
