@@ -101,15 +101,31 @@ class RelationalSuite extends SparkTestBase {
       "q93_countmin_sketch" -> 1, // the sketch itself: ≤ d×w = 256 counters by construction
       "q94_ann_pq" -> 6,          // codebook (m·ks rows) ×4 + ADC table (Q·m·ks) + exact-baseline probe
       "q109_ann_index_serve" -> 2, // ADC table (Q·m·ks; the codebook comes from the artifact parquet) + exact-baseline probe
-      "q174_hard_negatives" -> 1 // 8-query probe side (vec_id < nQueries)
+      "q174_hard_negatives" -> 1, // 8-query probe side (vec_id < nQueries)
+      // r15 DOMAIN-BOUNDED grouped aggregates: cardinality is capped by a
+      // categorical/bucket domain (langs, sources, splits, deciles, damage
+      // buckets), not by corpus size — broadcast is the right call and
+      // stays right at 100×.
+      "q215_copy_diff" -> 1, // damaged-bucket list (damage-proportional)
+      "q218_vocab_overlap" -> 2, // per-lang vocab sizes (≤ n_langs rows), both joins
+      "q224_distribution_drift" -> 1, // per-bucket marginal (≤ len-domain/100 rows)
+      "q227_quantile_qq_map" -> 1, // global decile boundaries (9 rows)
+      "q228_split_rebalance" -> 2 // 3-row target/deficit tables
     )
     val names = (graft.operators.Relational.entries ++
       graft.operators.RelationalExt.entries ++
       graft.operators.Relational3.entries ++
+      graft.operators.Relational3.entries2 ++
       graft.operators.EventOps.entries ++
       graft.operators.TextOps.entries ++
       graft.operators.Dedup.entries ++
-      graft.operators.Similarity.entries).map(_.name)
+      graft.operators.Dedup.entries2 ++
+      graft.operators.Similarity.entries ++
+      graft.operators.CorpusOps.entries ++
+      graft.operators.Clustering.entries ++
+      graft.operators.CorpusStats.entries ++
+      graft.operators.Integrity.entries ++
+      graft.operators.Integrity.entries2).map(_.name)
     names.foreach { name =>
       val df = Registry.byName(name).q(spark, sf)
       val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
