@@ -319,7 +319,12 @@ object Bench {
     // hash-only containment production variant (round 15, standing from
     // birth). Subtract it when comparing secondary_total against r14
     // artifacts.
-    "q230_containment_hash")
+    "q230_containment_hash",
+    // nonparametric drift tests: KS per-source audit + pairwise MWU matrix
+    // (round 15, standing from birth). Subtract these two when comparing
+    // secondary_total against r14 artifacts.
+    "q231_ks_drift",
+    "q232_mwu_matrix")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Integrity, Multimodal, Relational, Relational3, RelationalExt, Similarity, TextOps}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Integrity, Multimodal, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -27,7 +27,8 @@ object Registry {
       Clustering.entries ++
       CorpusStats.entries ++
       Integrity.entries ++
-      Integrity.entries2
+      Integrity.entries2 ++
+      StatTests.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,
