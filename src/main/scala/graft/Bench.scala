@@ -324,7 +324,12 @@ object Bench {
     // (round 15, standing from birth). Subtract these two when comparing
     // secondary_total against r14 artifacts.
     "q231_ks_drift",
-    "q232_mwu_matrix")
+    "q232_mwu_matrix",
+    // in-engine training + operating-point evaluation: batch perceptron,
+    // decile PR curve (round 15, standing from birth). Subtract these two
+    // when comparing secondary_total against r14 artifacts.
+    "q233_perceptron",
+    "q234_pr_curve")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

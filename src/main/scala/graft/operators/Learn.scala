@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Entry
+import graft.{Tables => T}
+
+/** In-engine model training/evaluation verbs — the tier above q194's
+  * inference and q209/q210's evaluation: actually FIT a model with the
+  * engine's own aggregates (the pattern every distributed-ML system is
+  * built on: per-iteration full-batch statistics as one partial-aggregated
+  * exchange, model state as a broadcast-sized table), and turn raw scores
+  * into the threshold table an operator actually deploys. Everything is
+  * integer-exact: the perceptron is THE integer-native learner (weight
+  * updates are sums of integer feature vectors — no learning-rate floats
+  * anywhere), and the PR curve is count-based ppm arithmetic.
+  *
+  * Reference scope (JasperWoo/MapReduceCore): the reference's only learning
+  * adjacency is the wordcount-style statistics its users feed to external
+  * trainers; these verbs do the train/evaluate step inside the engine
+  * (same made-first-class posture as Integrity.scala:16-19).
+  */
+object Learn {
+
+  val entries: Seq[Entry] = Seq(
+
+    // q233: BATCH PERCEPTRON — distill the hand-written Gopher dup-ratio
+    // rule into a linear model from labeled examples (the rule-to-model
+    // path every quality-classifier bootstrap takes: heuristic labels →
+    // linear probe → does a trained model recover the rule?). Features
+    // (1, n_words, n_distinct, n_chars div 10), label +1 iff the doc's
+    // duplicate-token ratio exceeds 20% — a LINEAR threshold (4·n_words −
+    // 5·n_distinct > 0), so the perceptron provably converges and the
+    // suite can assert the error trajectory collapses. Training is
+    // INTEGER-EXACT end to end — the perceptron is the one classical
+    // learner whose update is a sum of integer vectors (w += Σ_mis y·x,
+    // no learning-rate float), so the 6-round trajectory is bit-identical
+    // cross-engine with no rounding discipline needed. Plan: the feature
+    // table is ONE corpus map pass, localCheckpointed; each round is one
+    // partial-aggregated 1-row exchange (margins against the broadcast
+    // 1-row weight frame — model state never exceeds 4 longs) — at 100 TB
+    // each epoch is a single map-reduce over the features, the q222
+    // fixed-point discipline with a 1-row model instead of a 64-row
+    // eigenvector. Output: per-round misclassification count (BEFORE the
+    // round's update — row 1 is all-misclassified under w=0 by the ≤0
+    // convention) and the post-update weights.
+    Entry(
+      "q233_perceptron",
+      (s, d) => {
+        val feats = T.documents(s, d)
+          .select(split(col("text"), " ").as("t"), col("n_chars"))
+          .select(
+            lit(1L).as("x0"),
+            size(col("t")).cast("long").as("x1"),
+            size(array_distinct(col("t"))).cast("long").as("x2"),
+            expr("n_chars div 10").as("x3"))
+          .withColumn("y",
+            when((col("x1") - col("x2")) * 5 > col("x1"), 1L).otherwise(-1L))
+          .localCheckpoint() // consumed once per training round
+        var w = s.sql("SELECT 0L AS w0, 0L AS w1, 0L AS w2, 0L AS w3")
+        val rounds = (1 to 6).map { k =>
+          val margin = col("y") *
+            (col("w0") * col("x0") + col("w1") * col("x1") +
+              col("w2") * col("x2") + col("w3") * col("x3"))
+          val mis = when(margin <= 0, 1L).otherwise(0L)
+          def d_(j: Int) =
+            sum(when(margin <= 0, col("y") * col(s"x$j")).otherwise(0L)).as(s"d$j")
+          val row = feats.crossJoin(broadcast(w))
+            .agg(sum(mis).as("n_mis"), d_(0), d_(1), d_(2), d_(3))
+            .crossJoin(broadcast(w))
+            .select(lit(k.toLong).as("iter"), col("n_mis"),
+              (col("w0") + col("d0")).as("w0"), (col("w1") + col("d1")).as("w1"),
+              (col("w2") + col("d2")).as("w2"), (col("w3") + col("d3")).as("w3"))
+            .localCheckpoint() // 1 row; consumers: next round + the output union
+          w = row.select(col("w0"), col("w1"), col("w2"), col("w3"))
+          row
+        }
+        rounds.reduce(_.unionByName(_)).orderBy(col("iter"))
+      },
+      Some {
+        val iters = (1 to 6).map { k =>
+          val prev = if (k == 1) "wi0" else s"wi${k - 1}"
+          s"""si$k AS MATERIALIZED (SELECT
+             |    CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)
+             |      <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mis,
+             |    CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)
+             |      <= 0 THEN y * x0 ELSE 0 END) AS BIGINT) AS d0,
+             |    CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)
+             |      <= 0 THEN y * x1 ELSE 0 END) AS BIGINT) AS d1,
+             |    CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)
+             |      <= 0 THEN y * x2 ELSE 0 END) AS BIGINT) AS d2,
+             |    CAST(sum(CASE WHEN y * (w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)
+             |      <= 0 THEN y * x3 ELSE 0 END) AS BIGINT) AS d3
+             |  FROM f2 CROSS JOIN $prev w),
+             |wi$k AS MATERIALIZED (SELECT w.w0 + s.d0 AS w0, w.w1 + s.d1 AS w1,
+             |  w.w2 + s.d2 AS w2, w.w3 + s.d3 AS w3 FROM $prev w CROSS JOIN si$k s)"""
+            .stripMargin
+        }.mkString(",\n")
+        val out = (1 to 6).map { k =>
+          s"SELECT CAST($k AS BIGINT) AS iter, si$k.n_mis, wi$k.w0, wi$k.w1, " +
+            s"wi$k.w2, wi$k.w3 FROM si$k CROSS JOIN wi$k"
+        }.mkString("\nUNION ALL ")
+        s"""WITH t0 AS (SELECT string_split(text, ' ') AS t, n_chars
+           |  FROM documents),
+           |f AS (SELECT CAST(1 AS BIGINT) AS x0,
+           |    CAST(len(t) AS BIGINT) AS x1,
+           |    CAST(len(list_distinct(t)) AS BIGINT) AS x2,
+           |    n_chars // 10 AS x3 FROM t0),
+           |f2 AS MATERIALIZED (SELECT x0, x1, x2, x3,
+           |    CASE WHEN (x1 - x2) * 5 > x1 THEN CAST(1 AS BIGINT)
+           |      ELSE CAST(-1 AS BIGINT) END AS y FROM f),
+           |wi0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+           |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+           |$iters
+           |$out
+           |ORDER BY iter""".stripMargin
+      }),
+
+    // q234: PRECISION-RECALL CURVE BY SCORE DECILE — turn q194's raw
+    // classifier scores into the table a threshold-picker deploys: for
+    // each top-k/10 flagging budget, the score threshold and the exact
+    // precision/recall/F1 against the q88 labels (q209 measures global
+    // ranking quality as one AUC number; this is the OPERATING-POINT
+    // view — "if we keep the top 30%, what do we actually get"). Reuses
+    // the fused one-scan scoredLabeledDocs (score + label in one map
+    // projection — no doc_id join) and q209's two-phase blocked rank
+    // discipline: per-score counts, below/below_pos cumulatives over the
+    // score axis (block prefix — the naive ORDER BY score window is the
+    // banned corpus-sized partition), flagged-set stats by complement
+    // (n − below). Threshold(k) = max score whose flagged count reaches
+    // k·n/10 — count-based, deterministic under ties. All ppm fields are
+    // exact integer cross-multiplication; F1's harmonic mean is integer
+    // div over the already-exact ppm pair. Plan: one corpus scan → one
+    // score-keyed exchange → score-cardinality-sized tables only; the
+    // 10-row decile probe is a bounded broadcast (policy-legal).
+    Entry(
+      "q234_pr_curve",
+      (s, d) => {
+        val t = CorpusStats.scoredLabeledDocs(s, d)
+        val perScore = t
+          .groupBy(col("score"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+          .withColumn("blk", expr("score div 100000"))
+          .localCheckpoint() // consumers: block offsets + ranked table
+        val offs = perScore.groupBy(col("blk"))
+          .agg(sum(col("cnt")).as("bc"), sum(col("npos")).as("bp"))
+          .withColumn("off", coalesce(
+            sum(col("bc")).over(Window.orderBy(col("blk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .withColumn("offp", coalesce(
+            sum(col("bp")).over(Window.orderBy(col("blk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("blk"), col("off"), col("offp"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = perScore
+          .withColumn("in_b", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+          .withColumn("in_p", coalesce(sum(col("npos")).over(wIn), lit(0L)))
+          .join(offs, Seq("blk"))
+          .select(col("score"),
+            (col("off") + col("in_b")).as("below"),
+            (col("offp") + col("in_p")).as("below_pos"))
+          .localCheckpoint() // consumers: totals probe + boundary + join-back
+        val totals = perScore.agg(sum(col("cnt")).as("n"), sum(col("npos")).as("np"))
+        val ks = s.sql("SELECT explode(sequence(1, 10)) AS k")
+        val bd = ranked.crossJoin(broadcast(totals))
+          .crossJoin(broadcast(ks))
+          .filter((col("n") - col("below")) * 10 >= col("k") * col("n"))
+          .groupBy(col("k"), col("n"), col("np"))
+          .agg(max(col("score")).as("threshold"))
+        bd.join(ranked, col("threshold") === ranked("score"))
+          .select(col("k").cast("long").as("decile"), col("threshold"),
+            (col("n") - col("below")).as("n_flagged"),
+            (col("np") - col("below_pos")).as("tp"),
+            expr("(np - below_pos) * 1000000L div (n - below)").as("precision_ppm"),
+            expr("(np - below_pos) * 1000000L div np").as("recall_ppm"))
+          .withColumn("f1_ppm",
+            when(col("precision_ppm") + col("recall_ppm") === 0, 0L)
+              .otherwise(expr(
+                "(2L * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)")))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_filter(string_split(lower(text), ' '),
+             |      w -> regexp_matches(w, '^[a-z0-9]+$')) AS u
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |    list_concat(u, list_transform(range(2, len(u)+1),
+             |      i -> u[i-1] || ' ' || u[i])) AS feats
+             |  FROM t),
+             |e AS (SELECT doc_id,
+             |    CAST(coalesce(list_sum(list_transform(feats, g ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, length(g)+1),
+             |            i -> CAST(unicode(g[i]) AS BIGINT))),
+             |        (a, c) -> (a * 31 + c) % 4096) * 2654435761) % 2003)
+             |      - 1001)), 0) AS BIGINT) AS score
+             |  FROM f),
+             |tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |wc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY doc_id, w),
+             |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+             |    CAST(max(cnt) AS BIGINT) AS max_w,
+             |    CAST(count(*) AS BIGINT) AS n_distinct FROM wc GROUP BY doc_id),
+             |bgc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |      i -> toks[i-1] || ' ' || toks[i])) AS bg FROM tk)
+             |  GROUP BY doc_id, bg),
+             |bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg,
+             |    CAST(max(cnt) AS BIGINT) AS max_bg FROM bgc GROUP BY doc_id),
+             |lab AS (SELECT ws.doc_id,
+             |    NOT (ws.max_w * 25 > ws.n_words * 3
+             |      OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
+             |      OR coalesce(bs.max_bg, 0) * 50
+             |         > greatest(coalesce(bs.n_bg, 0), 1) * 3) AS pos
+             |  FROM ws LEFT JOIN bs USING (doc_id)),
+             |j AS (SELECT e.score, lab.pos FROM e JOIN lab USING (doc_id)),
+             |ps AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos
+             |  FROM j GROUP BY score),
+             |rk AS MATERIALIZED (SELECT score, cnt, npos,
+             |    CAST(coalesce(sum(cnt) OVER wA, 0) AS BIGINT) AS below,
+             |    CAST(coalesce(sum(npos) OVER wA, 0) AS BIGINT) AS below_pos
+             |  FROM ps WINDOW wA AS (ORDER BY score
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             |    CAST(sum(npos) AS BIGINT) AS np FROM ps),
+             |ks AS (SELECT unnest(range(1, 11)) AS k),
+             |bd AS (SELECT ks.k, tot.n, tot.np,
+             |    CAST(max(rk.score) AS BIGINT) AS threshold
+             |  FROM rk CROSS JOIN tot CROSS JOIN ks
+             |  WHERE (tot.n - rk.below) * 10 >= ks.k * tot.n
+             |  GROUP BY 1, 2, 3),
+             |sel AS (SELECT bd.k, bd.threshold,
+             |    bd.n - rk.below AS n_flagged,
+             |    bd.np - rk.below_pos AS tp,
+             |    (bd.np - rk.below_pos) * 1000000 // (bd.n - rk.below)
+             |      AS precision_ppm,
+             |    (bd.np - rk.below_pos) * 1000000 // bd.np AS recall_ppm
+             |  FROM bd JOIN rk ON rk.score = bd.threshold)
+             |SELECT CAST(k AS BIGINT) AS decile, threshold, n_flagged, tp,
+             |  precision_ppm, recall_ppm,
+             |  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
+             |    ELSE (2 * precision_ppm * recall_ppm)
+             |      // (precision_ppm + recall_ppm) END AS f1_ppm
+             |FROM sel ORDER BY decile""".stripMargin))
+  )
+}

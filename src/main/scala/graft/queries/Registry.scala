@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Integrity, Multimodal, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Integrity, Learn, Multimodal, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -28,7 +28,8 @@ object Registry {
       CorpusStats.entries ++
       Integrity.entries ++
       Integrity.entries2 ++
-      StatTests.entries
+      StatTests.entries ++
+      Learn.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,

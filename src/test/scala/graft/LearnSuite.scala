@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Training/threshold-table family (q233 perceptron, q234 PR curve): both
+  * queries are replayed BRUTE-FORCE on collected fixture rows — the
+  * distributed aggregation must equal a sequential reference
+  * implementation bit-for-bit (everything is integer-exact, so there is
+  * no tolerance anywhere).
+  */
+class LearnSuite extends SparkTestBase {
+
+  test("q233 perceptron: 6-round trajectory equals a sequential replay; error collapses") {
+    val rows = Registry.byName("q233_perceptron").q(spark, sf).collect()
+    assert(rows.length == 6)
+    val feats = Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("t"), col("n_chars"))
+      .select(size(col("t")).cast("long"),
+        size(array_distinct(col("t"))).cast("long"),
+        expr("n_chars div 10"))
+      .collect()
+      .map(r => Array(1L, r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ys = feats.map(x => if ((x(1) - x(2)) * 5 > x(1)) 1L else -1L)
+    var w = Array(0L, 0L, 0L, 0L)
+    for (k <- 1 to 6) {
+      val mis = feats.indices.filter { i =>
+        ys(i) * feats(i).zip(w).map { case (a, b) => a * b }.sum <= 0
+      }
+      val r = rows(k - 1)
+      assert(r.getLong(0) == k.toLong)
+      assert(r.getLong(1) == mis.length.toLong,
+        s"round $k misclassified count diverges from the sequential replay")
+      for (i <- mis; j <- 0 until 4) w(j) += ys(i) * feats(i)(j)
+      assert((2 to 5).map(r.getLong).toArray.sameElements(w),
+        s"round $k post-update weights diverge from the sequential replay")
+    }
+    // round 1 is all-misclassified under w=0; training must then collapse
+    // the error (the label is a linear threshold of the features, so the
+    // perceptron is learning a realizable concept)
+    assert(rows.head.getLong(1) == feats.length.toLong)
+    assert(rows.last.getLong(1) * 5 < rows.head.getLong(1),
+      "6 rounds must cut the misclassification count at least 5x")
+    assert(rows.sliding(2).forall(p => p(1).getLong(1) <= p(0).getLong(1)),
+      "batch-perceptron error must be non-increasing on this fixture")
+  }
+
+  test("q234 PR curve: every decile row equals a brute threshold sweep") {
+    val rows = Registry.byName("q234_pr_curve").q(spark, sf).collect()
+    assert(rows.length == 10)
+    val sl = graft.operators.CorpusStats.scoredLabeledDocs(spark, sf)
+      .select(col("score"), col("pos")).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1)))
+    val n = sl.length.toLong
+    val np = sl.count(_._2).toLong
+    for (r <- rows) {
+      val k = r.getLong(0)
+      // threshold = max score whose flagged set reaches the k/10 budget
+      val thr = sl.map(_._1).distinct
+        .filter(v => sl.count(_._1 >= v) * 10 >= k * n).max
+      val flagged = sl.filter(_._1 >= thr)
+      val tp = flagged.count(_._2).toLong
+      assert(r.getLong(1) == thr, s"decile $k threshold")
+      assert(r.getLong(2) == flagged.length.toLong, s"decile $k n_flagged")
+      assert(r.getLong(3) == tp, s"decile $k tp")
+      assert(r.getLong(4) == tp * 1000000L / flagged.length, s"decile $k precision")
+      assert(r.getLong(5) == tp * 1000000L / np, s"decile $k recall")
+    }
+    assert(rows.last.getLong(5) == 1000000L, "decile 10 flags everything: recall 1")
+    assert(rows.map(_.getLong(1)).sliding(2).forall(p => p(1) <= p(0)),
+      "thresholds must be non-increasing in the flagging budget")
+  }
+
+  test("learn plans: no cartesian products; model state stays 1-row broadcast") {
+    for (name <- Seq("q233_perceptron", "q234_pr_curve")) {
+      val df = Registry.byName(name).q(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product:\n$plan")
+      val scans = flattenPlan(df.queryExecution.executedPlan)
+        .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      assert(scans == 0, s"$name re-scans parquet $scans times past the barrier")
+    }
+  }
+}
