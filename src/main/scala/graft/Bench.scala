@@ -329,7 +329,12 @@ object Bench {
     // decile PR curve (round 15, standing from birth). Subtract these two
     // when comparing secondary_total against r14 artifacts.
     "q233_perceptron",
-    "q234_pr_curve")
+    "q234_pr_curve",
+    // privacy audit + retrieval ranking metric (round 15, standing from
+    // birth). Subtract these two when comparing secondary_total against
+    // r14 artifacts.
+    "q235_k_anonymity",
+    "q236_ndcg")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -246,6 +246,73 @@ object Learn {
              |  CASE WHEN precision_ppm + recall_ppm = 0 THEN 0
              |    ELSE (2 * precision_ppm * recall_ppm)
              |      // (precision_ppm + recall_ppm) END AS f1_ppm
-             |FROM sel ORDER BY decile""".stripMargin))
+             |FROM sel ORDER BY decile""".stripMargin)),
+
+    // q236: NDCG@10 WITH EXACT HARMONIC DISCOUNT — ranking quality of the
+    // q145 BM25 retrieval against graded relevance (rel(q,d) = how many of
+    // the query's terms doc d contains, 0..4 — corpus-derived like the
+    // query set itself, so the whole metric is self-contained). The
+    // classic log2 discount would put cross-engine libm ln() inside a
+    // rank-weighted sum; the harmonic variant 1/i (Zipfian discount —
+    // same top-heavy shape, documented substitution) makes the metric
+    // INTEGER-EXACT: 2520 = lcm(1..10), so rel·(2520 div i) is an exact
+    // integer per position and DCG@10/IDCG@10 are exact longs; ndcg_ppm
+    // by integer div. Ideal ranking = rel desc with doc_id tie-break —
+    // count-deterministic in both engines. Plan: ONE retrievalParts
+    // scaffold (posting lists pruned by the broadcast ~32-term query
+    // table BEFORE anything corpus-sized joins — the q145 discipline),
+    // checkpointed for its two consumers (relevance counts + BM25
+    // scores); both rankings are per-query WindowGroupLimit shapes over
+    // candidate sets bounded by the query-term posting lists.
+    Entry(
+      "q236_ndcg",
+      (s, d) => {
+        val parts = TextOps.retrievalParts(s, d)
+          .localCheckpoint() // consumers: relevance counts + BM25 scores
+        val rel = parts.groupBy(col("q_id"), col("doc_id"))
+          .agg(count(lit(1)).as("rel"))
+          .localCheckpoint() // consumers: DCG join + ideal ranking + n_rel
+        val top = TextOps.topPool(
+          TextOps.scoreMicros(parts, TextOps.bm25Contrib), 10)
+        val dcg = top.join(rel, Seq("q_id", "doc_id"))
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel") * expr("2520 div rk")).as("dcg2520"))
+        val wI = Window.partitionBy(col("q_id"))
+          .orderBy(col("rel").desc, col("doc_id"))
+        val idcg = rel.withColumn("rk", row_number().over(wI))
+          .filter(col("rk") <= 10)
+          .groupBy(col("q_id"))
+          .agg(sum(col("rel") * expr("2520 div rk")).as("idcg2520"))
+        val nr = rel.groupBy(col("q_id")).agg(count(lit(1)).as("n_rel"))
+        dcg.join(idcg, Seq("q_id")).join(nr, Seq("q_id"))
+          .select(col("q_id"), col("n_rel"), col("dcg2520"), col("idcg2520"),
+            expr("dcg2520 * 1000000L div idcg2520").as("ndcg_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""${TextOps.retrOracleParts},
+              |${TextOps.bm25OracleScore},
+              |rel AS MATERIALIZED (SELECT q_id, doc_id,
+              |    CAST(count(*) AS BIGINT) AS rel FROM p GROUP BY 1, 2),
+              |tp AS (SELECT q_id, doc_id, micros,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY micros DESC, doc_id) AS rk
+              |  FROM sc),
+              |dcg AS (SELECT tp.q_id,
+              |    CAST(sum(rel.rel * (2520 // tp.rk)) AS BIGINT) AS dcg2520
+              |  FROM tp JOIN rel USING (q_id, doc_id)
+              |  WHERE tp.rk <= 10 GROUP BY 1),
+              |ideal AS (SELECT q_id, rel,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY rel DESC, doc_id) AS rk
+              |  FROM rel),
+              |idcg AS (SELECT q_id,
+              |    CAST(sum(rel * (2520 // rk)) AS BIGINT) AS idcg2520
+              |  FROM ideal WHERE rk <= 10 GROUP BY 1),
+              |nr AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_rel
+              |  FROM rel GROUP BY 1)
+              |SELECT dcg.q_id, nr.n_rel, dcg.dcg2520, idcg.idcg2520,
+              |  dcg.dcg2520 * 1000000 // idcg.idcg2520 AS ndcg_ppm
+              |FROM dcg JOIN idcg USING (q_id) JOIN nr USING (q_id)
+              |ORDER BY dcg.q_id""".stripMargin))
   )
 }

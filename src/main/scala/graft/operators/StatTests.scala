@@ -213,6 +213,59 @@ object StatTests {
              |      (CAST(n1 + n2 + 1 AS DOUBLE) -
              |        CAST(t3t AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) *
              |          CAST(n1 + n2 - 1 AS DOUBLE))))), 6) AS z
-             |FROM ag ORDER BY type_a, type_b""".stripMargin))
+             |FROM ag ORDER BY type_a, type_b""".stripMargin)),
+
+    // q235: K-ANONYMITY / L-DIVERSITY AUDIT + ONE GENERALIZATION STEP —
+    // the privacy gate a corpus must pass before publication: under
+    // quasi-identifiers (lang, 200-char length bucket), every equivalence
+    // class must hold ≥ k=5 rows (k-anonymity: no row is re-identifiable
+    // by its QI combination) and ≥ l=3 distinct values of the sensitive
+    // attribute (source — l-diversity: a class whose rows all share one
+    // sensitive value leaks it even at size ≥ k). Beside each class the
+    // audit emits the SAME check after one generalization-ladder step
+    // (bucket → bucket div 2, the standard Samarati/Sweeney coarsening) —
+    // the actionable output: does the cheapest generalization already
+    // repair the failing classes? Plan: the corpus collapses through ONE
+    // (lang, bucket) exchange (map-side partial count + distinct-source
+    // expand); the generalized level is a rollup OF the class table
+    // (never a second scan); everything downstream is QI-domain-bounded.
+    // All-integer compares, exact cross-engine.
+    Entry(
+      "q235_k_anonymity",
+      (s, d) => {
+        val cls = T.documents(s, d)
+          .select(col("lang"), expr("n_chars div 200").as("bucket"),
+            col("source"))
+          .groupBy(col("lang"), col("bucket"))
+          .agg(count(lit(1)).as("class_size"),
+            countDistinct(col("source")).as("n_sens"))
+          .localCheckpoint() // consumers: audit rows + generalized rollup
+        val gen = cls
+          .groupBy(col("lang"), expr("bucket div 2").as("gb"))
+          .agg(sum(col("class_size")).as("size_after_gen"))
+        cls.withColumn("gb", expr("bucket div 2"))
+          .join(broadcast(gen), Seq("lang", "gb"))
+          .select(col("lang"), col("bucket"), col("class_size"), col("n_sens"),
+            (col("class_size") >= 5).as("k_ok"),
+            (col("n_sens") >= 3).as("l_ok"),
+            col("size_after_gen"),
+            (col("size_after_gen") >= 5).as("k_ok_after"))
+          .orderBy(col("lang"), col("bucket"))
+      },
+      Some("""WITH cls AS MATERIALIZED (SELECT lang, n_chars // 200 AS bucket,
+             |    CAST(count(*) AS BIGINT) AS class_size,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS n_sens
+             |  FROM documents GROUP BY 1, 2),
+             |gen AS (SELECT lang, bucket // 2 AS gb,
+             |    CAST(sum(class_size) AS BIGINT) AS size_after_gen
+             |  FROM cls GROUP BY 1, 2)
+             |SELECT cls.lang, cls.bucket, cls.class_size, cls.n_sens,
+             |  cls.class_size >= 5 AS k_ok,
+             |  cls.n_sens >= 3 AS l_ok,
+             |  gen.size_after_gen,
+             |  gen.size_after_gen >= 5 AS k_ok_after
+             |FROM cls JOIN gen
+             |  ON gen.lang = cls.lang AND gen.gb = cls.bucket // 2
+             |ORDER BY cls.lang, cls.bucket""".stripMargin))
   )
 }

@@ -292,7 +292,7 @@ object TextOps {
   /** The shared CTE prefix of both retrieval oracles — must stay textually
     * in lockstep with [[retrievalParts]] (same filters, same literals).
     */
-  private val retrOracleParts: String =
+  private[operators] val retrOracleParts: String =
     s"""WITH t AS (SELECT doc_id,
        |    list_filter(string_split(text, ' '), x -> x <> '') AS toks
        |  FROM documents),
@@ -309,7 +309,7 @@ object TextOps {
        |    JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
        |  WHERE tf.doc_id <> qt.q_id)""".stripMargin
 
-  private val bm25OracleScore: String =
+  private[operators] val bm25OracleScore: String =
     """sc AS (SELECT q_id, doc_id,
       |    CAST(sum(CAST(round(ln((nd - df + 0.5) / (df + 0.5) + 1.0)
       |      * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))

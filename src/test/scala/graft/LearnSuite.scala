@@ -71,6 +71,30 @@ class LearnSuite extends SparkTestBase {
       "thresholds must be non-increasing in the flagging budget")
   }
 
+  test("q236 NDCG: relevance and ideal ranking tie to brute set intersections") {
+    val rows = Registry.byName("q236_ndcg").q(spark, sf).collect()
+    val tk = Tables.documents(spark, sf)
+      .select(col("doc_id"), expr("filter(split(text, ' '), t -> t != '')"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1)))
+    val queries = tk.filter(_._1 < 8)
+      .map { case (q, t) => (q, t.take(4).distinct.toSet) }
+    for (r <- rows) {
+      val q = r.getLong(0)
+      val qt = queries.find(_._1 == q).get._2
+      val rels = tk.filter(_._1 != q)
+        .map { case (d, t) => (d, t.toSet.intersect(qt).size.toLong) }
+        .filter(_._2 > 0)
+      assert(r.getLong(1) == rels.length.toLong, s"q$q n_rel brute mismatch")
+      val idealTop = rels.sortBy { case (d, rel) => (-rel, d) }.take(10)
+      val idcg = idealTop.zipWithIndex
+        .map { case ((_, rel), i) => rel * (2520L / (i + 1)) }.sum
+      assert(r.getLong(3) == idcg, s"q$q idcg brute mismatch")
+      assert(r.getLong(2) <= r.getLong(3), "DCG cannot exceed IDCG")
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(3))
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000000L)
+    }
+  }
+
   test("learn plans: no cartesian products; model state stays 1-row broadcast") {
     for (name <- Seq("q233_perceptron", "q234_pr_curve")) {
       val df = Registry.byName(name).q(spark, sf)

@@ -58,6 +58,30 @@ class StatTestsSuite extends SparkTestBase {
     }
   }
 
+  test("q235 k-anonymity: classes partition the corpus; generalization sums siblings") {
+    val rows = Registry.byName("q235_k_anonymity").q(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), expr("n_chars div 200"), col("source")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    assert(rows.map(_.getLong(2)).sum == docs.length.toLong,
+      "class sizes must partition the corpus")
+    for (r <- rows) {
+      val mine = docs.filter(d => d._1 == r.getString(0) && d._2 == r.getLong(1))
+      assert(r.getLong(2) == mine.length.toLong, "class_size brute mismatch")
+      assert(r.getLong(3) == mine.map(_._3).distinct.length.toLong,
+        "l-diversity distinct-sensitive brute mismatch")
+      assert(r.getBoolean(4) == (r.getLong(2) >= 5))
+      assert(r.getBoolean(5) == (r.getLong(3) >= 3))
+      val sibs = docs.filter(d =>
+        d._1 == r.getString(0) && d._2 / 2 == r.getLong(1) / 2)
+      assert(r.getLong(6) == sibs.length.toLong,
+        "generalized class must sum exactly its sibling classes")
+      assert(r.getBoolean(7) == (r.getLong(6) >= 5))
+    }
+    // generalization can only grow a class — the ladder's defining property
+    rows.foreach(r => assert(r.getLong(6) >= r.getLong(2)))
+  }
+
   test("stat-test plans: windows stay partitioned; one corpus scan each") {
     for (name <- Seq("q231_ks_drift", "q232_mwu_matrix")) {
       val df = Registry.byName(name).q(spark, sf)
