@@ -334,7 +334,13 @@ object Bench {
     // birth). Subtract these two when comparing secondary_total against
     // r14 artifacts.
     "q235_k_anonymity",
-    "q236_ndcg")
+    "q236_ndcg",
+    // time-series diagnostics: ACF, CUSUM changepoint, Holt backtest
+    // (round 15, standing from birth). Subtract these three when
+    // comparing secondary_total against r14 artifacts.
+    "q237_acf",
+    "q238_cusum",
+    "q239_holt_linear")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

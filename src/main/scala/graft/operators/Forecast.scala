@@ -1,0 +1,276 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Entry
+import graft.{Tables => T}
+
+/** Time-series diagnostics/forecasting over the event stream — the
+  * monitoring tier above q163's EWMA: autocorrelation structure (is there
+  * a daily cycle), changepoint location (WHEN did the level shift), and a
+  * trend forecast with an honest holdout backtest. All series live on the
+  * q148/q163 calendar spine (empty buckets as explicit zeros — a quiet
+  * hour is data, not absence), so every window/fold runs over
+  * CALENDAR-bounded tables (span-hours/days — independent of event count);
+  * the only corpus-sized stage anywhere is the initial bucket rollup
+  * exchange. Statistics follow the q150/q164 discipline: exact int64
+  * moment sums, one IEEE division/sqrt at the end from identically-
+  * parenthesized expressions.
+  *
+  * Reference scope (JasperWoo/MapReduceCore): no temporal verbs in the
+  * reference (its one workload is wordcount, description.md:70-71); these
+  * are the monitors its users run over engine output series, made
+  * first-class (the Integrity.scala:16-19 posture).
+  */
+object Forecast {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val DayNs = 24L * 3600 * 1000 * 1000 * 1000
+
+  val entries: Seq[Entry] = Seq(
+
+    // q237: AUTOCORRELATION FUNCTION (ACF, lags 1..24h) — the seasonality
+    // detector: Pearson r between the hourly-revenue series and its k-hour
+    // lag, for every lag to one day (a daily cycle shows as a peak at 24).
+    // Rank-free/ sort-free: the 720-row hourly spine joins ITSELF on
+    // hr = hr − lag per lag (a 24×spine-bounded equi-join — never
+    // corpus-sized), and each lag's five moment sums (Σx, Σy, Σxy, Σx²,
+    // Σy²) are exact int64 over hourly-DOLLAR totals (cents div 100 —
+    // keeps n·Σx² ≈ 6·10¹⁴ at sf0.1, int64-safe to ~sf20; Decimal(38)
+    // past that). r = (nΣxy − ΣxΣy)/(√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²)) is the
+    // one IEEE computation, identically parenthesized, rounded 6dp; the
+    // exact integer numerator is emitted beside it so the sign/magnitude
+    // ranking is hash-exact. Plan: ONE hourly rollup exchange, then
+    // calendar-bounded tables only.
+    Entry(
+      "q237_acf",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(expr(s"ts div $HourNs").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val hourly = ev.groupBy(col("hr"))
+          .agg(expr("sum(cents) div 100").as("x"))
+        val spine = ev.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+        val filled = spine.join(hourly, Seq("hr"), "left")
+          .select(col("hr"), coalesce(col("x"), lit(0L)).as("x"))
+          .localCheckpoint() // consumers: both sides of the 24-lag self-join
+        val ks = s.sql("SELECT explode(sequence(1, 24)) AS lag")
+        val ag = filled
+          .crossJoin(broadcast(ks))
+          .join(filled.select(col("hr").as("hr2"), col("x").as("y")),
+            col("hr2") === col("hr") - col("lag"))
+          .groupBy(col("lag"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+        ag.select(col("lag").cast("long").as("lag"), col("n_pairs"),
+            (col("n_pairs") * col("sxy") - col("sx") * col("sy")).as("num"),
+            round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))),
+              6).as("acf"))
+          .orderBy(col("lag"))
+      },
+      Some("""WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |h AS (SELECT hr, CAST(sum(cents) AS BIGINT) // 100 AS x
+             |  FROM e GROUP BY 1),
+             |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM e),
+             |sp AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM b),
+             |f AS MATERIALIZED (SELECT sp.hr, CAST(coalesce(h.x, 0) AS BIGINT) AS x
+             |  FROM sp LEFT JOIN h ON h.hr = sp.hr),
+             |ks AS (SELECT unnest(range(1, 25)) AS lag),
+             |pr AS (SELECT ks.lag, a.x AS x, bb.x AS y
+             |  FROM ks CROSS JOIN f a JOIN f bb ON bb.hr = a.hr - ks.lag),
+             |ag AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy
+             |  FROM pr GROUP BY 1)
+             |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             |  CAST(n_pairs * sxy - sx * sy AS BIGINT) AS num,
+             |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+             |    (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+             |      sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6) AS acf
+             |FROM ag ORDER BY lag""".stripMargin)),
+
+    // q238: CUSUM CHANGEPOINT — WHEN did the daily revenue level shift:
+    // the maximum-|cumulative-deviation| estimator (Page's CUSUM / the
+    // AMOC split): cp = argmax_t |Σ_{i≤t}(x_i − mean)|, INTEGER-EXACT via
+    // S_t·n = n·P_t − t·T (P = prefix sum, T = total — no float mean
+    // anywhere), with the before/after means emitted as exact integer
+    // micros (the actionable columns: the shift direction and size).
+    // t ranges 1..n−1 (a split at n is no split). Deterministic under
+    // ties: max |S| then min day, via min/min_by over the matched rows.
+    // Plan: one daily rollup exchange; the prefix cumsum runs over the
+    // 30-row calendar spine (the ONLY unpartitioned window, calendar-
+    // bounded); argmax is max-then-match on the checkpointed spine table.
+    Entry(
+      "q238_cusum",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(expr(s"ts div $DayNs").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val daily = ev.groupBy(col("day")).agg(sum(col("cents")).as("x"))
+        val spine = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(explode(sequence(col("d0"), col("d1"))).as("day"),
+            col("d0"))
+        val w = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = spine.join(daily, Seq("day"), "left")
+          .select(col("day"), col("d0"), coalesce(col("x"), lit(0L)).as("x"))
+          .withColumn("p", sum(col("x")).over(w))
+          .withColumn("t", col("day") - col("d0") + 1)
+          .localCheckpoint() // consumers: totals + argmax match
+        val tot = cum.agg(max(col("t")).as("n"), max(col("p")).as("tt"))
+        val scored = cum.crossJoin(broadcast(tot))
+          .filter(col("t") < col("n"))
+          .withColumn("s", abs(col("n") * col("p") - col("t") * col("tt")))
+          .localCheckpoint() // consumers: max probe + match
+        val mx = scored.agg(max(col("s")).as("smax"))
+        scored.join(broadcast(mx), col("s") === col("smax"))
+          .groupBy(col("n"), col("tt"), col("smax"))
+          .agg(min(col("day")).as("cp_day"),
+            expr("min_by(p, day)").as("pcp"),
+            expr("min_by(t, day)").as("tcp"))
+          .select(col("n").as("n_days"), col("cp_day"), col("smax"),
+            expr("pcp * 1000000L div tcp").as("mean_before_micro"),
+            expr("(tt - pcp) * 1000000L div (n - tcp)").as("mean_after_micro"))
+          .withColumn("shift_micro",
+            col("mean_after_micro") - col("mean_before_micro"))
+      },
+      Some("""WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |dd AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM e GROUP BY 1),
+             |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+             |sp AS (SELECT unnest(range(d0, d1 + 1)) AS day, d0 FROM b),
+             |cum AS MATERIALIZED (SELECT sp.day, sp.d0,
+             |    CAST(coalesce(dd.x, 0) AS BIGINT) AS x,
+             |    CAST(sum(coalesce(dd.x, 0)) OVER (ORDER BY sp.day
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
+             |    sp.day - sp.d0 + 1 AS t
+             |  FROM sp LEFT JOIN dd ON dd.day = sp.day),
+             |tot AS (SELECT max(t) AS n, max(p) AS tt FROM cum),
+             |sc AS MATERIALIZED (SELECT cum.day, cum.p, cum.t, tot.n, tot.tt,
+             |    abs(tot.n * cum.p - cum.t * tot.tt) AS s
+             |  FROM cum CROSS JOIN tot WHERE cum.t < tot.n),
+             |mx AS (SELECT max(s) AS smax FROM sc)
+             |SELECT CAST(sc.n AS BIGINT) AS n_days,
+             |  CAST(min(sc.day) AS BIGINT) AS cp_day,
+             |  CAST(mx.smax AS BIGINT) AS smax,
+             |  min_by(sc.p, sc.day) * 1000000 // min_by(sc.t, sc.day)
+             |    AS mean_before_micro,
+             |  (sc.tt - min_by(sc.p, sc.day)) * 1000000
+             |    // (sc.n - min_by(sc.t, sc.day)) AS mean_after_micro,
+             |  (sc.tt - min_by(sc.p, sc.day)) * 1000000
+             |    // (sc.n - min_by(sc.t, sc.day))
+             |    - min_by(sc.p, sc.day) * 1000000 // min_by(sc.t, sc.day)
+             |    AS shift_micro
+             |FROM sc JOIN mx ON sc.s = mx.smax
+             |GROUP BY sc.n, sc.tt, mx.smax""".stripMargin)),
+
+    // q239: HOLT LINEAR TREND + HOLDOUT BACKTEST — double exponential
+    // smoothing per event type (level + trend, the forecast q163's
+    // trendless EWMA can't give), with the last 7 days HELD OUT and the
+    // 1..7-step forecasts scored MAE against them — the honest backtest
+    // (fitting on what you forecast flatters every model). α=1/2, β=1/4
+    // (exact binary fractions). The recurrence is inherently sequential —
+    // the one shape a distributed engine must CONTAIN, not distribute:
+    // each series collapses to its 30-day calendar array (spine-filled,
+    // sort_array-deterministic) and the fold runs as a per-row HOF over
+    // that bounded array — series count × 30 elements, never corpus-sized.
+    // Both engines fold the SAME list with the SAME IEEE expressions in
+    // the same sequential order, so every double is bit-identical before
+    // the final 6dp/4dp rounding (the q42 sorted-sequential-fold
+    // discipline). Init l=x₁, b=0; updates from t=2 (documented
+    // convention, replayed by the suite).
+    Entry(
+      "q239_holt_linear",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(col("event_type"), expr(s"ts div $DayNs").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val daily = ev.groupBy(col("event_type"), col("day"))
+          .agg(sum(col("cents")).as("cents"))
+        val spine = ev.groupBy(col("event_type"))
+          .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+          .select(col("event_type"),
+            explode(sequence(col("d0"), col("d1"))).as("day"))
+        val series = spine.join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), col("day"),
+            coalesce(col("cents"), lit(0L)).as("cents"))
+          .groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("day"),
+            (col("cents").cast("double") / 100.0).as("v")))).as("arr"))
+        // fold the train prefix (all but the last 7 days): acc = (l, b);
+        // l' = 0.5·x + 0.5·(l + b); b' = 0.25·(l' − l) + 0.75·b
+        val fold =
+          """aggregate(slice(arr, 2, size(arr) - 8),
+            |  named_struct('l', arr[0].v, 'b', cast(0.0 as double)),
+            |  (acc, e) -> named_struct(
+            |    'l', 0.5 * e.v + 0.5 * (acc.l + acc.b),
+            |    'b', 0.25 * ((0.5 * e.v + 0.5 * (acc.l + acc.b)) - acc.l)
+            |      + 0.75 * acc.b))""".stripMargin
+        series
+          .withColumn("st", expr(fold))
+          .withColumn("n_days", size(col("arr")).cast("long"))
+          .withColumn("mae", expr(
+            """aggregate(sequence(1, 7), cast(0.0 as double), (a, h) ->
+              |  a + abs(st.l + cast(h as double) * st.b
+              |    - element_at(arr, size(arr) - 7 + h).v)) / 7.0""".stripMargin))
+          .select(col("event_type"), col("n_days"),
+            round(col("st.l"), 6).as("level"),
+            round(col("st.b"), 6).as("trend"),
+            round(col("mae"), 4).as("mae"))
+          .orderBy(col("event_type"))
+      },
+      // NOTE: DuckDB's list_reduce mis-evaluates STRUCT accumulators whose
+      // field expressions reference acc more than once (verified: the b
+      // field of a (l, b) Holt step comes back wrong while scalar folds
+      // and the trace order are correct) — so the coupled recurrence runs
+      // as WITH RECURSIVE over (series, t) instead, the q149/q222-proven
+      // machinery; the scalar MAE fold at the end is the safe q42 shape.
+      Some("""WITH RECURSIVE e AS (SELECT event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |dd AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS cents
+             |  FROM e GROUP BY 1, 2),
+             |b AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+             |  FROM e GROUP BY 1),
+             |sp AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM b),
+             |f AS (SELECT sp.event_type, sp.day,
+             |    CAST(coalesce(dd.cents, 0) AS BIGINT) AS cents
+             |  FROM sp LEFT JOIN dd
+             |    ON dd.event_type = sp.event_type AND dd.day = sp.day),
+             |sr AS MATERIALIZED (SELECT event_type,
+             |    list(CAST(cents AS DOUBLE) / 100.0 ORDER BY day) AS arr
+             |  FROM f GROUP BY 1),
+             |rec AS (SELECT event_type, 1 AS t, arr[1] AS l,
+             |    CAST(0.0 AS DOUBLE) AS b
+             |  FROM sr
+             |  UNION ALL
+             |  SELECT rec.event_type, rec.t + 1,
+             |    0.5 * sr.arr[rec.t + 1] + 0.5 * (rec.l + rec.b),
+             |    0.25 * ((0.5 * sr.arr[rec.t + 1] + 0.5 * (rec.l + rec.b))
+             |      - rec.l) + 0.75 * rec.b
+             |  FROM rec JOIN sr ON sr.event_type = rec.event_type
+             |  WHERE rec.t < len(sr.arr) - 7),
+             |ft AS (SELECT rec.event_type, CAST(len(sr.arr) AS BIGINT) AS n_days,
+             |    sr.arr, rec.l, rec.b
+             |  FROM rec JOIN sr ON sr.event_type = rec.event_type
+             |  WHERE rec.t = len(sr.arr) - 7)
+             |SELECT event_type, n_days,
+             |  round(l, 6) AS level,
+             |  round(b, 6) AS trend,
+             |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |    [abs(l + CAST(h AS DOUBLE) * b - arr[len(arr) - 7 + h])
+             |      for h in range(1, 8)]),
+             |    (a, x) -> a + x) / 7.0, 4) AS mae
+             |FROM ft ORDER BY event_type""".stripMargin))
+  )
+}

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** Time-series family (q237 ACF, q238 CUSUM, q239 Holt): every statistic is
+  * replayed sequentially on the collected spine-filled series — the
+  * distributed formulation must reproduce the textbook sequential one.
+  */
+class ForecastSuite extends SparkTestBase {
+
+  private val HourNs = 3600L * 1000 * 1000 * 1000
+  private val DayNs = 24L * 3600 * 1000 * 1000 * 1000
+
+  private def hourlySeries(): Array[Long] = {
+    val by = Tables.events(spark, sf)
+      .select(expr(s"ts div $HourNs"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (h, xs) => (h, xs.map(_._2).sum / 100) }
+    (by.keys.min to by.keys.max).map(by.getOrElse(_, 0L)).toArray
+  }
+
+  test("q237 ACF: every lag ties to a brute Pearson over the spine series") {
+    val rows = Registry.byName("q237_acf").q(spark, sf).collect()
+    assert(rows.length == 24)
+    val xs = hourlySeries()
+    for (r <- rows) {
+      val k = r.getLong(0).toInt
+      val pairs = (k until xs.length).map(i => (xs(i), xs(i - k)))
+      val n = pairs.length.toLong
+      assert(r.getLong(1) == n, s"lag $k n_pairs")
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val syy = pairs.map(p => p._2 * p._2).sum
+      assert(r.getLong(2) == n * sxy - sx * sy, s"lag $k exact numerator")
+      val acf = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(math.abs(r.getDouble(3) - acf) < 6e-7, s"lag $k acf value")
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q238 CUSUM: changepoint and means tie to a brute max-deviation sweep") {
+    val r = Registry.byName("q238_cusum").q(spark, sf).collect().head
+    val by = Tables.events(spark, sf)
+      .select(expr(s"ts div $DayNs"), round(col("value") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).sum) }
+    val d0 = by.keys.min
+    val xs = (d0 to by.keys.max).map(by.getOrElse(_, 0L)).toArray
+    val n = xs.length.toLong
+    val tt = xs.sum
+    val prefixes = xs.scanLeft(0L)(_ + _).drop(1)
+    val scores = prefixes.zipWithIndex.init // t = 1..n-1
+      .map { case (p, i) => (i + 1L, p, math.abs(n * p - (i + 1L) * tt)) }
+    val smax = scores.map(_._3).max
+    val (tcp, pcp, _) = scores.filter(_._3 == smax).minBy(_._1)
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == d0 + tcp - 1, "changepoint day")
+    assert(r.getLong(2) == smax, "max scaled deviation")
+    assert(r.getLong(3) == pcp * 1000000L / tcp, "mean before")
+    assert(r.getLong(4) == (tt - pcp) * 1000000L / (n - tcp), "mean after")
+    assert(r.getLong(5) == r.getLong(4) - r.getLong(3))
+  }
+
+  test("q239 Holt: level/trend/MAE equal the sequential textbook recurrence") {
+    val rows = Registry.byName("q239_holt_linear").q(spark, sf).collect()
+    assert(rows.length == 5)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr(s"ts div $DayNs"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    for (r <- rows) {
+      val mine = ev.filter(_._1 == r.getString(0))
+      val by = mine.groupBy(_._2).map { case (d, xs) => (d, xs.map(_._3).sum) }
+      val xs = (by.keys.min to by.keys.max)
+        .map(by.getOrElse(_, 0L) / 100.0).toArray
+      assert(r.getLong(1) == xs.length.toLong)
+      var (l, b) = (xs(0), 0.0)
+      for (x <- xs.slice(1, xs.length - 7)) {
+        val l2 = 0.5 * x + 0.5 * (l + b)
+        b = 0.25 * (l2 - l) + 0.75 * b
+        l = l2
+      }
+      val mae = (1 to 7).map(h => math.abs(l + h * b - xs(xs.length - 8 + h))).sum / 7.0
+      assert(math.abs(r.getDouble(2) - l) < 6e-7, s"${r.getString(0)} level")
+      assert(math.abs(r.getDouble(3) - b) < 6e-7, s"${r.getString(0)} trend")
+      assert(math.abs(r.getDouble(4) - mae) < 6e-5, s"${r.getString(0)} mae")
+    }
+  }
+
+  test("forecast plans: spine-bounded stages only; no cartesian products") {
+    for (name <- Seq("q237_acf", "q238_cusum", "q239_holt_linear")) {
+      val df = Registry.byName(name).q(spark, sf)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name must not plan a cartesian product:\n$plan")
+    }
+  }
+}
