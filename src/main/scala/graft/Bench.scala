@@ -340,7 +340,12 @@ object Bench {
     // comparing secondary_total against r14 artifacts.
     "q237_acf",
     "q238_cusum",
-    "q239_holt_linear")
+    "q239_holt_linear",
+    // retrieval MRR/MAP + LOO source valuation (round 15, standing from
+    // birth). Subtract these two when comparing secondary_total against
+    // earlier artifacts.
+    "q240_mrr_map",
+    "q241_loo_source_value")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

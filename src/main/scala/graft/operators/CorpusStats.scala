@@ -750,7 +750,71 @@ object CorpusStats {
              |  gb.global_q,
              |  sb.source_q * 1000000 // greatest(gb.global_q, 1) AS lift_ppm
              |FROM sb JOIN gb USING (k)
-             |ORDER BY sb.source, decile""".stripMargin))
+             |ORDER BY sb.source, decile""".stripMargin)),
+
+    // q241: LEAVE-ONE-SOURCE-OUT DATA VALUATION — the Shapley-lite answer
+    // to "which crawl source is hurting the corpus": for each source,
+    // what would the corpus-mean quality be WITHOUT it? The naive form is
+    // |sources| full recomputes; the closed form is one pass — the mean
+    // without s is (ΣQ − ΣQ_s)/(N − N_s), so per-source sufficient
+    // statistics (count, Σquality) plus the 1-row grand total give every
+    // LOO mean exactly (the q118 sufficient-statistics posture applied to
+    // valuation). Quality = type-token ratio in ppm (q217's tokenization).
+    // delta > 0 ⇒ removing the source RAISES corpus quality ⇒ harmful;
+    // value_rank 1 = most valuable (most-negative delta). All integer:
+    // means in milli-ppm by long div (ΣQ·1000 int64-safe to ~10⁹ docs;
+    // Decimal(38) past that). Plan: ONE corpus scan → source-keyed
+    // partial-agg exchange (20 rows) → broadcast 1-row total; the rank
+    // window is over the 20-row source table, never corpus-sized.
+    Entry(
+      "q241_loo_source_value",
+      (s, d) => {
+        val per = T.documents(s, d)
+          .select(col("source"), toks.as("t"))
+          .select(col("source"), size(col("t")).cast("long").as("n"),
+            size(array_distinct(col("t"))).cast("long").as("nd"))
+          .select(col("source"), col("n"),
+            expr("nd * 1000000L div greatest(n, 1L)").as("q"))
+        val bySrc = per.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_mass"),
+            sum(col("q")).as("qsum"))
+          .localCheckpoint() // 20 rows; consumers: grand total + LOO scoring
+        val tot = bySrc.agg(sum(col("n_docs")).as("nn"),
+          sum(col("qsum")).as("qq"))
+        val scored = bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("n_docs"), col("tok_mass"),
+            expr("qq * 1000L div nn").as("overall_mppm"),
+            expr("(qq - qsum) * 1000L div greatest(nn - n_docs, 1L)")
+              .as("loo_mppm"))
+          .withColumn("delta_mppm", col("loo_mppm") - col("overall_mppm"))
+        val wR = Window.orderBy(col("delta_mppm").asc, col("source"))
+        scored
+          .withColumn("value_rank", row_number().over(wR).cast("long"))
+          .withColumn("harmful", col("delta_mppm") > 0L)
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, string_split(text, ' ') AS t
+             |  FROM documents),
+             |p AS (SELECT source, CAST(len(t) AS BIGINT) AS n,
+             |    CAST(len(list_distinct(t)) AS BIGINT) AS nd FROM d),
+             |q AS (SELECT source, n,
+             |    nd * 1000000 // greatest(n, 1) AS q FROM p),
+             |bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(n) AS BIGINT) AS tok_mass,
+             |    CAST(sum(q) AS BIGINT) AS qsum
+             |  FROM q GROUP BY 1),
+             |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+             |    CAST(sum(qsum) AS BIGINT) AS qq FROM bs),
+             |sc AS (SELECT source, n_docs, tok_mass,
+             |    qq * 1000 // nn AS overall_mppm,
+             |    (qq - qsum) * 1000 // greatest(nn - n_docs, 1) AS loo_mppm
+             |  FROM bs CROSS JOIN tot)
+             |SELECT source, n_docs, tok_mass, overall_mppm, loo_mppm,
+             |  loo_mppm - overall_mppm AS delta_mppm,
+             |  CAST(row_number() OVER (ORDER BY loo_mppm - overall_mppm,
+             |    source) AS BIGINT) AS value_rank,
+             |  loo_mppm - overall_mppm > 0 AS harmful
+             |FROM sc ORDER BY source""".stripMargin))
   )
 
   /** ONE-PASS (doc_id, score, pos) for the classifier-evaluation tier:

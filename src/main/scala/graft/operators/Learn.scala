@@ -313,6 +313,87 @@ object Learn {
               |SELECT dcg.q_id, nr.n_rel, dcg.dcg2520, idcg.idcg2520,
               |  dcg.dcg2520 * 1000000 // idcg.idcg2520 AS ndcg_ppm
               |FROM dcg JOIN idcg USING (q_id) JOIN nr USING (q_id)
-              |ORDER BY dcg.q_id""".stripMargin))
+              |ORDER BY dcg.q_id""".stripMargin)),
+
+    // q240: RECIPROCAL RANK + AVERAGE PRECISION @10 — the binary-relevance
+    // counterparts of q236's graded NDCG, off the SAME scaffold (the
+    // retrieval-eval triple every search team reports: NDCG for graded
+    // quality, MRR for "how fast to the first hit", MAP for ranked
+    // precision). Binary relevance: rel(q,d) ≥ 2 of the query's 4 terms.
+    // Both metrics are INTEGER-EXACT: RR via 1000000 div first_rank;
+    // AP@10 = (1/min(R,10))·Σ_{rel i≤10} P@i with P@i = hits_i/i scaled by
+    // 2520 = lcm(1..10) so hits_i·(2520 div i) is an exact long per
+    // position — no float division until the final ppm (integer div).
+    // Queries with no relevant doc in the top 10 emit first_rank/rr 0 and
+    // ap 0 (greatest(·,1) guards the R=0 denominator in both engines).
+    // Plan: ONE retrievalParts scaffold, checkpointed for its two
+    // consumers (binary relevance + BM25 scores); the cumulative-hits
+    // window runs over the ≤10-rows-per-query top pool, never anything
+    // corpus-sized.
+    Entry(
+      "q240_mrr_map",
+      (s, d) => {
+        val parts = TextOps.retrievalParts(s, d)
+          .localCheckpoint() // consumers: binary relevance + BM25 scores
+        val rel = parts.groupBy(col("q_id"), col("doc_id"))
+          .agg((count(lit(1)) >= 2).as("relv"))
+          .localCheckpoint() // consumers: top-10 join + per-query totals
+        val top = TextOps.topPool(
+          TextOps.scoreMicros(parts, TextOps.bm25Contrib), 10)
+        val wCum = Window.partitionBy(col("q_id")).orderBy(col("rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = top.join(rel, Seq("q_id", "doc_id"))
+          .withColumn("hits",
+            sum(when(col("relv"), 1L).otherwise(0L)).over(wCum))
+        val perq = cum.groupBy(col("q_id")).agg(
+          min(when(col("relv"), col("rk"))).cast("long").as("first_rank_n"),
+          sum(when(col("relv"), 1L).otherwise(0L)).as("hits10"),
+          sum(when(col("relv"), col("hits") * expr("2520 div rk"))
+            .otherwise(0L)).as("ap2520"))
+        val nr = rel.groupBy(col("q_id"))
+          .agg(sum(when(col("relv"), 1L).otherwise(0L)).as("n_rel"))
+        perq.join(nr, Seq("q_id"))
+          .select(col("q_id"), col("n_rel"),
+            coalesce(col("first_rank_n"), lit(0L)).as("first_rank"),
+            coalesce(expr("1000000L div first_rank_n"), lit(0L)).as("rr_ppm"),
+            col("hits10"),
+            expr("ap2520 * 1000000L div (2520L * greatest(least(n_rel, 10L), 1L))")
+              .as("ap_ppm"))
+          .orderBy(col("q_id"))
+      },
+      Some(s"""${TextOps.retrOracleParts},
+              |${TextOps.bm25OracleScore},
+              |rel AS MATERIALIZED (SELECT q_id, doc_id,
+              |    count(*) >= 2 AS relv FROM p GROUP BY 1, 2),
+              |tp AS (SELECT q_id, doc_id, micros,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY micros DESC, doc_id) AS rk
+              |  FROM sc),
+              |j AS (SELECT tp.q_id, tp.rk, rel.relv
+              |  FROM tp JOIN rel USING (q_id, doc_id) WHERE tp.rk <= 10),
+              |cum AS (SELECT q_id, rk, relv,
+              |    sum(CASE WHEN relv THEN 1 ELSE 0 END) OVER (
+              |      PARTITION BY q_id ORDER BY rk ROWS UNBOUNDED PRECEDING)
+              |      AS hits
+              |  FROM j),
+              |perq AS (SELECT q_id,
+              |    min(CASE WHEN relv THEN rk END) AS first_rank_n,
+              |    CAST(sum(CASE WHEN relv THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS hits10,
+              |    CAST(sum(CASE WHEN relv THEN hits * (2520 // rk) ELSE 0 END)
+              |      AS BIGINT) AS ap2520
+              |  FROM cum GROUP BY 1),
+              |nr AS (SELECT q_id,
+              |    CAST(sum(CASE WHEN relv THEN 1 ELSE 0 END) AS BIGINT)
+              |      AS n_rel
+              |  FROM rel GROUP BY 1)
+              |SELECT perq.q_id, nr.n_rel,
+              |  CAST(coalesce(perq.first_rank_n, 0) AS BIGINT) AS first_rank,
+              |  CAST(coalesce(1000000 // perq.first_rank_n, 0) AS BIGINT)
+              |    AS rr_ppm,
+              |  perq.hits10,
+              |  perq.ap2520 * 1000000
+              |    // (2520 * greatest(least(nr.n_rel, 10), 1)) AS ap_ppm
+              |FROM perq JOIN nr USING (q_id) ORDER BY perq.q_id""".stripMargin))
   )
 }

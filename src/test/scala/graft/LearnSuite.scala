@@ -95,8 +95,44 @@ class LearnSuite extends SparkTestBase {
     }
   }
 
+  test("q240 MRR/MAP: per-query RR and AP tie to a sequential ranked replay") {
+    val rows = Registry.byName("q240_mrr_map").q(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // replay the metric assembly from the SAME scaffold (BM25 scoring is
+    // already pinned by q145/q236; under test here is the binary-relevance
+    // cumulative-hits arithmetic)
+    val parts = graft.operators.TextOps.retrievalParts(spark, sf).localCheckpoint()
+    val relM = parts.groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("rel")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2) >= 2)).toMap
+    val top = graft.operators.TextOps.topPool(
+      graft.operators.TextOps.scoreMicros(parts, graft.operators.TextOps.bm25Contrib), 10)
+      .select(col("q_id"), col("doc_id"), col("rk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    for (r <- rows) {
+      val q = r.getLong(0)
+      val ranked = top.filter(_._1 == q).sortBy(_._3)
+        .map { case (_, d2, _) => relM((q, d2)) }
+      val nRel = relM.count { case ((qq, _), b) => qq == q && b }.toLong
+      assert(r.getLong(1) == nRel, s"q$q n_rel")
+      val firstIdx = ranked.indexWhere(identity)
+      val firstRank = if (firstIdx < 0) 0L else firstIdx + 1L
+      assert(r.getLong(2) == firstRank, s"q$q first_rank")
+      assert(r.getLong(3) == (if (firstRank == 0) 0L else 1000000L / firstRank))
+      assert(r.getLong(4) == ranked.count(identity).toLong, s"q$q hits10")
+      var hits = 0L
+      var ap2520 = 0L
+      for ((b, i) <- ranked.zipWithIndex if b) {
+        hits += 1; ap2520 += hits * (2520L / (i + 1))
+      }
+      val denom = 2520L * math.max(math.min(nRel, 10L), 1L)
+      assert(r.getLong(5) == ap2520 * 1000000L / denom, s"q$q ap_ppm")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000L)
+    }
+  }
+
   test("learn plans: no cartesian products; model state stays 1-row broadcast") {
-    for (name <- Seq("q233_perceptron", "q234_pr_curve")) {
+    for (name <- Seq("q233_perceptron", "q234_pr_curve", "q240_mrr_map")) {
       val df = Registry.byName(name).q(spark, sf)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString

@@ -130,4 +130,43 @@ class TextStatsSuite extends SparkTestBase {
       assert(r.getLong(4) == sq * 1000000L / math.max(gq, 1L))
     }
   }
+
+  test("q241 LOO valuation equals a brute per-source recompute; rank is a permutation") {
+    val df = Registry.byName("q241_loo_source_value").q(spark, sf)
+    val rows = df.collect()
+    // plan pin: the corpus scan happens once, inside the eager 20-row
+    // checkpoint — the published plan reads no parquet
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 0, s"q241 re-scans parquet $scans times past the barrier")
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), size(col("t")).cast("long").as("n"),
+        size(array_distinct(col("t"))).cast("long").as("nd"))
+      .collect()
+      .map(r => (r.getString(0),
+        r.getLong(2) * 1000000L / math.max(r.getLong(1), 1L), r.getLong(1)))
+    val total = docs.map(_._2).sum
+    val nn = docs.length.toLong
+    val overall = total * 1000L / nn
+    assert(rows.length == docs.map(_._1).distinct.length)
+    for (r <- rows) {
+      val src = r.getString(0)
+      val mine = docs.filter(_._1 == src)
+      assert(r.getLong(1) == mine.length.toLong, s"$src n_docs")
+      assert(r.getLong(2) == mine.map(_._3).sum, s"$src tok_mass")
+      assert(r.getLong(3) == overall, s"$src overall_mppm")
+      val loo = (total - mine.map(_._2).sum) * 1000L /
+        math.max(nn - mine.length, 1L)
+      assert(r.getLong(4) == loo, s"$src loo_mppm")
+      assert(r.getLong(5) == loo - overall, s"$src delta_mppm")
+      assert(r.getBoolean(7) == (loo - overall > 0), s"$src harmful")
+    }
+    val byRank = rows.sortBy(_.getLong(6))
+    assert(byRank.map(_.getLong(6)).toSeq == (1L to rows.length.toLong).toSeq,
+      "value_rank must be a 1..n permutation")
+    assert(byRank.map(_.getLong(5)).toSeq ==
+      byRank.map(_.getLong(5)).toSeq.sorted,
+      "value_rank must order by delta ascending")
+  }
 }
