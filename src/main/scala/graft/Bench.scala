@@ -345,7 +345,12 @@ object Bench {
     // birth). Subtract these two when comparing secondary_total against
     // earlier artifacts.
     "q240_mrr_map",
-    "q241_loo_source_value")
+    "q241_loo_source_value",
+    // compaction planner + Zipf slope (round 15, standing from birth).
+    // Subtract these two when comparing secondary_total against earlier
+    // artifacts.
+    "q242_compaction_plan",
+    "q243_zipf_slope")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -814,7 +814,94 @@ object CorpusStats {
              |  CAST(row_number() OVER (ORDER BY loo_mppm - overall_mppm,
              |    source) AS BIGINT) AS value_rank,
              |  loo_mppm - overall_mppm > 0 AS harmful
-             |FROM sc ORDER BY source""".stripMargin))
+             |FROM sc ORDER BY source""".stripMargin)),
+
+    // q243: ZIPF RANK-FREQUENCY SLOPE — q197's Heaps curve answers "is the
+    // vocabulary still growing"; this answers "is the FREQUENCY STRUCTURE
+    // natural": OLS slope of ln(freq) on ln(rank) over the top-1000 terms
+    // (natural text ≈ −1; boilerplate-flooded or synthetic corpora bend
+    // it). Cross-engine float discipline: ln() is the only libm call, and
+    // each per-term ln is ROUNDED TO MICRO-UNITS FIRST (the q77 per-term
+    // rounding — a last-ulp libm divergence is 10⁹× below the rounding
+    // quantum), so all six OLS sufficient statistics are exact int64
+    // (q150's regression-as-one-aggregation posture); the final
+    // slope/intercept/r² are single IEEE expressions over exact longs,
+    // identically parenthesized, rounded 6dp. Plan: one term-count
+    // exchange → TakeOrderedAndProject top-1000 (never a global sort) →
+    // the rank window and OLS aggregate run over the ≤1000-row table.
+    Entry(
+      "q243_zipf_slope",
+      (s, d) => {
+        val counts = T.documents(s, d)
+          .select(explode(toks).as("w")).filter(col("w") =!= "")
+          .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        val top = counts.orderBy(col("f").desc, col("w")).limit(1000)
+        val wR = Window.orderBy(col("f").desc, col("w"))
+        val xy = top
+          .withColumn("r", row_number().over(wR).cast("long"))
+          .select(col("w"), col("f"), col("r"),
+            round(log(col("r").cast("double")) * 1000000.0)
+              .cast("long").as("x"),
+            round(log(col("f").cast("double")) * 1000000.0)
+              .cast("long").as("y"))
+        val num = "(cast(n as double) * cast(sxy as double)" +
+          " - cast(sx as double) * cast(sy as double))"
+        val den = "(cast(n as double) * cast(sxx as double)" +
+          " - cast(sx as double) * cast(sx as double))"
+        val deny = "(cast(n as double) * cast(syy as double)" +
+          " - cast(sy as double) * cast(sy as double))"
+        xy.agg(count(lit(1)).as("n"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+            sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"),
+            sum(expr("y * y")).as("syy"),
+            expr("min_by(w, r)").as("top_term"), max(col("f")).as("top_freq"))
+          .select(col("n"), col("top_term"), col("top_freq"),
+            round(expr(s"$num / $den"), 6).as("slope"),
+            round(expr(s"((cast(sy as double) - $num / $den" +
+              " * cast(sx as double)) / cast(n as double)) / 1000000.0"), 6)
+              .as("intercept_ln"),
+            round(expr(s"$num * $num / ($den * $deny)"), 6).as("r2"))
+      },
+      Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+             |  FROM documents),
+             |c AS (SELECT w, CAST(count(*) AS BIGINT) AS f FROM w
+             |  WHERE w <> '' GROUP BY 1),
+             |top AS (SELECT w, f FROM c ORDER BY f DESC, w LIMIT 1000),
+             |xy AS (SELECT w, f,
+             |    CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS r
+             |  FROM top),
+             |xy2 AS (SELECT w, f, r,
+             |    CAST(round(ln(CAST(r AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+             |    CAST(round(ln(CAST(f AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+             |  FROM xy),
+             |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |    CAST(sum(x * y) AS BIGINT) AS sxy,
+             |    CAST(sum(x * x) AS BIGINT) AS sxx,
+             |    CAST(sum(y * y) AS BIGINT) AS syy,
+             |    min_by(w, r) AS top_term, CAST(max(f) AS BIGINT) AS top_freq
+             |  FROM xy2)
+             |SELECT n, top_term, top_freq,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+             |  round(((CAST(sy AS DOUBLE)
+             |      - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |      * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) / 1000000.0, 6)
+             |    AS intercept_ln,
+             |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+             |FROM s""".stripMargin))
   )
 
   /** ONE-PASS (doc_id, score, pos) for the classifier-evaluation tier:

@@ -2,6 +2,7 @@ package graft.sources
 
 import graft.Tables
 import graft.queries.Entry
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 
@@ -712,6 +713,58 @@ object Sources {
              |  CAST(sum(CASE WHEN pruned THEN cnt ELSE 0 END) AS BIGINT)
              |    AS n_pruned_rows,
              |  CAST(sum(cnt) AS BIGINT) AS n_rows
-             |FROM pr GROUP BY layout ORDER BY layout""".stripMargin))
+             |FROM pr GROUP BY layout ORDER BY layout""".stripMargin)),
+
+    // q242: SMALL-FILE COMPACTION PLANNER — the read side of q75's
+    // compaction execution: given a manifest of small files (per-partition
+    // doc batches: (source, doc_id div 200) with byte mass), emit the
+    // file→output-bin assignment a coalescing compactor would execute.
+    // Packing is CONTIGUOUS (bin = cumulative-bytes-before div 16 KiB per
+    // source) — unlike greedy best-fit it preserves the partition's
+    // existing sort/cluster order, which is the property that keeps q101's
+    // zone maps tight after compaction; a planner that reorders files to
+    // pack tighter destroys the clustering it exists to protect. A file
+    // larger than the target still lands in one bin (its start offset
+    // decides) — bins can over-fill, fill_ppm reports it honestly; the
+    // planner coalesces, it does not split rows. All integer-exact. Plan:
+    // one manifest rollup exchange (files « docs), then the cumsum window
+    // runs PER SOURCE over the file table (docs/200 rows per source —
+    // manifest-sized, never corpus-sized).
+    Entry(
+      "q242_compaction_plan",
+      (s, d) => {
+        val files = Tables.documents(s, d)
+          .groupBy(col("source"), expr("doc_id div 200").as("bucket"))
+          .agg(sum(col("n_chars")).as("bytes"), count(lit(1)).as("n_docs"))
+        val wF = Window.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        files
+          .withColumn("cum", sum(col("bytes")).over(wF))
+          .withColumn("bin", expr("(cum - bytes) div 16384L"))
+          .groupBy(col("source"), col("bin"))
+          .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("out_bytes"),
+            sum(col("n_docs")).as("n_docs"),
+            min(col("bucket")).as("first_bucket"),
+            max(col("bucket")).as("last_bucket"))
+          .withColumn("fill_ppm", expr("out_bytes * 1000000L div 16384L"))
+          .orderBy(col("source"), col("bin"))
+      },
+      Some("""WITH f AS (SELECT source, doc_id // 200 AS bucket,
+             |    CAST(sum(n_chars) AS BIGINT) AS bytes,
+             |    CAST(count(*) AS BIGINT) AS n_docs
+             |  FROM documents GROUP BY 1, 2),
+             |c AS (SELECT source, bucket, bytes, n_docs,
+             |    CAST(sum(bytes) OVER (PARTITION BY source ORDER BY bucket
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM f)
+             |SELECT source, (cum - bytes) // 16384 AS bin,
+             |  CAST(count(*) AS BIGINT) AS n_files,
+             |  CAST(sum(bytes) AS BIGINT) AS out_bytes,
+             |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             |  CAST(min(bucket) AS BIGINT) AS first_bucket,
+             |  CAST(max(bucket) AS BIGINT) AS last_bucket,
+             |  CAST(sum(bytes) AS BIGINT) * 1000000 // 16384 AS fill_ppm
+             |FROM c GROUP BY 1, 2
+             |ORDER BY source, bin""".stripMargin))
   )
 }

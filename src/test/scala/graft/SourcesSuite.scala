@@ -178,4 +178,50 @@ class SourcesSuite extends SparkTestBase {
     assert(Sources.committedEpochs(spark, root).size == 1)
     assert(Sources.readEpochs(spark, root).count() == n + 9)
   }
+
+  test("q242 compaction plan equals a sequential per-source packing replay") {
+    val rows = graft.queries.Registry.byName("q242_compaction_plan")
+      .q(spark, sf).collect()
+    val manifest = Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.expr("doc_id div 200").as("bucket"))
+      .agg(org.apache.spark.sql.functions.sum("n_chars").as("bytes"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_docs"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = manifest.toSeq.groupBy(_._1).toSeq.flatMap { case (src, fs) =>
+      var cum = 0L
+      fs.sortBy(_._2).map { case (_, bucket, bytes, nd) =>
+        val bin = cum / 16384L
+        cum += bytes
+        (src, bin, bucket, bytes, nd)
+      }
+    }
+    val expAgg = expected.groupBy(t => (t._1, t._2)).map { case ((src, bin), fs) =>
+      (src, bin, fs.size.toLong, fs.map(_._4).sum, fs.map(_._5).sum,
+        fs.map(_._3).min, fs.map(_._3).max)
+    }
+    assert(rows.length == expAgg.size)
+    for (r <- rows) {
+      val key = (r.getString(0), r.getLong(1))
+      val e = expAgg.find(t => (t._1, t._2) == key).get
+      assert(r.getLong(2) == e._3, s"$key n_files")
+      assert(r.getLong(3) == e._4, s"$key out_bytes")
+      assert(r.getLong(4) == e._5, s"$key n_docs")
+      assert(r.getLong(5) == e._6, s"$key first_bucket")
+      assert(r.getLong(6) == e._7, s"$key last_bucket")
+      assert(r.getLong(7) == e._4 * 1000000L / 16384L, s"$key fill_ppm")
+    }
+    // contiguity: within a source, bins are dense from 0 and bucket ranges
+    // never interleave (the property that preserves cluster order)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(1) == 0L, s"$src bins must start at 0")
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1).getLong(5) > p(0).getLong(6),
+          s"$src bins must cover disjoint ascending bucket ranges")
+      }
+    }
+  }
 }

@@ -169,4 +169,41 @@ class TextStatsSuite extends SparkTestBase {
       byRank.map(_.getLong(5)).toSeq.sorted,
       "value_rank must order by delta ascending")
   }
+
+  test("q243 Zipf slope equals a sequential OLS replay; natural-text shape") {
+    val rows = Registry.byName("q243_zipf_slope").q(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val counts = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      .collect().map(x => (x.getString(0), x.getLong(1)))
+    val top = counts.sortBy { case (w, f) => (-f, w) }.take(1000)
+    val xy = top.zipWithIndex.map { case ((w, f), i) =>
+      (w, f, math.round(math.log((i + 1).toDouble) * 1000000.0),
+        math.round(math.log(f.toDouble) * 1000000.0))
+    }
+    val n = xy.length.toLong
+    val sx = xy.map(_._3).sum; val sy = xy.map(_._4).sum
+    val sxy = xy.map(t => t._3 * t._4).sum
+    val sxx = xy.map(t => t._3 * t._3).sum
+    val syy = xy.map(t => t._4 * t._4).sum
+    def rd6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val num = n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble
+    val den = n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble
+    assert(r.getLong(0) == n)
+    assert(r.getString(1) == xy.head._1, "top_term")
+    assert(r.getLong(2) == xy.head._2, "top_freq")
+    assert(r.getDouble(3) == rd6(num / den), "slope")
+    assert(r.getDouble(4) ==
+      rd6(((sy.toDouble - num / den * sx.toDouble) / n.toDouble) / 1000000.0),
+      "intercept_ln")
+    assert(r.getDouble(5) ==
+      rd6(num * num / (den * (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble))),
+      "r2")
+    assert(r.getDouble(3) < 0.0, "Zipf slope must be negative")
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, "r2 in [0,1]")
+  }
 }
