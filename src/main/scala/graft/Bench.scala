@@ -350,7 +350,10 @@ object Bench {
     // Subtract these two when comparing secondary_total against earlier
     // artifacts.
     "q242_compaction_plan",
-    "q243_zipf_slope")
+    "q243_zipf_slope",
+    // Holt-Winters seasonal duel (round 15, standing from birth). Subtract
+    // when comparing secondary_total against earlier artifacts.
+    "q244_holt_winters")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

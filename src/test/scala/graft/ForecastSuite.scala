@@ -91,8 +91,52 @@ class ForecastSuite extends SparkTestBase {
     }
   }
 
+  test("q244 Holt-Winters: state and both MAEs equal the sequential recurrence") {
+    val r = Registry.byName("q244_holt_winters").q(spark, sf).collect().head
+    val by = Tables.events(spark, sf)
+      .select(expr(s"ts div $HourNs"), round(col("value") * 100).cast("long"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .groupBy(_._1).map { case (h, xs) => (h, xs.map(_._2).sum) }
+    val xs = (by.keys.min to by.keys.max)
+      .map(by.getOrElse(_, 0L) / 100.0).toArray
+    val n = xs.length
+    assert(r.getLong(0) == n.toLong)
+    // HW replay: textbook init, updates t=25..n-48 (0-based 24..n-49)
+    val l0 = xs.take(24).foldLeft(0.0)(_ + _) / 24.0
+    val b0 = (xs.slice(24, 48).foldLeft(0.0)(_ + _) / 24.0 -
+      xs.take(24).foldLeft(0.0)(_ + _) / 24.0) / 24.0
+    var s = (0 until 24).map(i => xs(i) - l0).toArray
+    var (l, b) = (l0, b0)
+    for (x <- xs.slice(24, n - 48)) {
+      val l2 = 0.25 * (x - s(0)) + 0.75 * (l + b)
+      val b2 = 0.0625 * (l2 - l) + 0.9375 * b
+      s = s.drop(1) :+ (0.125 * (x - l2) + 0.875 * s(0))
+      l = l2; b = b2
+    }
+    val maeHw = (1 to 48).map(h =>
+      math.abs(l + h * b + s((h - 1) % 24) - xs(n - 48 + h - 1))).sum / 48.0
+    // Holt baseline replay (q239's constants)
+    var (hl, hb) = (xs(0), 0.0)
+    for (x <- xs.slice(1, n - 48)) {
+      val l2 = 0.5 * x + 0.5 * (hl + hb)
+      hb = 0.25 * (l2 - hl) + 0.75 * hb
+      hl = l2
+    }
+    val maeHolt = (1 to 48).map(h =>
+      math.abs(hl + h * hb - xs(n - 48 + h - 1))).sum / 48.0
+    assert(math.abs(r.getDouble(1) - l) < 6e-7, "level")
+    assert(math.abs(r.getDouble(2) - b) < 6e-7, "trend")
+    assert(math.abs(r.getDouble(3) - maeHw) < 6e-5, "mae_hw")
+    assert(math.abs(r.getDouble(4) - maeHolt) < 6e-5, "mae_holt")
+    assert(r.getBoolean(5) == (r.getDouble(3) < r.getDouble(4)))
+    // the duel is live on this fixture: the 24 seasonal states must earn
+    // their keep against the trend-only q239 baseline
+    assert(r.getBoolean(5), "seasonality must beat trend-only on this fixture")
+  }
+
   test("forecast plans: spine-bounded stages only; no cartesian products") {
-    for (name <- Seq("q237_acf", "q238_cusum", "q239_holt_linear")) {
+    for (name <- Seq("q237_acf", "q238_cusum", "q239_holt_linear",
+        "q244_holt_winters")) {
       val df = Registry.byName(name).q(spark, sf)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
