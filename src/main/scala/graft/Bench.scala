@@ -351,9 +351,11 @@ object Bench {
     // artifacts.
     "q242_compaction_plan",
     "q243_zipf_slope",
-    // Holt-Winters seasonal duel (round 15, standing from birth). Subtract
-    // when comparing secondary_total against earlier artifacts.
-    "q244_holt_winters")
+    // Holt-Winters seasonal duel + interval overlap join (round 15,
+    // standing from birth). Subtract when comparing secondary_total
+    // against earlier artifacts.
+    "q244_holt_winters",
+    "q245_interval_join")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

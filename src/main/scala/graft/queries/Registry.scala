@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Forecast, Integrity, Learn, Multimodal, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Forecast, Integrity, IntervalOps, Learn, Multimodal, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -30,7 +30,8 @@ object Registry {
       Integrity.entries2 ++
       StatTests.entries ++
       Learn.entries ++
-      Forecast.entries
+      Forecast.entries ++
+      IntervalOps.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,
