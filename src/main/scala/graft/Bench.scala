@@ -355,7 +355,10 @@ object Bench {
     // standing from birth). Subtract when comparing secondary_total
     // against earlier artifacts.
     "q244_holt_winters",
-    "q245_interval_join")
+    "q245_interval_join",
+    // JL projection audit (round 15, standing from birth). Subtract when
+    // comparing secondary_total against earlier artifacts.
+    "q246_jl_projection")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Forecast, Integrity, IntervalOps, Learn, Multimodal, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -31,7 +31,8 @@ object Registry {
       StatTests.entries ++
       Learn.entries ++
       Forecast.entries ++
-      IntervalOps.entries
+      IntervalOps.entries ++
+      Projection.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,
