@@ -356,9 +356,11 @@ object Bench {
     // against earlier artifacts.
     "q244_holt_winters",
     "q245_interval_join",
-    // JL projection audit (round 15, standing from birth). Subtract when
-    // comparing secondary_total against earlier artifacts.
-    "q246_jl_projection")
+    // JL projection audit + isotonic calibration (round 15, standing from
+    // birth). Subtract when comparing secondary_total against earlier
+    // artifacts.
+    "q246_jl_projection",
+    "q247_isotonic_calibration")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

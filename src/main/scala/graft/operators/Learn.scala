@@ -394,6 +394,143 @@ object Learn {
               |  perq.hits10,
               |  perq.ap2520 * 1000000
               |    // (2520 * greatest(least(nr.n_rel, 10), 1)) AS ap_ppm
-              |FROM perq JOIN nr USING (q_id) ORDER BY perq.q_id""".stripMargin))
+              |FROM perq JOIN nr USING (q_id) ORDER BY perq.q_id""".stripMargin)),
+
+    // q247: ISOTONIC CALIBRATION (PAVA via the exact minimax identity) —
+    // turn the q194 classifier's raw scores into calibrated positive-rate
+    // estimates: the monotone-nondecreasing fit of empirical positive rate
+    // over 32 count-based score-quantile bins. The classical stack-PAVA is
+    // inherently sequential; the DISTRIBUTED form is the minimax identity
+    // fitted_k = max_{i≤k} min_{j≥k} mean(pos rate over bins i..j) — pure
+    // joins/aggregates over the ≤32-row bin table (≤528 segment pairs,
+    // ≤32·528 triples; the inequality joins are bin-table-bounded
+    // broadcast combines, never corpus-sized). Segment means in exact ppm
+    // by integer div (the fit is the isotonic regression OF the
+    // ppm-quantized means — monotonicity holds for any quantization since
+    // max-of-min over nested index sets is monotone in k). Bin assignment
+    // reuses q234's blocked score-axis cumulative (strictly-smaller
+    // counts, two-phase — no global value-table window); massive score
+    // ties can leave bins empty, so the minimax runs over the dense rank
+    // of PRESENT bins. Plan: one fused score+label scan (scoredLabeledDocs)
+    // → score-keyed exchange → everything downstream ≤32 rows.
+    Entry(
+      "q247_isotonic_calibration",
+      (s, d) => {
+        val sl = CorpusStats.scoredLabeledDocs(s, d)
+        val perScore = sl.groupBy(col("score"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(when(col("pos"), 1L).otherwise(0L)).as("npos"))
+          .withColumn("blk", expr("score div 100000"))
+          .localCheckpoint() // consumers: block offsets + ranked + totals
+        val offs = perScore.groupBy(col("blk"))
+          .agg(sum(col("cnt")).as("bc"))
+          .withColumn("off", coalesce(
+            sum(col("bc")).over(Window.orderBy(col("blk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("blk"), col("off"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("score"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val ranked = perScore
+          .withColumn("in_b", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+          .join(offs, Seq("blk"))
+          .withColumn("below", col("off") + col("in_b"))
+        val totals = perScore.agg(sum(col("cnt")).as("n"))
+        val bins = ranked.crossJoin(broadcast(totals))
+          .withColumn("bin", expr("least(below * 32L div n, 31L)"))
+          .groupBy(col("bin"))
+          .agg(sum(col("cnt")).as("nb"), sum(col("npos")).as("pb"))
+          .localCheckpoint() // ≤32 rows; consumers: prefix/minimax/output
+        val wB = Window.orderBy(col("bin"))
+        val pre = bins
+          .withColumn("r", row_number().over(wB).cast("long"))
+          .withColumn("cc", sum(col("nb")).over(wB
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("pp", sum(col("pb")).over(wB
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .localCheckpoint() // consumers: pair join both sides + k probe
+        val pairs = pre
+          .select(col("r").as("i"), col("nb").as("inb"), col("pb").as("ipb"),
+            col("cc").as("icc"), col("pp").as("ipp"))
+          .join(pre.select(col("r").as("j"), col("cc").as("jcc"),
+            col("pp").as("jpp")), col("i") <= col("j"))
+          .select(col("i"), col("j"),
+            expr("(jpp - ipp + ipb) * 1000000L div greatest(jcc - icc + inb, 1L)")
+              .as("avg_ppm"))
+        val mki = pre.select(col("r").as("k"))
+          .join(pairs, col("i") <= col("k") && col("j") >= col("k"))
+          .groupBy(col("k"), col("i")).agg(min(col("avg_ppm")).as("mn"))
+        val fitted = mki.groupBy(col("k")).agg(max(col("mn")).as("fitted_ppm"))
+        pre.join(fitted, pre("r") === fitted("k"))
+          .select(col("bin"), col("nb").as("n"), col("pb").as("npos"),
+            expr("pb * 1000000L div nb").as("raw_ppm"), col("fitted_ppm"))
+          .orderBy(col("bin"))
+      },
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    list_filter(string_split(lower(text), ' '),
+             |      w -> regexp_matches(w, '^[a-z0-9]+$')) AS u
+             |  FROM documents),
+             |f AS (SELECT doc_id,
+             |    list_concat(u, list_transform(range(2, len(u)+1),
+             |      i -> u[i-1] || ' ' || u[i])) AS feats
+             |  FROM t),
+             |e AS (SELECT doc_id,
+             |    CAST(coalesce(list_sum(list_transform(feats, g ->
+             |      ((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, length(g)+1),
+             |            i -> CAST(unicode(g[i]) AS BIGINT))),
+             |        (a, c) -> (a * 31 + c) % 4096) * 2654435761) % 2003)
+             |      - 1001)), 0) AS BIGINT) AS score
+             |  FROM f),
+             |tk AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+             |wc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(toks) AS w FROM tk) GROUP BY doc_id, w),
+             |ws AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+             |    CAST(max(cnt) AS BIGINT) AS max_w,
+             |    CAST(count(*) AS BIGINT) AS n_distinct FROM wc GROUP BY doc_id),
+             |bgc AS (SELECT doc_id, count(*) AS cnt FROM (
+             |    SELECT doc_id, unnest(list_transform(range(2, len(toks)+1),
+             |      i -> toks[i-1] || ' ' || toks[i])) AS bg FROM tk)
+             |  GROUP BY doc_id, bg),
+             |bs AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_bg,
+             |    CAST(max(cnt) AS BIGINT) AS max_bg FROM bgc GROUP BY doc_id),
+             |lab AS (SELECT ws.doc_id,
+             |    NOT (ws.max_w * 25 > ws.n_words * 3
+             |      OR (ws.n_words - ws.n_distinct) * 20 > ws.n_words * 13
+             |      OR coalesce(bs.max_bg, 0) * 50
+             |         > greatest(coalesce(bs.n_bg, 0), 1) * 3) AS pos
+             |  FROM ws LEFT JOIN bs USING (doc_id)),
+             |j AS (SELECT e.score, lab.pos FROM e JOIN lab USING (doc_id)),
+             |ps AS (SELECT score, CAST(count(*) AS BIGINT) AS cnt,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS npos
+             |  FROM j GROUP BY score),
+             |rk AS (SELECT score, cnt, npos,
+             |    CAST(coalesce(sum(cnt) OVER (ORDER BY score
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS below
+             |  FROM ps),
+             |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM ps),
+             |bn AS (SELECT least(below * 32 // n, 31) AS bin,
+             |    CAST(sum(cnt) AS BIGINT) AS nb,
+             |    CAST(sum(npos) AS BIGINT) AS pb
+             |  FROM rk CROSS JOIN tot GROUP BY 1),
+             |pre AS MATERIALIZED (SELECT bin, nb, pb,
+             |    CAST(row_number() OVER (ORDER BY bin) AS BIGINT) AS r,
+             |    CAST(sum(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cc,
+             |    CAST(sum(pb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS pp
+             |  FROM bn),
+             |pairs AS (SELECT a.r AS i, b.r AS j,
+             |    (b.pp - a.pp + a.pb) * 1000000
+             |      // greatest(b.cc - a.cc + a.nb, 1) AS avg_ppm
+             |  FROM pre a JOIN pre b ON a.r <= b.r),
+             |mki AS (SELECT k.r AS k, p.i, min(p.avg_ppm) AS mn
+             |  FROM pre k JOIN pairs p ON p.i <= k.r AND p.j >= k.r
+             |  GROUP BY 1, 2),
+             |ft AS (SELECT k, CAST(max(mn) AS BIGINT) AS fitted_ppm
+             |  FROM mki GROUP BY 1)
+             |SELECT pre.bin, pre.nb AS n, pre.pb AS npos,
+             |  pre.pb * 1000000 // pre.nb AS raw_ppm, ft.fitted_ppm
+             |FROM pre JOIN ft ON ft.k = pre.r ORDER BY pre.bin""".stripMargin))
   )
 }

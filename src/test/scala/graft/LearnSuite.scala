@@ -131,6 +131,60 @@ class LearnSuite extends SparkTestBase {
     }
   }
 
+  test("q247 isotonic fit: exact minimax replay, monotone, and stack-PAVA agreement") {
+    val rows = Registry.byName("q247_isotonic_calibration").q(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 32)
+    val bins = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // raw_ppm per bin
+    for (r <- rows)
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / r.getLong(1))
+    // minimax replay on the dense-ranked present bins (the documented
+    // distributed formulation, ppm-quantized segment means)
+    val nb = bins.map(_._2); val pb = bins.map(_._3)
+    val m = bins.length
+    def seg(i: Int, j: Int): Long = {
+      val c = (i to j).map(nb).sum; val p = (i to j).map(pb).sum
+      p * 1000000L / math.max(c, 1L)
+    }
+    val fit = (0 until m).map(k =>
+      (0 to k).map(i => (k until m).map(j => seg(i, j)).min).max)
+    for ((r, k) <- rows.zipWithIndex)
+      assert(r.getLong(4) == fit(k), s"bin ${r.getLong(0)} fitted minimax")
+    // monotone nondecreasing — the property that makes it a calibration map
+    assert(fit.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "isotonic fit must be nondecreasing")
+    // classical sequential stack-PAVA on exact rationals agrees to within
+    // the ppm quantization of the segment means
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    for (i <- 0 until m) {
+      stack += ((nb(i), pb(i)))
+      while (stack.length >= 2 && {
+        val (c2, p2) = stack(stack.length - 1)
+        val (c1, p1) = stack(stack.length - 2)
+        p1 * c2 >= p2 * c1 // exact rational violation test
+      }) {
+        val (c2, p2) = stack.remove(stack.length - 1)
+        val (c1, p1) = stack.remove(stack.length - 1)
+        stack += ((c1 + c2, p1 + p2))
+      }
+    }
+    val pava = stack.flatMap { case (c, p) =>
+      // weighted by member count: expand back to per-bin fitted values
+      Seq.fill(1)((c, p))
+    }
+    // expand pooled blocks to per-bin values
+    val pavaPerBin = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var idx = 0
+    for ((c, p) <- pava) {
+      var covered = 0L
+      while (covered < c) { covered += nb(idx); pavaPerBin += p * 1000000L / c; idx += 1 }
+      assert(covered == c, "PAVA blocks must align to bin boundaries")
+    }
+    for (k <- 0 until m)
+      assert(math.abs(fit(k) - pavaPerBin(k)) <= 2L,
+        s"minimax and stack-PAVA disagree at bin $k: ${fit(k)} vs ${pavaPerBin(k)}")
+  }
+
   test("learn plans: no cartesian products; model state stays 1-row broadcast") {
     for (name <- Seq("q233_perceptron", "q234_pr_curve", "q240_mrr_map")) {
       val df = Registry.byName(name).q(spark, sf)
