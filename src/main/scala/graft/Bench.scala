@@ -360,7 +360,10 @@ object Bench {
     // birth). Subtract when comparing secondary_total against earlier
     // artifacts.
     "q246_jl_projection",
-    "q247_isotonic_calibration")
+    "q247_isotonic_calibration",
+    // robust MAD outlier flags (round 15, standing from birth). Subtract
+    // when comparing secondary_total against earlier artifacts.
+    "q248_mad_outliers")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -411,6 +411,111 @@ object Forecast {
              |  FROM ft CROSS JOIN ft2)
              |SELECT n_hours, level, trend, mae_hw, mae_holt,
              |  mae_hw < mae_holt AS seasonal_wins
-             |FROM mm""".stripMargin))
+             |FROM mm""".stripMargin)),
+
+    // q248: ROBUST MAD ANOMALY FLAGS — the breakdown-resistant twin of
+    // q153's 3σ: median absolute deviation instead of mean/σ, so a burst
+    // of outliers cannot inflate the threshold that should catch it (σ has
+    // breakdown point 0; MAD survives 50% contamination). INTEGER-EXACT
+    // end to end: per-series hourly series on the q237 calendar spine
+    // (quiet hours are zeros — they belong in the median), both medians
+    // count-based (lower median: smallest x with 2·rank(≤x) ≥ n — the
+    // q135/q189 strictly-smaller-cumsum discipline, value-domain tables
+    // partitioned per series), and the flag 2·|x−med| > 9·MAD is the
+    // integer form of |x−med| > 3·(1.4826·MAD) ≈ 4.45·MAD (4.5 documented
+    // rational approximation — no float anywhere, the decision can never
+    // flip cross-engine). Plan: one hourly rollup exchange; every
+    // downstream table is value-domain or series×spine bounded; med/MAD
+    // join back as a 5-row broadcast.
+    Entry(
+      "q248_mad_outliers",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(col("event_type"), expr(s"ts div $HourNs").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val hourly = ev.groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("cents")).as("x"))
+        val spine = ev.groupBy(col("event_type"))
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+          .select(col("event_type"),
+            explode(sequence(col("h0"), col("h1"))).as("hr"))
+        val filled = spine.join(hourly, Seq("event_type", "hr"), "left")
+          .select(col("event_type"), col("hr"),
+            coalesce(col("x"), lit(0L)).as("x"))
+          .localCheckpoint() // consumers: median pass + deviation pass
+        def lowerMedian(t: org.apache.spark.sql.DataFrame, v: String) = {
+          val vc = t.groupBy(col("event_type"), col(v))
+            .agg(count(lit(1)).as("c"))
+          val w = Window.partitionBy(col("event_type")).orderBy(col(v))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val n1 = t.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          vc.withColumn("cum", sum(col("c")).over(w))
+            .join(broadcast(n1), Seq("event_type"))
+            .filter(col("cum") * 2 >= col("n"))
+            .groupBy(col("event_type"))
+            .agg(min(col(v)).as("med"), max(col("n")).as("n"))
+        }
+        val med = lowerMedian(filled, "x")
+        val dev = filled.join(broadcast(med), Seq("event_type"))
+          .select(col("event_type"), col("hr"),
+            abs(col("x") - col("med")).as("d"))
+          .localCheckpoint() // consumers: MAD median pass + flag pass
+        val mad = lowerMedian(dev.select(col("event_type"), col("d")), "d")
+          .select(col("event_type"), col("med").as("mad"))
+        dev.join(broadcast(med.select(col("event_type"), col("med"), col("n"))),
+            Seq("event_type"))
+          .join(broadcast(mad), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_hours"),
+            max(col("med")).as("med_cents"),
+            max(col("mad")).as("mad_cents"),
+            sum(when(col("d") * 2 > col("mad") * 9, 1L).otherwise(0L))
+              .as("n_flagged"),
+            max(col("d")).as("max_dev_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) // 3600000000 AS hr,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |hh AS (SELECT event_type, hr,
+             |    CAST(sum(cents) AS BIGINT) AS x FROM e GROUP BY 1, 2),
+             |bd AS (SELECT event_type, min(hr) AS h0, max(hr) AS h1
+             |  FROM e GROUP BY 1),
+             |sp AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM bd),
+             |f AS MATERIALIZED (SELECT sp.event_type, sp.hr,
+             |    CAST(coalesce(hh.x, 0) AS BIGINT) AS x
+             |  FROM sp LEFT JOIN hh
+             |    ON hh.event_type = sp.event_type AND hh.hr = sp.hr),
+             |n1 AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM f GROUP BY 1),
+             |vc AS (SELECT event_type, x, CAST(count(*) AS BIGINT) AS c
+             |  FROM f GROUP BY 1, 2),
+             |cm AS (SELECT event_type, x,
+             |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY x
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM vc),
+             |med AS (SELECT cm.event_type, CAST(min(cm.x) AS BIGINT) AS med
+             |  FROM cm JOIN n1 USING (event_type)
+             |  WHERE cm.cum * 2 >= n1.n GROUP BY 1),
+             |dv AS MATERIALIZED (SELECT f.event_type, f.hr,
+             |    abs(f.x - med.med) AS d
+             |  FROM f JOIN med USING (event_type)),
+             |dc AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS c
+             |  FROM dv GROUP BY 1, 2),
+             |dm AS (SELECT event_type, d,
+             |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM dc),
+             |mad AS (SELECT dm.event_type, CAST(min(dm.d) AS BIGINT) AS mad
+             |  FROM dm JOIN n1 USING (event_type)
+             |  WHERE dm.cum * 2 >= n1.n GROUP BY 1)
+             |SELECT dv.event_type, n1.n AS n_hours, med.med AS med_cents,
+             |  mad.mad AS mad_cents,
+             |  CAST(sum(CASE WHEN dv.d * 2 > mad.mad * 9 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_flagged,
+             |  CAST(max(dv.d) AS BIGINT) AS max_dev_cents
+             |FROM dv JOIN med USING (event_type) JOIN mad USING (event_type)
+             |  JOIN n1 USING (event_type)
+             |GROUP BY 1, 2, 3, 4 ORDER BY dv.event_type""".stripMargin))
   )
 }

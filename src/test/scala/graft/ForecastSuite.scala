@@ -134,9 +134,39 @@ class ForecastSuite extends SparkTestBase {
     assert(r.getBoolean(5), "seasonality must beat trend-only on this fixture")
   }
 
+  test("q248 MAD flags equal a sequential robust-statistics replay") {
+    val rows = Registry.byName("q248_mad_outliers").q(spark, sf).collect()
+    assert(rows.length == 5)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr(s"ts div $HourNs"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      sorted((xs.length - 1) / 2) // smallest x with 2*rank(<=x) >= n
+    }
+    for (r <- rows) {
+      val mine = ev.filter(_._1 == r.getString(0))
+      val by = mine.groupBy(_._2).map { case (h, xs) => (h, xs.map(_._3).sum) }
+      val xs = (by.keys.min to by.keys.max).map(by.getOrElse(_, 0L)).toSeq
+      assert(r.getLong(1) == xs.length.toLong, "n_hours")
+      val med = lowerMedian(xs)
+      assert(r.getLong(2) == med, s"${r.getString(0)} med")
+      val ds = xs.map(x => math.abs(x - med))
+      val mad = lowerMedian(ds)
+      assert(r.getLong(3) == mad, s"${r.getString(0)} mad")
+      assert(r.getLong(4) == ds.count(d => d * 2 > mad * 9).toLong,
+        s"${r.getString(0)} n_flagged")
+      assert(r.getLong(5) == ds.max, s"${r.getString(0)} max_dev")
+      // robustness sanity: MAD threshold is below the max deviation only
+      // when something actually strays — flags are consistent with it
+      if (r.getLong(4) > 0) assert(ds.max * 2 > mad * 9)
+    }
+  }
+
   test("forecast plans: spine-bounded stages only; no cartesian products") {
     for (name <- Seq("q237_acf", "q238_cusum", "q239_holt_linear",
-        "q244_holt_winters")) {
+        "q244_holt_winters", "q248_mad_outliers")) {
       val df = Registry.byName(name).q(spark, sf)
       df.write.format("noop").mode("overwrite").save()
       val plan = df.queryExecution.executedPlan.toString
