@@ -363,7 +363,13 @@ object Bench {
     "q247_isotonic_calibration",
     // robust MAD outlier flags (round 15, standing from birth). Subtract
     // when comparing secondary_total against earlier artifacts.
-    "q248_mad_outliers")
+    "q248_mad_outliers",
+    // zone-map audit / TWAP / mojibake / Misra-Gries (round 15, standing
+    // from birth). Subtract when comparing against earlier artifacts.
+    "q249_zonemap_skipping",
+    "q250_twap",
+    "q251_mojibake_audit",
+    "q252_heavy_hitters")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

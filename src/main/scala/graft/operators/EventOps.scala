@@ -1643,6 +1643,67 @@ object EventOps {
              |  CAST(2 * wsum - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)
              |    AS gini,
              |  top_cents * 1000000 // s AS top10_share_ppm
-             |FROM t CROSS JOIN top""".stripMargin))
+             |FROM t CROSS JOIN top""".stripMargin)),
+
+    // q250: TWAP — TIME-WEIGHTED AVERAGE vs ARITHMETIC MEAN, per
+    // (event_type, day): the irregular-sampling correction every
+    // metering/pricing pipeline needs (kdb's twap / Flink's
+    // time-weighted windows). Each event's value is held
+    // last-observation-carried-forward until the next event of its
+    // series-day (the final event extends to the day boundary; no
+    // backfill before the first — the measured span starts at the first
+    // observation). TWAP = Σ cents·dt / Σ dt with dt in MICROSECONDS —
+    // the fixture's ns timestamps truncate to µs identically in both
+    // engines (ts div 1000 ≡ DuckDB epoch_us on TIMESTAMP_NS), and the
+    // bound cents_max(5.6e4) × day_µs(8.64e10) × 1000 = 4.8e18 < 2^63
+    // keeps millicents integer-exact with no float anywhere. Arithmetic
+    // mean_millicents sits beside it — the divergence IS the signal (a
+    // burst of cheap ticks drags the mean, not the TWAP). den ≥ 1 by
+    // construction (ts < day end ⇒ the closing segment is ≥ 1 µs). Plan:
+    // one exchange on (event_type, day); the lead() window is
+    // series-day-bounded (never corpus-sized); aggregation is map-side
+    // partial over ~types×days groups.
+    Entry(
+      "q250_twap",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            expr("ts div 1000").as("us"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .withColumn("day", expr("us div 86400000000"))
+        val w = Window.partitionBy(col("event_type"), col("day"))
+          .orderBy(col("us"), col("event_id"))
+        ev.withColumn("nxt",
+            coalesce(lead(col("us"), 1).over(w),
+              expr("(day + 1) * 86400000000")))
+          .withColumn("dt", col("nxt") - col("us"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("cents") * col("dt")).as("num"),
+            sum(col("dt")).as("span_us"),
+            sum(col("cents")).as("sum_cents"))
+          .select(col("event_type"), col("day"), col("n_events"),
+            expr("num * 1000L div span_us").as("twap_millicents"),
+            expr("sum_cents * 1000L div n_events").as("mean_millicents"),
+            col("span_us"))
+          .orderBy(col("event_type"), col("day"))
+      },
+      Some("""WITH e AS (SELECT event_type, event_id,
+             |    CAST(epoch_us(ts) AS BIGINT) AS us,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |s AS (SELECT event_type, event_id, us, cents,
+             |    us // 86400000000 AS day FROM e),
+             |seg AS (SELECT event_type, day, cents,
+             |    coalesce(lead(us) OVER (PARTITION BY event_type, day
+             |        ORDER BY us, event_id),
+             |      (day + 1) * 86400000000) - us AS dt
+             |  FROM s)
+             |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+             |  CAST(sum(cents * dt) AS BIGINT) * 1000
+             |    // CAST(sum(dt) AS BIGINT) AS twap_millicents,
+             |  CAST(sum(cents) AS BIGINT) * 1000
+             |    // CAST(count(*) AS BIGINT) AS mean_millicents,
+             |  CAST(sum(dt) AS BIGINT) AS span_us
+             |FROM seg GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
   )
 }

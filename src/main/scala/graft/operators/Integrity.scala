@@ -399,7 +399,93 @@ object Integrity {
            |    'sum_price_cents', 'sum_qty_cents']) AS field)
            |CROSS JOIN o CROSS JOIN r CROSS JOIN a CROSS JOIN f
            |ORDER BY field""".stripMargin
-      })
+      }),
+
+    // q251: ENCODING-CORRUPTION (MOJIBAKE) AUDIT — the corpus-QC detector
+    // for the three classic ingest failure modes: (a) UTF-8 read as
+    // Latin-1 ('é' → 'Ã©' — the 0xC3 signature), (b) lossy decode
+    // (U+FFFD replacement chars), (c) C1 control bytes (U+0085 — the
+    // NEL that a cp1252 round-trip leaves behind). The fixture corpus is
+    // clean ASCII by construction (TextKernels pin), so the dirty side is
+    // FABRICATED in-query under the q155 discipline: the seeded md5 hash
+    // assigns ~1 doc in 10 to each corruption class, the corruption is a
+    // deterministic injection (replace 'e'/'a'/'o' with the class's
+    // signature), and each class's detector (substring containment — no
+    // regex engine divergence to worry about) provably fires on exactly
+    // the injected class and never on clean docs, so det == inj is an
+    // invariant the suite asserts and byte_overhead is exact from the
+    // UTF-8 length identity (octet_length − length = injected multi-byte
+    // count). One corpus scan, map-only to the (source)-rollup exchange;
+    // detectors are codegen'd string containments.
+    Entry(
+      "q251_mojibake_audit",
+      (s, d) => {
+        val moji = "Ã©" // 'é' mis-decoded as Latin-1
+        val fffd = "�"
+        val c1 = ""
+        val t = T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+          .withColumn("cls",
+            expr("CAST(conv(substring(md5(concat('moji:v1:', " +
+              "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10"))
+          .withColumn("dirty",
+            // scatter the signature through the text AND append one copy —
+            // the trailing copy guarantees detection==injection even for a
+            // doc that happens to lack the replaced vowel (sf0.01 has one)
+            when(col("cls") === 0, expr(s"concat(replace(text, 'e', '$moji'), ' $moji')"))
+              .when(col("cls") === 1, expr(s"concat(replace(text, 'a', '$fffd'), ' $fffd')"))
+              .when(col("cls") === 2, expr(s"concat(replace(text, 'o', '$c1'), ' $c1')"))
+              .otherwise(col("text")))
+        t.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cls") === 0, 1L).otherwise(0L)).as("n_inj_moji"),
+            sum(when(col("cls") === 1, 1L).otherwise(0L)).as("n_inj_fffd"),
+            sum(when(col("cls") === 2, 1L).otherwise(0L)).as("n_inj_c1"),
+            sum(when(expr(s"contains(dirty, 'Ã')"), 1L).otherwise(0L))
+              .as("n_det_moji"),
+            sum(when(expr(s"contains(dirty, '$fffd')"), 1L).otherwise(0L))
+              .as("n_det_fffd"),
+            sum(when(expr(s"contains(dirty, '$c1')"), 1L).otherwise(0L))
+              .as("n_det_c1"),
+            sum(expr("octet_length(dirty) - length(dirty)"))
+              .as("byte_overhead"))
+          .withColumn("all_detected",
+            col("n_det_moji") === col("n_inj_moji") &&
+              col("n_det_fffd") === col("n_inj_fffd") &&
+              col("n_det_c1") === col("n_inj_c1"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH t AS (SELECT doc_id, source, text,
+             |    CAST(('0x' || substr(md5('moji:v1:' || doc_id::VARCHAR),
+             |      1, 8)) AS BIGINT) % 10 AS cls FROM documents),
+             |m AS (SELECT source, cls,
+             |    CASE WHEN cls = 0 THEN replace(text, 'e', 'Ã©') || ' Ã©'
+             |      WHEN cls = 1 THEN replace(text, 'a', '�') || ' �'
+             |      WHEN cls = 2 THEN replace(text, 'o', '') || ' '
+             |      ELSE text END AS dirty
+             |  FROM t)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_inj_moji,
+             |  CAST(sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_inj_fffd,
+             |  CAST(sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_inj_c1,
+             |  CAST(sum(CASE WHEN contains(dirty, 'Ã') THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_det_moji,
+             |  CAST(sum(CASE WHEN contains(dirty, '�') THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_det_fffd,
+             |  CAST(sum(CASE WHEN contains(dirty, '') THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_det_c1,
+             |  CAST(sum(strlen(dirty) - length(dirty)) AS BIGINT)
+             |    AS byte_overhead,
+             |  sum(CASE WHEN contains(dirty, 'Ã') THEN 1 ELSE 0 END)
+             |      = sum(CASE WHEN cls = 0 THEN 1 ELSE 0 END)
+             |    AND sum(CASE WHEN contains(dirty, '�') THEN 1 ELSE 0 END)
+             |      = sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END)
+             |    AND sum(CASE WHEN contains(dirty, '') THEN 1 ELSE 0 END)
+             |      = sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS all_detected
+             |FROM m GROUP BY 1 ORDER BY source""".stripMargin))
   )
 
   /** q221's body over ANY two table versions: structural statuses from

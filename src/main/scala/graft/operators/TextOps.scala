@@ -1856,6 +1856,58 @@ object TextOps {
              |      chr(9) || ' ' || replace(upper(text), ' ', '  ')
              |        || ' CAFE' || chr(769) || ' ' || chr(10))),
              |    '[ \t\n]+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q252: HEAVY HITTERS VIA MISRA-GRIES + EXACT VERIFY — the canonical
+    // two-pass frequent-items algorithm (Misra-Gries 1982 sketch pass →
+    // exact count pass over the ≤ 63 candidates), the bounded-memory
+    // answer to "which tokens exceed 1/64 of the corpus" when a full
+    // groupBy(token) would shuffle a vocabulary-sized table. Pass 1 is the
+    // typed MisraGriesAgg (functions/MisraGries.scala — PODS-2012
+    // mergeable summaries, so map-side partial merge is SAFE under any
+    // partitioning): one corpus scan reduced to a single 63-counter
+    // buffer; its guarantee — every token with freq > n/64 IS a candidate
+    // — makes the candidate set a provable superset, while its estimates
+    // stay merge-order-dependent and are therefore NOT registered (the
+    // suite asserts the sketch invariants instead). Pass 2 re-scans with a
+    // 63-string broadcast membership filter and counts exactly: only
+    // candidate tokens reach the (map-side-combined, ≤ 63-key) exchange.
+    // Registered output = the exact > n/64 tokens — deterministic, and the
+    // DuckDB oracle computes it by brute force, so a candidate ever
+    // missing a true heavy hitter would surface as a row-set mismatch.
+    // The deliberate two-scan shape IS the algorithm: materializing the
+    // exploded token stream to save a scan would cost the corpus-sized
+    // write the sketch exists to avoid.
+    Entry(
+      "q252_heavy_hitters",
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+        val mg = toks
+          .select(col("token")).as[String](org.apache.spark.sql.Encoders.STRING)
+          .select(new graft.functions.MisraGriesAgg().toColumn)
+          .head()
+        val cands = mg.counts.keys.toSeq.sorted
+        val n = mg.n
+        toks.filter(col("token").isInCollection(cands))
+          .groupBy(col("token"))
+          .agg(count(lit(1)).as("freq"))
+          .filter(col("freq") * 64 > lit(n))
+          .select(col("token"), col("freq"), lit(n).as("n_tokens"),
+            lit(n / 64).as("hh_threshold"))
+          .orderBy(col("freq").desc, col("token"))
+      },
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+             |  FROM documents),
+             |t2 AS (SELECT token FROM tok WHERE token <> ''),
+             |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t2),
+             |c AS (SELECT token, CAST(count(*) AS BIGINT) AS freq
+             |  FROM t2 GROUP BY 1)
+             |SELECT c.token, c.freq, n.n AS n_tokens,
+             |  n.n // 64 AS hh_threshold
+             |FROM c CROSS JOIN n
+             |WHERE c.freq * 64 > n.n
+             |ORDER BY freq DESC, token""".stripMargin))
   )
 }

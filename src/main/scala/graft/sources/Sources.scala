@@ -765,6 +765,121 @@ object Sources {
              |  CAST(max(bucket) AS BIGINT) AS last_bucket,
              |  CAST(sum(bytes) AS BIGINT) * 1000000 // 16384 AS fill_ppm
              |FROM c GROUP BY 1, 2
-             |ORDER BY source, bin""".stripMargin))
+             |ORDER BY source, bin""".stripMargin)),
+
+    // q249: ZONE-MAP SKIPPING AUDIT — the quantified version of "why sort
+    // (or Z-order) before writing": simulate parquet row-group min/max
+    // zone maps on l_shipdate under TWO physical layouts of the SAME
+    // lineitem rows — (a) natural insertion order (row group =
+    // l_orderkey div 512, TPC-H's generation clustering) and (b) shipdate-
+    // sorted equi-depth groups of 512 rows — then replay a 12-probe range
+    // workload (equal-width day windows spanning the data) and count, per
+    // probe × layout, the groups a reader could skip and the rows it must
+    // still scan. This is the decision table behind q101's Z-order writer:
+    // the sorted layout's pruned_ppm ≈ 11/12 while natural order prunes
+    // ~nothing (every group spans most of the date range). SCALE SHAPE:
+    // the sorted layout is built WITHOUT sorting the data — equi-depth
+    // group spans come from the day-histogram (value-domain table, q234's
+    // blocked-prefix discipline; day div 128 blocks), each day exploding
+    // into only the groups it intersects (≤ n_days + n_groups rows
+    // total); per-group scanned rows are exact interval overlaps
+    // least((g+1)·512, cum0+c) − greatest(g·512, cum0). One narrow 2-col
+    // projection of lineitem, checkpointed once (consumers: natural zone
+    // maps + day histogram); everything downstream is group- or
+    // day-cardinality sized; the 12-row probe dim is a bounded broadcast.
+    Entry(
+      "q249_zonemap_skipping",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey"),
+            datediff(to_date(col("l_shipdate")), lit("1970-01-01"))
+              .cast("long").as("day"))
+          .localCheckpoint() // consumers: natural zone maps + day histogram
+        val nat = li.groupBy(expr("l_orderkey div 512").as("g"))
+          .agg(min(col("day")).as("gmin"), max(col("day")).as("gmax"),
+            count(lit(1)).as("nrows"))
+          .select(lit("natural").as("layout"), col("g"), col("gmin"),
+            col("gmax"), col("nrows"))
+        val dc = li.groupBy(col("day")).agg(count(lit(1)).as("c"))
+          .withColumn("blk", expr("day div 128"))
+          .localCheckpoint() // consumers: block offsets + ranked days + probes
+        val offs = dc.groupBy(col("blk")).agg(sum(col("c")).as("bc"))
+          .withColumn("off", coalesce(
+            sum(col("bc")).over(Window.orderBy(col("blk"))
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("blk"), col("off"))
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val spans = dc
+          .withColumn("in_b", coalesce(sum(col("c")).over(wIn), lit(0L)))
+          .join(offs, Seq("blk"))
+          .select(col("day"), (col("off") + col("in_b")).as("cum0"), col("c"))
+        val srt = spans
+          .select(col("day"), col("cum0"), col("c"),
+            explode(expr("sequence(cum0 div 512, (cum0 + c - 1) div 512)"))
+              .as("g"))
+          .groupBy(col("g"))
+          .agg(min(col("day")).as("gmin"), max(col("day")).as("gmax"),
+            sum(expr("least((g + 1) * 512, cum0 + c) " +
+              "- greatest(g * 512, cum0)")).as("nrows"))
+          .select(lit("sorted").as("layout"), col("g"), col("gmin"),
+            col("gmax"), col("nrows"))
+        val bounds = dc.agg(min(col("day")).as("dmin"),
+          (max(col("day")) - min(col("day")) + 1).as("span"))
+        val probes = s.sql("SELECT explode(sequence(0, 11)) AS probe")
+          .crossJoin(broadcast(bounds))
+          .select(col("probe").cast("long").as("probe"),
+            expr("dmin + (probe * span) div 12").as("lo_day"),
+            expr("dmin + ((probe + 1) * span) div 12 - 1").as("hi_day"))
+        nat.unionAll(srt)
+          .crossJoin(broadcast(probes))
+          .groupBy(col("probe"), col("lo_day"), col("hi_day"), col("layout"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("gmax") < col("lo_day") ||
+              col("gmin") > col("hi_day"), 1L).otherwise(0L)).as("n_pruned"),
+            sum(when(col("gmax") < col("lo_day") ||
+              col("gmin") > col("hi_day"), 0L).otherwise(col("nrows")))
+              .as("rows_scanned"))
+          .withColumn("pruned_ppm", expr("n_pruned * 1000000L div n_groups"))
+          .orderBy(col("probe"), col("layout"))
+      },
+      Some("""WITH li AS (SELECT l_orderkey,
+             |    CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+             |      AS day FROM lineitem),
+             |nat AS (SELECT 'natural' AS layout, l_orderkey // 512 AS g,
+             |    min(day) AS gmin, max(day) AS gmax,
+             |    CAST(count(*) AS BIGINT) AS nrows FROM li GROUP BY 1, 2),
+             |dc AS MATERIALIZED (SELECT day, CAST(count(*) AS BIGINT) AS c
+             |  FROM li GROUP BY 1),
+             |sp AS (SELECT day, c,
+             |    CAST(coalesce(sum(c) OVER (ORDER BY day
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum0 FROM dc),
+             |sg AS (SELECT day, cum0, c,
+             |    unnest(range(cum0 // 512, (cum0 + c - 1) // 512 + 1)) AS g
+             |  FROM sp),
+             |srt AS (SELECT 'sorted' AS layout, g, min(day) AS gmin,
+             |    max(day) AS gmax,
+             |    CAST(sum(least((g + 1) * 512, cum0 + c)
+             |      - greatest(g * 512, cum0)) AS BIGINT) AS nrows
+             |  FROM sg GROUP BY 1, 2),
+             |z AS (SELECT * FROM nat UNION ALL SELECT * FROM srt),
+             |b AS (SELECT min(day) AS dmin, max(day) - min(day) + 1 AS span
+             |  FROM dc),
+             |pr AS (SELECT CAST(j AS BIGINT) AS probe,
+             |    dmin + (j * span) // 12 AS lo_day,
+             |    dmin + ((j + 1) * span) // 12 - 1 AS hi_day
+             |  FROM (SELECT unnest(range(0, 12)) AS j) CROSS JOIN b)
+             |SELECT pr.probe, pr.lo_day, pr.hi_day, z.layout,
+             |  CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN z.gmax < pr.lo_day OR z.gmin > pr.hi_day
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+             |  CAST(sum(CASE WHEN z.gmax < pr.lo_day OR z.gmin > pr.hi_day
+             |    THEN 0 ELSE z.nrows END) AS BIGINT) AS rows_scanned,
+             |  CAST(sum(CASE WHEN z.gmax < pr.lo_day OR z.gmin > pr.hi_day
+             |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             |    // CAST(count(*) AS BIGINT) AS pruned_ppm
+             |FROM z CROSS JOIN pr
+             |GROUP BY 1, 2, 3, 4 ORDER BY probe, layout""".stripMargin))
   )
 }

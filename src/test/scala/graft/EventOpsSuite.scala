@@ -559,4 +559,36 @@ class EventOpsSuite extends SparkTestBase {
     val purchases = ev.count(_._4 == "purchase").toLong
     assert(rows.map(_.getLong(1)).sum == purchases)
   }
+
+  test("q250 TWAP equals a sequential LOCF-segment replay") {
+    val rows = Registry.byName("q250_twap").q(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"), expr("ts div 1000"),
+        round(col("value") * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val dayUs = 86400000000L
+    val exp = ev.groupBy(e => (e._1, e._3 / dayUs)).map { case ((tp, day), es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val segs = sorted.zipAll(sorted.drop(1).map(e => Some(e._3)), null, None)
+        .collect { case (e, nxt) if e != null =>
+          (e._4, nxt.getOrElse((day + 1) * dayUs) - e._3)
+        }
+      val num = segs.map { case (c, dt) => c * dt }.sum
+      val den = segs.map(_._2).sum
+      ((tp, day), (es.length.toLong, num * 1000L / den,
+        es.map(_._4).sum * 1000L / es.length, den))
+    }
+    assert(rows.length == exp.size)
+    for (r <- rows) {
+      val e = exp((r.getString(0), r.getLong(1)))
+      assert(r.getLong(2) == e._1, "n_events")
+      assert(r.getLong(3) == e._2, s"${r.getString(0)}/${r.getLong(1)} twap")
+      assert(r.getLong(4) == e._3, "mean")
+      assert(r.getLong(5) == e._4, "span_us")
+    }
+    // the measured span never exceeds the day, and every series-day's
+    // segments tile [first event, day end] exactly
+    for (r <- rows) assert(r.getLong(5) >= 1L && r.getLong(5) <= dayUs)
+  }
 }

@@ -130,4 +130,39 @@ class IntegritySuite extends SparkTestBase {
     assert(after("sum_digest") != before.getLong(1), "rewrite must move the digest")
     assert(after("sum_qty_cents") != before.getLong(4), "quantity sum must move")
   }
+
+  test("q251 mojibake audit: detection equals injection, byte math exact") {
+    val rows = Registry.byName("q251_mojibake_audit").q(spark, sf).collect()
+    // JVM replay of the seeded class assignment + per-class byte overhead
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def cls(docId: Long): Long = {
+      val hex = md.digest(s"moji:v1:$docId".getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 10
+    }
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val exp = docs.groupBy(_._2).map { case (src, ds) =>
+      val byCls = ds.groupBy(d => cls(d._1)).view.mapValues(_.toSeq).toMap
+      def n(c: Long) = byCls.getOrElse(c, Seq.empty).size.toLong
+      // 'e'→'Ã©' adds 2 bytes/hit, 'a'→U+FFFD adds 2, 'o'→U+0085 adds 1;
+      // +1 hit per doc for the appended signature copy
+      val overhead =
+        byCls.getOrElse(0L, Seq.empty).map(d => (d._3.count(_ == 'e') + 1) * 2L).sum +
+          byCls.getOrElse(1L, Seq.empty).map(d => (d._3.count(_ == 'a') + 1) * 2L).sum +
+          byCls.getOrElse(2L, Seq.empty).map(d => (d._3.count(_ == 'o') + 1) * 1L).sum
+      src -> (ds.size.toLong, n(0), n(1), n(2), overhead)
+    }
+    assert(rows.length == exp.size)
+    for (r <- rows) {
+      val e = exp(r.getString(0))
+      assert(r.getLong(1) == e._1, "n_docs")
+      assert(r.getLong(2) == e._2 && r.getLong(5) == e._2, "moji inj == det")
+      assert(r.getLong(3) == e._3 && r.getLong(6) == e._3, "fffd inj == det")
+      assert(r.getLong(4) == e._4 && r.getLong(7) == e._4, "c1 inj == det")
+      assert(r.getLong(8) == e._5, s"${r.getString(0)} byte_overhead")
+      assert(r.getBoolean(9), "all_detected must hold by construction")
+    }
+  }
 }

@@ -224,4 +224,43 @@ class SourcesSuite extends SparkTestBase {
       }
     }
   }
+
+  test("q249 zone-map audit equals a sequential two-layout replay") {
+    val rows = graft.queries.Registry.byName("q249_zonemap_skipping")
+      .q(spark, sf).collect()
+    assert(rows.length == 24)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"),
+        org.apache.spark.sql.functions.datediff(
+          to_date(col("l_shipdate")), lit("1970-01-01")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // natural layout: group by l_orderkey div 512
+    val nat = li.groupBy(_._1 / 512).map { case (_, xs) =>
+      (xs.map(_._2).min, xs.map(_._2).max, xs.length.toLong)
+    }.toSeq
+    // sorted layout: equi-depth 512-row groups of the day-sorted stream
+    val srt = li.map(_._2).sorted.grouped(512).map { g =>
+      (g.min, g.max, g.length.toLong)
+    }.toSeq
+    val dmin = li.map(_._2).min
+    val span = li.map(_._2).max - dmin + 1
+    for (r <- rows) {
+      val (probe, lo, hi, layout) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))
+      assert(lo == dmin + probe * span / 12 && hi == dmin + (probe + 1) * span / 12 - 1)
+      val zones = if (layout == "natural") nat else srt
+      val pruned = zones.count { case (gmin, gmax, _) => gmax < lo || gmin > hi }
+      val scanned = zones.collect {
+        case (gmin, gmax, n) if !(gmax < lo || gmin > hi) => n
+      }.sum
+      assert(r.getLong(4) == zones.size.toLong, s"p$probe $layout n_groups")
+      assert(r.getLong(5) == pruned.toLong, s"p$probe $layout n_pruned")
+      assert(r.getLong(6) == scanned, s"p$probe $layout rows_scanned")
+    }
+    // the audit's point: summed over the whole probe workload, the sorted
+    // layout scans strictly less than natural order on this fixture
+    val byLayout = rows.groupBy(_.getString(3)).view.mapValues(_.map(_.getLong(6)).sum)
+    assert(byLayout("sorted") < byLayout("natural"),
+      "equi-depth sorted layout must dominate for range probes")
+  }
 }

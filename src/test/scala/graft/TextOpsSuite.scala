@@ -328,4 +328,34 @@ class TextOpsSuite extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), "q194 must ship the model to the data, not join")
   }
+
+  test("q252 Misra-Gries: guarantee, undercount bound, and exact output") {
+    import graft.functions.{MisraGries, MisraGriesAgg}
+    val toks = graft.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val exact = toks.groupBy(col("token")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val mg = toks.select(col("token"))
+      .as[String](org.apache.spark.sql.Encoders.STRING)
+      .select(new MisraGriesAgg().toColumn).head()
+    assert(mg.n == n, "sketch carries the exact stream length")
+    assert(mg.counts.size <= MisraGries.K)
+    // MG guarantee: every token with freq > n/(K+1) is a candidate, and
+    // every candidate's estimate undercounts by at most n/(K+1)
+    val trueHH = exact.filter { case (_, f) => f * 64 > n }.keySet
+    assert(trueHH.subsetOf(mg.counts.keySet),
+      s"missing HH: ${trueHH.diff(mg.counts.keySet)}")
+    for ((t, est) <- mg.counts) {
+      val f = exact.getOrElse(t, 0L)
+      assert(est <= f, s"$t estimate must never overcount")
+      assert(f - est <= n / (MisraGries.K + 1), s"$t undercount bound")
+    }
+    // the registered output is the exact verified HH set
+    val rows = graft.queries.Registry.byName("q252_heavy_hitters")
+      .q(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == trueHH)
+    for (r <- rows) assert(r.getLong(1) == exact(r.getString(0)))
+  }
 }
