@@ -369,7 +369,12 @@ object Bench {
     "q249_zonemap_skipping",
     "q250_twap",
     "q251_mojibake_audit",
-    "q252_heavy_hitters")
+    "q252_heavy_hitters",
+    // bootstrap CI / PSI / BH-FDR (round 15, standing from birth).
+    // Subtract when comparing against earlier artifacts.
+    "q253_poisson_bootstrap",
+    "q254_psi_drift",
+    "q255_bh_fdr")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

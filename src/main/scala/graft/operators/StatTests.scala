@@ -266,6 +266,356 @@ object StatTests {
              |  gen.size_after_gen >= 5 AS k_ok_after
              |FROM cls JOIN gen
              |  ON gen.lang = cls.lang AND gen.gb = cls.bucket // 2
-             |ORDER BY cls.lang, cls.bucket""".stripMargin))
+             |ORDER BY cls.lang, cls.bucket""".stripMargin)),
+
+    // q253: DETERMINISTIC POISSON BOOTSTRAP CI — a confidence interval for
+    // the per-type mean event value WITHOUT resampling-by-index (which
+    // needs global row positions — a corpus-sized sort): the Poisson
+    // bootstrap (Hanley & MacGibbon 2006; the standard streaming/
+    // distributed bootstrap) gives every row an independent Poisson(1)
+    // multiplicity per replicate, here DERANDOMIZED: the uniforms are
+    // seeded md5 digests of (event_id, group) — the q112/q167 determinism
+    // trick, with each 32-hex digest SLICED into four independent 32-bit
+    // lanes (replicate g·4+j reads hex chars [1+8j, 8+8j]) so 8 digest
+    // calls per row cover all 32 replicates — and the Poisson draw is
+    // inverse-CDF via SEVEN HARDCODED
+    // integer thresholds (floor(2^32·P(X≤k)), k=0..6; weight = #thresholds
+    // ≤ u, i.e. a sum of integer compares; the truncated >7 tail carries
+    // 8.3e-5 mass). Same corpus + seed ⇒ the same 32 replicates on any
+    // engine or partitioning, so the CI itself is oracle-checkable — no
+    // float anywhere (replicate means in exact integer micro-cents). The
+    // 32× row amplification is the honest cost of exact replicates, paid
+    // BEFORE map-side partial aggregation: the shuffle carries only
+    // types×32 partial rows per task, never amplified data. CI = order
+    // statistics (2nd/16th/31st of 32) over the per-type replicate-mean
+    // table — 32-row window partitions, bounded by construction.
+    Entry(
+      "q253_poisson_bootstrap",
+      (s, d) => {
+        // floor(2^32 * P(Pois(1) <= k)), k = 0..6
+        val th = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+          4279248373L, 4292415291L, 4294609777L)
+        val wExpr = th.map(t => s"CAST(u >= ${t}L AS BIGINT)").mkString(" + ")
+        // one md5 = 32 hex chars = FOUR independent 32-bit uniforms: 8
+        // digest calls per row cover all 32 replicates (lane j of group g
+        // is replicate g*4+j) — 4× less hashing than a digest-per-replicate
+        val rep = T.events(s, d)
+          .select(col("event_type"), col("event_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .select(col("event_type"), col("cents"), col("event_id"),
+            explode(expr("sequence(0, 7)")).as("g"))
+          .withColumn("h", expr("md5(concat('boot:v2:', " +
+            "CAST(event_id AS STRING), ':', CAST(g AS STRING)))"))
+          .select(col("event_type"), col("cents"), col("g"), col("h"),
+            explode(expr("sequence(0, 3)")).as("j"))
+          .select(col("event_type"), col("cents"),
+            expr("CAST(g * 4 + j AS BIGINT)").as("b"),
+            expr("CAST(conv(substring(h, 1 + 8 * j, 8), 16, 10) AS BIGINT)")
+              .as("u"))
+          .withColumn("w", expr(wExpr))
+          .groupBy(col("event_type"), col("b"))
+          .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"),
+            sum(col("cents")).as("sc"), count(lit(1)).as("n"))
+          .select(col("event_type"), col("b"),
+            expr("swc * 1000000L div sw").as("m_uc"),
+            expr("sc * 1000000L div n").as("point_uc"), col("n"))
+        val wRank = Window.partitionBy(col("event_type"))
+          .orderBy(col("m_uc"), col("b"))
+        rep.withColumn("rn", row_number().over(wRank))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"), max(col("point_uc")).as("point_uc"),
+            max(when(col("rn") === 16, col("m_uc"))).as("boot_med_uc"),
+            max(when(col("rn") === 2, col("m_uc"))).as("lo_uc"),
+            max(when(col("rn") === 31, col("m_uc"))).as("hi_uc"))
+          .withColumn("ci_width_uc", col("hi_uc") - col("lo_uc"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val th = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+          4279248373L, 4292415291L, 4294609777L)
+        val wExpr = th.map(t => s"CASE WHEN u >= $t THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        s"""WITH e AS (SELECT event_type, event_id,
+           |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+           |x AS (SELECT event_type, event_id, cents, g.g, j.j,
+           |    g.g * 4 + j.j AS b
+           |  FROM e
+           |  CROSS JOIN (SELECT unnest(range(0, 8)) AS g) g
+           |  CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+           |h AS (SELECT event_type, cents, b,
+           |    CAST(('0x' || substr(md5('boot:v2:' || event_id::VARCHAR
+           |      || ':' || g::VARCHAR), CAST(1 + 8 * j AS INT), 8))
+           |      AS BIGINT) AS u
+           |  FROM x),
+           |w AS (SELECT event_type, b, cents,
+           |    CAST($wExpr AS BIGINT) AS w FROM h),
+           |r AS (SELECT event_type, b,
+           |    CAST(sum(w * cents) AS BIGINT) * 1000000
+           |      // CAST(sum(w) AS BIGINT) AS m_uc,
+           |    CAST(sum(cents) AS BIGINT) * 1000000
+           |      // CAST(count(*) AS BIGINT) AS point_uc,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM w GROUP BY 1, 2),
+           |rk AS (SELECT event_type, m_uc, point_uc, n,
+           |    row_number() OVER (PARTITION BY event_type
+           |      ORDER BY m_uc, b) AS rn
+           |  FROM r)
+           |SELECT event_type, max(n) AS n, max(point_uc) AS point_uc,
+           |  max(CASE WHEN rn = 16 THEN m_uc END) AS boot_med_uc,
+           |  max(CASE WHEN rn = 2 THEN m_uc END) AS lo_uc,
+           |  max(CASE WHEN rn = 31 THEN m_uc END) AS hi_uc,
+           |  max(CASE WHEN rn = 31 THEN m_uc END)
+           |    - max(CASE WHEN rn = 2 THEN m_uc END) AS ci_width_uc
+           |FROM rk GROUP BY 1 ORDER BY event_type""".stripMargin
+      }),
+
+    // q254: POPULATION STABILITY INDEX — the scorecard-monitoring drift
+    // metric beside KS (q231, sup-gap) and MWU (q232, median shift): PSI =
+    // Σ_bins (q_i − p_i)·ln(q_i/p_i), a symmetrized-KL over a FIXED 10-bin
+    // grid, the number risk teams threshold at 0.1/0.25 (Siddiqi's credit-
+    // scoring convention). Reference window = the series' first 15 days,
+    // current = the rest; equal-width bins over the global cent range
+    // (bin = cents·10 div (max+1) — exact, the 1-row max broadcast). Bins
+    // are Laplace-smoothed ((c+1)/(n+10)) so empty cells contribute finite
+    // mass instead of ±∞ — and the in-bin shares stay exact rationals:
+    // the argmax-shift bin is decided by the INTEGER cross-multiplication
+    // |(cc+1)(nr+10) − (cr+1)(nc+10)| (q238 max-then-match, min-bin tie
+    // break), so only the final PSI sum is IEEE (each term's expression
+    // identically parenthesized cross-engine, rounded 6dp — ln of exact
+    // rationals). Plan: one (type, window, bin) count exchange (map-side
+    // partial over ≤ 5×2×10 groups); the dense type×bin grid is a
+    // broadcast-sized completion join; nothing corpus-sized moves after
+    // the first aggregation.
+    Entry(
+      "q254_psi_drift",
+      (s, d) => {
+        val ev = T.events(s, d)
+          .select(col("event_type"),
+            expr("ts div 1000 div 86400000000").as("day"),
+            round(col("value") * 100).cast("long").as("cents"))
+        val bounds = ev.agg(min(col("day")).as("d0"),
+          max(col("cents")).as("mc"))
+        val binned = ev.crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            (col("day") < col("d0") + 15).as("is_ref"),
+            expr("cents * 10 div (mc + 1)").as("bin"))
+          .groupBy(col("event_type"), col("is_ref"), col("bin"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // consumers: type dim + dense-grid completion
+        val grid = binned.select(col("event_type")).distinct()
+          .crossJoin(s.sql("SELECT explode(sequence(0L, 9L)) AS bin"))
+        val cells = grid
+          .join(binned.filter(col("is_ref")).select(col("event_type"),
+            col("bin"), col("c").as("cr")), Seq("event_type", "bin"), "left")
+          .join(binned.filter(!col("is_ref")).select(col("event_type"),
+            col("bin"), col("c").as("cc")), Seq("event_type", "bin"), "left")
+          .select(col("event_type"), col("bin"),
+            coalesce(col("cr"), lit(0L)).as("cr"),
+            coalesce(col("cc"), lit(0L)).as("cc"))
+        val wt = Window.partitionBy(col("event_type"))
+        val terms = cells
+          .withColumn("nr", sum(col("cr")).over(wt))
+          .withColumn("nc", sum(col("cc")).over(wt))
+          .withColumn("shift_num",
+            abs((col("cc") + 1) * (col("nr") + 10) -
+              (col("cr") + 1) * (col("nc") + 10)))
+          .withColumn("term",
+            (((col("cc") + 1).cast("double") / (col("nc") + 10).cast("double")) -
+              ((col("cr") + 1).cast("double") / (col("nr") + 10).cast("double"))) *
+              log(((col("cc") + 1).cast("double") * (col("nr") + 10).cast("double")) /
+                ((col("cr") + 1).cast("double") * (col("nc") + 10).cast("double"))))
+        val agg = terms.groupBy(col("event_type"))
+          .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+            round(sum(col("term")), 6).as("psi"),
+            max(col("shift_num")).as("mx"))
+        agg.join(terms.select(col("event_type"), col("bin"),
+            col("shift_num")), Seq("event_type"))
+          .filter(col("shift_num") === col("mx"))
+          .groupBy(col("event_type"), col("n_ref"), col("n_cur"), col("psi"))
+          .agg(min(col("bin")).as("max_shift_bin"))
+          .withColumn("drifted", col("psi") > 0.1)
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+             |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+             |b AS (SELECT min(day) AS d0, max(cents) AS mc FROM e),
+             |bn AS MATERIALIZED (SELECT event_type,
+             |    e.day < b.d0 + 15 AS is_ref,
+             |    cents * 10 // (mc + 1) AS bin,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM e CROSS JOIN b GROUP BY 1, 2, 3),
+             |grid AS (SELECT ty.event_type, g.bin
+             |  FROM (SELECT DISTINCT event_type FROM bn) ty
+             |  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) g),
+             |cells AS (SELECT grid.event_type, grid.bin,
+             |    CAST(coalesce(r.c, 0) AS BIGINT) AS cr,
+             |    CAST(coalesce(cu.c, 0) AS BIGINT) AS cc
+             |  FROM grid
+             |  LEFT JOIN bn r ON r.event_type = grid.event_type
+             |    AND r.bin = grid.bin AND r.is_ref
+             |  LEFT JOIN bn cu ON cu.event_type = grid.event_type
+             |    AND cu.bin = grid.bin AND NOT cu.is_ref),
+             |t AS MATERIALIZED (SELECT event_type, bin, cr, cc,
+             |    CAST(sum(cr) OVER (PARTITION BY event_type) AS BIGINT) AS nr,
+             |    CAST(sum(cc) OVER (PARTITION BY event_type) AS BIGINT) AS nc
+             |  FROM cells),
+             |t2 AS (SELECT event_type, bin, nr, nc,
+             |    abs((cc + 1) * (nr + 10) - (cr + 1) * (nc + 10)) AS shift_num,
+             |    ((CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+             |      - (CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE)))
+             |      * ln((CAST(cc + 1 AS DOUBLE) * CAST(nr + 10 AS DOUBLE))
+             |        / (CAST(cr + 1 AS DOUBLE) * CAST(nc + 10 AS DOUBLE)))
+             |      AS term
+             |  FROM t),
+             |ag AS (SELECT event_type, max(nr) AS n_ref, max(nc) AS n_cur,
+             |    round(sum(term), 6) AS psi, max(shift_num) AS mx
+             |  FROM t2 GROUP BY 1)
+             |SELECT ag.event_type, ag.n_ref, ag.n_cur, ag.psi,
+             |  CAST(min(t2.bin) AS BIGINT) AS max_shift_bin,
+             |  ag.psi > 0.1 AS drifted
+             |FROM ag JOIN t2 ON t2.event_type = ag.event_type
+             |  AND t2.shift_num = ag.mx
+             |GROUP BY 1, 2, 3, 4, 6 ORDER BY ag.event_type""".stripMargin)),
+
+    // q255: BENJAMINI-HOCHBERG FDR CORRECTION over the q232 MWU matrix —
+    // the missing multiple-testing step: 10 simultaneous pairwise tests at
+    // α=0.05 expect ~0.5 false positives; BH (1995) step-up controls the
+    // FALSE DISCOVERY RATE — sort p ascending, k* = max{k: p_(k) ≤ kα/m},
+    // reject ranks ≤ k*. The pipeline keeps the determinism ladder
+    // airtight: the MWU z is q232's exact-int64 U/tie arithmetic with the
+    // identical one-IEEE-expression finale, ROUNDED 6dp FIRST (the
+    // bit-identical cross-engine anchor q232's gate already proves), then
+    // the two-sided p comes from Abramowitz-Stegun 26.2.17 (|ε|<7.5e-8,
+    // same literal polynomial text in both engines) applied to that
+    // rounded z, then p is QUANTIZED to integer ppm — so the BH compare
+    // p_ppm·m·20 ≤ k·10⁶ (α=1/20) and the (p_ppm, pair) rank are pure
+    // integer decisions that can never flip cross-engine. Plan: one
+    // (type, cents) count exchange (q232's — value-domain bounded), pair
+    // windows per pair; the BH step-up runs over the 10-row pair table
+    // (1-row k* aggregate broadcast back).
+    Entry(
+      "q255_bh_fdr",
+      (s, d) => {
+        val ct = T.events(s, d)
+          .select(col("event_type").as("g"),
+            round(col("value") * 100).cast("long").as("v"))
+          .groupBy(col("g"), col("v"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // consumers: type list, value grid, two cell joins
+        val types = ct.select(col("g")).distinct()
+        val pairs = types.select(col("g").as("ga"))
+          .crossJoin(types.select(col("g").as("gb")))
+          .filter(col("ga") < col("gb"))
+        val vals = ct.select(col("v")).distinct()
+        val cells = vals.crossJoin(broadcast(pairs))
+          .join(ct.select(col("g").as("ga"), col("v"), col("c").as("c1")),
+            Seq("ga", "v"), "left")
+          .join(ct.select(col("g").as("gb"), col("v"), col("c").as("c2")),
+            Seq("gb", "v"), "left")
+          .select(col("ga"), col("gb"), col("v"),
+            coalesce(col("c1"), lit(0L)).as("c1"),
+            coalesce(col("c2"), lit(0L)).as("c2"))
+        val wp = Window.partitionBy(col("ga"), col("gb")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val t = col("c1") + col("c2")
+        val zed = cells
+          .withColumn("cum2prev", coalesce(sum(col("c2")).over(wp), lit(0L)))
+          .groupBy(col("ga"), col("gb"))
+          .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"),
+            sum(col("c1") * (col("cum2prev") * 2 + col("c2"))).as("u2"),
+            sum(t * t * t - t).as("t3t"))
+          .withColumn("z", round(
+            (col("u2") - col("n1") * col("n2")).cast("double") /
+              (lit(2.0) * sqrt(
+                (col("n1").cast("double") * col("n2").cast("double") / 12.0) *
+                  ((col("n1") + col("n2") + 1).cast("double") -
+                    col("t3t").cast("double") /
+                      ((col("n1") + col("n2")).cast("double") *
+                        (col("n1") + col("n2") - 1).cast("double"))))),
+            6))
+        // A-S 26.2.17 on |z| (identical literal text in the oracle)
+        val p = zed.withColumn("az", abs(col("z")))
+          .withColumn("tv", expr("1.0 / (1.0 + 0.2316419 * az)"))
+          .withColumn("p_ppm", expr(
+            "CAST(round(2.0 * 0.3989422804014327 * exp(-az * az / 2.0) * " +
+              "(0.319381530 * tv - 0.356563782 * tv * tv " +
+              "+ 1.781477937 * tv * tv * tv " +
+              "- 1.821255978 * tv * tv * tv * tv " +
+              "+ 1.330274429 * tv * tv * tv * tv * tv) * 1000000.0) " +
+              "AS BIGINT)"))
+        val wR = Window.orderBy(col("p_ppm"), col("ga"), col("gb"))
+        val ranked = p
+          .withColumn("rank", row_number().over(wR).cast("long"))
+          .withColumn("m", count(lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)))
+          .withColumn("bh_ok",
+            col("p_ppm") * col("m") * 20 <= col("rank") * 1000000L)
+        val kStar = ranked.agg(
+          coalesce(max(when(col("bh_ok"), col("rank"))), lit(0L)).as("k_star"))
+        ranked.crossJoin(broadcast(kStar))
+          .select(col("ga").as("type_a"), col("gb").as("type_b"), col("z"),
+            col("p_ppm"), col("rank"), col("m"), col("k_star"),
+            (col("rank") <= col("k_star")).as("rejected"))
+          .orderBy(col("type_a"), col("type_b"))
+      },
+      Some("""WITH e AS (SELECT event_type AS g,
+             |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+             |ct AS MATERIALIZED (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+             |  FROM e GROUP BY 1, 2),
+             |ty AS (SELECT DISTINCT g FROM ct),
+             |pr AS (SELECT a.g AS ga, b.g AS gb
+             |  FROM ty a CROSS JOIN ty b WHERE a.g < b.g),
+             |vals AS (SELECT DISTINCT v FROM ct),
+             |cells AS (SELECT pr.ga, pr.gb, vals.v,
+             |    CAST(coalesce(a.c, 0) AS BIGINT) AS c1,
+             |    CAST(coalesce(b.c, 0) AS BIGINT) AS c2
+             |  FROM pr CROSS JOIN vals
+             |  LEFT JOIN ct a ON a.g = pr.ga AND a.v = vals.v
+             |  LEFT JOIN ct b ON b.g = pr.gb AND b.v = vals.v),
+             |sc AS (SELECT ga, gb, c1, c2,
+             |    CAST(coalesce(sum(c2) OVER (PARTITION BY ga, gb ORDER BY v
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |      AS BIGINT) AS cum2prev
+             |  FROM cells),
+             |ag AS (SELECT ga, gb,
+             |    CAST(sum(c1) AS BIGINT) AS n1,
+             |    CAST(sum(c2) AS BIGINT) AS n2,
+             |    CAST(sum(c1 * (cum2prev * 2 + c2)) AS BIGINT) AS u2,
+             |    CAST(sum((c1 + c2) * (c1 + c2) * (c1 + c2) - (c1 + c2))
+             |      AS BIGINT) AS t3t
+             |  FROM sc GROUP BY 1, 2),
+             |zt AS (SELECT ga, gb,
+             |    round(CAST(u2 - n1 * n2 AS DOUBLE) /
+             |      (2.0 * sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+             |        * (CAST(n1 + n2 + 1 AS DOUBLE) -
+             |          CAST(t3t AS DOUBLE) / (CAST(n1 + n2 AS DOUBLE) *
+             |            CAST(n1 + n2 - 1 AS DOUBLE))))), 6) AS z
+             |  FROM ag),
+             |pt AS (SELECT ga, gb, z,
+             |    1.0 / (1.0 + 0.2316419 * abs(z)) AS tv,
+             |    abs(z) AS az
+             |  FROM zt),
+             |pp AS (SELECT ga, gb, z,
+             |    CAST(round(2.0 * 0.3989422804014327 * exp(-az * az / 2.0) *
+             |      (0.319381530 * tv - 0.356563782 * tv * tv
+             |      + 1.781477937 * tv * tv * tv
+             |      - 1.821255978 * tv * tv * tv * tv
+             |      + 1.330274429 * tv * tv * tv * tv * tv) * 1000000.0)
+             |      AS BIGINT) AS p_ppm
+             |  FROM pt),
+             |rk AS (SELECT ga, gb, z, p_ppm,
+             |    CAST(row_number() OVER (ORDER BY p_ppm, ga, gb) AS BIGINT)
+             |      AS rank,
+             |    CAST(count(*) OVER () AS BIGINT) AS m
+             |  FROM pp),
+             |ks AS (SELECT CAST(coalesce(max(CASE
+             |      WHEN p_ppm * m * 20 <= rank * 1000000 THEN rank END), 0)
+             |    AS BIGINT) AS k_star FROM rk)
+             |SELECT ga AS type_a, gb AS type_b, z, p_ppm, rank, m, k_star,
+             |  rank <= k_star AS rejected
+             |FROM rk CROSS JOIN ks
+             |ORDER BY type_a, type_b""".stripMargin))
   )
 }
