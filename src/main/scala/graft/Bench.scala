@@ -374,7 +374,11 @@ object Bench {
     // Subtract when comparing against earlier artifacts.
     "q253_poisson_bootstrap",
     "q254_psi_drift",
-    "q255_bh_fdr")
+    "q255_bh_fdr",
+    // Markov attribution / Kaplan-Meier (round 15, standing from birth).
+    // Subtract when comparing secondary_total against earlier artifacts.
+    "q256_markov_attribution",
+    "q257_kaplan_meier")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

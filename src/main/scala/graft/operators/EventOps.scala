@@ -1704,6 +1704,297 @@ object EventOps {
              |  CAST(sum(cents) AS BIGINT) * 1000
              |    // CAST(count(*) AS BIGINT) AS mean_millicents,
              |  CAST(sum(dt) AS BIGINT) AS span_us
-             |FROM seg GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin))
+             |FROM seg GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin)),
+
+    // q256: MARKOV REMOVAL-EFFECT ATTRIBUTION — the data-driven upgrade of
+    // q165's last-touch rule (Anderl et al. 2016): model each session as a
+    // walk START → channel → … → CONV/NULL (channels = non-purchase event
+    // types; a session converts iff it contains a purchase), estimate the
+    // first-order transition matrix from the corpus, and credit channel c
+    // by its REMOVAL EFFECT 1 − P(conv | c removed)/P(conv) — walkers that
+    // would enter a removed channel are absorbed into NULL (edges into c
+    // redirect to NULL, rows out of c drop; the original row masses keep
+    // the matrix stochastic). P(conv) is the 32-STEP VALUE ITERATION
+    // p_{k+1}(f) = Σ_t P(f,t)·p_k(t) + P(f,CONV) — the registered
+    // semantics is the truncated iterate (q163's recursion-free posture;
+    // residual ≤ transient-mass^32, far below the 6dp rounding), computed
+    // per scenario by a per-row HOF fold over the ≤30-struct sorted edge
+    // array (5 scenario rows total — never an unrolled 32-join plan), the
+    // one double pipeline rounded 6dp at the end (q254's Σ-then-round
+    // discipline). Counts/masses are exact int64 cross-engine; the DuckDB
+    // oracle runs the same iteration as WITH RECURSIVE (list_reduce
+    // struct-accumulator hazard, q244 pin). Plan: sessionize windows are
+    // user-bounded (q26 posture); edge counting is ONE exchange over
+    // session-adjacent pairs; everything after is a ≤30-row edge table
+    // crossed with the 5-row scenario dim.
+    Entry(
+      "q256_markov_attribution",
+      (s, d) => {
+        val us = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 1000").as("us"), col("event_type"))
+          .withColumn("new_s",
+            when(lag(col("us"), 1).over(us).isNull ||
+              col("us") - lag(col("us"), 1).over(us) >= 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("sid",
+            sum(col("new_s")).over(us.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+          .localCheckpoint() // consumers: channel steps + per-session conv
+        val conv = ev.groupBy(col("user_id"), col("sid"))
+          .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        val wp = Window.partitionBy(col("user_id"), col("sid"))
+          .orderBy(col("us"), col("event_id"))
+        val chan = ev.filter(col("event_type") =!= "purchase")
+          .withColumn("nxt", lead(col("event_type"), 1).over(wp))
+          .withColumn("rn", row_number().over(wp))
+        val firsts = chan.filter(col("rn") === 1)
+          .select(col("user_id"), col("sid"), lit("START").as("f"),
+            col("event_type").as("t"))
+        val mids = chan.filter(col("nxt").isNotNull)
+          .select(col("user_id"), col("sid"), col("event_type").as("f"),
+            col("nxt").as("t"))
+        val lasts = chan.filter(col("nxt").isNull)
+          .join(conv, Seq("user_id", "sid"))
+          .select(col("user_id"), col("sid"), col("event_type").as("f"),
+            when(col("conv") === 1L, "CONV").otherwise("NULL").as("t"))
+        val pureBuy = conv.join(
+            chan.groupBy(col("user_id"), col("sid")).agg(count(lit(1)).as("nc")),
+            Seq("user_id", "sid"), "left")
+          .filter(coalesce(col("nc"), lit(0L)) === 0L)
+          .select(col("user_id"), col("sid"), lit("START").as("f"),
+            when(col("conv") === 1L, "CONV").otherwise("NULL").as("t"))
+        val trans = firsts.unionAll(mids).unionAll(lasts).unionAll(pureBuy)
+          .groupBy(col("f"), col("t")).agg(count(lit(1)).as("cnt"))
+          .withColumn("n_f", sum(col("cnt")).over(Window.partitionBy(col("f"))))
+          .localCheckpoint() // consumers: scenario dim + scenario edges
+        val scen = trans.select(col("f")).distinct()
+          .filter(col("f") =!= "START")
+          .select(col("f").as("scen"))
+          .unionAll(s.sql("SELECT 'full' AS scen"))
+        val edges = trans.crossJoin(broadcast(scen))
+          .filter(col("f") =!= col("scen"))
+          .select(col("scen"), col("f"),
+            when(col("t") === col("scen"), "NULL").otherwise(col("t")).as("t"),
+            (col("cnt").cast("double") / col("n_f").cast("double")).as("p"))
+        val folded = edges
+          .groupBy(col("scen"))
+          .agg(expr("array_sort(collect_list(named_struct(" +
+            "'f', f, 't', t, 'p', p)))").as("es"))
+          .withColumn("froms", expr(
+            "array_sort(array_distinct(transform(es, e -> e.f)))"))
+          .withColumn("pv", expr(
+            """aggregate(sequence(1, 32),
+              |  transform(froms, x -> CAST(0.0 AS DOUBLE)),
+              |  (acc, k) -> transform(froms, s ->
+              |    aggregate(filter(es, e -> e.f = s), CAST(0.0 AS DOUBLE),
+              |      (a, e) -> a + e.p * (CASE WHEN e.t = 'CONV' THEN 1.0
+              |        WHEN e.t = 'NULL' THEN 0.0
+              |        WHEN array_position(froms, e.t) > 0
+              |          THEN element_at(acc, CAST(array_position(froms, e.t)
+              |            AS INT))
+              |        ELSE 0.0 END))))""".stripMargin))
+          .select(col("scen"),
+            expr("element_at(pv, CAST(array_position(froms, 'START') AS INT))")
+              .as("p_conv"))
+          .localCheckpoint() // consumers: full-row broadcast + channel rows
+        val full = folded.filter(col("scen") === "full")
+          .select(col("p_conv").as("p_full"))
+        val re = folded.filter(col("scen") =!= "full")
+          .crossJoin(broadcast(full))
+          .select(col("scen").as("channel"), col("p_full"), col("p_conv"),
+            (lit(1.0) - col("p_conv") / col("p_full")).as("re"))
+        val tot = re.agg(sum(col("re")).as("re_sum"))
+        re.crossJoin(broadcast(tot))
+          .select(col("channel"), round(col("p_full"), 6).as("p_full"),
+            round(col("p_conv"), 6).as("p_removed"),
+            round(col("re"), 6).as("removal_effect"),
+            round(col("re") / col("re_sum"), 6).as("attribution"))
+          .orderBy(col("channel"))
+      },
+      Some("""WITH RECURSIVE e AS (SELECT user_id, event_id, event_type,
+             |    epoch_ns(ts) // 1000 AS us FROM events),
+             |g AS (SELECT user_id, event_id, event_type, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |          OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+             |      AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |sid AS (SELECT user_id, event_id, event_type, us,
+             |    sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |cv AS (SELECT user_id, sid,
+             |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS conv
+             |  FROM sid GROUP BY 1, 2),
+             |ch AS (SELECT user_id, sid, event_type, us, event_id,
+             |    lead(event_type) OVER w2 AS nxt,
+             |    row_number() OVER w2 AS rn
+             |  FROM sid WHERE event_type <> 'purchase'
+             |  WINDOW w2 AS (PARTITION BY user_id, sid ORDER BY us, event_id)),
+             |tr AS (
+             |  SELECT 'START' AS f, event_type AS t FROM ch WHERE rn = 1
+             |  UNION ALL
+             |  SELECT event_type, nxt FROM ch WHERE nxt IS NOT NULL
+             |  UNION ALL
+             |  SELECT ch.event_type,
+             |    CASE WHEN cv.conv = 1 THEN 'CONV' ELSE 'NULL' END
+             |  FROM ch JOIN cv USING (user_id, sid) WHERE ch.nxt IS NULL
+             |  UNION ALL
+             |  SELECT 'START',
+             |    CASE WHEN cv.conv = 1 THEN 'CONV' ELSE 'NULL' END
+             |  FROM cv LEFT JOIN (SELECT user_id, sid,
+             |      CAST(count(*) AS BIGINT) AS nc FROM ch GROUP BY 1, 2) c
+             |    USING (user_id, sid)
+             |  WHERE coalesce(c.nc, 0) = 0),
+             |tc AS MATERIALIZED (SELECT f, t, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM tr GROUP BY 1, 2),
+             |tn AS (SELECT f, t, cnt,
+             |    CAST(sum(cnt) OVER (PARTITION BY f) AS BIGINT) AS n_f
+             |  FROM tc),
+             |scen AS (SELECT DISTINCT f AS scen FROM tc WHERE f <> 'START'
+             |  UNION ALL SELECT 'full'),
+             |ed AS MATERIALIZED (SELECT sc.scen, tn.f,
+             |    CASE WHEN tn.t = sc.scen THEN 'NULL' ELSE tn.t END AS t,
+             |    CAST(cnt AS DOUBLE) / CAST(n_f AS DOUBLE) AS p
+             |  FROM tn CROSS JOIN scen sc WHERE tn.f <> sc.scen),
+             |sf AS MATERIALIZED (SELECT scen, list(f ORDER BY f) AS froms
+             |  FROM (SELECT DISTINCT scen, f FROM ed) GROUP BY 1),
+             |se AS MATERIALIZED (SELECT scen,
+             |    list(struct_pack(f := f, t := t, p := p) ORDER BY f, t, p)
+             |      AS es
+             |  FROM ed GROUP BY 1),
+             |rec AS (
+             |  SELECT s.scen, s.froms, e.es, 0 AS k,
+             |    [CAST(0.0 AS DOUBLE) for x in s.froms] AS pv
+             |  FROM sf s JOIN se e USING (scen)
+             |  UNION ALL
+             |  SELECT scen, froms, es, k + 1,
+             |    [list_sum(list_transform(list_filter(es, ee -> ee.f = froms[i]),
+             |       ee -> ee.p * CASE WHEN ee.t = 'CONV' THEN 1.0
+             |         WHEN ee.t = 'NULL' THEN 0.0
+             |         ELSE coalesce(pv[list_position(froms, ee.t)], 0.0) END))
+             |     for i in range(1, len(froms) + 1)]
+             |  FROM rec WHERE k < 32),
+             |fin AS (SELECT scen,
+             |    pv[list_position(froms, 'START')] AS p_conv
+             |  FROM rec WHERE k = 32),
+             |re AS (SELECT c.scen AS channel, f.p_conv AS p_full,
+             |    c.p_conv AS p_removed, 1.0 - c.p_conv / f.p_conv AS re
+             |  FROM fin c CROSS JOIN (SELECT p_conv FROM fin
+             |    WHERE scen = 'full') f
+             |  WHERE c.scen <> 'full')
+             |SELECT channel, round(p_full, 6) AS p_full,
+             |  round(p_removed, 6) AS p_removed,
+             |  round(re, 6) AS removal_effect,
+             |  round(re / (SELECT sum(re) FROM re), 6) AS attribution
+             |FROM re ORDER BY channel""".stripMargin)),
+
+    // q257: KAPLAN-MEIER SURVIVAL CURVE — time-to-event analysis with the
+    // censoring no naive average handles: days from a user's first signup
+    // to their first subsequent purchase; users who never purchase are NOT
+    // dropped (that's survivorship bias) but CENSORED at the observation
+    // end (global max event time), which is exactly what KM's risk sets
+    // price in. Estimator over the integer day axis: n_risk(t) = N −
+    // #{durations < t} (deaths-before-censorings at ties, the standard
+    // convention), S(t) = Π_{u≤t}(1 − d(u)/n(u)) computed as
+    // exp(Σ ln((n−d)/n)) over the ORDERED day window — a deterministic-
+    // order cumulative, so the one double pipeline is bit-reproducible
+    // before its 6dp rounding (a drop-to-zero d=n step would ride through
+    // as ln 0 → −∞ → exp → exact 0 in both engines). Counts are exact
+    // int64 everywhere else. Plan: ONE user-keyed exchange (the
+    // first-signup window and the per-user reduce share the partitioning);
+    // everything after lives on the ≤ observation-span day table; the
+    // censor horizon is a 1-row broadcast.
+    Entry(
+      "q257_kaplan_meier",
+      (s, d) => {
+        val wu = Window.partitionBy(col("user_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"))
+        val horizon = ev.agg(max(col("us")).as("t_end"))
+        val durs = ev
+          .withColumn("t0",
+            min(when(col("event_type") === "signup", col("us"))).over(wu))
+          .groupBy(col("user_id"))
+          .agg(max(col("t0")).as("t0"),
+            min(when(col("event_type") === "purchase" &&
+              col("us") >= col("t0"), col("us"))).as("tp"))
+          .filter(col("t0").isNotNull)
+          .crossJoin(broadcast(horizon))
+          .select(
+            expr("(coalesce(tp, t_end) - t0) div 86400000000")
+              .as("dur_day"),
+            col("tp").isNotNull.as("died"))
+        val byDay = durs.groupBy(col("dur_day"))
+          .agg(sum(when(col("died"), 1L).otherwise(0L)).as("d"),
+            sum(when(col("died"), 0L).otherwise(1L)).as("c"))
+        val wAll = Window.orderBy(col("dur_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wPrev = Window.orderBy(col("dur_day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("dur_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        byDay
+          .withColumn("n_total", sum(col("d") + col("c")).over(wAll))
+          .withColumn("n_risk",
+            col("n_total") - coalesce(sum(col("d") + col("c")).over(wPrev),
+              lit(0L)))
+          // a d=n step sends S to exactly 0; ln(0) is an error in DuckDB
+          // and NULL in Spark, so the zero is carried as an explicit flag
+          .withColumn("hit_zero",
+            max(when(col("n_risk") === col("d"), 1L).otherwise(0L)).over(wCum))
+          .withColumn("survival",
+            when(col("hit_zero") === 1L, lit(0.0)).otherwise(
+              round(exp(sum(when(col("n_risk") > col("d"),
+                log((col("n_risk") - col("d")).cast("double") /
+                  col("n_risk").cast("double"))).otherwise(lit(0.0)))
+                .over(wCum)), 6)))
+          .filter(col("d") > 0)
+          .select(col("dur_day"), col("n_risk"), col("d").as("d_events"),
+            col("c").as("c_censored"), col("survival"))
+          .orderBy(col("dur_day"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    epoch_ns(ts) // 1000 AS us FROM events),
+             |hz AS (SELECT max(us) AS t_end FROM e),
+             |t0 AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN us END) AS t0
+             |  FROM e GROUP BY 1),
+             |du AS (SELECT e.user_id,
+             |    (coalesce(min(CASE WHEN e.event_type = 'purchase'
+             |        AND e.us >= t0.t0 THEN e.us END), hz.t_end) - t0.t0)
+             |      // 86400000000 AS dur_day,
+             |    min(CASE WHEN e.event_type = 'purchase'
+             |      AND e.us >= t0.t0 THEN e.us END) IS NOT NULL AS died
+             |  FROM e JOIN t0 USING (user_id) CROSS JOIN hz
+             |  WHERE t0.t0 IS NOT NULL
+             |  GROUP BY e.user_id, t0.t0, hz.t_end),
+             |bd AS (SELECT dur_day,
+             |    CAST(sum(CASE WHEN died THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             |    CAST(sum(CASE WHEN died THEN 0 ELSE 1 END) AS BIGINT) AS c
+             |  FROM du GROUP BY 1),
+             |km AS (SELECT dur_day, d, c,
+             |    CAST(sum(d + c) OVER () AS BIGINT)
+             |      - CAST(coalesce(sum(d + c) OVER (ORDER BY dur_day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS BIGINT) AS n_risk
+             |  FROM bd),
+             |sv AS (SELECT dur_day, n_risk, d, c,
+             |    CASE WHEN max(CASE WHEN n_risk = d THEN 1 ELSE 0 END)
+             |        OVER (ORDER BY dur_day ROWS UNBOUNDED PRECEDING) = 1
+             |      THEN 0.0
+             |      ELSE round(exp(sum(CASE WHEN n_risk > d
+             |        THEN ln(CAST(n_risk - d AS DOUBLE)
+             |          / CAST(n_risk AS DOUBLE)) ELSE 0.0 END)
+             |        OVER (ORDER BY dur_day ROWS UNBOUNDED PRECEDING)), 6)
+             |      END AS survival
+             |  FROM km)
+             |SELECT dur_day, n_risk, d AS d_events, c AS c_censored, survival
+             |FROM sv WHERE d > 0 ORDER BY dur_day""".stripMargin))
   )
 }

@@ -591,4 +591,155 @@ class EventOpsSuite extends SparkTestBase {
     // segments tile [first event, day end] exactly
     for (r <- rows) assert(r.getLong(5) >= 1L && r.getLong(5) <= dayUs)
   }
+
+  private def rnd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q256 Markov attribution replays from a JVM-side value iteration") {
+    val df = Registry.byName("q256_markov_attribution").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // one-materialization pin: ev/trans/folded are localCheckpointed, so
+    // the plan downstream of the barriers holds zero parquet scans
+    assert(!df.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "q256 re-plans its events upstream past the localCheckpoint barriers")
+    // JVM replay: sessionize (30-min µs gap), first-order transition
+    // counts, then the same 32-step Jacobi value iteration per scenario,
+    // edge order mirrored ((f, t, p) sort) so the fold is bit-identical
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000"),
+        col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val gapUs = 1800000000L
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+      .withDefaultValue(0L)
+    ev.groupBy(_._1).values.foreach { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      var sid = 0L; var prev = Long.MinValue
+      val bySid = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, String)]
+      for (e <- sorted) {
+        if (prev == Long.MinValue || e._3 - prev >= gapUs) sid += 1
+        prev = e._3
+        bySid += ((sid, e._4))
+      }
+      bySid.groupBy(_._1).values.foreach { ses =>
+        val types = ses.map(_._2).toSeq
+        val conv = if (types.contains("purchase")) "CONV" else "NULL"
+        val chans = types.filter(_ != "purchase")
+        if (chans.isEmpty) trans(("START", conv)) += 1
+        else {
+          trans(("START", chans.head)) += 1
+          chans.sliding(2).foreach {
+            case Seq(a, b) => trans((a, b)) += 1
+            case _         =>
+          }
+          trans((chans.last, conv)) += 1
+        }
+      }
+    }
+    val nF = trans.groupBy(_._1._1).map { case (f, m) => f -> m.values.sum }
+    val scens = trans.keys.map(_._1).filter(_ != "START").toSeq.distinct
+    def pConv(removed: Option[String]): Double = {
+      val edges = trans.toSeq
+        .filter { case ((f, _), _) => !removed.contains(f) }
+        .map { case ((f, t), cnt) =>
+          val t2 = if (removed.contains(t)) "NULL" else t
+          (f, t2, cnt.toDouble / nF(f).toDouble)
+        }
+        .sortBy(e => (e._1, e._2, e._3))
+      val froms = edges.map(_._1).distinct.sorted
+      var pv = froms.map(_ => 0.0)
+      for (_ <- 1 to 32) {
+        pv = froms.map { s =>
+          edges.filter(_._1 == s).foldLeft(0.0) { case (a, (_, t, p)) =>
+            a + p * (t match {
+              case "CONV" => 1.0
+              case "NULL" => 0.0
+              case c =>
+                val i = froms.indexOf(c)
+                if (i >= 0) pv(i) else 0.0
+            })
+          }
+        }
+      }
+      pv(froms.indexOf("START"))
+    }
+    val pFull = pConv(None)
+    val pc = scens.map(c => c -> pConv(Some(c))).toMap
+    val res = scens.map(c => c -> (1.0 - pc(c) / pFull)).toMap
+    val reSum = scens.sorted.map(res).sum
+    assert(rows.length == scens.length)
+    for (r <- rows) {
+      val ch = r.getString(0)
+      assert(r.getDouble(1) == rnd6(pFull), s"$ch p_full")
+      assert(r.getDouble(2) == rnd6(pc(ch)), s"$ch p_removed")
+      assert(r.getDouble(3) == rnd6(res(ch)), s"$ch removal_effect")
+      assert(r.getDouble(4) == rnd6(res(ch) / reSum), s"$ch attribution")
+    }
+    // removal can only hurt conversion; attributions are a partition of 1
+    for (r <- rows) assert(r.getDouble(2) <= r.getDouble(1) + 1e-9)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 1e-5)
+  }
+
+  test("q257 Kaplan-Meier replays from a per-user duration sweep") {
+    val df = Registry.byName("q257_kaplan_meier").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // plan shape: exactly 2 parquet scans — the 1-row censor-horizon
+    // aggregate (allowlisted broadcast knob) and the duration pass
+    val scans = flattenPlan(df.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+    assert(scans == 2, s"q257 expected 2 parquet scans, saw $scans")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tEnd = ev.map(_._3).max
+    val durs = ev.groupBy(_._1).values.flatMap { es =>
+      val t0s = es.filter(_._2 == "signup").map(_._3)
+      if (t0s.isEmpty) None
+      else {
+        val t0 = t0s.min
+        val tps = es.collect { case (_, "purchase", us) if us >= t0 => us }
+        val (end, died) =
+          if (tps.nonEmpty) (tps.min, true) else (tEnd, false)
+        Some(((end - t0) / 86400000000L, died))
+      }
+    }.toSeq
+    val byDay = durs.groupBy(_._1).map { case (day, ds) =>
+      day -> (ds.count(_._2).toLong, ds.count(!_._2).toLong)
+    }
+    val days = byDay.keys.toSeq.sorted
+    val nTotal = durs.size.toLong
+    var atRisk = nTotal; var lnSum = 0.0; var hitZero = false
+    val exp = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long, Double)]
+    for (day <- days) {
+      val (d, c) = byDay(day)
+      if (atRisk == d) hitZero = true
+      if (atRisk > d)
+        lnSum += math.log((atRisk - d).toDouble / atRisk.toDouble)
+      val s = if (hitZero) 0.0 else rnd6(math.exp(lnSum))
+      if (d > 0) exp(day) = (atRisk, d, c, s)
+      atRisk -= d + c
+    }
+    assert(rows.length == exp.size)
+    for (r <- rows) {
+      val e = exp(r.getLong(0))
+      assert(r.getLong(1) == e._1, s"day ${r.getLong(0)} n_risk")
+      assert(r.getLong(2) == e._2, "d_events")
+      assert(r.getLong(3) == e._3, "c_censored")
+      assert(r.getDouble(4) == e._4, s"day ${r.getLong(0)} survival")
+    }
+    // KM invariants: survival non-increasing in [0, 1]; risk sets shrink
+    val sv = rows.map(_.getDouble(4))
+    assert(sv.zip(sv.drop(1)).forall { case (a, b) => b <= a + 1e-12 })
+    assert(sv.forall(s => s >= 0.0 && s <= 1.0))
+    val nr = rows.map(_.getLong(1))
+    assert(nr.zip(nr.drop(1)).forall { case (a, b) => b < a })
+    assert(nr.head <= nTotal)
+  }
 }
