@@ -378,7 +378,9 @@ object Bench {
     // Markov attribution / Kaplan-Meier (round 15, standing from birth).
     // Subtract when comparing secondary_total against earlier artifacts.
     "q256_markov_attribution",
-    "q257_kaplan_meier")
+    "q257_kaplan_meier",
+    // log-rank survival test (round 15, standing from birth).
+    "q258_logrank_test")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1995,6 +1995,170 @@ object EventOps {
              |      END AS survival
              |  FROM km)
              |SELECT dur_day, n_risk, d AS d_events, c AS c_censored, survival
-             |FROM sv WHERE d > 0 ORDER BY dur_day""".stripMargin))
+             |FROM sv WHERE d > 0 ORDER BY dur_day""".stripMargin)),
+
+    // q258: LOG-RANK TEST (Mantel–Haenszel) — the inferential companion to
+    // q257's Kaplan-Meier curve: do two experiment arms have the SAME
+    // signup→purchase survival distribution, censoring priced in? (A naive
+    // t-test over durations is wrong under censoring — censored users have
+    // no duration.) Arms are the q161 seeded-md5 determinism trick; the
+    // duration/censor scaffold is exactly q257's. At each day t with
+    // deaths, the at-risk split (n1, n2) vs deaths (d1, d2) forms a 2×2
+    // table; under H0 the group-1 deaths are hypergeometric with mean
+    // E1(t) = d·n1/n and variance V(t) = E1·(n2/n)·((n−d)/(n−1)); the
+    // statistic is χ² = (O1 − ΣE1)²/ΣV ~ χ²(1). Counts are exact int64;
+    // the double Σ are cumulative over the ORDERED day window (q257's
+    // deterministic-order discipline), E1/V written with the identical
+    // operation tree in both engines, reported 6dp, with the significance
+    // decision taken on the unrounded statistic (q161 posture). Plan: ONE
+    // user-keyed exchange (window + reduce share the partitioning), one
+    // tiny day-grouped exchange, everything after on the bounded day
+    // table; the censor horizon is a 1-row broadcast.
+    Entry(
+      "q258_logrank_test",
+      (s, d) => {
+        val wu = Window.partitionBy(col("user_id"))
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), col("event_type"),
+            expr("ts div 1000").as("us"))
+        val horizon = ev.agg(max(col("us")).as("t_end"))
+        val durs = ev
+          .withColumn("t0",
+            min(when(col("event_type") === "signup", col("us"))).over(wu))
+          .groupBy(col("user_id"))
+          .agg(max(col("t0")).as("t0"),
+            min(when(col("event_type") === "purchase" &&
+              col("us") >= col("t0"), col("us"))).as("tp"))
+          .filter(col("t0").isNotNull)
+          .crossJoin(broadcast(horizon))
+          .select(
+            expr("(coalesce(tp, t_end) - t0) div 86400000000")
+              .as("dur_day"),
+            col("tp").isNotNull.as("died"),
+            (CorpusOps.md5Bucket(
+              concat(lit("ab:v1:"), col("user_id").cast("string")), 2) === 0)
+              .as("g1"))
+        val byDay = durs.groupBy(col("dur_day"))
+          .agg(
+            sum(when(col("g1") && col("died"), 1L).otherwise(0L)).as("d1"),
+            sum(when(!col("g1") && col("died"), 1L).otherwise(0L)).as("d2"),
+            sum(when(col("g1"), 1L).otherwise(0L)).as("r1"),
+            sum(when(!col("g1"), 1L).otherwise(0L)).as("r2"))
+        val wAll = Window.orderBy(col("dur_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val wPrev = Window.orderBy(col("dur_day"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wCum = Window.orderBy(col("dur_day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val terms = byDay
+          // at-risk per group BEFORE dropping censor-only days: the risk
+          // sets must shed every duration < t, deaths and censorings alike
+          .withColumn("n1",
+            sum(col("r1")).over(wAll) -
+              coalesce(sum(col("r1")).over(wPrev), lit(0L)))
+          .withColumn("n2",
+            sum(col("r2")).over(wAll) -
+              coalesce(sum(col("r2")).over(wPrev), lit(0L)))
+          .withColumn("dd", col("d1") + col("d2"))
+          .withColumn("nn", col("n1") + col("n2"))
+          .filter(col("dd") > 0)
+          .withColumn("e1",
+            col("dd").cast("double") * col("n1").cast("double") /
+              col("nn").cast("double"))
+          .withColumn("v1",
+            when(col("nn") > 1,
+              col("e1") * (col("n2").cast("double") /
+                col("nn").cast("double")) *
+                ((col("nn") - col("dd")).cast("double") /
+                  (col("nn") - lit(1L)).cast("double")))
+              .otherwise(lit(0.0)))
+        terms
+          .withColumn("o1", sum(col("d1")).over(wAll))
+          .withColumn("o2", sum(col("d2")).over(wAll))
+          .withColumn("e1s", sum(col("e1")).over(wCum))
+          .withColumn("vs", sum(col("v1")).over(wCum))
+          .withColumn("rn",
+            row_number().over(Window.orderBy(col("dur_day").desc)))
+          .filter(col("rn") === 1)
+          .select(
+            col("o1"), round(col("e1s"), 6).as("e1"),
+            col("o2"),
+            round((col("o1") + col("o2")).cast("double") - col("e1s"), 6)
+              .as("e2"),
+            when(col("vs") > 0,
+              round((col("o1").cast("double") - col("e1s")) *
+                (col("o1").cast("double") - col("e1s")) / col("vs"), 6))
+              .as("chi2"),
+            when(col("vs") > 0,
+              (col("o1").cast("double") - col("e1s")) *
+                (col("o1").cast("double") - col("e1s")) / col("vs") >=
+                lit(3.841459)).as("significant"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_type,
+             |    epoch_ns(ts) // 1000 AS us FROM events),
+             |hz AS (SELECT max(us) AS t_end FROM e),
+             |t0 AS (SELECT user_id,
+             |    min(CASE WHEN event_type = 'signup' THEN us END) AS t0
+             |  FROM e GROUP BY 1),
+             |du AS (SELECT e.user_id,
+             |    (coalesce(min(CASE WHEN e.event_type = 'purchase'
+             |        AND e.us >= t0.t0 THEN e.us END), hz.t_end) - t0.t0)
+             |      // 86400000000 AS dur_day,
+             |    min(CASE WHEN e.event_type = 'purchase'
+             |      AND e.us >= t0.t0 THEN e.us END) IS NOT NULL AS died
+             |  FROM e JOIN t0 USING (user_id) CROSS JOIN hz
+             |  WHERE t0.t0 IS NOT NULL
+             |  GROUP BY e.user_id, t0.t0, hz.t_end),
+             |dg AS (SELECT dur_day, died,
+             |    CAST(('0x' || substr(md5('ab:v1:' || user_id::VARCHAR), 1, 8))
+             |      AS BIGINT) % 2 = 0 AS g1 FROM du),
+             |bd AS (SELECT dur_day,
+             |    CAST(sum(CASE WHEN g1 AND died THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS d1,
+             |    CAST(sum(CASE WHEN NOT g1 AND died THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS d2,
+             |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+             |    CAST(sum(CASE WHEN NOT g1 THEN 1 ELSE 0 END) AS BIGINT) AS r2
+             |  FROM dg GROUP BY 1),
+             |rk AS (SELECT dur_day, d1, d2,
+             |    CAST(sum(r1) OVER () AS BIGINT)
+             |      - CAST(coalesce(sum(r1) OVER (ORDER BY dur_day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS BIGINT) AS n1,
+             |    CAST(sum(r2) OVER () AS BIGINT)
+             |      - CAST(coalesce(sum(r2) OVER (ORDER BY dur_day
+             |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             |        AS BIGINT) AS n2
+             |  FROM bd),
+             |tm AS (SELECT dur_day, d1, d2, n1, n2,
+             |    d1 + d2 AS dd, n1 + n2 AS nn,
+             |    CAST(d1 + d2 AS DOUBLE) * CAST(n1 AS DOUBLE)
+             |      / CAST(n1 + n2 AS DOUBLE) AS e1
+             |  FROM rk WHERE d1 + d2 > 0),
+             |tv AS (SELECT dur_day, d1, d2, e1,
+             |    CASE WHEN nn > 1 THEN e1 * (CAST(n2 AS DOUBLE)
+             |        / CAST(nn AS DOUBLE)) * (CAST(nn - dd AS DOUBLE)
+             |        / CAST(nn - 1 AS DOUBLE))
+             |      ELSE 0.0 END AS v1
+             |  FROM tm),
+             |cu AS (SELECT
+             |    CAST(sum(d1) OVER () AS BIGINT) AS o1,
+             |    CAST(sum(d2) OVER () AS BIGINT) AS o2,
+             |    sum(e1) OVER (ORDER BY dur_day ROWS UNBOUNDED PRECEDING)
+             |      AS e1s,
+             |    sum(v1) OVER (ORDER BY dur_day ROWS UNBOUNDED PRECEDING)
+             |      AS vs,
+             |    row_number() OVER (ORDER BY dur_day DESC) AS rn
+             |  FROM tv)
+             |SELECT o1, round(e1s, 6) AS e1, o2,
+             |  round(CAST(o1 + o2 AS DOUBLE) - e1s, 6) AS e2,
+             |  CASE WHEN vs > 0
+             |    THEN round((CAST(o1 AS DOUBLE) - e1s)
+             |      * (CAST(o1 AS DOUBLE) - e1s) / vs, 6) END AS chi2,
+             |  CASE WHEN vs > 0
+             |    THEN (CAST(o1 AS DOUBLE) - e1s)
+             |      * (CAST(o1 AS DOUBLE) - e1s) / vs >= 3.841459
+             |    END AS significant
+             |FROM cu WHERE rn = 1""".stripMargin))
   )
 }

@@ -742,4 +742,74 @@ class EventOpsSuite extends SparkTestBase {
     assert(nr.zip(nr.drop(1)).forall { case (a, b) => b < a })
     assert(nr.head <= nTotal)
   }
+
+  test("q258 log-rank test replays from a JVM-side hypergeometric sweep") {
+    val df = Registry.byName("q258_logrank_test").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    // plan shape: exactly 2 parquet scans — the 1-row censor-horizon
+    // aggregate (allowlisted broadcast knob) and the duration pass
+    val scans = flattenPlan(df.queryExecution.executedPlan).count {
+      case _: org.apache.spark.sql.execution.FileSourceScanExec => true
+      case _ => false
+    }
+    assert(scans == 2, s"q258 expected 2 parquet scans, saw $scans")
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), expr("ts div 1000"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val tEnd = ev.map(_._3).max
+    def arm1(u: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"ab:v1:$u".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.take(4).map("%02x".format(_)).mkString, 16) % 2 == 0
+    }
+    val durs = ev.groupBy(_._1).flatMap { case (uid, es) =>
+      val t0s = es.filter(_._2 == "signup").map(_._3)
+      if (t0s.isEmpty) None
+      else {
+        val t0 = t0s.min
+        val tps = es.collect { case (_, "purchase", us) if us >= t0 => us }
+        val (end, died) =
+          if (tps.nonEmpty) (tps.min, true) else (tEnd, false)
+        Some(((end - t0) / 86400000000L, died, arm1(uid)))
+      }
+    }.toSeq
+    val byDay = durs.groupBy(_._1).map { case (day, ds) =>
+      day -> (ds.count(e => e._3 && e._2).toLong,
+        ds.count(e => !e._3 && e._2).toLong,
+        ds.count(_._3).toLong, ds.count(!_._3).toLong)
+    }
+    val days = byDay.keys.toSeq.sorted
+    var n1 = durs.count(_._3).toLong
+    var n2 = durs.count(!_._3).toLong
+    var o1 = 0L; var o2 = 0L; var e1s = 0.0; var vs = 0.0
+    for (day <- days) {
+      val (d1, d2, r1, r2) = byDay(day)
+      val dd = d1 + d2; val nn = n1 + n2
+      if (dd > 0) {
+        o1 += d1; o2 += d2
+        val e1 = dd.toDouble * n1.toDouble / nn.toDouble
+        e1s += e1
+        if (nn > 1)
+          vs += e1 * (n2.toDouble / nn.toDouble) *
+            ((nn - dd).toDouble / (nn - 1).toDouble)
+      }
+      n1 -= r1; n2 -= r2
+    }
+    val r = rows.head
+    assert(r.getLong(0) == o1, "o1")
+    assert(r.getLong(2) == o2, "o2")
+    assert(r.getDouble(1) == rnd6(e1s), "e1")
+    assert(r.getDouble(3) == rnd6((o1 + o2).toDouble - e1s), "e2")
+    val chi2 = (o1.toDouble - e1s) * (o1.toDouble - e1s) / vs
+    assert(r.getDouble(4) == rnd6(chi2), "chi2")
+    assert(r.getBoolean(5) == (chi2 >= 3.841459), "significant")
+    // log-rank invariants: expectations partition total deaths; both arms
+    // populated (the seeded split is near-even); variance strictly positive
+    assert(math.abs((r.getDouble(1) + r.getDouble(3)) -
+      (o1 + o2).toDouble) < 2e-6, "E1 + E2 must equal O1 + O2")
+    assert(o1 > 0 && o2 > 0, "both arms must observe deaths on the fixture")
+    assert(vs > 0.0 && r.getDouble(4) >= 0.0)
+  }
 }
