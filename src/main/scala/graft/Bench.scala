@@ -380,7 +380,9 @@ object Bench {
     "q256_markov_attribution",
     "q257_kaplan_meier",
     // log-rank survival test (round 15, standing from birth).
-    "q258_logrank_test")
+    "q258_logrank_test",
+    // Spearman rank-correlation matrix (round 15, standing from birth).
+    "q259_spearman_matrix")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

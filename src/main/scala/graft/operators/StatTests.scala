@@ -616,6 +616,211 @@ object StatTests {
              |SELECT ga AS type_a, gb AS type_b, z, p_ppm, rank, m, k_star,
              |  rank <= k_star AS rejected
              |FROM rk CROSS JOIN ks
-             |ORDER BY type_a, type_b""".stripMargin))
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // q259: SPEARMAN RANK-CORRELATION MATRIX — monotone association
+    // between per-order features (o_totalprice, n_items, sum_qty,
+    // sum_price), the outlier-robust complement to q150's Pearson-family
+    // OLS: Spearman is Pearson over TIE-AWARE AVERAGE RANKS, invariant to
+    // any monotone transform, so a heavy-tailed price column can't
+    // dominate the statistic. On this fixture the matrix is itself an
+    // AUDIT FINDING: o_totalprice is uncorrelated with its own lineitems'
+    // sum (~0) while n_items↔sum_qty ≈ 0.87 — the header total is not
+    // derived from the lines. Ranks stay integer-exact via the DOUBLED
+    // average rank r2(v) = 2·|{u < v}| + cnt(v) + 1 (half-integer average
+    // ranks ×2; the ×2 cancels in rho), built by the q135/q189 count-based
+    // discipline — per-VALUE count tables, never a corpus-sized global
+    // sort: bounded domains (n_items ≤ 7, sum_qty ≤ 350) take one window
+    // over the tiny value table; cent-valued domains (corpus-sized) take
+    // the q190 two-phase prefix ($10k blocks — the value RANGE is fixed by
+    // the price distribution, so the block table stays bounded at any SF).
+    // All 15 moment sums are exact int64 (r2 ≤ 2n+1 ⇒ Σr2² ≤ 4n³+…,
+    // int64-safe to ~10⁶ orders; Decimal(38) past — q237 posture); rho is
+    // the one IEEE expression over exact longs, identically parenthesized
+    // in both engines (q150 discipline), rounded 6dp. Plan: orderkey join
+    // + per-order agg → localCheckpoint (five consumers) → two shuffled
+    // value-keyed rank joins + two broadcast rank joins → ONE 1-row moment
+    // aggregate → 6-row stack.
+    Entry(
+      "q259_spearman_matrix",
+      (s, d) => {
+        def smallRank(src: DataFrame, vc: String): DataFrame = {
+          val vt = src.groupBy(col(vc).as("v")).agg(count(lit(1)).as("cnt"))
+          val w = Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          vt.select(col("v").as(vc),
+            (coalesce(sum(col("cnt")).over(w), lit(0L)) * 2 + col("cnt") + 1)
+              .as(vc + "_r2"))
+        }
+        def bigRank(src: DataFrame, vc: String): DataFrame = {
+          val vt = src.groupBy(col(vc).as("v")).agg(count(lit(1)).as("cnt"))
+            .withColumn("blk", expr("v div 1000000"))
+            .localCheckpoint() // consumers: within-block prefix + rollup
+          val wIn = Window.partitionBy(col("blk")).orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val wB = Window.orderBy(col("blk"))
+            .rowsBetween(Window.unboundedPreceding, -1)
+          val bOff = vt.groupBy(col("blk")).agg(sum(col("cnt")).as("bn"))
+            .select(col("blk"),
+              coalesce(sum(col("bn")).over(wB), lit(0L)).as("sm_blk"))
+          vt.withColumn("sm_in", coalesce(sum(col("cnt")).over(wIn), lit(0L)))
+            .join(broadcast(bOff), Seq("blk"))
+            .select(col("v").as(vc),
+              ((col("sm_blk") + col("sm_in")) * 2 + col("cnt") + 1)
+                .as(vc + "_r2"))
+        }
+        val lo = T.lineitem(s, d).groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("ni"),
+            sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qsum"),
+            sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+              .as("psum"))
+        val u = T.orders(s, d)
+          .select(col("o_orderkey").as("l_orderkey"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("tp"))
+          .join(lo, Seq("l_orderkey"))
+          .select(col("tp"), col("ni"), col("qsum"), col("psum"))
+          .localCheckpoint() // consumers: 4 rank tables + the moment pass
+        val en = u
+          .join(bigRank(u, "tp"), Seq("tp"))
+          .join(bigRank(u, "psum"), Seq("psum"))
+          .join(broadcast(smallRank(u, "ni")), Seq("ni"))
+          .join(broadcast(smallRank(u, "qsum")), Seq("qsum"))
+        val mom = en.agg(
+          count(lit(1)).as("n"),
+          sum(col("tp_r2")).as("sa"), sum(col("ni_r2")).as("sb"),
+          sum(col("qsum_r2")).as("sc"), sum(col("psum_r2")).as("sd"),
+          sum(col("tp_r2") * col("tp_r2")).as("saa"),
+          sum(col("ni_r2") * col("ni_r2")).as("sbb"),
+          sum(col("qsum_r2") * col("qsum_r2")).as("scc"),
+          sum(col("psum_r2") * col("psum_r2")).as("sdd"),
+          sum(col("tp_r2") * col("ni_r2")).as("sab"),
+          sum(col("tp_r2") * col("qsum_r2")).as("sac"),
+          sum(col("tp_r2") * col("psum_r2")).as("sad"),
+          sum(col("ni_r2") * col("qsum_r2")).as("sbc"),
+          sum(col("ni_r2") * col("psum_r2")).as("sbd"),
+          sum(col("qsum_r2") * col("psum_r2")).as("scd"))
+        def rho(sxy: Column, sx: Column, sy: Column,
+                sxx: Column, syy: Column): Column = {
+          val nd = col("n").cast("double")
+          round((nd * sxy.cast("double") -
+            sx.cast("double") * sy.cast("double")) /
+            sqrt((nd * sxx.cast("double") -
+              sx.cast("double") * sx.cast("double")) *
+              (nd * syy.cast("double") -
+                sy.cast("double") * sy.cast("double"))), 6)
+        }
+        mom
+          .withColumn("r_ab",
+            rho(col("sab"), col("sa"), col("sb"), col("saa"), col("sbb")))
+          .withColumn("r_ac",
+            rho(col("sac"), col("sa"), col("sc"), col("saa"), col("scc")))
+          .withColumn("r_ad",
+            rho(col("sad"), col("sa"), col("sd"), col("saa"), col("sdd")))
+          .withColumn("r_bc",
+            rho(col("sbc"), col("sb"), col("sc"), col("sbb"), col("scc")))
+          .withColumn("r_bd",
+            rho(col("sbd"), col("sb"), col("sd"), col("sbb"), col("sdd")))
+          .withColumn("r_cd",
+            rho(col("scd"), col("sc"), col("sd"), col("scc"), col("sdd")))
+          .select(expr("""stack(6,
+            'n_items',      'o_totalprice', n, r_ab,
+            'n_items',      'sum_price',    n, r_bd,
+            'n_items',      'sum_qty',      n, r_bc,
+            'o_totalprice', 'sum_price',    n, r_ad,
+            'o_totalprice', 'sum_qty',      n, r_ac,
+            'sum_price',    'sum_qty',      n, r_cd)
+            AS (x_col, y_col, n_orders, spearman)"""))
+          .orderBy(col("x_col"), col("y_col"))
+      },
+      Some("""WITH lo AS (SELECT l_orderkey,
+             |    CAST(count(*) AS BIGINT) AS ni,
+             |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+             |      AS qsum,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS psum
+             |  FROM lineitem GROUP BY 1),
+             |u AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS tp,
+             |    ni, qsum, psum
+             |  FROM orders JOIN lo ON o_orderkey = l_orderkey),
+             |r AS (SELECT
+             |    2 * (CAST(rank() OVER (ORDER BY tp) AS BIGINT) - 1)
+             |      + CAST(count(*) OVER (PARTITION BY tp) AS BIGINT) + 1
+             |      AS r2a,
+             |    2 * (CAST(rank() OVER (ORDER BY ni) AS BIGINT) - 1)
+             |      + CAST(count(*) OVER (PARTITION BY ni) AS BIGINT) + 1
+             |      AS r2b,
+             |    2 * (CAST(rank() OVER (ORDER BY qsum) AS BIGINT) - 1)
+             |      + CAST(count(*) OVER (PARTITION BY qsum) AS BIGINT) + 1
+             |      AS r2c,
+             |    2 * (CAST(rank() OVER (ORDER BY psum) AS BIGINT) - 1)
+             |      + CAST(count(*) OVER (PARTITION BY psum) AS BIGINT) + 1
+             |      AS r2d
+             |  FROM u),
+             |ag AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n,
+             |    CAST(sum(r2a) AS BIGINT) AS sa,
+             |    CAST(sum(r2b) AS BIGINT) AS sb,
+             |    CAST(sum(r2c) AS BIGINT) AS sc,
+             |    CAST(sum(r2d) AS BIGINT) AS sd,
+             |    CAST(sum(r2a*r2a) AS BIGINT) AS saa,
+             |    CAST(sum(r2b*r2b) AS BIGINT) AS sbb,
+             |    CAST(sum(r2c*r2c) AS BIGINT) AS scc,
+             |    CAST(sum(r2d*r2d) AS BIGINT) AS sdd,
+             |    CAST(sum(r2a*r2b) AS BIGINT) AS sab,
+             |    CAST(sum(r2a*r2c) AS BIGINT) AS sac,
+             |    CAST(sum(r2a*r2d) AS BIGINT) AS sad,
+             |    CAST(sum(r2b*r2c) AS BIGINT) AS sbc,
+             |    CAST(sum(r2b*r2d) AS BIGINT) AS sbd,
+             |    CAST(sum(r2c*r2d) AS BIGINT) AS scd
+             |  FROM r)
+             |SELECT 'n_items' AS x_col, 'o_totalprice' AS y_col,
+             |  n AS n_orders,
+             |  round((CAST(n AS DOUBLE)*CAST(sab AS DOUBLE)
+             |      - CAST(sa AS DOUBLE)*CAST(sb AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+             |        - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+             |      * (CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+             |        - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))), 6)
+             |    AS spearman FROM ag
+             |UNION ALL
+             |SELECT 'n_items', 'sum_price', n,
+             |  round((CAST(n AS DOUBLE)*CAST(sbd AS DOUBLE)
+             |      - CAST(sb AS DOUBLE)*CAST(sd AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+             |        - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))
+             |      * (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
+             |        - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))), 6) FROM ag
+             |UNION ALL
+             |SELECT 'n_items', 'sum_qty', n,
+             |  round((CAST(n AS DOUBLE)*CAST(sbc AS DOUBLE)
+             |      - CAST(sb AS DOUBLE)*CAST(sc AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE)*CAST(sbb AS DOUBLE)
+             |        - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE))
+             |      * (CAST(n AS DOUBLE)*CAST(scc AS DOUBLE)
+             |        - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))), 6) FROM ag
+             |UNION ALL
+             |SELECT 'o_totalprice', 'sum_price', n,
+             |  round((CAST(n AS DOUBLE)*CAST(sad AS DOUBLE)
+             |      - CAST(sa AS DOUBLE)*CAST(sd AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+             |        - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+             |      * (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
+             |        - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))), 6) FROM ag
+             |UNION ALL
+             |SELECT 'o_totalprice', 'sum_qty', n,
+             |  round((CAST(n AS DOUBLE)*CAST(sac AS DOUBLE)
+             |      - CAST(sa AS DOUBLE)*CAST(sc AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE)*CAST(saa AS DOUBLE)
+             |        - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE))
+             |      * (CAST(n AS DOUBLE)*CAST(scc AS DOUBLE)
+             |        - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))), 6) FROM ag
+             |UNION ALL
+             |SELECT 'sum_price', 'sum_qty', n,
+             |  round((CAST(n AS DOUBLE)*CAST(scd AS DOUBLE)
+             |      - CAST(sc AS DOUBLE)*CAST(sd AS DOUBLE))
+             |    / sqrt((CAST(n AS DOUBLE)*CAST(scc AS DOUBLE)
+             |        - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))
+             |      * (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
+             |        - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))), 6) FROM ag
+             |ORDER BY x_col, y_col""".stripMargin))
   )
 }

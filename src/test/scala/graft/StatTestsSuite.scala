@@ -192,4 +192,72 @@ class StatTestsSuite extends SparkTestBase {
     val acc = rows.filterNot(_.getBoolean(7)).map(_.getLong(3))
     if (rej.nonEmpty && acc.nonEmpty) assert(rej.max <= acc.min)
   }
+
+  private def rnd6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q259 Spearman matrix replays from JVM-side tie-aware average ranks") {
+    val df = Registry.byName("q259_spearman_matrix").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    // one-materialization pin: the per-order feature table is
+    // localCheckpointed, so the final plan re-scans no parquet
+    assert(!df.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "q259 re-plans its inputs upstream past the localCheckpoint barrier")
+    val lo = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (ok, ls) =>
+        ok -> (ls.length.toLong,
+          ls.map(r => math.round(r.getDouble(1))).sum,
+          ls.map(r => math.round(r.getDouble(2) * 100)).sum)
+      }
+    val feats = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .collect()
+      .flatMap { r =>
+        lo.get(r.getLong(0)).map { case (ni, qsum, psum) =>
+          Array(math.round(r.getDouble(1) * 100), ni, qsum, psum)
+        }
+      }
+    // doubled tie-aware average rank: r2(v) = 2·|{u < v}| + cnt(v) + 1
+    def r2(vals: Array[Long]): Array[Long] = {
+      val cnt = vals.groupBy(identity).map { case (v, vs) => v -> vs.length.toLong }
+      val smaller = scala.collection.mutable.Map.empty[Long, Long]
+      var acc = 0L
+      for (v <- cnt.keys.toSeq.sorted) { smaller(v) = acc; acc += cnt(v) }
+      vals.map(v => 2 * smaller(v) + cnt(v) + 1)
+    }
+    val cols = (0 until 4).map(i => r2(feats.map(_(i)))).toArray
+    val n = feats.length.toLong
+    def rho(x: Array[Long], y: Array[Long]): Double = {
+      val sx = x.sum; val sy = y.sum
+      val sxx = x.map(v => v * v).sum; val syy = y.map(v => v * v).sum
+      val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+      rnd6((n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+        math.sqrt((n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble) *
+          (n.toDouble * syy.toDouble - sy.toDouble * sy.toDouble)))
+    }
+    // output order is (x_col, y_col) lexicographic; a=tp b=ni c=qsum d=psum
+    val exp = Seq(
+      ("n_items", "o_totalprice", rho(cols(1), cols(0))),
+      ("n_items", "sum_price", rho(cols(1), cols(3))),
+      ("n_items", "sum_qty", rho(cols(1), cols(2))),
+      ("o_totalprice", "sum_price", rho(cols(0), cols(3))),
+      ("o_totalprice", "sum_qty", rho(cols(0), cols(2))),
+      ("sum_price", "sum_qty", rho(cols(3), cols(2))))
+    for ((r, (xc, yc, rh)) <- rows.zip(exp)) {
+      assert(r.getString(0) == xc && r.getString(1) == yc)
+      assert(r.getLong(2) == n, "n_orders")
+      assert(r.getDouble(3) == rh, s"spearman($xc, $yc)")
+    }
+    // matrix invariants: |rho| <= 1 everywhere; the lineitem-derived pairs
+    // correlate strongly while the header total is independent of them
+    val byPair = rows.map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(byPair.values.forall(v => math.abs(v) <= 1.0))
+    assert(byPair(("n_items", "sum_qty")) > 0.5, "items drive quantity")
+    assert(byPair(("sum_price", "sum_qty")) > 0.3, "price tracks quantity")
+    assert(math.abs(byPair(("o_totalprice", "sum_price"))) < 0.2,
+      "header total is NOT derived from lines on this fixture (the audit finding)")
+  }
 }
