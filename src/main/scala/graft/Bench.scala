@@ -382,7 +382,9 @@ object Bench {
     // log-rank survival test (round 15, standing from birth).
     "q258_logrank_test",
     // Spearman rank-correlation matrix (round 15, standing from birth).
-    "q259_spearman_matrix")
+    "q259_spearman_matrix",
+    // quantized-EM Gaussian mixture fit (round 15, standing from birth).
+    "q260_gmm_em")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

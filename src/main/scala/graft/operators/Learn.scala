@@ -531,6 +531,219 @@ object Learn {
              |  FROM mki GROUP BY 1)
              |SELECT pre.bin, pre.nb AS n, pre.pb AS npos,
              |  pre.pb * 1000000 // pre.nb AS raw_ppm, ft.fitted_ppm
-             |FROM pre JOIN ft ON ft.k = pre.r ORDER BY pre.bin""".stripMargin))
+             |FROM pre JOIN ft ON ft.k = pre.r ORDER BY pre.bin""".stripMargin)),
+
+    // q260: GAUSSIAN MIXTURE FIT BY QUANTIZED-RESPONSIBILITY EM — the
+    // unsupervised counterpart to q233's perceptron: fit a 2-component
+    // 1-D Gaussian mixture (weights, means, variances) with 10
+    // expectation-maximization iterations run ENTIRELY in-engine over the
+    // binned sample histogram. The fixture has no natural bimodal column,
+    // so the sample is FABRICATED in-query under the q117/q155/q251 dirty-
+    // fixture discipline — a seeded two-component draw whose ground truth
+    // is known by construction (w = 0.75/0.25, N(200, 30²)/N(420, 45²)),
+    // making parameter RECOVERY itself the oracle-checkable deliverable
+    // (err_* and `recovered` in-row). The draw is exact integer Irwin-Hall
+    // CLT: z·2¹⁶ = Σ of TWELVE seeded md5 u16 lanes − 6·2¹⁶ (the q253 lane
+    // slicing — 12 of 16 lanes across two digests/row), value =
+    // mu·10³ + (sigma·10³·z·2¹⁶) div 2¹⁶ — bounded in mu±6sigma BY
+    // CONSTRUCTION, so the bin table is bounded at any SF. The EM itself
+    // is the cross-engine determinism contribution: responsibilities are
+    // QUANTIZED to integer ppm each round (r1 = 10⁶ − r2, an exact
+    // complement), so every E-step moment is an exact int64 SUM —
+    // order-free, partition-invariant, no sequential-fold discipline
+    // needed — and the M-step params are IEEE divisions of exact longs
+    // (q150 posture). The 1-ulp cross-engine exp() hazard (the reason
+    // naive float EM can't be oracle-checked) only flips a ppm integer
+    // when 10⁶·r sits within ~10⁻¹⁰ of a half-integer — absorbed by the
+    // quantization, and CANNOT ACCUMULATE across iterations because each
+    // round's params derive from exact integers. Init is deterministic
+    // count-based quartiles (q135 discipline). Plan: one map pass
+    // (2 md5/row) + one bin-count exchange; the 10-iteration EM is a
+    // per-row HOF fold over the ≤30-struct histogram array on a 1-row
+    // table (q256 posture — never an unrolled 10-join plan); the oracle
+    // unrolls the same iterations as chained 1-row CTEs (q160 posture).
+    Entry(
+      "q260_gmm_em",
+      (s, d) => {
+        val lanes = ((0 until 8).map(j =>
+          s"CAST(conv(substring(h1, ${1 + 4 * j}, 4), 16, 10) AS BIGINT)") ++
+          (0 until 4).map(j =>
+            s"CAST(conv(substring(h2, ${1 + 4 * j}, 4), 16, 10) AS BIGINT)"))
+          .mkString(" + ")
+        val fab = T.events(s, d)
+          .select(col("event_id"))
+          .withColumn("h1",
+            expr("md5(concat('gmma:v1:', CAST(event_id AS STRING)))"))
+          .withColumn("h2",
+            expr("md5(concat('gmmb:v1:', CAST(event_id AS STRING)))"))
+          .withColumn("z", expr(s"($lanes) - 393216L"))
+          .withColumn("comp2",
+            CorpusOps.md5Bucket(
+              concat(lit("gmm:v1:"), col("event_id").cast("string")), 4) === 0)
+          .select(expr("""(CASE WHEN comp2
+            THEN 420000L + (45000L * z) div 65536
+            ELSE 200000L + (30000L * z) div 65536 END) div 25000""").as("bin"))
+        val ht = fab.groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+        val wCum = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.orderBy(col("bin"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val base = ht
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("tot", sum(col("cnt")).over(wAll))
+          .agg(
+            max(col("tot")).as("n"),
+            sum(col("cnt") * (col("bin") * 2 + 1)).as("s1"),
+            sum(col("cnt") * (col("bin") * 2 + 1) * (col("bin") * 2 + 1))
+              .as("s2"),
+            min(when(col("cum") * 4 >= col("tot"), col("bin"))).as("q1b"),
+            min(when(col("cum") * 4 >= col("tot") * 3, col("bin"))).as("q3b"),
+            sort_array(collect_list(struct(col("bin"), col("cnt"))))
+              .as("harr"))
+        val X = "(CAST(b.bin AS DOUBLE) + 0.5D)"
+        def E(k: Int) =
+          s"(acc.w$k * exp(-(($X - acc.m$k) * ($X - acc.m$k)) / " +
+            s"(2.0D * acc.v$k)) / sqrt(acc.v$k))"
+        val R2P = s"(CASE WHEN ${E(1)} + ${E(2)} > 0.0D THEN " +
+          s"CAST(round(1000000.0D * ${E(2)} / (${E(1)} + ${E(2)})) AS BIGINT) " +
+          s"WHEN abs($X - acc.m2) < abs($X - acc.m1) THEN 1000000L " +
+          "ELSE 0L END)"
+        def fin(k: Int) = {
+          val mk = s"(CAST(t.sx$k AS DOUBLE) / " +
+            s"(2.0D * CAST(greatest(t.n$k, 1L) AS DOUBLE)))"
+          s"'m$k', $mk, " +
+            s"'v$k', greatest(CAST(t.sxx$k AS DOUBLE) / " +
+            s"(4.0D * CAST(greatest(t.n$k, 1L) AS DOUBLE)) - $mk * $mk, " +
+            "0.01D), " +
+            s"'w$k', CAST(t.n$k AS DOUBLE) / CAST(t.n1 + t.n2 AS DOUBLE)"
+        }
+        val step = s"""aggregate(harr,
+          named_struct('n1', 0L, 'sx1', 0L, 'sxx1', 0L,
+            'n2', 0L, 'sx2', 0L, 'sxx2', 0L),
+          (s, b) -> named_struct(
+            'n1', s.n1 + (1000000L - $R2P) * b.cnt,
+            'sx1', s.sx1 + (1000000L - $R2P) * b.cnt * (2L * b.bin + 1L),
+            'sxx1', s.sxx1 + (1000000L - $R2P) * b.cnt
+              * (2L * b.bin + 1L) * (2L * b.bin + 1L),
+            'n2', s.n2 + $R2P * b.cnt,
+            'sx2', s.sx2 + $R2P * b.cnt * (2L * b.bin + 1L),
+            'sxx2', s.sxx2 + $R2P * b.cnt
+              * (2L * b.bin + 1L) * (2L * b.bin + 1L)),
+          t -> named_struct(${fin(1)}, ${fin(2)}))"""
+        base
+          .withColumn("m10", expr("CAST(q1b AS DOUBLE) + 0.5D"))
+          .withColumn("m20", expr("CAST(q3b AS DOUBLE) + 0.5D"))
+          .withColumn("v00", expr(
+            "greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE) " +
+              "- CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) " +
+              "/ (16.0D * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.01D)"))
+          .withColumn("p", expr(s"""aggregate(sequence(1, 10),
+            named_struct('m1', m10, 'v1', v00, 'w1', 0.5D,
+              'm2', m20, 'v2', v00, 'w2', 0.5D),
+            (acc, i) -> $step, acc -> acc)"""))
+          .select(
+            col("n").as("n_samples"),
+            expr("CAST(round(p.w2 * 1000000.0D) AS BIGINT)").as("w2_ppm"),
+            expr("round(25.0D * p.m1, 4)").as("mu1_hat"),
+            expr("round(25.0D * sqrt(p.v1), 4)").as("sd1_hat"),
+            expr("round(25.0D * p.m2, 4)").as("mu2_hat"),
+            expr("round(25.0D * sqrt(p.v2), 4)").as("sd2_hat"),
+            expr("round(abs(25.0D * p.m1 - 200.0D), 4)").as("err_mu1"),
+            expr("round(abs(25.0D * p.m2 - 420.0D), 4)").as("err_mu2"),
+            expr("""abs(25.0D * p.m1 - 200.0D) < 5.0D
+              AND abs(25.0D * sqrt(p.v1) - 30.0D) < 5.0D
+              AND abs(25.0D * p.m2 - 420.0D) < 10.0D
+              AND abs(25.0D * sqrt(p.v2) - 45.0D) < 10.0D
+              AND abs(p.w2 - 0.25D) < 0.03D""").as("recovered"))
+      },
+      Some {
+        val lanes = ((0 until 8).map(j =>
+          "CAST(('0x' || substr(md5('gmma:v1:' || event_id::VARCHAR), " +
+            s"${1 + 4 * j}, 4)) AS BIGINT)") ++
+          (0 until 4).map(j =>
+            "CAST(('0x' || substr(md5('gmmb:v1:' || event_id::VARCHAR), " +
+              s"${1 + 4 * j}, 4)) AS BIGINT)")).mkString(" + ")
+        val X = "(CAST(h.bin AS DOUBLE) + 0.5)"
+        def e(k: Int) =
+          s"(acc.w$k * exp(-(($X - acc.m$k) * ($X - acc.m$k)) / " +
+            s"(2.0 * acc.v$k)) / sqrt(acc.v$k))"
+        val r2p = s"(CASE WHEN ${e(1)} + ${e(2)} > 0.0 THEN " +
+          s"CAST(round(1000000.0 * ${e(2)} / (${e(1)} + ${e(2)})) AS BIGINT) " +
+          s"WHEN abs($X - acc.m2) < abs($X - acc.m1) THEN 1000000 " +
+          "ELSE 0 END)"
+        def fin(k: Int) = {
+          val mk = s"(CAST(t.sx$k AS DOUBLE) / " +
+            s"(2.0 * CAST(greatest(t.n$k, 1) AS DOUBLE)))"
+          s"$mk AS m$k, " +
+            s"greatest(CAST(t.sxx$k AS DOUBLE) / " +
+            s"(4.0 * CAST(greatest(t.n$k, 1) AS DOUBLE)) - $mk * $mk, 0.01) " +
+            s"AS v$k, " +
+            s"CAST(t.n$k AS DOUBLE) / CAST(t.n1 + t.n2 AS DOUBLE) AS w$k"
+        }
+        val iters = (1 to 10).map { k =>
+          s"""c$k AS MATERIALIZED (SELECT ${fin(1)}, ${fin(2)}
+             |  FROM (SELECT
+             |    CAST(sum((1000000 - $r2p) * h.cnt) AS BIGINT) AS n1,
+             |    CAST(sum((1000000 - $r2p) * h.cnt * (2 * h.bin + 1))
+             |      AS BIGINT) AS sx1,
+             |    CAST(sum((1000000 - $r2p) * h.cnt * (2 * h.bin + 1)
+             |      * (2 * h.bin + 1)) AS BIGINT) AS sxx1,
+             |    CAST(sum($r2p * h.cnt) AS BIGINT) AS n2,
+             |    CAST(sum($r2p * h.cnt * (2 * h.bin + 1)) AS BIGINT) AS sx2,
+             |    CAST(sum($r2p * h.cnt * (2 * h.bin + 1) * (2 * h.bin + 1))
+             |      AS BIGINT) AS sxx2
+             |  FROM hist h CROSS JOIN c${k - 1} acc) t)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH fab AS (SELECT
+           |    (CASE WHEN CAST(('0x' || substr(md5('gmm:v1:'
+           |        || event_id::VARCHAR), 1, 8)) AS BIGINT) % 4 = 0
+           |      THEN 420000 + (45000 * (($lanes) - 393216)) // 65536
+           |      ELSE 200000 + (30000 * (($lanes) - 393216)) // 65536
+           |      END) // 25000 AS bin
+           |  FROM events),
+           |hist AS MATERIALIZED (SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM fab GROUP BY 1),
+           |base AS MATERIALIZED (SELECT
+           |    CAST(sum(cnt) AS BIGINT) AS n,
+           |    CAST(sum(cnt * (bin * 2 + 1)) AS BIGINT) AS s1,
+           |    CAST(sum(cnt * (bin * 2 + 1) * (bin * 2 + 1)) AS BIGINT) AS s2,
+           |    CAST(min(CASE WHEN cum * 4 >= tot THEN bin END) AS BIGINT)
+           |      AS q1b,
+           |    CAST(min(CASE WHEN cum * 4 >= tot * 3 THEN bin END) AS BIGINT)
+           |      AS q3b
+           |  FROM (SELECT bin, cnt,
+           |      sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum,
+           |      sum(cnt) OVER () AS tot
+           |    FROM hist)),
+           |c0 AS MATERIALIZED (SELECT
+           |    CAST(q1b AS DOUBLE) + 0.5 AS m1,
+           |    greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+           |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           |      / (16.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.01)
+           |      AS v1,
+           |    0.5 AS w1,
+           |    CAST(q3b AS DOUBLE) + 0.5 AS m2,
+           |    greatest((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+           |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+           |      / (16.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.01)
+           |      AS v2,
+           |    0.5 AS w2
+           |  FROM base),
+           |$iters
+           |SELECT base.n AS n_samples,
+           |  CAST(round(c10.w2 * 1000000.0) AS BIGINT) AS w2_ppm,
+           |  round(25.0 * c10.m1, 4) AS mu1_hat,
+           |  round(25.0 * sqrt(c10.v1), 4) AS sd1_hat,
+           |  round(25.0 * c10.m2, 4) AS mu2_hat,
+           |  round(25.0 * sqrt(c10.v2), 4) AS sd2_hat,
+           |  round(abs(25.0 * c10.m1 - 200.0), 4) AS err_mu1,
+           |  round(abs(25.0 * c10.m2 - 420.0), 4) AS err_mu2,
+           |  abs(25.0 * c10.m1 - 200.0) < 5.0
+           |    AND abs(25.0 * sqrt(c10.v1) - 30.0) < 5.0
+           |    AND abs(25.0 * c10.m2 - 420.0) < 10.0
+           |    AND abs(25.0 * sqrt(c10.v2) - 45.0) < 10.0
+           |    AND abs(c10.w2 - 0.25) < 0.03 AS recovered
+           |FROM base CROSS JOIN c10""".stripMargin
+      })
   )
 }

@@ -185,6 +185,87 @@ class LearnSuite extends SparkTestBase {
         s"minimax and stack-PAVA disagree at bin $k: ${fit(k)} vs ${pavaPerBin(k)}")
   }
 
+  test("q260 GMM-EM replays from a JVM-side quantized-EM recurrence") {
+    val df = Registry.byName("q260_gmm_em").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 1)
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"q260 expected 1 parquet scan, saw $scans")
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // fabrication replay: 12 u16 Irwin-Hall lanes, seeded component split
+    val bins = scala.collection.mutable.Map.empty[Long, Long]
+    for (r <- Tables.events(spark, sf).select(col("event_id")).collect()) {
+      val id = r.getLong(0)
+      val comp2 = java.lang.Long.parseLong(
+        md5hex(s"gmm:v1:$id").take(8), 16) % 4 == 0
+      val h1 = md5hex(s"gmma:v1:$id"); val h2 = md5hex(s"gmmb:v1:$id")
+      val z = (0 until 8).map(j =>
+        java.lang.Long.parseLong(h1.substring(4 * j, 4 * j + 4), 16)).sum +
+        (0 until 4).map(j =>
+          java.lang.Long.parseLong(h2.substring(4 * j, 4 * j + 4), 16)).sum -
+        393216L
+      val vm = if (comp2) 420000L + (45000L * z) / 65536L
+               else 200000L + (30000L * z) / 65536L
+      bins(vm / 25000L) = bins.getOrElse(vm / 25000L, 0L) + 1L
+    }
+    val hist = bins.toSeq.sortBy(_._1)
+    val n = hist.map(_._2).sum
+    val s1 = hist.map { case (b, c) => c * (2 * b + 1) }.sum
+    val s2 = hist.map { case (b, c) => c * (2 * b + 1) * (2 * b + 1) }.sum
+    var cum = 0L; var q1b = Long.MinValue; var q3b = Long.MinValue
+    for ((b, c) <- hist) {
+      cum += c
+      if (q1b == Long.MinValue && cum * 4 >= n) q1b = b
+      if (q3b == Long.MinValue && cum * 4 >= 3 * n) q3b = b
+    }
+    // EM replay mirroring the engine's exact expression shapes
+    var m1 = q1b.toDouble + 0.5; var m2 = q3b.toDouble + 0.5
+    val v0 = math.max((n.toDouble * s2.toDouble - s1.toDouble * s1.toDouble) /
+      (16.0 * n.toDouble * n.toDouble), 0.01)
+    var v1 = v0; var v2 = v0; var w1 = 0.5; var w2 = 0.5
+    def roundHU(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    for (_ <- 1 to 10) {
+      var n1 = 0L; var sx1 = 0L; var sxx1 = 0L
+      var n2 = 0L; var sx2 = 0L; var sxx2 = 0L
+      for ((b, c) <- hist) {
+        val x = b.toDouble + 0.5
+        val e1 = w1 * math.exp(-((x - m1) * (x - m1)) / (2.0 * v1)) / math.sqrt(v1)
+        val e2 = w2 * math.exp(-((x - m2) * (x - m2)) / (2.0 * v2)) / math.sqrt(v2)
+        val r2p = if (e1 + e2 > 0.0) roundHU(1000000.0 * e2 / (e1 + e2))
+          else if (math.abs(x - m2) < math.abs(x - m1)) 1000000L else 0L
+        val r1p = 1000000L - r2p
+        val x2 = 2 * b + 1
+        n1 += r1p * c; sx1 += r1p * c * x2; sxx1 += r1p * c * x2 * x2
+        n2 += r2p * c; sx2 += r2p * c * x2; sxx2 += r2p * c * x2 * x2
+      }
+      m1 = sx1.toDouble / (2.0 * math.max(n1, 1L).toDouble)
+      v1 = math.max(sxx1.toDouble / (4.0 * math.max(n1, 1L).toDouble) - m1 * m1, 0.01)
+      m2 = sx2.toDouble / (2.0 * math.max(n2, 1L).toDouble)
+      v2 = math.max(sxx2.toDouble / (4.0 * math.max(n2, 1L).toDouble) - m2 * m2, 0.01)
+      w1 = n1.toDouble / (n1 + n2).toDouble
+      w2 = n2.toDouble / (n1 + n2).toDouble
+    }
+    def rnd4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val r = rows.head
+    assert(r.getLong(0) == n, "n_samples")
+    assert(r.getLong(1) == roundHU(w2 * 1000000.0), "w2_ppm")
+    assert(r.getDouble(2) == rnd4(25.0 * m1), "mu1_hat")
+    assert(r.getDouble(3) == rnd4(25.0 * math.sqrt(v1)), "sd1_hat")
+    assert(r.getDouble(4) == rnd4(25.0 * m2), "mu2_hat")
+    assert(r.getDouble(5) == rnd4(25.0 * math.sqrt(v2)), "sd2_hat")
+    // recovery invariants: EM must pull the init toward the planted truth
+    assert(r.getBoolean(8), "the planted mixture must be recovered")
+    assert(math.abs(r.getDouble(2) - 200.0) < 5.0 &&
+      math.abs(r.getDouble(4) - 420.0) < 10.0)
+    assert(r.getLong(1) > 200000L && r.getLong(1) < 300000L,
+      "w2 near the planted 0.25")
+  }
+
   test("learn plans: no cartesian products; model state stays 1-row broadcast") {
     for (name <- Seq("q233_perceptron", "q234_pr_curve", "q240_mrr_map")) {
       val df = Registry.byName(name).q(spark, sf)
