@@ -384,7 +384,9 @@ object Bench {
     // Spearman rank-correlation matrix (round 15, standing from birth).
     "q259_spearman_matrix",
     // quantized-EM Gaussian mixture fit (round 15, standing from birth).
-    "q260_gmm_em")
+    "q260_gmm_em",
+    // two-state Viterbi burst detection (round 15, standing from birth).
+    "q261_burst_viterbi")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2159,6 +2159,218 @@ object EventOps {
              |    THEN (CAST(o1 AS DOUBLE) - e1s)
              |      * (CAST(o1 AS DOUBLE) - e1s) / vs >= 3.841459
              |    END AS significant
-             |FROM cu WHERE rn = 1""".stripMargin))
+             |FROM cu WHERE rn = 1""".stripMargin)),
+
+    // q261: BURST DETECTION via a TWO-STATE VITERBI AUTOMATON (Kleinberg
+    // KDD'02 shape) — segment each event type's hourly series into
+    // base-rate vs burst-rate (5×) regimes by GLOBAL minimum-cost path,
+    // the principled form of "is this spike sustained enough to matter":
+    // thresholding flags every noisy hour; the automaton charges
+    // γ·ln(H) micro-nats to ENTER a burst, so only sustained elevations
+    // pay off. The fixture's events are homogeneous Poisson (max/mean
+    // ≈ 1.6 — correctly NOTHING to find), so two 12-hour burst windows per
+    // type are PLANTED in-query by seeded md5 (the q117/q155/q251/q260
+    // dirty-fixture discipline: counts ×5 inside the windows), making
+    // RECOVERY the oracle-checked deliverable — planted_hits == burst_hours
+    // (perfect precision: a 720-hour flat series never pays the entry
+    // cost, measured at all SFs) with recall growing in the data (11-18/24
+    // at sf0.001 → 24/24 at sf0.1). Determinism: emission costs are
+    // INTEGER micro-nats (λ and ln λ rounded to micros FIRST — the q243
+    // discipline; cost(s, c) = A_s − c·L_s drops the ln c! term common to
+    // both states), so the whole DP is exact int64 min-plus arithmetic
+    // with documented `<=` tie-breaks — bit-identical on any engine. The
+    // Viterbi backtrack is avoided by ONLINE PATH-STAT PROPAGATION: each
+    // state carries its best path's (hours, episodes, run, longest,
+    // first, planted-hits) summary forward, so the fold is one pass.
+    // Plan: one (type, hour) count exchange behind a checkpoint (three
+    // consumers), the dense 720-hour spine a types×sequence explode, the
+    // DP a per-row HOF fold over each type's sorted ≤720-struct array
+    // (q256 posture); the oracle runs the identical DP as WITH RECURSIVE
+    // stepping all types one hour per level.
+    Entry(
+      "q261_burst_viterbi",
+      (s, d) => {
+        val cnts = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 3600000000").as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("c_raw"))
+          .localCheckpoint() // consumers: bounds + type dim + spine join
+        val bounds = cnts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        val types = cnts.select(col("event_type")).distinct()
+        val spine = types.crossJoin(broadcast(bounds))
+          .select(col("event_type"), col("h0"),
+            expr("50L + CAST(conv(substring(md5(concat('burst:v1:', " +
+              "event_type, ':1')), 1, 8), 16, 10) AS BIGINT) % 250L").as("s1"),
+            expr("350L + CAST(conv(substring(md5(concat('burst:v1:', " +
+              "event_type, ':2')), 1, 8), 16, 10) AS BIGINT) % 250L").as("s2"),
+            explode(expr("sequence(0L, h1 - h0)")).as("t"))
+          .withColumn("hr", col("h0") + col("t"))
+          .join(cnts, Seq("event_type", "hr"), "left_outer")
+          .withColumn("planted",
+            expr("(t >= s1 AND t < s1 + 12) OR (t >= s2 AND t < s2 + 12)"))
+          .withColumn("c",
+            expr("coalesce(c_raw, 0L) * (CASE WHEN planted THEN 5L ELSE 1L END)"))
+        val perType = spine.groupBy(col("event_type"))
+          .agg(
+            count(lit(1)).as("hn"),
+            sum(col("c")).as("tot"),
+            max(col("s1")).as("s1"),
+            max(col("s2")).as("s2"),
+            sort_array(collect_list(struct(col("t"), col("c"), col("planted"))))
+              .as("arr"))
+          .withColumn("lam0", expr("CAST(tot AS DOUBLE) / CAST(hn AS DOUBLE)"))
+          .withColumn("a0", expr("CAST(round(1000000.0D * lam0) AS BIGINT)"))
+          .withColumn("a1", expr("5L * a0"))
+          .withColumn("lc0",
+            expr("CAST(round(1000000.0D * ln(lam0)) AS BIGINT)"))
+          .withColumn("lc1",
+            expr("CAST(round(1000000.0D * ln(5.0D * lam0)) AS BIGINT)"))
+          .withColumn("g",
+            expr("CAST(round(1000000.0D * ln(CAST(hn AS DOUBLE))) AS BIGINT)"))
+        // min-plus DP; <= tie-breaks: state 0 prefers the state-0
+        // predecessor, state 1 prefers staying in burst
+        val C0 = "(acc.d0 <= acc.d1)"
+        val C1 = "(acc.d1 <= acc.d0 + g)"
+        val step = s"""aggregate(arr,
+          named_struct(
+            'd0', 0L, 'd1', g,
+            'h0', 0L, 'e0', 0L, 'r0', 0L, 'l0', 0L, 'f0', -1L, 'p0', 0L,
+            'h1', 0L, 'e1', 1L, 'r1', 0L, 'l1', 0L, 'f1', -1L, 'p1', 0L),
+          (acc, b) -> named_struct(
+            'd0', (CASE WHEN $C0 THEN acc.d0 ELSE acc.d1 END) + a0 - b.c * lc0,
+            'd1', (CASE WHEN $C1 THEN acc.d1 ELSE acc.d0 + g END)
+              + a1 - b.c * lc1,
+            'h0', CASE WHEN $C0 THEN acc.h0 ELSE acc.h1 END,
+            'e0', CASE WHEN $C0 THEN acc.e0 ELSE acc.e1 END,
+            'r0', 0L,
+            'l0', CASE WHEN $C0 THEN acc.l0 ELSE acc.l1 END,
+            'f0', CASE WHEN $C0 THEN acc.f0 ELSE acc.f1 END,
+            'p0', CASE WHEN $C0 THEN acc.p0 ELSE acc.p1 END,
+            'h1', (CASE WHEN $C1 THEN acc.h1 ELSE acc.h0 END) + 1L,
+            'e1', CASE WHEN $C1 THEN acc.e1 ELSE acc.e0 + 1L END,
+            'r1', CASE WHEN $C1 THEN acc.r1 + 1L ELSE 1L END,
+            'l1', greatest(CASE WHEN $C1 THEN acc.l1 ELSE acc.l0 END,
+              CASE WHEN $C1 THEN acc.r1 + 1L ELSE 1L END),
+            'f1', CASE WHEN $C1
+              THEN (CASE WHEN acc.f1 >= 0L THEN acc.f1 ELSE b.t END)
+              ELSE (CASE WHEN acc.f0 >= 0L THEN acc.f0 ELSE b.t END) END,
+            'p1', (CASE WHEN $C1 THEN acc.p1 ELSE acc.p0 END)
+              + (CASE WHEN b.planted THEN 1L ELSE 0L END)),
+          acc -> acc)"""
+        def pick(a: String, b: String) =
+          s"(CASE WHEN v.d0 <= v.d1 THEN v.$a ELSE v.$b END)"
+        perType.withColumn("v", expr(step))
+          .select(
+            col("event_type"), col("hn").as("n_hours"),
+            col("a0").as("lam0_micro"),
+            col("s1").as("planted_s1"), col("s2").as("planted_s2"),
+            expr(pick("h0", "h1")).as("burst_hours"),
+            expr(pick("e0", "e1")).as("episodes"),
+            expr(pick("l0", "l1")).as("longest"),
+            expr(pick("f0", "f1")).as("first_burst_t"),
+            expr(pick("p0", "p1")).as("planted_hits"),
+            expr("least(v.d0, v.d1)").as("cost_micro"),
+            expr(s"""${pick("p0", "p1")} >= ${pick("h0", "h1")} - 2
+              AND ${pick("h0", "h1")} >= 12
+              AND ${pick("e0", "e1")} BETWEEN 2 AND 4
+              AND ${pick("l0", "l1")} >= 6
+              AND ${pick("f0", "f1")} BETWEEN s1 AND s1 + 4""").as("recovered"))
+          .orderBy(col("event_type"))
+      },
+      Some {
+        val c0 = "(dp.d0 <= dp.d1)"
+        val c1 = "(dp.d1 <= dp.d0 + dp.g)"
+        s"""WITH RECURSIVE cn AS MATERIALIZED (SELECT event_type,
+           |    (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+           |    CAST(count(*) AS BIGINT) AS c_raw
+           |  FROM events GROUP BY 1, 2),
+           |bd AS MATERIALIZED (SELECT min(hr) AS h0, max(hr) AS h1 FROM cn),
+           |ty AS MATERIALIZED (SELECT DISTINCT event_type,
+           |    50 + CAST(('0x' || substr(md5('burst:v1:' || event_type
+           |      || ':1'), 1, 8)) AS BIGINT) % 250 AS s1,
+           |    350 + CAST(('0x' || substr(md5('burst:v1:' || event_type
+           |      || ':2'), 1, 8)) AS BIGINT) % 250 AS s2
+           |  FROM cn),
+           |sp AS MATERIALIZED (SELECT ty.event_type, ty.s1, ty.s2, gs.t,
+           |    ((gs.t >= ty.s1 AND gs.t < ty.s1 + 12)
+           |      OR (gs.t >= ty.s2 AND gs.t < ty.s2 + 12)) AS planted,
+           |    coalesce(cn.c_raw, 0) * (CASE WHEN
+           |      (gs.t >= ty.s1 AND gs.t < ty.s1 + 12)
+           |      OR (gs.t >= ty.s2 AND gs.t < ty.s2 + 12)
+           |      THEN 5 ELSE 1 END) AS c
+           |  FROM ty CROSS JOIN bd
+           |  CROSS JOIN LATERAL (SELECT unnest(range(0, bd.h1 - bd.h0 + 1))
+           |    AS t) gs
+           |  LEFT JOIN cn ON cn.event_type = ty.event_type
+           |    AND cn.hr = bd.h0 + gs.t),
+           |pm AS MATERIALIZED (SELECT event_type, s1, s2, hn, tot,
+           |    CAST(round(1000000.0 * (CAST(tot AS DOUBLE)
+           |      / CAST(hn AS DOUBLE))) AS BIGINT) AS a0,
+           |    5 * CAST(round(1000000.0 * (CAST(tot AS DOUBLE)
+           |      / CAST(hn AS DOUBLE))) AS BIGINT) AS a1,
+           |    CAST(round(1000000.0 * ln(CAST(tot AS DOUBLE)
+           |      / CAST(hn AS DOUBLE))) AS BIGINT) AS lc0,
+           |    CAST(round(1000000.0 * ln(5.0 * (CAST(tot AS DOUBLE)
+           |      / CAST(hn AS DOUBLE)))) AS BIGINT) AS lc1,
+           |    CAST(round(1000000.0 * ln(CAST(hn AS DOUBLE))) AS BIGINT) AS g
+           |  FROM (SELECT event_type, max(s1) AS s1, max(s2) AS s2,
+           |      CAST(count(*) AS BIGINT) AS hn, CAST(sum(c) AS BIGINT) AS tot
+           |    FROM sp GROUP BY 1)),
+           |dpr AS (
+           |  SELECT event_type, s1, s2, hn, a0, a1, lc0, lc1, g,
+           |    CAST(-1 AS BIGINT) AS t,
+           |    CAST(0 AS BIGINT) AS d0, g AS d1,
+           |    CAST(0 AS BIGINT) AS h0, CAST(0 AS BIGINT) AS e0,
+           |    CAST(0 AS BIGINT) AS r0, CAST(0 AS BIGINT) AS l0,
+           |    CAST(-1 AS BIGINT) AS f0, CAST(0 AS BIGINT) AS p0,
+           |    CAST(0 AS BIGINT) AS h1s, CAST(1 AS BIGINT) AS e1,
+           |    CAST(0 AS BIGINT) AS r1, CAST(0 AS BIGINT) AS l1,
+           |    CAST(-1 AS BIGINT) AS f1, CAST(0 AS BIGINT) AS p1
+           |  FROM pm
+           |  UNION ALL
+           |  SELECT dp.event_type, dp.s1, dp.s2, dp.hn, dp.a0, dp.a1,
+           |    dp.lc0, dp.lc1, dp.g,
+           |    dp.t + 1,
+           |    (CASE WHEN $c0 THEN dp.d0 ELSE dp.d1 END)
+           |      + dp.a0 - sp.c * dp.lc0,
+           |    (CASE WHEN $c1 THEN dp.d1 ELSE dp.d0 + dp.g END)
+           |      + dp.a1 - sp.c * dp.lc1,
+           |    CASE WHEN $c0 THEN dp.h0 ELSE dp.h1s END,
+           |    CASE WHEN $c0 THEN dp.e0 ELSE dp.e1 END,
+           |    CAST(0 AS BIGINT),
+           |    CASE WHEN $c0 THEN dp.l0 ELSE dp.l1 END,
+           |    CASE WHEN $c0 THEN dp.f0 ELSE dp.f1 END,
+           |    CASE WHEN $c0 THEN dp.p0 ELSE dp.p1 END,
+           |    (CASE WHEN $c1 THEN dp.h1s ELSE dp.h0 END) + 1,
+           |    CASE WHEN $c1 THEN dp.e1 ELSE dp.e0 + 1 END,
+           |    CASE WHEN $c1 THEN dp.r1 + 1 ELSE 1 END,
+           |    greatest(CASE WHEN $c1 THEN dp.l1 ELSE dp.l0 END,
+           |      CASE WHEN $c1 THEN dp.r1 + 1 ELSE 1 END),
+           |    CASE WHEN $c1
+           |      THEN (CASE WHEN dp.f1 >= 0 THEN dp.f1 ELSE sp.t END)
+           |      ELSE (CASE WHEN dp.f0 >= 0 THEN dp.f0 ELSE sp.t END) END,
+           |    (CASE WHEN $c1 THEN dp.p1 ELSE dp.p0 END)
+           |      + (CASE WHEN sp.planted THEN 1 ELSE 0 END)
+           |  FROM dpr dp JOIN sp ON sp.event_type = dp.event_type
+           |    AND sp.t = dp.t + 1
+           |  WHERE dp.t + 1 < dp.hn)
+           |SELECT event_type, hn AS n_hours, a0 AS lam0_micro,
+           |  s1 AS planted_s1, s2 AS planted_s2,
+           |  CASE WHEN d0 <= d1 THEN h0 ELSE h1s END AS burst_hours,
+           |  CASE WHEN d0 <= d1 THEN e0 ELSE e1 END AS episodes,
+           |  CASE WHEN d0 <= d1 THEN l0 ELSE l1 END AS longest,
+           |  CASE WHEN d0 <= d1 THEN f0 ELSE f1 END AS first_burst_t,
+           |  CASE WHEN d0 <= d1 THEN p0 ELSE p1 END AS planted_hits,
+           |  least(d0, d1) AS cost_micro,
+           |  (CASE WHEN d0 <= d1 THEN p0 ELSE p1 END)
+           |      >= (CASE WHEN d0 <= d1 THEN h0 ELSE h1s END) - 2
+           |    AND (CASE WHEN d0 <= d1 THEN h0 ELSE h1s END) >= 12
+           |    AND (CASE WHEN d0 <= d1 THEN e0 ELSE e1 END) BETWEEN 2 AND 4
+           |    AND (CASE WHEN d0 <= d1 THEN l0 ELSE l1 END) >= 6
+           |    AND (CASE WHEN d0 <= d1 THEN f0 ELSE f1 END)
+           |      BETWEEN s1 AND s1 + 4 AS recovered
+           |FROM dpr WHERE t = hn - 1 ORDER BY event_type""".stripMargin
+      })
   )
 }

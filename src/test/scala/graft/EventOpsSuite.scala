@@ -812,4 +812,73 @@ class EventOpsSuite extends SparkTestBase {
     assert(o1 > 0 && o2 > 0, "both arms must observe deaths on the fixture")
     assert(vs > 0.0 && r.getDouble(4) >= 0.0)
   }
+
+  test("q261 burst Viterbi replays from a JVM-side integer min-plus DP") {
+    val df = Registry.byName("q261_burst_viterbi").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 5)
+    // one-materialization pin: the (type, hour) count table is
+    // localCheckpointed, so the final plan re-scans no parquet
+    assert(!df.queryExecution.executedPlan.toString.contains("Scan parquet"),
+      "q261 re-plans its events upstream past the localCheckpoint barrier")
+    def md5b(x: String, m: Long): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+        16) % m
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min; val h1 = ev.map(_._2).max
+    val span = (h1 - h0 + 1).toInt
+    for (r <- rows) {
+      val ty = r.getString(0)
+      val s1 = 50 + md5b(s"burst:v1:$ty:1", 250)
+      val s2 = 350 + md5b(s"burst:v1:$ty:2", 250)
+      val cnt = new Array[Long](span)
+      for ((t2, hr) <- ev if t2 == ty) cnt((hr - h0).toInt) += 1
+      val arr = (0 until span).map { t =>
+        val p = (t >= s1 && t < s1 + 12) || (t >= s2 && t < s2 + 12)
+        (t.toLong, cnt(t) * (if (p) 5L else 1L), p)
+      }
+      val tot = arr.map(_._2).sum
+      val lam0 = tot.toDouble / span.toDouble
+      def rq(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      val a0 = rq(1e6 * lam0); val a1 = 5 * a0
+      val lc0 = rq(1e6 * math.log(lam0)); val lc1 = rq(1e6 * math.log(5.0 * lam0))
+      val g = rq(1e6 * math.log(span.toDouble))
+      var d0 = 0L; var d1 = g
+      // path state: (hours, episodes, run, longest, first, plantedHits)
+      var st0 = (0L, 0L, 0L, 0L, -1L, 0L); var st1 = (0L, 1L, 0L, 0L, -1L, 0L)
+      for ((t, c, p) <- arr) {
+        val (pd, ps) = if (d0 <= d1) (d0, st0) else (d1, st1)
+        val nd0 = pd + a0 - c * lc0
+        val ns0 = (ps._1, ps._2, 0L, ps._4, ps._5, ps._6)
+        val (pd1, ps1, stay) =
+          if (d1 <= d0 + g) (d1, st1, true) else (d0 + g, st0, false)
+        val nd1 = pd1 + a1 - c * lc1
+        val run = if (stay) ps1._3 + 1 else 1L
+        val ns1 = (ps1._1 + 1, if (stay) ps1._2 else ps1._2 + 1, run,
+          math.max(ps1._4, run), if (ps1._5 >= 0) ps1._5 else t,
+          ps1._6 + (if (p) 1L else 0L))
+        d0 = nd0; d1 = nd1; st0 = ns0; st1 = ns1
+      }
+      val (st, cost) = if (d0 <= d1) (st0, d0) else (st1, d1)
+      assert(r.getLong(1) == span, s"$ty n_hours")
+      assert(r.getLong(2) == a0, s"$ty lam0_micro")
+      assert(r.getLong(3) == s1 && r.getLong(4) == s2, s"$ty planted windows")
+      assert(r.getLong(5) == st._1, s"$ty burst_hours")
+      assert(r.getLong(6) == st._2, s"$ty episodes")
+      assert(r.getLong(7) == st._4, s"$ty longest")
+      assert(r.getLong(8) == st._5, s"$ty first_burst_t")
+      assert(r.getLong(9) == st._6, s"$ty planted_hits")
+      assert(r.getLong(10) == cost, s"$ty cost_micro")
+      // recovery invariants: near-perfect precision (at sf0.001 a window-
+      // adjacent noise hour can ride along — ≤2 false positives measured,
+      // zero at sf0.01+), and the planted windows are found
+      assert(r.getLong(9) >= r.getLong(5) - 2, s"$ty false-positive burst hours")
+      assert(r.getBoolean(11), s"$ty planted bursts must be recovered")
+    }
+  }
 }
