@@ -386,7 +386,9 @@ object Bench {
     // quantized-EM Gaussian mixture fit (round 15, standing from birth).
     "q260_gmm_em",
     // two-state Viterbi burst detection (round 15, standing from birth).
-    "q261_burst_viterbi")
+    "q261_burst_viterbi",
+    // columnar encoding advisor (round 15, standing from birth).
+    "q262_encoding_advisor")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

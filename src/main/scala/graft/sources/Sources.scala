@@ -880,6 +880,177 @@ object Sources {
              |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
              |    // CAST(count(*) AS BIGINT) AS pruned_ppm
              |FROM z CROSS JOIN pr
-             |GROUP BY 1, 2, 3, 4 ORDER BY probe, layout""".stripMargin))
+             |GROUP BY 1, 2, 3, 4 ORDER BY probe, layout""".stripMargin)),
+
+    // q262: COLUMNAR ENCODING ADVISOR — per-column byte accounting for the
+    // four classic parquet/ORC encodings (plain, RLE, dictionary,
+    // delta+zigzag-varint) under the table's natural (l_orderkey,
+    // l_linenumber) layout, answering "which encoding should this column's
+    // pages use" BEFORE paying a rewrite (the write-side sibling of q249's
+    // read-side zone-map audit; q166 priced one specific case — posting
+    // gaps — this generalizes it to an advisor). Faithful to how columnar
+    // formats actually encode: runs and deltas are counted PER ROWGROUP
+    // (64-order blocks; each block restarts its runs and stores its first
+    // value raw, exactly like parquet pages) — which also makes the
+    // operator embarrassingly parallel BY CONSTRUCTION: every window is
+    // block-partitioned, no cross-block state, no corpus-sized window
+    // anywhere, so the plan is one lag-window exchange + one aggregate at
+    // any scale. All byte accounting is exact int64: RLE = per-run
+    // (value-width + 4-byte count), dict = entries·width + rows·byte-
+    // aligned index (index width from the bin()-length bit trick), delta =
+    // 8-byte block head + zigzag varint bodies (7-bit group thresholds,
+    // q166 machinery), strings priced at octet_length + 4 prefix. The
+    // fixture exercises every verdict: l_returnflag (3 values) → dict,
+    // l_orderkey (sorted, ~4-row runs) → delta, l_quantity/l_suppkey →
+    // dict/delta duels. The 4 countDistinct in one aggregate is a
+    // deliberate expand-based single pass (q180 posture).
+    Entry(
+      "q262_encoding_advisor",
+      (s, d) => {
+        def zz(c: String, p: String) =
+          s"(CASE WHEN $c - $p >= 0L THEN 2L * ($c - $p) " +
+            s"ELSE -2L * ($c - $p) - 1L END)"
+        def vb(zzE: String) = "(1L + " + (1 to 8).map(k =>
+          s"(CASE WHEN $zzE >= ${1L << (7 * k)}L THEN 1L ELSE 0L END)")
+          .mkString(" + ") + ")"
+        def deltaBytes(c: String, p: String) =
+          s"CASE WHEN $p IS NULL THEN 8L ELSE ${vb(zz(c, p))} END"
+        // (ok, ln) is NOT unique in the fixture — ordering by every projected
+        // column makes any remaining tie identical in all compared values,
+        // so the lag-based run counting is total-order invariant
+        val w = Window.partitionBy(col("blk"))
+          .orderBy(col("ok"), col("ln"), col("rf"), col("qty"), col("sk"))
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            col("l_returnflag").as("rf"),
+            expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+            col("l_suppkey").as("sk"))
+          .withColumn("blk", expr("ok div 64"))
+          .withColumn("p_rf", lag(col("rf"), 1).over(w))
+          .withColumn("p_qty", lag(col("qty"), 1).over(w))
+          .withColumn("p_sk", lag(col("sk"), 1).over(w))
+          .withColumn("p_ok", lag(col("ok"), 1).over(w))
+        val agg = li.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("rf")).as("d_rf"),
+          countDistinct(col("qty")).as("d_qty"),
+          countDistinct(col("sk")).as("d_sk"),
+          countDistinct(col("ok")).as("d_ok"),
+          sum(expr("CASE WHEN p_rf IS NULL OR p_rf != rf THEN 1L ELSE 0L END"))
+            .as("r_rf"),
+          sum(expr("CASE WHEN p_qty IS NULL OR p_qty != qty THEN 1L ELSE 0L END"))
+            .as("r_qty"),
+          sum(expr("CASE WHEN p_sk IS NULL OR p_sk != sk THEN 1L ELSE 0L END"))
+            .as("r_sk"),
+          sum(expr("CASE WHEN p_ok IS NULL OR p_ok != ok THEN 1L ELSE 0L END"))
+            .as("r_ok"),
+          sum(expr("CASE WHEN p_rf IS NULL OR p_rf != rf " +
+            "THEN CAST(octet_length(rf) AS BIGINT) + 8L ELSE 0L END"))
+            .as("rle_rf"),
+          sum(expr("CAST(octet_length(rf) AS BIGINT) + 4L")).as("pl_rf"),
+          max(expr("CAST(octet_length(rf) AS BIGINT)")).as("mx_rf"),
+          sum(expr(deltaBytes("qty", "p_qty"))).as("db_qty"),
+          sum(expr(deltaBytes("sk", "p_sk"))).as("db_sk"),
+          sum(expr(deltaBytes("ok", "p_ok"))).as("db_ok"))
+        def idxB(dc: String) =
+          s"((CAST(length(bin(greatest($dc - 1L, 1L))) AS BIGINT) + 7L) div 8L)"
+        def dictLong(dc: String) = s"($dc * 8L + n * ${idxB(dc)})"
+        def bestNum(dk: String, rl: String, db: String, pl: String) =
+          s"""CASE WHEN $dk <= $rl AND $dk <= $db AND $dk <= $pl THEN 'dict'
+             WHEN $rl <= $db AND $rl <= $pl THEN 'rle'
+             WHEN $db <= $pl THEN 'delta' ELSE 'plain' END"""
+        def numStruct(name: String, dc: String, rc: String, db: String) =
+          s"""named_struct('column', '$name', 'n_rows', n,
+            'n_distinct', $dc, 'n_runs', $rc,
+            'plain_bytes', 8L * n, 'rle_bytes', 12L * $rc,
+            'dict_bytes', ${dictLong(dc)}, 'delta_bytes', $db,
+            'best', ${bestNum(dictLong(dc), s"12L * $rc", db, "8L * n")})"""
+        agg.select(explode(expr(s"""array(
+            named_struct('column', 'l_returnflag', 'n_rows', n,
+              'n_distinct', d_rf, 'n_runs', r_rf,
+              'plain_bytes', pl_rf, 'rle_bytes', rle_rf,
+              'dict_bytes', d_rf * (mx_rf + 4L) + n * ${idxB("d_rf")},
+              'delta_bytes', CAST(NULL AS BIGINT),
+              'best', CASE WHEN d_rf * (mx_rf + 4L) + n * ${idxB("d_rf")}
+                  <= rle_rf AND d_rf * (mx_rf + 4L) + n * ${idxB("d_rf")}
+                  <= pl_rf THEN 'dict'
+                WHEN rle_rf <= pl_rf THEN 'rle' ELSE 'plain' END),
+            ${numStruct("l_orderkey", "d_ok", "r_ok", "db_ok")},
+            ${numStruct("l_quantity", "d_qty", "r_qty", "db_qty")},
+            ${numStruct("l_suppkey", "d_sk", "r_sk", "db_sk")})"""))
+            .as("x"))
+          .select(col("x.*"))
+          .orderBy(col("column"))
+      },
+      Some {
+        def zz(c: String, p: String) =
+          s"(CASE WHEN $c - $p >= 0 THEN 2 * ($c - $p) " +
+            s"ELSE -2 * ($c - $p) - 1 END)"
+        def vb(zzE: String) = "(1 + " + (1 to 8).map(k =>
+          s"(CASE WHEN $zzE >= ${1L << (7 * k)} THEN 1 ELSE 0 END)")
+          .mkString(" + ") + ")"
+        def deltaBytes(c: String, p: String) =
+          s"CASE WHEN $p IS NULL THEN 8 ELSE ${vb(zz(c, p))} END"
+        def idxB(dc: String) = s"((length(bin(greatest($dc - 1, 1))) + 7) // 8)"
+        def dictLong(dc: String) = s"($dc * 8 + n * ${idxB(dc)})"
+        def bestNum(dk: String, rl: String, db: String, pl: String) =
+          s"""CASE WHEN $dk <= $rl AND $dk <= $db AND $dk <= $pl THEN 'dict'
+             |    WHEN $rl <= $db AND $rl <= $pl THEN 'rle'
+             |    WHEN $db <= $pl THEN 'delta' ELSE 'plain' END""".stripMargin
+        def numRow(name: String, dc: String, rc: String, db: String) =
+          s"""SELECT '$name' AS "column", n AS n_rows, $dc AS n_distinct,
+             |  $rc AS n_runs, 8 * n AS plain_bytes, 12 * $rc AS rle_bytes,
+             |  ${dictLong(dc)} AS dict_bytes, $db AS delta_bytes,
+             |  ${bestNum(dictLong(dc), s"12 * $rc", db, "8 * n")} AS best
+             |FROM ag""".stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+           |    l_returnflag AS rf,
+           |    CAST(round(l_quantity) AS BIGINT) AS qty,
+           |    l_suppkey AS sk, l_orderkey // 64 AS blk
+           |  FROM lineitem),
+           |lg AS (SELECT *,
+           |    lag(rf) OVER w AS p_rf, lag(qty) OVER w AS p_qty,
+           |    lag(sk) OVER w AS p_sk, lag(ok) OVER w AS p_ok
+           |  FROM li WINDOW w AS (PARTITION BY blk ORDER BY ok, ln, rf, qty, sk)),
+           |ag AS MATERIALIZED (SELECT
+           |    CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT rf) AS BIGINT) AS d_rf,
+           |    CAST(count(DISTINCT qty) AS BIGINT) AS d_qty,
+           |    CAST(count(DISTINCT sk) AS BIGINT) AS d_sk,
+           |    CAST(count(DISTINCT ok) AS BIGINT) AS d_ok,
+           |    CAST(sum(CASE WHEN p_rf IS NULL OR p_rf != rf
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS r_rf,
+           |    CAST(sum(CASE WHEN p_qty IS NULL OR p_qty != qty
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS r_qty,
+           |    CAST(sum(CASE WHEN p_sk IS NULL OR p_sk != sk
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS r_sk,
+           |    CAST(sum(CASE WHEN p_ok IS NULL OR p_ok != ok
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS r_ok,
+           |    CAST(sum(CASE WHEN p_rf IS NULL OR p_rf != rf
+           |      THEN strlen(rf) + 8 ELSE 0 END) AS BIGINT) AS rle_rf,
+           |    CAST(sum(strlen(rf) + 4) AS BIGINT) AS pl_rf,
+           |    CAST(max(strlen(rf)) AS BIGINT) AS mx_rf,
+           |    CAST(sum(${deltaBytes("qty", "p_qty")}) AS BIGINT) AS db_qty,
+           |    CAST(sum(${deltaBytes("sk", "p_sk")}) AS BIGINT) AS db_sk,
+           |    CAST(sum(${deltaBytes("ok", "p_ok")}) AS BIGINT) AS db_ok
+           |  FROM lg)
+           |SELECT * FROM (
+           |SELECT 'l_returnflag' AS "column", n AS n_rows, d_rf AS n_distinct,
+           |  r_rf AS n_runs, pl_rf AS plain_bytes, rle_rf AS rle_bytes,
+           |  d_rf * (mx_rf + 4) + n * ${idxB("d_rf")} AS dict_bytes,
+           |  CAST(NULL AS BIGINT) AS delta_bytes,
+           |  CASE WHEN d_rf * (mx_rf + 4) + n * ${idxB("d_rf")} <= rle_rf
+           |      AND d_rf * (mx_rf + 4) + n * ${idxB("d_rf")} <= pl_rf
+           |    THEN 'dict'
+           |    WHEN rle_rf <= pl_rf THEN 'rle' ELSE 'plain' END AS best
+           |FROM ag
+           |UNION ALL
+           |${numRow("l_orderkey", "d_ok", "r_ok", "db_ok")}
+           |UNION ALL
+           |${numRow("l_quantity", "d_qty", "r_qty", "db_qty")}
+           |UNION ALL
+           |${numRow("l_suppkey", "d_sk", "r_sk", "db_sk")}
+           |) ORDER BY "column"""".stripMargin
+      })
   )
 }

@@ -263,4 +263,76 @@ class SourcesSuite extends SparkTestBase {
     assert(byLayout("sorted") < byLayout("natural"),
       "equi-depth sorted layout must dominate for range probes")
   }
+
+  test("q262 encoding advisor replays from a JVM-side per-rowgroup sweep") {
+    val df = Registry.byName("q262_encoding_advisor").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == 4)
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        expr("CAST(round(l_quantity) AS BIGINT)"), col("l_suppkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+      // the engine's total order: (blk implicit in ok) ok, ln, rf, qty, sk
+      .sortBy(t => (t._1, t._2, t._3, t._4, t._5))
+    val n = li.length.toLong
+    def varint(zz: Long): Long = 1L + (1 to 8).count(k => zz >= (1L << (7 * k)))
+    def zig(d: Long): Long = if (d >= 0) 2 * d else -2 * d - 1
+    def idxB(d: Long): Long =
+      (java.lang.Long.toBinaryString(math.max(d - 1, 1L)).length + 7L) / 8L
+    // per-rowgroup sweep: runs and deltas restart at each 64-order block
+    case class St(var runs: Long = 0, var rleStr: Long = 0, var delta: Long = 0)
+    val stRf = St(); val stQty = St(); val stSk = St(); val stOk = St()
+    var prevBlk = Long.MinValue
+    var prev: (Long, Int, String, Long, Long) = null
+    for (t <- li) {
+      val blk = t._1 / 64
+      val first = blk != prevBlk
+      if (first || prev._3 != t._3) { stRf.runs += 1; stRf.rleStr += t._3.getBytes("UTF-8").length + 8 }
+      if (first || prev._4 != t._4) stQty.runs += 1
+      if (first || prev._5 != t._5) stSk.runs += 1
+      if (first || prev._1 != t._1) stOk.runs += 1
+      stQty.delta += (if (first) 8L else varint(zig(t._4 - prev._4)))
+      stSk.delta += (if (first) 8L else varint(zig(t._5 - prev._5)))
+      stOk.delta += (if (first) 8L else varint(zig(t._1 - prev._1)))
+      prevBlk = blk; prev = t
+    }
+    val dRf = li.map(_._3).distinct.length.toLong
+    val dQty = li.map(_._4).distinct.length.toLong
+    val dSk = li.map(_._5).distinct.length.toLong
+    val dOk = li.map(_._1).distinct.length.toLong
+    val plRf = li.map(_._3.getBytes("UTF-8").length + 4L).sum
+    val mxRf = li.map(_._3.getBytes("UTF-8").length.toLong).max
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    def checkNum(name: String, d: Long, st: St): Unit = {
+      val r = byCol(name)
+      assert(r.getLong(1) == n && r.getLong(2) == d, s"$name n/distinct")
+      assert(r.getLong(3) == st.runs, s"$name runs")
+      assert(r.getLong(4) == 8 * n, s"$name plain")
+      assert(r.getLong(5) == 12 * st.runs, s"$name rle")
+      assert(r.getLong(6) == d * 8 + n * idxB(d), s"$name dict")
+      assert(r.getLong(7) == st.delta, s"$name delta")
+      val best = Seq("dict" -> r.getLong(6), "rle" -> r.getLong(5),
+        "delta" -> r.getLong(7), "plain" -> r.getLong(4))
+      assert(r.getString(8) == best.minBy(_._2)._1 ||
+        best.count(_._2 == best.map(_._2).min) > 1, s"$name best")
+    }
+    checkNum("l_orderkey", dOk, stOk)
+    checkNum("l_quantity", dQty, stQty)
+    checkNum("l_suppkey", dSk, stSk)
+    val rf = byCol("l_returnflag")
+    assert(rf.getLong(2) == dRf && rf.getLong(3) == stRf.runs)
+    assert(rf.getLong(4) == plRf && rf.getLong(5) == stRf.rleStr)
+    assert(rf.getLong(6) == dRf * (mxRf + 4) + n * idxB(dRf))
+    assert(rf.isNullAt(7), "strings carry no delta encoding")
+    // the advisor's point: the verdicts differ per column on this fixture —
+    // sorted keys go delta, low-cardinality goes dict
+    assert(byCol("l_orderkey").getString(8) == "delta")
+    // (l_quantity is a close dict-vs-delta duel whose winner flips with SF)
+    assert(rf.getString(8) == "dict")
+    // delta on the sorted key must crush plain by at least 4x
+    assert(stOk.delta * 4 <= 8 * n)
+  }
 }
