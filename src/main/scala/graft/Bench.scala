@@ -388,7 +388,9 @@ object Bench {
     // two-state Viterbi burst detection (round 15, standing from birth).
     "q261_burst_viterbi",
     // columnar encoding advisor (round 15, standing from birth).
-    "q262_encoding_advisor")
+    "q262_encoding_advisor",
+    // differentially-private histogram release (round 15, standing from birth).
+    "q263_dp_release")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -821,6 +821,70 @@ object StatTests {
              |        - CAST(sc AS DOUBLE)*CAST(sc AS DOUBLE))
              |      * (CAST(n AS DOUBLE)*CAST(sdd AS DOUBLE)
              |        - CAST(sd AS DOUBLE)*CAST(sd AS DOUBLE))), 6) FROM ag
-             |ORDER BY x_col, y_col""".stripMargin))
+             |ORDER BY x_col, y_col""".stripMargin)),
+
+    // q263: DIFFERENTIALLY-PRIVATE HISTOGRAM RELEASE — the publication
+    // step after q235's k-anonymity audit: per-source doc counts released
+    // through the DISCRETE LAPLACE (two-sided geometric) mechanism, the
+    // exact integer-valued ε-DP noise for sensitivity-1 counting queries
+    // (Ghosh-Roughgarden-Sundararajan: it is the UNIVERSALLY optimal such
+    // mechanism). ε = 0.5; noise drawn by integer inverse-CDF over a
+    // seeded md5 uniform (the q253 derandomization: 30 HARDCODED
+    // floor(2³²·F(k)) thresholds for k = −15..14, noise = −15 + #{T ≤ u},
+    // tail beyond ±15 clamped, mass 2α¹⁶/(1+α) ≈ 4·10⁻⁴) — so the release
+    // is REPRODUCIBLE and oracle-checkable end to end; production swaps
+    // the seed for real entropy, everything else (mechanism, clamping,
+    // post-processed nonnegativity, utility accounting) is what's under
+    // test. true_n rides along for the in-row utility audit (abs_err,
+    // the 97.7% |noise| ≤ 7 band) — the released artifact is the
+    // released_n column. Plan: ONE (source) count exchange + a map; the
+    // noise is per-GROUP (20 digests total), never per-row.
+    Entry(
+      "q263_dp_release",
+      (s, d) => {
+        val th = Seq(1478639L, 2437863L, 4019358L, 6626801L, 10925748L,
+          18013513L, 29699263L, 48965806L, 80730967L, 133102863L,
+          219449521L, 361811093L, 596525646L, 983504522L, 1621524825L,
+          2673442470L, 3311462773L, 3698441649L, 3933156202L, 4075517774L,
+          4161864432L, 4214236328L, 4246001489L, 4265268032L, 4276953782L,
+          4284041547L, 4288340494L, 4290947937L, 4292529432L, 4293488656L)
+        val nExpr = "-15L + " + th.map(t =>
+          s"(CASE WHEN u >= ${t}L THEN 1L ELSE 0L END)").mkString(" + ")
+        T.documents(s, d)
+          .groupBy(col("source")).agg(count(lit(1)).as("true_n"))
+          .withColumn("u", expr("CAST(conv(substring(" +
+            "md5(concat('dp:v1:', source)), 1, 8), 16, 10) AS BIGINT)"))
+          .withColumn("noise", expr(nExpr))
+          .select(col("source"), col("true_n"), col("noise"),
+            greatest(col("true_n") + col("noise"), lit(0L)).as("released_n"),
+            abs(col("noise")).as("abs_err"),
+            (abs(col("noise")) <= 7).as("within_95"),
+            lit(500L).as("epsilon_milli"))
+          .orderBy(col("source"))
+      },
+      Some {
+        val th = Seq(1478639L, 2437863L, 4019358L, 6626801L, 10925748L,
+          18013513L, 29699263L, 48965806L, 80730967L, 133102863L,
+          219449521L, 361811093L, 596525646L, 983504522L, 1621524825L,
+          2673442470L, 3311462773L, 3698441649L, 3933156202L, 4075517774L,
+          4161864432L, 4214236328L, 4246001489L, 4265268032L, 4276953782L,
+          4284041547L, 4288340494L, 4290947937L, 4292529432L, 4293488656L)
+        val nExpr = "-15 + " + th.map(t =>
+          s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS true_n
+           |  FROM documents GROUP BY 1),
+           |uu AS (SELECT source, true_n,
+           |    CAST(('0x' || substr(md5('dp:v1:' || source), 1, 8))
+           |      AS BIGINT) AS u
+           |  FROM c),
+           |nz AS (SELECT source, true_n,
+           |    CAST($nExpr AS BIGINT) AS noise FROM uu)
+           |SELECT source, true_n, noise,
+           |  greatest(true_n + noise, 0) AS released_n,
+           |  abs(noise) AS abs_err,
+           |  abs(noise) <= 7 AS within_95,
+           |  CAST(500 AS BIGINT) AS epsilon_milli
+           |FROM nz ORDER BY source""".stripMargin
+      })
   )
 }

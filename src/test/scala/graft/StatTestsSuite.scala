@@ -260,4 +260,38 @@ class StatTestsSuite extends SparkTestBase {
     assert(math.abs(byPair(("o_totalprice", "sum_price"))) < 0.2,
       "header total is NOT derived from lines on this fixture (the audit finding)")
   }
+
+  test("q263 DP release replays from first-principles discrete-Laplace thresholds") {
+    val rows = Registry.byName("q263_dp_release").q(spark, sf).collect()
+    assert(rows.length == 20)
+    // recompute the inverse-CDF table from the mechanism's definition —
+    // ties the hardcoded thresholds to the math, not to themselves
+    val alpha = math.exp(-0.5)
+    def cdf(k: Int): Double =
+      if (k < 0) math.pow(alpha, -k) / (1 + alpha)
+      else 1.0 - math.pow(alpha, k + 1) / (1 + alpha)
+    val th = (-15 to 14).map(k => math.floor(math.pow(2, 32) * cdf(k)).toLong)
+    val trueN = Tables.documents(spark, sf)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (r <- rows) {
+      val src = r.getString(0)
+      val u = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"dp:v1:$src".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16)
+      val noise = -15L + th.count(t => u >= t)
+      assert(r.getLong(1) == trueN(src), s"$src true_n")
+      assert(r.getLong(2) == noise, s"$src noise")
+      assert(r.getLong(3) == math.max(trueN(src) + noise, 0L), s"$src released")
+      assert(r.getLong(4) == math.abs(noise) && r.getBoolean(5) == (math.abs(noise) <= 7))
+      assert(math.abs(noise) <= 15, "clamped support")
+    }
+    // mechanism sanity: the seeded draws are not degenerate, and the
+    // empirical spread sits inside the 97.7% band for most sources
+    val noises = rows.map(_.getLong(2))
+    assert(noises.distinct.length > 3, "noise must vary across sources")
+    assert(noises.count(n => math.abs(n) <= 7) >= 17, "utility band")
+    assert(rows.forall(_.getLong(3) >= 0), "post-processed nonnegativity")
+  }
 }
