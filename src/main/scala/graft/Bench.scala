@@ -390,7 +390,9 @@ object Bench {
     // columnar encoding advisor (round 15, standing from birth).
     "q262_encoding_advisor",
     // differentially-private histogram release (round 15, standing from birth).
-    "q263_dp_release")
+    "q263_dp_release",
+    // Wald SPRT early-stopping audit (round 15, standing from birth).
+    "q264_sprt")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2371,6 +2371,102 @@ object EventOps {
            |    AND (CASE WHEN d0 <= d1 THEN f0 ELSE f1 END)
            |      BETWEEN s1 AND s1 + 4 AS recovered
            |FROM dpr WHERE t = hn - 1 ORDER BY event_type""".stripMargin
-      })
+      }),
+
+    // q264: SPRT EARLY-STOPPING AUDIT (Wald's sequential probability ratio
+    // test) — the sequential complement to q161's fixed-horizon z-test:
+    // "on which DAY could this experiment have stopped?" H0: conversion
+    // p = 0.35 vs H1: p = 0.50 at α = β = 0.05. The four test constants
+    // are PRECOMPUTED INTEGER MICRO-NAT LITERALS (derivations in-line), so
+    // the entire test is exact int64 arithmetic — no runtime ln anywhere:
+    // per conversion +round(10⁶·ln(0.50/0.35)) = +356675, per
+    // non-conversion +round(10⁶·ln(0.50/0.65)) = −262364, boundaries
+    // ±round(10⁶·ln(0.95/0.05)) = ±2944439. Observations are users
+    // (q161's np ≥ 14 conversion) arriving at their first-event day;
+    // the LLR walk is evaluated at DAY granularity (documented — the
+    // decision day is the first day whose closing LLR crosses a
+    // boundary), so everything after the user reduce lives on the
+    // ~30-row calendar table. The fixture converts at ~0.47: sf0.001's
+    // 15 users honestly CONTINUE (no early stop), sf0.01+ accept H1 —
+    // the sequential story is the deliverable (1500-user horizon vs the
+    // day the test actually needed). Plan: ONE user-keyed exchange, one
+    // tiny day rollup, windows only over the bounded day table.
+    Entry(
+      "q264_sprt",
+      (s, d) => {
+        val u = Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_type"))
+          .groupBy(col("user_id"))
+          .agg(min(col("us")).as("t0"),
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .as("np"))
+        val dayTbl = u
+          .select(expr("t0 div 86400000000").as("day"),
+            (col("np") >= 14L).as("conv"))
+          .groupBy(col("day"))
+          .agg(count(lit(1)).as("trials"),
+            sum(when(col("conv"), 1L).otherwise(0L)).as("convs"))
+        val wCum = Window.orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val aug = dayTbl
+          .withColumn("cum_llr",
+            sum(col("convs") * 356675L +
+              (col("trials") - col("convs")) * -262364L).over(wCum))
+          .withColumn("ctr", sum(col("trials")).over(wCum))
+          .withColumn("crossed",
+            col("cum_llr") >= 2944439L || col("cum_llr") <= -2944439L)
+        aug.agg(
+          count(lit(1)).as("n_days"),
+          sum(col("trials")).as("n_trials"),
+          sum(col("convs")).as("n_convs"),
+          min(when(col("crossed"),
+            struct(col("day"), col("cum_llr"), col("ctr")))).as("x"),
+          max(struct(col("day"), col("cum_llr"))).as("e"))
+          .select(
+            lit(350000L).as("p0_ppm"), lit(500000L).as("p1_ppm"),
+            col("n_days"), col("n_trials"), col("n_convs"),
+            expr("""CASE WHEN x IS NULL THEN 'continue'
+              WHEN x.cum_llr >= 2944439L THEN 'accept_h1'
+              ELSE 'accept_h0' END""").as("decision"),
+            expr("x.day").as("decision_day"),
+            expr("x.ctr").as("trials_at_decision"),
+            expr("coalesce(x.cum_llr, e.cum_llr)").as("llr_final_micro"))
+      },
+      Some("""WITH u AS (SELECT user_id,
+             |    min(epoch_ns(ts) // 1000) AS t0,
+             |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+             |      AS np
+             |  FROM events GROUP BY 1),
+             |dt AS (SELECT t0 // 86400000000 AS day,
+             |    CAST(count(*) AS BIGINT) AS trials,
+             |    CAST(sum(CASE WHEN np >= 14 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS convs
+             |  FROM u GROUP BY 1),
+             |ag AS (SELECT day, trials, convs,
+             |    CAST(sum(convs * 356675 + (trials - convs) * -262364)
+             |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |      AS cum_llr,
+             |    CAST(sum(trials) OVER (ORDER BY day ROWS UNBOUNDED
+             |      PRECEDING) AS BIGINT) AS ctr
+             |  FROM dt),
+             |cx AS (SELECT min_by(struct_pack(day := day,
+             |      cum_llr := cum_llr, ctr := ctr), day)
+             |      FILTER (cum_llr >= 2944439 OR cum_llr <= -2944439) AS x,
+             |    max_by(cum_llr, day) AS llr_end,
+             |    CAST(count(*) AS BIGINT) AS n_days,
+             |    CAST(sum(trials) AS BIGINT) AS n_trials,
+             |    CAST(sum(convs) AS BIGINT) AS n_convs
+             |  FROM ag)
+             |SELECT CAST(350000 AS BIGINT) AS p0_ppm,
+             |  CAST(500000 AS BIGINT) AS p1_ppm,
+             |  n_days, n_trials, n_convs,
+             |  CASE WHEN x IS NULL THEN 'continue'
+             |    WHEN x.cum_llr >= 2944439 THEN 'accept_h1'
+             |    ELSE 'accept_h0' END AS decision,
+             |  x.day AS decision_day,
+             |  x.ctr AS trials_at_decision,
+             |  coalesce(x.cum_llr, llr_end) AS llr_final_micro
+             |FROM cx""".stripMargin))
   )
 }

@@ -881,4 +881,49 @@ class EventOpsSuite extends SparkTestBase {
       assert(r.getBoolean(11), s"$ty planted bursts must be recovered")
     }
   }
+
+  test("q264 SPRT replays from a JVM-side day-granular LLR walk") {
+    val rows = Registry.byName("q264_sprt").q(spark, sf).collect()
+    assert(rows.length == 1)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), expr("ts div 1000"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDay = ev.groupBy(_._1).values.map { es =>
+      val day = es.map(_._2).min / 86400000000L
+      val conv = es.count(_._3 == "purchase") >= 14
+      (day, conv)
+    }.toSeq.groupBy(_._1).map { case (d, us) =>
+      d -> (us.size.toLong, us.count(_._2).toLong)
+    }
+    var cum = 0L; var ctr = 0L
+    var dec = 0; var dday = -1L; var dtrials = 0L; var dllr = 0L
+    for (day <- byDay.keys.toSeq.sorted) {
+      val (t, c) = byDay(day)
+      cum += c * 356675L + (t - c) * -262364L
+      ctr += t
+      if (dec == 0 && (cum >= 2944439L || cum <= -2944439L)) {
+        dec = if (cum >= 2944439L) 1 else -1
+        dday = day; dtrials = ctr; dllr = cum
+      }
+    }
+    val r = rows.head
+    assert(r.getLong(2) == byDay.size, "n_days")
+    assert(r.getLong(3) == byDay.values.map(_._1).sum, "n_trials")
+    assert(r.getLong(4) == byDay.values.map(_._2).sum, "n_convs")
+    if (dec == 0) {
+      assert(r.getString(5) == "continue" && r.isNullAt(6) && r.isNullAt(7))
+      assert(r.getLong(8) == cum, "llr_final at horizon")
+      // a continuing test must sit strictly inside the boundaries
+      assert(math.abs(cum) < 2944439L)
+    } else {
+      assert(r.getString(5) == (if (dec == 1) "accept_h1" else "accept_h0"))
+      assert(r.getLong(6) == dday && r.getLong(7) == dtrials)
+      assert(r.getLong(8) == dllr, "llr frozen at the decision day")
+      assert(math.abs(dllr) >= 2944439L)
+    }
+    // Wald constants tie to their derivations
+    assert(356675L == math.round(1e6 * math.log(0.50 / 0.35)))
+    assert(-262364L == math.round(1e6 * math.log(0.50 / 0.65)))
+    assert(2944439L == math.round(1e6 * math.log(0.95 / 0.05)))
+  }
 }
