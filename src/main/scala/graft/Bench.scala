@@ -392,7 +392,11 @@ object Bench {
     // differentially-private histogram release (round 15, standing from birth).
     "q263_dp_release",
     // Wald SPRT early-stopping audit (round 15, standing from birth).
-    "q264_sprt")
+    "q264_sprt",
+    // sample-NDV estimation + bloom skipping audits (round 15, standing
+    // from birth).
+    "q265_ndv_estimate",
+    "q266_bloom_skipping")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -643,7 +643,113 @@ object Relational3 {
              |    AS err_key_ppm,
              |  abs(est_row - n_exact) * 1000000 // greatest(n_exact, 1)
              |    AS err_row_ppm
-             |FROM ex CROSS JOIN ke CROSS JOIN re""".stripMargin))
+             |FROM ex CROSS JOIN ke CROSS JOIN re""".stripMargin)),
+
+    // q265: SAMPLE-BASED NDV ESTIMATION AUDIT — the cost-based-optimizer
+    // statistics problem: estimate each column's number of distinct values
+    // from a 10% sample WITHOUT scanning full values, scored against the
+    // exact NDV in-row. Estimator is GEE (Charikar-Chaudhuri-Motwani-
+    // Narasayya 2000): est = √(n/r)·f1 + Σ_{i≥2} f_i — f1 (sample
+    // singletons) is what distinguishes a column whose sample saw
+    // everything (f1 = 0 ⇒ est = sample NDV, exact for small domains)
+    // from a high-cardinality one; GEE is the estimator with the √(n/r)
+    // worst-case ratio guarantee. The sample is the q112 seeded-md5
+    // determinism trick on the row identity (any engine, any partitioning,
+    // same sample ⇒ the audit itself is oracle-checkable). Measured on the
+    // fixture: exact for l_suppkey/l_quantity, ~7% on l_orderkey, ~26%
+    // over on l_partkey — the honest GEE profile, reported as err_ppm.
+    // Only IEEE op is the single correctly-rounded sqrt. Plan: one exact
+    // pass (expand-based 4×countDistinct, q180 posture) + the 10% sample
+    // checkpointed once (5 consumers) feeding 4 tiny value-count
+    // aggregates; everything joins as 1-row broadcasts.
+    Entry(
+      "q265_ndv_estimate",
+      (s, d) => {
+        val li = Tables.lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+        val smp = li.filter(expr(
+          "CAST(conv(substring(md5(concat('ndv:v1:', CAST(ok AS STRING), " +
+            "':', CAST(ln AS STRING), ':', CAST(pk AS STRING))), 1, 8), " +
+            "16, 10) AS BIGINT) % 10 = 0"))
+          .localCheckpoint() // consumers: r + the 4 value-count aggregates
+        val ex = li.agg(count(lit(1)).as("n"),
+          countDistinct(col("pk")).as("d_pk"),
+          countDistinct(col("sk")).as("d_sk"),
+          countDistinct(col("ok")).as("d_ok"),
+          countDistinct(col("qty")).as("d_qty"))
+        val rr = smp.agg(count(lit(1)).as("r"))
+        def fTab(c: String) = smp.groupBy(col(c))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(when(col("cnt") === 1, 1L).otherwise(0L)).as(s"f1_$c"),
+            sum(when(col("cnt") > 1, 1L).otherwise(0L)).as(s"f2_$c"))
+        val row = ex.crossJoin(broadcast(rr))
+          .crossJoin(broadcast(fTab("pk"))).crossJoin(broadcast(fTab("sk")))
+          .crossJoin(broadcast(fTab("ok"))).crossJoin(broadcast(fTab("qty")))
+        def est(c: String) =
+          s"(CAST(round(sqrt(CAST(n AS DOUBLE) / CAST(r AS DOUBLE)) " +
+            s"* CAST(f1_$c AS DOUBLE)) AS BIGINT) + f2_$c)"
+        def st(name: String, c: String) =
+          s"""named_struct('column', '$name', 'n_rows', n, 'sample_rows', r,
+            'ndv_exact', d_$c, 'f1', f1_$c, 'f2plus', f2_$c,
+            'ndv_est', ${est(c)},
+            'err_ppm', abs(${est(c)} - d_$c) * 1000000L div d_$c)"""
+        row.select(explode(expr(s"""array(
+            ${st("l_orderkey", "ok")}, ${st("l_partkey", "pk")},
+            ${st("l_quantity", "qty")}, ${st("l_suppkey", "sk")})"""))
+          .as("x"))
+          .select(col("x.*")).orderBy(col("column"))
+      },
+      Some {
+        def est(c: String) =
+          s"(CAST(round(sqrt(CAST(n AS DOUBLE) / CAST(r AS DOUBLE)) " +
+            s"* CAST(f1_$c AS DOUBLE)) AS BIGINT) + f2_$c)"
+        def row(name: String, c: String) =
+          s"""SELECT '$name' AS "column", n AS n_rows, r AS sample_rows,
+             |  d_$c AS ndv_exact, f1_$c AS f1, f2_$c AS f2plus,
+             |  ${est(c)} AS ndv_est,
+             |  abs(${est(c)} - d_$c) * 1000000 // d_$c AS err_ppm
+             |FROM j""".stripMargin
+        def fcte(c: String) =
+          s"""f_$c AS (SELECT
+             |    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS f1_$c,
+             |    CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS f2_$c
+             |  FROM (SELECT $c, count(*) AS cnt FROM smp GROUP BY 1))"""
+            .stripMargin
+        s"""WITH li AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+           |    l_partkey AS pk, l_suppkey AS sk,
+           |    CAST(round(l_quantity) AS BIGINT) AS qty
+           |  FROM lineitem),
+           |smp AS MATERIALIZED (SELECT * FROM li
+           |  WHERE CAST(('0x' || substr(md5('ndv:v1:' || ok::VARCHAR
+           |    || ':' || ln::VARCHAR || ':' || pk::VARCHAR), 1, 8))
+           |    AS BIGINT) % 10 = 0),
+           |ex AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(count(DISTINCT pk) AS BIGINT) AS d_pk,
+           |    CAST(count(DISTINCT sk) AS BIGINT) AS d_sk,
+           |    CAST(count(DISTINCT ok) AS BIGINT) AS d_ok,
+           |    CAST(count(DISTINCT qty) AS BIGINT) AS d_qty
+           |  FROM li),
+           |rr AS (SELECT CAST(count(*) AS BIGINT) AS r FROM smp),
+           |${fcte("pk")},
+           |${fcte("sk")},
+           |${fcte("ok")},
+           |${fcte("qty")},
+           |j AS MATERIALIZED (SELECT * FROM ex CROSS JOIN rr
+           |  CROSS JOIN f_pk CROSS JOIN f_sk CROSS JOIN f_ok CROSS JOIN f_qty)
+           |SELECT * FROM (
+           |${row("l_orderkey", "ok")}
+           |UNION ALL
+           |${row("l_partkey", "pk")}
+           |UNION ALL
+           |${row("l_quantity", "qty")}
+           |UNION ALL
+           |${row("l_suppkey", "sk")}
+           |) ORDER BY "column"""".stripMargin
+      })
   )
 
   /** q206's body over any (amount: double-dollars) table — exposed so the

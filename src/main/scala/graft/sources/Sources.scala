@@ -982,6 +982,7 @@ object Sources {
           .select(col("x.*"))
           .orderBy(col("column"))
       },
+
       Some {
         def zz(c: String, p: String) =
           s"(CASE WHEN $c - $p >= 0 THEN 2 * ($c - $p) " +
@@ -1051,6 +1052,157 @@ object Sources {
            |UNION ALL
            |${numRow("l_suppkey", "d_sk", "r_sk", "db_sk")}
            |) ORDER BY "column"""".stripMargin
+      }),
+
+    // q266: BLOOM-FILTER SKIPPING AUDIT — the equality-probe counterpart
+    // to q249's range-probe zone maps: min/max stats cannot skip a
+    // rowgroup for a SCATTERED key (every group's [min,max] covers it);
+    // a per-rowgroup Bloom filter can. Per 512-orderkey group, a
+    // m=16384-bit k=4 Bloom over l_partkey — bit positions are FOUR
+    // UNBIASED 16-bit md5 lanes mod 2¹⁴ (65536 ≡ 0 mod 16384; the q253
+    // lane slicing, so both engines set identical bits). The probe
+    // workload is corpus-derived (6 present keys: the smallest pk ≡ 0
+    // mod 97; 6 planted-absent: max_pk + 1..6), and the audit reports
+    // per probe the groups a bloom-equipped reader skips, the FALSE
+    // PASSES (the Bloom's honest cost — zero at sf0.001/0.01, a measured
+    // ~2% at sf0.1's ~1900 distinct keys/group), and the theoretical
+    // (1−e^(−kn̄/m))⁴ rate beside the measured one. All decisions are
+    // exact integer set logic (a probe passes a group iff all 4 of its
+    // lane bits are set); the only IEEE ops are the theory column's
+    // exp/round. Plan: one (grp, pk)-distinct exchange checkpointed once
+    // (5 consumers), bits by a 4-lane explode, the probe side a ≤48-row
+    // broadcast — never a corpus×probe join.
+    Entry(
+      "q266_bloom_skipping",
+      (s, d) => {
+        def laneArr(keyExpr: String) = s"""array(
+          CAST(conv(substring(md5(concat('bloom:v1:', CAST($keyExpr AS STRING))), 1, 4), 16, 10) AS BIGINT) % 16384,
+          CAST(conv(substring(md5(concat('bloom:v1:', CAST($keyExpr AS STRING))), 5, 4), 16, 10) AS BIGINT) % 16384,
+          CAST(conv(substring(md5(concat('bloom:v1:', CAST($keyExpr AS STRING))), 9, 4), 16, 10) AS BIGINT) % 16384,
+          CAST(conv(substring(md5(concat('bloom:v1:', CAST($keyExpr AS STRING))), 13, 4), 16, 10) AS BIGINT) % 16384)"""
+        val gp = Tables.lineitem(s, d)
+          .select(expr("l_orderkey div 512").as("grp"),
+            col("l_partkey").as("pk"))
+          .distinct()
+          .localCheckpoint() // consumers: bits, truth, probes, stats
+        val bits = gp
+          .select(col("grp"), explode(expr(laneArr("pk"))).as("bit"))
+          .distinct()
+        val stats = gp.agg(
+          countDistinct(col("grp")).as("n_groups"),
+          count(lit(1)).as("sum_nd"),
+          max(col("pk")).as("max_pk"))
+        val present = gp.filter(expr("pk % 97 = 0"))
+          .select(col("pk")).distinct()
+          .withColumn("rn", row_number().over(Window.orderBy(col("pk"))))
+          .filter(col("rn") <= 6)
+          .select(col("pk").as("probe_pk"), lit(false).as("absent"))
+        val planted = stats.select(
+          explode(expr("sequence(max_pk + 1, max_pk + 6)")).as("probe_pk"),
+          lit(true).as("absent"))
+        val probes = present.unionByName(planted)
+        val probeBits = probes.select(col("probe_pk"), col("absent"),
+          posexplode(expr(laneArr("probe_pk"))))
+          .toDF("probe_pk", "absent", "idx", "bit")
+        val passes = bits.join(broadcast(probeBits), Seq("bit"))
+          .select(col("probe_pk"), col("grp"), col("idx")).distinct()
+          .groupBy(col("probe_pk"), col("grp"))
+          .agg(count(lit(1)).as("hits"))
+          .filter(col("hits") === 4)
+          .groupBy(col("probe_pk")).agg(count(lit(1)).as("groups_pass"))
+        val truth = gp.join(broadcast(probes), gp("pk") === probes("probe_pk"))
+          .groupBy(col("probe_pk")).agg(count(lit(1)).as("groups_truth"))
+        probes
+          .join(passes, Seq("probe_pk"), "left_outer")
+          .join(truth, Seq("probe_pk"), "left_outer")
+          .crossJoin(broadcast(stats))
+          .select(col("probe_pk"), col("absent"),
+            col("n_groups").as("groups_total"),
+            coalesce(col("groups_truth"), lit(0L)).as("groups_truth"),
+            coalesce(col("groups_pass"), lit(0L)).as("groups_pass"),
+            (coalesce(col("groups_pass"), lit(0L)) -
+              coalesce(col("groups_truth"), lit(0L))).as("false_pos"),
+            (col("n_groups") - coalesce(col("groups_pass"), lit(0L)))
+              .as("groups_skipped"),
+            expr("""(coalesce(groups_pass, 0L) - coalesce(groups_truth, 0L))
+              * 1000000L div greatest(n_groups - coalesce(groups_truth, 0L),
+                1L)""").as("fpr_ppm"),
+            expr("""CAST(round(1000000.0D *
+              (1.0D - exp(-4.0D * (CAST(sum_nd AS DOUBLE)
+                / CAST(n_groups AS DOUBLE)) / 16384.0D))
+              * (1.0D - exp(-4.0D * (CAST(sum_nd AS DOUBLE)
+                / CAST(n_groups AS DOUBLE)) / 16384.0D))
+              * (1.0D - exp(-4.0D * (CAST(sum_nd AS DOUBLE)
+                / CAST(n_groups AS DOUBLE)) / 16384.0D))
+              * (1.0D - exp(-4.0D * (CAST(sum_nd AS DOUBLE)
+                / CAST(n_groups AS DOUBLE)) / 16384.0D))) AS BIGINT)""")
+              .as("fpr_theory_ppm"))
+          .orderBy(col("probe_pk"))
+      },
+      Some {
+        def lane(keyExpr: String, i: Int) =
+          s"CAST(('0x' || substr(md5('bloom:v1:' || $keyExpr::VARCHAR), " +
+            s"${1 + 4 * i}, 4)) AS BIGINT) % 16384"
+        def laneList(keyExpr: String) =
+          (0 until 4).map(i => lane(keyExpr, i)).mkString("[", ", ", "]")
+        val theory = """CAST(round(1000000.0 *
+          |    (1.0 - exp(-4.0 * (CAST(sum_nd AS DOUBLE)
+          |      / CAST(n_groups AS DOUBLE)) / 16384.0))
+          |    * (1.0 - exp(-4.0 * (CAST(sum_nd AS DOUBLE)
+          |      / CAST(n_groups AS DOUBLE)) / 16384.0))
+          |    * (1.0 - exp(-4.0 * (CAST(sum_nd AS DOUBLE)
+          |      / CAST(n_groups AS DOUBLE)) / 16384.0))
+          |    * (1.0 - exp(-4.0 * (CAST(sum_nd AS DOUBLE)
+          |      / CAST(n_groups AS DOUBLE)) / 16384.0))) AS BIGINT)"""
+          .stripMargin
+        s"""WITH gp AS MATERIALIZED (SELECT DISTINCT l_orderkey // 512 AS grp,
+           |    l_partkey AS pk FROM lineitem),
+           |bits AS MATERIALIZED (SELECT DISTINCT grp, b.bit
+           |  FROM gp, LATERAL (SELECT unnest(${laneList("pk")}) AS bit) b),
+           |st AS MATERIALIZED (SELECT
+           |    CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+           |    CAST(count(*) AS BIGINT) AS sum_nd,
+           |    CAST(max(pk) AS BIGINT) AS max_pk
+           |  FROM gp),
+           |pr AS MATERIALIZED (
+           |  SELECT pk AS probe_pk, FALSE AS absent
+           |  FROM (SELECT DISTINCT pk FROM gp WHERE pk % 97 = 0
+           |    ORDER BY pk LIMIT 6)
+           |  UNION ALL
+           |  SELECT max_pk + u.i, TRUE
+           |  FROM st, LATERAL (SELECT unnest(range(1, 7)) AS i) u),
+           |pb AS (SELECT probe_pk, absent, b.i AS idx,
+           |    CASE b.i
+           |      WHEN 0 THEN ${lane("probe_pk", 0)}
+           |      WHEN 1 THEN ${lane("probe_pk", 1)}
+           |      WHEN 2 THEN ${lane("probe_pk", 2)}
+           |      ELSE ${lane("probe_pk", 3)} END AS bit
+           |  FROM pr, LATERAL (SELECT unnest(range(0, 4)) AS i) b),
+           |ps AS (SELECT probe_pk, CAST(count(*) AS BIGINT) AS groups_pass
+           |  FROM (SELECT probe_pk, grp, count(*) AS hits
+           |    FROM (SELECT DISTINCT pb.probe_pk, bits.grp, pb.idx
+           |      FROM bits JOIN pb ON bits.bit = pb.bit)
+           |    GROUP BY 1, 2 HAVING count(*) = 4)
+           |  GROUP BY 1),
+           |tr AS (SELECT pr.probe_pk, CAST(count(*) AS BIGINT)
+           |    AS groups_truth
+           |  FROM gp JOIN pr ON gp.pk = pr.probe_pk GROUP BY 1)
+           |SELECT pr.probe_pk, pr.absent,
+           |  st.n_groups AS groups_total,
+           |  coalesce(tr.groups_truth, 0) AS groups_truth,
+           |  coalesce(ps.groups_pass, 0) AS groups_pass,
+           |  coalesce(ps.groups_pass, 0) - coalesce(tr.groups_truth, 0)
+           |    AS false_pos,
+           |  st.n_groups - coalesce(ps.groups_pass, 0) AS groups_skipped,
+           |  (coalesce(ps.groups_pass, 0) - coalesce(tr.groups_truth, 0))
+           |    * 1000000 // greatest(st.n_groups
+           |      - coalesce(tr.groups_truth, 0), 1) AS fpr_ppm,
+           |  $theory AS fpr_theory_ppm
+           |FROM pr
+           |LEFT JOIN ps ON ps.probe_pk = pr.probe_pk
+           |LEFT JOIN tr ON tr.probe_pk = pr.probe_pk
+           |CROSS JOIN st
+           |ORDER BY pr.probe_pk""".stripMargin
       })
   )
 }

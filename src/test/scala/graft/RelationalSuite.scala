@@ -373,4 +373,45 @@ class RelationalSuite extends SparkTestBase {
     assert(r.getLong(3) < r.getLong(4),
       s"key-sampled error ${r.getLong(3)} ppm should beat row-sampled ${r.getLong(4)} ppm")
   }
+
+  test("q265 NDV estimates replay from a JVM-side GEE over the seeded sample") {
+    val rows = Registry.byName("q265_ndv_estimate").q(spark, sf).collect()
+    assert(rows.length == 4)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), expr("CAST(round(l_quantity) AS BIGINT)"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val n = li.length.toLong
+    val smp = li.filter { t =>
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"ndv:v1:${t._1}:${t._2}:${t._3}".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString, 16) % 10 == 0
+    }
+    val r0 = smp.length.toLong
+    // column extractors in output (lexicographic) order
+    val cols: Seq[(String, ((Long, Int, Long, Long, Long)) => Long)] = Seq(
+      ("l_orderkey", _._1), ("l_partkey", _._3),
+      ("l_quantity", _._5), ("l_suppkey", _._4))
+    for ((r, (name, f)) <- rows.zip(cols)) {
+      assert(r.getString(0) == name)
+      assert(r.getLong(1) == n && r.getLong(2) == r0)
+      val exact = li.map(f).distinct.length.toLong
+      val cnt = smp.map(f).groupBy(identity).map(_._2.length)
+      val f1 = cnt.count(_ == 1).toLong
+      val f2p = cnt.count(_ > 1).toLong
+      val est = BigDecimal(math.sqrt(n.toDouble / r0.toDouble) * f1.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong + f2p
+      assert(r.getLong(3) == exact, s"$name exact")
+      assert(r.getLong(4) == f1 && r.getLong(5) == f2p, s"$name f-stats")
+      assert(r.getLong(6) == est, s"$name GEE estimate")
+      assert(r.getLong(7) == math.abs(est - exact) * 1000000L / exact)
+      // GEE sanity on this fixture: within 2x of truth; saturated-sample
+      // columns (f1 = 0) are recovered exactly
+      assert(est * 2 >= exact && est <= exact * 2, s"$name est within 2x")
+      if (f1 == 0) assert(est == exact, s"$name saturated sample is exact")
+    }
+  }
 }

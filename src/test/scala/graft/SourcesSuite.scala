@@ -335,4 +335,47 @@ class SourcesSuite extends SparkTestBase {
     // delta on the sorted key must crush plain by at least 4x
     assert(stOk.delta * 4 <= 8 * n)
   }
+
+  test("q266 bloom skipping replays from a JVM-side bitset sweep") {
+    val rows = Registry.byName("q266_bloom_skipping").q(spark, sf).collect()
+    import org.apache.spark.sql.functions._
+    def lanes(pk: Long): Seq[Long] = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"bloom:v1:$pk".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (0 until 4).map(i =>
+        java.lang.Long.parseLong(h.substring(4 * i, 4 * i + 4), 16) % 16384)
+    }
+    val gp = Tables.lineitem(spark, sf)
+      .select(expr("l_orderkey div 512"), col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val groups = gp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val blooms = groups.map { case (g, ps) => g -> ps.flatMap(lanes) }
+    val maxPk = gp.map(_._2).max
+    val present = gp.map(_._2).distinct.filter(_ % 97 == 0).sorted.take(6)
+    val probes = present ++ (1 to 6).map(maxPk + _)
+    assert(rows.length == probes.length)
+    val byProbe = rows.map(r => r.getLong(0) -> r).toMap
+    assert(rows.map(_.getLong(0)).sorted.toSeq == probes.sorted.toSeq)
+    for (p <- probes) {
+      val r = byProbe(p)
+      val pb = lanes(p).toSet // dup lanes collapse: membership is per-bit
+      val truth = groups.count(_._2.contains(p)).toLong
+      val pass = blooms.count { case (_, bl) => pb.subsetOf(bl) }.toLong
+      assert(r.getBoolean(1) == (p > maxPk), s"probe $p absent flag")
+      assert(r.getLong(2) == groups.size.toLong, s"probe $p total")
+      assert(r.getLong(3) == truth, s"probe $p truth")
+      assert(r.getLong(4) == pass, s"probe $p pass")
+      assert(r.getLong(5) == pass - truth, s"probe $p false_pos")
+      assert(r.getLong(6) == groups.size - pass, s"probe $p skipped")
+      // a Bloom filter NEVER false-negatives: every true group passes
+      assert(pass >= truth, s"probe $p no false negatives")
+    }
+    // planted-absent probes have zero truth; their passes are pure FPR
+    val absent = probes.drop(present.length)
+    assert(absent.forall(p => byProbe(p).getLong(3) == 0L))
+    // the audit's point: absent keys skip (nearly) everything
+    assert(absent.forall(p =>
+      byProbe(p).getLong(6) * 2 >= groups.size), "absent probes skip >= half")
+  }
 }
