@@ -396,7 +396,9 @@ object Bench {
     // sample-NDV estimation + bloom skipping audits (round 15, standing
     // from birth).
     "q265_ndv_estimate",
-    "q266_bloom_skipping")
+    "q266_bloom_skipping",
+    // streaming native session_window (round 15, standing from birth).
+    "q267_stream_session_window")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -658,7 +658,69 @@ object EventStreams {
              |      AS BIGINT), 1) AS late_ppm,
              |  CAST(w.wm AS BIGINT) AS wm_ns
              |FROM e CROSS JOIN sp CROSS JOIN w
-             |GROUP BY event_type, w.wm ORDER BY event_type""".stripMargin))
+             |GROUP BY event_type, w.wm ORDER BY event_type""".stripMargin)),
+
+    // q267: STREAMING NATIVE session_window — q212's built-in session
+    // aggregation actually DEPLOYED as a stream (the surface q212 exists
+    // to enable: state-store-mergeable session state, Spark's
+    // UpdatingSessions/MergingSessions machinery driven by the streaming
+    // planner rather than the batch one). Complete-mode memory sink over
+    // AvailableNow on the bounded fixture ⇒ exact, so q212's oracle
+    // applies VERBATIM — streaming-vs-batch parity of the native session
+    // operator is the thing proven (in production this runs Append with
+    // `withWatermark` and sessions emit when the watermark passes
+    // last-event + gap; Complete over a bounded source sidesteps the
+    // final-window-never-emits pitfall that would break parity here).
+    // Same µs-truncation + gap ≥ 30 min boundary pinning as q212.
+    Entry(
+      "q267_stream_session_window",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val src = Tables.normalizeEventTs(
+          s.readStream.schema(schema).parquet(s"$d/events*"))
+        val sess = src
+          .select(col("user_id"),
+            expr("timestamp_micros(ts div 1000)").as("tsu"))
+          .groupBy(col("user_id"),
+            session_window(col("tsu"), "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_ev"))
+          .select(col("user_id"), col("n_ev"),
+            expr("unix_micros(w.end) - 1800000000L - unix_micros(w.start)")
+              .as("span_us"))
+        s.streams.active.filter(_.name == "graft_stream_session")
+          .foreach(_.stop())
+        val query = sess.writeStream
+          .format("memory")
+          .queryName("graft_stream_session")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table("graft_stream_session")
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_sessions"),
+            sum(col("n_ev")).as("n_events"),
+            max(col("span_us")).as("max_span_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+             |g AS (SELECT user_id, us,
+             |    CASE WHEN lag(us) OVER w IS NULL
+             |          OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+             |      AS new_session
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+             |sid AS (SELECT user_id, us,
+             |    sum(new_session) OVER (PARTITION BY user_id ORDER BY us
+             |      ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM g),
+             |ss AS (SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_ev,
+             |    CAST(max(us) - min(us) AS BIGINT) AS span_us
+             |  FROM sid GROUP BY 1, 2)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+             |  CAST(max(span_us) AS BIGINT) AS max_span_us
+             |FROM ss GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 
   /** q220's body: two deterministic arrival epochs through ONE streaming

@@ -402,4 +402,23 @@ class StreamingSuite extends SparkTestBase {
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq,
       "rerun diverged -- the sinks are not content-keyed idempotent")
   }
+
+  test("q267 streaming session_window equals the batch native form row-for-row") {
+    val streamRows = Registry.byName("q267_stream_session_window")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    val batchRows = Registry.byName("q212_session_window_native")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamRows == batchRows,
+      "streaming session_window diverged from the batch native sessionize")
+    assert(streamRows.nonEmpty)
+    // the drained memory table carries raw per-session rows — the streaming
+    // session-window machinery actually ran and emitted one row per session
+    val sess = spark.table("graft_stream_session")
+    assert(sess.columns.toSeq == Seq("user_id", "n_ev", "span_us"))
+    // every per-user session count in the drained table matches the final agg
+    val perUser = sess.groupBy(col("user_id")).count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (r <- Registry.byName("q267_stream_session_window").q(spark, sf).collect())
+      assert(perUser(r.getLong(0)) == r.getLong(1), s"user ${r.getLong(0)}")
+  }
 }
