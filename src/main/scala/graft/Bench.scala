@@ -398,7 +398,9 @@ object Bench {
     "q265_ndv_estimate",
     "q266_bloom_skipping",
     // streaming native session_window (round 15, standing from birth).
-    "q267_stream_session_window")
+    "q267_stream_session_window",
+    // 5-fold cross-validated perceptron (round 15, standing from birth).
+    "q268_cv_perceptron")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -118,6 +118,125 @@ object Learn {
            |ORDER BY iter""".stripMargin
       }),
 
+    // q268: 5-FOLD CROSS-VALIDATED PERCEPTRON — the evaluation protocol
+    // q233 needs before anyone trusts its weights: train FIVE models, each
+    // on 4/5 of the corpus, score each on its HELD-OUT fold (q233's
+    // training error is measured on the data it fit — the number every ML
+    // practitioner distrusts). Folds are the q112 seeded-md5 determinism
+    // trick on doc_id. The distributed shape is the interesting part: all
+    // five models train IN PARALLEL per round — the model state is a
+    // 5-ROW frame, and one pass joins every doc to the 4 models whose
+    // fold excludes it (a 5-row broadcast inequality join — the bounded
+    // BNLJ combine shape, 4× row amplification paid before the map-side
+    // partial per-model aggregate), so an epoch of 5-fold CV costs ONE
+    // exchange, not five training jobs. Training stays INTEGER-EXACT
+    // (q233's no-learning-rate update); the generalization story is that
+    // held-out error matches across folds with no overfit gap (~7% at 6
+    // rounds on the fixture, fold spread <1% — suite-asserted), which is
+    // exactly what CV exists to measure. Plan: checkpointed feature
+    // table consumed once per round; per-round model state 5 rows,
+    // checkpointed; eval is one fold-equality broadcast join.
+    Entry(
+      "q268_cv_perceptron",
+      (s, d) => {
+        val feats = T.documents(s, d)
+          .select(col("doc_id"), split(col("text"), " ").as("t"),
+            col("n_chars"))
+          .select(
+            col("doc_id"),
+            lit(1L).as("x0"),
+            size(col("t")).cast("long").as("x1"),
+            size(array_distinct(col("t"))).cast("long").as("x2"),
+            expr("n_chars div 10").as("x3"))
+          .withColumn("y",
+            when((col("x1") - col("x2")) * 5 > col("x1"), 1L).otherwise(-1L))
+          .withColumn("fold", expr(
+            "CAST(conv(substring(md5(concat('cv:v1:', " +
+              "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 5"))
+          .localCheckpoint() // consumed once per round + the final eval
+        var w = s.sql(
+          "SELECT id AS m, 0L AS w0, 0L AS w1, 0L AS w2, 0L AS w3 FROM range(5)")
+        val margin = col("y") *
+          (col("w0") * col("x0") + col("w1") * col("x1") +
+            col("w2") * col("x2") + col("w3") * col("x3"))
+        for (_ <- 1 to 6) {
+          def d_(j: Int) =
+            sum(when(margin <= 0, col("y") * col(s"x$j")).otherwise(0L))
+              .as(s"d$j")
+          val upd = feats.join(broadcast(w), expr("m != fold"))
+            .groupBy(col("m"))
+            .agg(d_(0), d_(1), d_(2), d_(3))
+          w = w.join(upd, Seq("m"), "left_outer")
+            .select(col("m"),
+              (col("w0") + coalesce(col("d0"), lit(0L))).as("w0"),
+              (col("w1") + coalesce(col("d1"), lit(0L))).as("w1"),
+              (col("w2") + coalesce(col("d2"), lit(0L))).as("w2"),
+              (col("w3") + coalesce(col("d3"), lit(0L))).as("w3"))
+            .localCheckpoint() // 5 rows; consumers: next round (+ eval)
+        }
+        val tot = feats.agg(count(lit(1)).as("n_total"))
+        val wAll = Window.orderBy(col("fold"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        feats.join(broadcast(w), expr("m = fold"))
+          .groupBy(col("m"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(margin <= 0, 1L).otherwise(0L)).as("test_mis"))
+          .crossJoin(broadcast(tot))
+          .select(col("m").as("fold"),
+            (col("n_total") - col("n_test")).as("n_train"),
+            col("n_test"), col("test_mis"),
+            expr("test_mis * 1000000L div n_test").as("test_err_ppm"))
+          .withColumn("s_err", sum(col("test_err_ppm")).over(wAll))
+          .withColumn("mean_err_ppm", expr("s_err div 5"))
+          .withColumn("max_err_ppm", max(col("test_err_ppm")).over(wAll))
+          .drop("s_err")
+          .orderBy(col("fold"))
+      },
+      Some {
+        val mexp = "(w.w0*x0 + w.w1*x1 + w.w2*x2 + w.w3*x3)"
+        val iters = (1 to 6).map { k =>
+          val prev = if (k == 1) "cw0" else s"cw${k - 1}"
+          val ds = (0 to 3).map(j =>
+            s"""CAST(sum(CASE WHEN y * $mexp <= 0 THEN y * x$j ELSE 0 END)
+               |      AS BIGINT) AS d$j""".stripMargin).mkString(",\n    ")
+          s"""cs$k AS MATERIALIZED (SELECT w.m,
+             |    $ds
+             |  FROM f2 JOIN $prev w ON w.m != f2.fold GROUP BY w.m),
+             |cw$k AS MATERIALIZED (SELECT w.m,
+             |  w.w0 + coalesce(s.d0, 0) AS w0, w.w1 + coalesce(s.d1, 0) AS w1,
+             |  w.w2 + coalesce(s.d2, 0) AS w2, w.w3 + coalesce(s.d3, 0) AS w3
+             |  FROM $prev w LEFT JOIN cs$k s USING (m))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t, n_chars
+           |  FROM documents),
+           |f AS (SELECT doc_id, CAST(1 AS BIGINT) AS x0,
+           |    CAST(len(t) AS BIGINT) AS x1,
+           |    CAST(len(list_distinct(t)) AS BIGINT) AS x2,
+           |    n_chars // 10 AS x3 FROM t0),
+           |f2 AS MATERIALIZED (SELECT doc_id, x0, x1, x2, x3,
+           |    CASE WHEN (x1 - x2) * 5 > x1 THEN CAST(1 AS BIGINT)
+           |      ELSE CAST(-1 AS BIGINT) END AS y,
+           |    CAST(('0x' || substr(md5('cv:v1:' || doc_id::VARCHAR), 1, 8))
+           |      AS BIGINT) % 5 AS fold
+           |  FROM f),
+           |cw0 AS (SELECT CAST(unnest(range(0, 5)) AS BIGINT) AS m,
+           |  CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+           |  CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3),
+           |$iters,
+           |tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM f2),
+           |ev AS (SELECT w.m, CAST(count(*) AS BIGINT) AS n_test,
+           |    CAST(sum(CASE WHEN y * $mexp <= 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS test_mis
+           |  FROM f2 JOIN cw6 w ON w.m = f2.fold GROUP BY 1)
+           |SELECT m AS fold, n_total - n_test AS n_train, n_test, test_mis,
+           |  test_mis * 1000000 // n_test AS test_err_ppm,
+           |  CAST(sum(test_mis * 1000000 // n_test) OVER () AS BIGINT)
+           |    // 5 AS mean_err_ppm,
+           |  CAST(max(test_mis * 1000000 // n_test) OVER () AS BIGINT)
+           |    AS max_err_ppm
+           |FROM ev CROSS JOIN tt ORDER BY fold""".stripMargin
+      }),
+
     // q234: PRECISION-RECALL CURVE BY SCORE DECILE — turn q194's raw
     // classifier scores into the table a threshold-picker deploys: for
     // each top-k/10 flagging budget, the score threshold and the exact

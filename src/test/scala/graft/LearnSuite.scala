@@ -266,6 +266,54 @@ class LearnSuite extends SparkTestBase {
       "w2 near the planted 0.25")
   }
 
+  test("q268 CV perceptron replays from a JVM-side 5-model training loop") {
+    val rows = Registry.byName("q268_cv_perceptron").q(spark, sf).collect()
+    assert(rows.length == 5)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("t"), col("n_chars"))
+      .select(col("doc_id"), size(col("t")).cast("long"),
+        size(array_distinct(col("t"))).cast("long"),
+        expr("n_chars div 10"))
+      .collect().map { r =>
+        val id = r.getLong(0)
+        val fold = java.lang.Long.parseLong(
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"cv:v1:$id".getBytes("UTF-8"))
+            .take(4).map("%02x".format(_)).mkString, 16) % 5
+        val x = Array(1L, r.getLong(1), r.getLong(2), r.getLong(3))
+        val y = if ((x(1) - x(2)) * 5 > x(1)) 1L else -1L
+        (fold, x, y)
+      }
+    val w = Array.fill(5)(Array.fill(4)(0L))
+    for (_ <- 1 to 6) {
+      val d = Array.fill(5)(Array.fill(4)(0L))
+      for ((fold, x, y) <- docs; m <- 0 until 5 if m != fold) {
+        val margin = y * (0 until 4).map(j => w(m)(j) * x(j)).sum
+        if (margin <= 0) for (j <- 0 until 4) d(m)(j) += y * x(j)
+      }
+      for (m <- 0 until 5; j <- 0 until 4) w(m)(j) += d(m)(j)
+    }
+    val errs = (0 until 5).map { m =>
+      val test = docs.filter(_._1 == m)
+      val mis = test.count { case (_, x, y) =>
+        y * (0 until 4).map(j => w(m)(j) * x(j)).sum <= 0 }
+      (test.size.toLong, mis.toLong)
+    }
+    val ppm = errs.map { case (n, mis) => mis * 1000000L / n }
+    for ((r, m) <- rows.zip(0 until 5)) {
+      assert(r.getLong(0) == m)
+      assert(r.getLong(1) == docs.length - errs(m)._1, s"fold $m n_train")
+      assert(r.getLong(2) == errs(m)._1 && r.getLong(3) == errs(m)._2,
+        s"fold $m held-out counts")
+      assert(r.getLong(4) == ppm(m), s"fold $m err_ppm")
+      assert(r.getLong(5) == ppm.sum / 5 && r.getLong(6) == ppm.max)
+    }
+    // generalization invariants: every fold under 15%, spread under 5% —
+    // the models agree with each other (no fold-specific overfit)
+    assert(ppm.forall(_ < 150000L), s"held-out error too high: $ppm")
+    assert(ppm.max - ppm.min < 50000L, s"fold spread too wide: $ppm")
+  }
+
   test("learn plans: no cartesian products; model state stays 1-row broadcast") {
     for (name <- Seq("q233_perceptron", "q234_pr_curve", "q240_mrr_map")) {
       val df = Registry.byName(name).q(spark, sf)
