@@ -400,7 +400,9 @@ object Bench {
     // streaming native session_window (round 15, standing from birth).
     "q267_stream_session_window",
     // 5-fold cross-validated perceptron (round 15, standing from birth).
-    "q268_cv_perceptron")
+    "q268_cv_perceptron",
+    // distribution-free median CI (round 15, standing from birth).
+    "q269_median_ci")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2467,6 +2467,92 @@ object EventOps {
              |  x.day AS decision_day,
              |  x.ctr AS trials_at_decision,
              |  coalesce(x.cum_llr, llr_end) AS llr_final_micro
-             |FROM cx""".stripMargin))
+             |FROM cx""".stripMargin)),
+
+    // q269: DISTRIBUTION-FREE MEDIAN CONFIDENCE INTERVAL — the
+    // nonparametric companion to q253's bootstrap mean CI: the classic
+    // ORDER-STATISTIC interval (binomial argument, normal approximation):
+    // with probability ≈95% the true median lies between the order
+    // statistics at ranks ⌊n/2 − 1.96·√n/2⌋ and ⌈n/2 + 1.96·√n/2⌉ + 1 —
+    // no resampling, no distributional assumption, exact coverage
+    // guarantees from Binomial(n, ½) alone. Ranks come from one
+    // correctly-rounded IEEE sqrt (identical expression both engines,
+    // floor/ceil on values nowhere near integers); everything else is the
+    // q135/q189 count-based order-statistic discipline — value(r) = min
+    // cents with cum ≥ r over the per-type VALUE-DOMAIN count table,
+    // never a sort. Median is the exact lower median at rank (n+1) div 2.
+    // Plan: ONE (type, cents) count exchange; per-type windows over the
+    // value axis only; ranks join back as a 5-row broadcast.
+    Entry(
+      "q269_median_ci",
+      (s, d) => {
+        val vc = Tables.events(s, d)
+          .select(col("event_type"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("cents"))
+          .agg(count(lit(1)).as("cnt"))
+          .localCheckpoint() // consumers: per-type totals + the cum table
+        val wV = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = vc.withColumn("cum", sum(col("cnt")).over(wV))
+        val ranks = vc.groupBy(col("event_type"))
+          .agg(sum(col("cnt")).as("n"))
+          .select(col("event_type"), col("n"),
+            expr("(n + 1) div 2").as("med_rank"),
+            expr("""greatest(CAST(floor(CAST(n AS DOUBLE) / 2.0D
+              - 0.98D * sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1L)""")
+              .as("lo_rank"),
+            expr("""least(CAST(ceil(CAST(n AS DOUBLE) / 2.0D
+              + 0.98D * sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1L, n)""")
+              .as("hi_rank"))
+        cum.join(broadcast(ranks), Seq("event_type"))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n"),
+            max(col("med_rank")).as("med_rank"),
+            max(col("lo_rank")).as("lo_rank"),
+            max(col("hi_rank")).as("hi_rank"),
+            min(when(col("cum") >= col("med_rank"), col("cents")))
+              .as("median_cents"),
+            min(when(col("cum") >= col("lo_rank"), col("cents")))
+              .as("lo_cents"),
+            min(when(col("cum") >= col("hi_rank"), col("cents")))
+              .as("hi_cents"))
+          .withColumn("ci_width_cents", col("hi_cents") - col("lo_cents"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH vc AS MATERIALIZED (SELECT event_type,
+             |    CAST(round(value * 100) AS BIGINT) AS cents,
+             |    CAST(count(*) AS BIGINT) AS cnt
+             |  FROM events GROUP BY 1, 2),
+             |cm AS (SELECT event_type, cents,
+             |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+             |  FROM vc),
+             |rk AS (SELECT event_type, n,
+             |    (n + 1) // 2 AS med_rank,
+             |    greatest(CAST(floor(CAST(n AS DOUBLE) / 2.0
+             |      - 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT), 1)
+             |      AS lo_rank,
+             |    least(CAST(ceil(CAST(n AS DOUBLE) / 2.0
+             |      + 0.98 * sqrt(CAST(n AS DOUBLE))) AS BIGINT) + 1, n)
+             |      AS hi_rank
+             |  FROM (SELECT event_type, CAST(sum(cnt) AS BIGINT) AS n
+             |    FROM vc GROUP BY 1))
+             |SELECT cm.event_type,
+             |  CAST(max(rk.n) AS BIGINT) AS n,
+             |  CAST(max(rk.med_rank) AS BIGINT) AS med_rank,
+             |  CAST(max(rk.lo_rank) AS BIGINT) AS lo_rank,
+             |  CAST(max(rk.hi_rank) AS BIGINT) AS hi_rank,
+             |  CAST(min(CASE WHEN cum >= rk.med_rank THEN cents END)
+             |    AS BIGINT) AS median_cents,
+             |  CAST(min(CASE WHEN cum >= rk.lo_rank THEN cents END)
+             |    AS BIGINT) AS lo_cents,
+             |  CAST(min(CASE WHEN cum >= rk.hi_rank THEN cents END)
+             |    AS BIGINT) AS hi_cents,
+             |  CAST(min(CASE WHEN cum >= rk.hi_rank THEN cents END)
+             |    AS BIGINT) - CAST(min(CASE WHEN cum >= rk.lo_rank
+             |    THEN cents END) AS BIGINT) AS ci_width_cents
+             |FROM cm JOIN rk USING (event_type)
+             |GROUP BY cm.event_type ORDER BY cm.event_type""".stripMargin))
   )
 }

@@ -926,4 +926,30 @@ class EventOpsSuite extends SparkTestBase {
     assert(-262364L == math.round(1e6 * math.log(0.50 / 0.65)))
     assert(2944439L == math.round(1e6 * math.log(0.95 / 0.05)))
   }
+
+  test("q269 median CI replays from JVM-side sorted order statistics") {
+    val rows = Registry.byName("q269_median_ci").q(spark, sf).collect()
+    assert(rows.length == 5)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    for (r <- rows) {
+      val ty = r.getString(0)
+      val vals = ev.filter(_._1 == ty).map(_._2).sorted
+      val n = vals.length.toLong
+      val med = (n + 1) / 2
+      val lo = math.max(math.floor(n.toDouble / 2.0 -
+        0.98 * math.sqrt(n.toDouble)).toLong, 1L)
+      val hi = math.min(math.ceil(n.toDouble / 2.0 +
+        0.98 * math.sqrt(n.toDouble)).toLong + 1L, n)
+      assert(r.getLong(1) == n && r.getLong(2) == med)
+      assert(r.getLong(3) == lo && r.getLong(4) == hi, s"$ty ranks")
+      assert(r.getLong(5) == vals((med - 1).toInt), s"$ty median")
+      assert(r.getLong(6) == vals((lo - 1).toInt), s"$ty lo order stat")
+      assert(r.getLong(7) == vals((hi - 1).toInt), s"$ty hi order stat")
+      // interval invariants: brackets the median; width positive
+      assert(r.getLong(6) <= r.getLong(5) && r.getLong(5) <= r.getLong(7))
+      assert(r.getLong(8) == r.getLong(7) - r.getLong(6) && r.getLong(8) >= 0)
+    }
+  }
 }
