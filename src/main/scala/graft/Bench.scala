@@ -402,7 +402,9 @@ object Bench {
     // 5-fold cross-validated perceptron (round 15, standing from birth).
     "q268_cv_perceptron",
     // distribution-free median CI (round 15, standing from birth).
-    "q269_median_ci")
+    "q269_median_ci",
+    // corpus datasheet rollup (round 15, standing from birth).
+    "q270_corpus_datasheet")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

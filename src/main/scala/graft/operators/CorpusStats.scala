@@ -901,7 +901,108 @@ object CorpusStats {
              |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
              |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
              |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // q270: CORPUS DATASHEET — the one-row "dataset card" (Gebru et al.'s
+    // datasheets, the summary block every corpus release ships): size,
+    // composition, duplication, quality, and lexical-diversity in a single
+    // oracle-checked artifact. Every number is a pointer INTO the engine's
+    // deep operators (exact dedup → q35, quality rule → q88, diversity →
+    // q197/q243, drift → q224/q231) — this is the executive rollup, one
+    // query instead of a dashboard of twelve. All integer/ppm exact:
+    // dup_ppm counts docs beyond their text-md5 group's first, quality is
+    // q88's dup-token rule, p50 is the count-based lower median (q135),
+    // top lang by deterministic (count, lang) ordering. Plan: TWO corpus
+    // scans by design — one doc-level projection (md5 + token stats,
+    // checkpointed: five consumers) and one word-explode pass for the
+    // vocabulary (word-keyed exchange); everything downstream is bounded
+    // tables and 1-row broadcast combines.
+    Entry(
+      "q270_corpus_datasheet",
+      (s, d) => {
+        val base = T.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            size(toks).cast("long").as("n_words"),
+            size(array_distinct(toks)).cast("long").as("n_distinct"),
+            md5(col("text")).as("h"))
+          .localCheckpoint() // consumers: core, dup, p50, lang-top
+        val core = base.agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_words")).as("total_tokens"),
+          sum(when((col("n_words") - col("n_distinct")) * 5 > col("n_words"),
+            1L).otherwise(0L)).as("n_low_quality"))
+        val dup = base.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") - 1).as("n_dup_docs"))
+        val vocab = T.documents(s, d)
+          .select(explode(toks).as("w")).distinct()
+          .agg(count(lit(1)).as("vocab_size"))
+        val wLen = Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val p50 = base.groupBy(col("n_chars")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(wLen))
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("nn"))))
+          .agg(min(when(col("cum") * 2 >= col("nn"), col("n_chars")))
+            .as("p50_chars"))
+        val topLang = base.groupBy(col("lang")).agg(count(lit(1)).as("lc"))
+          .orderBy(col("lc").desc, col("lang").desc).limit(1)
+          .select(col("lang").as("top_lang"), col("lc").as("top_lang_n"))
+        core.crossJoin(broadcast(dup)).crossJoin(broadcast(vocab))
+          .crossJoin(broadcast(p50)).crossJoin(broadcast(topLang))
+          .select(
+            col("n_docs"), col("n_sources"), col("n_langs"),
+            col("total_chars"), col("total_tokens"), col("vocab_size"),
+            expr("vocab_size * 1000000L div total_tokens").as("ttr_ppm"),
+            expr("total_chars * 1000L div n_docs").as("mean_chars_milli"),
+            col("p50_chars"),
+            expr("n_dup_docs * 1000000L div n_docs").as("exact_dup_ppm"),
+            expr("n_low_quality * 1000000L div n_docs").as("low_quality_ppm"),
+            col("top_lang"),
+            expr("top_lang_n * 1000000L div n_docs").as("top_lang_ppm"))
+      },
+      Some("""WITH b AS MATERIALIZED (SELECT doc_id, lang, source, n_chars,
+             |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+             |      AS n_distinct,
+             |    md5(text) AS h
+             |  FROM documents),
+             |core AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+             |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+             |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             |    CAST(sum(n_words) AS BIGINT) AS total_tokens,
+             |    CAST(sum(CASE WHEN (n_words - n_distinct) * 5 > n_words
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+             |  FROM b),
+             |dup AS (SELECT CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+             |  FROM (SELECT h, count(*) AS c FROM b GROUP BY 1)),
+             |vc AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size
+             |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS w
+             |    FROM documents)),
+             |p5 AS (SELECT CAST(min(CASE WHEN cum * 2 >= nn THEN n_chars END)
+             |    AS BIGINT) AS p50_chars
+             |  FROM (SELECT n_chars,
+             |      sum(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING)
+             |        AS cum,
+             |      sum(c) OVER () AS nn
+             |    FROM (SELECT n_chars, count(*) AS c FROM b GROUP BY 1))),
+             |tl AS (SELECT lang AS top_lang,
+             |    CAST(lc AS BIGINT) AS top_lang_n
+             |  FROM (SELECT lang, count(*) AS lc FROM b GROUP BY 1)
+             |  ORDER BY lc DESC, lang DESC LIMIT 1)
+             |SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
+             |  vocab_size,
+             |  vocab_size * 1000000 // total_tokens AS ttr_ppm,
+             |  total_chars * 1000 // n_docs AS mean_chars_milli,
+             |  p50_chars,
+             |  n_dup_docs * 1000000 // n_docs AS exact_dup_ppm,
+             |  n_low_quality * 1000000 // n_docs AS low_quality_ppm,
+             |  top_lang,
+             |  top_lang_n * 1000000 // n_docs AS top_lang_ppm
+             |FROM core CROSS JOIN dup CROSS JOIN vc CROSS JOIN p5
+             |CROSS JOIN tl""".stripMargin))
   )
 
   /** ONE-PASS (doc_id, score, pos) for the classifier-evaluation tier:

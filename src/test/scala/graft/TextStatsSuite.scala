@@ -206,4 +206,40 @@ class TextStatsSuite extends SparkTestBase {
     assert(r.getDouble(3) < 0.0, "Zipf slope must be negative")
     assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, "r2 in [0,1]")
   }
+
+  test("q270 corpus datasheet replays from direct JVM corpus statistics") {
+    val rows = Registry.byName("q270_corpus_datasheet").q(spark, sf).collect()
+    assert(rows.length == 1)
+    val docs = Tables.documents(spark, sf)
+      .select(col("text"), col("lang"), col("source"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val n = docs.length.toLong
+    val r = rows.head
+    assert(r.getLong(0) == n)
+    assert(r.getLong(1) == docs.map(_._3).distinct.length.toLong, "n_sources")
+    assert(r.getLong(2) == docs.map(_._2).distinct.length.toLong, "n_langs")
+    assert(r.getLong(3) == docs.map(_._4).sum, "total_chars")
+    val tokenLists = docs.map(_._1.split(" ", -1).toSeq)
+    val totalTokens = tokenLists.map(_.length.toLong).sum
+    assert(r.getLong(4) == totalTokens, "total_tokens")
+    val vocab = tokenLists.flatten.distinct.length.toLong
+    assert(r.getLong(5) == vocab, "vocab_size")
+    assert(r.getLong(6) == vocab * 1000000L / totalTokens, "ttr_ppm")
+    assert(r.getLong(7) == docs.map(_._4).sum * 1000L / n, "mean_chars_milli")
+    val sorted = docs.map(_._4).sorted
+    assert(r.getLong(8) == sorted(((n + 1) / 2 - 1).toInt), "p50_chars")
+    val dupDocs = n - docs.map(_._1).distinct.length.toLong
+    assert(r.getLong(9) == dupDocs * 1000000L / n, "exact_dup_ppm")
+    val lowQ = tokenLists.count { t =>
+      val d = t.distinct.length; (t.length - d) * 5 > t.length }.toLong
+    assert(r.getLong(10) == lowQ * 1000000L / n, "low_quality_ppm")
+    val (topLang, topN) = docs.groupBy(_._2).view.mapValues(_.length.toLong)
+      .toSeq.maxBy { case (l, c) => (c, l) }
+    assert(r.getString(11) == topLang && r.getLong(12) == topN * 1000000L / n)
+    // datasheet sanity: shares are ppm, card coheres
+    assert(r.getLong(9) >= 0 && r.getLong(9) <= 1000000L)
+    assert(r.getLong(12) * r.getLong(2) >= 1000000L,
+      "top lang share must be at least 1/n_langs")
+  }
 }
