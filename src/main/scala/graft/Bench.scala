@@ -404,7 +404,9 @@ object Bench {
     // distribution-free median CI (round 15, standing from birth).
     "q269_median_ci",
     // corpus datasheet rollup (round 15, standing from birth).
-    "q270_corpus_datasheet")
+    "q270_corpus_datasheet",
+    // CUPED variance-reduced A/B readout (round 15, standing from birth).
+    "q271_cuped")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2553,6 +2553,191 @@ object EventOps {
              |    AS BIGINT) - CAST(min(CASE WHEN cum >= rk.lo_rank
              |    THEN cents END) AS BIGINT) AS ci_width_cents
              |FROM cm JOIN rk USING (event_type)
-             |GROUP BY cm.event_type ORDER BY cm.event_type""".stripMargin))
+             |GROUP BY cm.event_type ORDER BY cm.event_type""".stripMargin)),
+
+    // q271: CUPED VARIANCE-REDUCED A/B TEST (Deng et al. WSDM'13) — the
+    // industry-standard experiment readout: adjust each user's outcome by
+    // their PRE-EXPERIMENT covariate, Yadj = Y − θ(X − X̄), θ =
+    // cov(X,Y)/var(X), shrinking metric variance by corr²(X,Y) without
+    // biasing the treatment difference (the covariate predates
+    // assignment). Here X = a user's event count in the first half of the
+    // timeline, Y = purchases in the second half, arms = q161's seeded
+    // split. The whole test reduces to MOMENTS: per-arm exact int64 sums
+    // (n, ΣX, ΣY, ΣXY, ΣX², ΣY²) from ONE user-keyed exchange — the
+    // adjusted means and variances are closed forms over those sums
+    // (mean Yadj = Ȳ_arm − θ(X̄_arm − X̄); var Yadj = var(Y) − 2θcov +
+    // θ²var(X) per arm), so no per-row float pass exists at all. Both
+    // z-statistics (raw and CUPED) are identically-parenthesized IEEE
+    // expressions over exact longs (q150/q161 discipline), reported 6dp
+    // with decisions on the unrounded values; the deliverable is
+    // var_reduction_ppm — how much experiment-runtime the covariate buys —
+    // WITH corr_xy beside it explaining the number. The fixture's users
+    // are memoryless (pre-period activity does not predict post-period
+    // purchases, corr ≈ −0.02), so CUPED honestly reports ~0 ppm
+    // reduction — the method working correctly on a covariate that is
+    // worthless, which is exactly the readout that stops a team from
+    // shipping a broken adjustment; the cross-engine-exact moment
+    // machinery is what's under test.
+    // Plan: one user-keyed exchange + a 1-row moment aggregate; the
+    // midpoint is a 1-row broadcast.
+    Entry(
+      "q271_cuped",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("us"),
+            col("event_type"))
+        val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("t_mid"))
+        val u = ev.crossJoin(broadcast(mid))
+          .groupBy(col("user_id"))
+          .agg(
+            sum(when(col("us") < col("t_mid"), 1L).otherwise(0L)).as("x"),
+            sum(when(col("us") >= col("t_mid") &&
+              col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+          .withColumn("arm_a",
+            CorpusOps.md5Bucket(
+              concat(lit("ab:v1:"), col("user_id").cast("string")), 2) === 0)
+        val m = u.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(when(col("arm_a"), 1L).otherwise(0L)).as("na"),
+          sum(when(col("arm_a"), col("x")).otherwise(0L)).as("sxa"),
+          sum(when(col("arm_a"), col("y")).otherwise(0L)).as("sya"),
+          sum(when(col("arm_a"), col("x") * col("y")).otherwise(0L)).as("sxya"),
+          sum(when(col("arm_a"), col("x") * col("x")).otherwise(0L)).as("sxxa"),
+          sum(when(col("arm_a"), col("y") * col("y")).otherwise(0L)).as("syya"),
+          sum(when(!col("arm_a"), 1L).otherwise(0L)).as("nb"),
+          sum(when(!col("arm_a"), col("x")).otherwise(0L)).as("sxb"),
+          sum(when(!col("arm_a"), col("y")).otherwise(0L)).as("syb"),
+          sum(when(!col("arm_a"), col("x") * col("y")).otherwise(0L)).as("sxyb"),
+          sum(when(!col("arm_a"), col("x") * col("x")).otherwise(0L)).as("sxxb"),
+          sum(when(!col("arm_a"), col("y") * col("y")).otherwise(0L)).as("syyb"),
+          sum(col("y") * col("y")).as("syy_all"))
+        // closed-form doubles over exact longs; D() = CAST(x AS DOUBLE)
+        def D(c: String) = s"CAST($c AS DOUBLE)"
+        val theta = s"((${D("n")} * ${D("sxy")} - ${D("sx")} * ${D("sy")}) " +
+          s"/ (${D("n")} * ${D("sxx")} - ${D("sx")} * ${D("sx")}))"
+        def mean(sc: String, nc: String) = s"(${D(sc)} / ${D(nc)})"
+        // per-arm population variance of Y, X, and cov(X,Y)
+        def vr(syy: String, sy: String, nc: String) =
+          s"(${D(syy)} / ${D(nc)} - ${mean(sy, nc)} * ${mean(sy, nc)})"
+        def cv(sxy: String, sx: String, sy: String, nc: String) =
+          s"(${D(sxy)} / ${D(nc)} - ${mean(sx, nc)} * ${mean(sy, nc)})"
+        def vadj(syy: String, sy: String, sxy: String, sx: String,
+                 sxx: String, nc: String) =
+          s"(${vr(syy, sy, nc)} - 2.0D * $theta * " +
+            s"${cv(sxy, sx, sy, nc)} + $theta * $theta * " +
+            s"${vr(sxx, sx, nc)})"
+        val madjA = s"(${mean("sya", "na")} - $theta * " +
+          s"(${mean("sxa", "na")} - ${mean("sx", "n")}))"
+        val madjB = s"(${mean("syb", "nb")} - $theta * " +
+          s"(${mean("sxb", "nb")} - ${mean("sx", "n")}))"
+        val vA = vadj("syya", "sya", "sxya", "sxa", "sxxa", "na")
+        val vB = vadj("syyb", "syb", "sxyb", "sxb", "sxxb", "nb")
+        val zC = s"(($madjA - $madjB) / sqrt($vA / ${D("na")} " +
+          s"+ $vB / ${D("nb")}))"
+        val zR = s"((${mean("sya", "na")} - ${mean("syb", "nb")}) " +
+          s"/ sqrt(${vr("syya", "sya", "na")} / ${D("na")} " +
+          s"+ ${vr("syyb", "syb", "nb")} / ${D("nb")}))"
+        val vredn = s"(1.0D - ($vA + $vB) / " +
+          s"(${vr("syya", "sya", "na")} + ${vr("syyb", "syb", "nb")}))"
+        val corrXY = s"(${cv("sxy", "sx", "sy", "n")} / " +
+          s"sqrt(${vr("sxx", "sx", "n")} * ${vr("syy_all", "sy", "n")}))"
+        m.select(
+          col("na").as("n_a"), col("nb").as("n_b"),
+          expr(s"round($theta, 6)").as("theta"),
+          expr(s"round($corrXY, 6)").as("corr_xy"),
+          expr(s"round(${mean("sya", "na")} - ${mean("syb", "nb")}, 6)")
+            .as("diff_raw"),
+          expr(s"round($madjA - $madjB, 6)").as("diff_cuped"),
+          expr(s"round($zR, 6)").as("z_raw"),
+          expr(s"round($zC, 6)").as("z_cuped"),
+          expr(s"CAST(round(1000000.0D * $vredn) AS BIGINT)")
+            .as("var_reduction_ppm"),
+          expr(s"abs($zR) >= 1.96D").as("sig_raw"),
+          expr(s"abs($zC) >= 1.96D").as("sig_cuped"))
+      },
+      Some {
+        def D(c: String) = s"CAST($c AS DOUBLE)"
+        val theta = s"((${D("n")} * ${D("sxy")} - ${D("sx")} * ${D("sy")}) " +
+          s"/ (${D("n")} * ${D("sxx")} - ${D("sx")} * ${D("sx")}))"
+        def mean(sc: String, nc: String) = s"(${D(sc)} / ${D(nc)})"
+        def vr(syy: String, sy: String, nc: String) =
+          s"(${D(syy)} / ${D(nc)} - ${mean(sy, nc)} * ${mean(sy, nc)})"
+        def cv(sxy: String, sx: String, sy: String, nc: String) =
+          s"(${D(sxy)} / ${D(nc)} - ${mean(sx, nc)} * ${mean(sy, nc)})"
+        def vadj(syy: String, sy: String, sxy: String, sx: String,
+                 sxx: String, nc: String) =
+          s"(${vr(syy, sy, nc)} - 2.0 * $theta * " +
+            s"${cv(sxy, sx, sy, nc)} + $theta * $theta * " +
+            s"${vr(sxx, sx, nc)})"
+        val madjA = s"(${mean("sya", "na")} - $theta * " +
+          s"(${mean("sxa", "na")} - ${mean("sx", "n")}))"
+        val madjB = s"(${mean("syb", "nb")} - $theta * " +
+          s"(${mean("sxb", "nb")} - ${mean("sx", "n")}))"
+        val vA = vadj("syya", "sya", "sxya", "sxa", "sxxa", "na")
+        val vB = vadj("syyb", "syb", "sxyb", "sxb", "sxxb", "nb")
+        val zC = s"(($madjA - $madjB) / sqrt($vA / ${D("na")} " +
+          s"+ $vB / ${D("nb")}))"
+        val zR = s"((${mean("sya", "na")} - ${mean("syb", "nb")}) " +
+          s"/ sqrt(${vr("syya", "sya", "na")} / ${D("na")} " +
+          s"+ ${vr("syyb", "syb", "nb")} / ${D("nb")}))"
+        val vredn = s"(1.0 - ($vA + $vB) / " +
+          s"(${vr("syya", "sya", "na")} + ${vr("syyb", "syb", "nb")}))"
+        val corrXY = s"(${cv("sxy", "sx", "sy", "n")} / " +
+          s"sqrt(${vr("sxx", "sx", "n")} * ${vr("syy_all", "sy", "n")}))"
+        s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type
+           |  FROM events),
+           |md AS (SELECT (min(us) + max(us)) // 2 AS t_mid FROM e),
+           |u AS (SELECT user_id,
+           |    CAST(sum(CASE WHEN us < t_mid THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS x,
+           |    CAST(sum(CASE WHEN us >= t_mid AND event_type = 'purchase'
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS y,
+           |    CAST(('0x' || substr(md5('ab:v1:' ||
+           |      user_id::VARCHAR), 1, 8)) AS BIGINT) % 2 = 0 AS arm_a
+           |  FROM e CROSS JOIN md GROUP BY user_id),
+           |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x*y) AS BIGINT) AS sxy,
+           |    CAST(sum(x*x) AS BIGINT) AS sxx,
+           |    CAST(sum(CASE WHEN arm_a THEN 1 ELSE 0 END) AS BIGINT) AS na,
+           |    CAST(sum(CASE WHEN arm_a THEN x ELSE 0 END) AS BIGINT) AS sxa,
+           |    CAST(sum(CASE WHEN arm_a THEN y ELSE 0 END) AS BIGINT) AS sya,
+           |    CAST(sum(CASE WHEN arm_a THEN x*y ELSE 0 END) AS BIGINT)
+           |      AS sxya,
+           |    CAST(sum(CASE WHEN arm_a THEN x*x ELSE 0 END) AS BIGINT)
+           |      AS sxxa,
+           |    CAST(sum(CASE WHEN arm_a THEN y*y ELSE 0 END) AS BIGINT)
+           |      AS syya,
+           |    CAST(sum(CASE WHEN NOT arm_a THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS nb,
+           |    CAST(sum(CASE WHEN NOT arm_a THEN x ELSE 0 END) AS BIGINT)
+           |      AS sxb,
+           |    CAST(sum(CASE WHEN NOT arm_a THEN y ELSE 0 END) AS BIGINT)
+           |      AS syb,
+           |    CAST(sum(CASE WHEN NOT arm_a THEN x*y ELSE 0 END) AS BIGINT)
+           |      AS sxyb,
+           |    CAST(sum(CASE WHEN NOT arm_a THEN x*x ELSE 0 END) AS BIGINT)
+           |      AS sxxb,
+           |    CAST(sum(CASE WHEN NOT arm_a THEN y*y ELSE 0 END) AS BIGINT)
+           |      AS syyb,
+           |    CAST(sum(y*y) AS BIGINT) AS syy_all
+           |  FROM u)
+           |SELECT na AS n_a, nb AS n_b,
+           |  round($theta, 6) AS theta,
+           |  round($corrXY, 6) AS corr_xy,
+           |  round(${mean("sya", "na")} - ${mean("syb", "nb")}, 6)
+           |    AS diff_raw,
+           |  round($madjA - $madjB, 6) AS diff_cuped,
+           |  round($zR, 6) AS z_raw,
+           |  round($zC, 6) AS z_cuped,
+           |  CAST(round(1000000.0 * $vredn) AS BIGINT)
+           |    AS var_reduction_ppm,
+           |  abs($zR) >= 1.96 AS sig_raw,
+           |  abs($zC) >= 1.96 AS sig_cuped
+           |FROM m""".stripMargin
+      })
   )
 }
