@@ -406,7 +406,9 @@ object Bench {
     // corpus datasheet rollup (round 15, standing from birth).
     "q270_corpus_datasheet",
     // CUPED variance-reduced A/B readout (round 15, standing from birth).
-    "q271_cuped")
+    "q271_cuped",
+    // index-of-dispersion Poissonity test (round 15, standing from birth).
+    "q272_dispersion_test")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2738,6 +2738,94 @@ object EventOps {
            |  abs($zR) >= 1.96 AS sig_raw,
            |  abs($zC) >= 1.96 AS sig_cuped
            |FROM m""".stripMargin
-      })
+      }),
+
+    // q272: INDEX-OF-DISPERSION POISSONITY TEST — the premise check for
+    // q261's burst detector (whose null model is homogeneous Poisson) and
+    // the standard over/under-dispersion diagnostic: D = (n−1)·s²/x̄ over
+    // the hourly count series is χ²(n−1) under Poisson; D far above means
+    // clustering/bursts, far below means regularity. The statistic is an
+    // EXACT INTEGER RATIO — (n−1)s²/x̄ simplifies to (n·Σc² − S²)/S, no
+    // float variance anywhere — reported in millis, and the acceptance
+    // band is the χ² normal approximation df ± 1.96·√(2·df) quantized to
+    // millis (one correctly-rounded sqrt; the milli quantization is part
+    // of the registered spec). The fixture verdict: every type
+    // poisson_ok — the in-engine proof of q261's "correctly nothing to
+    // find" claim. Plan: one (type, hour) count exchange + dense-spine
+    // completion (q261's), then a 5-row aggregate.
+    Entry(
+      "q272_dispersion_test",
+      (s, d) => {
+        val cnts = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 3600000000").as("hr"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(count(lit(1)).as("c_raw"))
+          .localCheckpoint() // consumers: bounds + type dim + spine join
+        val bounds = cnts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        val types = cnts.select(col("event_type")).distinct()
+        val spine = types.crossJoin(broadcast(bounds))
+          .select(col("event_type"), col("h0"),
+            explode(expr("sequence(0L, h1 - h0)")).as("t"))
+          .withColumn("hr", col("h0") + col("t"))
+          .join(cnts, Seq("event_type", "hr"), "left_outer")
+          .withColumn("c", expr("coalesce(c_raw, 0L)"))
+        spine.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(col("c")).as("total"),
+            sum(col("c") * col("c")).as("q2"))
+          .withColumn("disp_num",
+            col("n_hours") * col("q2") - col("total") * col("total"))
+          .select(col("event_type"), col("n_hours"), col("total"),
+            expr("disp_num * 1000L div total").as("disp_milli"),
+            expr("""CAST(round(1000.0D * (CAST(n_hours - 1 AS DOUBLE)
+              - 1.96D * sqrt(2.0D * CAST(n_hours - 1 AS DOUBLE))))
+              AS BIGINT)""").as("lo_milli"),
+            expr("""CAST(round(1000.0D * (CAST(n_hours - 1 AS DOUBLE)
+              + 1.96D * sqrt(2.0D * CAST(n_hours - 1 AS DOUBLE))))
+              AS BIGINT)""").as("hi_milli"),
+            expr("""disp_num * 1000L
+              >= CAST(round(1000.0D * (CAST(n_hours - 1 AS DOUBLE)
+                - 1.96D * sqrt(2.0D * CAST(n_hours - 1 AS DOUBLE))))
+                AS BIGINT) * total
+              AND disp_num * 1000L
+              <= CAST(round(1000.0D * (CAST(n_hours - 1 AS DOUBLE)
+                + 1.96D * sqrt(2.0D * CAST(n_hours - 1 AS DOUBLE))))
+                AS BIGINT) * total""").as("poisson_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH cn AS MATERIALIZED (SELECT event_type,
+             |    (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+             |    CAST(count(*) AS BIGINT) AS c_raw
+             |  FROM events GROUP BY 1, 2),
+             |bd AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM cn),
+             |ty AS (SELECT DISTINCT event_type FROM cn),
+             |sp AS (SELECT ty.event_type,
+             |    coalesce(cn.c_raw, 0) AS c
+             |  FROM ty CROSS JOIN bd
+             |  CROSS JOIN LATERAL (SELECT unnest(range(0, bd.h1 - bd.h0 + 1))
+             |    AS t) gs
+             |  LEFT JOIN cn ON cn.event_type = ty.event_type
+             |    AND cn.hr = bd.h0 + gs.t),
+             |ag AS (SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n_hours,
+             |    CAST(sum(c) AS BIGINT) AS total,
+             |    CAST(sum(c * c) AS BIGINT) AS q2
+             |  FROM sp GROUP BY 1),
+             |dm AS (SELECT event_type, n_hours, total,
+             |    n_hours * q2 - total * total AS disp_num,
+             |    CAST(round(1000.0 * (CAST(n_hours - 1 AS DOUBLE)
+             |      - 1.96 * sqrt(2.0 * CAST(n_hours - 1 AS DOUBLE))))
+             |      AS BIGINT) AS lo_milli,
+             |    CAST(round(1000.0 * (CAST(n_hours - 1 AS DOUBLE)
+             |      + 1.96 * sqrt(2.0 * CAST(n_hours - 1 AS DOUBLE))))
+             |      AS BIGINT) AS hi_milli
+             |  FROM ag)
+             |SELECT event_type, n_hours, total,
+             |  disp_num * 1000 // total AS disp_milli,
+             |  lo_milli, hi_milli,
+             |  disp_num * 1000 >= lo_milli * total
+             |    AND disp_num * 1000 <= hi_milli * total AS poisson_ok
+             |FROM dm ORDER BY event_type""".stripMargin))
   )
 }

@@ -1009,4 +1009,32 @@ class EventOpsSuite extends SparkTestBase {
     assert(math.abs(r.getDouble(3)) < 1.0, "corr_xy is a correlation")
     assert(r.getLong(8) < 1000000L, "reduction bounded by total variance")
   }
+
+  test("q272 dispersion test replays from a JVM-side spine sweep") {
+    val rows = Registry.byName("q272_dispersion_test").q(spark, sf).collect()
+    assert(rows.length == 5)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val h0 = ev.map(_._2).min; val h1 = ev.map(_._2).max
+    val span = (h1 - h0 + 1)
+    for (r <- rows) {
+      val ty = r.getString(0)
+      val byHr = ev.filter(_._1 == ty).groupBy(_._2).view
+        .mapValues(_.length.toLong).toMap
+      val cs = (0L until span).map(t => byHr.getOrElse(h0 + t, 0L))
+      val n = span; val tot = cs.sum; val q2 = cs.map(c => c * c).sum
+      val num = n * q2 - tot * tot
+      val nd = (n - 1).toDouble
+      val lo = math.round(1000.0 * (nd - 1.96 * math.sqrt(2.0 * nd)))
+      val hi = math.round(1000.0 * (nd + 1.96 * math.sqrt(2.0 * nd)))
+      assert(r.getLong(1) == n && r.getLong(2) == tot)
+      assert(r.getLong(3) == num * 1000L / tot, s"$ty disp_milli")
+      assert(r.getLong(4) == lo && r.getLong(5) == hi, s"$ty band")
+      assert(r.getBoolean(6) ==
+        (num * 1000L >= lo * tot && num * 1000L <= hi * tot))
+      // the premise q261 rests on: the raw fixture is homogeneous Poisson
+      assert(r.getBoolean(6), s"$ty should be Poisson on the raw fixture")
+    }
+  }
 }
