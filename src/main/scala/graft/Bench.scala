@@ -408,7 +408,9 @@ object Bench {
     // CUPED variance-reduced A/B readout (round 15, standing from birth).
     "q271_cuped",
     // index-of-dispersion Poissonity test (round 15, standing from birth).
-    "q272_dispersion_test")
+    "q272_dispersion_test",
+    // real GIF block-walk decode (round 15, standing from birth).
+    "q273_gif_decode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -166,6 +166,82 @@ object Multimodal {
     * head — dimension decode, not integrity check (same contract as
     * [[parsePngHeader]]).
     */
+  /** REAL GIF parse (GIF87a/89a): signature, little-endian logical-screen
+    * dimensions, then the BLOCK WALK — extensions (0x21: label + length-
+    * prefixed sub-blocks to a 0 terminator), image descriptors (0x2C:
+    * 9-byte geometry + optional local color table + LZW code size +
+    * sub-blocks), trailer (0x3B). Returns (width, height, n_frames) where
+    * n_frames counts image descriptors — the frame-sample primitive for
+    * animated GIFs, and the part a field-offset-only parser can't fake:
+    * miscounting any sub-block length desyncs the walk and fails the
+    * parse. None for anything not a well-formed GIF (same contract as
+    * [[parsePngHeader]]/[[parseJpegHeader]]).
+    */
+  private[graft] def parseGifHeader(b: Array[Byte]): Option[(Long, Long, Long)] = {
+    def le16(off: Int): Long = (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8)
+    if (b.length < 14) return None
+    val sig = new String(b.slice(0, 6), "ISO-8859-1")
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    val width = le16(6); val height = le16(8)
+    if (width < 1 || height < 1) return None
+    val packed = b(10) & 0xff
+    var off = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    var frames = 0L
+    def skipSubBlocks(start: Int): Int = {
+      var o = start
+      while (o < b.length && (b(o) & 0xff) != 0) o += 1 + (b(o) & 0xff)
+      o + 1 // past the 0 terminator
+    }
+    while (off < b.length) {
+      (b(off) & 0xff) match {
+        case 0x3b => return Some((width, height, frames)) // trailer
+        case 0x21 => // extension: introducer + label, then sub-blocks
+          if (off + 2 >= b.length) return None
+          off = skipSubBlocks(off + 2)
+        case 0x2c => // image descriptor
+          if (off + 10 >= b.length) return None
+          frames += 1
+          val lp = b(off + 9) & 0xff
+          val lct = if ((lp & 0x80) != 0) 3 * (1 << ((lp & 7) + 1)) else 0
+          // 10-byte descriptor + local color table + LZW min-code byte
+          off = skipSubBlocks(off + 10 + lct + 1)
+        case _ => return None // lost block sync
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Minimal well-formed GIF89a bytes: logical screen descriptor (no
+    * global color table), `frames` image descriptors each preceded by a
+    * graphic-control extension and carrying one 1-byte LZW sub-block, then
+    * the trailer — real block structure exercising the walk
+    * [[parseGifHeader]] consumes.
+    */
+  private[graft] def gifBytes(width: Int, height: Int, frames: Int): Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    out ++= "GIF89a".getBytes("ISO-8859-1")
+    def le16(v: Int): Unit = { out += (v & 0xff).toByte; out += ((v >> 8) & 0xff).toByte }
+    le16(width); le16(height)
+    out += 0x00 // packed: no global color table
+    out += 0x00 // background color index
+    out += 0x00 // pixel aspect ratio
+    (0 until frames).foreach { _ =>
+      // graphic control extension: introducer, label, block size 4,
+      // packed/delay/transparent-index, terminator
+      out += 0x21.toByte; out += 0xf9.toByte; out += 4
+      out += 0x00; out += 0x05; out += 0x00; out += 0x00
+      out += 0x00 // sub-block terminator
+      out += 0x2c.toByte // image separator
+      le16(0); le16(0); le16(width); le16(height)
+      out += 0x00 // no local color table
+      out += 0x02 // LZW min code size
+      out += 0x01; out += 0x44 // one 1-byte data sub-block
+      out += 0x00 // sub-block terminator
+    }
+    out += 0x3b.toByte
+    out.toArray
+  }
+
   private[graft] def parseJpegHeader(b: Array[Byte]): Option[(Long, Long, Long)] = {
     if (b.length < 4) return None
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None
@@ -247,6 +323,13 @@ object Multimodal {
     */
   def stubDecode(m: MediaIn): MediaMeta = {
     val n = m.payload.length.toLong
+    // GIF reports (w, h, frame count) with channels = 1 (palette-indexed)
+    parseGifHeader(m.payload) match {
+      case Some((w, h, f)) =>
+        return MediaMeta(m.doc_id, n_bytes = n, width = w, height = h,
+          channels = 1L, frames = f)
+      case None =>
+    }
     parsePngHeader(m.payload).orElse(parseJpegHeader(m.payload)) match {
       case Some((w, h, c)) =>
         MediaMeta(m.doc_id, n_bytes = n, width = w, height = h, channels = c, frames = 1L)
@@ -580,6 +663,42 @@ object Multimodal {
              | 32 + doc_id % 600 AS height,
              | CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
              | CAST(1 AS BIGINT) AS frames
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // q273: REAL GIF decode (see parseGifHeader) — the q82/q193 pattern on
+    // the FOURTH container format, and the first MULTI-FRAME one: each doc
+    // gets a well-formed GIF89a (logical screen descriptor + per-frame
+    // graphic-control extension + image descriptor + LZW sub-blocks +
+    // trailer) with dimensions AND frame count derived from doc_id; the
+    // frame count comes out of the BLOCK WALK (sub-block length hopping —
+    // a parser that only reads fixed offsets cannot produce it), which is
+    // the animated-GIF frame-sample primitive. q181 already classifies
+    // GIF by magic bytes; this closes its decode path the way q193 closed
+    // JPEG's. Oracle recomputes the dimensions/frames from doc_id
+    // arithmetic — the gate passes iff the byte-level walk is correct.
+    Entry(
+      "q273_gif_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            MediaIn(id, gifBytes(
+              width = (80 + id % 400).toInt,
+              height = (60 + id % 250).toInt,
+              frames = (1 + id % 5).toInt))
+          }
+          .mapPartitions(decodePartition)
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("channels"), col("frames"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             | 80 + doc_id % 400 AS width,
+             | 60 + doc_id % 250 AS height,
+             | CAST(1 AS BIGINT) AS channels,
+             | 1 + doc_id % 5 AS frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Entry(

@@ -181,4 +181,39 @@ class MultimodalSuite extends SparkTestBase {
       assert(r.getLong(3) > 0)
     }
   }
+
+  test("q273 GIF parse: LE dims, block walk counts frames, malformed rejects") {
+    import graft.operators.Multimodal
+    // round-trip across dims and frame counts, incl. >255 (LE second byte)
+    for ((w, h, f) <- Seq((80, 60, 1), (300, 250, 5), (479, 309, 3),
+                          (65535, 1, 2))) {
+      assert(Multimodal.parseGifHeader(Multimodal.gifBytes(w, h, f)) ==
+        Some((w.toLong, h.toLong, f.toLong)), s"($w,$h,$f)")
+    }
+    // a LOCAL color table must be hopped over, not walked into
+    val base = Multimodal.gifBytes(100, 50, 1)
+    val sep = base.indexOf(0x2c.toByte)
+    val withLct = (base.take(sep + 9) :+ 0x80.toByte) ++ // packed: LCT, size 2^1
+      Array.fill(3 * 2)(0x7f.toByte) ++ base.drop(sep + 10)
+    assert(Multimodal.parseGifHeader(withLct) == Some((100L, 50L, 1L)),
+      "local color table must be skipped by size, not parsed as blocks")
+    // GIF87a accepted; corrupt signature and lost block sync rejected
+    val g87 = base.clone(); g87(4) = '7'
+    assert(Multimodal.parseGifHeader(g87) == Some((100L, 50L, 1L)))
+    val bad = base.clone(); bad(0) = 'X'
+    assert(Multimodal.parseGifHeader(bad).isEmpty)
+    val desync = base.clone(); desync(sep) = 0x55
+    assert(Multimodal.parseGifHeader(desync).isEmpty, "lost sync must reject")
+    // truncation anywhere before the trailer rejects
+    for (k <- Seq(5, 12, sep + 3, base.length - 1))
+      assert(Multimodal.parseGifHeader(base.take(k)).isEmpty, s"truncated at $k")
+    // end-to-end: the registered query's frames come from the walk
+    val rows = graft.queries.Registry.byName("q273_gif_decode")
+      .q(spark, sf).collect()
+    for (r <- rows.take(50)) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) == 80 + id % 400 && r.getLong(2) == 60 + id % 250)
+      assert(r.getLong(3) == 1L && r.getLong(4) == 1 + id % 5)
+    }
+  }
 }
