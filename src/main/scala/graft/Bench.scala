@@ -410,7 +410,9 @@ object Bench {
     // index-of-dispersion Poissonity test (round 15, standing from birth).
     "q272_dispersion_test",
     // real GIF block-walk decode (round 15, standing from birth).
-    "q273_gif_decode")
+    "q273_gif_decode",
+    // Decimal(38) escape-hatch proof (round 15, standing from birth).
+    "q274_decimal_moments")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -749,7 +749,57 @@ object Relational3 {
            |UNION ALL
            |${row("l_suppkey", "sk")}
            |) ORDER BY "column"""".stripMargin
-      })
+      }),
+
+    // q274: THE DECIMAL(38) ESCAPE HATCH, REGISTERED — a dozen operators
+    // document "int64-safe to ~N rows; Decimal(38) past" (q237, q243,
+    // q259, q241…); this makes the promise load-bearing instead of a
+    // comment. Per event type, the second moment of hourly revenue is
+    // computed TWICE: the int64 path on exact cents, and the wide path on
+    // cents×10⁶ (micro-scaled values whose SQUARES overflow int64 at
+    // ~2.5·10²¹ — genuinely beyond the long range, so the wide arithmetic
+    // is actually exercised, not simulated) as Spark Decimal(38,0) /
+    // DuckDB HUGEINT. The algebraic identity Σ(10⁶y)² = 10¹²·Σy² is the
+    // in-row proof both paths agree exactly — and because the two engines
+    // use DIFFERENT wide-arithmetic implementations (java BigDecimal vs
+    // int128), a hash-match here certifies the escape hatch is portable.
+    // Wide values travel as canonical digit STRINGS (cross-engine decimal
+    // parquet metadata differs; digits don't). Plan: one (type, hour)
+    // rollup + per-type aggregate — the moment shape every "Decimal past"
+    // comment refers to.
+    Entry(
+      "q274_decimal_moments",
+      (s, d) => {
+        val hourly = Tables.events(s, d)
+          .select(col("event_type"), expr("ts div 3600000000000").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("cents")).as("y"))
+        hourly.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("y") * col("y")).as("sum_y2_int64"),
+            sum(expr("(CAST(y AS DECIMAL(19,0)) * 1000000) " +
+              "* (CAST(y AS DECIMAL(19,0)) * 1000000)")).as("dec"))
+          .select(col("event_type"), col("n"), col("sum_y2_int64"),
+            expr("CAST(dec AS STRING)").as("sum_y2_scaled"),
+            expr("""dec = CAST(sum_y2_int64 AS DECIMAL(38,0))
+              * CAST(1000000000000 AS DECIMAL(38,0))""").as("identity_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT event_type, epoch_ns(ts) // 3600000000000
+             |      AS hr,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(y * y) AS BIGINT) AS sum_y2_int64,
+             |  CAST(sum((CAST(y AS HUGEINT) * 1000000)
+             |    * (CAST(y AS HUGEINT) * 1000000)) AS VARCHAR)
+             |    AS sum_y2_scaled,
+             |  sum((CAST(y AS HUGEINT) * 1000000)
+             |      * (CAST(y AS HUGEINT) * 1000000))
+             |    = CAST(sum(y * y) AS HUGEINT) * 1000000000000
+             |    AS identity_ok
+             |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 
   /** q206's body over any (amount: double-dollars) table — exposed so the

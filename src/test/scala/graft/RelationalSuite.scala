@@ -414,4 +414,19 @@ class RelationalSuite extends SparkTestBase {
       if (f1 == 0) assert(est == exact, s"$name saturated sample is exact")
     }
   }
+
+  test("q274 decimal escape hatch: wide sums are genuine and exactly scaled") {
+    val rows = Registry.byName("q274_decimal_moments").q(spark, sf).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val wide = BigInt(r.getString(3))
+      // the identity proven by value, independent of the in-row flag
+      assert(wide == BigInt(r.getLong(2)) * BigInt("1000000000000"),
+        s"${r.getString(0)} scaled second moment")
+      assert(r.getBoolean(4), s"${r.getString(0)} identity flag")
+      // the wide path genuinely left int64 range — otherwise this query
+      // would prove nothing about the escape hatch
+      assert(wide > BigInt(Long.MaxValue), s"${r.getString(0)} stayed in int64")
+    }
+  }
 }
