@@ -412,7 +412,9 @@ object Bench {
     // real GIF block-walk decode (round 15, standing from birth).
     "q273_gif_decode",
     // Decimal(38) escape-hatch proof (round 15, standing from birth).
-    "q274_decimal_moments")
+    "q274_decimal_moments",
+    // derandomized RANSAC robust fit (round 15, standing from birth).
+    "q275_ransac_fit")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

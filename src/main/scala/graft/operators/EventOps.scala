@@ -2826,6 +2826,195 @@ object EventOps {
              |  lo_milli, hi_milli,
              |  disp_num * 1000 >= lo_milli * total
              |    AND disp_num * 1000 <= hi_milli * total AS poisson_ok
-             |FROM dm ORDER BY event_type""".stripMargin))
+             |FROM dm ORDER BY event_type""".stripMargin)),
+
+    // q275: DERANDOMIZED RANSAC ROBUST LINE FIT — the robust-regression
+    // counterpart to q150's OLS (whose breakdown point is 0: one gross
+    // outlier drags the fit arbitrarily): 16 seeded candidate lines, each
+    // through two md5-chosen spine points, scored by EXACT-INTEGER inlier
+    // tests (the point-to-candidate-line residual cross-multiplied:
+    // |(y−yi)(xj−xi) − (yj−yi)(x−xi)| ≤ τ·(xj−xi) — no float geometry
+    // anywhere), best model by (inliers, −k), then an OLS refit on its
+    // inlier set. The fixture is dressed under the q261 dirty-fixture
+    // discipline: a LINEAR trend (+pre-trend-mean/10 cents per hour — SF-invariant
+    // signal-to-noise) is added to the pooled
+    // hourly revenue and ~1/24 of hours are amplified ×20 (seeded md5) —
+    // OLS on all points is provably dragged toward ~(42/24)× the planted
+    // slope while RANSAC recovers it within 10% (both reported; recovery flags in-row). τ = 2× the
+    // pre-trend mean — ≥ 5σ of hourly noise yet ≪ the ×20 outlier
+    // residual at every SF. The
+    // two-point slopes stay EXACT RATIONALS inside the integer test; the
+    // only doubles are the two final OLS slopes (Σy² never needed — the
+    // moment set stays int64-safe even with ×20 outliers). Plan: one
+    // hourly rollup + dense spine (calendar-bounded), a 16-row candidate
+    // broadcast crossed with the 720-row spine, 1-row combines after.
+    Entry(
+      "q275_ransac_fit",
+      (s, d) => {
+        val cnts = Tables.events(s, d)
+          .select(expr("(ts div 1000) div 3600000000").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("hr")).agg(sum(col("cents")).as("y0"))
+          .localCheckpoint() // consumers: bounds + spine join
+        // planted slope and inlier band both scale with the PRE-trend mean,
+        // so signal-to-noise (and the recovery guarantee) is SF-invariant
+        val bounds = cnts
+          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
+            sum(col("y0")).as("ys"))
+          .select(col("h0"), col("h1"),
+            expr("h1 - h0 + 1").as("hh"),
+            expr("(ys div (h1 - h0 + 1)) div 10").as("slope_p"),
+            expr("2L * (ys div (h1 - h0 + 1))").as("tau"))
+          .localCheckpoint() // 1 row; consumers: spine + candidates + final
+        val ht = bounds
+          .select(col("h0"), col("slope_p"),
+            explode(expr("sequence(0L, hh - 1)")).as("t"))
+          .withColumn("hr", col("h0") + col("t"))
+          .join(cnts, Seq("hr"), "left_outer")
+          .withColumn("out", expr(
+            "CAST(conv(substring(md5(concat('ransac:v1:', " +
+              "CAST(t AS STRING))), 1, 8), 16, 10) AS BIGINT) % 24 = 0"))
+          .withColumn("y", expr(
+            "(coalesce(y0, 0L) + slope_p * t) * (CASE WHEN out THEN 20L ELSE 1L END)"))
+          .select(col("t"), col("y"), col("out"))
+          .localCheckpoint() // consumers: candidates, scoring, refits
+        val tau = bounds.select(col("tau"), col("hh"))
+        val cand = s.range(16).select(col("id").as("k"))
+          .crossJoin(broadcast(tau))
+          .select(col("k"), col("tau"),
+            expr("CAST(conv(substring(md5(concat('ra:v1:', " +
+              "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % hh").as("i"),
+            expr("CAST(conv(substring(md5(concat('rb:v1:', " +
+              "CAST(k AS STRING))), 1, 8), 16, 10) AS BIGINT) % hh").as("j0"),
+            col("hh"))
+          .withColumn("j", expr("CASE WHEN j0 = i THEN (j0 + 1) % hh ELSE j0 END"))
+          .join(ht.select(col("t").as("i"), col("y").as("yi")), Seq("i"))
+          .join(ht.select(col("t").as("j"), col("y").as("yj")), Seq("j"))
+          .select(col("k"), col("i"), col("j"), col("yi"), col("yj"), col("tau"))
+        val inl = "abs((y - yi) * (j - i) - (yj - yi) * (t - i)) " +
+          "<= tau * abs(j - i)"
+        val scored = ht.crossJoin(broadcast(cand))
+          .filter(expr(inl))
+          .groupBy(col("k"), col("i"), col("j"), col("yi"), col("yj"),
+            col("tau"))
+          .agg(count(lit(1)).as("n_inliers"))
+          .orderBy(col("n_inliers").desc, col("k")).limit(1)
+          .localCheckpoint() // 1 row; consumers: refit filter + final select
+        def slopeExpr(pfx: String) =
+          s"round((CAST(n$pfx AS DOUBLE) * CAST(sxy$pfx AS DOUBLE) " +
+            s"- CAST(sx$pfx AS DOUBLE) * CAST(sy$pfx AS DOUBLE)) " +
+            s"/ (CAST(n$pfx AS DOUBLE) * CAST(sxx$pfx AS DOUBLE) " +
+            s"- CAST(sx$pfx AS DOUBLE) * CAST(sx$pfx AS DOUBLE)), 6)"
+        val refit = ht.crossJoin(broadcast(scored))
+          .filter(expr(inl))
+          .agg(count(lit(1)).as("nr"), sum(col("t")).as("sxr"),
+            sum(col("y")).as("syr"), sum(col("t") * col("y")).as("sxyr"),
+            sum(col("t") * col("t")).as("sxxr"))
+        val olsAll = ht.agg(count(lit(1)).as("na"), sum(col("t")).as("sxa"),
+          sum(col("y")).as("sya"), sum(col("t") * col("y")).as("sxya"),
+          sum(col("t") * col("t")).as("sxxa"),
+          sum(when(col("out"), 1L).otherwise(0L)).as("n_out"))
+        olsAll.crossJoin(broadcast(scored.select(col("k").as("best_k"),
+            col("n_inliers"))))
+          .crossJoin(broadcast(refit))
+          .crossJoin(broadcast(bounds.select(col("slope_p"))))
+          .select(
+            col("na").as("n_hours"), col("n_out").as("n_planted_outliers"),
+            col("best_k"), col("n_inliers").as("best_inliers"),
+            expr(slopeExpr("r")).as("slope_ransac"),
+            expr(slopeExpr("a")).as("slope_ols"),
+            col("slope_p").as("planted_slope"),
+            expr(s"""abs(${slopeExpr("r")} - CAST(slope_p AS DOUBLE)) * 10.0D
+                < CAST(slope_p AS DOUBLE)
+              AND abs(${slopeExpr("a")} - CAST(slope_p AS DOUBLE))
+                > abs(${slopeExpr("r")} - CAST(slope_p AS DOUBLE))""")
+              .as("recovered"))
+      },
+      Some("""WITH cn AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y0
+             |  FROM events GROUP BY 1),
+             |bd AS MATERIALIZED (SELECT h0, h1, h1 - h0 + 1 AS hh,
+             |    (ys // (h1 - h0 + 1)) // 10 AS slope_p,
+             |    2 * (ys // (h1 - h0 + 1)) AS tau
+             |  FROM (SELECT min(hr) AS h0, max(hr) AS h1,
+             |      CAST(sum(y0) AS BIGINT) AS ys FROM cn)),
+             |ht AS MATERIALIZED (SELECT gs.t,
+             |    (coalesce(cn.y0, 0) + bd.slope_p * gs.t) * (CASE WHEN
+             |      CAST(('0x' || substr(md5('ransac:v1:' || gs.t::VARCHAR),
+             |        1, 8)) AS BIGINT) % 24 = 0 THEN 20 ELSE 1 END) AS y,
+             |    CAST(('0x' || substr(md5('ransac:v1:' || gs.t::VARCHAR),
+             |      1, 8)) AS BIGINT) % 24 = 0 AS outl
+             |  FROM bd
+             |  CROSS JOIN LATERAL (SELECT unnest(range(0, bd.hh)) AS t) gs
+             |  LEFT JOIN cn ON cn.hr = bd.h0 + gs.t),
+             |tu AS (SELECT tau, hh FROM bd),
+             |cd AS MATERIALIZED (SELECT k, i,
+             |    CASE WHEN j0 = i THEN (j0 + 1) % hh ELSE j0 END AS j,
+             |    tau, hh
+             |  FROM (SELECT ks.k, tu.tau, tu.hh,
+             |      CAST(('0x' || substr(md5('ra:v1:' || ks.k::VARCHAR), 1, 8))
+             |        AS BIGINT) % tu.hh AS i,
+             |      CAST(('0x' || substr(md5('rb:v1:' || ks.k::VARCHAR), 1, 8))
+             |        AS BIGINT) % tu.hh AS j0
+             |    FROM (SELECT unnest(range(0, 16)) AS k) ks CROSS JOIN tu)),
+             |cd2 AS MATERIALIZED (SELECT cd.k, cd.i, cd.j, cd.tau,
+             |    hi.y AS yi, hj.y AS yj
+             |  FROM cd JOIN ht hi ON hi.t = cd.i JOIN ht hj ON hj.t = cd.j),
+             |sc AS MATERIALIZED (SELECT k, i, j, yi, yj, tau,
+             |    CAST(count(*) AS BIGINT) AS n_inliers
+             |  FROM ht CROSS JOIN cd2
+             |  WHERE abs((ht.y - cd2.yi) * (cd2.j - cd2.i)
+             |    - (cd2.yj - cd2.yi) * (ht.t - cd2.i))
+             |    <= cd2.tau * abs(cd2.j - cd2.i)
+             |  GROUP BY 1, 2, 3, 4, 5, 6
+             |  ORDER BY n_inliers DESC, k LIMIT 1),
+             |rf AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS nr,
+             |    CAST(sum(ht.t) AS BIGINT) AS sxr,
+             |    CAST(sum(ht.y) AS BIGINT) AS syr,
+             |    CAST(sum(ht.t * ht.y) AS BIGINT) AS sxyr,
+             |    CAST(sum(ht.t * ht.t) AS BIGINT) AS sxxr
+             |  FROM ht CROSS JOIN sc
+             |  WHERE abs((ht.y - sc.yi) * (sc.j - sc.i)
+             |    - (sc.yj - sc.yi) * (ht.t - sc.i))
+             |    <= sc.tau * abs(sc.j - sc.i)),
+             |oa AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS na,
+             |    CAST(sum(t) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya,
+             |    CAST(sum(t * y) AS BIGINT) AS sxya,
+             |    CAST(sum(t * t) AS BIGINT) AS sxxa,
+             |    CAST(sum(CASE WHEN outl THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_out
+             |  FROM ht)
+             |SELECT na AS n_hours, n_out AS n_planted_outliers,
+             |  k AS best_k, n_inliers AS best_inliers,
+             |  round((CAST(nr AS DOUBLE) * CAST(sxyr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(syr AS DOUBLE))
+             |    / (CAST(nr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE)), 6)
+             |    AS slope_ransac,
+             |  round((CAST(na AS DOUBLE) * CAST(sxya AS DOUBLE)
+             |      - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE))
+             |    / (CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)
+             |      - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE)), 6)
+             |    AS slope_ols,
+             |  bd.slope_p AS planted_slope,
+             |  abs((CAST(nr AS DOUBLE) * CAST(sxyr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(syr AS DOUBLE))
+             |    / (CAST(nr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE))
+             |    - CAST(bd.slope_p AS DOUBLE)) * 10.0
+             |    < CAST(bd.slope_p AS DOUBLE)
+             |    AND abs((CAST(na AS DOUBLE) * CAST(sxya AS DOUBLE)
+             |      - CAST(sxa AS DOUBLE) * CAST(sya AS DOUBLE))
+             |    / (CAST(na AS DOUBLE) * CAST(sxxa AS DOUBLE)
+             |      - CAST(sxa AS DOUBLE) * CAST(sxa AS DOUBLE))
+             |    - CAST(bd.slope_p AS DOUBLE))
+             |    > abs((CAST(nr AS DOUBLE) * CAST(sxyr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(syr AS DOUBLE))
+             |    / (CAST(nr AS DOUBLE) * CAST(sxxr AS DOUBLE)
+             |      - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE))
+             |    - CAST(bd.slope_p AS DOUBLE))
+             |    AS recovered
+             |FROM oa CROSS JOIN sc CROSS JOIN rf CROSS JOIN bd""".stripMargin))
   )
 }

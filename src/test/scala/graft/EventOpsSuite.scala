@@ -1037,4 +1037,55 @@ class EventOpsSuite extends SparkTestBase {
       assert(r.getBoolean(6), s"$ty should be Poisson on the raw fixture")
     }
   }
+
+  test("q275 RANSAC replays from a JVM-side candidate sweep") {
+    val rows = Registry.byName("q275_ransac_fit").q(spark, sf).collect()
+    assert(rows.length == 1)
+    def md5l(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val ev = Tables.events(spark, sf)
+      .select(expr("(ts div 1000) div 3600000000"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val h0 = ev.map(_._1).min; val h1 = ev.map(_._1).max
+    val hh = h1 - h0 + 1
+    val y0 = ev.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val ys = y0.values.sum
+    val slopeP = (ys / hh) / 10; val tau = 2 * (ys / hh)
+    val pts = (0L until hh).map { t =>
+      val out = md5l(s"ransac:v1:$t") % 24 == 0
+      (t, (y0.getOrElse(h0 + t, 0L) + slopeP * t) * (if (out) 20L else 1L), out)
+    }
+    val cands = (0L until 16L).map { k =>
+      val i = md5l(s"ra:v1:$k") % hh
+      val j0 = md5l(s"rb:v1:$k") % hh
+      val j = if (j0 == i) (j0 + 1) % hh else j0
+      (k, i, j)
+    }
+    def inliers(i: Long, j: Long): Seq[(Long, Long)] = {
+      val yi = pts(i.toInt)._2; val yj = pts(j.toInt)._2
+      pts.collect { case (t, y, _) if
+        math.abs((y - yi) * (j - i) - (yj - yi) * (t - i)) <=
+          tau * math.abs(j - i) => (t, y) }
+    }
+    val best = cands.map { case (k, i, j) => (k, i, j, inliers(i, j).size) }
+      .maxBy { case (k, _, _, n) => (n, -k) }
+    val r = rows.head
+    assert(r.getLong(0) == hh && r.getLong(2) == best._1, "best candidate")
+    assert(r.getLong(3) == best._4.toLong, "inlier count")
+    assert(r.getLong(6) == slopeP, "planted slope")
+    // refit slope replay
+    val in = inliers(best._2, best._3)
+    val n = in.size.toDouble
+    val (sx, sy) = (in.map(_._1).sum.toDouble, in.map(_._2).sum.toDouble)
+    val sxy = in.map(p => p._1 * p._2).sum.toDouble
+    val sxx = in.map(p => p._1 * p._1).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(r.getDouble(4) == rnd6(slope), "ransac refit slope")
+    // robustness invariants: recovery within 10%, OLS strictly worse
+    assert(r.getBoolean(7), "planted trend must be recovered")
+    assert(math.abs(r.getDouble(4) - slopeP) < math.abs(r.getDouble(5) - slopeP),
+      "RANSAC must beat raw OLS on the contaminated series")
+  }
 }
