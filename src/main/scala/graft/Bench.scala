@@ -414,7 +414,9 @@ object Bench {
     // Decimal(38) escape-hatch proof (round 15, standing from birth).
     "q274_decimal_moments",
     // derandomized RANSAC robust fit (round 15, standing from birth).
-    "q275_ransac_fit")
+    "q275_ransac_fit",
+    // incremental join-view maintenance (round 15, standing from birth).
+    "q276_incremental_join_view")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -799,7 +799,152 @@ object Relational3 {
              |      * (CAST(y AS HUGEINT) * 1000000))
              |    = CAST(sum(y * y) AS HUGEINT) * 1000000000000
              |    AS identity_ok
-             |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM h GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // q276: INCREMENTAL JOIN-VIEW MAINTENANCE — the delta algebra q118
+    // covers only for single-table aggregates, completed for the JOIN
+    // view every warehouse actually materializes (per-status revenue over
+    // orders ⋈ lineitem): with signed-multiplicity deltas on BOTH sides,
+    // δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB — three DELTA-PROPORTIONAL
+    // keyed joins (|ΔA|·fanout + |ΔB| + |ΔA||ΔB|-bounded; the base ⋈ base
+    // join never reruns, which is the whole point at 100 TB). The change
+    // batch is seeded fabrication (q115/q118 discipline): ~1% lineitem
+    // deletes, ~1% inserts at +1000 cents, ~2% order-status flips to a
+    // NEW status 'X' (delete + insert in delta form — the full-outer
+    // apply must create a group no base row has). Deliverable: the
+    // maintained view beside a from-scratch recompute on the post-change
+    // tables with per-group consistency flags — the q118 proof shape on
+    // the join algebra. All integer cents.
+    Entry(
+      "q276_incremental_join_view",
+      (s, d) => {
+        def h(seed: String, keyExpr: String, m: Int) =
+          s"CAST(conv(substring(md5(concat('$seed', $keyExpr)), 1, 8), " +
+            s"16, 10) AS BIGINT) % $m = 0"
+        val a = T.orders(s, d)
+          .select(col("o_orderkey").as("ok"), col("o_orderstatus").as("st"))
+          .localCheckpoint() // consumers: view, flips, A⋈ΔB, A_new
+        val b = T.lineitem(s, d)
+          .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+          .localCheckpoint() // consumers: view, both delta filters, ΔA⋈B, B_new
+        val delPred = h("ivmd:v1:", "CAST(ok AS STRING), ':', CAST(ln AS STRING)", 100)
+        val insPred = h("ivmi:v1:", "CAST(ok AS STRING), ':', CAST(ln AS STRING)", 100)
+        val flipPred = h("ivmo:v1:", "CAST(ok AS STRING)", 50)
+        val dB = b.filter(expr(delPred))
+          .select(col("ok"), col("cents"), lit(-1L).as("sgn"))
+          .unionByName(b.filter(expr(insPred))
+            .select(col("ok"), (col("cents") + 1000L).as("cents"),
+              lit(1L).as("sgn")))
+          .localCheckpoint() // consumers: A⋈ΔB, ΔA⋈ΔB
+        val flips = a.filter(expr(flipPred))
+          .localCheckpoint() // consumers: both ΔA signs
+        val dA = flips.select(col("ok"), col("st"), lit(-1L).as("sgn"))
+          .unionByName(flips.select(col("ok"), lit("X").as("st"),
+            lit(1L).as("sgn")))
+          .localCheckpoint() // consumers: ΔA⋈B, ΔA⋈ΔB
+        val d1 = dA.join(b.select(col("ok"), col("cents")), Seq("ok"))
+          .select(col("st"), col("sgn"), col("cents"))
+        val d2 = a.join(dB, Seq("ok"))
+          .select(col("st"), col("sgn"), col("cents"))
+        val d3 = dA.select(col("ok"), col("st"), col("sgn").as("sa"))
+          .join(dB.select(col("ok"), col("cents"), col("sgn").as("sb")),
+            Seq("ok"))
+          .select(col("st"), (col("sa") * col("sb")).as("sgn"), col("cents"))
+        val dV = d1.unionByName(d2).unionByName(d3)
+          .groupBy(col("st"))
+          .agg(sum(col("sgn")).as("dn"),
+            sum(col("sgn") * col("cents")).as("dc"))
+        val vOld = a.join(b, Seq("ok")).groupBy(col("st"))
+          .agg(count(lit(1)).as("n0"), sum(col("cents")).as("c0"))
+        val vInc = vOld.join(dV, Seq("st"), "full_outer")
+          .select(col("st"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+              .as("n_inc"),
+            (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+              .as("cents_inc"))
+        val aNew = a.select(col("ok"),
+          expr(s"CASE WHEN $flipPred THEN 'X' ELSE st END").as("st"))
+        val bNew = b.filter(s"NOT ($delPred)")
+          .select(col("ok"), col("cents"))
+          .unionByName(b.filter(expr(insPred))
+            .select(col("ok"), (col("cents") + 1000L).as("cents")))
+        val vFull = aNew.join(bNew, Seq("ok")).groupBy(col("st"))
+          .agg(count(lit(1)).as("n_full"), sum(col("cents")).as("cents_full"))
+        vInc.join(vFull, Seq("st"), "full_outer")
+          .select(col("st"),
+            coalesce(col("n_inc"), lit(0L)).as("n_inc"),
+            coalesce(col("cents_inc"), lit(0L)).as("cents_inc"),
+            coalesce(col("n_full"), lit(0L)).as("n_full"),
+            coalesce(col("cents_full"), lit(0L)).as("cents_full"),
+            (coalesce(col("n_inc"), lit(0L)) ===
+              coalesce(col("n_full"), lit(0L)) &&
+              coalesce(col("cents_inc"), lit(0L)) ===
+                coalesce(col("cents_full"), lit(0L))).as("consistent"))
+          .filter(col("n_inc") =!= 0L || col("n_full") =!= 0L)
+          .orderBy(col("st"))
+      },
+      Some("""WITH a AS (SELECT o_orderkey AS ok, o_orderstatus AS st
+             |  FROM orders),
+             |b AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+             |  FROM lineitem),
+             |db AS MATERIALIZED (
+             |  SELECT ok, cents, CAST(-1 AS BIGINT) AS sgn FROM b
+             |  WHERE CAST(('0x' || substr(md5('ivmd:v1:' || ok::VARCHAR
+             |    || ':' || ln::VARCHAR), 1, 8)) AS BIGINT) % 100 = 0
+             |  UNION ALL
+             |  SELECT ok, cents + 1000, CAST(1 AS BIGINT) FROM b
+             |  WHERE CAST(('0x' || substr(md5('ivmi:v1:' || ok::VARCHAR
+             |    || ':' || ln::VARCHAR), 1, 8)) AS BIGINT) % 100 = 0),
+             |fl AS MATERIALIZED (SELECT ok, st FROM a
+             |  WHERE CAST(('0x' || substr(md5('ivmo:v1:' || ok::VARCHAR),
+             |    1, 8)) AS BIGINT) % 50 = 0),
+             |da AS MATERIALIZED (
+             |  SELECT ok, st, CAST(-1 AS BIGINT) AS sgn FROM fl
+             |  UNION ALL
+             |  SELECT ok, 'X', CAST(1 AS BIGINT) FROM fl),
+             |dv AS (SELECT st, CAST(sum(sgn) AS BIGINT) AS dn,
+             |    CAST(sum(sgn * cents) AS BIGINT) AS dc
+             |  FROM (
+             |    SELECT da.st, da.sgn, b.cents FROM da JOIN b USING (ok)
+             |    UNION ALL
+             |    SELECT a.st, db.sgn, db.cents FROM a JOIN db USING (ok)
+             |    UNION ALL
+             |    SELECT da.st, da.sgn * db.sgn AS sgn, db.cents
+             |    FROM da JOIN db USING (ok))
+             |  GROUP BY 1),
+             |v0 AS (SELECT st, CAST(count(*) AS BIGINT) AS n0,
+             |    CAST(sum(cents) AS BIGINT) AS c0
+             |  FROM a JOIN b USING (ok) GROUP BY 1),
+             |vi AS (SELECT coalesce(v0.st, dv.st) AS st,
+             |    coalesce(n0, 0) + coalesce(dn, 0) AS n_inc,
+             |    coalesce(c0, 0) + coalesce(dc, 0) AS cents_inc
+             |  FROM v0 FULL OUTER JOIN dv ON v0.st = dv.st),
+             |an AS (SELECT ok, CASE WHEN CAST(('0x' ||
+             |    substr(md5('ivmo:v1:' || ok::VARCHAR), 1, 8)) AS BIGINT)
+             |    % 50 = 0 THEN 'X' ELSE st END AS st FROM a),
+             |bn AS (SELECT ok, cents FROM b
+             |  WHERE NOT (CAST(('0x' || substr(md5('ivmd:v1:' || ok::VARCHAR
+             |    || ':' || ln::VARCHAR), 1, 8)) AS BIGINT) % 100 = 0)
+             |  UNION ALL
+             |  SELECT ok, cents + 1000 FROM b
+             |  WHERE CAST(('0x' || substr(md5('ivmi:v1:' || ok::VARCHAR
+             |    || ':' || ln::VARCHAR), 1, 8)) AS BIGINT) % 100 = 0),
+             |vf AS (SELECT st, CAST(count(*) AS BIGINT) AS n_full,
+             |    CAST(sum(cents) AS BIGINT) AS cents_full
+             |  FROM an JOIN bn USING (ok) GROUP BY 1)
+             |SELECT coalesce(vi.st, vf.st) AS st,
+             |  coalesce(n_inc, 0) AS n_inc,
+             |  coalesce(cents_inc, 0) AS cents_inc,
+             |  coalesce(n_full, 0) AS n_full,
+             |  coalesce(cents_full, 0) AS cents_full,
+             |  coalesce(n_inc, 0) = coalesce(n_full, 0)
+             |    AND coalesce(cents_inc, 0) = coalesce(cents_full, 0)
+             |    AS consistent
+             |FROM vi FULL OUTER JOIN vf ON vi.st = vf.st
+             |WHERE coalesce(n_inc, 0) != 0 OR coalesce(n_full, 0) != 0
+             |ORDER BY st""".stripMargin))
   )
 
   /** q206's body over any (amount: double-dollars) table — exposed so the

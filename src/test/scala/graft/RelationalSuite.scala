@@ -429,4 +429,38 @@ class RelationalSuite extends SparkTestBase {
       assert(wide > BigInt(Long.MaxValue), s"${r.getString(0)} stayed in int64")
     }
   }
+
+  test("q276 join-view IVM replays from a JVM-side post-change recompute") {
+    val rows = Registry.byName("q276_incremental_join_view").q(spark, sf).collect()
+    def md5m(x: String, m: Long): Boolean =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+        16) % m == 0
+    val a = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_orderstatus")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val b = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val aNew = a.map { case (ok, st) =>
+      ok -> (if (md5m(s"ivmo:v1:$ok", 50)) "X" else st) }.toMap
+    val bNew = b.filterNot { case (ok, ln, _) => md5m(s"ivmd:v1:$ok:$ln", 100) }
+      .map { case (ok, _, c) => (ok, c) } ++
+      b.filter { case (ok, ln, _) => md5m(s"ivmi:v1:$ok:$ln", 100) }
+        .map { case (ok, _, c) => (ok, c + 1000L) }
+    val full = bNew.flatMap { case (ok, c) => aNew.get(ok).map(_ -> c) }
+      .groupBy(_._1).map { case (st, cs) =>
+        st -> (cs.size.toLong, cs.map(_._2).sum) }
+    assert(rows.length == full.size)
+    for (r <- rows) {
+      val (n, c) = full(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(3) == n, s"${r.getString(0)} n")
+      assert(r.getLong(2) == c && r.getLong(4) == c, s"${r.getString(0)} cents")
+      assert(r.getBoolean(5), s"${r.getString(0)} maintained != recomputed")
+    }
+    // the delta algebra materialized a group NO base row has
+    assert(rows.exists(_.getString(0) == "X"), "flipped status group missing")
+  }
 }
