@@ -416,7 +416,9 @@ object Bench {
     // derandomized RANSAC robust fit (round 15, standing from birth).
     "q275_ransac_fit",
     // incremental join-view maintenance (round 15, standing from birth).
-    "q276_incremental_join_view")
+    "q276_incremental_join_view",
+    // AS-OF-generation time-travel read (round 15, standing from birth).
+    "q277_time_travel")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

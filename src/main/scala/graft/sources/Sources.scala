@@ -590,6 +590,77 @@ object Sources {
              | CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) AS value_cents
              |FROM events""".stripMargin)),
 
+    // q277: TIME-TRAVEL READ (AS OF generation) — the verb the
+    // generational-publish lifecycle (q75 atomic swap, q130/q137 GC) has
+    // implied all along but never registered: because a publish NEVER
+    // deletes the superseded generation (readers may still be scanning
+    // it), any un-GC'd generation is a consistent historical snapshot a
+    // reader can address BY NAME — Delta/Iceberg VERSION AS OF, on the
+    // manifest scheme this repo already ships. Two generations are
+    // published (v2 = seeded updates to every k≡0 mod 3 row + one
+    // insert); the AS-OF read of gen-1 and the manifest-resolved current
+    // read are both digest-compared against the DIRECTLY-constructed v1
+    // and v2 (order-free md5-lane sums) — so the booleans prove the file
+    // round-trip byte-faithfully preserved BOTH snapshots, and the
+    // changed/added counts prove the reads are genuinely different
+    // datasets. The oracle computes the same digests from the base table
+    // in closed form (the q57/q58 write→read-back proof shape).
+    Entry(
+      "q277_time_travel",
+      (s, d) => {
+        val root = scratch(d, "time_travel")
+        val dg = "CAST(conv(substring(md5(concat(CAST(k AS STRING), ':', v))" +
+          ", 1, 8), 16, 10) AS BIGINT)"
+        val v1 = Tables.nation(s, d)
+          .select(col("n_nationkey").cast("long").as("k"),
+            col("n_name").as("v"))
+          .localCheckpoint() // consumers: gen-1 write, digest, v2 build ×2
+        v1.write.mode(SaveMode.Overwrite).parquet(s"$root/gen-1")
+        publishGeneration(s, root, "gen-1")
+        val v2 = v1.select(col("k"),
+            expr("CASE WHEN k % 3 = 0 THEN concat(v, '_v2') ELSE v END")
+              .as("v"))
+          .unionByName(v1.agg(max(col("k")).as("mk"))
+            .select((col("mk") + 1L).as("k"), lit("NEWROW").as("v")))
+          .localCheckpoint() // consumers: gen-2 write, digest
+        v2.write.mode(SaveMode.Overwrite).parquet(s"$root/gen-2")
+        publishGeneration(s, root, "gen-2")
+        def dig(df: DataFrame, n: String, g: String) = df.agg(
+          count(lit(1)).as(n), sum(expr(dg)).as(g))
+        val asof = s.read.parquet(s"$root/gen-1") // AS OF: named generation
+        val cur = readCurrent(s, root) // manifest-resolved latest
+        val changed = asof.select(col("k"), col("v").as("v_old"))
+          .join(cur, Seq("k"), "full_outer")
+          .agg(
+            sum(when(col("v_old").isNotNull && col("v").isNotNull &&
+              col("v_old") =!= col("v"), 1L).otherwise(0L)).as("n_changed"),
+            sum(when(col("v_old").isNull, 1L).otherwise(0L)).as("n_added"))
+        dig(asof, "n_asof", "g_asof")
+          .crossJoin(broadcast(dig(cur, "n_cur", "g_cur")))
+          .crossJoin(broadcast(dig(v1, "n_v1", "g_v1")))
+          .crossJoin(broadcast(dig(v2, "n_v2", "g_v2")))
+          .crossJoin(broadcast(changed))
+          .select(col("n_v1"), col("n_v2"), col("n_changed"), col("n_added"),
+            (col("n_asof") === col("n_v1") && col("g_asof") === col("g_v1"))
+              .as("asof_matches_v1"),
+            (col("n_cur") === col("n_v2") && col("g_cur") === col("g_v2"))
+              .as("current_matches_v2"))
+      },
+      Some("""WITH v1 AS (SELECT CAST(n_nationkey AS BIGINT) AS k,
+             |    n_name AS v FROM nation),
+             |v2 AS (SELECT k, CASE WHEN k % 3 = 0 THEN v || '_v2' ELSE v END
+             |    AS v FROM v1
+             |  UNION ALL
+             |  SELECT max(k) + 1, 'NEWROW' FROM v1)
+             |SELECT
+             |  (SELECT CAST(count(*) AS BIGINT) FROM v1) AS n_v1,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM v2) AS n_v2,
+             |  (SELECT CAST(sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) FROM v1) AS n_changed,
+             |  CAST(1 AS BIGINT) AS n_added,
+             |  TRUE AS asof_matches_v1,
+             |  TRUE AS current_matches_v2""".stripMargin)),
+
     // q98: SNAPSHOT DIFF — incremental dataset versioning: classify every
     // doc across two corpus snapshots as added/removed/changed/unchanged.
     // The scale form compares 8-byte CONTENT DIGESTS (xxhash64), never the

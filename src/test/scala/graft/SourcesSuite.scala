@@ -378,4 +378,21 @@ class SourcesSuite extends SparkTestBase {
     assert(absent.forall(p =>
       byProbe(p).getLong(6) * 2 >= groups.size), "absent probes skip >= half")
   }
+
+  test("q277 time travel: both generations readable, digests faithful") {
+    val r = Registry.byName("q277_time_travel").q(spark, sf).collect().head
+    val n = Tables.nation(spark, sf).count()
+    assert(r.getLong(0) == n && r.getLong(1) == n + 1, "snapshot sizes")
+    val changed = Tables.nation(spark, sf)
+      .filter(expr("CAST(n_nationkey AS BIGINT) % 3 = 0")).count()
+    assert(r.getLong(2) == changed && r.getLong(3) == 1L, "diff accounting")
+    assert(r.getBoolean(4), "AS-OF read must equal the v1 snapshot")
+    assert(r.getBoolean(5), "current read must equal the v2 snapshot")
+    // both generation dirs remain on disk (publish never deletes), and the
+    // manifest resolves gen-2
+    val root = graft.sources.Sources.scratch(sf, "time_travel")
+    val dirs = new java.io.File(root).listFiles().map(_.getName)
+    assert(dirs.contains("gen-1") && dirs.contains("gen-2"))
+    assert(graft.sources.Sources.currentGeneration(spark, root).endsWith("/gen-2"))
+  }
 }
