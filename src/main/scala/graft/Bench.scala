@@ -418,7 +418,10 @@ object Bench {
     // incremental join-view maintenance (round 15, standing from birth).
     "q276_incremental_join_view",
     // AS-OF-generation time-travel read (round 15, standing from birth).
-    "q277_time_travel")
+    "q277_time_travel",
+    // Theil-Sen + Mann-Kendall trend family (round 15, standing from birth).
+    "q278_theil_sen",
+    "q279_mann_kendall")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

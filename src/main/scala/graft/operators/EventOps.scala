@@ -18,6 +18,44 @@ object EventOps {
 
   private val HourNs = 3600L * 1000 * 1000 * 1000
   private val DayNs = 24L * 3600 * 1000 * 1000 * 1000
+
+  /** The robust-fit family's dressed hourly spine (q275/q278/q279): pooled
+    * hourly revenue in cents + an SF-INVARIANT planted linear trend
+    * (+pre-trend-mean/10 cents per hour) + seeded ×20 outliers on ~1/24
+    * hours (md5 'ransac:v1:'). Returns (spine(t, y, out) checkpointed,
+    * params(h0, h1, hh, slope_p, tau) checkpointed 1-row) — slope_p is the
+    * planted ground truth every estimator in the family is scored against,
+    * tau = 2× the pre-trend mean (≥5σ of hourly noise, ≪ the outlier
+    * residual at every SF).
+    */
+  private def dressedSpine(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val cnts = Tables.events(s, d)
+      .select(expr("(ts div 1000) div 3600000000").as("hr"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .groupBy(col("hr")).agg(sum(col("cents")).as("y0"))
+      .localCheckpoint() // consumers: bounds + spine join
+    val bounds = cnts
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
+        sum(col("y0")).as("ys"))
+      .select(col("h0"), col("h1"),
+        expr("h1 - h0 + 1").as("hh"),
+        expr("(ys div (h1 - h0 + 1)) div 10").as("slope_p"),
+        expr("2L * (ys div (h1 - h0 + 1))").as("tau"))
+      .localCheckpoint() // 1 row; consumers: spine + per-query combines
+    val ht = bounds
+      .select(col("h0"), col("slope_p"),
+        explode(expr("sequence(0L, hh - 1)")).as("t"))
+      .withColumn("hr", col("h0") + col("t"))
+      .join(cnts, Seq("hr"), "left_outer")
+      .withColumn("out", expr(
+        "CAST(conv(substring(md5(concat('ransac:v1:', " +
+          "CAST(t AS STRING))), 1, 8), 16, 10) AS BIGINT) % 24 = 0"))
+      .withColumn("y", expr(
+        "(coalesce(y0, 0L) + slope_p * t) * (CASE WHEN out THEN 20L ELSE 1L END)"))
+      .select(col("t"), col("y"), col("out"))
+      .localCheckpoint() // consumers: the family's scans
+    (ht, bounds)
+  }
   private val SessionGapNs = 30L * 60 * 1000 * 1000 * 1000
 
   /** Hot-key-safe sessionization: two phases keyed by (user_id, time-block)
@@ -2851,33 +2889,7 @@ object EventOps {
     Entry(
       "q275_ransac_fit",
       (s, d) => {
-        val cnts = Tables.events(s, d)
-          .select(expr("(ts div 1000) div 3600000000").as("hr"),
-            round(col("value") * 100).cast("long").as("cents"))
-          .groupBy(col("hr")).agg(sum(col("cents")).as("y0"))
-          .localCheckpoint() // consumers: bounds + spine join
-        // planted slope and inlier band both scale with the PRE-trend mean,
-        // so signal-to-noise (and the recovery guarantee) is SF-invariant
-        val bounds = cnts
-          .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"),
-            sum(col("y0")).as("ys"))
-          .select(col("h0"), col("h1"),
-            expr("h1 - h0 + 1").as("hh"),
-            expr("(ys div (h1 - h0 + 1)) div 10").as("slope_p"),
-            expr("2L * (ys div (h1 - h0 + 1))").as("tau"))
-          .localCheckpoint() // 1 row; consumers: spine + candidates + final
-        val ht = bounds
-          .select(col("h0"), col("slope_p"),
-            explode(expr("sequence(0L, hh - 1)")).as("t"))
-          .withColumn("hr", col("h0") + col("t"))
-          .join(cnts, Seq("hr"), "left_outer")
-          .withColumn("out", expr(
-            "CAST(conv(substring(md5(concat('ransac:v1:', " +
-              "CAST(t AS STRING))), 1, 8), 16, 10) AS BIGINT) % 24 = 0"))
-          .withColumn("y", expr(
-            "(coalesce(y0, 0L) + slope_p * t) * (CASE WHEN out THEN 20L ELSE 1L END)"))
-          .select(col("t"), col("y"), col("out"))
-          .localCheckpoint() // consumers: candidates, scoring, refits
+        val (ht, bounds) = dressedSpine(s, d)
         val tau = bounds.select(col("tau"), col("hh"))
         val cand = s.range(16).select(col("id").as("k"))
           .crossJoin(broadcast(tau))
@@ -3015,6 +3027,162 @@ object EventOps {
              |      - CAST(sxr AS DOUBLE) * CAST(sxr AS DOUBLE))
              |    - CAST(bd.slope_p AS DOUBLE))
              |    AS recovered
-             |FROM oa CROSS JOIN sc CROSS JOIN rf CROSS JOIN bd""".stripMargin))
+             |FROM oa CROSS JOIN sc CROSS JOIN rf CROSS JOIN bd""".stripMargin)),
+
+    // q278: THEIL-SEN MEDIAN-SLOPE ESTIMATOR — the third member of the
+    // robust-fit family (q150 OLS breaks at one outlier; q275 RANSAC is
+    // sampling-based; Theil-Sen is the DETERMINISTIC 29.3%-breakdown
+    // estimator: the median of all C(n,2) pairwise slopes). Same dressed
+    // spine and planted ground truth as q275 — pairs touching an outlier
+    // are ~8% of C(n,2), far under the breakdown point, so the median
+    // recovers the planted slope with NO tuning parameter at all (RANSAC
+    // needed τ and a candidate budget; that freedom from tuning is the
+    // estimator's selling point). Pairwise slopes are QUANTIZED to
+    // integer milli-cents/hour ((Δy·1000) div Δt — truncation identical
+    // cross-engine on negatives), so the median is count-based and exact:
+    // per-slope-value counts, the q190 two-phase block prefix over the
+    // VALUE axis, lower median = min slope with 2·cum ≥ n. The C(720,2)
+    // ≈ 259k pair set is CALENDAR²-bounded — fixed at any corpus scale —
+    // built as a 720-row broadcast inequality join (never corpus-sized).
+    // Recovery is a pure integer decision: |median − 1000·planted|·10 <
+    // 1000·planted.
+    Entry(
+      "q278_theil_sen",
+      (s, d) => {
+        val (ht, bounds) = dressedSpine(s, d)
+        val vc = ht.select(col("t").as("t1"), col("y").as("y1"))
+          .crossJoin(broadcast(ht.select(col("t").as("t2"), col("y").as("y2"))))
+          .filter(col("t1") < col("t2"))
+          .select(expr("((y2 - y1) * 1000L) div (t2 - t1)").as("sm"))
+          .groupBy(col("sm")).agg(count(lit(1)).as("cnt"))
+          .withColumn("blk", expr("sm div 10000000"))
+          .localCheckpoint() // consumers: block rollup + within-block window
+        val wIn = Window.partitionBy(col("blk")).orderBy(col("sm"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wB = Window.orderBy(col("blk"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val bOff = vc.groupBy(col("blk")).agg(sum(col("cnt")).as("bn"))
+          .select(col("blk"),
+            coalesce(sum(col("bn")).over(wB), lit(0L)).as("sm_blk"))
+        val tot = vc.agg(sum(col("cnt")).as("n_pairs"))
+        val med = vc.withColumn("cum_in", sum(col("cnt")).over(wIn))
+          .join(broadcast(bOff), Seq("blk"))
+          .crossJoin(broadcast(tot))
+          .agg(min(when((col("sm_blk") + col("cum_in")) * 2 >= col("n_pairs"),
+            col("sm"))).as("ts_slope_milli"))
+        med.crossJoin(broadcast(tot))
+          .crossJoin(broadcast(bounds.select(col("slope_p"), col("hh"))))
+          .select(col("hh").as("n_hours"), col("n_pairs"),
+            col("ts_slope_milli"), col("slope_p").as("planted_slope"),
+            (abs(col("ts_slope_milli") - col("slope_p") * 1000L) * 10L <
+              col("slope_p") * 1000L).as("recovered"))
+      },
+      Some("""WITH cn AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y0
+             |  FROM events GROUP BY 1),
+             |bd AS MATERIALIZED (SELECT h0, h1, h1 - h0 + 1 AS hh,
+             |    (ys // (h1 - h0 + 1)) // 10 AS slope_p
+             |  FROM (SELECT min(hr) AS h0, max(hr) AS h1,
+             |      CAST(sum(y0) AS BIGINT) AS ys FROM cn)),
+             |ht AS MATERIALIZED (SELECT gs.t,
+             |    (coalesce(cn.y0, 0) + bd.slope_p * gs.t) * (CASE WHEN
+             |      CAST(('0x' || substr(md5('ransac:v1:' || gs.t::VARCHAR),
+             |        1, 8)) AS BIGINT) % 24 = 0 THEN 20 ELSE 1 END) AS y
+             |  FROM bd
+             |  CROSS JOIN LATERAL (SELECT unnest(range(0, bd.hh)) AS t) gs
+             |  LEFT JOIN cn ON cn.hr = bd.h0 + gs.t),
+             |pr AS (SELECT ((h2.y - h1.y) * 1000) // (h2.t - h1.t) AS sm
+             |  FROM ht h1 JOIN ht h2 ON h1.t < h2.t),
+             |vc AS MATERIALIZED (SELECT sm, CAST(count(*) AS BIGINT) AS cnt
+             |  FROM pr GROUP BY 1),
+             |tt AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_pairs FROM vc),
+             |cm AS (SELECT sm,
+             |    CAST(sum(cnt) OVER (ORDER BY sm ROWS UNBOUNDED PRECEDING)
+             |      AS BIGINT) AS cum
+             |  FROM vc)
+             |SELECT bd.hh AS n_hours, tt.n_pairs,
+             |  (SELECT CAST(min(CASE WHEN cum * 2 >= tt.n_pairs THEN sm END)
+             |    AS BIGINT) FROM cm) AS ts_slope_milli,
+             |  bd.slope_p AS planted_slope,
+             |  abs((SELECT min(CASE WHEN cum * 2 >= tt.n_pairs THEN sm END)
+             |      FROM cm) - bd.slope_p * 1000) * 10
+             |    < bd.slope_p * 1000 AS recovered
+             |FROM bd CROSS JOIN tt""".stripMargin)),
+
+    // q279: MANN-KENDALL TREND TEST — the nonparametric "is there a
+    // monotone trend AT ALL" significance test the fit family (q150 OLS,
+    // q275 RANSAC, q278 Theil-Sen) estimates but never TESTS: S =
+    // Σ_{i<j} sgn(y_j − y_i) over the dressed spine, an EXACT INTEGER
+    // (pure sign concordance — rank-based, so the planted ×20 outliers
+    // barely dent it: each contaminated pair flips at most one sign).
+    // Var(S) = (n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5))/18 with the tie
+    // correction from the exact per-value counts; z = (S − sgn(S))/√Var
+    // is the one IEEE expression (continuity-corrected), decision at
+    // ±1.96 on the unrounded value; Kendall's τ rides along in exact
+    // milli (2000·S div n(n−1)). The planted trend must be detected as
+    // 'increasing' THROUGH the contamination. Same calendar²-bounded
+    // 720-row broadcast pair join as q278.
+    Entry(
+      "q279_mann_kendall",
+      (s, d) => {
+        val (ht, bounds) = dressedSpine(s, d)
+        val sAgg = ht.select(col("t").as("t1"), col("y").as("y1"))
+          .crossJoin(broadcast(ht.select(col("t").as("t2"), col("y").as("y2"))))
+          .filter(col("t1") < col("t2"))
+          .agg(sum(expr("CASE WHEN y2 > y1 THEN 1L WHEN y2 < y1 THEN -1L " +
+            "ELSE 0L END")).as("s_stat"))
+        val ties = ht.groupBy(col("y")).agg(count(lit(1)).as("tc"))
+          .agg(sum(expr("tc * (tc - 1) * (2 * tc + 5)")).as("tie_sum"))
+        val z = "((CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE)) " +
+          "/ sqrt(CAST(hh * (hh - 1) * (2 * hh + 5) - tie_sum AS DOUBLE) " +
+          "/ 18.0D))"
+        sAgg.crossJoin(broadcast(ties))
+          .crossJoin(broadcast(bounds.select(col("hh"))))
+          .select(col("hh").as("n_hours"), col("s_stat"),
+            expr("hh * (hh - 1) * (2 * hh + 5) - tie_sum").as("var_num18"),
+            expr("(2000L * s_stat) div (hh * (hh - 1))").as("kendall_tau_milli"),
+            expr(s"round($z, 6)").as("z"),
+            expr(s"""CASE WHEN $z >= 1.96D THEN 'increasing'
+              WHEN $z <= -1.96D THEN 'decreasing'
+              ELSE 'none' END""").as("trend"))
+      },
+      Some("""WITH cn AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y0
+             |  FROM events GROUP BY 1),
+             |bd AS MATERIALIZED (SELECT h0, h1, h1 - h0 + 1 AS hh,
+             |    (ys // (h1 - h0 + 1)) // 10 AS slope_p
+             |  FROM (SELECT min(hr) AS h0, max(hr) AS h1,
+             |      CAST(sum(y0) AS BIGINT) AS ys FROM cn)),
+             |ht AS MATERIALIZED (SELECT gs.t,
+             |    (coalesce(cn.y0, 0) + bd.slope_p * gs.t) * (CASE WHEN
+             |      CAST(('0x' || substr(md5('ransac:v1:' || gs.t::VARCHAR),
+             |        1, 8)) AS BIGINT) % 24 = 0 THEN 20 ELSE 1 END) AS y
+             |  FROM bd
+             |  CROSS JOIN LATERAL (SELECT unnest(range(0, bd.hh)) AS t) gs
+             |  LEFT JOIN cn ON cn.hr = bd.h0 + gs.t),
+             |sa AS (SELECT CAST(sum(CASE WHEN h2.y > h1.y THEN 1
+             |      WHEN h2.y < h1.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+             |  FROM ht h1 JOIN ht h2 ON h1.t < h2.t),
+             |tie AS (SELECT CAST(sum(tc * (tc - 1) * (2 * tc + 5))
+             |      AS BIGINT) AS tie_sum
+             |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS tc
+             |    FROM ht GROUP BY 1))
+             |SELECT bd.hh AS n_hours, s_stat,
+             |  bd.hh * (bd.hh - 1) * (2 * bd.hh + 5) - tie_sum AS var_num18,
+             |  (2000 * s_stat) // (bd.hh * (bd.hh - 1)) AS kendall_tau_milli,
+             |  round((CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE))
+             |    / sqrt(CAST(bd.hh * (bd.hh - 1) * (2 * bd.hh + 5) - tie_sum
+             |      AS DOUBLE) / 18.0), 6) AS z,
+             |  CASE WHEN (CAST(s_stat AS DOUBLE) - CAST(sign(s_stat)
+             |      AS DOUBLE))
+             |    / sqrt(CAST(bd.hh * (bd.hh - 1) * (2 * bd.hh + 5) - tie_sum
+             |      AS DOUBLE) / 18.0) >= 1.96 THEN 'increasing'
+             |    WHEN (CAST(s_stat AS DOUBLE) - CAST(sign(s_stat) AS DOUBLE))
+             |    / sqrt(CAST(bd.hh * (bd.hh - 1) * (2 * bd.hh + 5) - tie_sum
+             |      AS DOUBLE) / 18.0) <= -1.96 THEN 'decreasing'
+             |    ELSE 'none' END AS trend
+             |FROM sa CROSS JOIN tie CROSS JOIN bd""".stripMargin))
   )
 }

@@ -1088,4 +1088,52 @@ class EventOpsSuite extends SparkTestBase {
     assert(math.abs(r.getDouble(4) - slopeP) < math.abs(r.getDouble(5) - slopeP),
       "RANSAC must beat raw OLS on the contaminated series")
   }
+
+  test("q278/q279 Theil-Sen and Mann-Kendall replay from a JVM pair sweep") {
+    def md5l(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    val ev = Tables.events(spark, sf)
+      .select(expr("(ts div 1000) div 3600000000"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val h0 = ev.map(_._1).min; val hh = ev.map(_._1).max - h0 + 1
+    val y0 = ev.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val slopeP = (y0.values.sum / hh) / 10
+    val ys = (0L until hh).map { t =>
+      (y0.getOrElse(h0 + t, 0L) + slopeP * t) *
+        (if (md5l(s"ransac:v1:$t") % 24 == 0) 20L else 1L)
+    }
+    // Theil-Sen: lower median of quantized pairwise slopes
+    val slopes = for (i <- 0 until hh.toInt; j <- (i + 1) until hh.toInt)
+      yield {
+        val num = (ys(j) - ys(i)) * 1000L; val den = (j - i).toLong
+        num / den // both engines truncate toward zero
+      }
+    val sorted = slopes.sorted
+    val med = sorted(((sorted.size + 1) / 2 - 1))
+    val rTs = Registry.byName("q278_theil_sen").q(spark, sf).collect().head
+    assert(rTs.getLong(0) == hh && rTs.getLong(1) == slopes.size.toLong)
+    assert(rTs.getLong(2) == med, "Theil-Sen median slope")
+    assert(rTs.getLong(3) == slopeP && rTs.getBoolean(4),
+      "planted slope recovered with no tuning parameter")
+    // Mann-Kendall: exact sign concordance + tie-corrected variance
+    // (computed on RAW diffs — a quantized slope can hit 0 while the raw
+    // difference doesn't)
+    var sRaw = 0L
+    for (i <- 0 until hh.toInt; j <- (i + 1) until hh.toInt)
+      sRaw += java.lang.Long.signum(ys(j) - ys(i)).toLong
+    val tieSum = ys.groupBy(identity).values
+      .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+    val varNum = hh * (hh - 1) * (2 * hh + 5) - tieSum
+    val z = (sRaw.toDouble - math.signum(sRaw.toDouble)) /
+      math.sqrt(varNum.toDouble / 18.0)
+    val rMk = Registry.byName("q279_mann_kendall").q(spark, sf).collect().head
+    assert(rMk.getLong(1) == sRaw, "S statistic")
+    assert(rMk.getLong(2) == varNum, "tie-corrected variance numerator")
+    assert(rMk.getLong(3) == (2000L * sRaw) / (hh * (hh - 1)), "tau milli")
+    assert(rMk.getDouble(4) == rnd6(z), "z")
+    assert(rMk.getString(5) == "increasing",
+      "the planted trend must be detected through the contamination")
+  }
 }
