@@ -421,7 +421,9 @@ object Bench {
     "q277_time_travel",
     // Theil-Sen + Mann-Kendall trend family (round 15, standing from birth).
     "q278_theil_sen",
-    "q279_mann_kendall")
+    "q279_mann_kendall",
+    // seeded-hash uniformity audit (round 15, standing from birth).
+    "q280_hash_uniformity")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

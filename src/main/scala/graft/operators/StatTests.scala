@@ -885,6 +885,75 @@ object StatTests {
            |  abs(noise) <= 7 AS within_95,
            |  CAST(500 AS BIGINT) AS epsilon_milli
            |FROM nz ORDER BY source""".stripMargin
-      })
+      }),
+
+    // q280: SEEDED-HASH UNIFORMITY AUDIT — the chi-square goodness-of-fit
+    // test of the engine's own determinism primitive: dozens of operators
+    // (q112 splits, q161 arms, q253 bootstrap lanes, q260/q261/q275
+    // fabrications…) assume md5-bucket assignments are uniform; this
+    // registers the proof instead of assuming it. For each keyed family
+    // (doc_id and event_id, 64 buckets), χ²·denominator is kept EXACT:
+    // with E = n/64, χ² = Σ(O−E)²/E = 64·Σ(64·O−n)²/(64²·n), reported as
+    // the exact-integer milli value Σ(64·O−n)²·1000 div (64·n) against
+    // the χ²(63) α=0.05 critical 82,529 milli (literal; suite re-derives
+    // the Wilson-Hilferty approximation). A failure here would indict
+    // every seeded fabrication upstream. Plan: two map passes + two
+    // 64-row aggregates — nothing corpus-sized moves.
+    Entry(
+      "q280_hash_uniformity",
+      (s, d) => {
+        def audit(df: DataFrame, name: String) = df
+          .groupBy(col("b")).agg(count(lit(1)).as("o"))
+          .agg(sum(col("o")).as("n"),
+            count(lit(1)).as("n_buckets"),
+            sum(expr("(64 * o) * (64 * o)")).as("s2x"))
+          // Σ(64O−n)² = 64²ΣO² − 2·64n·ΣO + 64n² = Σ(64O)² − 64·n²
+          // (since ΣO = n); all int64 at fixture scale
+          .select(lit(name).as("family"), col("n"), col("n_buckets"),
+            expr("((s2x - 64L * n * n) * 1000L) div (64L * n)")
+              .as("chi2_milli"),
+            lit(82529L).as("crit_milli"),
+            expr("((s2x - 64L * n * n) * 1000L) div (64L * n) <= 82529L")
+              .as("uniform_ok"))
+        val docs = T.documents(s, d).select(expr(
+          "CAST(conv(substring(md5(concat('split:v1:', " +
+            "CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 64")
+          .as("b"))
+        val evs = T.events(s, d).select(expr(
+          "CAST(conv(substring(md5(concat('ab:v1:', " +
+            "CAST(event_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % 64")
+          .as("b"))
+        audit(docs, "doc_id_md5").unionByName(audit(evs, "event_id_md5"))
+          .orderBy(col("family"))
+      },
+      Some("""WITH dbk AS (SELECT CAST(('0x' || substr(md5('split:v1:'
+             |      || doc_id::VARCHAR), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM documents),
+             |ebk AS (SELECT CAST(('0x' || substr(md5('ab:v1:'
+             |      || event_id::VARCHAR), 1, 8)) AS BIGINT) % 64 AS b
+             |  FROM events),
+             |da AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_buckets,
+             |    CAST(sum((64 * o) * (64 * o)) AS BIGINT) AS s2x
+             |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS o FROM dbk
+             |    GROUP BY 1)),
+             |ea AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+             |    CAST(count(*) AS BIGINT) AS n_buckets,
+             |    CAST(sum((64 * o) * (64 * o)) AS BIGINT) AS s2x
+             |  FROM (SELECT b, CAST(count(*) AS BIGINT) AS o FROM ebk
+             |    GROUP BY 1))
+             |SELECT * FROM (
+             |SELECT 'doc_id_md5' AS family, n, n_buckets,
+             |  ((s2x - 64 * n * n) * 1000) // (64 * n) AS chi2_milli,
+             |  CAST(82529 AS BIGINT) AS crit_milli,
+             |  ((s2x - 64 * n * n) * 1000) // (64 * n) <= 82529 AS uniform_ok
+             |FROM da
+             |UNION ALL
+             |SELECT 'event_id_md5', n, n_buckets,
+             |  ((s2x - 64 * n * n) * 1000) // (64 * n),
+             |  CAST(82529 AS BIGINT),
+             |  ((s2x - 64 * n * n) * 1000) // (64 * n) <= 82529
+             |FROM ea
+             |) ORDER BY family""".stripMargin))
   )
 }

@@ -294,4 +294,41 @@ class StatTestsSuite extends SparkTestBase {
     assert(noises.count(n => math.abs(n) <= 7) >= 17, "utility band")
     assert(rows.forall(_.getLong(3) >= 0), "post-processed nonnegativity")
   }
+
+  test("q280 hash uniformity replays from JVM buckets; critical ties to math") {
+    val rows = Registry.byName("q280_hash_uniformity").q(spark, sf).collect()
+    assert(rows.length == 2)
+    def md5b64(x: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString,
+      16) % 64
+    def replay(ids: Seq[Long], seed: String): (Long, Long) = {
+      val o = ids.groupBy(id => md5b64(s"$seed$id")).values.map(_.size.toLong)
+      val n = ids.length.toLong
+      val s2x = o.map(c => (64 * c) * (64 * c)).sum
+      (n, ((s2x - 64 * n * n) * 1000L) / (64 * n))
+    }
+    val docIds = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val evIds = Tables.events(spark, sf).select(col("event_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val exp = Map(
+      "doc_id_md5" -> replay(docIds, "split:v1:"),
+      "event_id_md5" -> replay(evIds, "ab:v1:"))
+    for (r <- rows) {
+      val (n, chi) = exp(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(3) == chi, s"${r.getString(0)}")
+      assert(r.getBoolean(5) == (chi <= 82529L))
+      // the fixture's seeded hashes must actually BE uniform — a failure
+      // here indicts every seeded fabrication upstream
+      assert(r.getBoolean(5), s"${r.getString(0)} non-uniform")
+    }
+    // the hardcoded critical ties to the Wilson-Hilferty chi-square
+    // approximation for df=63 at alpha=0.05 (within 0.5%)
+    val df = 63.0
+    val wh = df * math.pow(1.0 - 2.0 / (9.0 * df) +
+      1.645 * math.sqrt(2.0 / (9.0 * df)), 3)
+    assert(math.abs(wh * 1000.0 - 82529.0) < 500.0,
+      s"critical literal drifted from Wilson-Hilferty: $wh")
+  }
 }
