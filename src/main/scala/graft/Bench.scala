@@ -423,7 +423,9 @@ object Bench {
     "q278_theil_sen",
     "q279_mann_kendall",
     // seeded-hash uniformity audit (round 15, standing from birth).
-    "q280_hash_uniformity")
+    "q280_hash_uniformity",
+    // split conformal prediction intervals (round 15, standing from birth).
+    "q281_conformal")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

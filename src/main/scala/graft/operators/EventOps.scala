@@ -3183,6 +3183,159 @@ object EventOps {
              |    / sqrt(CAST(bd.hh * (bd.hh - 1) * (2 * bd.hh + 5) - tie_sum
              |      AS DOUBLE) / 18.0) <= -1.96 THEN 'decreasing'
              |    ELSE 'none' END AS trend
-             |FROM sa CROSS JOIN tie CROSS JOIN bd""".stripMargin))
+             |FROM sa CROSS JOIN tie CROSS JOIN bd""".stripMargin)),
+
+    // q281: SPLIT CONFORMAL PREDICTION INTERVALS — distribution-free
+    // forecast bands with a FINITE-SAMPLE coverage guarantee (Vovk;
+    // Lei et al. JASA'18): fit on the first 80% of each type's hourly
+    // spine (q150's exact-moment OLS), take q̂ = the ⌈0.9·(n_cal+1)⌉-th
+    // smallest |residual| on the next 10% (calibration), and the band
+    // ŷ ± q̂ covers a fresh point with probability ≥ 90% REGARDLESS of
+    // the residual distribution — the guarantee every Gaussian ±1.96σ
+    // band only pretends to have. The last 10% is the holdout where
+    // coverage is AUDITED in-row. Determinism: the fit is IEEE doubles
+    // over exact int64 moments (q150 discipline), residuals are
+    // quantized to integer MICROS before ranking (q243's quantize-first
+    // discipline — the rank decision can never flip cross-engine), and
+    // q̂ is a count-based order statistic over the 72-row-per-type
+    // calibration table (q135 discipline, windows bounded per type).
+    // Plan: one (type, hour) rollup + dense spine; per-type 1-row moment
+    // aggregates broadcast back; everything after lives on
+    // calendar-bounded tables.
+    Entry(
+      "q281_conformal",
+      (s, d) => {
+        val cnts = Tables.events(s, d)
+          .select(col("event_type"),
+            expr("(ts div 1000) div 3600000000").as("hr"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy(col("event_type"), col("hr"))
+          .agg(sum(col("cents")).as("y0"))
+          .localCheckpoint() // consumers: bounds + type dim + spine join
+        val bounds = cnts.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+        val types = cnts.select(col("event_type")).distinct()
+        val spine = types.crossJoin(broadcast(bounds))
+          .select(col("event_type"), col("h0"),
+            expr("h1 - h0 + 1").as("hh"),
+            explode(expr("sequence(0L, h1 - h0)")).as("t"))
+          .withColumn("hr", col("h0") + col("t"))
+          .join(cnts, Seq("event_type", "hr"), "left_outer")
+          .select(col("event_type"), col("t"), col("hh"),
+            expr("coalesce(y0, 0L)").as("y"),
+            expr("""CASE WHEN t * 10 < hh * 8 THEN 'train'
+              WHEN t * 10 < hh * 9 THEN 'cal' ELSE 'test' END""").as("split"))
+          .localCheckpoint() // consumers: fit + residual pass
+        val fit = spine.filter(col("split") === "train")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nt"), sum(col("t")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("t") * col("y")).as("sxy"),
+            sum(col("t") * col("t")).as("sxx"))
+          .select(col("event_type"), col("nt"),
+            expr("""(CAST(nt AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / (CAST(nt AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))""").as("b"),
+            expr("""(CAST(sy AS DOUBLE) - (CAST(nt AS DOUBLE)
+              * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sy AS DOUBLE)) / (CAST(nt AS DOUBLE)
+              * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+              * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+              / CAST(nt AS DOUBLE)""").as("a"))
+        val resid = spine.join(broadcast(fit), Seq("event_type"))
+          .withColumn("r_micro", expr(
+            """abs(CAST(round(1000000.0D * (CAST(y AS DOUBLE)
+              - (a + b * CAST(t AS DOUBLE)))) AS BIGINT))"""))
+          .localCheckpoint() // consumers: calibration rank + holdout audit
+        val wCal = Window.partitionBy(col("event_type")).orderBy(col("r_micro"))
+        // k = ceil(0.9·(n_cal+1)) kept integer: (9·(n+1) + 9) div 10
+        val qhat = resid.filter(col("split") === "cal")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_cal"))
+          .select(col("event_type"), col("n_cal"),
+            expr("(9L * (n_cal + 1) + 9L) div 10L").as("k"))
+        val qv = resid.filter(col("split") === "cal")
+          .withColumn("rn", row_number().over(wCal))
+          .join(broadcast(qhat), Seq("event_type"))
+          .filter(col("rn") === col("k"))
+          .select(col("event_type"), col("n_cal"), col("k"),
+            col("r_micro").as("q_hat_micro"))
+        resid.filter(col("split") === "test")
+          .join(broadcast(qv), Seq("event_type"))
+          .groupBy(col("event_type"), col("n_cal"), col("k"),
+            col("q_hat_micro"))
+          .agg(count(lit(1)).as("n_test"),
+            sum(when(col("r_micro") <= col("q_hat_micro"), 1L).otherwise(0L))
+              .as("n_covered"))
+          .select(col("event_type"), col("n_cal"), col("k"),
+            col("q_hat_micro"), col("n_test"), col("n_covered"),
+            expr("n_covered * 1000000L div n_test").as("coverage_ppm"),
+            expr("n_covered * 1000000L div n_test >= 750000L")
+              .as("guarantee_ok"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH cn AS (SELECT event_type,
+             |    (epoch_ns(ts) // 1000) // 3600000000 AS hr,
+             |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             |      AS y0
+             |  FROM events GROUP BY 1, 2),
+             |bd AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM cn),
+             |ty AS (SELECT DISTINCT event_type FROM cn),
+             |sp AS MATERIALIZED (SELECT ty.event_type, gs.t,
+             |    bd.h1 - bd.h0 + 1 AS hh,
+             |    coalesce(cn.y0, 0) AS y,
+             |    CASE WHEN gs.t * 10 < (bd.h1 - bd.h0 + 1) * 8 THEN 'train'
+             |      WHEN gs.t * 10 < (bd.h1 - bd.h0 + 1) * 9 THEN 'cal'
+             |      ELSE 'test' END AS split
+             |  FROM ty CROSS JOIN bd
+             |  CROSS JOIN LATERAL (SELECT unnest(range(0, bd.h1 - bd.h0 + 1))
+             |    AS t) gs
+             |  LEFT JOIN cn ON cn.event_type = ty.event_type
+             |    AND cn.hr = bd.h0 + gs.t),
+             |ft AS MATERIALIZED (SELECT event_type,
+             |    (CAST(nt AS DOUBLE) * CAST(sxy AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             |      / (CAST(nt AS DOUBLE) * CAST(sxx AS DOUBLE)
+             |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+             |    (CAST(sy AS DOUBLE) - (CAST(nt AS DOUBLE)
+             |      * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sy AS DOUBLE)) / (CAST(nt AS DOUBLE)
+             |      * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+             |      * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             |      / CAST(nt AS DOUBLE) AS a
+             |  FROM (SELECT event_type, CAST(count(*) AS BIGINT) AS nt,
+             |      CAST(sum(t) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             |      CAST(sum(t * y) AS BIGINT) AS sxy,
+             |      CAST(sum(t * t) AS BIGINT) AS sxx
+             |    FROM sp WHERE split = 'train' GROUP BY 1)),
+             |rs AS MATERIALIZED (SELECT sp.event_type, sp.t, sp.split,
+             |    abs(CAST(round(1000000.0 * (CAST(sp.y AS DOUBLE)
+             |      - (ft.a + ft.b * CAST(sp.t AS DOUBLE)))) AS BIGINT))
+             |      AS r_micro
+             |  FROM sp JOIN ft USING (event_type)),
+             |ca AS MATERIALIZED (SELECT event_type, r_micro,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY r_micro)
+             |      AS rn
+             |  FROM rs WHERE split = 'cal'),
+             |kq AS MATERIALIZED (SELECT event_type,
+             |    CAST(count(*) AS BIGINT) AS n_cal,
+             |    (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS k
+             |  FROM ca GROUP BY 1),
+             |qv AS MATERIALIZED (SELECT ca.event_type, kq.n_cal, kq.k,
+             |    CAST(ca.r_micro AS BIGINT) AS q_hat_micro
+             |  FROM ca JOIN kq ON kq.event_type = ca.event_type
+             |    AND ca.rn = kq.k)
+             |SELECT rs.event_type, qv.n_cal, qv.k, qv.q_hat_micro,
+             |  CAST(count(*) AS BIGINT) AS n_test,
+             |  CAST(sum(CASE WHEN rs.r_micro <= qv.q_hat_micro
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+             |  CAST(sum(CASE WHEN rs.r_micro <= qv.q_hat_micro
+             |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             |    // CAST(count(*) AS BIGINT) AS coverage_ppm,
+             |  CAST(sum(CASE WHEN rs.r_micro <= qv.q_hat_micro
+             |    THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+             |    // CAST(count(*) AS BIGINT) >= 750000 AS guarantee_ok
+             |FROM rs JOIN qv USING (event_type)
+             |WHERE rs.split = 'test'
+             |GROUP BY 1, 2, 3, 4 ORDER BY rs.event_type""".stripMargin))
   )
 }

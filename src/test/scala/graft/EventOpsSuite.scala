@@ -1136,4 +1136,44 @@ class EventOpsSuite extends SparkTestBase {
     assert(rMk.getString(5) == "increasing",
       "the planted trend must be detected through the contamination")
   }
+
+  test("q281 conformal replays from a JVM-side split-fit-calibrate sweep") {
+    val rows = Registry.byName("q281_conformal").q(spark, sf).collect()
+    assert(rows.length == 5)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), expr("(ts div 1000) div 3600000000"),
+        round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val h0 = ev.map(_._2).min; val hh = ev.map(_._2).max - h0 + 1
+    for (r <- rows) {
+      val ty = r.getString(0)
+      val byHr = ev.filter(_._1 == ty).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toMap
+      val pts = (0L until hh).map(t => (t, byHr.getOrElse(h0 + t, 0L)))
+      val train = pts.filter(_._1 * 10 < hh * 8)
+      val cal = pts.filter(p => p._1 * 10 >= hh * 8 && p._1 * 10 < hh * 9)
+      val test = pts.filter(_._1 * 10 >= hh * 9)
+      val n = train.size.toDouble
+      val (sx, sy) = (train.map(_._1).sum.toDouble, train.map(_._2).sum.toDouble)
+      val sxy = train.map(p => p._1 * p._2).sum.toDouble
+      val sxx = train.map(p => p._1 * p._1).sum.toDouble
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val a = (sy - b * sx) / n
+      def rm(p: (Long, Long)): Long = math.abs(
+        BigDecimal(1000000.0 * (p._2.toDouble - (a + b * p._1.toDouble)))
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+      val calR = cal.map(rm).sorted
+      val k = (9 * (calR.size + 1) + 9) / 10
+      val qhat = calR(k - 1)
+      val covered = test.count(p => rm(p) <= qhat).toLong
+      assert(r.getLong(1) == calR.size.toLong && r.getLong(2) == k.toLong)
+      assert(r.getLong(3) == qhat, s"$ty q_hat")
+      assert(r.getLong(4) == test.size.toLong && r.getLong(5) == covered)
+      assert(r.getLong(6) == covered * 1000000L / test.size)
+      // the conformal promise: coverage near the 90% target (exact finite-
+      // sample guarantee is in expectation; one draw stays in a wide band)
+      assert(r.getBoolean(7), s"$ty coverage fell below the audit floor")
+      assert(r.getLong(6) <= 1000000L)
+    }
+  }
 }
