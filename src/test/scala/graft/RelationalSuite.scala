@@ -125,7 +125,18 @@ class RelationalSuite extends SparkTestBase {
       graft.operators.Clustering.entries ++
       graft.operators.CorpusStats.entries ++
       graft.operators.Integrity.entries ++
-      graft.operators.Integrity.entries2).map(_.name)
+      graft.operators.Integrity.entries2 ++
+      // r15 session-2 extension: the remaining pure modules. Sources and
+      // EventStreams stay excluded — their query lambdas WRITE (generation
+      // publishes, streaming sinks) at build time, so this analyzed-plan
+      // audit would execute side effects; their broadcasts are either
+      // global aggregates or fixed dims, reviewed per-entry instead.
+      graft.operators.StatTests.entries ++
+      graft.operators.Learn.entries ++
+      graft.operators.Forecast.entries ++
+      graft.operators.IntervalOps.entries ++
+      graft.operators.Projection.entries ++
+      graft.operators.Multimodal.entries).map(_.name)
     names.foreach { name =>
       val df = Registry.byName(name).q(spark, sf)
       val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
