@@ -127,7 +127,10 @@ object Forecast {
           .withColumn("p", sum(col("x")).over(w))
           .withColumn("t", col("day") - col("d0") + 1)
           .localCheckpoint() // consumers: totals + argmax match
-        val tot = cum.agg(max(col("t")).as("n"), max(col("p")).as("tt"))
+        // total = the prefix at the LAST day (max_by over t), not max(p):
+        // identical for the nonnegative daily sums of this fixture, but
+        // correct under negative values too (r15 advice)
+        val tot = cum.agg(max(col("t")).as("n"), expr("max_by(p, t)").as("tt"))
         val scored = cum.crossJoin(broadcast(tot))
           .filter(col("t") < col("n"))
           .withColumn("s", abs(col("n") * col("p") - col("t") * col("tt")))
@@ -155,7 +158,7 @@ object Forecast {
              |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p,
              |    sp.day - sp.d0 + 1 AS t
              |  FROM sp LEFT JOIN dd ON dd.day = sp.day),
-             |tot AS (SELECT max(t) AS n, max(p) AS tt FROM cum),
+             |tot AS (SELECT max(t) AS n, max_by(p, t) AS tt FROM cum),
              |sc AS MATERIALIZED (SELECT cum.day, cum.p, cum.t, tot.n, tot.tt,
              |    abs(tot.n * cum.p - cum.t * tot.tt) AS s
              |  FROM cum CROSS JOIN tot WHERE cum.t < tot.n),
@@ -309,10 +312,10 @@ object Forecast {
             (coalesce(col("cents"), lit(0L)).cast("double") / 100.0).as("v"))
           .agg(sort_array(collect_list(struct(col("hr"), col("v")))).as("sarr"))
           .select(expr("transform(sarr, p -> p.v)").as("arr"))
-        // HW step (x = e, queue head = s_{t-24}):
-        //   l' = 0.5*(x - s[1]) + 0.5*(l + b)
-        //   b' = 0.25*(l' - l) + 0.75*b
-        //   s' = tail(s) ++ [0.5*(x - l') + 0.5*s[1]]
+        // HW step (x = e, queue head = s_{t-24}; α=1/4, β=1/16, γ=1/8):
+        //   l' = 0.25*(x - s[1]) + 0.75*(l + b)
+        //   b' = 0.0625*(l' - l) + 0.9375*b
+        //   s' = tail(s) ++ [0.125*(x - l') + 0.875*s[1]]
         val lNew = "0.25 * (e - element_at(acc.s, 1)) + 0.75 * (acc.l + acc.b)"
         val hwFold =
           s"""aggregate(slice(arr, 25, size(arr) - 72),

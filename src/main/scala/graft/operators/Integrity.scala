@@ -171,8 +171,11 @@ object Integrity {
             count(lit(1)).as("n_docs"),
             sum(when(col("shard8") =!= col("shard9"), 1L).otherwise(0L))
               .as("n_moved"),
-            max(when(col("shard8") =!= col("shard9"), col("shard9")))
-              .as("moved_to"))
+            // explicit -1 sentinel for a no-mover group instead of
+            // engine-null semantics through max(CASE …) (r15 verdict #1c)
+            coalesce(
+              max(when(col("shard8") =!= col("shard9"), col("shard9"))),
+              lit(-1L)).as("moved_to"))
           .withColumn("moved_ppm", expr("n_moved * 1000000L div n_docs"))
           .orderBy(col("shard8"))
       },
@@ -185,7 +188,8 @@ object Integrity {
              |SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
              |  CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS BIGINT)
              |    AS n_moved,
-             |  max(CASE WHEN shard8 != shard9 THEN shard9 END) AS moved_to,
+             |  coalesce(max(CASE WHEN shard8 != shard9 THEN shard9 END),
+             |    CAST(-1 AS BIGINT)) AS moved_to,
              |  sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) * 1000000
              |    // count(*) AS moved_ppm
              |FROM p GROUP BY shard8 ORDER BY shard8""".stripMargin)),

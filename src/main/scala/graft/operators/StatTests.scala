@@ -73,6 +73,14 @@ object StatTests {
           .localCheckpoint() // consumers: per-source max + argmax location
         val mx = cells.groupBy(col("source"), col("n1"), col("nn"))
           .agg(max(col("dnum")).as("mx"))
+        // crit_ppm = round(1358000·sqrt(nn/(n1·(nn−n1)))) computed INTEGER-
+        // EXACT: round(sqrt(A/B)) = (isqrt((4A) div B) + 1) div 2 (exact for
+        // positive rationals because floor(sqrt(floor(y))) = floor(sqrt(y))),
+        // 4A = 4·1358000²·nn = 7376656000000·nn, B = n1·(nn−n1). isqrt seeds
+        // from the double sqrt and corrects over a ±3 candidate window, so a
+        // 1-ulp libm or cast-rounding divergence (Spark cast truncates,
+        // DuckDB rounds) is structurally impossible — the r15 q231
+        // driver-vs-judge hash split implicated exactly this one double.
         mx.join(cells.select(col("source"), col("v"), col("dnum")), Seq("source"))
           .filter(col("dnum") === col("mx"))
           .groupBy(col("source"), col("n1"), col("nn"), col("mx"))
@@ -80,9 +88,13 @@ object StatTests {
           .select(col("source"), col("n1").as("n_src"),
             expr("mx * 1000000L div (n1 * (nn - n1))").as("d_ppm"),
             col("ks_at"),
-            expr("CAST(round(1358000.0 * sqrt(CAST(nn AS DOUBLE) / " +
-              "(CAST(n1 AS DOUBLE) * CAST(nn - n1 AS DOUBLE)))) AS BIGINT)")
-              .as("crit_ppm"))
+            expr("7376656000000L * nn div (n1 * (nn - n1))").as("xr"))
+          .withColumn("c0",
+            expr("CAST(floor(sqrt(CAST(xr AS DOUBLE))) AS BIGINT)"))
+          .withColumn("crit_ppm", expr(
+            "(aggregate(sequence(greatest(c0 - 3L, 0L), c0 + 3L), 0L, " +
+              "(a, t) -> if(t * t <= xr, t, a)) + 1L) div 2"))
+          .drop("xr", "c0")
           .withColumn("drifted", col("d_ppm") > col("crit_ppm"))
           .orderBy(col("source"))
       },
@@ -108,14 +120,20 @@ object StatTests {
              |sel AS (SELECT mx.source, mx.n1 AS n_src,
              |    mx.mx * 1000000 // (mx.n1 * (mx.nn - mx.n1)) AS d_ppm,
              |    CAST(min(cum.v) AS BIGINT) AS ks_at,
-             |    CAST(round(1358000.0 * sqrt(CAST(mx.nn AS DOUBLE) /
-             |      (CAST(mx.n1 AS DOUBLE) * CAST(mx.nn - mx.n1 AS DOUBLE))))
-             |      AS BIGINT) AS crit_ppm
+             |    7376656000000 * mx.nn // (mx.n1 * (mx.nn - mx.n1)) AS xr
              |  FROM mx JOIN cum ON cum.source = mx.source AND cum.dnum = mx.mx
-             |  GROUP BY 1, 2, 3, 5)
+             |  GROUP BY 1, 2, 3, 5),
+             |seed AS (SELECT *, CAST(floor(sqrt(CAST(xr AS DOUBLE)))
+             |    AS BIGINT) AS c0 FROM sel),
+             |crit AS (SELECT source, n_src, d_ppm, ks_at,
+             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      range(greatest(c0 - 3, 0), c0 + 4)),
+             |      (a, t) -> CASE WHEN t * t <= xr THEN t ELSE a END) + 1) // 2
+             |      AS crit_ppm
+             |  FROM seed)
              |SELECT source, n_src, d_ppm, ks_at, crit_ppm,
              |  d_ppm > crit_ppm AS drifted
-             |FROM sel ORDER BY source""".stripMargin)),
+             |FROM crit ORDER BY source""".stripMargin)),
 
     // q232: PAIRWISE MANN-WHITNEY U DRIFT MATRIX — rank-sum comparison of
     // the event `value` distribution between every pair of event types:
@@ -317,7 +335,10 @@ object StatTests {
           .agg(sum(col("w") * col("cents")).as("swc"), sum(col("w")).as("sw"),
             sum(col("cents")).as("sc"), count(lit(1)).as("n"))
           .select(col("event_type"), col("b"),
-            expr("swc * 1000000L div sw").as("m_uc"),
+            // greatest(sw,1) guard: a replicate whose Poisson weights are
+            // all zero would NULL in Spark but error in DuckDB '//' —
+            // asymmetric failure, so guard like every other division here
+            expr("swc * 1000000L div greatest(sw, 1L)").as("m_uc"),
             expr("sc * 1000000L div n").as("point_uc"), col("n"))
         val wRank = Window.partitionBy(col("event_type"))
           .orderBy(col("m_uc"), col("b"))
@@ -351,7 +372,7 @@ object StatTests {
            |    CAST($wExpr AS BIGINT) AS w FROM h),
            |r AS (SELECT event_type, b,
            |    CAST(sum(w * cents) AS BIGINT) * 1000000
-           |      // CAST(sum(w) AS BIGINT) AS m_uc,
+           |      // greatest(CAST(sum(w) AS BIGINT), 1) AS m_uc,
            |    CAST(sum(cents) AS BIGINT) * 1000000
            |      // CAST(count(*) AS BIGINT) AS point_uc,
            |    CAST(count(*) AS BIGINT) AS n

@@ -48,6 +48,33 @@ class IntegritySuite extends SparkTestBase {
       s"shard skew ${counts.mkString(",")} — placement hash must spread uniformly")
   }
 
+  test("q214 repro: bit-identical across 50 randomized partitioning configs") {
+    // r15 driver flagged a hash mismatch the judge could not reproduce in 3
+    // configs; this pins the output bit-identical under randomized shuffle
+    // partitioning and scan split sizes (the two axes a driver box could
+    // plausibly differ on), 50 iterations, seeded.
+    val conf = spark.conf
+    val savedShuffle = conf.get("spark.sql.shuffle.partitions")
+    val savedBytes = conf.get("spark.sql.files.maxPartitionBytes")
+    val rnd = new scala.util.Random(214)
+    try {
+      val ref = Registry.byName("q214_rendezvous_reshard").q(spark, sf)
+        .collect().map(_.toString).toSeq
+      for (i <- 1 to 50) {
+        val p = 1 + rnd.nextInt(48)
+        val b = (1L << 15) << rnd.nextInt(8)
+        conf.set("spark.sql.shuffle.partitions", p.toString)
+        conf.set("spark.sql.files.maxPartitionBytes", b.toString)
+        val got = Registry.byName("q214_rendezvous_reshard").q(spark, sf)
+          .collect().map(_.toString).toSeq
+        assert(got == ref, s"iteration $i (shuffle=$p, splitBytes=$b) diverged")
+      }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", savedShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", savedBytes)
+    }
+  }
+
   test("q215 copy diff finds EXACTLY the damaged rows, drills only damaged buckets") {
     val rows = Registry.byName("q215_copy_diff").q(spark, sf).collect()
     val expected = Tables.documents(spark, sf)

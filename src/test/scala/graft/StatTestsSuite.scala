@@ -33,8 +33,41 @@ class StatTestsSuite extends SparkTestBase {
         math.abs(mine.count(_ <= v) * n2 - rest.count(_ <= v) * n1) == brute
       }.min
       assert(r.getLong(3) == at, s"$src ks_at is not the first argmax value")
+      // crit_ppm = round(1358000·sqrt(N/(n1·n2))) recomputed via exact
+      // BigInt isqrt — ties the in-plan ±3-window isqrt to ground truth
+      val x = BigInt("7376656000000") * n / (BigInt(n1) * (n - n1))
+      val isq = BigInt(x.bigInteger.sqrt())
+      assert(r.getLong(4) == ((isq + 1) / 2).toLong,
+        s"$src crit_ppm diverges from the exact BigInt isqrt")
       assert(r.getBoolean(5) == (r.getLong(2) > r.getLong(4)),
         "drift flag must be the d_ppm/crit_ppm compare")
+    }
+  }
+
+  test("q231 repro: bit-identical across 50 randomized partitioning configs") {
+    // r15 driver flagged a hash mismatch the judge could not reproduce; the
+    // one double (crit_ppm's sqrt) is now integer-exact isqrt, and this pins
+    // the full output bit-identical under randomized shuffle partitioning
+    // and scan split sizes, 50 iterations, seeded.
+    val conf = spark.conf
+    val savedShuffle = conf.get("spark.sql.shuffle.partitions")
+    val savedBytes = conf.get("spark.sql.files.maxPartitionBytes")
+    val rnd = new scala.util.Random(231)
+    try {
+      val ref = Registry.byName("q231_ks_drift").q(spark, sf)
+        .collect().map(_.toString).toSeq
+      for (i <- 1 to 50) {
+        val p = 1 + rnd.nextInt(48)
+        val b = (1L << 15) << rnd.nextInt(8)
+        conf.set("spark.sql.shuffle.partitions", p.toString)
+        conf.set("spark.sql.files.maxPartitionBytes", b.toString)
+        val got = Registry.byName("q231_ks_drift").q(spark, sf)
+          .collect().map(_.toString).toSeq
+        assert(got == ref, s"iteration $i (shuffle=$p, splitBytes=$b) diverged")
+      }
+    } finally {
+      conf.set("spark.sql.shuffle.partitions", savedShuffle)
+      conf.set("spark.sql.files.maxPartitionBytes", savedBytes)
     }
   }
 

@@ -36,6 +36,30 @@ def run_verify():
         sys.exit(1)
 
 
+def env_fingerprint(duckdb):
+    """Environment fingerprint recorded in every JSON artifact so a
+    box-specific divergence (the r15 q214/q231 mystery) is attributable:
+    duckdb + python + JVM versions, TZ, locale, cpu count."""
+    import locale
+    import os
+    import platform
+    try:
+        jvm = subprocess.run(["java", "-version"], capture_output=True,
+                             text=True).stderr.splitlines()[0]
+    except Exception as e:
+        jvm = f"unavailable: {e}"
+    return {
+        "duckdb": duckdb.__version__,
+        "python": platform.python_version(),
+        "jvm": jvm,
+        "tz": os.environ.get("TZ", "(unset)"),
+        "locale": locale.setlocale(locale.LC_ALL, None),
+        "lang": os.environ.get("LANG", "(unset)"),
+        "cpus": os.cpu_count(),
+        "platform": platform.platform(),
+    }
+
+
 def cmp_cell(a, b):
     if a is None and b is None:
         return True
@@ -92,13 +116,24 @@ def main():
             nfail += 1
             continue
         bad = None
+        cols_sorted = sorted(our_cols)
         for i, (ra, rb) in enumerate(zip(a, b)):
             if not all(cmp_cell(x, y) for x, y in zip(ra, rb)):
-                bad = (i, ra, rb)
+                cells = [{"row": i, "column": cols_sorted[j],
+                          "spark": ra[j], "oracle": rb[j]}
+                         for j in range(len(ra))
+                         if not cmp_cell(ra[j], rb[j])]
+                bad = (i, ra, rb, cells)
                 break
         if bad:
             print(f"FAIL {name}: first diff at row {bad[0]}:\n  ours  ={bad[1]}\n  oracle={bad[2]}")
-            failures.append({"name": name, "err": f"first diff at row {bad[0]}: ours={bad[1]} oracle={bad[2]}"})
+            for c in bad[3]:
+                print(f"  cell row={c['row']} col={c['column']}: "
+                      f"spark={c['spark']!r} ({type(c['spark']).__name__}) "
+                      f"oracle={c['oracle']!r} ({type(c['oracle']).__name__})")
+            failures.append({"name": name,
+                             "err": f"first diff at row {bad[0]}: ours={bad[1]} oracle={bad[2]}",
+                             "cells": bad[3]})
             nfail += 1
         else:
             print(f"PASS {name} ({len(a)} rows)")
@@ -116,7 +151,8 @@ def main():
     if JSON_OUT:
         with open(JSON_OUT, "w") as f:
             json.dump({"sf_dir": SF, "n_queries": len(names), "pass": npass,
-                       "fail": nfail, "failures": failures}, f, indent=1, default=str)
+                       "fail": nfail, "failures": failures,
+                       "env": env_fingerprint(duckdb)}, f, indent=1, default=str)
         print(f"wrote {JSON_OUT}")
     sys.exit(1 if nfail else 0)
 
