@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.queries.Entry
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -2193,12 +2194,15 @@ object Dedup {
     // Jaccard threshold, while containment |A∩B|/min(|A|,|B|) ≈ 1. This is
     // the Broder containment measure; training pipelines need it because
     // boilerplate inclusion (TOS blocks, quoted articles) survives q36/q37
-    // untouched. Candidates by RARE-SHINGLE BLOCKING (the prefix-filter
-    // family): only shingles with global document frequency in [2, 10]
-    // generate pairs — a contained doc shares ALL its shingles with its
-    // container, so the pair is found iff the contained doc owns ≥1
-    // non-stop shingle; candidate volume is bounded by Σ_sh df² ≤
-    // 10·Σ df (positions-linear, never N²). Declared semantics (oracle
+    // untouched. Candidates by TWO blocking generators (prefix-filter
+    // family), unioned: (1) the DF BAND — shingles with global document
+    // frequency in [2, 10] pair their owners, bounded by Σ_sh df² ≤ 10·Σdf
+    // (positions-linear, never N²); (2) the per-doc MIN-DF SET — each doc's
+    // rarest df≥2 shingles (all ties at the doc's min df, NO global cap)
+    // pair against every owner, which recovers MASS boilerplate: a block
+    // pasted into thousands of docs has every shingle at df≫10 (band-blind,
+    // the r15 verdict defect), but those shingles are still the pure-block
+    // doc's RAREST, so its containers surface. Declared semantics (oracle
     // mirrors exactly): candidates from the DF band, confirm exact
     // containment ≥ 0.6 on distinct 3-token shingle SETS. Shingles stay
     // STRINGS here so DuckDB replays them verbatim; the production form
@@ -2363,17 +2367,27 @@ object Dedup {
     */
   private[graft] def containmentOracle: String = """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
              |  FROM documents),
-             |sh AS (SELECT DISTINCT doc_id,
+             |sh AS MATERIALIZED (SELECT DISTINCT doc_id,
              |    unnest(list_transform(range(1, greatest(len(t) - 1, 2)),
              |      i -> array_to_string(t[i:least(i+2, len(t))], ' '))) AS sh
              |  FROM tk),
              |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nsh
              |  FROM sh GROUP BY doc_id),
-             |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh
-             |  GROUP BY sh) WHERE df BETWEEN 2 AND 10),
-             |rsh AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-             |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |dfb AS MATERIALIZED (SELECT sh, count(*) AS df FROM sh
+             |  GROUP BY sh HAVING count(*) >= 2),
+             |rsh AS (SELECT s.doc_id, s.sh FROM sh s
+             |  JOIN dfb USING (sh) WHERE dfb.df <= 10),
+             |cand1 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
              |  FROM rsh a JOIN rsh b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+             |picks AS (SELECT doc_id, sh FROM (SELECT s.doc_id, s.sh, d.df,
+             |    min(d.df) OVER (PARTITION BY s.doc_id) AS mdf
+             |  FROM sh s JOIN dfb d USING (sh)) WHERE df = mdf),
+             |cand2 AS (SELECT least(p.doc_id, s.doc_id) AS a_id,
+             |    greatest(p.doc_id, s.doc_id) AS b_id
+             |  FROM picks p JOIN sh s ON s.sh = p.sh
+             |    AND s.doc_id != p.doc_id),
+             |cand AS (SELECT a_id, b_id FROM cand1
+             |  UNION SELECT a_id, b_id FROM cand2),
              |fi AS (SELECT c.a_id, c.b_id, CAST(count(*) AS BIGINT) AS n_inter
              |  FROM cand c
              |  JOIN sh sa ON sa.doc_id = c.a_id
@@ -2402,15 +2416,38 @@ object Dedup {
       else shRaw)
       .localCheckpoint() // consumers: sizes, DF table, pair join sides
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
-    val rare = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= 10)
-      .select(col("sh"))
-    val rsh = sh.join(rare, Seq("sh"))
-    val cand = rsh.select(col("sh"), col("doc_id").as("a_id"))
+    val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .localCheckpoint() // consumers: band filter + per-doc min-df picks
+    // generator 1 — DF band [2,10]: bounded (≤ 10·Σdf pairs), catches pairs
+    // sharing any globally-rare shingle
+    val rsh = sh.join(dfTab.filter(col("df") <= 10).select(col("sh")), Seq("sh"))
+    val cand1 = rsh.select(col("sh"), col("doc_id").as("a_id"))
       .join(rsh.select(col("sh"), col("doc_id").as("b_id")), Seq("sh"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
-      .distinct()
+    // generator 2 — per-doc MIN-DF set (r15 verdict #3): each doc's rarest
+    // df≥2 shingles (ALL ties at the doc's minimum df, NO global df cap)
+    // pair against every owner of that shingle. A pure-boilerplate doc's
+    // rarest shingles ARE the mass-pasted block's df≫10 shingles, so its
+    // containers become candidates — exactly the pair class the band is
+    // blind to. Order-free selection (a df threshold, never a top-k sort)
+    // keeps q219 strings / q230 hashes / the string oracle picking the
+    // SAME shingle sets with no cross-representation tie-break. Volume:
+    // Σ_docs |mindf-set|·df(sh) — organic docs pick 1-3 df≈2 shingles
+    // (~linear); only a genuine mass-dup cluster expands, and there the
+    // candidate count is output-density (those pairs ARE contained).
+    val picks = sh.join(dfTab, Seq("sh"))
+      .withColumn("mdf", min(col("df")).over(
+        Window.partitionBy(col("doc_id")))) // per-doc axis, bounded
+      .filter(col("df") === col("mdf"))
+      .select(col("doc_id"), col("sh"))
+    val cand2 = picks.select(col("sh"), col("doc_id").as("p_id"))
+      .join(sh.select(col("sh"), col("doc_id").as("o_id")), Seq("sh"))
+      .filter(col("p_id") =!= col("o_id"))
+      .select(least(col("p_id"), col("o_id")).as("a_id"),
+        greatest(col("p_id"), col("o_id")).as("b_id"))
+    val cand = cand1.unionByName(cand2).distinct()
     // exact intersection over ALL shingles for the candidate pairs: the
     // shared-shingle join rows ARE the intersection (candidate-sized work)
     val full = cand
