@@ -2308,13 +2308,32 @@ object Dedup {
     // corpus-wide copy counts as an unordered full-partition window over
     // the chunk hash (the q110 idiom): ONE chash exchange, no aggregate
     // subtree + join-back that would re-plan the HOF chunking twice
-    // (ReuseCheck measured 2 scans for the join form vs 1 here). A
-    // pathological every-doc chunk makes a hot window group; the salted
-    // two-phase shape is the documented fallback.
-    cdcChunks(docs)
-      .withColumn("n_copies",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("chash"))))
+    // (ReuseCheck measured 2 scans for the join form vs 1 here — now a
+    // single checkpointed materialization feeds both the probe and the
+    // stats). A pathological every-doc chunk makes a hot window group that
+    // NO amount of parallelism can split, so the shape is now chosen by a
+    // measured skew probe (the q192 adaptiveBandSalt discipline: a 1-row
+    // driver-read statistic steering a plan knob, never a corpus collect):
+    // above `graft.dedup.cdcHotChunk` copies of the hottest chunk, switch
+    // to two-phase count (map-side partials absorb the universal chunk)
+    // + join-back on chash, where AQE skew-split CAN divide the hot key
+    // across tasks. Below it, the window form's single exchange wins.
+    val cc = cdcChunks(docs)
+      .localCheckpoint() // consumers: skew probe + copy counts + rollup
+    val hottest = cc.groupBy(col("chash")).agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(max(col("cnt")), lit(0L)))
+      .head().getLong(0) // bounded 1-row plan knob
+    val threshold = cc.sparkSession.conf
+      .get("graft.dedup.cdcHotChunk", "1000000").toLong
+    val marked =
+      if (hottest <= threshold)
+        cc.withColumn("n_copies",
+          count(lit(1)).over(Window.partitionBy(col("chash"))))
+      else
+        cc.join(
+          cc.groupBy(col("chash")).agg(count(lit(1)).as("n_copies")),
+          Seq("chash"))
+    marked
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_chunks"),

@@ -887,7 +887,10 @@ class DedupSimilaritySuite extends SparkTestBase {
     reg.write.format("noop").mode("overwrite").save()
     val scans = flattenPlan(reg.queryExecution.executedPlan)
       .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
-    assert(scans == 1, s"q229 scans the corpus $scans times — window form scans once")
+    // the chunk rows are checkpointed once (probe + stats consumers): the
+    // single corpus scan happens building the barrier, so the visible plan
+    // must not re-read parquet at all
+    assert(scans == 0, s"q229 re-reads parquet $scans times past the barrier")
     val rows = reg.collect()
     val all = graft.operators.Dedup.cdcChunks(
       Tables.documents(spark, sf).select(col("doc_id"), col("source"), col("text")))
@@ -898,6 +901,41 @@ class DedupSimilaritySuite extends SparkTestBase {
       assert(r.getLong(1) == mine.length, s"${r.getString(0)} n_chunks")
       assert(r.getLong(2) == mine.map(_._2).sum, "n_chars")
       assert(r.getLong(4) == mine.count(c => copies(c._3) >= 2), "dup_chunks")
+    }
+  }
+
+  test("q229 hot-chunk probe: planted universal chunk switches the plan shape") {
+    val sess = spark
+    import sess.implicits._
+    // every doc starts with the same 600-char block → its chunks are
+    // universal (60 copies each); unique tails keep the docs distinct
+    val rnd = new scala.util.Random(229)
+    val block = (1 to 600).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val docs = (1 to 60).map { i =>
+      (i.toLong, "s", block + s" tail$i " +
+        (1 to 40).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    }.toDF("doc_id", "source", "text")
+    def hasWindow(df: org.apache.spark.sql.DataFrame): Boolean =
+      flattenPlan(df.queryExecution.executedPlan)
+        .exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+    // default threshold (1e6): the window shape stands
+    val ref = graft.operators.Dedup.cdcChunkStats(docs)
+    val refRows = ref.collect().map(_.toString).toSeq
+    assert(hasWindow(ref), "below threshold the single-exchange window wins")
+    val saved = spark.conf.getOption("graft.dedup.cdcHotChunk")
+    try {
+      spark.conf.set("graft.dedup.cdcHotChunk", "10")
+      val df = graft.operators.Dedup.cdcChunkStats(docs)
+      val got = df.collect().map(_.toString).toSeq
+      assert(got == refRows, "fallback shape must be output-identical")
+      assert(!hasWindow(df),
+        "above threshold the unsplittable hot-key window must be replaced " +
+          "by two-phase count + join-back (AQE can skew-split a join)")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set("graft.dedup.cdcHotChunk", v)
+        case None => spark.conf.unset("graft.dedup.cdcHotChunk")
+      }
     }
   }
 
