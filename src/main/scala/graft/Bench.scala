@@ -425,7 +425,13 @@ object Bench {
     // seeded-hash uniformity audit (round 15, standing from birth).
     "q280_hash_uniformity",
     // split conformal prediction intervals (round 15, standing from birth).
-    "q281_conformal")
+    "q281_conformal",
+    // corpus rewrite transforms: BPE tokenizer-apply, repeated-span
+    // removal, PII scan/redact (round 16, standing from birth). Subtract
+    // these three when comparing secondary_total against r15 artifacts.
+    "q282_bpe_encode",
+    "q283_span_dedup",
+    "q284_pii_redact")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

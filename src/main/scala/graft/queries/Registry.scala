@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps, Transforms}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -18,6 +18,7 @@ object Registry {
       EventOps.entries ++
       EventStreams.entries ++
       TextOps.entries ++
+      Transforms.entries ++
       Dedup.entries ++
       Dedup.entries2 ++
       Similarity.entries ++

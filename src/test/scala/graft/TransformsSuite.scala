@@ -1,0 +1,159 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Transforms
+import graft.queries.Registry
+
+/** Corpus rewrite transforms (q282 BPE encode, q283 span dedup, q284 PII
+  * redact): each test ties the registered rollup to an independent JVM-side
+  * replay and pins the plan shape the 100 TB story depends on.
+  */
+class TransformsSuite extends SparkTestBase {
+
+  test("q282 encode: merge list is broadcast, not re-learned; ties to q83") {
+    val df = Registry.byName("q282_bpe_encode").q(spark, sf)
+    val rows = df.collect()
+    // the encode pass reads the corpus EXACTLY once — the learn phase ran
+    // before the checkpoint barrier, so a re-learn would show extra scans
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"encode plan reads parquet $scans times, want 1")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
+      "the pivoted merge list must enter the encode scan via broadcast")
+    // corpus totals equal q83's round-4 state: apply(corpus, merges) IS the
+    // learn loop's final re-segmentation
+    val vocab = Registry.byName("q83_bpe_vocab").q(spark, sf).collect()
+    val toksAfterR4 = vocab.filter(_.getLong(0) == 4L).head.getLong(4)
+    assert(rows.map(_.getLong(3)).sum == toksAfterR4,
+      "sum of per-source toks_after must equal q83's round-4 corpus count")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "merges can only shrink tokens")
+      assert(r.getLong(6) <= 1000000L, "compression_ppm is a ratio <= 1")
+    }
+  }
+
+  test("q283 rewrite is IDEMPOTENT and stats tie to a JVM-side replay") {
+    val sess = spark
+    import sess.implicits._
+    // synthesized corpus: doc 1 is the canonical paragraph (two 8-token
+    // blocks); docs 2-21 paste block A at an ALIGNED offset behind 8 of
+    // their own tokens; doc 22 pastes it misaligned (offset 4) — the
+    // documented alignment miss
+    val blockA = (0 until 8).map(i => s"a$i").mkString(" ")
+    val blockB = (0 until 8).map(i => s"b$i").mkString(" ")
+    val hosts = (2 to 21).map { h =>
+      (h.toLong, "s", (0 until 8).map(i => s"h${h}w$i").mkString(" ") + " " + blockA)
+    }
+    val misaligned = (22L, "s",
+      (0 until 4).map(i => s"m$i").mkString(" ") + " " + blockA)
+    val docs = (Seq((1L, "s", blockA + " " + blockB)) ++ hosts :+ misaligned)
+      .toDF("doc_id", "source", "text")
+    val stats = Transforms.spanDedupStats(docs).collect()
+    assert(stats.length == 1)
+    // 20 aligned repeats of block A are dups; doc 22's copy is missed
+    assert(stats.head.getLong(3) == 20L,
+      s"expected exactly the 20 aligned repeats, got ${stats.head.getLong(3)}")
+    val cleaned = Transforms.spanDedupRewrite(docs)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(cleaned(1L) == blockA + " " + blockB, "first occurrence kept intact")
+    (2 to 21).foreach { h =>
+      assert(cleaned(h.toLong) == (0 until 8).map(i => s"h${h}w$i").mkString(" "),
+        s"host $h must lose exactly the pasted block")
+    }
+    assert(cleaned(22L) == misaligned._3, "misaligned copy untouched (documented)")
+    // idempotence, structurally: a second full pass removes NOTHING
+    val again = Transforms.spanDedupRewrite(
+      cleaned.toSeq.map { case (id, t) => (id, "s", t) }
+        .toDF("doc_id", "source", "text"))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(again == cleaned, "rewrite of the rewrite must be a fixpoint")
+    val statsClean = Transforms.spanDedupStats(
+      cleaned.toSeq.map { case (id, t) => (id, "s", t) }
+        .toDF("doc_id", "source", "text")).collect()
+    assert(statsClean.head.getLong(3) == 0L,
+      "cleaned corpus must report zero duplicate spans")
+  }
+
+  test("q283 registered query: dup accounting ties to brute hashes at sf") {
+    val rows = Registry.byName("q283_span_dedup").q(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val P = 2147483647L
+    def tokHash(w: String): Long =
+      w.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % P)
+    val blocks = docs.flatMap { case (id, src, text) =>
+      val th = text.split(" ", -1).map(tokHash)
+      (1 to th.length / 8).map { i =>
+        val bh = th.slice((i - 1) * 8, i * 8)
+          .foldLeft(0L)((a, c) => (a * 131 + c) % P)
+        (src, id * 16777216L + i, bh, i.toLong)
+      }
+    }
+    val firstOf = blocks.groupBy(_._3).map { case (bh, xs) =>
+      bh -> xs.map(_._2).min
+    }
+    val bySource = blocks.groupBy(_._1)
+    rows.foreach { r =>
+      val mine = bySource.getOrElse(r.getString(0), Array.empty[(String, Long, Long, Long)])
+      assert(r.getLong(2) == mine.length.toLong, s"${r.getString(0)} n_spans")
+      val dups = mine.count(b => firstOf(b._3) != b._2)
+      assert(r.getLong(3) == dups.toLong, s"${r.getString(0)} dup_spans brute mismatch")
+      assert(r.getLong(5) == 8L * dups, "toks_removed = 8 per dropped span")
+    }
+    // meaningful at fixture scale: the corpus genuinely repeats spans
+    assert(rows.map(_.getLong(3)).sum > 0, "fixture has repeated spans")
+  }
+
+  test("q284 redact: injection equals detection; digest replays bit-exact") {
+    val df = Registry.byName("q284_pii_redact").q(spark, sf)
+    val rows = df.collect()
+    // plan: ONE corpus scan, nothing exploded before the rollup
+    val plans = flattenPlan(df.queryExecution.executedPlan)
+    assert(plans.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) == 1,
+      "q284 must be a single-scan plan")
+    assert(!plans.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.GenerateExec]),
+      "q284 must not explode anything")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val P = 2147483647L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def inject(id: Long, text: String): String = (id % 101) match {
+      case 3 => s"$text contact user$id@example.com now"
+      case 17 => s"$text from 10.${id % 256}.0.42 logged"
+      case 29 => s"$text call +1-555-${"%04d".format(id * 7919 % 10000)} today"
+      case 41 => s"$text token sk-${md5hex(s"pii:$id").take(16)} used"
+      case _ => text
+    }
+    val pats = Seq(Transforms.EmailPat -> "[EMAIL]", Transforms.Ipv4Pat -> "[IP]",
+      Transforms.PhonePat -> "[PHONE]", Transforms.KeyPat -> "[KEY]")
+    val replayed = docs.map { case (id, src, text) =>
+      val x = inject(id, text)
+      val counts = pats.map { case (p, _) =>
+        p.r.findAllMatchIn(x).length.toLong
+      }
+      val red = pats.foldLeft(x) { case (t, (p, rep)) =>
+        t.replaceAll(p, java.util.regex.Matcher.quoteReplacement(rep))
+      }
+      val dg = red.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % P)
+      (src, counts, dg)
+    }
+    rows.foreach { r =>
+      val mine = replayed.filter(_._1 == r.getString(0))
+      assert(r.getLong(2) == mine.map(_._2(0)).sum, "emails")
+      assert(r.getLong(3) == mine.map(_._2(1)).sum, "ipv4")
+      assert(r.getLong(4) == mine.map(_._2(2)).sum, "phones")
+      assert(r.getLong(5) == mine.map(_._2(3)).sum, "keys")
+      assert(r.getLong(6) == mine.count(_._2.sum > 0).toLong, "pii_docs")
+      assert(r.getLong(8) == mine.map(_._3).sum,
+        s"${r.getString(0)} redacted digest diverges from the JVM replay")
+    }
+    assert(rows.map(_.getLong(6)).sum > 0, "fabrication must inject some PII")
+  }
+}
