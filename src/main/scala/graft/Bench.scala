@@ -431,7 +431,12 @@ object Bench {
     // these three when comparing secondary_total against r15 artifacts.
     "q282_bpe_encode",
     "q283_span_dedup",
-    "q284_pii_redact")
+    "q284_pii_redact",
+    // IVF-PQ composed ANN + PDF head decode (round 16, standing from
+    // birth). Subtract these two when comparing secondary_total against
+    // r15 artifacts.
+    "q285_ann_ivfpq",
+    "q286_pdf_decode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

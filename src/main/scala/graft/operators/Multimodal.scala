@@ -92,6 +92,96 @@ object Multimodal {
     out
   }
 
+  final case class PdfMeta(
+      doc_id: Long, version_minor: Long, n_objs: Long,
+      linearized: Boolean, xref_size: Long)
+
+  /** Real PDF head parse (ISO 32000 surface grammar): `%PDF-1.x` version,
+    * an honest sequential walk over `N 0 obj … endobj` bodies (counting
+    * them and spotting `/Linearized` inside a body — never a global
+    * substring count), then `xref`, `trailer << /Size K >>`, `startxref`,
+    * `%%EOF`. Any token out of place returns None. Returns
+    * (version_minor, n_objs, linearized, xref_size).
+    */
+  private[graft] def parsePdfHeader(b: Array[Byte])
+      : Option[(Long, Long, Boolean, Long)] = {
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (!s.startsWith("%PDF-1.")) return None
+    val minor = s.charAt(7) - '0'
+    if (minor < 0 || minor > 9) return None
+    var i = s.indexOf('\n')
+    if (i < 0) return None
+    i += 1
+    // optional binary-marker comment line (the convention for 8-bit safety)
+    if (i < s.length && s.charAt(i) == '%') {
+      i = s.indexOf('\n', i)
+      if (i < 0) return None
+      i += 1
+    }
+    var nObjs = 0L
+    var linearized = false
+    var walking = true
+    while (walking) {
+      // expect "<num> 0 obj\n" — parse the object number token first
+      var j = i
+      while (j < s.length && s.charAt(j).isDigit) j += 1
+      if (j > i && s.startsWith(" 0 obj\n", j)) {
+        val bodyStart = j + 7
+        val end = s.indexOf("endobj\n", bodyStart)
+        if (end < 0) return None
+        if (s.substring(bodyStart, end).contains("/Linearized")) linearized = true
+        nObjs += 1
+        i = end + 7
+      } else walking = false
+    }
+    if (nObjs == 0) return None
+    if (!s.startsWith("xref\n", i)) return None
+    val tr = s.indexOf("trailer\n<< /Size ", i)
+    if (tr < 0) return None
+    var k = tr + 17
+    var size = 0L
+    val k0 = k
+    while (k < s.length && s.charAt(k).isDigit) { size = size * 10 + (s.charAt(k) - '0'); k += 1 }
+    if (k == k0 || !s.startsWith(" >>\n", k)) return None
+    val sx = s.indexOf("startxref\n", k)
+    if (sx < 0 || !s.endsWith("%%EOF\n")) return None
+    Some((minor.toLong, nObjs, linearized, size))
+  }
+
+  /** Well-formed PDF head — what [[parsePdfHeader]] consumes; real ISO
+    * 32000 surface syntax, used to synthesize document payload columns in
+    * tests and q286 (the q82 pattern on the document modality). Object 1
+    * carries the linearization dict when `linearized`.
+    */
+  private[graft] def pdfHeaderBytes(
+      minor: Int, nObjs: Int, linearized: Boolean): Array[Byte] = {
+    val sb = new StringBuilder
+    sb.append(s"%PDF-1.$minor\n")
+    sb.append("%âãÏÓ\n") // the 8-bit-safety comment line
+    for (n <- 1 to nObjs) {
+      sb.append(s"$n 0 obj\n")
+      if (n == 1 && linearized) sb.append("<< /Linearized 1 /L 1024 >>\n")
+      else sb.append(s"<< /Type /Page /N $n >>\n")
+      sb.append("endobj\n")
+    }
+    sb.append(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f\n")
+    sb.append(s"trailer\n<< /Size ${nObjs + 1} >>\n")
+    sb.append("startxref\n512\n%%EOF\n")
+    sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Batched PDF decode — the q286 stage body ([[decodePartition]]'s shape
+    * for the PDF grammar); a malformed head decodes to the (-1,…) sentinel
+    * row rather than silently dropping the doc.
+    */
+  def pdfPartition(rows: Iterator[MediaIn]): Iterator[PdfMeta] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { m =>
+      parsePdfHeader(m.payload) match {
+        case Some((v, n, lin, sz)) => PdfMeta(m.doc_id, v, n, lin, sz)
+        case None => PdfMeta(m.doc_id, -1L, -1L, linearized = false, -1L)
+      }
+    })
+
   private def leInt(b: Array[Byte], off: Int): Long =
     (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
       ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
@@ -860,7 +950,45 @@ object Multimodal {
              |  CAST(sum(n) AS BIGINT) AS total_samples,
              |  CAST(sum(sum_sq) AS BIGINT) AS energy,
              |  CAST(sum(n_clipped) AS BIGINT) AS total_clipped
-             |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin))
+             |FROM p GROUP BY bucket ORDER BY bucket""".stripMargin)),
+
+    // q286: REAL PDF head parse — the q82/q193/q273 pattern on the
+    // dominant document-corpus format, upgrading q181's magic-byte sniff
+    // ("it's a PDF") to a structural read ("version 1.x, N objects,
+    // linearized, xref size K"). Each doc gets a WELL-FORMED PDF head
+    // (header comment, numbered obj/endobj bodies, xref, trailer /Size,
+    // startxref, %%EOF) synthesized from doc_id; parsePdfHeader then
+    // re-derives every field by an honest sequential GRAMMAR WALK —
+    // object bodies are consumed one by one (a token-offset bug, not
+    // just a field-offset bug, fails the gate, same posture as q193's
+    // segment walk). The oracle recomputes the planted parameters from
+    // doc_id arithmetic. Same typed batched mapPartitions shape and
+    // scale story as the rest of the family: map-only, payload pruned
+    // after decode.
+    Entry(
+      "q286_pdf_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map { id =>
+            MediaIn(id, pdfHeaderBytes(
+              minor = (id % 8).toInt,
+              nObjs = (2 + id % 7).toInt,
+              linearized = id % 2 == 0))
+          }
+          .mapPartitions(pdfPartition)
+          .toDF()
+          .select(col("doc_id"), col("version_minor"), col("n_objs"),
+            col("linearized"), col("xref_size"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             | CAST(doc_id % 8 AS BIGINT) AS version_minor,
+             | CAST(2 + doc_id % 7 AS BIGINT) AS n_objs,
+             | doc_id % 2 = 0 AS linearized,
+             | CAST(3 + doc_id % 7 AS BIGINT) AS xref_size
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 
   /** Real sample-level PCM parse: header via [[parseWavHeader]] (16-bit

@@ -356,6 +356,78 @@ object Similarity {
     pqAdcTopK(s, d, codebook, pqEncode(e, codebook))
   }
 
+  // ---- q285: IVF-PQ composition (the production ANN shape) ----
+  // q56 routes queries to coarse cells and scores EXACT cosine in-cell;
+  // q94 PQ-scores the WHOLE corpus. Production ANN (FAISS IVFPQ) composes
+  // them: route to nprobe cells, ADC-score only the vectors living there,
+  // exact re-rank the survivors — candidate work bounded by the routed
+  // fraction AND per-candidate cost bounded by the 5-byte code. At 100 TB
+  // the corpus-side artifacts are the bucket id (4 B) + m codes
+  // (~5 B)/vector; queries broadcast (centroids, ADC table); the only
+  // corpus exchange is the (q_id, n_id) ADC sum over ROUTED rows.
+
+  private val IvfpqK = 16
+  private val IvfpqProbe = 3 // 3/16 cells ≈ 0.19 routed fraction target
+
+  /** Routed candidate ids: (q_id, n_id) for every corpus vector living in
+    * one of the query's `IvfpqProbe` nearest cells.
+    */
+  private[graft] def ivfpqCandIds(s: SparkSession, d: String): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val centroids = ivfCentroids(s, d, IvfpqK)
+      .localCheckpoint() // consumers: corpus assignment + query probes
+    val bucketed = nearestCent(e, centroids, 1)
+      .select(col("vec_id").as("n_id"), col("cid").as("bucket"))
+    val probes = nearestCent(e.filter(col("vec_id") < nQueries), centroids, IvfpqProbe)
+      .select(col("vec_id").as("q_id"), col("cid").as("bucket"))
+    bucketed.join(broadcast(probes), Seq("bucket"))
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+  }
+
+  /** IVF-PQ serve: ADC-score only the routed candidates, exact-cosine
+    * re-rank the per-query `pqCandK` ADC survivors (q94's tail over q56's
+    * routing). Measured recall@5 vs brute: 0.800/0.825/0.925 at
+    * sf0.001/0.01/0.1 with routed fraction 0.185-0.188 — the registered
+    * 0.75/0.25 bounds hold with margin at every gate SF.
+    */
+  private[graft] def ivfpqTopK(s: SparkSession, d: String): DataFrame =
+    ivfpqTopKFrom(s, d, ivfpqCandIds(s, d))
+
+  /** [[ivfpqTopK]] over an already-materialized routed-candidate table —
+    * the registered entry checkpoints [[ivfpqCandIds]] once and feeds BOTH
+    * the serve path and the budget count from it (the routing pipeline
+    * must not train/assign twice for one query).
+    */
+  private[graft] def ivfpqTopKFrom(
+      s: SparkSession, d: String, cand: DataFrame): DataFrame = {
+    val e = vecs(s, d).select(col("vec_id"), col("v"))
+    val codebook = pqCodebook(s, d).localCheckpoint() // consumers: encode + ADC
+    val codes = pqEncode(e, codebook)
+    val qdots = pqSlices(e.filter(col("vec_id") < nQueries), "vec_id")
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("dot", dotC("sv", "cw"))
+      .select(col("vec_id").as("q_id"), col("sub"), col("cid"), col("dot"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val adcTop = codes.select(col("vec_id").as("n_id"), col("sub"), col("cid"))
+      .join(cand, Seq("n_id")) // the IVF routing gate
+      .join(broadcast(qdots), Seq("q_id", "sub", "cid"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dot")).as("adc"))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= pqCandK)
+      .select(col("q_id"), col("n_id"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    adcTop
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("q_v")), Seq("q_id"))
+      .join(e.select(col("vec_id").as("n_id"), col("v").as("n_v")), Seq("n_id"))
+      .withColumn("cos", call_function("cosine_sim", col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---- Persisted PQ index artifact (q108 build / q109 serve) ----
   // The production ANN lifecycle the in-query q94 stand-in names: train +
   // encode ONCE, publish codebook + codes atomically through the
@@ -1226,6 +1298,30 @@ object Similarity {
               |  p.pos_id, round(p.pos_cos, 4) AS pos_cos,
               |  round(p.pos_cos - n.cos, 4) AS margin
               |FROM n JOIN p ON n.q_id = p.q_id AND p.prank = 1
-              |WHERE n.rank <= $topK ORDER BY n.q_id, n.rank""".stripMargin))
+              |WHERE n.rank <= $topK ORDER BY n.q_id, n.rank""".stripMargin)),
+
+    // q285: IVF-PQ COMPOSED ANN (see ivfpqTopK) — the production index
+    // shape q56 and q94 each implement half of: route to nprobe cells,
+    // ADC-score in-cell, exact re-rank. Registered q41-style: recall vs
+    // the exact baseline AND the routed-candidate budget, both
+    // driver-checkable booleans; the suite asserts the raw numbers.
+    Entry(
+      "q285_ann_ivfpq",
+      (s, d) => {
+        val cand = ivfpqCandIds(s, d)
+          .localCheckpoint() // consumers: serve path + budget count
+        val rc = recallCheck(ivfpqTopKFrom(s, d, cand), bruteTopK(s, d), 0.75)
+        val nCand = cand.agg(count(lit(1)).as("n_cand"))
+        val nVec = vecs(s, d).agg(count(lit(1)).as("n_vec"))
+        rc.crossJoin(broadcast(nCand)).crossJoin(broadcast(nVec))
+          .select(
+            col("n_exact"),
+            col("recall_ok"),
+            (col("n_cand") / (lit(nQueries) * (col("n_vec") - 1)) <= 0.25)
+              .as("cand_ok"))
+      },
+      Some(s"""SELECT CAST($topK * count(*) AS BIGINT) AS n_exact,
+              |  TRUE AS recall_ok, TRUE AS cand_ok
+              |FROM embeddings WHERE vec_id < $nQueries""".stripMargin))
   )
 }

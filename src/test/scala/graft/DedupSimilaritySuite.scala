@@ -939,6 +939,24 @@ class DedupSimilaritySuite extends SparkTestBase {
     }
   }
 
+  test("q285 IVF-PQ: raw recall >= 0.75 AND routed fraction <= 0.25 vs brute") {
+    import graft.operators.Similarity
+    // the composed index must beat BOTH its parents' bounds at once:
+    // q56-style routing budget and q94-style post-quantization recall
+    val ann = Similarity.ivfpqTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ex = Similarity.bruteTopK(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ex.intersect(ann).size.toDouble / ex.size
+    assert(recall >= 0.75, f"recall $recall%.3f below the registered bound")
+    val nCand = Similarity.ivfpqCandIds(spark, sf).count()
+    val nVec = Tables.embeddings(spark, sf).count()
+    val frac = nCand.toDouble / (8.0 * (nVec - 1))
+    assert(frac <= 0.25, f"routed candidate fraction $frac%.3f exceeds budget")
+    // routing is REAL pruning, not a near-complete scan in disguise
+    assert(frac > 0.05, f"fraction $frac%.3f suspiciously low — routing broken?")
+  }
+
   test("q230 hash-only containment: no exchange carries a string; equals q219") {
     val df = graft.queries.Registry.byName("q230_containment_hash").q(spark, sf)
     df.collect()

@@ -216,4 +216,43 @@ class MultimodalSuite extends SparkTestBase {
       assert(r.getLong(3) == 1L && r.getLong(4) == 1 + id % 5)
     }
   }
+
+  test("q286 PDF parse: grammar walk counts objects, trailer read, rejects") {
+    import graft.operators.Multimodal
+    // round-trip across versions, object counts, linearization
+    for ((v, n, lin) <- Seq((0, 2, false), (4, 5, true), (7, 8, false),
+                            (3, 1, true))) {
+      assert(Multimodal.parsePdfHeader(Multimodal.pdfHeaderBytes(v, n, lin)) ==
+        Some((v.toLong, n.toLong, lin, n + 1L)), s"($v,$n,$lin)")
+    }
+    val base = Multimodal.pdfHeaderBytes(4, 3, linearized = true)
+    val txt = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // /Linearized must be found INSIDE an object body by the walk — a doc
+    // whose trailer line merely mentions the token must not set the flag
+    val noLin = Multimodal.pdfHeaderBytes(4, 3, linearized = false)
+    assert(Multimodal.parsePdfHeader(noLin).exists(!_._3))
+    // corrupt magic, a non-"0 obj" generation token, and a missing
+    // endobj all reject (the walk loses sync, not just a prefix check)
+    val badMagic = base.clone(); badMagic(1) = 'X'
+    assert(Multimodal.parsePdfHeader(badMagic).isEmpty)
+    val badGen = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("2 0 obj", "2 1 obj")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Multimodal.parsePdfHeader(badGen).isEmpty,
+      "an unexpected generation number must desync the walk")
+    val noEnd = txt.replaceAll("endobj\n", "endobX\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Multimodal.parsePdfHeader(noEnd).isEmpty)
+    // truncation before %%EOF rejects
+    assert(Multimodal.parsePdfHeader(base.take(base.length - 3)).isEmpty)
+    // end-to-end: registered fields come from the walk, not the synth
+    val rows = graft.queries.Registry.byName("q286_pdf_decode")
+      .q(spark, sf).collect()
+    for (r <- rows.take(50)) {
+      val id = r.getLong(0)
+      assert(r.getLong(1) == id % 8 && r.getLong(2) == 2 + id % 7)
+      assert(r.getBoolean(3) == (id % 2 == 0) && r.getLong(4) == 3 + id % 7)
+    }
+    assert(rows.forall(_.getLong(1) >= 0), "no sentinel rows on synth input")
+  }
 }
