@@ -436,7 +436,13 @@ object Bench {
     // birth). Subtract these two when comparing secondary_total against
     // r15 artifacts.
     "q285_ann_ivfpq",
-    "q286_pdf_decode")
+    "q286_pdf_decode",
+    // composed curation funnel + BPE merge-array fold + tokenizer
+    // publish/serve lifecycle (round 16, standing from birth). Subtract
+    // these three when comparing secondary_total against r15 artifacts.
+    "q287_curation_funnel",
+    "q288_bpe_encode_fold",
+    "q289_tokenizer_publish_serve")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

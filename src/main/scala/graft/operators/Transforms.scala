@@ -39,6 +39,46 @@ object Transforms {
   private[graft] val PhonePat = "\\+1-555-\\d{4}"
   private[graft] val KeyPat = "sk-[0-9a-f]{16}"
 
+  /** Shared q282/q288/q289 oracle: unroll the 4 learn rounds as CTEs (the
+    * q83 pattern carrying `source`), then the before/after per-source
+    * rollup. All three encode paths produce the IDENTICAL table — the
+    * pivoted-column apply (q282), the merge-array fold (q288), and the
+    * serve-from-artifact (q289) — which is itself the equivalence claim
+    * the oracle triple-checks.
+    */
+  private val BpeEncodeOracle: String = {
+    def enc(r: Int): String = {
+      val prev = if (r == 1) "s0" else s"m${r - 1}"
+      s"""p$r AS (SELECT unnest(list_transform(range(2, len(toks)+1),
+         |    i -> toks[i-1] || ' ' || toks[i])) AS pair
+         |  FROM (SELECT list_filter(string_split(trim(s, ' '), '  '), t -> t <> '') AS toks
+         |        FROM $prev)),
+         |t$r AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+         |  FROM (SELECT pair, count(*) AS cnt FROM p$r GROUP BY pair
+         |        ORDER BY cnt DESC, pair LIMIT 1)),
+         |m$r AS MATERIALIZED (SELECT source,
+         |    replace(s, ' '||x||'  '||y||' ', ' '||x||y||' ') AS s
+         |  FROM $prev CROSS JOIN t$r)""".stripMargin
+    }
+    s"""WITH s0 AS MATERIALIZED (SELECT source,
+       |    ' ' || array_to_string(regexp_extract_all(text, '[a-z]{1,4}'), '  ') || ' ' AS s
+       |  FROM documents),
+       |${(1 to 4).map(enc).mkString(",\n")},
+       |bef AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(list_filter(string_split(trim(s, ' '), '  '), t -> t <> ''))) AS BIGINT)
+       |      AS toks_before,
+       |    CAST(sum(length(replace(s, ' ', ''))) AS BIGINT) AS n_chars
+       |  FROM s0 GROUP BY source),
+       |aft AS (SELECT source,
+       |    CAST(sum(len(list_filter(string_split(trim(s, ' '), '  '), t -> t <> ''))) AS BIGINT)
+       |      AS toks_after
+       |  FROM m4 GROUP BY source)
+       |SELECT b.source, b.n_docs, b.toks_before, a.toks_after, b.n_chars,
+       |  b.n_chars * 1000000 // greatest(a.toks_after, 1) AS chars_per_tok_micro,
+       |  a.toks_after * 1000000 // greatest(b.toks_before, 1) AS compression_ppm
+       |FROM bef b JOIN aft a USING (source) ORDER BY source""".stripMargin
+  }
+
   val entries: Seq[Entry] = Seq(
 
     // q282: TOKENIZER APPLY — encode the corpus with the merge list q83
@@ -68,70 +108,15 @@ object Transforms {
           max(when(col("round") === r.toLong, col(c))).as(s"$c$r")
         val wide = ml.agg(part(1, "x"), part(1, "y"), part(2, "x"),
           part(2, "y"), part(3, "x"), part(3, "y"), part(4, "x"), part(4, "y"))
-        val toksCol =
-          regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))
-        val docs = T.documents(s, d).select(
-          col("source"),
-          concat(lit(" "), concat_ws("  ", toksCol), lit(" ")).as("s"))
-          .withColumn("nt0",
-            size(filter(split(trim(col("s")), "  "), t => t =!= ""))
-              .cast("long"))
-          .withColumn("nc", length(replace(col("s"), lit(" "), lit("")))
-            .cast("long"))
-        val enc = (1 to 4).foldLeft(docs.crossJoin(broadcast(wide))) {
+        val enc = (1 to 4).foldLeft(bpeDocs(s, d).crossJoin(broadcast(wide))) {
           (df, r) =>
             df.withColumn("s", replace(col("s"),
               concat(lit(" "), col(s"x$r"), lit("  "), col(s"y$r"), lit(" ")),
               concat(lit(" "), col(s"x$r"), col(s"y$r"), lit(" "))))
         }
-        enc
-          .withColumn("nt4",
-            size(filter(split(trim(col("s")), "  "), t => t =!= ""))
-              .cast("long"))
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("nt0")).as("toks_before"),
-            sum(col("nt4")).as("toks_after"),
-            sum(col("nc")).as("n_chars"))
-          .withColumn("chars_per_tok_micro",
-            expr("n_chars * 1000000L div greatest(toks_after, 1L)"))
-          .withColumn("compression_ppm",
-            expr("toks_after * 1000000L div greatest(toks_before, 1L)"))
-          .orderBy(col("source"))
+        bpeRollup(enc)
       },
-      Some {
-        def enc(r: Int): String = {
-          val prev = if (r == 1) "s0" else s"m${r - 1}"
-          s"""p$r AS (SELECT unnest(list_transform(range(2, len(toks)+1),
-             |    i -> toks[i-1] || ' ' || toks[i])) AS pair
-             |  FROM (SELECT list_filter(string_split(trim(s, ' '), '  '), t -> t <> '') AS toks
-             |        FROM $prev)),
-             |t$r AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
-             |  FROM (SELECT pair, count(*) AS cnt FROM p$r GROUP BY pair
-             |        ORDER BY cnt DESC, pair LIMIT 1)),
-             |m$r AS MATERIALIZED (SELECT source,
-             |    replace(s, ' '||x||'  '||y||' ', ' '||x||y||' ') AS s
-             |  FROM $prev CROSS JOIN t$r)""".stripMargin
-        }
-        s"""WITH s0 AS MATERIALIZED (SELECT source,
-           |    ' ' || array_to_string(regexp_extract_all(text, '[a-z]{1,4}'), '  ') || ' ' AS s
-           |  FROM documents),
-           |${(1 to 4).map(enc).mkString(",\n")},
-           |bef AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-           |    CAST(sum(len(list_filter(string_split(trim(s, ' '), '  '), t -> t <> ''))) AS BIGINT)
-           |      AS toks_before,
-           |    CAST(sum(length(replace(s, ' ', ''))) AS BIGINT) AS n_chars
-           |  FROM s0 GROUP BY source),
-           |aft AS (SELECT source,
-           |    CAST(sum(len(list_filter(string_split(trim(s, ' '), '  '), t -> t <> ''))) AS BIGINT)
-           |      AS toks_after
-           |  FROM m4 GROUP BY source)
-           |SELECT b.source, b.n_docs, b.toks_before, a.toks_after, b.n_chars,
-           |  b.n_chars * 1000000 // greatest(a.toks_after, 1) AS chars_per_tok_micro,
-           |  a.toks_after * 1000000 // greatest(b.toks_before, 1) AS compression_ppm
-           |FROM bef b JOIN aft a USING (source) ORDER BY source""".stripMargin
-      }),
+      Some(BpeEncodeOracle)),
 
     // q283: REPEATED-SPAN REMOVAL — the REWRITE q216's audit stops short
     // of: drop every corpus-wide repeat of an 8-token span, keep the
@@ -315,6 +300,264 @@ object Transforms {
              |FROM dgt GROUP BY source ORDER BY source""".stripMargin))
   )
 
+  /** Serialized pre-BPE corpus: (source, s, nt0, nc) with the q81
+    * double-space serialization, pre-encode token count, and token chars.
+    */
+  private def bpeDocs(s: SparkSession, d: String): DataFrame = {
+    val toksCol = regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))
+    T.documents(s, d).select(
+      col("source"),
+      concat(lit(" "), concat_ws("  ", toksCol), lit(" ")).as("s"))
+      .withColumn("nt0",
+        size(filter(split(trim(col("s")), "  "), t => t =!= "")).cast("long"))
+      .withColumn("nc",
+        length(replace(col("s"), lit(" "), lit(""))).cast("long"))
+  }
+
+  /** Per-source encode rollup over an encoded (source, s, nt0, nc) frame. */
+  private def bpeRollup(enc: DataFrame): DataFrame =
+    enc
+      .withColumn("nt4",
+        size(filter(split(trim(col("s")), "  "), t => t =!= "")).cast("long"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("nt0")).as("toks_before"),
+        sum(col("nt4")).as("toks_after"),
+        sum(col("nc")).as("n_chars"))
+      .withColumn("chars_per_tok_micro",
+        expr("n_chars * 1000000L div greatest(toks_after, 1L)"))
+      .withColumn("compression_ppm",
+        expr("toks_after * 1000000L div greatest(toks_before, 1L)"))
+      .orderBy(col("source"))
+
+  /** Encode the corpus by FOLDING a merge-list table: the merges collapse
+    * to ONE broadcast row holding the ordered (x, y) struct ARRAY, and the
+    * scan applies them with a single `aggregate` HOF — the plan is
+    * constant-size in the merge count, which is what a 32k-merge
+    * production tokenizer needs (q282's pivoted columns grow the plan per
+    * merge; this form doesn't). Output identical to q282's by
+    * construction (suite-pinned).
+    */
+  private[graft] def bpeFoldEncode(
+      s: SparkSession, d: String, ml: DataFrame): DataFrame = {
+    val marr = ml.agg(expr(
+      "transform(array_sort(collect_list(struct(round, x, y))), " +
+        "m -> struct(m.x AS x, m.y AS y))").as("marr"))
+    val enc = bpeDocs(s, d).crossJoin(broadcast(marr))
+      .withColumn("s", expr(
+        "aggregate(marr, s, (acc, m) -> replace(acc, " +
+          "concat(' ', m.x, '  ', m.y, ' '), concat(' ', m.x, m.y, ' ')))"))
+    bpeRollup(enc)
+  }
+
+  /** Round-16 second batch kept out of the primary Seq (JVM method-size,
+    * the Dedup.entries2 precedent).
+    */
+  val entries2: Seq[Entry] = Seq(
+
+    // q288: TOKENIZER APPLY, MERGE-ARRAY FOLD FORM — q282's encode with
+    // the plan-scale story fixed for real vocabularies: the merge list
+    // enters as ONE broadcast array row and a single aggregate HOF folds
+    // the replaces, so a 32k-merge tokenizer costs the same PLAN as 4
+    // merges (q282's pivoted columns grow the expression tree per merge).
+    // Output is identical to q282 — the shared oracle and a suite
+    // equality pin state exactly that.
+    Entry(
+      "q288_bpe_encode_fold",
+      (s, d) => bpeFoldEncode(s, d,
+        TextOps.bpeVocab(s, d, rounds = 4)
+          .select(col("round"), col("x"), col("y"))
+          .localCheckpoint()),
+      Some(BpeEncodeOracle)),
+
+    // q289: TOKENIZER PUBLISH + SERVE — the production lifecycle the
+    // in-query q282/q288 stand-ins name (the q108/q109 pattern applied to
+    // the tokenizer artifact): LEARN once, atomically PUBLISH the merge
+    // list as a generation (readers see a complete old list or a complete
+    // new one, never a mix), then SERVE the encode from the artifact with
+    // NO learn stage in the plan — at 100 TB the tokenizer trains on a
+    // sample once and is applied to every corpus build after; re-learning
+    // per encode is the anti-pattern. Suite pins the serve plan: exactly
+    // two parquet scans (corpus + artifact), zero pair-count aggregations.
+    Entry(
+      "q289_tokenizer_publish_serve",
+      (s, d) => {
+        val root = graft.sources.Sources.scratch(d, "bpe_merges")
+        val gen = "gen-build"
+        TextOps.bpeVocab(s, d, rounds = 4)
+          .select(col("round"), col("x"), col("y"))
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$root/$gen/merges")
+        graft.sources.Sources.publishGeneration(s, root, gen)
+        val cur = graft.sources.Sources.currentGeneration(s, root)
+        bpeFoldEncode(s, d, s.read.parquet(s"$cur/merges"))
+      },
+      Some(BpeEncodeOracle)),
+
+    // q287: CURATION FUNNEL — the composed END-TO-END pipeline view over
+    // the rewrite stages, per source: docs in → exact dedup (char-poly
+    // digest + length key, keep global-min doc_id) → q283's span rewrite
+    // (block dedup at token-hash level; docs aren't dropped, tokens are)
+    // → a length gate on the CLEANED token count (30-500) → multiset
+    // near-dup (commutative (Σh, Σh² mod P, count) key over cleaned token
+    // hashes — order-independent, so no sort and no set materialization
+    // anywhere) — emitting the funnel counts a datasheet quotes: n_in,
+    // n_exact, n_rewritten, toks_removed, n_quality, n_final, final_ppm.
+    // Every stage keys on integers derived from ONE tokenization pass;
+    // stage order matters (quality gates the CLEANED count — boilerplate
+    // removal can demote a doc below the floor, which is the point).
+    // Plan: one corpus scan → exact-key exchange → block-hash exchange +
+    // join-back → multiset-key exchange → per-source rollup; checkpoints
+    // at each multi-consumer frame. At 100 TB every exchange carries
+    // 8-24-byte integer keys, never text.
+    Entry(
+      "q287_curation_funnel",
+      (s, d) => curationFunnel(
+        T.documents(s, d).select(col("doc_id"), col("source"), col("text"))),
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents),
+             |k AS MATERIALIZED (SELECT doc_id, source, text,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text) + 1),
+             |        i -> CAST(unicode(text[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % $P) AS dg,
+             |    CAST(length(text) AS BIGINT) AS len
+             |  FROM d),
+             |fe AS (SELECT dg, len, min(doc_id) AS mn FROM k GROUP BY 1, 2),
+             |ex AS (SELECT k.doc_id, k.source, k.text
+             |  FROM k JOIN fe USING (dg, len) WHERE k.doc_id = fe.mn),
+             |base AS MATERIALIZED (SELECT doc_id, source, th,
+             |    CAST(len(th) AS BIGINT) AS n,
+             |    CAST(len(th) // 8 AS BIGINT) AS nblk
+             |  FROM (SELECT doc_id, source,
+             |      list_transform(string_split(text, ' '), w ->
+             |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          list_transform(range(1, length(w) + 1),
+             |            i -> CAST(unicode(w[i]) AS BIGINT))),
+             |          (a, c) -> (a * 131 + c) % $P)) AS th FROM ex)),
+             |blk0 AS (SELECT doc_id, unnest(range(1, nblk + 1)) AS bi,
+             |    unnest(list_transform(range(1, nblk + 1), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        th[(i - 1) * 8 + 1 : i * 8]),
+             |        (a, c) -> (a * 131 + c) % $P))) AS bh
+             |  FROM base),
+             |blk AS MATERIALIZED (SELECT doc_id, CAST(bi AS BIGINT) AS bi,
+             |    bh, doc_id * 16777216 + bi AS packed FROM blk0),
+             |fs AS (SELECT bh, min(packed) AS fk FROM blk GROUP BY 1),
+             |kb AS (SELECT doc_id, list_sort(list(bi)) AS kbis
+             |  FROM blk JOIN fs USING (bh) WHERE packed = fk GROUP BY doc_id),
+             |cl AS (SELECT b.doc_id, b.source, b.n,
+             |    flatten(list_transform(coalesce(kb.kbis, CAST([] AS BIGINT[])),
+             |      i -> b.th[(i - 1) * 8 + 1 : i * 8]))
+             |      || b.th[b.nblk * 8 + 1 : b.n] AS thk
+             |  FROM base b LEFT JOIN kb USING (doc_id)),
+             |sc AS MATERIALIZED (SELECT doc_id, source, n,
+             |    CAST(len(thk) AS BIGINT) AS tc,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), thk),
+             |      (a, h) -> (a + h) % $P) AS s1,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT), thk),
+             |      (a, h) -> (a + h * h % $P) % $P) AS s2
+             |  FROM cl),
+             |fm AS (SELECT s1, s2, tc, min(doc_id) AS mm FROM sc
+             |  WHERE tc BETWEEN 30 AND 500 GROUP BY 1, 2, 3),
+             |r AS (SELECT sc.source,
+             |    CAST(count(*) AS BIGINT) AS n_exact,
+             |    CAST(sum(sc.n - sc.tc) AS BIGINT) AS toks_removed,
+             |    CAST(sum(CASE WHEN sc.tc < sc.n THEN 1 ELSE 0 END) AS BIGINT)
+             |      AS n_rewritten,
+             |    CAST(sum(CASE WHEN sc.tc BETWEEN 30 AND 500 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_quality,
+             |    CAST(sum(CASE WHEN sc.doc_id = fm.mm THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS n_final
+             |  FROM sc LEFT JOIN fm
+             |    ON fm.s1 = sc.s1 AND fm.s2 = sc.s2 AND fm.tc = sc.tc
+             |  GROUP BY 1),
+             |ni AS (SELECT source, CAST(count(*) AS BIGINT) AS n_in
+             |  FROM d GROUP BY 1)
+             |SELECT ni.source, ni.n_in,
+             |  coalesce(r.n_exact, 0) AS n_exact,
+             |  coalesce(r.n_rewritten, 0) AS n_rewritten,
+             |  coalesce(r.toks_removed, 0) AS toks_removed,
+             |  coalesce(r.n_quality, 0) AS n_quality,
+             |  coalesce(r.n_final, 0) AS n_final,
+             |  coalesce(r.n_final, 0) * 1000000 // greatest(ni.n_in, 1)
+             |    AS final_ppm
+             |FROM ni LEFT JOIN r USING (source) ORDER BY ni.source""".stripMargin))
+  )
+
+  /** q287's body over any (doc_id, source, text) table — the staged
+    * funnel documented on the entry; exposed for the suite's stage-by-
+    * stage JVM replay.
+    */
+  private[graft] def curationFunnel(docs: DataFrame): DataFrame = {
+    val nIn = docs.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
+    // stage 1 — exact dedup on (char-poly digest, length)
+    val keyed = docs
+      .withColumn("dg", expr("aggregate(filter(split(text, ''), " +
+        s"ch -> ch != ''), 0L, (a, c) -> (a * 131 + ascii(c)) % $P)"))
+      .withColumn("len", length(col("text")).cast("long"))
+    val firstsE = keyed.groupBy(col("dg"), col("len"))
+      .agg(min(col("doc_id")).as("mn"))
+    val exact = keyed.join(firstsE, Seq("dg", "len"))
+      .filter(col("doc_id") === col("mn"))
+      .select(col("doc_id"), col("source"), col("text"))
+    // stage 2 — q283's block-span dedup at token-hash level
+    val base = exact
+      .withColumn("th", expr(ThExpr))
+      .withColumn("n", size(col("th")).cast("long"))
+      .withColumn("nblk", expr("n div 8"))
+      .withColumn("bharr", expr(BhArrExpr))
+      .select(col("doc_id"), col("source"), col("th"), col("n"),
+        col("nblk"), col("bharr"))
+      .localCheckpoint() // consumers: block path + cleaned rebuild
+    val blk = base
+      .select(col("doc_id"), posexplode(col("bharr")).as(Seq("p", "bh")))
+      .select(col("doc_id"), (col("p") + 1L).as("bi"), col("bh"),
+        (col("doc_id") * 16777216L + col("p") + 1L).as("packed"))
+      .localCheckpoint() // consumers: first-occurrence table + join-back
+    val firstsS = blk.groupBy(col("bh")).agg(min(col("packed")).as("fk"))
+    val keptBis = blk.join(firstsS, Seq("bh"))
+      .filter(col("packed") === col("fk"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("bi"))).as("kbis"))
+    // stages 3+4 — cleaned token list, quality gate, multiset dedup key
+    val scored = base.join(keptBis, Seq("doc_id"), "left")
+      .withColumn("kbis", coalesce(col("kbis"), typedlit(Seq.empty[Long])))
+      .withColumn("thk", expr(
+        "concat(flatten(transform(kbis, i -> " +
+          "slice(th, cast((i - 1) * 8 + 1 as int), 8))), " +
+          "slice(th, cast(nblk * 8 + 1 as int), cast(n % 8 as int)))"))
+      .withColumn("tc", size(col("thk")).cast("long"))
+      .withColumn("quality", col("tc") >= 30L && col("tc") <= 500L)
+      .withColumn("s1", expr(s"aggregate(thk, 0L, (a, h) -> (a + h) % $P)"))
+      .withColumn("s2",
+        expr(s"aggregate(thk, 0L, (a, h) -> (a + h * h % $P) % $P)"))
+      .select(col("doc_id"), col("source"), col("n"), col("tc"),
+        col("quality"), col("s1"), col("s2"))
+      .localCheckpoint() // consumers: multiset firsts + rollup
+    val firstsM = scored.filter(col("quality"))
+      .groupBy(col("s1"), col("s2"), col("tc"))
+      .agg(min(col("doc_id")).as("mm"))
+    val rollup = scored.join(firstsM, Seq("s1", "s2", "tc"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(when(col("tc") < col("n"), 1L).otherwise(0L)).as("n_rewritten"),
+        sum(col("n") - col("tc")).as("toks_removed"),
+        sum(when(col("quality"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("doc_id") === col("mm"), 1L).otherwise(0L)).as("n_final"))
+    nIn.join(rollup, Seq("source"), "left")
+      .select(col("source"), col("n_in"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_rewritten"), lit(0L)).as("n_rewritten"),
+        coalesce(col("toks_removed"), lit(0L)).as("toks_removed"),
+        coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        expr("coalesce(n_final, 0L) * 1000000L div greatest(n_in, 1L)")
+          .as("final_ppm"))
+      .orderBy(col("source"))
+  }
+
   /** q283's body over any (doc_id, source, text) table — exposed so the
     * suite can prove idempotence end-to-end: stats over
     * [[spanDedupRewrite]]'s output must report dup_spans = 0 everywhere.
@@ -362,22 +605,27 @@ object Transforms {
     * (doc_id, source, n, nblk, tailterm, bharr); docs shorter than 8
     * tokens produce an empty block array and only a tail term.
     */
-  private[graft] def spanBlocks(docs: DataFrame): DataFrame = {
-    val th = "transform(split(text, ' '), w -> " +
-      "aggregate(filter(split(w, ''), ch -> ch != ''), " +
-      s"0L, (a, c) -> (a * 131 + ascii(c)) % $P))"
-    val bharr = "if(n div 8 >= 1, transform(sequence(1L, n div 8), i -> " +
+  /** Shared q283/q287 expression strings: per-token char-poly hashes and
+    * the per-block fold over them (expects columns `text`/`th`/`n`).
+    */
+  private val ThExpr = "transform(split(text, ' '), w -> " +
+    "aggregate(filter(split(w, ''), ch -> ch != ''), " +
+    s"0L, (a, c) -> (a * 131 + ascii(c)) % $P))"
+  private val BhArrExpr =
+    "if(n div 8 >= 1, transform(sequence(1L, n div 8), i -> " +
       "aggregate(slice(th, cast((i - 1) * 8 + 1 as int), 8), " +
       s"0L, (a, c) -> (a * 131 + c) % $P)), array())"
+
+  private[graft] def spanBlocks(docs: DataFrame): DataFrame = {
     val tailterm = s"if(n % 8 > 0, aggregate(" +
       "slice(th, cast(n div 8 * 8 + 1 as int), cast(n % 8 as int)), " +
       s"0L, (a, c) -> (a * 131 + c) % $P) * (n div 8 + 1) % $P, 0L)"
     docs
-      .withColumn("th", expr(th))
+      .withColumn("th", expr(ThExpr))
       .withColumn("n", size(col("th")).cast("long"))
       .withColumn("nblk", expr("n div 8"))
       .withColumn("tailterm", expr(tailterm))
-      .withColumn("bharr", expr(bharr))
+      .withColumn("bharr", expr(BhArrExpr))
       .select(col("doc_id"), col("source"), col("n"), col("nblk"),
         col("tailterm"), col("bharr"))
   }

@@ -19,6 +19,7 @@ object Registry {
       EventStreams.entries ++
       TextOps.entries ++
       Transforms.entries ++
+      Transforms.entries2 ++
       Dedup.entries ++
       Dedup.entries2 ++
       Similarity.entries ++

@@ -33,6 +33,25 @@ class TransformsSuite extends SparkTestBase {
     }
   }
 
+  test("q288 fold-encode equals q282; q289 serves from the artifact, no learn") {
+    val r282 = Registry.byName("q282_bpe_encode").q(spark, sf)
+      .collect().map(_.toString).toSeq
+    val r288 = Registry.byName("q288_bpe_encode_fold").q(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(r288 == r282,
+      "the merge-array fold must encode identically to the pivoted form")
+    val df289 = Registry.byName("q289_tokenizer_publish_serve").q(spark, sf)
+    val r289 = df289.collect().map(_.toString).toSeq
+    assert(r289 == r282, "serve-from-artifact must encode identically")
+    // the serve plan reads exactly corpus + artifact — a learn stage would
+    // add more scans (bpeVocab's per-round pair counts re-read the corpus)
+    val scans = flattenPlan(df289.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.length == 2, s"serve plan has ${scans.length} scans, want 2")
+    assert(scans.exists(_.toString.contains("bpe_merges")),
+      "one scan must read the published merge-list artifact")
+  }
+
   test("q283 rewrite is IDEMPOTENT and stats tie to a JVM-side replay") {
     val sess = spark
     import sess.implicits._
@@ -104,6 +123,62 @@ class TransformsSuite extends SparkTestBase {
     }
     // meaningful at fixture scale: the corpus genuinely repeats spans
     assert(rows.map(_.getLong(3)).sum > 0, "fixture has repeated spans")
+  }
+
+  test("q287 funnel: every stage ties to a JVM-side staged replay") {
+    val rows = Registry.byName("q287_curation_funnel").q(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val P = 2147483647L
+    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % P)
+    // stage 1: exact dedup on (digest, length), global min doc_id
+    val exact = docs.groupBy(d => (h(d._3), d._3.length))
+      .values.map(_.minBy(_._1)).toSeq
+    // stage 2: block-span dedup at token-hash level
+    val base = exact.map { case (id, src, text) =>
+      (id, src, text.split(" ", -1).map(h(_)))
+    }
+    val blocks = base.flatMap { case (id, _, th) =>
+      (1 to th.length / 8).map { i =>
+        val bh = th.slice((i - 1) * 8, i * 8).foldLeft(0L)((a, c) => (a * 131 + c) % P)
+        (id * 16777216L + i, id, i, bh)
+      }
+    }
+    val firstOf = blocks.groupBy(_._4).map { case (bh, xs) => bh -> xs.map(_._1).min }
+    val keptByDoc = blocks.filter(b => firstOf(b._4) == b._1)
+      .groupBy(_._2).map { case (id, xs) => id -> xs.map(_._3).sorted }
+    val cleaned = base.map { case (id, src, th) =>
+      val thk = keptByDoc.getOrElse(id, Seq.empty[Int])
+        .flatMap(i => th.slice((i - 1) * 8, i * 8)) ++ th.drop(th.length / 8 * 8)
+      (id, src, th.length.toLong, thk)
+    }
+    // stages 3+4: cleaned-length gate, multiset (sum, sum-sq, count) dedup
+    val quality = cleaned.filter(c => c._4.length >= 30 && c._4.length <= 500)
+    def mkey(thk: Seq[Long]) = (
+      thk.foldLeft(0L)((a, x) => (a + x) % P),
+      thk.foldLeft(0L)((a, x) => (a + x * x % P) % P),
+      thk.length)
+    val finalMin = quality.groupBy(c => mkey(c._4))
+      .map { case (k, xs) => k -> xs.map(_._1).min }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) == docs.count(_._2 == src).toLong, "n_in")
+      val mine = cleaned.filter(_._2 == src)
+      assert(r.getLong(2) == mine.length.toLong, s"$src n_exact")
+      assert(r.getLong(3) == mine.count(c => c._4.length < c._3).toLong,
+        s"$src n_rewritten")
+      assert(r.getLong(4) == mine.map(c => c._3 - c._4.length).sum,
+        s"$src toks_removed")
+      val q = quality.filter(_._2 == src)
+      assert(r.getLong(5) == q.length.toLong, s"$src n_quality")
+      assert(r.getLong(6) == q.count(c => finalMin(mkey(c._4)) == c._1).toLong,
+        s"$src n_final")
+      // funnel is monotone: each stage only shrinks
+      assert(r.getLong(6) <= r.getLong(5) && r.getLong(5) <= r.getLong(2)
+        && r.getLong(2) <= r.getLong(1))
+    }
+    assert(rows.map(_.getLong(4)).sum > 0, "span stage must remove something")
   }
 
   test("q284 redact: injection equals detection; digest replays bit-exact") {
