@@ -442,7 +442,12 @@ object Bench {
     // these three when comparing secondary_total against r15 artifacts.
     "q287_curation_funnel",
     "q288_bpe_encode_fold",
-    "q289_tokenizer_publish_serve")
+    "q289_tokenizer_publish_serve",
+    // span-index O(delta) ingest + leakage-safe splits (round 16, standing
+    // from birth). Subtract these two when comparing secondary_total
+    // against r15 artifacts.
+    "q290_span_index_delta",
+    "q291_leakage_safe_splits")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -395,6 +395,181 @@ object Transforms {
       },
       Some(BpeEncodeOracle)),
 
+    // q290: SPAN-INDEX DELTA DEDUP — the O(delta) lifecycle verb for q283
+    // (the q122/q138 pattern applied to span dedup): the corpus's span
+    // hashes publish ONCE as a generation artifact, and an arriving batch
+    // dedups against the INDEX — never against the corpus — so ingest
+    // work scales with the delta, which is the whole point at 100 TB
+    // (re-running q283 per batch rescans everything). Delta fabricated
+    // deterministically (the q98/q122 pattern): every doc_id ≡ 2 mod 5
+    // re-ingests under +10M with EIGHT fresh tokens prepended — exactly
+    // one block per doc is novel (kept) and every original block re-aligns
+    // (the q283 block-shift property) and drops against the index. Per
+    // source: delta docs/spans, dropped, kept, kept ppm. Suite pins the
+    // plan reads exactly delta + artifact (no corpus-sized dedup stage).
+    Entry(
+      "q290_span_index_delta",
+      (s, d) => {
+        val root = graft.sources.Sources.scratch(d, "span_index")
+        val gen = "gen-build"
+        // build ONCE (the q122/annIngest lifecycle guard): the index is a
+        // property of the corpus, and the delta path must not pay the
+        // corpus scan per batch — that asymmetry IS the operator
+        val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+        val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(manifest)) {
+          spanBlocks(
+            T.documents(s, d).select(col("doc_id"), col("source"), col("text")))
+            .select(posexplode(col("bharr")).as(Seq("p", "bh")))
+            .select(col("bh")).distinct()
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$root/$gen/spans")
+          graft.sources.Sources.publishGeneration(s, root, gen)
+        }
+        val idx = s.read.parquet(
+          s"${graft.sources.Sources.currentGeneration(s, root)}/spans")
+        val delta = T.documents(s, d)
+          .filter(col("doc_id") % 5 === 2)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+            col("text"))
+          .select(col("doc_id"), col("source"),
+            concat(
+              expr("concat_ws(' ', transform(sequence(0, 7), i -> " +
+                "concat('nu', cast(doc_id as string), 'x', cast(i as string))))"),
+              lit(" "), col("text")).as("text"))
+        val dblk = spanBlocks(delta)
+          .select(col("doc_id"), col("source"),
+            posexplode(col("bharr")).as(Seq("p", "bh")))
+        dblk
+          .join(idx.withColumn("hit", lit(1L)), Seq("bh"), "left")
+          .groupBy(col("source"))
+          .agg(
+            countDistinct(col("doc_id")).as("n_delta_docs"),
+            count(lit(1)).as("delta_spans"),
+            sum(when(col("hit") === 1L, 1L).otherwise(0L)).as("dropped_spans"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("kept_spans"))
+          .withColumn("kept_ppm",
+            expr("kept_spans * 1000000L div greatest(delta_spans, 1L)"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, source, text FROM documents),
+             |tht AS MATERIALIZED (SELECT doc_id, source,
+             |    list_transform(string_split(text, ' '), w ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(w) + 1),
+             |          i -> CAST(unicode(w[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $P)) AS th
+             |  FROM d),
+             |idx AS MATERIALIZED (SELECT DISTINCT
+             |    unnest(list_transform(range(1, len(th) // 8 + 1), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        th[(i - 1) * 8 + 1 : i * 8]),
+             |        (a, c) -> (a * 131 + c) % $P))) AS bh
+             |  FROM tht),
+             |delta AS (SELECT doc_id + 10000000 AS doc_id, source,
+             |    array_to_string(list_transform(range(0, 8), i ->
+             |      'nu' || CAST(doc_id + 10000000 AS VARCHAR) || 'x'
+             |        || CAST(i AS VARCHAR)), ' ') || ' ' || text AS text
+             |  FROM d WHERE doc_id % 5 = 2),
+             |dth AS (SELECT doc_id, source,
+             |    list_transform(string_split(text, ' '), w ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(w) + 1),
+             |          i -> CAST(unicode(w[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $P)) AS th
+             |  FROM delta),
+             |dblk AS (SELECT doc_id, source,
+             |    unnest(list_transform(range(1, len(th) // 8 + 1), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        th[(i - 1) * 8 + 1 : i * 8]),
+             |        (a, c) -> (a * 131 + c) % $P))) AS bh
+             |  FROM dth)
+             |SELECT b.source,
+             |  CAST(count(DISTINCT b.doc_id) AS BIGINT) AS n_delta_docs,
+             |  CAST(count(*) AS BIGINT) AS delta_spans,
+             |  CAST(sum(CASE WHEN i.bh IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS dropped_spans,
+             |  CAST(sum(CASE WHEN i.bh IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS kept_spans,
+             |  CAST(sum(CASE WHEN i.bh IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000000
+             |    // greatest(CAST(count(*) AS BIGINT), 1) AS kept_ppm
+             |FROM dblk b LEFT JOIN idx i ON i.bh = b.bh
+             |GROUP BY b.source ORDER BY b.source""".stripMargin)),
+
+    // q291: LEAKAGE-SAFE TRAIN/VAL/TEST SPLITS — the split assignment a
+    // training pipeline actually needs: exact-duplicate CLUSTERS must
+    // never straddle splits (a doc in train with its copy in test is the
+    // classic eval leak q121/q228's hash splits don't rule out). Cluster
+    // = the (char-poly digest, length) exact key; every member inherits
+    // the split of the cluster REPRESENTATIVE (min doc_id) via the seeded
+    // md5 lane primitive (80/10/10 by bucket mod 100) — leakage-freedom
+    // is then BY CONSTRUCTION, and the output still PROVES it in-row: the
+    // audit column recomputes max distinct splits over any cluster. One
+    // digest exchange + a cluster-sized broadcast-back join; no text in
+    // any exchange key.
+    Entry(
+      "q291_leakage_safe_splits",
+      (s, d) => {
+        val keyed = T.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            expr("aggregate(filter(split(text, ''), ch -> ch != ''), " +
+              s"0L, (a, c) -> (a * 131 + ascii(c)) % $P)").as("dg"),
+            length(col("text")).cast("long").as("len"))
+          .localCheckpoint() // consumers: reps + member join
+        val reps = keyed.groupBy(col("dg"), col("len"))
+          .agg(min(col("doc_id")).as("rep"))
+          .withColumn("bucket", expr(
+            "CAST(conv(substring(md5(concat('split:v1:', " +
+              "CAST(rep AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val").otherwise("test"))
+        val assigned = keyed.join(reps, Seq("dg", "len"))
+          .localCheckpoint() // consumers: per-split rollup + straddle audit
+        val audit = assigned.groupBy(col("dg"), col("len"))
+          .agg(countDistinct(col("split")).as("nsp"))
+          .agg(max(col("nsp")).as("max_splits_per_cluster"))
+        val total = assigned.agg(count(lit(1)).as("n_total"))
+        assigned.groupBy(col("split"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            countDistinct(col("dg"), col("len")).as("n_clusters"))
+          .crossJoin(broadcast(total))
+          .crossJoin(broadcast(audit))
+          .select(col("split"), col("n_docs"), col("n_clusters"),
+            expr("n_docs * 1000000L div greatest(n_total, 1L)").as("doc_ppm"),
+            (col("max_splits_per_cluster") === 1L).as("leakage_free"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH k AS MATERIALIZED (SELECT doc_id, source,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text) + 1),
+             |        i -> CAST(unicode(text[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % $P) AS dg,
+             |    CAST(length(text) AS BIGINT) AS len
+             |  FROM documents),
+             |reps AS (SELECT dg, len, min(doc_id) AS rep
+             |  FROM k GROUP BY 1, 2),
+             |sp AS (SELECT dg, len,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |      ELSE 'test' END AS split
+             |  FROM (SELECT dg, len,
+             |      CAST(('0x' || substr(md5('split:v1:' || rep::VARCHAR),
+             |        1, 8)) AS BIGINT) % 100 AS b FROM reps)),
+             |a AS MATERIALIZED (SELECT k.doc_id, k.dg, k.len, sp.split
+             |  FROM k JOIN sp USING (dg, len)),
+             |aud AS (SELECT max(nsp) AS mx FROM (
+             |  SELECT count(DISTINCT split) AS nsp FROM a GROUP BY dg, len)),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM a)
+             |SELECT a.split, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT (a.dg, a.len)) AS BIGINT) AS n_clusters,
+             |  CAST(count(*) AS BIGINT) * 1000000
+             |    // greatest(tot.n_total, 1) AS doc_ppm,
+             |  aud.mx = 1 AS leakage_free
+             |FROM a CROSS JOIN tot CROSS JOIN aud
+             |GROUP BY a.split, tot.n_total, aud.mx ORDER BY a.split""".stripMargin)),
+
     // q287: CURATION FUNNEL — the composed END-TO-END pipeline view over
     // the rewrite stages, per source: docs in → exact dedup (char-poly
     // digest + length key, keep global-min doc_id) → q283's span rewrite

@@ -125,6 +125,61 @@ class TransformsSuite extends SparkTestBase {
     assert(rows.map(_.getLong(3)).sum > 0, "fixture has repeated spans")
   }
 
+  test("q290 span-index delta: O(delta) plan; every original block drops") {
+    val df = Registry.byName("q290_span_index_delta").q(spark, sf)
+    val rows = df.collect()
+    // the serve side reads exactly delta-fabrication scan + index artifact;
+    // a corpus-sized dedup stage would add scans (the index build ran
+    // BEFORE this plan, behind the generation publish)
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.length == 2, s"delta plan has ${scans.length} scans, want 2")
+    assert(scans.exists(_.toString.contains("span_index")),
+      "one scan must read the published span-index artifact")
+    // fabrication contract: per delta doc exactly ONE fresh block is kept
+    // (the prepended 8 tokens); every original block re-aligns and drops
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1),
+        s"${r.getString(0)}: kept_spans must equal n_delta_docs " +
+          "(one fresh block per doc)")
+      assert(r.getLong(3) == r.getLong(2) - r.getLong(1),
+        "dropped must be every non-fresh block")
+    }
+    assert(rows.map(_.getLong(1)).sum ==
+      Tables.documents(spark, sf).filter(col("doc_id") % 5 === 2).count(),
+      "delta covers exactly the doc_id % 5 == 2 cohort")
+  }
+
+  test("q291 splits: clusters never straddle; buckets replay from md5") {
+    val rows = Registry.byName("q291_leakage_safe_splits").q(spark, sf).collect()
+    assert(rows.forall(_.getBoolean(4)), "leakage_free must hold")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val P = 2147483647L
+    def h(s: String): Long = s.foldLeft(0L)((a, c) => (a * 131 + c.toLong) % P)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val bySplit = docs.groupBy(d => (h(d._2), d._2.length)).toSeq
+      .map { case (_, xs) =>
+        val rep = xs.map(_._1).min
+        val b = java.lang.Long.parseLong(md5hex(s"split:v1:$rep").take(8), 16) % 100
+        val split = if (b < 80) "train" else if (b < 90) "val" else "test"
+        (split, xs.length)
+      }
+    rows.foreach { r =>
+      val mine = bySplit.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == mine.map(_._2).sum.toLong, s"${r.getString(0)} n_docs")
+      assert(r.getLong(2) == mine.length.toLong, s"${r.getString(0)} n_clusters")
+    }
+    assert(rows.length == 3, "all three splits populated at fixture scale")
+    // the 80/10/10 buckets land near their targets (wide fixture band)
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    val train = rows.find(_.getString(0) == "train").get.getLong(1) / total
+    assert(train > 0.6 && train < 0.95, s"train frac $train far from 0.8")
+  }
+
   test("q287 funnel: every stage ties to a JVM-side staged replay") {
     val rows = Registry.byName("q287_curation_funnel").q(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
