@@ -447,7 +447,10 @@ object Bench {
     // from birth). Subtract these two when comparing secondary_total
     // against r15 artifacts.
     "q290_span_index_delta",
-    "q291_leakage_safe_splits")
+    "q291_leakage_safe_splits",
+    // multi-resolution duplication ladder (round 16, standing from birth).
+    // Subtract it when comparing secondary_total against r15 artifacts.
+    "q292_dup_resolution_ladder")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1005,6 +1005,77 @@ object CorpusStats {
              |CROSS JOIN tl""".stripMargin))
   )
 
+  /** Round-16 additions kept out of the primary Seq (JVM method-size). */
+  val entries2: Seq[Entry] = Seq(
+
+    // q292: MULTI-RESOLUTION DUPLICATION PROFILE — q216's single-8-gram
+    // audit extended to a resolution LADDER (L = 4, 8, 16, 32 tokens):
+    // per (source, L), the share of token positions whose L-gram recurs
+    // in ≥2 docs. The ladder is what a curation decision actually needs —
+    // high dup at L=4 but not L=32 means phrase-level boilerplate (leave
+    // it), high at L=32 means wholesale copying (cut it); one resolution
+    // can't distinguish the two. Gram hashes fold token char-poly hashes
+    // positionally (q216's integer pipeline) and the four ladders ship
+    // through ONE exchange keyed gh·64+L (L ≤ 32 and gh < 2³¹ pack into
+    // int64) — per-position work Σ L = 60·tokens, positions-linear. Same
+    // two-consumer checkpoint + per-gram doc-count join-back as q216.
+    Entry(
+      "q292_dup_resolution_ladder",
+      (s, d) => {
+        val th = "transform(t, w -> aggregate(filter(split(w, ''), " +
+          "ch -> ch != ''), 0L, (a, c) -> (a * 131 + ascii(c)) % 2147483647))"
+        val keys = "flatten(transform(array(4, 8, 16, 32), L -> " +
+          "if(size(th) >= L, transform(sequence(1, size(th) - L + 1), i -> " +
+          "aggregate(transform(sequence(0, L - 1), k -> element_at(th, i + k)), " +
+          "0L, (a, c) -> (a * 131 + c) % 2147483647) * 64 + L), array())))"
+        val c = T.documents(s, d)
+          .select(col("doc_id"), col("source"), toks.as("t"))
+          .select(col("doc_id"), col("source"), expr(th).as("th"))
+          .select(col("doc_id"), col("source"), explode(expr(keys)).as("key"))
+          .groupBy(col("key"), col("doc_id"), col("source"))
+          .agg(count(lit(1)).as("npos"))
+          .localCheckpoint() // consumers: per-gram doc counts + join-back
+        val gc = c.groupBy(col("key")).agg(count(lit(1)).as("ndocs"))
+        c.join(gc, Seq("key"))
+          .withColumn("l", col("key") % 64L)
+          .groupBy(col("source"), col("l"))
+          .agg(
+            sum(col("npos")).as("n_pos"),
+            sum(when(col("ndocs") >= 2, col("npos")).otherwise(0L))
+              .as("dup_pos"))
+          .withColumn("dup_ppm",
+            expr("dup_pos * 1000000L div greatest(n_pos, 1L)"))
+          .orderBy(col("source"), col("l"))
+      },
+      Some("""WITH tk AS (SELECT doc_id, source, string_split(text, ' ') AS t
+             |  FROM documents),
+             |tht AS (SELECT doc_id, source, list_transform(t, w ->
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(w) + 1),
+             |        i -> CAST(unicode(w[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % 2147483647)) AS th FROM tk),
+             |g AS (SELECT doc_id, source,
+             |    unnest(flatten(list_transform([4, 8, 16, 32], L ->
+             |      list_transform(range(1, greatest(len(th) - L + 2, 1)),
+             |        i -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |          th[i : i + L - 1]),
+             |          (a, c) -> (a * 131 + c) % 2147483647) * 64 + L))))
+             |      AS key
+             |  FROM tht),
+             |c AS (SELECT key, doc_id, source, CAST(count(*) AS BIGINT)
+             |    AS npos FROM g GROUP BY 1, 2, 3),
+             |gc AS (SELECT key, CAST(count(*) AS BIGINT) AS ndocs
+             |  FROM c GROUP BY 1)
+             |SELECT source, CAST(key % 64 AS BIGINT) AS l,
+             |  CAST(sum(npos) AS BIGINT) AS n_pos,
+             |  CAST(sum(CASE WHEN ndocs >= 2 THEN npos ELSE 0 END) AS BIGINT)
+             |    AS dup_pos,
+             |  CAST(sum(CASE WHEN ndocs >= 2 THEN npos ELSE 0 END) AS BIGINT)
+             |    * 1000000 // greatest(CAST(sum(npos) AS BIGINT), 1) AS dup_ppm
+             |FROM c JOIN gc USING (key)
+             |GROUP BY source, key % 64 ORDER BY source, l""".stripMargin))
+  )
+
   /** ONE-PASS (doc_id, score, pos) for the classifier-evaluation tier:
     * q194's hashed-n-gram score and q88's repetition label are BOTH
     * per-doc map computations over the same text row, so computing them

@@ -28,6 +28,7 @@ object Registry {
       CorpusOps.entries ++
       Clustering.entries ++
       CorpusStats.entries ++
+      CorpusStats.entries2 ++
       Integrity.entries ++
       Integrity.entries2 ++
       StatTests.entries ++

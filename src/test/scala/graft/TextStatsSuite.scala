@@ -43,6 +43,36 @@ class TextStatsSuite extends SparkTestBase {
     }
   }
 
+  test("q292 ladder equals brute string-grams per (source, L); dup monotone in L") {
+    val rows = Registry.byName("q292_dup_resolution_ladder").q(spark, sf)
+      .collect().map(r => ((r.getString(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    for (l <- Seq(4, 8, 16, 32)) {
+      val grams = docs.map { case (id, src, _, text) =>
+        val t = text.split(" ", -1)
+        (id, src, (0 to t.length - l).map(i => t.slice(i, i + l).mkString(" ")))
+      }
+      val docsPerGram = grams
+        .flatMap { case (id, _, gs) => gs.distinct.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.length }
+      grams.groupBy(_._2).foreach { case (src, ds) =>
+        val total = ds.map(_._3.length.toLong).sum
+        val dup = ds.map(_._3.count(g => docsPerGram(g) >= 2).toLong).sum
+        val (nPos, dupPos, ppm) = rows((src, l.toLong))
+        assert(nPos == total, s"$src L=$l n_pos")
+        assert(dupPos == dup, s"$src L=$l dup_pos $dupPos != brute $dup")
+        assert(ppm == dup * 1000000L / math.max(total, 1L), s"$src L=$l ppm")
+      }
+    }
+    // a position whose 2L-gram recurs has a recurring L-gram prefix at the
+    // same position, so dup_pos can only fall as L doubles
+    rows.keys.map(_._1).toSeq.distinct.foreach { src =>
+      for (Seq(a, b) <- Seq(4L, 8L, 16L, 32L).sliding(2))
+        assert(rows((src, b))._2 <= rows((src, a))._2,
+          s"$src dup_pos must be non-increasing from L=$a to L=$b")
+    }
+  }
+
   test("q216 rollup after the (gram,doc) barrier plans ZERO parquet re-scans") {
     val df = Registry.byName("q216_dup_spans").q(spark, sf)
     df.write.format("noop").mode("overwrite").save()
