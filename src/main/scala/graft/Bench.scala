@@ -450,7 +450,12 @@ object Bench {
     "q291_leakage_safe_splits",
     // multi-resolution duplication ladder (round 16, standing from birth).
     // Subtract it when comparing secondary_total against r15 artifacts.
-    "q292_dup_resolution_ladder")
+    "q292_dup_resolution_ladder",
+    // near-dup-safe splits (contains the q37 pair join + q87 label loop)
+    // + streaming PII redact (round 16, standing from birth). Subtract
+    // these two when comparing secondary_total against r15 artifacts.
+    "q293_neardup_safe_splits",
+    "q294_stream_pii_redact")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

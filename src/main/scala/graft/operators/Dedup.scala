@@ -642,10 +642,21 @@ object Dedup {
     * partition-parallel; the expensive pair relation is materialized ONCE
     * up front and reused by every round.
     */
-  private def neardupClusters(s: SparkSession, d: String): DataFrame = {
+  private def neardupClusters(s: SparkSession, d: String): DataFrame =
+    neardupLabels(s, d, wordsetNeardup(s, d).select(col("a_id"), col("b_id")))
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("cluster_id"))
+
+  /** q87's label-propagation + pointer-jumping loop over an arbitrary
+    * undirected pair set — exposed so q293 can reuse the SAME cluster
+    * assignment for split safety without recomputing the pair join.
+    * Returns (node, label) with label = min doc_id of the component.
+    */
+  private[graft] def neardupLabels(
+      s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
     val maxRounds = s.conf.get("graft.dedup.ccMaxRounds", "20").toInt
     require(maxRounds >= 1, s"graft.dedup.ccMaxRounds must be >= 1, got $maxRounds")
-    val pairs = wordsetNeardup(s, d).select(col("a_id"), col("b_id"))
     val edges = pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
@@ -678,9 +689,6 @@ object Dedup {
       s"neardup clustering did not converge in $maxRounds rounds " +
         "(raise graft.dedup.ccMaxRounds)")
     labels
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_members"))
-      .orderBy(col("cluster_id"))
   }
 
   /** Shared-substring overlap detection via WINNOWING (Schleimer/Wilkerson/

@@ -79,6 +79,49 @@ object Transforms {
        |FROM bef b JOIN aft a USING (source) ORDER BY source""".stripMargin
   }
 
+  /** Shared q284/q294 oracle: the batch scan and the streaming
+    * deployment produce the IDENTICAL table.
+    */
+  private[graft] val PiiRedactOracle: String =
+    s"""WITH inj AS (SELECT source,
+             |    CASE CAST(doc_id % 101 AS INT)
+             |      WHEN 3 THEN text || ' contact user' || doc_id || '@example.com now'
+             |      WHEN 17 THEN text || ' from 10.' || (doc_id % 256) || '.0.42 logged'
+             |      WHEN 29 THEN text || ' call +1-555-' ||
+             |        lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') || ' today'
+             |      WHEN 41 THEN text || ' token sk-' ||
+             |        substr(md5('pii:' || CAST(doc_id AS VARCHAR)), 1, 16) || ' used'
+             |      ELSE text END AS x
+             |  FROM documents),
+             |m AS (SELECT source,
+             |    CAST(len(regexp_extract_all(x, '$EmailPat')) AS BIGINT) AS ce,
+             |    CAST(len(regexp_extract_all(x, '$Ipv4Pat')) AS BIGINT) AS ci,
+             |    CAST(len(regexp_extract_all(x, '$PhonePat')) AS BIGINT) AS cp,
+             |    CAST(len(regexp_extract_all(x, '$KeyPat')) AS BIGINT) AS ck,
+             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
+             |      '$EmailPat', '[EMAIL]', 'g'),
+             |      '$Ipv4Pat', '[IP]', 'g'),
+             |      '$PhonePat', '[PHONE]', 'g'),
+             |      '$KeyPat', '[KEY]', 'g') AS r
+             |  FROM inj),
+             |dgt AS (SELECT source, ce, ci, cp, ck,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(r) + 1),
+             |        i -> CAST(unicode(r[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % $P) AS dg
+             |  FROM m)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(ce) AS BIGINT) AS n_emails,
+             |  CAST(sum(ci) AS BIGINT) AS n_ipv4,
+             |  CAST(sum(cp) AS BIGINT) AS n_phones,
+             |  CAST(sum(ck) AS BIGINT) AS n_keys,
+             |  CAST(sum(CASE WHEN ce + ci + cp + ck > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS pii_docs,
+             |  CAST(sum(CASE WHEN ce + ci + cp + ck > 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) * 1000000 // greatest(count(*), 1) AS pii_ppm,
+             |  CAST(sum(dg) AS BIGINT) AS redacted_digest
+             |FROM dgt GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
     // q282: TOKENIZER APPLY — encode the corpus with the merge list q83
@@ -208,97 +251,67 @@ object Transforms {
     // map work, shuffle = |sources| rows.
     Entry(
       "q284_pii_redact",
-      (s, d) => {
-        // regex columns go through lit(), never an expr() SQL string: Spark
-        // SQL literals consume backslashes while DuckDB's don't, so lit()
-        // is what lets ONE pattern constant serve both engines verbatim
-        val injected =
-          """CASE CAST(doc_id % 101 AS INT)
-            |  WHEN 3 THEN concat(text, ' contact user',
-            |    CAST(doc_id AS STRING), '@example.com now')
-            |  WHEN 17 THEN concat(text, ' from 10.',
-            |    CAST(doc_id % 256 AS STRING), '.0.42 logged')
-            |  WHEN 29 THEN concat(text, ' call +1-555-',
-            |    lpad(CAST(doc_id * 7919 % 10000 AS STRING), 4, '0'), ' today')
-            |  WHEN 41 THEN concat(text, ' token sk-',
-            |    substring(md5(CAST(concat('pii:', CAST(doc_id AS STRING)) AS BINARY)), 1, 16), ' used')
-            |  ELSE text END""".stripMargin
-        def nMatches(c: Column, pat: String): Column =
-          size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
-        val redacted = Seq(EmailPat -> "[EMAIL]", Ipv4Pat -> "[IP]",
-          PhonePat -> "[PHONE]", KeyPat -> "[KEY]")
-          .foldLeft(col("x")) { case (c, (pat, rep)) =>
-            regexp_replace(c, pat, rep)
-          }
-        T.documents(s, d)
-          .select(col("source"), expr(injected).as("x"))
-          .select(
-            col("source"),
-            nMatches(col("x"), EmailPat).as("ce"),
-            nMatches(col("x"), Ipv4Pat).as("ci"),
-            nMatches(col("x"), PhonePat).as("cp"),
-            nMatches(col("x"), KeyPat).as("ck"),
-            aggregate(
-              filter(split(redacted, ""), ch => ch =!= ""),
-              lit(0L),
-              (a, c) => (a * lit(131L) + ascii(c)) % lit(P))
-              .as("dg"))
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(col("ce")).as("n_emails"),
-            sum(col("ci")).as("n_ipv4"),
-            sum(col("cp")).as("n_phones"),
-            sum(col("ck")).as("n_keys"),
-            sum(when(col("ce") + col("ci") + col("cp") + col("ck") > 0, 1L)
-              .otherwise(0L)).as("pii_docs"),
-            sum(col("dg")).as("redacted_digest"))
-          .withColumn("pii_ppm",
-            expr("pii_docs * 1000000L div greatest(n_docs, 1L)"))
-          .select(col("source"), col("n_docs"), col("n_emails"),
-            col("n_ipv4"), col("n_phones"), col("n_keys"), col("pii_docs"),
-            col("pii_ppm"), col("redacted_digest"))
-          .orderBy(col("source"))
-      },
-      Some(s"""WITH inj AS (SELECT source,
-             |    CASE CAST(doc_id % 101 AS INT)
-             |      WHEN 3 THEN text || ' contact user' || doc_id || '@example.com now'
-             |      WHEN 17 THEN text || ' from 10.' || (doc_id % 256) || '.0.42 logged'
-             |      WHEN 29 THEN text || ' call +1-555-' ||
-             |        lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') || ' today'
-             |      WHEN 41 THEN text || ' token sk-' ||
-             |        substr(md5('pii:' || CAST(doc_id AS VARCHAR)), 1, 16) || ' used'
-             |      ELSE text END AS x
-             |  FROM documents),
-             |m AS (SELECT source,
-             |    CAST(len(regexp_extract_all(x, '$EmailPat')) AS BIGINT) AS ce,
-             |    CAST(len(regexp_extract_all(x, '$Ipv4Pat')) AS BIGINT) AS ci,
-             |    CAST(len(regexp_extract_all(x, '$PhonePat')) AS BIGINT) AS cp,
-             |    CAST(len(regexp_extract_all(x, '$KeyPat')) AS BIGINT) AS ck,
-             |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(x,
-             |      '$EmailPat', '[EMAIL]', 'g'),
-             |      '$Ipv4Pat', '[IP]', 'g'),
-             |      '$PhonePat', '[PHONE]', 'g'),
-             |      '$KeyPat', '[KEY]', 'g') AS r
-             |  FROM inj),
-             |dgt AS (SELECT source, ce, ci, cp, ck,
-             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      list_transform(range(1, length(r) + 1),
-             |        i -> CAST(unicode(r[i]) AS BIGINT))),
-             |      (a, c) -> (a * 131 + c) % $P) AS dg
-             |  FROM m)
-             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-             |  CAST(sum(ce) AS BIGINT) AS n_emails,
-             |  CAST(sum(ci) AS BIGINT) AS n_ipv4,
-             |  CAST(sum(cp) AS BIGINT) AS n_phones,
-             |  CAST(sum(ck) AS BIGINT) AS n_keys,
-             |  CAST(sum(CASE WHEN ce + ci + cp + ck > 0 THEN 1 ELSE 0 END)
-             |    AS BIGINT) AS pii_docs,
-             |  CAST(sum(CASE WHEN ce + ci + cp + ck > 0 THEN 1 ELSE 0 END)
-             |    AS BIGINT) * 1000000 // greatest(count(*), 1) AS pii_ppm,
-             |  CAST(sum(dg) AS BIGINT) AS redacted_digest
-             |FROM dgt GROUP BY source ORDER BY source""".stripMargin))
+      (s, d) => piiScanRedact(
+        T.documents(s, d).select(col("doc_id"), col("source"), col("text")))
+        .orderBy(col("source")),
+      Some(PiiRedactOracle))
   )
+
+  /** q284's body over any (doc_id, source, text) frame — UNSORTED, so the
+    * q294 streaming deployment can run the identical plan under a
+    * Complete-mode aggregate (every output is a commutative sum). The
+    * regex columns go through lit()/the Column API, never an expr() SQL
+    * string: Spark SQL literals consume backslashes while DuckDB's don't,
+    * so lit() is what lets ONE pattern constant serve both engines.
+    */
+  private[graft] def piiScanRedact(docs: DataFrame): DataFrame = {
+    val injected =
+      """CASE CAST(doc_id % 101 AS INT)
+        |  WHEN 3 THEN concat(text, ' contact user',
+        |    CAST(doc_id AS STRING), '@example.com now')
+        |  WHEN 17 THEN concat(text, ' from 10.',
+        |    CAST(doc_id % 256 AS STRING), '.0.42 logged')
+        |  WHEN 29 THEN concat(text, ' call +1-555-',
+        |    lpad(CAST(doc_id * 7919 % 10000 AS STRING), 4, '0'), ' today')
+        |  WHEN 41 THEN concat(text, ' token sk-',
+        |    substring(md5(CAST(concat('pii:', CAST(doc_id AS STRING)) AS BINARY)), 1, 16), ' used')
+        |  ELSE text END""".stripMargin
+    def nMatches(c: Column, pat: String): Column =
+      size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+    val redacted = Seq(EmailPat -> "[EMAIL]", Ipv4Pat -> "[IP]",
+      PhonePat -> "[PHONE]", KeyPat -> "[KEY]")
+      .foldLeft(col("x")) { case (c, (pat, rep)) =>
+        regexp_replace(c, pat, rep)
+      }
+    docs
+      .select(col("source"), expr(injected).as("x"))
+      .select(
+        col("source"),
+        nMatches(col("x"), EmailPat).as("ce"),
+        nMatches(col("x"), Ipv4Pat).as("ci"),
+        nMatches(col("x"), PhonePat).as("cp"),
+        nMatches(col("x"), KeyPat).as("ck"),
+        aggregate(
+          filter(split(redacted, ""), ch => ch =!= ""),
+          lit(0L),
+          (a, c) => (a * lit(131L) + ascii(c)) % lit(P))
+          .as("dg"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ce")).as("n_emails"),
+        sum(col("ci")).as("n_ipv4"),
+        sum(col("cp")).as("n_phones"),
+        sum(col("ck")).as("n_keys"),
+        sum(when(col("ce") + col("ci") + col("cp") + col("ck") > 0, 1L)
+          .otherwise(0L)).as("pii_docs"),
+        sum(col("dg")).as("redacted_digest"))
+      .withColumn("pii_ppm",
+        expr("pii_docs * 1000000L div greatest(n_docs, 1L)"))
+      .select(col("source"), col("n_docs"), col("n_emails"),
+        col("n_ipv4"), col("n_phones"), col("n_keys"), col("pii_docs"),
+        col("pii_ppm"), col("redacted_digest"))
+  }
 
   /** Serialized pre-BPE corpus: (source, s, nt0, nc) with the q81
     * double-space serialization, pre-encode token count, and token chars.
@@ -569,6 +582,104 @@ object Transforms {
              |  aud.mx = 1 AS leakage_free
              |FROM a CROSS JOIN tot CROSS JOIN aud
              |GROUP BY a.split, tot.n_total, aud.mx ORDER BY a.split""".stripMargin)),
+
+    // q293: NEAR-DUP-SAFE SPLITS — q291 upgraded to the cluster relation
+    // that actually leaks: EXACT dups are the easy case; a paraphrase/
+    // near-copy (q37's Jaccard ≥ 0.95 pairs) in train with its twin in
+    // test is the eval leak that survives exact-key splitting. Clusters =
+    // q87's connected components over the near-dup pair graph (label
+    // propagation + pointer jumping, REUSED via neardupLabels on one
+    // checkpointed pair set); every member inherits its component
+    // representative's seeded-md5 bucket. The output carries the
+    // VALUE-ADD proof, not just the guarantee: naive_leaky_pairs counts
+    // the near-dup pairs a per-DOC hash split would scatter across
+    // splits (fixture: >0), while this split's straddle count is zero by
+    // construction and re-audited in-row. Oracle closes the same pair
+    // relation transitively with q87's recursive CTE.
+    Entry(
+      "q293_neardup_safe_splits",
+      (s, d) => {
+        val pairs = Dedup.wordsetNeardup(s, d)
+          .select(col("a_id"), col("b_id"))
+          .localCheckpoint() // consumers: label loop + naive leak count
+        val labels = Dedup.neardupLabels(s, d, pairs)
+          .localCheckpoint() // consumers: split rollup + straddle audit
+        def bucket(name: String): Column =
+          expr(s"CAST(conv(substring(md5(concat('nsplit:v1:', " +
+            s"CAST($name AS STRING))), 1, 8), 16, 10) AS BIGINT) % 100")
+        val assigned = labels
+          .withColumn("b", bucket("label"))
+          .withColumn("split",
+            when(col("b") < 80, "train")
+              .when(col("b") < 90, "val").otherwise("test"))
+        val naive = labels.select(col("node"),
+          when(bucket("node") < 80, "train")
+            .when(bucket("node") < 90, "val").otherwise("test")
+            .as("nsplit"))
+        val leaky = pairs
+          .join(naive.select(col("node").as("a_id"), col("nsplit").as("sa")), Seq("a_id"))
+          .join(naive.select(col("node").as("b_id"), col("nsplit").as("sb")), Seq("b_id"))
+          .agg(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L))
+            .as("naive_leaky_pairs"))
+        val audit = assigned.groupBy(col("label"))
+          .agg(countDistinct(col("split")).as("nsp"))
+          .agg(coalesce(max(col("nsp")), lit(1L)).as("mx"))
+        val total = assigned.agg(count(lit(1)).as("n_total"))
+        assigned.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("label")).as("n_clusters"))
+          .crossJoin(broadcast(total))
+          .crossJoin(broadcast(leaky))
+          .crossJoin(broadcast(audit))
+          .select(col("split"), col("n_docs"), col("n_clusters"),
+            expr("n_docs * 1000000L div greatest(n_total, 1L)").as("doc_ppm"),
+            coalesce(col("naive_leaky_pairs"), lit(0L)).as("naive_leaky_pairs"),
+            (col("mx") === 1L).as("leakage_free"))
+          .orderBy(col("split"))
+      },
+      Some("""WITH RECURSIVE s AS (
+             |  SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
+             |  FROM documents),
+             |p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+             |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) >= 0.95),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM p
+             |      UNION ALL SELECT b_id, a_id FROM p),
+             |r(node, reach) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT r.node, e.dst FROM r JOIN e ON e.src = r.reach),
+             |lab AS MATERIALIZED (SELECT node, min(reach) AS label
+             |  FROM r GROUP BY node),
+             |asg AS MATERIALIZED (SELECT node, label,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |      ELSE 'test' END AS split
+             |  FROM (SELECT node, label,
+             |      CAST(('0x' || substr(md5('nsplit:v1:' || label::VARCHAR),
+             |        1, 8)) AS BIGINT) % 100 AS b FROM lab)),
+             |nv AS (SELECT node,
+             |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+             |      ELSE 'test' END AS nsplit
+             |  FROM (SELECT node,
+             |      CAST(('0x' || substr(md5('nsplit:v1:' || node::VARCHAR),
+             |        1, 8)) AS BIGINT) % 100 AS b FROM lab)),
+             |lk AS (SELECT CAST(sum(CASE WHEN na.nsplit != nb.nsplit
+             |      THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaky_pairs
+             |  FROM p JOIN nv na ON na.node = p.a_id
+             |  JOIN nv nb ON nb.node = p.b_id),
+             |aud AS (SELECT coalesce(max(nsp), 1) AS mx FROM (
+             |  SELECT count(DISTINCT split) AS nsp FROM asg GROUP BY label)),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM asg)
+             |SELECT asg.split, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(count(DISTINCT asg.label) AS BIGINT) AS n_clusters,
+             |  CAST(count(*) AS BIGINT) * 1000000
+             |    // greatest(tot.n_total, 1) AS doc_ppm,
+             |  coalesce(lk.naive_leaky_pairs, 0) AS naive_leaky_pairs,
+             |  aud.mx = 1 AS leakage_free
+             |FROM asg CROSS JOIN tot CROSS JOIN lk CROSS JOIN aud
+             |GROUP BY asg.split, tot.n_total, lk.naive_leaky_pairs, aud.mx
+             |ORDER BY asg.split""".stripMargin)),
 
     // q287: CURATION FUNNEL — the composed END-TO-END pipeline view over
     // the rewrite stages, per source: docs in → exact dedup (char-poly

@@ -720,7 +720,33 @@ object EventStreams {
              |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
              |  CAST(sum(n_ev) AS BIGINT) AS n_events,
              |  CAST(max(span_us) AS BIGINT) AS max_span_us
-             |FROM ss GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM ss GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // q294: STREAMING PII REDACT — q284's curation stage deployed as the
+    // stream it runs as in production (documents arrive continuously; the
+    // redact is pure map work and the per-source rollup is a commutative
+    // sum, so Complete mode over the bounded AvailableNow source is EXACT
+    // and the oracle is SHARED VERBATIM with the batch form — batch/stream
+    // parity is gate-proven, the q29/q267 discipline). State at 100 TB:
+    // |sources| rows of counters; the stream itself shuffles only those.
+    Entry(
+      "q294_stream_pii_redact",
+      (s, d) => {
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val src = s.readStream.schema(schema).parquet(s"$d/documents*")
+          .select(col("doc_id"), col("source"), col("text"))
+        val agg = graft.operators.Transforms.piiScanRedact(src)
+        s.streams.active.filter(_.name == "graft_stream_pii").foreach(_.stop())
+        val query = agg.writeStream
+          .format("memory")
+          .queryName("graft_stream_pii")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table("graft_stream_pii").orderBy(col("source"))
+      },
+      Some(graft.operators.Transforms.PiiRedactOracle))
   )
 
   /** q220's body: two deterministic arrival epochs through ONE streaming

@@ -421,4 +421,16 @@ class StreamingSuite extends SparkTestBase {
     for (r <- Registry.byName("q267_stream_session_window").q(spark, sf).collect())
       assert(perUser(r.getLong(0)) == r.getLong(1), s"user ${r.getLong(0)}")
   }
+
+  test("q294 streaming PII redact equals the batch q284 row-for-row") {
+    val streamRows = Registry.byName("q294_stream_pii_redact")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    val batchRows = Registry.byName("q284_pii_redact")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamRows == batchRows,
+      "streaming redact diverged from the batch scan — the shared-oracle " +
+        "parity claim would be vacuous")
+    assert(streamRows.nonEmpty && streamRows.exists(_(6).asInstanceOf[Long] > 0),
+      "the stream must actually see injected PII")
+  }
 }

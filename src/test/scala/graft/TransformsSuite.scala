@@ -180,6 +180,47 @@ class TransformsSuite extends SparkTestBase {
     assert(train > 0.6 && train < 0.95, s"train frac $train far from 0.8")
   }
 
+  test("q293 near-dup splits: clusters atomic; naive split provably leaks") {
+    val rows = Registry.byName("q293_neardup_safe_splits").q(spark, sf).collect()
+    assert(rows.forall(_.getBoolean(5)), "leakage_free must hold")
+    // the value-add: the per-doc hash split would scatter real near-dup
+    // pairs across splits — the counted leak must be nonzero on a fixture
+    // with 1000s of near-dup pairs
+    assert(rows.head.getLong(4) > 0,
+      "naive split must provably leak near-dup pairs on this fixture")
+    // replay: members of one component share a split; components inherit
+    // the representative's md5 bucket
+    val pairs = graft.operators.Dedup.wordsetNeardup(spark, sf)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = graft.operators.Dedup.neardupLabels(spark, sf,
+      spark.createDataFrame(pairs.toSeq).toDF("a_id", "b_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // union-find replay of the component labels
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across components")
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long): String = {
+      val b = java.lang.Long.parseLong(md5hex(s"nsplit:v1:$id").take(8), 16) % 100
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    rows.foreach { r =>
+      val clusters = labels.toSeq.groupBy(_._2).keySet
+        .count(rep => splitOf(rep) == r.getString(0))
+      assert(r.getLong(2) == clusters.toLong, s"${r.getString(0)} n_clusters")
+      val members = labels.toSeq.count { case (_, rep) =>
+        splitOf(rep) == r.getString(0)
+      }
+      assert(r.getLong(1) == members.toLong, s"${r.getString(0)} n_docs")
+    }
+    // naive leak count replays exactly
+    val naiveLeak = pairs.count { case (a, b) => splitOf(a) != splitOf(b) }
+    assert(rows.head.getLong(4) == naiveLeak.toLong, "naive_leaky_pairs replay")
+  }
+
   test("q287 funnel: every stage ties to a JVM-side staged replay") {
     val rows = Registry.byName("q287_curation_funnel").q(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
