@@ -455,7 +455,11 @@ object Bench {
     // + streaming PII redact (round 16, standing from birth). Subtract
     // these two when comparing secondary_total against r15 artifacts.
     "q293_neardup_safe_splits",
-    "q294_stream_pii_redact")
+    "q294_stream_pii_redact",
+    // token-budget water-filling allocation (round 16, standing from
+    // birth). Subtract it when comparing secondary_total against r15
+    // artifacts.
+    "q295_token_budget_waterfill")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

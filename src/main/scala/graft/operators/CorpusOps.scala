@@ -966,4 +966,108 @@ object CorpusOps {
              |LEFT JOIN rt ON rt.dest = tg.split0
              |ORDER BY split""".stripMargin))
   )
+
+  /** Round-16 additions kept out of the primary Seq (JVM method-size). */
+  val entries2: Seq[Entry] = Seq(
+
+    // q295: TOKEN-BUDGET WATER-FILLING — the allocation question every
+    // training-mix conversation ends at: given a global token budget
+    // B = 60% of the corpus and temperature-T=2 source weights
+    // w = sqrt(avail), how many tokens does each source contribute when
+    // small sources SATURATE and their shortfall redistributes? Three
+    // unrolled water-filling rounds (allocate ∝ w among UNCAPPED sources,
+    // clamp at availability, re-distribute the leftover), all EXACT
+    // integer: the temperature weight uses the q231 isqrt idiom
+    // (double-sqrt seed corrected over a ±3 window — no libm in the
+    // output), shares by integer div. q97's temperature mix samples docs
+    // at fixed ratios; this PLANS the budget — capped flags + per-source
+    // utilization + global fill are the datasheet numbers. Plan: one
+    // corpus scan → |sources| rows; every round is a 1-row broadcast
+    // combine over that value-domain-bounded frame. int64 holds to
+    // B·max(w) < 2⁶³ (≈10¹² tokens at T=2); Decimal(38) past that.
+    Entry(
+      "q295_token_budget_waterfill",
+      (s, d) => waterfillAlloc(
+        Tables.documents(s, d)
+          .groupBy(col("source"))
+          .agg(sum(size(split(col("text"), " "))).cast("long").as("avail"))),
+      Some("""WITH base AS (SELECT source,
+             |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS avail
+             |  FROM documents GROUP BY source),
+             |wt AS MATERIALIZED (SELECT source, avail,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      range(greatest(CAST(floor(sqrt(CAST(avail AS DOUBLE)))
+             |        AS BIGINT) - 3, 0),
+             |        CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT) + 4)),
+             |      (a, t) -> CASE WHEN t * t <= avail THEN t ELSE a END) AS w
+             |  FROM base),
+             |tot AS (SELECT CAST(sum(avail) * 6 // 10 AS BIGINT) AS b,
+             |    CAST(sum(w) AS BIGINT) AS sw FROM wt),
+             |a1 AS MATERIALIZED (SELECT source, avail, w, b,
+             |    least(b * w // sw, avail) AS alloc
+             |  FROM wt CROSS JOIN tot),
+             |l1 AS (SELECT max(b) - CAST(sum(alloc) AS BIGINT) AS lft,
+             |    greatest(CAST(sum(CASE WHEN alloc < avail THEN w ELSE 0 END)
+             |      AS BIGINT), 1) AS swu FROM a1),
+             |a2 AS MATERIALIZED (SELECT source, avail, w, b,
+             |    alloc + CASE WHEN alloc < avail
+             |      THEN least(lft * w // swu, avail - alloc) ELSE 0 END AS alloc
+             |  FROM a1 CROSS JOIN l1),
+             |l2 AS (SELECT max(b) - CAST(sum(alloc) AS BIGINT) AS lft,
+             |    greatest(CAST(sum(CASE WHEN alloc < avail THEN w ELSE 0 END)
+             |      AS BIGINT), 1) AS swu FROM a2),
+             |a3 AS MATERIALIZED (SELECT source, avail, w, b,
+             |    alloc + CASE WHEN alloc < avail
+             |      THEN least(lft * w // swu, avail - alloc) ELSE 0 END AS alloc
+             |  FROM a2 CROSS JOIN l2),
+             |f AS (SELECT CAST(sum(alloc) AS BIGINT) * 1000000
+             |    // greatest(max(b), 1) AS fill_ppm FROM a3)
+             |SELECT source, avail AS avail_toks, w AS weight, alloc,
+             |  alloc = avail AS capped,
+             |  alloc * 1000000 // greatest(avail, 1) AS util_ppm,
+             |  f.fill_ppm
+             |FROM a3 CROSS JOIN f ORDER BY source""".stripMargin))
+  )
+
+  /** q295's allocator over any (source, avail) frame — exposed so the
+    * suite can drive the SATURATION path the uniform fixture never hits
+    * (one tiny source among giants must cap at avail with its shortfall
+    * redistributed ∝ w among the uncapped).
+    */
+  private[graft] def waterfillAlloc(availBySource: DataFrame): DataFrame = {
+    val base = availBySource
+      .withColumn("c0",
+        expr("CAST(floor(sqrt(CAST(avail AS DOUBLE))) AS BIGINT)"))
+      .withColumn("w", expr(
+        "aggregate(sequence(greatest(c0 - 3L, 0L), c0 + 3L), 0L, " +
+          "(a, t) -> if(t * t <= avail, t, a))"))
+      .drop("c0")
+      .localCheckpoint() // consumers: totals + round-1 frame
+    val tot = base.agg(
+      expr("sum(avail) * 6L div 10L").as("b"),
+      sum(col("w")).as("sw"))
+    val a1 = base.crossJoin(broadcast(tot))
+      .withColumn("alloc", expr("least(b * w div sw, avail)"))
+      .localCheckpoint() // consumers: leftover agg + round-2 frame
+    def leftover(a: DataFrame): DataFrame = a.agg(
+      (max(col("b")) - sum(col("alloc"))).as("lft"),
+      greatest(sum(when(col("alloc") < col("avail"), col("w"))
+        .otherwise(0L)), lit(1L)).as("swu"))
+    def round(a: DataFrame): DataFrame = a
+      .crossJoin(broadcast(leftover(a)))
+      .withColumn("alloc", expr("alloc + if(alloc < avail, " +
+        "least(lft * w div swu, avail - alloc), 0L)"))
+      .drop("lft", "swu")
+      .localCheckpoint() // same two consumers per round
+    val a3 = round(round(a1))
+    val fill = a3.agg(
+      expr("sum(alloc) * 1000000L div greatest(max(b), 1L)").as("fill_ppm"))
+    a3.crossJoin(broadcast(fill))
+      .select(col("source"), col("avail").as("avail_toks"),
+        col("w").as("weight"), col("alloc"),
+        (col("alloc") === col("avail")).as("capped"),
+        expr("alloc * 1000000L div greatest(avail, 1L)").as("util_ppm"),
+        col("fill_ppm"))
+      .orderBy(col("source"))
+  }
 }

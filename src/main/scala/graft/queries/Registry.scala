@@ -26,6 +26,7 @@ object Registry {
       Multimodal.entries ++
       Sources.entries ++
       CorpusOps.entries ++
+      CorpusOps.entries2 ++
       Clustering.entries ++
       CorpusStats.entries ++
       CorpusStats.entries2 ++

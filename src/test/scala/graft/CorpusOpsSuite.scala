@@ -334,4 +334,50 @@ class CorpusOpsSuite extends SparkTestBase {
       .q(spark, sf).collect()
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
+
+  test("q295 water-filling: saturation redistributes; ties to a JVM replay") {
+    val sess = spark
+    import sess.implicits._
+    // one tiny source among giants — the path the near-uniform fixture
+    // never exercises: 60% of the total dwarfs the tiny source, so it must
+    // CAP at its availability and its shortfall flows to the giants
+    val avail = Seq(("tiny", 100L), ("g1", 100000L), ("g2", 200000L),
+      ("g3", 400000L))
+    val rows = graft.operators.CorpusOps
+      .waterfillAlloc(avail.toDF("source", "avail")).collect()
+    def isqrt(x: Long): Long = {
+      var c = math.sqrt(x.toDouble).toLong + 3
+      while (c * c > x) c -= 1
+      c
+    }
+    val b = avail.map(_._2).sum * 6 / 10
+    val sw = avail.map(a => isqrt(a._2)).sum
+    var alloc = avail.map { case (s, a) =>
+      (s, a, isqrt(a), math.min(b * isqrt(a) / sw, a))
+    }
+    for (_ <- 1 to 2) {
+      val lft = b - alloc.map(_._4).sum
+      val swu = math.max(alloc.filter(x => x._4 < x._2).map(_._3).sum, 1L)
+      alloc = alloc.map { case (s, a, w, al) =>
+        (s, a, w, if (al < a) al + math.min(lft * w / swu, a - al) else al)
+      }
+    }
+    rows.foreach { r =>
+      val (s, a, w, al) = alloc.find(_._1 == r.getString(0)).get
+      assert(r.getLong(1) == a && r.getLong(2) == w, s"$s avail/weight")
+      assert(r.getLong(3) == al, s"$s alloc ${r.getLong(3)} != replay $al")
+      assert(r.getBoolean(4) == (al == a), s"$s capped flag")
+    }
+    assert(rows.find(_.getString(0) == "tiny").get.getBoolean(4),
+      "the tiny source must saturate")
+    assert(alloc.map(_._4).sum <= b, "the budget is a hard ceiling")
+    // registered query at sf: allocation bookkeeping holds corpus-wide
+    val reg = Registry.byName("q295_token_budget_waterfill")
+      .q(spark, sf).collect()
+    assert(reg.forall(r => r.getLong(3) <= r.getLong(1)), "alloc <= avail")
+    val bReg = reg.map(_.getLong(1)).sum * 6 / 10
+    assert(reg.map(_.getLong(3)).sum <= bReg, "corpus budget ceiling")
+    assert(reg.head.getLong(6) >= 999000,
+      "near-uniform sources must fill ~the whole budget after 3 rounds")
+  }
 }
