@@ -110,7 +110,11 @@ class RelationalSuite extends SparkTestBase {
       "q218_vocab_overlap" -> 2, // per-lang vocab sizes (≤ n_langs rows), both joins
       "q224_distribution_drift" -> 1, // per-bucket marginal (≤ len-domain/100 rows)
       "q227_quantile_qq_map" -> 1, // global decile boundaries (9 rows)
-      "q228_split_rebalance" -> 2 // 3-row target/deficit tables
+      "q228_split_rebalance" -> 2, // 3-row target/deficit tables
+      // r16: IVF-PQ composed serve — 8-query probe, Q·m·ks ADC table,
+      // exact-baseline probe (the checkpointed centroid/codebook/candidate
+      // sides read as LogicalRDD leaves and are exempt by construction)
+      "q285_ann_ivfpq" -> 4
     )
     val names = (graft.operators.Relational.entries ++
       graft.operators.RelationalExt.entries ++
@@ -136,7 +140,14 @@ class RelationalSuite extends SparkTestBase {
       graft.operators.Forecast.entries ++
       graft.operators.IntervalOps.entries ++
       graft.operators.Projection.entries ++
-      graft.operators.Multimodal.entries).map(_.name)
+      graft.operators.Multimodal.entries ++
+      // r16 modules: the rewrite transforms and their second batches.
+      // q289/q290 publish scratch-dir artifacts at build time (the
+      // Similarity lifecycle precedent, harmless under the suite).
+      graft.operators.Transforms.entries ++
+      graft.operators.Transforms.entries2 ++
+      graft.operators.CorpusOps.entries2 ++
+      graft.operators.CorpusStats.entries2).map(_.name)
     names.foreach { name =>
       val df = Registry.byName(name).q(spark, sf)
       val hints = df.queryExecution.analyzed.collect { case h: ResolvedHint => h }
