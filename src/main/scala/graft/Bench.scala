@@ -459,7 +459,10 @@ object Bench {
     // token-budget water-filling allocation (round 16, standing from
     // birth). Subtract it when comparing secondary_total against r15
     // artifacts.
-    "q295_token_budget_waterfill")
+    "q295_token_budget_waterfill",
+    // planted-hub PageRank (round 16, standing from birth). Subtract it
+    // when comparing secondary_total against r15 artifacts.
+    "q296_pagerank_planted")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

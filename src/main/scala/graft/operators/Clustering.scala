@@ -763,6 +763,88 @@ object Clustering {
       })
   )
 
+  /** Round-16 additions kept out of the primary Seq (JVM method-size). */
+  val entries2: Seq[Entry] = Seq(
+
+    // q296: PAGERANK WITH PLANTED-HUB RECOVERY — link analysis joins the
+    // iterative family (q87 components, q222 power iteration): damping-
+    // 0.85 PageRank, 8 unrolled rounds, over a 200-node multigraph
+    // FABRICATED by the seeded-md5 primitive (the q260/q261 planted-
+    // recovery pattern: the fixtures carry no graph, so the method is
+    // proven by recovering a planted signal). Each node u emits 4 random
+    // out-edges (md5 lanes) plus one edge to the HUB (node 7) — outdegree
+    // exactly 5 by construction, multiset semantics — so the hub must
+    // dominate and the in-row recovery flag (hub_pr > 2× the best
+    // non-hub; measured ratio ≈5) is SF-invariant (nodes = doc_id mod 200, all 200 present
+    // at every SF). INTEGER-EXACT iteration (the quantized-coupling
+    // idiom): pr is held in ppm, each round
+    // pr'(v) = 150000 + 850000·(Σ_{u→v} pr(u) div 5) div 10⁶ — no float
+    // anywhere, so 8 rounds accumulate zero cross-engine drift. Scale:
+    // the edge table is value-domain-bounded (1000 rows); on a real graph
+    // the same plan keys one exchange per round on dst (partial-agged
+    // contribution sums), the documented production shape.
+    Entry(
+      "q296_pagerank_planted",
+      (s, d) => {
+        val nodes = Tables.documents(s, d)
+          .select((col("doc_id") % 200L).as("u")).distinct()
+          .localCheckpoint() // consumers: edge build + pr seed
+        val edges = nodes
+          .select(col("u"), explode(expr(
+            "concat(transform(sequence(0, 3), j -> " +
+              "CAST(conv(substring(md5(concat('pr:v1:', CAST(u AS STRING), " +
+              "':', CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % 200), " +
+              "array(7L))")).as("v"))
+          .localCheckpoint() // consumers: 8 per-round contribution joins
+        var pr = nodes.select(col("u").as("node"), lit(1000000L).as("pr"))
+        for (_ <- 1 to 8) {
+          val contrib = edges
+            .join(pr.select(col("node").as("u"), col("pr")), Seq("u"))
+            .groupBy(col("v").as("node"))
+            .agg(sum(expr("pr div 5L")).as("inflow"))
+          pr = pr.select(col("node"))
+            .join(contrib, Seq("node"), "left")
+            .select(col("node"),
+              expr("150000L + 850000L * coalesce(inflow, 0L) div 1000000L")
+                .as("pr"))
+            .localCheckpoint() // two consumers next round (join + reseed)
+        }
+        val hub = pr.agg(
+          max(when(col("node") === 7L, col("pr"))).as("hub_pr"),
+          max(when(col("node") =!= 7L, col("pr"))).as("best_other"))
+        pr.crossJoin(broadcast(hub))
+          .select(col("node"), col("pr").as("pr_ppm"),
+            (col("node") === 7L).as("is_hub"),
+            (col("hub_pr") > col("best_other") * 2L).as("hub_recovered"))
+          .orderBy(col("node"))
+      },
+      Some {
+        def round(r: Int): String =
+          s"""c$r AS (SELECT e.v AS node,
+             |    CAST(sum(p.pr // 5) AS BIGINT) AS inflow
+             |  FROM e JOIN p${r - 1} p ON p.node = e.u GROUP BY e.v),
+             |p$r AS MATERIALIZED (SELECT n.node,
+             |    150000 + 850000 * coalesce(c.inflow, 0) // 1000000 AS pr
+             |  FROM (SELECT node FROM p${r - 1}) n
+             |  LEFT JOIN c$r c ON c.node = n.node)""".stripMargin
+        s"""WITH nodes AS (SELECT DISTINCT doc_id % 200 AS u FROM documents),
+           |e AS MATERIALIZED (SELECT u,
+           |    unnest(list_append(list_transform(range(0, 4), j ->
+           |      CAST(('0x' || substr(md5('pr:v1:' || CAST(u AS VARCHAR)
+           |        || ':' || CAST(j AS VARCHAR)), 1, 8)) AS BIGINT) % 200),
+           |      CAST(7 AS BIGINT))) AS v
+           |  FROM nodes),
+           |p0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+           |${(1 to 8).map(round).mkString(",\n")},
+           |h AS (SELECT max(CASE WHEN node = 7 THEN pr END) AS hub_pr,
+           |    max(CASE WHEN node != 7 THEN pr END) AS best_other FROM p8)
+           |SELECT p8.node, CAST(p8.pr AS BIGINT) AS pr_ppm,
+           |  p8.node = 7 AS is_hub,
+           |  h.hub_pr > h.best_other * 2 AS hub_recovered
+           |FROM p8 CROSS JOIN h ORDER BY p8.node""".stripMargin
+      })
+  )
+
   private[graft] val updBatchIdOffset = 20000000L
   private[graft] val streamBatchIdOffset = 30000000L
 

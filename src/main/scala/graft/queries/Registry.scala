@@ -28,6 +28,7 @@ object Registry {
       CorpusOps.entries ++
       CorpusOps.entries2 ++
       Clustering.entries ++
+      Clustering.entries2 ++
       CorpusStats.entries ++
       CorpusStats.entries2 ++
       Integrity.entries ++
