@@ -1004,7 +1004,7 @@ object CorpusOps {
              |tot AS (SELECT CAST(sum(avail) * 6 // 10 AS BIGINT) AS b,
              |    CAST(sum(w) AS BIGINT) AS sw FROM wt),
              |a1 AS MATERIALIZED (SELECT source, avail, w, b,
-             |    least(b * w // sw, avail) AS alloc
+             |    least(b * w // greatest(sw, 1), avail) AS alloc
              |  FROM wt CROSS JOIN tot),
              |l1 AS (SELECT max(b) - CAST(sum(alloc) AS BIGINT) AS lft,
              |    greatest(CAST(sum(CASE WHEN alloc < avail THEN w ELSE 0 END)
@@ -1047,7 +1047,10 @@ object CorpusOps {
       expr("sum(avail) * 6L div 10L").as("b"),
       sum(col("w")).as("sw"))
     val a1 = base.crossJoin(broadcast(tot))
-      .withColumn("alloc", expr("least(b * w div sw, avail)"))
+      // greatest(sw, 1): an all-zero-avail input makes sw 0, where Spark
+      // div-by-zero yields NULL but DuckDB `//` errors — the same
+      // asymmetric-failure class as swu below (r16 ADVICE)
+      .withColumn("alloc", expr("least(b * w div greatest(sw, 1L), avail)"))
       .localCheckpoint() // consumers: leftover agg + round-2 frame
     def leftover(a: DataFrame): DataFrame = a.agg(
       (max(col("b")) - sum(col("alloc"))).as("lft"),

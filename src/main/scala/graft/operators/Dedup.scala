@@ -2462,8 +2462,19 @@ object Dedup {
     // keeps q219 strings / q230 hashes / the string oracle picking the
     // SAME shingle sets with no cross-representation tie-break. Volume:
     // Σ_docs |mindf-set|·df(sh) — organic docs pick 1-3 df≈2 shingles
-    // (~linear); only a genuine mass-dup cluster expands, and there the
-    // candidate count is output-density (those pairs ARE contained).
+    // (~linear). WORST CASE (r16 ADVICE, stated honestly): if k docs all
+    // share the same min-df shingle, every one of them picks it and
+    // generator 2 emits ~k² candidates BEFORE the exact-confirm stage
+    // drops the non-contained ones — including k hosts that merely share
+    // one rare shingle without containment. That k² is bounded by the
+    // min-df structure (a shingle is only picked by docs for which it is
+    // the RAREST, so organic corpora keep k small), but a corpus where one
+    // df≈2..∞ shingle is simultaneously the minimum for a huge doc set
+    // pays quadratic candidate generation; the mitigation at that scale is
+    // raising the containment recall floor (generator 1 alone, linear) or
+    // sampling owners per hot shingle — both change recall, so the
+    // registered operator keeps the exact semantics and DOCUMENTS the
+    // bound (SURVEY §2.3 scale story).
     val picks = sh.join(dfTab, Seq("sh"))
       .withColumn("mdf", min(col("df")).over(
         Window.partitionBy(col("doc_id")))) // per-doc axis, bounded

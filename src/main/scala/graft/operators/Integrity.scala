@@ -156,6 +156,14 @@ object Integrity {
     // per-doc exchange. Plan: one map pass over the corpus, then an 8-row
     // partial-aggregated group. At 100 TB placement is pure map work; only
     // (shard, count) rows move.
+    // r17 root cause of the two-round driver-only hash split: moved_ppm in
+    // the ORACLE was `sum(..) * 1000000 // count(*)` — DuckDB sum() is
+    // HUGEINT (int128), so the oracle column was int128 where Spark writes
+    // int64. Values identical (python compare passes locally), but a
+    // typed-value hasher sees different widths → hash_match false with
+    // rows/schema true and err null — exactly the driver signature. Fixed
+    // by CAST(.. AS BIGINT); tools/check.py now fails any oracle column
+    // whose DuckDB type kind differs from our parquet type kind.
     Entry(
       "q214_rendezvous_reshard",
       (s, d) => {
@@ -190,8 +198,8 @@ object Integrity {
              |    AS n_moved,
              |  coalesce(max(CASE WHEN shard8 != shard9 THEN shard9 END),
              |    CAST(-1 AS BIGINT)) AS moved_to,
-             |  sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) * 1000000
-             |    // count(*) AS moved_ppm
+             |  CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) * 1000000
+             |    // count(*) AS BIGINT) AS moved_ppm
              |FROM p GROUP BY shard8 ORDER BY shard8""".stripMargin)),
 
     // q215: MERKLE-STYLE CORRUPT-COPY LOCALIZATION — given a replica of the

@@ -107,6 +107,10 @@ object Multimodal {
       : Option[(Long, Long, Boolean, Long)] = {
     val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
     if (!s.startsWith("%PDF-1.")) return None
+    // a payload of exactly "%PDF-1." passes startsWith — bounds-check
+    // before charAt so a truncated head yields the None sentinel, not a
+    // task-killing StringIndexOutOfBoundsException (r16 ADVICE)
+    if (s.length < 8) return None
     val minor = s.charAt(7) - '0'
     if (minor < 0 || minor > 9) return None
     var i = s.indexOf('\n')

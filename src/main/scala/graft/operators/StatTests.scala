@@ -48,6 +48,10 @@ object StatTests {
     // cells = |sources|×|distinct lengths| (value-domain bounded) with
     // per-source windows over the value axis; the argmax location is a
     // max-then-match over the checkpointed cells table, never a sort.
+    // r17: the driver-only hash split had the same root cause as q214 —
+    // d_ppm in the oracle descends from a window sum() (HUGEINT), so the
+    // oracle column was int128 vs our int64. CAST AS BIGINT fixes it; see
+    // Integrity.scala q214 note and the type-kind gate in tools/check.py.
     Entry(
       "q231_ks_drift",
       (s, d) => {
@@ -118,7 +122,8 @@ object StatTests {
              |mx AS (SELECT source, n1, nn, max(dnum) AS mx
              |  FROM cum GROUP BY 1, 2, 3),
              |sel AS (SELECT mx.source, mx.n1 AS n_src,
-             |    mx.mx * 1000000 // (mx.n1 * (mx.nn - mx.n1)) AS d_ppm,
+             |    CAST(mx.mx * 1000000 // (mx.n1 * (mx.nn - mx.n1)) AS BIGINT)
+             |      AS d_ppm,
              |    CAST(min(cum.v) AS BIGINT) AS ks_at,
              |    7376656000000 * mx.nn // (mx.n1 * (mx.nn - mx.n1)) AS xr
              |  FROM mx JOIN cum ON cum.source = mx.source AND cum.dnum = mx.mx

@@ -41,11 +41,24 @@ object TextOps {
       rounds: Int): org.apache.spark.sql.DataFrame = {
     val checkpointPerRound =
       s.conf.get("graft.bpe.perRoundCheckpoint", "false").toBoolean
-    var cur = Tables.documents(s, d).select(
+    val cur0 = Tables.documents(s, d).select(
       concat(
         lit(" "),
         concat_ws("  ", regexp_extract_all(col("text"), lit("[a-z]{1,4}"), lit(0))),
         lit(" ")).as("s"))
+    bpeLearn(cur0, rounds, checkpointPerRound)
+  }
+
+  /** The learn loop over ANY pre-serialized `s` frame (double-space
+    * serialization, tokens contain no spaces) — extracted in r17 so the
+    * byte-level tokenizer (q297, Transforms) learns with the SAME machinery
+    * over a different base alphabet. Semantics unchanged for bpeVocab.
+    */
+  private[graft] def bpeLearn(
+      cur0: org.apache.spark.sql.DataFrame,
+      rounds: Int,
+      checkpointPerRound: Boolean): org.apache.spark.sql.DataFrame = {
+    var cur = cur0
     val perRound = (1 to rounds).map { r =>
       val toksOf = filter(split(trim(col("s")), "  "), t => t =!= "")
       val n1 = greatest(size(toksOf) - 1, lit(0))

@@ -960,4 +960,130 @@ object Transforms {
           array_join(expr("transform(kept, k -> k.btxt)"), " "),
           col("tailtxt"))).as("text"))
   }
+
+  /** Multi-byte codepoints appended per doc_id residue for q297 — é (2
+    * UTF-8 bytes), λ (2), € (3) — so every doc drives at least one
+    * multi-byte sequence through the byte-level pipeline and the in-row
+    * round-trip proof covers the non-ASCII case, not just the fixture's
+    * lowercase prose. Shared verbatim by the Spark plan and the oracle.
+    */
+  private[graft] val MbChars = Seq("é", "λ", "€")
+
+  /** Byte-serialized corpus for q297: h = UPPERCASE hex of the doc's UTF-8
+    * bytes (both engines hex uppercase), s = the q81 double-space
+    * serialization over 2-hex-char BYTE symbols — the 256-symbol base
+    * alphabet of a byte-level tokenizer. Symbols contain no spaces, so the
+    * q81 replace-is-greedy-BPE proof carries over unchanged.
+    */
+  private def byteDocs(s: SparkSession, d: String): DataFrame =
+    T.documents(s, d)
+      .select(col("source"),
+        hex(encode(
+          concat(col("text"), lit(" "),
+            element_at(array(MbChars.map(lit): _*),
+              (col("doc_id") % 3).cast("int") + 1)),
+          "UTF-8")).as("h"))
+      .withColumn("s",
+        concat(lit(" "),
+          concat_ws("  ", regexp_extract_all(col("h"), lit(".."), lit(0))),
+          lit(" ")))
+
+  /** q297 oracle: the byte serialization, the 4 learn rounds unrolled as
+    * CTEs (q83's machinery over the byte alphabet), and the per-source
+    * rollup including the round-trip proof column.
+    */
+  private val ByteBpeOracle: String = {
+    def enc(r: Int): String = {
+      val prev = if (r == 1) "s0" else s"m${r - 1}"
+      s"""p$r AS (SELECT unnest(list_transform(range(2, len(toks)+1),
+         |    i -> toks[i-1] || ' ' || toks[i])) AS pair
+         |  FROM (SELECT list_filter(string_split(trim(s, ' '), '  '), t -> t <> '') AS toks
+         |        FROM $prev)),
+         |t$r AS (SELECT string_split(pair, ' ')[1] AS x, string_split(pair, ' ')[2] AS y
+         |  FROM (SELECT pair, count(*) AS cnt FROM p$r GROUP BY pair
+         |        ORDER BY cnt DESC, pair LIMIT 1)),
+         |m$r AS MATERIALIZED (SELECT source, h,
+         |    replace(s, ' '||x||'  '||y||' ', ' '||x||y||' ') AS s
+         |  FROM $prev CROSS JOIN t$r)""".stripMargin
+    }
+    val mb = MbChars.map(c => s"'$c'").mkString(", ")
+    s"""WITH hx AS MATERIALIZED (SELECT source,
+       |    hex(text || ' ' || ([$mb])[1 + CAST(doc_id % 3 AS INT)]) AS h
+       |  FROM documents),
+       |s0 AS MATERIALIZED (SELECT source, h,
+       |    ' ' || array_to_string(regexp_extract_all(h, '..'), '  ') || ' ' AS s
+       |  FROM hx),
+       |${(1 to 4).map(enc).mkString(",\n")},
+       |r AS (SELECT source, count(*) AS n_docs,
+       |    sum(length(h) // 2) AS bytes_total,
+       |    sum(len(list_filter(string_split(trim(s, ' '), '  '), t -> t <> '')))
+       |      AS toks_after,
+       |    sum(CASE WHEN replace(s, ' ', '') = h THEN 0 ELSE 1 END)
+       |      AS roundtrip_fails
+       |  FROM m4 GROUP BY source)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+       |  CAST(bytes_total AS BIGINT) AS bytes_total,
+       |  CAST(toks_after AS BIGINT) AS toks_after,
+       |  CAST(toks_after * 1000000 // greatest(bytes_total, 1) AS BIGINT)
+       |    AS compression_ppm,
+       |  CAST(roundtrip_fails AS BIGINT) AS roundtrip_fails
+       |FROM r ORDER BY source""".stripMargin
+  }
+
+  /** Round-17 batch (JVM method-size discipline, the entries2 precedent). */
+  val entries3: Seq[Entry] = Seq(
+
+    // q297: BYTE-LEVEL BPE ENCODE — the production-tokenizer gap the word
+    // family (q81/q83/q282/q288/q289) leaves open: GPT-2-lineage tokenizers
+    // operate on UTF-8 BYTES with a 256-symbol base alphabet, so NO input
+    // is out-of-vocabulary by construction — multi-byte codepoints are just
+    // byte sequences that merges may or may not join. Here the corpus
+    // (with per-doc fabricated multi-byte suffixes — é/λ/€ by doc_id
+    // residue, the q215/q284 in-query fabrication pattern) serializes as
+    // 2-hex-char byte symbols, LEARNS 4 merges with exactly q83's loop
+    // (TextOps.bpeLearn — shared machinery, different alphabet), and
+    // APPLIES them in the q288 constant-plan fold form (one broadcast merge
+    // array, one corpus scan). Fallback-freedom is PROVEN in-row:
+    // roundtrip_fails counts docs where stripping the serialization spaces
+    // does not reproduce the original byte-hex exactly — 0 means every
+    // doc, multi-byte suffix included, decodes back to its input bytes
+    // (merges only concatenate symbols, never alter them). Scale: learn =
+    // 4 bounded (pair, count) exchanges (map-side partial; pair domain ≤
+    // vocab²); apply = ONE linear scan + per-source rollup; at 32k merges
+    // the SAME plan applies (the fold is constant-size in merge count).
+    Entry(
+      "q297_byte_bpe_encode",
+      (s, d) => {
+        val ml = TextOps.bpeLearn(
+          byteDocs(s, d).select(col("s")), rounds = 4,
+          checkpointPerRound = false)
+          .select(col("round"), col("x"), col("y"))
+          .localCheckpoint() // learn ONCE; the apply scan below never re-learns
+        val marr = ml.agg(expr(
+          "transform(array_sort(collect_list(struct(round, x, y))), " +
+            "m -> struct(m.x AS x, m.y AS y))").as("marr"))
+        byteDocs(s, d).crossJoin(broadcast(marr))
+          .withColumn("s", expr(
+            "aggregate(marr, s, (acc, m) -> replace(acc, " +
+              "concat(' ', m.x, '  ', m.y, ' '), concat(' ', m.x, m.y, ' ')))"))
+          .withColumn("ntk",
+            size(filter(split(trim(col("s")), "  "), t => t =!= ""))
+              .cast("long"))
+          .withColumn("rt",
+            when(replace(col("s"), lit(" "), lit("")) === col("h"), 0L)
+              .otherwise(1L))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(expr("length(h) div 2")).as("bytes_total"),
+            sum(col("ntk")).as("toks_after"),
+            sum(col("rt")).as("roundtrip_fails"))
+          .withColumn("compression_ppm",
+            expr("toks_after * 1000000L div greatest(bytes_total, 1L)"))
+          .select(col("source"), col("n_docs"), col("bytes_total"),
+            col("toks_after"), col("compression_ppm"), col("roundtrip_fails"))
+          .orderBy(col("source"))
+      },
+      Some(ByteBpeOracle))
+  )
 }

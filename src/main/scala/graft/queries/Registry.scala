@@ -20,6 +20,7 @@ object Registry {
       TextOps.entries ++
       Transforms.entries ++
       Transforms.entries2 ++
+      Transforms.entries3 ++
       Dedup.entries ++
       Dedup.entries2 ++
       Similarity.entries ++

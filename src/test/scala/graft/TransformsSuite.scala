@@ -277,6 +277,79 @@ class TransformsSuite extends SparkTestBase {
     assert(rows.map(_.getLong(4)).sum > 0, "span stage must remove something")
   }
 
+  test("q297 byte BPE: JVM replay ties; any string round-trips through decode") {
+    val df = Registry.byName("q297_byte_bpe_encode").q(spark, sf)
+    val rows = df.collect()
+    // plan: learn ran behind the checkpoint barrier; the encode pass reads
+    // the corpus exactly once with the merge array broadcast in
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"byte-encode plan reads parquet $scans times, want 1")
+    assert(df.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "the merge array must enter the encode scan via broadcast")
+    // in-row no-OOV proof: zero round-trip failures, multi-byte suffixes in
+    assert(rows.forall(_.getLong(5) == 0L), "roundtrip_fails must be 0")
+    // full JVM replay: byte-hex serialization, 4-round learn with the
+    // (count desc, pair asc) tie-break, greedy left-to-right apply
+    val mb = operators.Transforms.MbChars
+    def hexOf(s: String): String =
+      s.getBytes("UTF-8").map(b => "%02X".format(b & 0xff)).mkString
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getString(1),
+        hexOf(r.getString(2) + " " + mb((r.getLong(0) % 3).toInt))))
+    var toks: Array[(String, Vector[String])] =
+      docs.map { case (src, h) => (src, h.grouped(2).toVector) }
+    def mergeOnce(t: Vector[String], x: String, y: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < t.length) {
+        if (i + 1 < t.length && t(i) == x && t(i + 1) == y) {
+          out += (x + y); i += 2
+        } else { out += t(i); i += 1 }
+      }
+      out.result()
+    }
+    val merges = (1 to 4).map { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      toks.foreach { case (_, t) =>
+        t.sliding(2).foreach { w =>
+          if (w.length == 2)
+            counts((w(0), w(1))) = counts.getOrElse((w(0), w(1)), 0L) + 1
+        }
+      }
+      val (x, y) = counts.toSeq
+        .minBy { case ((a, b), c) => (-c, a + " " + b) }._1
+      toks = toks.map { case (src, t) => (src, mergeOnce(t, x, y)) }
+      (x, y)
+    }
+    val bySource = toks.groupBy(_._1)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = bySource(src)
+      val hx = docs.filter(_._1 == src)
+      assert(r.getLong(1) == mine.length.toLong, s"$src n_docs")
+      assert(r.getLong(2) == hx.map(_._2.length / 2).sum.toLong, s"$src bytes")
+      assert(r.getLong(3) == mine.map(_._2.length).sum.toLong,
+        s"$src toks_after diverges from the JVM learn+apply replay")
+      assert(r.getLong(4) ==
+        mine.map(_._2.length).sum.toLong * 1000000L /
+          math.max(hx.map(_._2.length / 2).sum.toLong, 1L),
+        s"$src compression_ppm")
+    }
+    // fallback-freedom on ARBITRARY input, surrogate pairs included: encode
+    // with the learned merges, strip, unhex, decode — must be the identity
+    Seq("héllo wörld", "λ€é mixed", "emoji 🌍 and 中文",
+      "", "plain ascii").foreach { s0 =>
+      var t = hexOf(s0).grouped(2).toVector
+      merges.foreach { case (x, y) => t = mergeOnce(t, x, y) }
+      val bytes = t.mkString.grouped(2)
+        .map(h => Integer.parseInt(h, 16).toByte).toArray
+      assert(new String(bytes, "UTF-8") == s0,
+        s"byte-level encode of '$s0' must round-trip through decode")
+    }
+  }
+
   test("q284 redact: injection equals detection; digest replays bit-exact") {
     val df = Registry.byName("q284_pii_redact").q(spark, sf)
     val rows = df.collect()

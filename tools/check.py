@@ -100,6 +100,34 @@ def main():
             failures.append({"name": name, "err": f"oracle SQL error: {e}"})
             nfail += 1
             continue
+        # type-kind gate (r17): the driver hashes TYPED values, so an oracle
+        # column whose DuckDB type kind differs from our parquet type kind
+        # (e.g. an uncast sum() → HUGEINT/int128 vs Spark's int64) hash-fails
+        # on the driver even when every python value compares equal — the
+        # q214/q231 two-round mystery. Fail it here so it never ships.
+        def _kind(t):
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "int64"
+            if t == "HUGEINT":
+                return "int128"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            if t.startswith("DECIMAL"):
+                return t
+            return t
+        our_types = dict(zip(our_cols, [str(t) for t in ours.types]))
+        o_types = dict(zip(o_cols, [str(t) for t in oracle.types]))
+        kind_bad = [
+            f"col {c}: oracle {o_types[c]} vs ours {our_types[c]}"
+            for c in o_cols
+            if c in our_types and _kind(o_types[c]) != _kind(our_types[c])]
+        if kind_bad:
+            print(f"FAIL {name}: type-kind mismatch: {kind_bad}")
+            failures.append({"name": name,
+                             "err": f"type-kind mismatch: {kind_bad}"})
+            nfail += 1
+            continue
         if sorted(our_cols) != sorted(o_cols):
             print(f"FAIL {name}: columns ours={our_cols} oracle={o_cols}")
             failures.append({"name": name, "err": f"columns ours={our_cols} oracle={o_cols}"})
