@@ -191,7 +191,11 @@ object EventOps {
         Tables.events(s, d)
           .withColumn(
             "hour_epoch",
-            ((col("ts") - pmod(col("ts"), lit(HourNs))) / lit(1000000000L)).cast("long"))
+            // integer div, not double `/` + cast: here the double path is
+            // provably exact (the hour multiple carries a 2^13 factor ≥ any
+            // ulp below 2^63), but the PlanGuardSuite cast rule bans the
+            // shape outright — exactness-by-accident is what it exists for
+            expr(s"(ts - pmod(ts, ${HourNs}L)) div 1000000000L"))
           // INTEGER CENT MATH end-to-end: `value` is exact 2-decimal in the
           // fixture (suite-checked), so summing cents as longs is
           // order-free exact, and the 4-decimal half-up avg is computed in

@@ -543,7 +543,10 @@ object Relational {
           .select(
             col("l_orderkey"), col("l_linenumber"),
             round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
-            col("l_quantity").cast("long").as("quantity"),
+            // round() first: l_quantity is integral-valued so the raw cast
+            // was value-safe, but PlanGuardSuite bans bare double→long casts
+            // (Spark truncates, DuckDB rounds — the q231 class)
+            round(col("l_quantity")).cast("long").as("quantity"),
             round(col("l_discount") * 10000).cast("long").as("discount_bp"),
             round(col("l_tax") * 10000).cast("long").as("tax_bp"))
         src

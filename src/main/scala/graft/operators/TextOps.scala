@@ -676,8 +676,12 @@ object TextOps {
           .select(
             col("lang"),
             size(col("toks")).cast("long").as("nt"),
-            ((length(serialized) - length(replace(serialized, pat, rep))) / 2)
-              .cast("long").as("nm"),
+            // shiftright 1 = exact halving of the (always even) length
+            // delta in pure integer — PlanGuardSuite bans the previous
+            // double `/ 2` + cast shape (the q231 class)
+            shiftright((length(serialized) -
+              length(replace(serialized, pat, rep))).cast("long"), 1)
+              .as("nm"),
             concat(col("x"), col("y")).as("merged"))
           .groupBy(col("lang"))
           .agg(

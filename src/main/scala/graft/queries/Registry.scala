@@ -25,6 +25,7 @@ object Registry {
       Dedup.entries2 ++
       Similarity.entries ++
       Multimodal.entries ++
+      Multimodal.entries2 ++
       Sources.entries ++
       CorpusOps.entries ++
       CorpusOps.entries2 ++

@@ -255,4 +255,61 @@ class MultimodalSuite extends SparkTestBase {
     }
     assert(rows.forall(_.getLong(1) >= 0), "no sentinel rows on synth input")
   }
+
+  test("q298 pixel decode: real inflate+unfilter; every malformation rejects") {
+    import graft.operators.Multimodal
+    // both zlib paths and the IDAT split decode to the planted pixels
+    Seq(0L, 1L, 2L, 3L, 15L, 62L).foreach { id =>
+      val png = Multimodal.pngFullBytes(id)
+      val Some((w, h, nIdat, dg)) = Multimodal.parsePngPixels(png)
+      assert(w == 8 + id % 9 && h == 4 + id % 7)
+      assert(nIdat == (if (id % 2 == 0) 2L else 1L),
+        "stored path must decode across the two-IDAT split")
+      var expect = 0L
+      for (r <- 0 until h.toInt; c <- 0 until w.toInt)
+        expect = (expect * 131 +
+          ((id * 31 + r * 17 + c * 7) % 251)) % 2147483647L
+      assert(dg == expect, s"doc $id pixel digest diverges from the plant")
+    }
+    // malformations: each one must hit the None sentinel, never throw
+    val good = Multimodal.pngFullBytes(2L) // stored path, tEXt, 2 IDATs
+    def mut(i: Int): Array[Byte] = {
+      val b = good.clone(); b(i) = (b(i) ^ 0x01).toByte; b
+    }
+    // flip one byte inside the first IDAT payload: chunk CRC must reject
+    val idatAt = {
+      var i = 8
+      while (!(good(i + 4) == 'I' && good(i + 5) == 'D' &&
+        good(i + 6) == 'A' && good(i + 7) == 'T')) {
+        i += 12 + ((good(i) & 0xff) << 24 | (good(i + 1) & 0xff) << 16 |
+          (good(i + 2) & 0xff) << 8 | (good(i + 3) & 0xff))
+      }
+      i
+    }
+    assert(Multimodal.parsePngPixels(mut(idatAt + 8)).isEmpty,
+      "a flipped IDAT byte must fail the chunk CRC")
+    assert(Multimodal.parsePngPixels(good.dropRight(7)).isEmpty,
+      "a truncated stream must reject")
+    assert(Multimodal.parsePngPixels(mut(0)).isEmpty, "bad signature")
+    assert(Multimodal.parsePngPixels(Array.emptyByteArray).isEmpty)
+    // IHDR declaring a taller image than IDAT holds: short-stream reject
+    // (flip the height LSB and fix the CRC so only the inflate stage sees it)
+    val tall = good.clone()
+    tall(23) = (tall(23) + 1).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(tall, 12, 17)
+    val v = crc.getValue
+    tall(29) = ((v >>> 24) & 0xff).toByte; tall(30) = ((v >>> 16) & 0xff).toByte
+    tall(31) = ((v >>> 8) & 0xff).toByte; tall(32) = (v & 0xff).toByte
+    assert(Multimodal.parsePngPixels(tall).isEmpty,
+      "an IHDR/IDAT length disagreement must reject, not mis-digest")
+    // registered query: per-doc rows, no sentinels, map-only single scan
+    val df = queries.Registry.byName("q298_png_pixel_decode").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sf).count().toInt)
+    assert(rows.forall(_.getLong(1) > 0), "no sentinel rows on synth input")
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"q298 must be a single-scan map-only plan, got $scans")
+  }
 }
