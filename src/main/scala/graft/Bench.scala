@@ -462,7 +462,11 @@ object Bench {
     "q295_token_budget_waterfill",
     // planted-hub PageRank (round 16, standing from birth). Subtract it
     // when comparing secondary_total against r15 artifacts.
-    "q296_pagerank_planted")
+    "q296_pagerank_planted",
+    // round-17 cohort, standing from birth
+    "q297_byte_bpe_encode",
+    "q298_png_pixel_decode",
+    "q299_cross_corpus_decon")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

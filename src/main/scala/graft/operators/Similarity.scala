@@ -763,6 +763,21 @@ object Similarity {
       graft.sources.Sources.readEpochs(s, s"$root/codes")
         .filter(col("vec_id") < 10000000L))
 
+  /** Serve the base segmented root's corpus view ONCE per root and persist
+    * the top-k table under it — q142's recall check reads it back, and
+    * q143's compaction-invisibility proof compares against it instead of
+    * paying a second full ADC serve (r16 verdict #7).
+    */
+  private def segTopkEnsure(s: SparkSession, d: String, root: String): String = {
+    val path = s"$root/topk_precompact"
+    val ok = new org.apache.hadoop.fs.Path(s"$path/_SUCCESS")
+    val fs = ok.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(ok))
+      segServeCorpus(s, d, root).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+    path
+  }
+
   /** q142 registered row: segment count, total code rows, NEWEST-segment
     * rows (the O(delta) write proof: m·100, never m·corpus), and the
     * recall self-check served through the multi-segment read.
@@ -776,8 +791,9 @@ object Similarity {
       .crossJoin(broadcast(
         s.read.parquet(s"$root/codes/${segs.last}")
           .agg(count(lit(1)).as("n_newest_rows"))))
+    val served = s.read.parquet(segTopkEnsure(s, d, root))
     counts
-      .crossJoin(broadcast(recallCheck(segServeCorpus(s, d, root), bruteTopK(s, d), 0.75)))
+      .crossJoin(broadcast(recallCheck(served, bruteTopK(s, d), 0.75)))
       .select(lit(segs.size.toLong).as("n_segments"), col("n_code_rows"),
         col("n_newest_rows"), col("n_exact"), col("recall_ok"))
   }
@@ -797,14 +813,32 @@ object Similarity {
     * anchor re-run idempotency.
     */
   private[graft] def annSegmentCompact(s: SparkSession, d: String): DataFrame = {
+    // base index + its persisted pre-compaction top-k (one serve, shared
+    // with q142 — r16 verdict #7 trimmed the second full serve this query
+    // used to pay)
+    val base = pqSegRoot(d)
+    segEnsureAppends(s, d, base)
+    val servedBefore = s.read.parquet(segTopkEnsure(s, d, base))
+    // fresh compaction root per run (compaction renames epochs, so re-run
+    // idempotency can't anchor on pre-compaction segment names) — built by
+    // COPYING the base root's codebook + segments, never re-learning the
+    // codebook or re-encoding the corpus: identical (codebook, codes) set
+    // by construction, which is exactly the precondition of the
+    // compaction-invisibility claim being proven
     val root = graft.sources.Sources.scratch(d, "pq_index_seg_cmp")
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(rootPath)) fs.delete(rootPath, true)
-    segEnsureAppends(s, d, root)
+    graft.sources.Sources.readCurrent(s, s"$base/codebook")
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$root/codebook/gen-build")
+    graft.sources.Sources.publishGeneration(s, s"$root/codebook", "gen-build")
     val codesRoot = s"$root/codes"
+    graft.sources.Sources.committedEpochs(s, s"$base/codes").foreach { e =>
+      graft.sources.Sources.commitEpoch(s, codesRoot,
+        s.read.parquet(s"$base/codes/$e"), e)
+    }
     val nBefore = graft.sources.Sources.committedEpochs(s, codesRoot).size
-    val servedBefore = segServeCorpus(s, d, root).localCheckpoint()
     graft.sources.Sources.compactEpochs(s, codesRoot, 4)
     val nAfter = graft.sources.Sources.committedEpochs(s, codesRoot).size
     val cmp = servedBefore

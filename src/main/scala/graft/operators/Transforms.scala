@@ -1054,9 +1054,16 @@ object Transforms {
     Entry(
       "q297_byte_bpe_encode",
       (s, d) => {
+        // pure-declarative learn (house default, the plan the oracle CTEs
+        // mirror): measured at sf0.1, per-round checkpointing does NOT help
+        // here (9.7 vs 8.9 s under like canaries) — the cost is the 4
+        // pair-explode rounds over ~2× the word family's symbol count, not
+        // lineage re-computation; at tokenizer-scale rounds the
+        // graft.bpe.perRoundCheckpoint conf flips it linear as with q83
         val ml = TextOps.bpeLearn(
           byteDocs(s, d).select(col("s")), rounds = 4,
-          checkpointPerRound = false)
+          checkpointPerRound =
+            s.conf.get("graft.bpe.perRoundCheckpoint", "false").toBoolean)
           .select(col("round"), col("x"), col("y"))
           .localCheckpoint() // learn ONCE; the apply scan below never re-learns
         val marr = ml.agg(expr(
@@ -1084,6 +1091,143 @@ object Transforms {
             col("toks_after"), col("compression_ppm"), col("roundtrip_fails"))
           .orderBy(col("source"))
       },
-      Some(ByteBpeOracle))
+      Some(ByteBpeOracle)),
+
+    // q299: CROSS-CORPUS INDEX PORTABILITY (r16 verdict #8) — every other
+    // index lifecycle (q108/q131/q290) builds and serves within ONE fixture
+    // generation; the operational story at 100 TB is the opposite: the
+    // artifact outlives the corpus that built it and serves every LATER
+    // corpus build (decontamination against a frozen benchmark snapshot is
+    // the canonical instance). Here the exact-key + span-hash index is
+    // built ONCE from the sf0.001 fixture GENERATION (a different driver
+    // generation of the same schema — the standard testdata tree,
+    // TESTDATA.md; falls back to the serve dir when absent), published
+    // through the atomic generation manifest, and the CURRENT corpus `d`
+    // is classified against the artifact: per source, exact-dup docs
+    // (digest+length) and docs sharing any 8-token block with the old
+    // corpus. The serve plan reads ONLY artifact + current corpus
+    // (suite-pinned: exactly the two artifact scans after the corpus
+    // checkpoint; the build ran once behind the manifest guard) — the
+    // manifest/generation protocol demonstrably survives the corpus swap.
+    // At the suite's sf0.001 the build corpus IS the serve corpus and the
+    // output hits its fixed point: every doc an exact dup of itself.
+    // The oracle replays both sides; its old-corpus path is the TESTDATA.md
+    // layout, matching siblingBuildCorpus by construction.
+    Entry(
+      "q299_cross_corpus_decon",
+      (s, d) => {
+        val old = siblingBuildCorpus(d)
+        val root = graft.sources.Sources.scratch(d, "cross_corpus_index")
+        val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+        val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(manifest)) {
+          val docs0 = T.documents(s, old)
+            .select(col("doc_id"), col("source"), col("text"))
+            .localCheckpoint() // consumers: exact keys + span blocks
+          docs0
+            .select(expr(DocDigestExpr).as("dg"),
+              length(col("text")).cast("long").as("len"))
+            .distinct()
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$root/gen-build/exact")
+          spanBlocks(docs0)
+            .select(explode(col("bharr")).as("bh")).distinct()
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$root/gen-build/spans")
+          graft.sources.Sources.publishGeneration(s, root, "gen-build")
+        }
+        val cur = graft.sources.Sources.currentGeneration(s, root)
+        val exactIdx = s.read.parquet(s"$cur/exact").withColumn("xhit", lit(1L))
+        val spanIdx = s.read.parquet(s"$cur/spans").withColumn("shit", lit(1L))
+        val docs = T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"))
+          .localCheckpoint() // consumers: exact keys + span blocks
+        val keyed = docs.select(col("doc_id"), col("source"),
+          expr(DocDigestExpr).as("dg"),
+          length(col("text")).cast("long").as("len"))
+        val hits = spanBlocks(docs)
+          .select(col("doc_id"), explode(col("bharr")).as("bh"))
+          .join(spanIdx, Seq("bh"), "left")
+          .groupBy(col("doc_id"))
+          .agg(max(coalesce(col("shit"), lit(0L))).as("span_hit"))
+        keyed
+          .join(exactIdx, Seq("dg", "len"), "left")
+          .join(hits, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(coalesce(col("xhit"), lit(0L))).as("n_exact_dup"),
+            sum(coalesce(col("span_hit"), lit(0L))).as("n_span_hit"))
+          .withColumn("span_hit_ppm",
+            expr("n_span_hit * 1000000L div greatest(n_docs, 1L)"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH old AS MATERIALIZED (SELECT doc_id, text
+             |    FROM '/root/testdata/sf0.001/documents.parquet'),
+             |oldk AS (SELECT DISTINCT
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text) + 1),
+             |        i -> CAST(unicode(text[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % $P) AS dg,
+             |    CAST(length(text) AS BIGINT) AS len
+             |  FROM old),
+             |oldth AS (SELECT list_transform(string_split(text, ' '), w ->
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(w) + 1),
+             |        i -> CAST(unicode(w[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % $P)) AS th
+             |  FROM old),
+             |olds AS MATERIALIZED (SELECT DISTINCT
+             |    unnest(list_transform(range(1, len(th) // 8 + 1), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        th[(i - 1) * 8 + 1 : i * 8]),
+             |        (a, c) -> (a * 131 + c) % $P))) AS bh
+             |  FROM oldth),
+             |newk AS MATERIALIZED (SELECT doc_id, source,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(range(1, length(text) + 1),
+             |        i -> CAST(unicode(text[i]) AS BIGINT))),
+             |      (a, c) -> (a * 131 + c) % $P) AS dg,
+             |    CAST(length(text) AS BIGINT) AS len,
+             |    list_transform(string_split(text, ' '), w ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(w) + 1),
+             |          i -> CAST(unicode(w[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $P)) AS th
+             |  FROM documents),
+             |nblk AS (SELECT doc_id,
+             |    unnest(list_transform(range(1, len(th) // 8 + 1), i ->
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        th[(i - 1) * 8 + 1 : i * 8]),
+             |        (a, c) -> (a * 131 + c) % $P))) AS bh
+             |  FROM newk),
+             |hits AS (SELECT b.doc_id,
+             |    max(CASE WHEN o.bh IS NOT NULL THEN 1 ELSE 0 END) AS span_hit
+             |  FROM nblk b LEFT JOIN olds o ON o.bh = b.bh GROUP BY 1)
+             |SELECT k.source, CAST(count(*) AS BIGINT) AS n_docs,
+             |  CAST(sum(CASE WHEN ok.dg IS NOT NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_exact_dup,
+             |  CAST(sum(coalesce(h.span_hit, 0)) AS BIGINT) AS n_span_hit,
+             |  CAST(sum(coalesce(h.span_hit, 0)) * 1000000
+             |    // greatest(count(*), 1) AS BIGINT) AS span_hit_ppm
+             |FROM newk k
+             |LEFT JOIN oldk ok ON ok.dg = k.dg AND ok.len = k.len
+             |LEFT JOIN hits h ON h.doc_id = k.doc_id
+             |GROUP BY k.source ORDER BY k.source""".stripMargin))
   )
+
+  /** The build-corpus dir for q299: the sf0.001 fixture generation under
+    * the standard testdata tree (a sibling of the serve dir), or the serve
+    * dir itself when the layout differs — in which case build == serve and
+    * the entry degrades to its fixed point rather than failing.
+    */
+  private[graft] def siblingBuildCorpus(d: String): String = {
+    val cand = new java.io.File(new java.io.File(d).getParentFile, "sf0.001")
+    if (cand.isDirectory) cand.getPath else d
+  }
+
+  /** Whole-doc char-polynomial digest (the q291 exact-key idiom). */
+  private val DocDigestExpr =
+    "aggregate(filter(split(text, ''), ch -> ch != ''), " +
+      s"0L, (a, c) -> (a * 131 + ascii(c)) % $P)"
 }

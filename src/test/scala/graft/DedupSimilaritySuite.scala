@@ -471,6 +471,23 @@ class DedupSimilaritySuite extends SparkTestBase {
       .sameElements(baseFiles), "re-run must not rewrite committed segment files")
   }
 
+  test("q143 compaction: copied root, serve-once vs persisted topk, invisible") {
+    import graft.operators.Similarity
+    val r = Registry.byName("q143_ann_segment_compact").q(spark, sf).collect()(0)
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L,
+      "3 segments must compact to 1")
+    assert(r.getBoolean(4), "top-k must be identical before vs after compaction")
+    // the pre-compaction top-k is a PERSISTED artifact shared with q142
+    // (r16 verdict #7: one serve, not a rebuild plus two serves) and its
+    // row count is exactly the n_topk the equality proof joined over
+    val base = Similarity.pqSegRoot(sf)
+    assert(spark.read.parquet(s"$base/topk_precompact").count() == r.getLong(3),
+      "persisted pre-compaction top-k must back the equality proof")
+    // re-run converges bit-identically (fresh compaction root per run)
+    val r2 = Registry.byName("q143_ann_segment_compact").q(spark, sf).collect()(0)
+    assert(r2.toString == r.toString, "q143 re-run must converge")
+  }
+
   test("q144 dedup segment append is O(delta), serve reads both segments") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup

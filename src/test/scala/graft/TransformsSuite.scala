@@ -350,6 +350,45 @@ class TransformsSuite extends SparkTestBase {
     }
   }
 
+  test("q299 cross-corpus: artifact-only serve plan; build==serve fixed point") {
+    val df = Registry.byName("q299_cross_corpus_decon").q(spark, sf)
+    val rows = df.collect()
+    // at the suite's sf0.001 the build corpus IS the serve corpus: every
+    // doc is an exact dup of itself, and every doc with >= 8 tokens shares
+    // its own blocks
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val mine = docs.filter(_._1 == src)
+      assert(r.getLong(1) == mine.length.toLong, s"$src n_docs")
+      assert(r.getLong(2) == r.getLong(1),
+        s"$src: build==serve must make every doc an exact dup of itself")
+      assert(r.getLong(3) ==
+        mine.count(_._2.split(" ", -1).length >= 8).toLong,
+        s"$src: every >=8-token doc must span-hit itself")
+    }
+    // the SERVE plan reads only the two artifact tables — the corpus went
+    // through a checkpoint and the sf0.001 build ran behind the manifest
+    // guard (index reuse across corpus generations, the 100 TB story)
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.length == 2, s"serve plan has ${scans.length} scans, want 2")
+    assert(scans.forall(_.toString.contains("cross_corpus_index")),
+      "both serve-plan scans must read the published artifact")
+    // generation protocol survives re-serve: no rebuild, same artifact files
+    val root = graft.sources.Sources.scratch(sf, "cross_corpus_index")
+    val gen = graft.sources.Sources.currentGeneration(spark, root)
+    val files1 = spark.read.parquet(s"$gen/exact").inputFiles.sorted.toSeq
+    val again = Registry.byName("q299_cross_corpus_decon").q(spark, sf)
+      .collect()
+    assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq,
+      "re-serve must converge")
+    assert(spark.read.parquet(s"$gen/exact").inputFiles.sorted.toSeq == files1,
+      "re-serve must not rewrite the published artifact")
+  }
+
   test("q284 redact: injection equals detection; digest replays bit-exact") {
     val df = Registry.byName("q284_pii_redact").q(spark, sf)
     val rows = df.collect()
