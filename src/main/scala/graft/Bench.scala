@@ -466,7 +466,10 @@ object Bench {
     // round-17 cohort, standing from birth
     "q297_byte_bpe_encode",
     "q298_png_pixel_decode",
-    "q299_cross_corpus_decon")
+    "q299_cross_corpus_decon",
+    "q300_rendezvous_canon",
+    "q301_ks_canon",
+    "q302_ann_cross_corpus")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

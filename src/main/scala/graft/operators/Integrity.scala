@@ -108,6 +108,25 @@ object Integrity {
         sum(col("cents")).as("sum_price_cents"),
         sum(col("qcents")).as("sum_qty_cents"))
 
+  /** q214's oracle — a val so the q300 all-strings canonical variant wraps
+    * it verbatim (one source of truth for the semantics).
+    */
+  private val Q214Oracle: String =
+    s"""WITH p AS (SELECT doc_id,
+       |    list_aggregate(list_transform(range(0, 8), s ->
+       |      ${hrwKey("duck")}), 'max') % 16 AS shard8,
+       |    list_aggregate(list_transform(range(0, 9), s ->
+       |      ${hrwKey("duck")}), 'max') % 16 AS shard9
+       |  FROM documents)
+       |SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_moved,
+       |  coalesce(max(CASE WHEN shard8 != shard9 THEN shard9 END),
+       |    CAST(-1 AS BIGINT)) AS moved_to,
+       |  CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) * 1000000
+       |    // count(*) AS BIGINT) AS moved_ppm
+       |FROM p GROUP BY shard8 ORDER BY shard8""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
     // q213: ORDER-INDEPENDENT TABLE CHECKSUM — verify that a copied /
@@ -187,20 +206,7 @@ object Integrity {
           .withColumn("moved_ppm", expr("n_moved * 1000000L div n_docs"))
           .orderBy(col("shard8"))
       },
-      Some(s"""WITH p AS (SELECT doc_id,
-              |    list_aggregate(list_transform(range(0, 8), s ->
-              |      ${hrwKey("duck")}), 'max') % 16 AS shard8,
-              |    list_aggregate(list_transform(range(0, 9), s ->
-              |      ${hrwKey("duck")}), 'max') % 16 AS shard9
-              |  FROM documents)
-             |SELECT shard8, CAST(count(*) AS BIGINT) AS n_docs,
-             |  CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) AS BIGINT)
-             |    AS n_moved,
-             |  coalesce(max(CASE WHEN shard8 != shard9 THEN shard9 END),
-             |    CAST(-1 AS BIGINT)) AS moved_to,
-             |  CAST(sum(CASE WHEN shard8 != shard9 THEN 1 ELSE 0 END) * 1000000
-             |    // count(*) AS BIGINT) AS moved_ppm
-             |FROM p GROUP BY shard8 ORDER BY shard8""".stripMargin)),
+      Some(Q214Oracle)),
 
     // q215: MERKLE-STYLE CORRUPT-COPY LOCALIZATION — given a replica of the
     // documents table with a few silently damaged rows (fixture: every
@@ -497,8 +503,54 @@ object Integrity {
              |      = sum(CASE WHEN cls = 1 THEN 1 ELSE 0 END)
              |    AND sum(CASE WHEN contains(dirty, '') THEN 1 ELSE 0 END)
              |      = sum(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS all_detected
-             |FROM m GROUP BY 1 ORDER BY source""".stripMargin))
+             |FROM m GROUP BY 1 ORDER BY source""".stripMargin)),
+
+    // q300: ALL-STRINGS CANONICAL FORM of q214 (r16 verdict #1b) — the
+    // same rows with EVERY column cast to string in both engines, ordered
+    // by the same key. Purpose: the two-round q214/q231 driver-only hash
+    // split was root-caused this round to an int128 oracle column (see the
+    // q214 note) and fixed by a CAST — but the driver's hasher is a black
+    // box from this side, so this variant stands as the permanent
+    // discriminator: if a type-sensitivity class ever reappears, the
+    // canonical form passes while the typed original fails (values right,
+    // types diverging), and a value bug fails both. Zero extra operator
+    // surface — it wraps the registered q214 verbatim.
+    Entry(
+      "q300_rendezvous_canon",
+      (s, d) => allStrings(
+        graft.queries.Registry.byName("q214_rendezvous_reshard").q(s, d),
+        "shard8"),
+      Some(s"""SELECT CAST(shard8 AS VARCHAR) AS shard8,
+              |  CAST(n_docs AS VARCHAR) AS n_docs,
+              |  CAST(n_moved AS VARCHAR) AS n_moved,
+              |  CAST(moved_to AS VARCHAR) AS moved_to,
+              |  CAST(moved_ppm AS VARCHAR) AS moved_ppm
+              |FROM ($Q214Oracle) ORDER BY shard8""".stripMargin)),
+
+    // q301: ALL-STRINGS CANONICAL FORM of q231 — same discriminator as
+    // q300 for the other ex-weak query. Booleans stringify as
+    // 'true'/'false' in BOTH engines.
+    Entry(
+      "q301_ks_canon",
+      (s, d) => allStrings(
+        graft.queries.Registry.byName("q231_ks_drift").q(s, d), "source"),
+      Some(s"""SELECT source,
+              |  CAST(n_src AS VARCHAR) AS n_src,
+              |  CAST(d_ppm AS VARCHAR) AS d_ppm,
+              |  CAST(ks_at AS VARCHAR) AS ks_at,
+              |  CAST(crit_ppm AS VARCHAR) AS crit_ppm,
+              |  CAST(drifted AS VARCHAR) AS drifted
+              |FROM (${StatTests.Q231Oracle}) ORDER BY source""".stripMargin))
   )
+
+  /** Every column cast to string, re-ordered by `key` — the q300/q301
+    * canonical wrapper.
+    */
+  private def allStrings(
+      df: org.apache.spark.sql.DataFrame, key: String)
+      : org.apache.spark.sql.DataFrame =
+    df.select(df.columns.map(c => col(c).cast("string").as(c)): _*)
+      .orderBy(col(key))
 
   /** q221's body over ANY two table versions: structural statuses from
     * schema metadata, value drift from one order-independent digest

@@ -1358,4 +1358,112 @@ object Similarity {
               |  TRUE AS recall_ok, TRUE AS cand_ok
               |FROM embeddings WHERE vec_id < $nQueries""".stripMargin))
   )
+
+  /** ADC + exact re-rank with the QUERY side from generation `dq` and the
+    * NEIGHBOR/re-rank side from generation `dOld` — [[pqAdcTopK]] across a
+    * corpus swap. No self-exclusion: the two generations are different
+    * namespaces (a numerically equal vec_id names different vectors), and
+    * when dq == dOld (the suite's fixed point) each query's rank-1 hit is
+    * legitimately itself at cos 1.0 on BOTH the ADC and brute sides.
+    */
+  private def pqAdcTopKCross(
+      s: SparkSession, dq: String, dOld: String,
+      codebook: DataFrame, codes: DataFrame): DataFrame = {
+    val q = vecs(s, dq).select(col("vec_id"), col("v"))
+      .filter(col("vec_id") < nQueries)
+    val n = vecs(s, dOld).select(col("vec_id"), col("v"))
+    val qdots = pqSlices(q, "vec_id")
+      .join(broadcast(codebook), Seq("sub"))
+      .withColumn("dot", dotC("sv", "cw"))
+      .select(col("vec_id").as("q_id"), col("sub"), col("cid"), col("dot"))
+    val wc = Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))
+    val cand = codes
+      .join(broadcast(qdots), Seq("sub", "cid"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("dot")).as("adc"))
+      .withColumn("crk", row_number().over(wc))
+      .filter(col("crk") <= pqCandK)
+      .select(col("q_id"), col("n_id"))
+    val wr = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    cand
+      .join(q.select(col("vec_id").as("q_id"), col("v").as("q_v")), Seq("q_id"))
+      .join(n.select(col("vec_id").as("n_id"), col("v").as("n_v")), Seq("n_id"))
+      .withColumn("cos", call_function("cosine_sim", col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(wr).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Exact brute cross-generation baseline for [[pqAdcTopKCross]]. */
+  private[graft] def bruteTopKCross(
+      s: SparkSession, dq: String, dOld: String): DataFrame = {
+    val q = vecs(s, dq).filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("q_v"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    vecs(s, dOld).select(col("vec_id").as("n_id"), col("v").as("n_v"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos", call_function("cosine_sim", col("q_v"), col("n_v")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 4).as("cos"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** q302 body: PQ artifact built ONCE from the sf0.001 embeddings
+    * generation, served against queries from the CURRENT generation.
+    */
+  private[graft] def annCrossCorpus(s: SparkSession, d: String): DataFrame = {
+    val old = Transforms.siblingBuildCorpus(d)
+    val root = graft.sources.Sources.scratch(d, "cross_gen_ann")
+    val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+    val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(manifest)) {
+      val cb = pqCodebook(s, old).localCheckpoint()
+      cb.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/gen-build/codebook")
+      pqEncode(vecs(s, old).select(col("vec_id"), col("v")), cb)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$root/gen-build/codes")
+      graft.sources.Sources.publishGeneration(s, root, "gen-build")
+    }
+    val cur = graft.sources.Sources.currentGeneration(s, root)
+    val cb = s.read.parquet(s"$cur/codebook").localCheckpoint()
+    val codes = s.read.parquet(s"$cur/codes")
+    val served = pqAdcTopKCross(s, d, old, cb, codes)
+    recallCheck(served, bruteTopKCross(s, d, old), 0.6)
+      .crossJoin(broadcast(codes.agg(count(lit(1)).as("n_index_rows"))))
+      .select(col("n_index_rows"), col("n_exact"), col("recall_ok"))
+  }
+
+  /** Round-17 batch (JVM method-size discipline, the entries2 precedent). */
+  val entries2: Seq[Entry] = Seq(
+
+    // q302: CROSS-GENERATION ANN SERVE — q299's artifact-outlives-its-
+    // corpus contract for the ANN family: the PQ index (frozen codebook +
+    // codes, the q108/q109 artifact shape) is built ONCE from the sf0.001
+    // embeddings GENERATION and answers queries from the CURRENT
+    // generation — vectors the index has never seen, which is what
+    // retrieval serving actually looks like (every other ANN entry
+    // self-queries its own corpus). ADC candidates + exact re-rank against
+    // the OLD corpus vectors; recall self-checked against the exact brute
+    // cross-generation baseline at 0.6 (the bound holds at all three gate
+    // SFs; cross-generation queries sit in the isotropic bulk, the
+    // sign-LSH-hostile regime q41 documents — PQ-ADC with 16×topK
+    // candidates clears it with margin). At the suite's sf0.001 the two
+    // generations coincide and rank-1 is each query itself at cos 1.0 on
+    // both sides — the fixed point the suite pins. At 100 TB this is the
+    // operational shape: the index is rebuilt on the corpus cadence
+    // (weekly), queries arrive from every LATER corpus and product
+    // surface; nothing about the serve plan references the build corpus
+    // except through the published artifact (suite-pinned scans).
+    Entry(
+      "q302_ann_cross_corpus",
+      (s, d) => annCrossCorpus(s, d),
+      Some(s"""SELECT CAST($pqSubs * (SELECT count(*)
+              |    FROM '/root/testdata/sf0.001/embeddings.parquet')
+              |    AS BIGINT) AS n_index_rows,
+              |  CAST($topK * $nQueries AS BIGINT) AS n_exact,
+              |  TRUE AS recall_ok""".stripMargin))
+  )
 }

@@ -27,6 +27,48 @@ import graft.{Tables => T}
   */
 object StatTests {
 
+  /** q231's oracle — a val so the q301 all-strings canonical variant wraps
+    * it verbatim (one source of truth for the semantics).
+    */
+  private[graft] val Q231Oracle: String =
+    """WITH sb AS (SELECT source, n_chars AS v,
+      |    CAST(count(*) AS BIGINT) AS n_i
+      |  FROM documents GROUP BY 1, 2),
+      |marg AS (SELECT v, CAST(sum(n_i) AS BIGINT) AS m_i
+      |  FROM sb GROUP BY 1),
+      |tot AS (SELECT source, CAST(sum(n_i) AS BIGINT) AS n1
+      |  FROM sb GROUP BY 1),
+      |bign AS (SELECT CAST(sum(n_i) AS BIGINT) AS nn FROM sb),
+      |cells AS (SELECT t.source, t.n1, b.nn, m.v, m.m_i,
+      |    CAST(coalesce(sb.n_i, 0) AS BIGINT) AS n_i
+      |  FROM tot t CROSS JOIN marg m CROSS JOIN bign b
+      |  LEFT JOIN sb ON sb.source = t.source AND sb.v = m.v),
+      |cum AS MATERIALIZED (SELECT source, n1, nn, v,
+      |    abs(sum(n_i) OVER w * (nn - n1)
+      |      - (sum(m_i) OVER w - sum(n_i) OVER w) * n1) AS dnum
+      |  FROM cells WINDOW w AS (PARTITION BY source ORDER BY v
+      |    ROWS UNBOUNDED PRECEDING)),
+      |mx AS (SELECT source, n1, nn, max(dnum) AS mx
+      |  FROM cum GROUP BY 1, 2, 3),
+      |sel AS (SELECT mx.source, mx.n1 AS n_src,
+      |    CAST(mx.mx * 1000000 // (mx.n1 * (mx.nn - mx.n1)) AS BIGINT)
+      |      AS d_ppm,
+      |    CAST(min(cum.v) AS BIGINT) AS ks_at,
+      |    7376656000000 * mx.nn // (mx.n1 * (mx.nn - mx.n1)) AS xr
+      |  FROM mx JOIN cum ON cum.source = mx.source AND cum.dnum = mx.mx
+      |  GROUP BY 1, 2, 3, 5),
+      |seed AS (SELECT *, CAST(floor(sqrt(CAST(xr AS DOUBLE)))
+      |    AS BIGINT) AS c0 FROM sel),
+      |crit AS (SELECT source, n_src, d_ppm, ks_at,
+      |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      range(greatest(c0 - 3, 0), c0 + 4)),
+      |      (a, t) -> CASE WHEN t * t <= xr THEN t ELSE a END) + 1) // 2
+      |      AS crit_ppm
+      |  FROM seed)
+      |SELECT source, n_src, d_ppm, ks_at, crit_ppm,
+      |  d_ppm > crit_ppm AS drifted
+      |FROM crit ORDER BY source""".stripMargin
+
   val entries: Seq[Entry] = Seq(
 
     // q231: KOLMOGOROV-SMIRNOV DRIFT AUDIT — for every source, the KS
@@ -102,43 +144,7 @@ object StatTests {
           .withColumn("drifted", col("d_ppm") > col("crit_ppm"))
           .orderBy(col("source"))
       },
-      Some("""WITH sb AS (SELECT source, n_chars AS v,
-             |    CAST(count(*) AS BIGINT) AS n_i
-             |  FROM documents GROUP BY 1, 2),
-             |marg AS (SELECT v, CAST(sum(n_i) AS BIGINT) AS m_i
-             |  FROM sb GROUP BY 1),
-             |tot AS (SELECT source, CAST(sum(n_i) AS BIGINT) AS n1
-             |  FROM sb GROUP BY 1),
-             |bign AS (SELECT CAST(sum(n_i) AS BIGINT) AS nn FROM sb),
-             |cells AS (SELECT t.source, t.n1, b.nn, m.v, m.m_i,
-             |    CAST(coalesce(sb.n_i, 0) AS BIGINT) AS n_i
-             |  FROM tot t CROSS JOIN marg m CROSS JOIN bign b
-             |  LEFT JOIN sb ON sb.source = t.source AND sb.v = m.v),
-             |cum AS MATERIALIZED (SELECT source, n1, nn, v,
-             |    abs(sum(n_i) OVER w * (nn - n1)
-             |      - (sum(m_i) OVER w - sum(n_i) OVER w) * n1) AS dnum
-             |  FROM cells WINDOW w AS (PARTITION BY source ORDER BY v
-             |    ROWS UNBOUNDED PRECEDING)),
-             |mx AS (SELECT source, n1, nn, max(dnum) AS mx
-             |  FROM cum GROUP BY 1, 2, 3),
-             |sel AS (SELECT mx.source, mx.n1 AS n_src,
-             |    CAST(mx.mx * 1000000 // (mx.n1 * (mx.nn - mx.n1)) AS BIGINT)
-             |      AS d_ppm,
-             |    CAST(min(cum.v) AS BIGINT) AS ks_at,
-             |    7376656000000 * mx.nn // (mx.n1 * (mx.nn - mx.n1)) AS xr
-             |  FROM mx JOIN cum ON cum.source = mx.source AND cum.dnum = mx.mx
-             |  GROUP BY 1, 2, 3, 5),
-             |seed AS (SELECT *, CAST(floor(sqrt(CAST(xr AS DOUBLE)))
-             |    AS BIGINT) AS c0 FROM sel),
-             |crit AS (SELECT source, n_src, d_ppm, ks_at,
-             |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |      range(greatest(c0 - 3, 0), c0 + 4)),
-             |      (a, t) -> CASE WHEN t * t <= xr THEN t ELSE a END) + 1) // 2
-             |      AS crit_ppm
-             |  FROM seed)
-             |SELECT source, n_src, d_ppm, ks_at, crit_ppm,
-             |  d_ppm > crit_ppm AS drifted
-             |FROM crit ORDER BY source""".stripMargin)),
+      Some(Q231Oracle)),
 
     // q232: PAIRWISE MANN-WHITNEY U DRIFT MATRIX — rank-sum comparison of
     // the event `value` distribution between every pair of event types:

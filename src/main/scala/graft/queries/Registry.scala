@@ -24,6 +24,7 @@ object Registry {
       Dedup.entries ++
       Dedup.entries2 ++
       Similarity.entries ++
+      Similarity.entries2 ++
       Multimodal.entries ++
       Multimodal.entries2 ++
       Sources.entries ++

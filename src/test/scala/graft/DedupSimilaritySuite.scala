@@ -488,6 +488,29 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(r2.toString == r.toString, "q143 re-run must converge")
   }
 
+  test("q302 cross-gen ANN: artifact serve, sf fixed point rank-1 = self") {
+    import graft.operators.Similarity
+    val df = Registry.byName("q302_ann_cross_corpus").q(spark, sf)
+    val r = df.collect()(0)
+    assert(r.getBoolean(2), "cross-generation recall must clear the bound")
+    assert(r.getLong(1) == 40L, "n_exact = topK * nQueries")
+    assert(r.getLong(0) == 8L * Tables.embeddings(spark, sf).count(),
+      "index rows = pqSubs * build-corpus vectors")
+    // the serve plan reads the PUBLISHED artifact (codebook + codes), not
+    // a re-trained in-query codebook
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.count(_.toString.contains("cross_gen_ann")) >= 2,
+      "serve must read the published codebook and codes artifacts")
+    // at the suite's sf0.001 build == serve: every query's exact rank-1
+    // neighbor is itself at cos 1.0 (no self-exclusion across generations)
+    val brute = Similarity.bruteTopKCross(spark, sf, sf).collect()
+    brute.filter(_.getLong(1) == 1L).foreach { b =>
+      assert(b.getLong(2) == b.getLong(0) && b.getDouble(3) == 1.0,
+        s"fixed point: rank-1 of q${b.getLong(0)} must be itself at 1.0")
+    }
+  }
+
   test("q144 dedup segment append is O(delta), serve reads both segments") {
     import org.apache.spark.sql.functions._
     import graft.operators.Dedup

@@ -192,4 +192,21 @@ class IntegritySuite extends SparkTestBase {
       assert(r.getBoolean(9), "all_detected must hold by construction")
     }
   }
+
+  test("q300/q301 canonical forms mirror their typed originals, cell for cell") {
+    for ((canon, orig) <- Seq(
+      "q300_rendezvous_canon" -> "q214_rendezvous_reshard",
+      "q301_ks_canon" -> "q231_ks_drift")) {
+      val c = queries.Registry.byName(canon).q(spark, sf)
+        .collect().map(_.toSeq.map(String.valueOf).toList).toList
+      val o = queries.Registry.byName(orig).q(spark, sf)
+        .collect().map(_.toSeq.map(String.valueOf).toList).toList
+      assert(c == o,
+        s"$canon must be exactly the stringified $orig — a divergence here " +
+          "with the original green means a TYPE-sensitivity bug, not values")
+      // all-strings by construction
+      assert(queries.Registry.byName(canon).q(spark, sf).schema.fields
+        .forall(_.dataType == org.apache.spark.sql.types.StringType))
+    }
+  }
 }
