@@ -469,7 +469,8 @@ object Bench {
     "q299_cross_corpus_decon",
     "q300_rendezvous_canon",
     "q301_ks_canon",
-    "q302_ann_cross_corpus")
+    "q302_ann_cross_corpus",
+    "q303_gif_lzw_decode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1273,8 +1273,292 @@ object Multimodal {
              |        (doc_id * 31 + r * 17 + c * 7) % 251)))),
              |    (a, v) -> (a * 131 + v) % 2147483647) AS BIGINT)
              |    AS pixel_digest
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // q303: REAL GIF LZW PIXEL DECODE — q298's posture on the other
+    // lossless image format, and the harder codec: GIF image data is LZW
+    // with VARIABLE-WIDTH codes (mcs+1 up to 12 bits, LSB-first packing),
+    // a growing string table, and the KwKwK corner (incoming code == next
+    // free entry — every doc here hits it: the planted pixels run in
+    // blocks of 4 identical symbols). Synthesis runs a REAL LZW encoder
+    // (lzwEncode) and a full container assembly (LSD, doc-dependent global
+    // color table, image descriptor, ≤16-byte data sub-blocks, trailer);
+    // the decode (parseGifPixels → lzwDecode) re-derives every pixel the
+    // hard way and folds the row-major digest the oracle recomputes from
+    // the planted closed form — palette_sum additionally pins the GCT
+    // byte walk (a wrong table offset shifts it). Conformance is not
+    // self-referential: the suite feeds the SAME synthesized bytes to the
+    // JDK's own javax.imageio GIF reader and pins pixel-for-pixel
+    // agreement, so encoder and decoder are locked to the real format,
+    // not merely to each other. Same typed batched mapPartitions shape
+    // and scale story as q43/q298: map-only, payload pruned after decode.
+    Entry(
+      "q303_gif_lzw_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map(id => MediaIn(id, gifFullBytes(id)))
+          .mapPartitions(gifPixelPartition)
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"), col("n_pix"),
+            col("palette_sum"), col("pixel_digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CAST(6 + doc_id % 8 AS BIGINT) AS width,
+             |    CAST(4 + doc_id % 5 AS BIGINT) AS height
+             |  FROM documents)
+             |SELECT doc_id, width, height,
+             |  width * height AS n_pix,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    flatten(list_transform(range(0, 4), i ->
+             |      list_transform(range(0, 3), j ->
+             |        (doc_id * 7 + i * 85 + j * 11) % 256)))),
+             |    (a, v) -> a + v) AS BIGINT) AS palette_sum,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, width * height), x ->
+             |      (doc_id + x // 4) % 4)),
+             |    (a, v) -> (a * 131 + v) % 2147483647) AS BIGINT)
+             |    AS pixel_digest
              |FROM p ORDER BY doc_id""".stripMargin))
   )
+
+  // ---------------------------------------------------------------- q303
+  // Real GIF LZW pixel decode — the second real-codec operator (q298's
+  // posture on the other lossless format): GIF's image data is LZW with
+  // variable-width codes (mcs+1 up to 12 bits, LSB-first bit packing),
+  // a growing string table, and the KwKwK corner (an incoming code equal
+  // to the next free entry). Synthesis runs a REAL LZW encoder over
+  // planted pixels; the decode walks the full container: header, logical
+  // screen descriptor, global color table, image descriptor, sub-block
+  // concatenation, LZW decompression, pixel digest.
+
+  final case class GifPixels(
+      doc_id: Long, width: Long, height: Long, n_pix: Long,
+      palette_sum: Long, pixel_digest: Long)
+
+  /** Planted pixel (4-color palette): runs of 4 identical symbols cycling
+    * by doc — every doc's stream exercises the KwKwK decode path (a run of
+    * ≥3 equal symbols forces code == next-free on the decode side).
+    */
+  private def gifPxOf(id: Long, idx: Int): Int =
+    ((id + idx / 4) % 4).toInt
+
+  /** GIF-variant LZW encode (mcs symbol bits, codes mcs+1..12 wide,
+    * LSB-first): CLEAR first, one dictionary add per emitted code, width
+    * bump when the next emittable code no longer fits — the exact mirror
+    * of [[lzwDecode]]'s growth rule, which is what the GIF89a spec §22
+    * prescribes (late change).
+    */
+  private[graft] def lzwEncode(px: Array[Int], mcs: Int): Array[Byte] = {
+    val clear = 1 << mcs; val eoi = clear + 1
+    var width = mcs + 1
+    var next = eoi + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var nb = 0
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nb; nb += width
+      while (nb >= 8) { out.write((acc & 0xff).toInt); acc >>>= 8; nb -= 8 }
+    }
+    val dict = scala.collection.mutable.Map.empty[(Int, Int), Int]
+    put(clear)
+    var cur = px(0)
+    var i = 1
+    while (i < px.length) {
+      val k = px(i)
+      dict.get((cur, k)) match {
+        case Some(c) => cur = c
+        case None =>
+          put(cur)
+          if (next < 4096) {
+            dict((cur, k)) = next
+            next += 1
+            // late change, encoder side (the classic giflib pairing, locked
+            // to the JDK's ImageIO decoder by the suite): codes keep the
+            // current width until the first UNREPRESENTABLE entry has been
+            // handed out — bump when next passes (1<<width)
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          }
+          cur = k
+      }
+      i += 1
+    }
+    put(cur); put(eoi)
+    if (nb > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW decode: string table seeded with the roots, KwKwK
+    * handled (code == next free ⇒ prev + first(prev)), width bump BEFORE a
+    * read once the next free entry reaches 1<<width. Returns None on any
+    * malformation (code beyond next-free, truncated stream, pixel-count
+    * disagreement with `expect`).
+    */
+  private[graft] def lzwDecode(
+      b: Array[Byte], mcs: Int, expect: Int): Option[Array[Int]] = {
+    val clear = 1 << mcs; val eoi = clear + 1
+    var width = mcs + 1
+    var pos = 0 // bit position
+    def read(): Int = {
+      if (pos + width > b.length * 8) return -1
+      var v = 0; var i = 0
+      while (i < width) {
+        val bit = (b((pos + i) >> 3) >> ((pos + i) & 7)) & 1
+        v |= bit << i
+        i += 1
+      }
+      pos += width
+      v
+    }
+    val table = new Array[Array[Int]](4096)
+    var next = 0
+    def reset(): Unit = {
+      var i = 0
+      while (i < clear) { table(i) = Array(i); i += 1 }
+      next = eoi + 1
+      width = mcs + 1
+    }
+    reset()
+    val out = new scala.collection.mutable.ArrayBuffer[Int](expect)
+    var prev: Array[Int] = null
+    var done = false
+    while (!done) {
+      val c = read()
+      if (c < 0) return None
+      if (c == clear) { reset(); prev = null }
+      else if (c == eoi) done = true
+      else {
+        val entry: Array[Int] =
+          if (c < next && (c < clear || table(c) != null)) table(c)
+          else if (c == next && prev != null) prev :+ prev(0) // KwKwK
+          else return None
+        out ++= entry
+        if (prev != null && next < 4096) {
+          table(next) = prev :+ entry(0)
+          next += 1
+          // late change, decoder side: our table-adds lag the encoder's by
+          // exactly one (we add after READ #k+1 what it adds after EMIT
+          // #k), so the mirrored bump fires at 1<<width — keeping
+          // read-width == emit-width at every data code, the invariant the
+          // KwKwK case (incoming code == next) also relies on
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = entry
+        if (out.length > expect) return None
+        // stop on pixel count like production decoders (the image size is
+        // declared); the trailing EOI is not re-read — its width is the one
+        // point where the add-after-emit vs add-after-read schedules can
+        // legitimately disagree by one bump
+        if (out.length == expect) done = true
+      }
+    }
+    if (out.length != expect) return None
+    Some(out.toArray)
+  }
+
+  /** Complete synthesized GIF89a for doc `id`: logical screen descriptor,
+    * 4-entry global color table (doc-dependent channels), one image
+    * descriptor, REAL LZW-encoded planted pixels split into ≤16-byte data
+    * sub-blocks (forcing a genuine sub-block walk), trailer.
+    */
+  private[graft] def gifFullBytes(id: Long): Array[Byte] = {
+    val w = (6 + id % 8).toInt
+    val h = (4 + id % 5).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes("US-ASCII"), 0, 6)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0x91) // GCT present, 4 entries (size field 1), cr 1
+    out.write(0); out.write(0) // bg index, aspect
+    for (i <- 0 until 4; j <- 0 until 3)
+      out.write(((id * 7 + i * 85 + j * 11) % 256).toInt)
+    out.write(0x2c) // image descriptor
+    le16(0); le16(0); le16(w); le16(h); out.write(0) // no LCT, no interlace
+    out.write(2) // LZW min code size (4-color palette)
+    val z = lzwEncode(Array.tabulate(w * h)(gifPxOf(id, _)), 2)
+    var i = 0
+    while (i < z.length) {
+      val n = math.min(16, z.length - i)
+      out.write(n); out.write(z, i, n)
+      i += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF pixel decode: signature, LSD, GCT read (palette byte sum is
+    * part of the output — a wrong GCT offset shifts it), image descriptor,
+    * sub-block concatenation, [[lzwDecode]], row-major pixel digest.
+    * None on any malformation.
+    */
+  private[graft] def parseGifPixels(
+      b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 13) return None
+    val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF89a" && sig != "GIF87a") return None
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    var i = 13
+    var paletteSum = 0L
+    val packed = b(10) & 0xff
+    if ((packed & 0x80) != 0) {
+      val n = 3 * (2 << (packed & 7))
+      if (i + n > b.length) return None
+      var j = 0
+      while (j < n) { paletteSum += b(i + j) & 0xff; j += 1 }
+      i += n
+    }
+    while (i < b.length) {
+      (b(i) & 0xff) match {
+        case 0x2c =>
+          if (i + 10 > b.length) return None
+          val w = le16(i + 5); val h = le16(i + 7)
+          val ipacked = b(i + 9) & 0xff
+          i += 10
+          if ((ipacked & 0x80) != 0) i += 3 * (2 << (ipacked & 7)) // skip LCT
+          if (i >= b.length) return None
+          val mcs = b(i) & 0xff; i += 1
+          if (mcs < 2 || mcs > 8) return None
+          val z = new java.io.ByteArrayOutputStream()
+          var blockLen = if (i < b.length) b(i) & 0xff else -1
+          while (blockLen > 0) {
+            if (i + 1 + blockLen > b.length) return None
+            z.write(b, i + 1, blockLen)
+            i += 1 + blockLen
+            blockLen = if (i < b.length) b(i) & 0xff else -1
+          }
+          if (blockLen != 0) return None
+          i += 1
+          val px = lzwDecode(z.toByteArray, mcs, w * h).getOrElse(return None)
+          var dg = 0L
+          var k = 0
+          while (k < px.length) {
+            dg = (dg * 131 + px(k)) % 2147483647L
+            k += 1
+          }
+          return Some((w.toLong, h.toLong, paletteSum, dg))
+        case 0x21 => // extension: label + sub-blocks
+          i += 2
+          var bl = if (i < b.length) b(i) & 0xff else -1
+          while (bl > 0) { i += 1 + bl; bl = if (i < b.length) b(i) & 0xff else -1 }
+          if (bl != 0) return None
+          i += 1
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  def gifPixelPartition(rows: Iterator[MediaIn]): Iterator[GifPixels] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { m =>
+      parseGifPixels(m.payload) match {
+        case Some((w, h, ps, dg)) =>
+          GifPixels(m.doc_id, w, h, w * h, ps, dg)
+        case None => GifPixels(m.doc_id, -1L, -1L, -1L, -1L, -1L)
+      }
+    })
 
   /** Real sample-level PCM parse: header via [[parseWavHeader]] (16-bit
     * mono PCM only), then a little-endian two's-complement byte-pair walk

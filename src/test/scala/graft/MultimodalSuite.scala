@@ -256,6 +256,56 @@ class MultimodalSuite extends SparkTestBase {
     assert(rows.forall(_.getLong(1) >= 0), "no sentinel rows on synth input")
   }
 
+  test("q303 GIF LZW: JDK ImageIO agrees pixel-for-pixel; malformed rejects") {
+    import graft.operators.Multimodal
+    // conformance arbiter: the SAME synthesized bytes through the JDK's
+    // own GIF decoder must yield the planted pixels — locks lzwEncode (and
+    // therefore lzwDecode, which round-trips it) to the real format's
+    // variable-width late-change rules, not merely to each other
+    Seq(0L, 1L, 2L, 3L, 7L, 11L, 62L, 499L).foreach { id =>
+      val bytes = Multimodal.gifFullBytes(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must accept the synthesized GIF $id")
+      val w = (6 + id % 8).toInt; val h = (4 + id % 5).toInt
+      assert(img.getWidth == w && img.getHeight == h)
+      def palette(i: Int): Int = {
+        def ch(j: Int) = ((id * 7 + i * 85 + j * 11) % 256).toInt
+        (0xff << 24) | (ch(0) << 16) | (ch(1) << 8) | ch(2)
+      }
+      for (r <- 0 until h; c <- 0 until w) {
+        val want = palette(((id + (r * w + c) / 4) % 4).toInt)
+        assert(img.getRGB(c, r) == want,
+          s"GIF $id pixel ($r,$c): ImageIO disagrees with the plant — " +
+            "the LZW encoder is off-spec")
+      }
+      // our decoder agrees with the plant too (same digest the oracle pins)
+      val Some((dw, dh, _, dg)) = Multimodal.parseGifPixels(bytes)
+      var expect = 0L
+      for (x <- 0 until w * h)
+        expect = (expect * 131 + ((id + x / 4) % 4)) % 2147483647L
+      assert(dw == w && dh == h && dg == expect)
+    }
+    // the ≤16-byte sub-block split is real: payloads big enough to need
+    // several blocks still decode (multi-block walk)
+    val big = Multimodal.gifFullBytes(6L) // 12x5 = 60 px
+    assert(Multimodal.parseGifPixels(big).isDefined)
+    // malformations reject, never throw
+    def mut(b: Array[Byte], i: Int): Array[Byte] = {
+      val x = b.clone(); x(i) = (x(i) ^ 0x01).toByte; x
+    }
+    assert(Multimodal.parseGifPixels(mut(big, 0)).isEmpty, "bad signature")
+    assert(Multimodal.parseGifPixels(big.dropRight(4)).isEmpty, "truncated")
+    assert(Multimodal.parseGifPixels(Array.emptyByteArray).isEmpty)
+    // corrupt the LZW stream's first data sub-block byte: either an
+    // invalid code or a pixel-count mismatch — must reject
+    val lzwAt = big.indexOf(0x2c.toByte) + 10 + 1 + 1 // desc + mcs + len byte
+    assert(Multimodal.parseGifPixels(mut(big, lzwAt)).isEmpty
+      || Multimodal.parseGifPixels(mut(big, lzwAt)).get._4 !=
+        Multimodal.parseGifPixels(big).get._4,
+      "a corrupted LZW stream must not silently yield the original digest")
+  }
+
   test("q298 pixel decode: real inflate+unfilter; every malformation rejects") {
     import graft.operators.Multimodal
     // both zlib paths and the IDAT split decode to the planted pixels
