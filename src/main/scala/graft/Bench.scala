@@ -470,7 +470,8 @@ object Bench {
     "q300_rendezvous_canon",
     "q301_ks_canon",
     "q302_ann_cross_corpus",
-    "q303_gif_lzw_decode")
+    "q303_gif_lzw_decode",
+    "q304_stream_byte_bpe")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

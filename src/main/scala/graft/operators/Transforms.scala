@@ -975,8 +975,11 @@ object Transforms {
     * alphabet of a byte-level tokenizer. Symbols contain no spaces, so the
     * q81 replace-is-greedy-BPE proof carries over unchanged.
     */
-  private def byteDocs(s: SparkSession, d: String): DataFrame =
-    T.documents(s, d)
+  /** Byte serialization over ANY (doc_id, source, text) frame — shared by
+    * the batch q297 and its q304 streaming deployment.
+    */
+  private[graft] def byteSerialize(docs: DataFrame): DataFrame =
+    docs
       .select(col("source"),
         hex(encode(
           concat(col("text"), lit(" "),
@@ -988,11 +991,56 @@ object Transforms {
           concat_ws("  ", regexp_extract_all(col("h"), lit(".."), lit(0))),
           lit(" ")))
 
+  private def byteDocs(s: SparkSession, d: String): DataFrame =
+    byteSerialize(T.documents(s, d)
+      .select(col("doc_id"), col("source"), col("text")))
+
+  /** The ordered (x, y) merge struct array as ONE row, from a (round, x, y)
+    * merge-list frame.
+    */
+  private[graft] def mergeArray(ml: DataFrame): DataFrame =
+    ml.agg(expr(
+      "transform(array_sort(collect_list(struct(round, x, y))), " +
+        "m -> struct(m.x AS x, m.y AS y))").as("marr"))
+
+  /** Fold-apply the 1-row merge array and roll up per source — shared by
+    * the batch q297 and the q304 streaming deployment (every output is a
+    * commutative sum, so Complete mode over a bounded stream is exact; the
+    * merge array enters as a broadcast stream-static equi-join on a
+    * constant key, the streaming-legal spelling of the batch crossJoin).
+    * No sort here: batch callers append orderBy, the stream sorts its
+    * memory table after drain.
+    */
+  private[graft] def byteEncodeRollup(
+      serialized: DataFrame, marr: DataFrame): DataFrame =
+    serialized
+      .withColumn("j", lit(1))
+      .join(broadcast(marr.withColumn("j", lit(1))), Seq("j"))
+      .withColumn("s", expr(
+        "aggregate(marr, s, (acc, m) -> replace(acc, " +
+          "concat(' ', m.x, '  ', m.y, ' '), concat(' ', m.x, m.y, ' ')))"))
+      .withColumn("ntk",
+        size(filter(split(trim(col("s")), "  "), t => t =!= ""))
+          .cast("long"))
+      .withColumn("rt",
+        when(replace(col("s"), lit(" "), lit("")) === col("h"), 0L)
+          .otherwise(1L))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("length(h) div 2")).as("bytes_total"),
+        sum(col("ntk")).as("toks_after"),
+        sum(col("rt")).as("roundtrip_fails"))
+      .withColumn("compression_ppm",
+        expr("toks_after * 1000000L div greatest(bytes_total, 1L)"))
+      .select(col("source"), col("n_docs"), col("bytes_total"),
+        col("toks_after"), col("compression_ppm"), col("roundtrip_fails"))
+
   /** q297 oracle: the byte serialization, the 4 learn rounds unrolled as
     * CTEs (q83's machinery over the byte alphabet), and the per-source
     * rollup including the round-trip proof column.
     */
-  private val ByteBpeOracle: String = {
+  private[graft] val ByteBpeOracle: String = {
     def enc(r: Int): String = {
       val prev = if (r == 1) "s0" else s"m${r - 1}"
       s"""p$r AS (SELECT unnest(list_transform(range(2, len(toks)+1),
@@ -1066,29 +1114,7 @@ object Transforms {
             s.conf.get("graft.bpe.perRoundCheckpoint", "false").toBoolean)
           .select(col("round"), col("x"), col("y"))
           .localCheckpoint() // learn ONCE; the apply scan below never re-learns
-        val marr = ml.agg(expr(
-          "transform(array_sort(collect_list(struct(round, x, y))), " +
-            "m -> struct(m.x AS x, m.y AS y))").as("marr"))
-        byteDocs(s, d).crossJoin(broadcast(marr))
-          .withColumn("s", expr(
-            "aggregate(marr, s, (acc, m) -> replace(acc, " +
-              "concat(' ', m.x, '  ', m.y, ' '), concat(' ', m.x, m.y, ' ')))"))
-          .withColumn("ntk",
-            size(filter(split(trim(col("s")), "  "), t => t =!= ""))
-              .cast("long"))
-          .withColumn("rt",
-            when(replace(col("s"), lit(" "), lit("")) === col("h"), 0L)
-              .otherwise(1L))
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(expr("length(h) div 2")).as("bytes_total"),
-            sum(col("ntk")).as("toks_after"),
-            sum(col("rt")).as("roundtrip_fails"))
-          .withColumn("compression_ppm",
-            expr("toks_after * 1000000L div greatest(bytes_total, 1L)"))
-          .select(col("source"), col("n_docs"), col("bytes_total"),
-            col("toks_after"), col("compression_ppm"), col("roundtrip_fails"))
+        byteEncodeRollup(byteDocs(s, d), mergeArray(ml))
           .orderBy(col("source"))
       },
       Some(ByteBpeOracle)),

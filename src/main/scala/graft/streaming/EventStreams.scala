@@ -746,7 +746,52 @@ object EventStreams {
         query.awaitTermination()
         s.table("graft_stream_pii").orderBy(col("source"))
       },
-      Some(graft.operators.Transforms.PiiRedactOracle))
+      Some(graft.operators.Transforms.PiiRedactOracle)),
+
+    // q304: STREAMING BYTE-BPE ENCODE — the deployment the byte tokenizer
+    // (q297) runs as in production: the merge list LEARNS once and
+    // publishes as a generation artifact (the q289 lifecycle), then
+    // documents arrive as a stream and are encoded against the FROZEN
+    // artifact — per-source byte/token/round-trip counters are commutative
+    // sums, so Complete mode over the bounded AvailableNow source is EXACT
+    // and the oracle is SHARED VERBATIM with q297 (batch/stream parity
+    // gate-proven, the q294 discipline). The merge array enters the stream
+    // as a broadcast static side; state = |sources| rows of counters.
+    Entry(
+      "q304_stream_byte_bpe",
+      (s, d) => {
+        import graft.operators.{TextOps, Transforms}
+        val root = graft.sources.Sources.scratch(d, "byte_bpe_merges")
+        val manifest = new org.apache.hadoop.fs.Path(s"$root/_current")
+        val fs = manifest.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(manifest)) {
+          TextOps.bpeLearn(
+            Transforms.byteSerialize(Tables.documents(s, d)
+              .select(col("doc_id"), col("source"), col("text")))
+              .select(col("s")),
+            rounds = 4, checkpointPerRound = false)
+            .select(col("round"), col("x"), col("y"))
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .parquet(s"$root/gen-build/merges")
+          graft.sources.Sources.publishGeneration(s, root, "gen-build")
+        }
+        val marr = Transforms.mergeArray(s.read.parquet(
+          s"${graft.sources.Sources.currentGeneration(s, root)}/merges"))
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val src = s.readStream.schema(schema).parquet(s"$d/documents*")
+          .select(col("doc_id"), col("source"), col("text"))
+        val agg = Transforms.byteEncodeRollup(Transforms.byteSerialize(src), marr)
+        s.streams.active.filter(_.name == "graft_stream_bbpe").foreach(_.stop())
+        val query = agg.writeStream
+          .format("memory")
+          .queryName("graft_stream_bbpe")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table("graft_stream_bbpe").orderBy(col("source"))
+      },
+      Some(graft.operators.Transforms.ByteBpeOracle))
   )
 
   /** q220's body: two deterministic arrival epochs through ONE streaming

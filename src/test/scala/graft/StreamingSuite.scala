@@ -433,4 +433,26 @@ class StreamingSuite extends SparkTestBase {
     assert(streamRows.nonEmpty && streamRows.exists(_(6).asInstanceOf[Long] > 0),
       "the stream must actually see injected PII")
   }
+
+  test("q304 streaming byte-BPE equals batch q297; artifact learn runs once") {
+    val streamRows = Registry.byName("q304_stream_byte_bpe")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    val batchRows = Registry.byName("q297_byte_bpe_encode")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(streamRows == batchRows,
+      "streaming byte-BPE encode diverged from the batch form — the " +
+        "shared-oracle parity claim would be vacuous")
+    // every doc round-trips through the stream too (no-OOV under deployment)
+    assert(streamRows.forall(_(5).asInstanceOf[Long] == 0L))
+    // the merge artifact published once; a re-run converges and neither
+    // re-learns nor republishes (generation dir untouched)
+    val root = graft.sources.Sources.scratch(sf, "byte_bpe_merges")
+    val gen = graft.sources.Sources.currentGeneration(spark, root)
+    val files1 = spark.read.parquet(s"$gen/merges").inputFiles.sorted.toSeq
+    val again = Registry.byName("q304_stream_byte_bpe")
+      .q(spark, sf).collect().map(_.toSeq).toSeq
+    assert(again == streamRows, "stream re-run must converge")
+    assert(spark.read.parquet(s"$gen/merges").inputFiles.sorted.toSeq == files1,
+      "re-run must not re-learn or rewrite the published merge artifact")
+  }
 }
