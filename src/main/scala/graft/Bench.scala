@@ -471,7 +471,8 @@ object Bench {
     "q301_ks_canon",
     "q302_ann_cross_corpus",
     "q303_gif_lzw_decode",
-    "q304_stream_byte_bpe")
+    "q304_stream_byte_bpe",
+    "q305_corpus_release_gate")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

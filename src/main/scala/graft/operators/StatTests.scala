@@ -988,4 +988,115 @@ object StatTests {
              |FROM ea
              |) ORDER BY family""".stripMargin))
   )
+
+  /** Round-17 batch (JVM method-size discipline, the entries2 precedent). */
+  val entries2: Seq[Entry] = Seq(
+
+    // q305: CORPUS RELEASE GATE — the q231 machinery pointed at the
+    // question a data-engineering org actually gates releases on: did THIS
+    // corpus build drift from the LAST one? Two-sample KS per source
+    // between the previous fixture GENERATION (the sf0.001 sibling dir,
+    // the q299/q302 cross-generation pattern) and the current corpus's
+    // doc-length distributions, with the α=0.05 decision. Everything is
+    // q231's integer-exact discipline: D·n0·n1 = max_v |cum0·n1 − cum1·n0|
+    // pure int64 over ONE (source, gen, value) count exchange; the value
+    // grid is the corpus marginal (value-domain bounded); crit_ppm =
+    // round(1358000·sqrt((n0+n1)/(n0·n1))) via the ±3-window isqrt. At
+    // the suite's sf0.001 the generations coincide → D = 0, drifted =
+    // false for every source (the fixed point); at sf0.01/0.1 the result
+    // is a genuine cross-generation measurement the oracle adjudicates.
+    // Plan: two bounded scans (old + new corpus) into one partial-agged
+    // count exchange; windows over value-domain-bounded partitions;
+    // max-then-match argmax, never a sort. At 100 TB: per-build work is
+    // one count-table pass over each side; only (source, v, count) rows
+    // move.
+    Entry(
+      "q305_corpus_release_gate",
+      (s, d) => {
+        val oldD = T.documents(s, Transforms.siblingBuildCorpus(d))
+          .select(col("source"), col("n_chars").as("v"), lit(0L).as("g"))
+        val newD = T.documents(s, d)
+          .select(col("source"), col("n_chars").as("v"), lit(1L).as("g"))
+        val sb = oldD.unionByName(newD)
+          .groupBy(col("source"), col("g"), col("v"))
+          .agg(count(lit(1)).as("n_i"))
+          .localCheckpoint() // consumers: marginal, totals, both gen sides
+        val marg = sb.select(col("v")).distinct()
+        val totals = sb.groupBy(col("source")).agg(
+          sum(when(col("g") === 0L, col("n_i")).otherwise(0L)).as("n0"),
+          sum(when(col("g") === 1L, col("n_i")).otherwise(0L)).as("n1"))
+        def side(g: Int, as: String): DataFrame = sb
+          .filter(col("g") === g.toLong)
+          .select(col("source"), col("v"), col("n_i").as(as))
+        val w = Window.partitionBy(col("source")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cells = totals.crossJoin(broadcast(marg))
+          .join(side(0, "a_i"), Seq("source", "v"), "left")
+          .join(side(1, "b_i"), Seq("source", "v"), "left")
+          .withColumn("a_i", coalesce(col("a_i"), lit(0L)))
+          .withColumn("b_i", coalesce(col("b_i"), lit(0L)))
+          .withColumn("dnum",
+            abs(sum(col("a_i")).over(w) * col("n1") -
+              sum(col("b_i")).over(w) * col("n0")))
+          .localCheckpoint() // consumers: per-source max + argmax location
+        val mx = cells.groupBy(col("source"), col("n0"), col("n1"))
+          .agg(max(col("dnum")).as("mx"))
+        mx.join(cells.select(col("source"), col("v"), col("dnum")), Seq("source"))
+          .filter(col("dnum") === col("mx"))
+          .groupBy(col("source"), col("n0"), col("n1"), col("mx"))
+          .agg(min(col("v")).as("ks_at"))
+          .select(col("source"), col("n0").as("n_old"), col("n1").as("n_new"),
+            expr("mx * 1000000L div (n0 * n1)").as("d_ppm"),
+            col("ks_at"),
+            expr("7376656000000L * (n0 + n1) div (n0 * n1)").as("xr"))
+          .withColumn("c0",
+            expr("CAST(floor(sqrt(CAST(xr AS DOUBLE))) AS BIGINT)"))
+          .withColumn("crit_ppm", expr(
+            "(aggregate(sequence(greatest(c0 - 3L, 0L), c0 + 3L), 0L, " +
+              "(a, t) -> if(t * t <= xr, t, a)) + 1L) div 2"))
+          .drop("xr", "c0")
+          .withColumn("drifted", col("d_ppm") > col("crit_ppm"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH u AS (SELECT source, n_chars AS v, 0 AS g
+             |    FROM '/root/testdata/sf0.001/documents.parquet'
+             |  UNION ALL SELECT source, n_chars, 1 FROM documents),
+             |sb AS MATERIALIZED (SELECT source, g, v,
+             |    CAST(count(*) AS BIGINT) AS n_i
+             |  FROM u GROUP BY 1, 2, 3),
+             |marg AS (SELECT DISTINCT v FROM sb),
+             |tot AS (SELECT source,
+             |    CAST(sum(CASE WHEN g = 0 THEN n_i ELSE 0 END) AS BIGINT) AS n0,
+             |    CAST(sum(CASE WHEN g = 1 THEN n_i ELSE 0 END) AS BIGINT) AS n1
+             |  FROM sb GROUP BY 1),
+             |cells AS (SELECT t.source, t.n0, t.n1, m.v,
+             |    CAST(coalesce(s0.n_i, 0) AS BIGINT) AS a_i,
+             |    CAST(coalesce(s1.n_i, 0) AS BIGINT) AS b_i
+             |  FROM tot t CROSS JOIN marg m
+             |  LEFT JOIN sb s0 ON s0.source = t.source AND s0.v = m.v AND s0.g = 0
+             |  LEFT JOIN sb s1 ON s1.source = t.source AND s1.v = m.v AND s1.g = 1),
+             |cum AS MATERIALIZED (SELECT source, n0, n1, v,
+             |    abs(sum(a_i) OVER w * n1 - sum(b_i) OVER w * n0) AS dnum
+             |  FROM cells WINDOW w AS (PARTITION BY source ORDER BY v
+             |    ROWS UNBOUNDED PRECEDING)),
+             |mx AS (SELECT source, n0, n1, max(dnum) AS mx
+             |  FROM cum GROUP BY 1, 2, 3),
+             |sel AS (SELECT mx.source, mx.n0 AS n_old, mx.n1 AS n_new,
+             |    CAST(mx.mx * 1000000 // (mx.n0 * mx.n1) AS BIGINT) AS d_ppm,
+             |    CAST(min(cum.v) AS BIGINT) AS ks_at,
+             |    7376656000000 * (mx.n0 + mx.n1) // (mx.n0 * mx.n1) AS xr
+             |  FROM mx JOIN cum ON cum.source = mx.source AND cum.dnum = mx.mx
+             |  GROUP BY 1, 2, 3, 4, 6),
+             |seed AS (SELECT *, CAST(floor(sqrt(CAST(xr AS DOUBLE)))
+             |    AS BIGINT) AS c0 FROM sel),
+             |crit AS (SELECT source, n_old, n_new, d_ppm, ks_at,
+             |    CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      range(greatest(c0 - 3, 0), c0 + 4)),
+             |      (a, t) -> CASE WHEN t * t <= xr THEN t ELSE a END) + 1) // 2
+             |      AS BIGINT) AS crit_ppm
+             |  FROM seed)
+             |SELECT source, n_old, n_new, d_ppm, ks_at, crit_ppm,
+             |  d_ppm > crit_ppm AS drifted
+             |FROM crit ORDER BY source""".stripMargin))
+  )
 }

@@ -37,6 +37,7 @@ object Registry {
       Integrity.entries ++
       Integrity.entries2 ++
       StatTests.entries ++
+      StatTests.entries2 ++
       Learn.entries ++
       Forecast.entries ++
       IntervalOps.entries ++

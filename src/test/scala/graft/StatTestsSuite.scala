@@ -364,4 +364,23 @@ class StatTestsSuite extends SparkTestBase {
     assert(math.abs(wh * 1000.0 - 82529.0) < 500.0,
       s"critical literal drifted from Wilson-Hilferty: $wh")
   }
+
+  test("q305 release gate: generations-coincide fixed point; crit replays") {
+    val rows = Registry.byName("q305_corpus_release_gate").q(spark, sf).collect()
+    assert(rows.length == 20, "one decision row per source")
+    rows.foreach { r =>
+      // at the suite's sf0.001 the 'previous generation' IS this corpus:
+      // identical samples → D = 0, no source drifts
+      assert(r.getLong(1) == r.getLong(2), s"${r.getString(0)} n_old == n_new")
+      assert(r.getLong(3) == 0L,
+        s"${r.getString(0)}: identical generations must give D = 0")
+      assert(!r.getBoolean(6), "no drift at the fixed point")
+      // crit_ppm = round(1358000·sqrt((n0+n1)/(n0·n1))) — the isqrt form
+      // must agree with the IEEE replay away from half-points
+      val n0 = r.getLong(1).toDouble; val n1 = r.getLong(2).toDouble
+      assert(r.getLong(5) ==
+        math.round(1358000.0 * math.sqrt((n0 + n1) / (n0 * n1))),
+        s"${r.getString(0)} crit_ppm replay")
+    }
+  }
 }
