@@ -1165,18 +1165,26 @@ object Transforms {
         val cur = graft.sources.Sources.currentGeneration(s, root)
         val exactIdx = s.read.parquet(s"$cur/exact").withColumn("xhit", lit(1L))
         val spanIdx = s.read.parquet(s"$cur/spans").withColumn("shit", lit(1L))
-        val docs = T.documents(s, d)
+        // ONE char-HOF pass computes digest, length AND block hashes; the
+        // checkpoint then feeds both the exact join and the span explode
+        // (r17 profile: the two-pass form paid the corpus HOFs twice)
+        val keyed = T.documents(s, d)
           .select(col("doc_id"), col("source"), col("text"))
-          .localCheckpoint() // consumers: exact keys + span blocks
-        val keyed = docs.select(col("doc_id"), col("source"),
-          expr(DocDigestExpr).as("dg"),
-          length(col("text")).cast("long").as("len"))
-        val hits = spanBlocks(docs)
+          .withColumn("dg", expr(DocDigestExpr))
+          .withColumn("len", length(col("text")).cast("long"))
+          .withColumn("th", expr(ThExpr))
+          .withColumn("n", size(col("th")).cast("long"))
+          .withColumn("bharr", expr(BhArrExpr))
+          .select(col("doc_id"), col("source"), col("dg"), col("len"),
+            col("bharr"))
+          .localCheckpoint() // consumers: exact-key join + span explode
+        val hits = keyed
           .select(col("doc_id"), explode(col("bharr")).as("bh"))
           .join(spanIdx, Seq("bh"), "left")
           .groupBy(col("doc_id"))
           .agg(max(coalesce(col("shit"), lit(0L))).as("span_hit"))
         keyed
+          .select(col("doc_id"), col("source"), col("dg"), col("len"))
           .join(exactIdx, Seq("dg", "len"), "left")
           .join(hits, Seq("doc_id"), "left")
           .groupBy(col("source"))
