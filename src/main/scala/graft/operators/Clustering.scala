@@ -729,7 +729,7 @@ object Clustering {
           x = y.select(col("i").as("j"), expr(s"y div ${m}L").as("x"))
             .localCheckpoint()
         }
-        x.select(col("j").as("dim"), col("x").as("x_mu"),
+        x.select(col("j").cast("long").as("dim"), col("x").as("x_mu"),
             lit(lambdaScale).as("lambda_scale"))
           .orderBy(col("dim"))
       },

@@ -721,7 +721,7 @@ object Multimodal {
       Some("""SELECT doc_id,
              | 100 + doc_id % 500 AS width,
              | 50 + doc_id % 300 AS height,
-             | CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
+             | CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS channels,
              | CAST(1 AS BIGINT) AS frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -755,7 +755,7 @@ object Multimodal {
       Some("""SELECT doc_id,
              | 64 + doc_id % 1000 AS width,
              | 32 + doc_id % 600 AS height,
-             | CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels,
+             | CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS channels,
              | CAST(1 AS BIGINT) AS frames
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -1164,6 +1164,9 @@ object Multimodal {
       i += 12 + l
     }
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || nIdat == 0) return None
+    // h·(w+1) can reach ~2^40 under the per-axis caps alone; a crafted IHDR
+    // must not truncate to a negative Int or allocate GBs — cap decoded size.
+    if (h * (w + 1) > (1L << 28)) return None
     val expect = (h * (w + 1)).toInt
     val data = new Array[Byte](expect)
     val inf = new java.util.zip.Inflater()

@@ -1046,16 +1046,25 @@ object StatTests {
           .groupBy(col("source"), col("n0"), col("n1"), col("mx"))
           .agg(min(col("v")).as("ks_at"))
           .select(col("source"), col("n0").as("n_old"), col("n1").as("n_new"),
-            expr("mx * 1000000L div (n0 * n1)").as("d_ppm"),
+            // decimal-widened + greatest-guarded: a source present in only
+            // one generation (n0=0 or n1=0 — the very case a release gate
+            // exists to catch) is D=1 by definition; and mx·1e6 / the xr
+            // product can exceed int64 at large per-source counts.
+            expr("CASE WHEN n0 = 0L OR n1 = 0L THEN 1000000L ELSE " +
+              "CAST(mx AS DECIMAL(38,0)) * 1000000 div greatest(n0 * n1, 1L) " +
+              "END").as("d_ppm"),
             col("ks_at"),
-            expr("7376656000000L * (n0 + n1) div (n0 * n1)").as("xr"))
+            expr("CAST(7376656000000 AS DECIMAL(38,0)) * (n0 + n1) " +
+              "div greatest(n0 * n1, 1L)").as("xr"))
           .withColumn("c0",
             expr("CAST(floor(sqrt(CAST(xr AS DOUBLE))) AS BIGINT)"))
           .withColumn("crit_ppm", expr(
             "(aggregate(sequence(greatest(c0 - 3L, 0L), c0 + 3L), 0L, " +
               "(a, t) -> if(t * t <= xr, t, a)) + 1L) div 2"))
           .drop("xr", "c0")
-          .withColumn("drifted", col("d_ppm") > col("crit_ppm"))
+          .withColumn("drifted",
+            col("n_old") === 0L || col("n_new") === 0L ||
+              col("d_ppm") > col("crit_ppm"))
           .orderBy(col("source"))
       },
       Some("""WITH u AS (SELECT source, n_chars AS v, 0 AS g
@@ -1082,9 +1091,12 @@ object StatTests {
              |mx AS (SELECT source, n0, n1, max(dnum) AS mx
              |  FROM cum GROUP BY 1, 2, 3),
              |sel AS (SELECT mx.source, mx.n0 AS n_old, mx.n1 AS n_new,
-             |    CAST(mx.mx * 1000000 // (mx.n0 * mx.n1) AS BIGINT) AS d_ppm,
+             |    CAST(CASE WHEN mx.n0 = 0 OR mx.n1 = 0 THEN 1000000
+             |      ELSE mx.mx * 1000000 // greatest(mx.n0 * mx.n1, 1)
+             |      END AS BIGINT) AS d_ppm,
              |    CAST(min(cum.v) AS BIGINT) AS ks_at,
-             |    7376656000000 * (mx.n0 + mx.n1) // (mx.n0 * mx.n1) AS xr
+             |    7376656000000 * (mx.n0 + mx.n1)
+             |      // greatest(mx.n0 * mx.n1, 1) AS xr
              |  FROM mx JOIN cum ON cum.source = mx.source AND cum.dnum = mx.mx
              |  GROUP BY 1, 2, 3, 4, 6),
              |seed AS (SELECT *, CAST(floor(sqrt(CAST(xr AS DOUBLE)))
@@ -1096,7 +1108,7 @@ object StatTests {
              |      AS BIGINT) AS crit_ppm
              |  FROM seed)
              |SELECT source, n_old, n_new, d_ppm, ks_at, crit_ppm,
-             |  d_ppm > crit_ppm AS drifted
+             |  (n_old = 0 OR n_new = 0 OR d_ppm > crit_ppm) AS drifted
              |FROM crit ORDER BY source""".stripMargin))
   )
 }

@@ -1127,7 +1127,7 @@ object Transforms {
     // the canonical instance). Here the exact-key + span-hash index is
     // built ONCE from the sf0.001 fixture GENERATION (a different driver
     // generation of the same schema — the standard testdata tree,
-    // TESTDATA.md; falls back to the serve dir when absent), published
+    // TESTDATA.md; fails loudly when absent), published
     // through the atomic generation manifest, and the CURRENT corpus `d`
     // is classified against the artifact: per source, exact-dup docs
     // (digest+length) and docs sharing any 8-token block with the old
@@ -1250,14 +1250,20 @@ object Transforms {
              |GROUP BY k.source ORDER BY k.source""".stripMargin))
   )
 
-  /** The build-corpus dir for q299: the sf0.001 fixture generation under
-    * the standard testdata tree (a sibling of the serve dir), or the serve
-    * dir itself when the layout differs — in which case build == serve and
-    * the entry degrades to its fixed point rather than failing.
+  /** The build-corpus dir for q299/q302/q305: the sf0.001 fixture
+    * generation under the standard testdata tree (a sibling of the serve
+    * dir). Throws when the sibling is absent — see body comment.
     */
   private[graft] def siblingBuildCorpus(d: String): String = {
     val cand = new java.io.File(new java.io.File(d).getParentFile, "sf0.001")
-    if (cand.isDirectory) cand.getPath else d
+    // The q299/q302/q305 oracles read the build corpus by absolute path
+    // (/root/testdata/sf0.001/...): a silent fallback to the serve dir would
+    // make the Spark side quietly degrade to its fixed point while the
+    // oracle adjudicates against a different corpus — fail loudly instead.
+    require(cand.isDirectory,
+      s"cross-generation build corpus missing: ${cand.getPath} " +
+        s"(expected as a sibling of the serve dir $d)")
+    cand.getPath
   }
 
   /** Whole-doc char-polynomial digest (the q291 exact-key idiom). */

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps, Transforms}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps, Transforms}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -41,7 +41,8 @@ object Registry {
       Learn.entries ++
       Forecast.entries ++
       IntervalOps.entries ++
-      Projection.entries
+      Projection.entries ++
+      Feedback.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,

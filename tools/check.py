@@ -106,15 +106,13 @@ def main():
         # on the driver even when every python value compares equal — the
         # q214/q231 two-round mystery. Fail it here so it never ships.
         def _kind(t):
+            # each integer width is its own kind: the driver hashes TYPED
+            # values (the q214/q231 int128 incident), so an oracle INTEGER
+            # vs our parquet BIGINT is assumed hash-splitting too — cast
+            # the oracle rather than collapsing widths here.
             t = str(t)
-            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
-                return "int64"
-            if t == "HUGEINT":
-                return "int128"
             if t in ("FLOAT", "DOUBLE"):
                 return "float"
-            if t.startswith("DECIMAL"):
-                return t
             return t
         our_types = dict(zip(our_cols, [str(t) for t in ours.types]))
         o_types = dict(zip(o_cols, [str(t) for t in oracle.types]))
