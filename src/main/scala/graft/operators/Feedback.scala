@@ -36,64 +36,70 @@ object Feedback {
   /** floor(0.8 · 2^32): per-rater accuracy of the planted labels. */
   private val AccThresh = 3435973836L
 
-  val entries: Seq[Entry] = Seq(
+  /** Planted per-doc rater labels (la, lb) from seeded md5 lanes — shared
+    * by q306 (batch) and the q311 streaming sibling; stateless, so it is
+    * streaming-legal as a pre-aggregation projection.
+    */
+  private[graft] def kappaLabels(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("h",
+        expr("md5(concat('rate:v1:', CAST(doc_id AS STRING)))"))
+      .select(col("source"),
+        expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("u0"),
+        expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("ua"),
+        expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("ub"))
+      .select(col("source"),
+        expr(s"IF(ua < ${AccThresh}L, u0 % 3, (u0 % 3 + 1 + ua % 2) % 3)")
+          .as("la"),
+        expr(s"IF(ub < ${AccThresh}L, u0 % 3, (u0 % 3 + 1 + ub % 2) % 3)")
+          .as("lb"))
 
-    // q306: INTER-RATER AGREEMENT (Cohen's κ) — the acceptance gate on a
-    // labeling campaign: per source, two planted raters label each doc
-    // into 3 classes (true class + 20% symmetric noise, all md5-lane
-    // derived); κ = (p_o − p_e)/(1 − p_e) in exact ppm from one 9-sum
-    // aggregation (agree count + both raters' per-class marginals), with
-    // the Landis–Koch strength band as the interpretive column. The
-    // planted κ ≈ 0.49 ("moderate") is accuracy-derived, hence identical
-    // at every SF. Products are decimal-widened before `div` (the q305
-    // lesson): n² and marginal cross-products exceed int64 at large
-    // per-source counts.
-    Entry(
-      "q306_rater_agreement",
-      (s, d) => {
-        T.documents(s, d)
-          .select(col("source"), col("doc_id"))
-          .withColumn("h",
-            expr("md5(concat('rate:v1:', CAST(doc_id AS STRING)))"))
-          .select(col("source"),
-            expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("u0"),
-            expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("ua"),
-            expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("ub"))
-          .select(col("source"),
-            expr(s"IF(ua < ${AccThresh}L, u0 % 3, (u0 % 3 + 1 + ua % 2) % 3)")
-              .as("la"),
-            expr(s"IF(ub < ${AccThresh}L, u0 % 3, (u0 % 3 + 1 + ub % 2) % 3)")
-              .as("lb"))
-          .groupBy(col("source"))
-          .agg(
-            count(lit(1)).as("n_docs"),
-            sum(expr("CAST(la = lb AS BIGINT)")).as("n_agree"),
-            sum(expr("CAST(la = 0 AS BIGINT)")).as("a0"),
-            sum(expr("CAST(la = 1 AS BIGINT)")).as("a1"),
-            sum(expr("CAST(la = 2 AS BIGINT)")).as("a2"),
-            sum(expr("CAST(lb = 0 AS BIGINT)")).as("b0"),
-            sum(expr("CAST(lb = 1 AS BIGINT)")).as("b1"),
-            sum(expr("CAST(lb = 2 AS BIGINT)")).as("b2"))
-          .select(col("source"), col("n_docs"), col("n_agree"),
-            expr("CAST(n_agree AS DECIMAL(38,0)) * 1000000 " +
-              "div greatest(n_docs, 1L)").as("po_ppm"),
-            expr("(CAST(a0 AS DECIMAL(38,0)) * b0 + CAST(a1 AS DECIMAL(38,0)) * b1 " +
-              "+ CAST(a2 AS DECIMAL(38,0)) * b2) * 1000000 " +
-              "div greatest(CAST(n_docs AS DECIMAL(38,0)) * n_docs, 1L)")
-              .as("pe_ppm"))
-          .withColumn("kappa_ppm",
-            expr("(po_ppm - pe_ppm) * 1000000L " +
-              "div greatest(1000000L - pe_ppm, 1L)"))
-          .withColumn("strength", expr(
-            "CASE WHEN kappa_ppm < 0L THEN 'poor' " +
-              "WHEN kappa_ppm < 200000L THEN 'slight' " +
-              "WHEN kappa_ppm < 400000L THEN 'fair' " +
-              "WHEN kappa_ppm < 600000L THEN 'moderate' " +
-              "WHEN kappa_ppm < 800000L THEN 'substantial' " +
-              "ELSE 'almost_perfect' END"))
-          .orderBy(col("source"))
-      },
-      Some(s"""WITH r AS (SELECT source,
+  /** The ONE aggregation (count + agree + both raters' class marginals) —
+    * a single commutative stateful agg in streaming terms.
+    */
+  private[graft] def kappaRollup(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("CAST(la = lb AS BIGINT)")).as("n_agree"),
+        sum(expr("CAST(la = 0 AS BIGINT)")).as("a0"),
+        sum(expr("CAST(la = 1 AS BIGINT)")).as("a1"),
+        sum(expr("CAST(la = 2 AS BIGINT)")).as("a2"),
+        sum(expr("CAST(lb = 0 AS BIGINT)")).as("b0"),
+        sum(expr("CAST(lb = 1 AS BIGINT)")).as("b1"),
+        sum(expr("CAST(lb = 2 AS BIGINT)")).as("b2"))
+
+  /** Stateless κ arithmetic over the rollup counters (runs batch-side in
+    * the streaming sibling, after the memory sink).
+    */
+  private[graft] def kappaProject(agg: DataFrame): DataFrame =
+    agg
+      .select(col("source"), col("n_docs"), col("n_agree"),
+        expr("CAST(n_agree AS DECIMAL(38,0)) * 1000000 " +
+          "div greatest(n_docs, 1L)").as("po_ppm"),
+        expr("(CAST(a0 AS DECIMAL(38,0)) * b0 + CAST(a1 AS DECIMAL(38,0)) * b1 " +
+          "+ CAST(a2 AS DECIMAL(38,0)) * b2) * 1000000 " +
+          "div greatest(CAST(n_docs AS DECIMAL(38,0)) * n_docs, 1L)")
+          .as("pe_ppm"))
+      .withColumn("kappa_ppm",
+        expr("(po_ppm - pe_ppm) * 1000000L " +
+          "div greatest(1000000L - pe_ppm, 1L)"))
+      .withColumn("strength", expr(
+        "CASE WHEN kappa_ppm < 0L THEN 'poor' " +
+          "WHEN kappa_ppm < 200000L THEN 'slight' " +
+          "WHEN kappa_ppm < 400000L THEN 'fair' " +
+          "WHEN kappa_ppm < 600000L THEN 'moderate' " +
+          "WHEN kappa_ppm < 800000L THEN 'substantial' " +
+          "ELSE 'almost_perfect' END"))
+      .orderBy(col("source"))
+
+  /** q306's oracle — shared VERBATIM by the q311 streaming sibling (the
+    * q304/q294 batch/stream parity discipline: one oracle string is
+    * itself the equivalence proof).
+    */
+  private[graft] val KappaOracle: String =
+    s"""WITH r AS (SELECT source,
              |    CAST(('0x' || substr(md5('rate:v1:' || doc_id::VARCHAR),
              |      1, 8)) AS BIGINT) AS u0,
              |    CAST(('0x' || substr(md5('rate:v1:' || doc_id::VARCHAR),
@@ -137,7 +143,25 @@ object Feedback {
              |    WHEN (po_ppm - pe_ppm) * 1000000
              |      // greatest(1000000 - pe_ppm, 1) < 800000 THEN 'substantial'
              |    ELSE 'almost_perfect' END AS strength
-             |FROM k ORDER BY source""".stripMargin)),
+             |FROM k ORDER BY source""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+
+    // q306: INTER-RATER AGREEMENT (Cohen's κ) — the acceptance gate on a
+    // labeling campaign: per source, two planted raters label each doc
+    // into 3 classes (true class + 20% symmetric noise, all md5-lane
+    // derived); κ = (p_o − p_e)/(1 − p_e) in exact ppm from one 9-sum
+    // aggregation (agree count + both raters' per-class marginals), with
+    // the Landis–Koch strength band as the interpretive column. The
+    // planted κ ≈ 0.49 ("moderate") is accuracy-derived, hence identical
+    // at every SF. Products are decimal-widened before `div` (the q305
+    // lesson): n² and marginal cross-products exceed int64 at large
+    // per-source counts.
+    Entry(
+      "q306_rater_agreement",
+      (s, d) => kappaProject(kappaRollup(kappaLabels(
+        T.documents(s, d).select(col("source"), col("doc_id"))))),
+      Some(KappaOracle)),
 
     // q307: BRADLEY–TERRY PREFERENCE STRENGTHS (planted recovery) — fit
     // pairwise-preference strengths with 3 quantized Hunter-MM rounds and

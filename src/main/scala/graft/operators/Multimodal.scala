@@ -1584,4 +1584,219 @@ object Multimodal {
         Some((n.toLong, sumSq, clip))
       }
     }
+
+  // ---------------------------------------------------------------- q308
+  // WebDataset-style tar shards: the de-facto container for multimodal
+  // training corpora is a stream of POSIX ustar archives whose members
+  // pair a payload with a same-stem metadata file. Synthesis assembles a
+  // REAL ustar archive per doc (two members — `d<id>.txt` carrying the
+  // doc text and `d<id>.json` carrying metadata — 512-byte headers with
+  // octal fields and the spec checksum-over-spaces rule, payload blocks
+  // padded to 512, two-zero-block terminator); a deterministic subset
+  // (doc_id % 37 = 0) gets its first member's RECORDED checksum corrupted
+  // (a valid-octal digit bump, so the parse succeeds and only the
+  // verification fails — the honest-negative lane).
+
+  final case class TarIn(doc_id: Long, source: String, text: String,
+      n_chars: Long)
+
+  final case class TarStats(doc_id: Long, source: String, n_members: Long,
+      n_bad_checksum: Long, payload_bytes: Long, name_digest: Long)
+
+  private val TarDigestP = 2147483647L
+
+  private def tarOctal(h: Array[Byte], off: Int, v: Long, digits: Int): Unit = {
+    val s = java.lang.Long.toOctalString(v)
+    val pad = "0" * (digits - s.length) + s
+    val b = pad.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    System.arraycopy(b, 0, h, off, b.length) // trailing NUL is the 0 fill
+  }
+
+  private def tarHeader(
+      name: String, size: Long, corrupt: Boolean): Array[Byte] = {
+    val h = new Array[Byte](512)
+    def put(off: Int, s: String): Unit = {
+      val b = s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(b, 0, h, off, b.length)
+    }
+    put(0, name)
+    tarOctal(h, 100, 420L, 7) // mode 0644
+    tarOctal(h, 108, 0L, 7) // uid
+    tarOctal(h, 116, 0L, 7) // gid
+    tarOctal(h, 124, size, 11)
+    tarOctal(h, 136, 0L, 11) // mtime
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum = spaces
+    h(156) = '0' // typeflag: regular file
+    put(257, "ustar") // magic, NUL-terminated by the zero fill
+    h(263) = '0'; h(264) = '0' // version
+    put(265, "graft") // uname
+    put(297, "graft") // gname
+    tarOctal(h, 329, 0L, 7) // devmajor
+    tarOctal(h, 337, 0L, 7) // devminor
+    var sum = 0L
+    var i = 0
+    while (i < 512) { sum += h(i) & 0xff; i += 1 }
+    val cs = java.lang.Long.toOctalString(sum)
+    put(148, "0" * (6 - cs.length) + cs)
+    h(154) = 0; h(155) = ' '.toByte
+    // header byte sums stay < 0o100000, so the leading checksum digit is
+    // always '0': bumping it to '1' keeps the field valid octal and only
+    // falsifies the RECORDED value
+    if (corrupt) h(148) = (h(148) + 1).toByte
+    h
+  }
+
+  /** Complete two-member ustar archive for one doc. */
+  private[graft] def tarFullBytes(t: TarIn): Array[Byte] = {
+    val p1 = t.text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val p2 = s"""{"doc_id":${t.doc_id},"n_chars":${t.n_chars}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def pad(n: Int): Int = ((n + 511) / 512) * 512
+    val out = new Array[Byte](1024 + pad(p1.length) + pad(p2.length) + 1024)
+    var o = 0
+    def member(name: String, p: Array[Byte], corrupt: Boolean): Unit = {
+      System.arraycopy(tarHeader(name, p.length.toLong, corrupt), 0, out, o, 512)
+      System.arraycopy(p, 0, out, o + 512, p.length)
+      o += 512 + pad(p.length)
+    }
+    member(s"d${t.doc_id}.txt", p1, corrupt = t.doc_id % 37 == 0)
+    member(s"d${t.doc_id}.json", p2, corrupt = false)
+    out // the two zero terminator blocks are the array's zero tail
+  }
+
+  /** Walk a ustar archive: per member (name, size, checksum_ok). None on
+    * ANY structural malformation — bad magic, non-octal size field,
+    * truncated payload, missing two-zero-block terminator.
+    */
+  private[graft] def parseTarMembers(
+      b: Array[Byte]): Option[Seq[(String, Long, Boolean)]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+    def allZero(off: Int): Boolean = {
+      var j = 0
+      while (j < 512) { if (b(off + j) != 0) return false; j += 1 }
+      true
+    }
+    def octField(off: Int, len: Int): Long = {
+      var v = 0L
+      var j = off
+      while (j < off + len && b(j) != 0 && b(j) != ' ') {
+        val c = b(j) - '0'
+        if (c < 0 || c > 7) return -1L
+        v = v * 8 + c
+        j += 1
+      }
+      v
+    }
+    var i = 0
+    while (i + 512 <= b.length) {
+      if (allZero(i)) {
+        if (i + 1024 > b.length || !allZero(i + 512)) return None
+        return Some(out.toSeq)
+      }
+      if (!(b(i + 257) == 'u' && b(i + 258) == 's' && b(i + 259) == 't' &&
+          b(i + 260) == 'a' && b(i + 261) == 'r' && b(i + 262) == 0)) return None
+      var e = i
+      while (e < i + 100 && b(e) != 0) e += 1
+      val name =
+        new String(b, i, e - i, java.nio.charset.StandardCharsets.US_ASCII)
+      val size = octField(i + 124, 12)
+      if (size < 0) return None
+      val rec = octField(i + 148, 8)
+      if (rec < 0) return None
+      var sum = 0L
+      var j = 0
+      while (j < 512) {
+        sum += (if (j >= 148 && j < 156) 32L else (b(i + j) & 0xff).toLong)
+        j += 1
+      }
+      out += ((name, size, sum == rec))
+      val padded = ((size + 511L) / 512L) * 512L
+      if (i + 512L + padded > b.length) return None
+      i += 512 + padded.toInt
+    }
+    None // ran off the end without a terminator
+  }
+
+  private def tarNameDigest(s: String): Long = {
+    var a = 0L
+    var i = 0
+    while (i < s.length) { a = (a * 131 + s.charAt(i)) % TarDigestP; i += 1 }
+    a
+  }
+
+  def tarIndexPartition(rows: Iterator[TarIn]): Iterator[TarStats] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { t =>
+      parseTarMembers(tarFullBytes(t)) match {
+        case Some(ms) =>
+          val good = ms.filter(_._3)
+          TarStats(t.doc_id, t.source, ms.length.toLong,
+            (ms.length - good.length).toLong, good.map(_._2).sum,
+            good.map(m => tarNameDigest(m._1)).sum % TarDigestP)
+        case None => TarStats(t.doc_id, t.source, -1L, -1L, -1L, -1L)
+      }
+    })
+
+  /** Round-18 batch. */
+  val entries3: Seq[Entry] = Seq(
+
+    // q308: TAR (WebDataset) MEMBER INDEX — synthesize a real two-member
+    // ustar shard per doc, then index it back the hard way: block walk,
+    // octal field parse, spec checksum verification (over the
+    // spaces-substituted header), payload skip by padded size, terminator
+    // check. The per-source rollup counts members, flags the planted
+    // checksum corruptions (doc_id % 37), and folds payload bytes + a
+    // commutative name digest over VERIFIED members only — the oracle
+    // recomputes all of it from the synthesis closed form, so a wrong
+    // field offset, checksum rule, or padding walk all surface. Same
+    // typed batched mapPartitions shape and scale story as q43/q298:
+    // map-only synthesis+decode, payload pruned before the one per-source
+    // partial-agged exchange.
+    Entry(
+      "q308_tar_member_index",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(tarIndexPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_archives"),
+            sum(col("n_members")).as("n_members"),
+            sum(col("n_bad_checksum")).as("n_bad_checksum"),
+            sum(col("payload_bytes")).as("payload_bytes"),
+            pmod(sum(col("name_digest")), lit(TarDigestP)).as("name_digest"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH m AS (SELECT source, doc_id,
+             |    CAST(strlen(text) AS BIGINT) AS sz1,
+             |    CAST(strlen('{"doc_id":' || doc_id || ',"n_chars":'
+             |      || n_chars || '}') AS BIGINT) AS sz2,
+             |    doc_id % 37 = 0 AS bad1,
+             |    'd' || doc_id || '.txt' AS n1,
+             |    'd' || doc_id || '.json' AS n2
+             |  FROM documents),
+             |dg AS (SELECT source,
+             |    CASE WHEN bad1 THEN 1 ELSE 0 END AS nbad,
+             |    CASE WHEN bad1 THEN 0 ELSE sz1 END + sz2 AS good_payload,
+             |    (CASE WHEN bad1 THEN 0 ELSE
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(n1) + 1),
+             |          i -> CAST(unicode(n1[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $TarDigestP) END
+             |     + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(n2) + 1),
+             |          i -> CAST(unicode(n2[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $TarDigestP))
+             |      % $TarDigestP AS dgs
+             |  FROM m)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_archives,
+             |  CAST(count(*) * 2 AS BIGINT) AS n_members,
+             |  CAST(sum(nbad) AS BIGINT) AS n_bad_checksum,
+             |  CAST(sum(good_payload) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(dgs) % $TarDigestP AS BIGINT) AS name_digest
+             |FROM dg GROUP BY source ORDER BY source""".stripMargin))
+  )
 }

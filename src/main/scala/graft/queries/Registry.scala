@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps, Transforms}
+import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps, Transforms, Unigram}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -27,6 +27,7 @@ object Registry {
       Similarity.entries2 ++
       Multimodal.entries ++
       Multimodal.entries2 ++
+      Multimodal.entries3 ++
       Sources.entries ++
       CorpusOps.entries ++
       CorpusOps.entries2 ++
@@ -42,7 +43,8 @@ object Registry {
       Forecast.entries ++
       IntervalOps.entries ++
       Projection.entries ++
-      Feedback.entries
+      Feedback.entries ++
+      Unigram.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,

@@ -791,7 +791,35 @@ object EventStreams {
         query.awaitTermination()
         s.table("graft_stream_bbpe").orderBy(col("source"))
       },
-      Some(graft.operators.Transforms.ByteBpeOracle))
+      Some(graft.operators.Transforms.ByteBpeOracle)),
+
+    // q311: STREAMING INTER-RATER AGREEMENT — q306's κ computed as labels
+    // stream in: the md5-lane label derivation is stateless, the 9-counter
+    // rollup is ONE commutative stateful aggregation (the q304 rule:
+    // countDistinct and chained agg→join→agg are streaming-illegal; a
+    // single groupBy(source) of sums is exact in Complete mode over the
+    // bounded AvailableNow source), and the κ arithmetic runs batch-side
+    // on the 20-row memory table. Oracle SHARED VERBATIM with q306 —
+    // batch/stream parity is the claim the gate proves.
+    Entry(
+      "q311_stream_rater_agreement",
+      (s, d) => {
+        import graft.operators.Feedback
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val src = s.readStream.schema(schema).parquet(s"$d/documents*")
+          .select(col("source"), col("doc_id"))
+        val agg = Feedback.kappaRollup(Feedback.kappaLabels(src))
+        s.streams.active.filter(_.name == "graft_stream_kappa").foreach(_.stop())
+        val query = agg.writeStream
+          .format("memory")
+          .queryName("graft_stream_kappa")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        Feedback.kappaProject(s.table("graft_stream_kappa"))
+      },
+      Some(graft.operators.Feedback.KappaOracle))
   )
 
   /** q220's body: two deterministic arrival epochs through ONE streaming
