@@ -472,7 +472,17 @@ object Bench {
     "q302_ann_cross_corpus",
     "q303_gif_lzw_decode",
     "q304_stream_byte_bpe",
-    "q305_corpus_release_gate")
+    "q305_corpus_release_gate",
+    // round-18 cohort, standing from birth: rater agreement (batch +
+    // streaming sibling), Bradley-Terry fit, tar shard index, unigram
+    // tokenizer fit + publish/serve. Subtract these six when comparing
+    // secondary_total against pre-r18 artifacts.
+    "q306_rater_agreement",
+    "q307_bradley_terry",
+    "q308_tar_member_index",
+    "q309_unigram_tokenizer",
+    "q310_unigram_publish_serve",
+    "q311_stream_rater_agreement")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
