@@ -482,7 +482,8 @@ object Bench {
     "q308_tar_member_index",
     "q309_unigram_tokenizer",
     "q310_unigram_publish_serve",
-    "q311_stream_rater_agreement")
+    "q311_stream_rater_agreement",
+    "q312_jpeg_dc_decode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1797,6 +1797,306 @@ object Multimodal {
              |  CAST(sum(nbad) AS BIGINT) AS n_bad_checksum,
              |  CAST(sum(good_payload) AS BIGINT) AS payload_bytes,
              |  CAST(sum(dgs) % $TarDigestP AS BIGINT) AS name_digest
-             |FROM dg GROUP BY source ORDER BY source""".stripMargin))
+             |FROM dg GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q312: REAL JPEG DC ENTROPY DECODE — the upgrade q193's marker-walk
+    // header parse documents as its asterisk, and the third real codec
+    // after PNG inflate+unfilter (q298) and GIF LZW (q303): baseline JFIF
+    // synthesis with CANONICAL HUFFMAN entropy coding (Annex-K DC
+    // luminance table, category + magnitude bits, negative-diff
+    // complement convention, 0xFF byte stuffing), and a decode that walks
+    // it back for real — DQT/SOF0/DHT/SOS parse, canonical decode tables
+    // (minCode/maxCode/valPtr), MSB-first bit reader over the unstuffed
+    // scan, per-MCU DC-diff reconstruction with the general AC
+    // run/size loop (our streams are DC-only + EOB, the decoder handles
+    // the full grammar), dequant + DC-only IDCT (flat block = 128 +
+    // dc·Q0/8). The digest folds the RECONSTRUCTED block values; the
+    // oracle recomputes it from the planted closed form, so a Huffman,
+    // stuffing, predictor, or dequant bug all surface. Conformance is not
+    // self-referential: the suite feeds the SAME bytes to the JDK's own
+    // javax.imageio JPEG reader and pins block-for-block pixel agreement.
+    // Same typed batched mapPartitions shape and scale story as
+    // q43/q298/q303: map-only, payload pruned after decode.
+    Entry(
+      "q312_jpeg_dc_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id")).as[Long]
+          .map(id => MediaIn(id, jpegDcBytes(id)))
+          .mapPartitions(jpegDcPartition)
+          .toDF()
+          .select(col("doc_id"), col("width"), col("height"),
+            col("n_blocks"), col("dc_digest"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |    CAST(8 * (1 + doc_id % 4) AS BIGINT) AS width,
+             |    CAST(8 * (1 + doc_id % 3) AS BIGINT) AS height,
+             |    CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT)
+             |      AS n_blocks
+             |  FROM documents)
+             |SELECT doc_id, width, height, n_blocks,
+             |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |    list_transform(range(0, n_blocks), b ->
+             |      128 + (doc_id * 7 + b * 13) % 200 - 100)),
+             |    (a, v) -> (a * 131 + v) % 2147483647) AS BIGINT)
+             |    AS dc_digest
+             |FROM p ORDER BY doc_id""".stripMargin))
   )
+
+  // ---------------------------------------------------------------- q312
+  // Real JPEG DC entropy decode: canonical Huffman coding both ways.
+
+  final case class JpegDc(doc_id: Long, width: Long, height: Long,
+      n_blocks: Long, dc_digest: Long)
+
+  /** Annex-K (ITU T.81 K.3.1) DC luminance table: BITS then HUFFVAL. */
+  private val JpegDcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals: Array[Int] = (0 to 11).toArray
+
+  /** Minimal spec-valid AC table: the one emitted symbol (EOB 0x00) at
+    * code length 2 — the decoder builds whatever the DHT declares, so the
+    * general run/size grammar is still exercised on the decode side.
+    */
+  private val JpegAcBits: Array[Int] =
+    Array(0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegAcVals: Array[Int] = Array(0x00)
+
+  /** Canonical code assignment (T.81 C.2): (code, length) per symbol. */
+  private def canonicalCodes(
+      bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out(vals(k)) = (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.toMap
+  }
+
+  /** Planted quantized DC coefficient of block b. */
+  private def jpegDcOf(id: Long, b: Int): Int =
+    (((id * 7 + b * 13) % 200) - 100).toInt
+
+  /** Complete baseline grayscale JFIF with DC-only blocks. */
+  private[graft] def jpegDcBytes(id: Long): Array[Byte] = {
+    val bw = (1 + id % 4).toInt; val bh = (1 + id % 3).toInt
+    val w = 8 * bw; val h = 8 * bh
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b16(0xFFD8)
+    b16(0xFFE0); b16(16) // APP0/JFIF v1.1, no thumbnail
+    "JFIF".foreach(c => b8(c)); b8(0); b8(1); b8(1); b8(0)
+    b16(1); b16(1); b8(0); b8(0)
+    b16(0xFFDB); b16(67); b8(0x00) // DQT, Pq=0 Tq=0
+    for (_ <- 0 until 64) b8(8) // flat Q table: Q0 = 8 ⇒ recon = 128+dc
+    b16(0xFFC0); b16(11); b8(8); b16(h); b16(w); b8(1) // SOF0, 1 component
+    b8(1); b8(0x11); b8(0) // id 1, 1x1 sampling, Tq 0
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegDcVals.length); b8(0x00)
+    JpegDcBits.foreach(b8); JpegDcVals.foreach(b8)
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegAcVals.length); b8(0x10)
+    JpegAcBits.foreach(b8); JpegAcVals.foreach(b8)
+    b16(0xFFDA); b16(8); b8(1); b8(1); b8(0x00) // SOS: comp 1, Td=Ta=0
+    b8(0); b8(63); b8(0) // Ss, Se, AhAl
+    // entropy-coded scan: MSB-first bit writer with 0xFF00 stuffing
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
+    var acc = 0L; var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        b8(byte); if (byte == 0xff) b8(0x00)
+        nb -= 8
+      }
+    }
+    var pred = 0
+    for (b <- 0 until bw * bh) {
+      val dc = jpegDcOf(id, b)
+      val diff = dc - pred; pred = dc
+      val cat = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // 0 for 0
+      val (hc, hl) = dcCodes(cat)
+      putBits(hc, hl)
+      if (cat > 0) {
+        val v = if (diff > 0) diff else diff + (1 << cat) - 1
+        putBits(v, cat)
+      }
+      val (ac, al) = acCodes(0x00) // EOB immediately: DC-only block
+      putBits(ac, al)
+    }
+    if (nb > 0) { // pad final byte with 1s (T.81 F.1.2.3)
+      val pad = 8 - nb
+      putBits((1 << pad) - 1, pad)
+    }
+    b16(0xFFD9)
+    out.toByteArray
+  }
+
+  /** Decode: marker walk + canonical Huffman + DC reconstruction.
+    * Returns (width, height, n_blocks, digest of reconstructed flat
+    * block values); None on ANY malformation.
+    */
+  private[graft] def parseJpegDcPixels(
+      b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    var w = -1; var h = -1
+    var q0 = -1
+    // canonical decode tables per (class, id): here Td=Ta=0 only
+    var dcTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
+    var acTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
+    def buildTab(bits: Array[Int], vals: Array[Int]) = {
+      val minC = new Array[Int](17); val maxC = new Array[Int](17)
+      val valP = new Array[Int](17)
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valP(len) = k
+        minC(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxC(len) = code - 1 // -1 when empty: code == minC
+        code <<= 1
+      }
+      (minC, maxC, valP, vals)
+    }
+    var scan: Array[Byte] = null
+    while (scan == null) {
+      if (i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (i + 2 + len > b.length) return None
+      m match {
+        case 0xdb =>
+          if (len != 67 || (b(i + 4) & 0xff) != 0x00) return None
+          q0 = b(i + 5) & 0xff
+        case 0xc0 =>
+          if (len != 11 || (b(i + 4) & 0xff) != 8) return None
+          h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          if ((b(i + 9) & 0xff) != 1) return None // grayscale only
+          if ((b(i + 11) & 0xff) != 0x11) return None
+        case 0xc4 =>
+          // a DHT segment may carry several tables
+          var j = i + 4
+          while (j < i + 2 + len) {
+            val tcth = b(j) & 0xff
+            val bits = Array.tabulate(16)(t => b(j + 1 + t) & 0xff)
+            val n = bits.sum
+            if (j + 17 + n > i + 2 + len) return None
+            val vals = Array.tabulate(n)(t => b(j + 17 + t) & 0xff)
+            val tab = buildTab(bits, vals)
+            if (tcth == 0x00) dcTab = tab
+            else if (tcth == 0x10) acTab = tab
+            else return None
+            j += 17 + n
+          }
+        case 0xda =>
+          if (len != 8 || (b(i + 4) & 0xff) != 1) return None
+          if ((b(i + 6) & 0xff) != 0x00) return None // Td=Ta=0
+          // unstuff entropy data up to EOI
+          val buf = new java.io.ByteArrayOutputStream()
+          var k = i + 2 + len
+          var done = false
+          while (!done) {
+            if (k >= b.length) return None
+            val c = b(k) & 0xff
+            if (c == 0xff) {
+              if (k + 1 >= b.length) return None
+              val nxt = b(k + 1) & 0xff
+              if (nxt == 0x00) { buf.write(0xff); k += 2 }
+              else if (nxt == 0xd9) done = true
+              else return None // restarts/other markers unsupported
+            } else { buf.write(c); k += 1 }
+          }
+          scan = buf.toByteArray
+        case mm if mm >= 0xe0 && mm <= 0xef => // APPn: skip
+        case 0xfe => // COM: skip
+        case _ => return None
+      }
+      if (scan == null) i += 2 + len
+    }
+    if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+    if (q0 < 1 || dcTab == null || acTab == null) return None
+    val nBlocks = (w / 8) * (h / 8)
+    var pos = 0
+    def readBit(): Int = {
+      if (pos >= scan.length * 8) return -1
+      val bit = (scan(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      bit
+    }
+    def decode(tab: (Array[Int], Array[Int], Array[Int], Array[Int])): Int = {
+      val (minC, maxC, valP, vals) = tab
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        val bit = readBit(); if (bit < 0) return -1
+        code = (code << 1) | bit
+        len += 1
+        if (maxC(len) >= minC(len) && code >= minC(len) && code <= maxC(len))
+          return vals(valP(len) + code - minC(len))
+      }
+      -1
+    }
+    def extend(v: Int, cat: Int): Int =
+      if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+    var dc = 0
+    var dg = 0L
+    var blk = 0
+    while (blk < nBlocks) {
+      val cat = decode(dcTab)
+      if (cat < 0 || cat > 11) return None
+      val diff =
+        if (cat == 0) 0
+        else {
+          var v = 0
+          var t = 0
+          while (t < cat) {
+            val bit = readBit(); if (bit < 0) return None
+            v = (v << 1) | bit; t += 1
+          }
+          extend(v, cat)
+        }
+      dc += diff
+      // general AC run/size walk (our streams EOB immediately)
+      var k = 1
+      var eob = false
+      while (k <= 63 && !eob) {
+        val sym = decode(acTab)
+        if (sym < 0) return None
+        if (sym == 0x00) eob = true
+        else {
+          val r = sym >> 4; val sz = sym & 15
+          if (sz == 0) { if (r == 15) k += 16 else return None }
+          else {
+            k += r
+            var t = 0
+            while (t < sz) { if (readBit() < 0) return None; t += 1 }
+            k += 1
+          }
+        }
+      }
+      val recon = math.min(255, math.max(0, 128 + dc * q0 / 8))
+      dg = (dg * 131 + recon) % 2147483647L
+      blk += 1
+    }
+    Some((w.toLong, h.toLong, nBlocks.toLong, dg))
+  }
+
+  def jpegDcPartition(rows: Iterator[MediaIn]): Iterator[JpegDc] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { m =>
+      parseJpegDcPixels(m.payload) match {
+        case Some((w, h, n, dg)) => JpegDc(m.doc_id, w, h, n, dg)
+        case None => JpegDc(m.doc_id, -1L, -1L, -1L, -1L)
+      }
+    })
 }

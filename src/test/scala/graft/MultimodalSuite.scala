@@ -362,4 +362,53 @@ class MultimodalSuite extends SparkTestBase {
       .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
     assert(scans == 1, s"q298 must be a single-scan map-only plan, got $scans")
   }
+
+  test("q312 JPEG DC: the JDK's own ImageIO reader agrees pixel-for-pixel") {
+    // conformance is not self-referential (the q303 discipline): the same
+    // synthesized bytes must decode identically under javax.imageio
+    for (id <- Seq(0L, 1L, 5L, 11L, 37L, 123L)) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.jpegDcBytes(id)))
+      assert(img != null, s"ImageIO must read the id=$id JPEG")
+      val bw = (1 + id % 4).toInt; val bh = (1 + id % 3).toInt
+      assert(img.getWidth == bw * 8 && img.getHeight == bh * 8)
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val b = by * bw + bx
+        val expect = 128 + (((id * 7 + b * 13) % 200) - 100).toInt
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val px = img.getRaster.getSample(bx * 8 + x, by * 8 + y, 0)
+          assert(px == expect,
+            s"id=$id block=$b px($x,$y): ImageIO $px vs planted $expect")
+        }
+      }
+    }
+  }
+
+  test("q312 JPEG DC: decode replays the planted DCs; malformation battery") {
+    for (id <- Seq(0L, 3L, 10L)) {
+      val Some((w, h, n, dg)) =
+        Multimodal.parseJpegDcPixels(Multimodal.jpegDcBytes(id))
+      assert(w == 8 * (1 + id % 4) && h == 8 * (1 + id % 3))
+      var ref = 0L
+      for (b <- 0 until n.toInt)
+        ref = (ref * 131 + (128 + ((id * 7 + b * 13) % 200) - 100)) %
+          2147483647L
+      assert(dg == ref, s"id=$id digest replay")
+    }
+    val good = Multimodal.jpegDcBytes(7L)
+    assert(Multimodal.parseJpegDcPixels(good.take(40)).isEmpty, "truncated")
+    val noSoi = good.clone(); noSoi(1) = 0x00
+    assert(Multimodal.parseJpegDcPixels(noSoi).isEmpty, "bad SOI")
+    // truncate the entropy stream: drop the EOI + last scan bytes
+    assert(Multimodal.parseJpegDcPixels(good.dropRight(6)).isEmpty,
+      "truncated scan must reject, not mis-decode")
+    // registered query: no sentinel rows, map-only single scan
+    val df = queries.Registry.byName("q312_jpeg_dc_decode").q(spark, sf)
+    val rows = df.collect()
+    assert(rows.length == Tables.documents(spark, sf).count().toInt)
+    assert(rows.forall(_.getLong(1) > 0), "no sentinel rows on synth input")
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"q312 must be a single-scan map-only plan, got $scans")
+  }
 }
