@@ -483,7 +483,9 @@ object Bench {
     "q309_unigram_tokenizer",
     "q310_unigram_publish_serve",
     "q311_stream_rater_agreement",
-    "q312_jpeg_dc_decode")
+    "q312_jpeg_dc_decode",
+    "q313_stream_bradley_terry",
+    "q314_label_prop_planted")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -842,7 +842,152 @@ object Clustering {
            |  p8.node = 7 AS is_hub,
            |  h.hub_pr > h.best_other * 2 AS hub_recovered
            |FROM p8 CROSS JOIN h ORDER BY p8.node""".stripMargin
-      })
+      }),
+
+    // q314: LABEL-PROPAGATION COMMUNITY RECOVERY (planted SBM) — the
+    // community-detection member of the iterative family (q87 exact
+    // components, q296 PageRank): a 120-node stochastic block model is
+    // FABRICATED by the seeded-md5 primitive (3 planted blocks of 40;
+    // edge probability 0.3 inside a block, 0.02 across — both exact
+    // integer thresholds on the pair digest), and 4 synchronous
+    // majority-vote LPA rounds run over it. Tie-breaks use the HASHED
+    // label (max packed cnt·2^32 + md5-lane(label), then min label on
+    // lane ties) — the classic min-label tie-break cascades the globally
+    // smallest ids across 0.02-edges in round 1 and merges blocks; the
+    // hash tie-break keeps round-1 adoption uniform over neighbors, so
+    // intra-block labels (expected degree 11.7 vs 1.6) win from round 2
+    // on. The graph is corpus-INDEPENDENT (nodes = doc_id mod 120, all
+    // present at every SF), so recovery flags cannot flip across SFs.
+    // Plan: edge table value-domain bounded (~1.8k rows); each round is
+    // a join + count + max-then-match over 120-node frames (per-round
+    // localCheckpoint, the q87/q196 fixed-point discipline). On a real
+    // graph the same plan keys one exchange per round on the neighbor id.
+    Entry(
+      "q314_label_prop_planted",
+      (s, d) => {
+        val nodes = Tables.documents(s, d)
+          .select((col("doc_id") % 120L).as("u")).distinct()
+          .localCheckpoint() // consumers: pair build + label seed + rounds
+        val pairs = nodes.crossJoin(nodes.select(col("u").as("v")))
+          .filter(col("u") < col("v"))
+          .withColumn("h", expr("CAST(conv(substring(md5(concat('lp:v1:', " +
+            "CAST(u AS STRING), ':', CAST(v AS STRING))), 1, 8), 16, 10) " +
+            "AS BIGINT)"))
+          .filter(expr("h < IF(u div 40 = v div 40, 1288490188L, 85899345L)"))
+        val dir = pairs.select(col("u"), col("v"))
+          .unionByName(pairs.select(col("v").as("u"), col("u").as("v")))
+          .localCheckpoint() // consumers: 4 per-round neighbor joins
+        var lbl = nodes.select(col("u").as("node"), col("u").as("l"))
+          .localCheckpoint()
+        for (_ <- 1 to 4) {
+          val cnts = dir
+            .join(lbl.select(col("node").as("v"), col("l")), Seq("v"))
+            .groupBy(col("u"), col("l"))
+            .agg(count(lit(1)).as("c"))
+            .withColumn("pk", expr("c * 4294967296L + " +
+              "CAST(conv(substring(md5(concat('lt:v1:', " +
+              "CAST(l AS STRING))), 1, 8), 16, 10) AS BIGINT)"))
+            .localCheckpoint() // consumers: per-node max + the match-back
+          val mx = cnts.groupBy(col("u")).agg(max(col("pk")).as("mx"))
+          val nl = cnts.join(mx, Seq("u"))
+            .filter(col("pk") === col("mx"))
+            .groupBy(col("u")).agg(min(col("l")).as("nl"))
+          lbl = lbl.join(nl.select(col("u").as("node"), col("nl")),
+              Seq("node"), "left")
+            .select(col("node"), coalesce(col("nl"), col("l")).as("l"))
+            .localCheckpoint()
+        }
+        val fb = lbl.select(expr("node div 40").as("block"), col("l"))
+        val bc = fb.groupBy(col("block"), col("l"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // consumers: block max + the match-back
+        val bm = bc.groupBy(col("block"))
+          .agg(max(col("c")).as("mc"), count(lit(1)).as("n_labels"),
+            sum(col("c")).as("n_nodes"))
+        bm.join(bc, Seq("block"))
+          .filter(col("c") === col("mc"))
+          .groupBy(col("block"), col("n_nodes"), col("n_labels"),
+            col("mc"))
+          .agg(min(col("l")).as("maj_label"))
+          .select(col("block"), col("n_nodes"), col("n_labels"),
+            col("maj_label"),
+            expr("mc * 1000000L div greatest(n_nodes, 1L)").as("purity_ppm"))
+          .withColumn("recovered", col("purity_ppm") >= 900000L)
+          .orderBy(col("block"))
+      },
+      Some("""WITH nodes AS MATERIALIZED (SELECT DISTINCT
+             |    CAST(doc_id % 120 AS BIGINT) AS u FROM documents),
+             |pairs AS MATERIALIZED (SELECT n1.u, n2.u AS v
+             |  FROM nodes n1 JOIN nodes n2 ON n1.u < n2.u
+             |  WHERE CAST(('0x' || substr(md5('lp:v1:' || n1.u::VARCHAR
+             |      || ':' || n2.u::VARCHAR), 1, 8)) AS BIGINT)
+             |    < CASE WHEN n1.u // 40 = n2.u // 40
+             |      THEN 1288490188 ELSE 85899345 END),
+             |dir AS MATERIALIZED (SELECT u, v FROM pairs
+             |  UNION ALL SELECT v, u FROM pairs),
+             |l0 AS (SELECT u AS node, u AS l FROM nodes),
+             |c1 AS MATERIALIZED (SELECT d.u, l.l,
+             |    CAST(count(*) AS BIGINT) AS c,
+             |    CAST(count(*) AS BIGINT) * 4294967296
+             |      + CAST(('0x' || substr(md5('lt:v1:' || l.l::VARCHAR),
+             |        1, 8)) AS BIGINT) AS pk
+             |  FROM dir d JOIN l0 l ON l.node = d.v GROUP BY 1, 2),
+             |m1 AS (SELECT u, max(pk) AS mx FROM c1 GROUP BY 1),
+             |n1 AS (SELECT c1.u, min(c1.l) AS nl FROM c1
+             |  JOIN m1 ON m1.u = c1.u AND c1.pk = m1.mx GROUP BY 1),
+             |l1 AS MATERIALIZED (SELECT l0.node,
+             |    coalesce(n1.nl, l0.l) AS l
+             |  FROM l0 LEFT JOIN n1 ON n1.u = l0.node),
+             |c2 AS MATERIALIZED (SELECT d.u, l.l,
+             |    CAST(count(*) AS BIGINT) AS c,
+             |    CAST(count(*) AS BIGINT) * 4294967296
+             |      + CAST(('0x' || substr(md5('lt:v1:' || l.l::VARCHAR),
+             |        1, 8)) AS BIGINT) AS pk
+             |  FROM dir d JOIN l1 l ON l.node = d.v GROUP BY 1, 2),
+             |m2 AS (SELECT u, max(pk) AS mx FROM c2 GROUP BY 1),
+             |n2 AS (SELECT c2.u, min(c2.l) AS nl FROM c2
+             |  JOIN m2 ON m2.u = c2.u AND c2.pk = m2.mx GROUP BY 1),
+             |l2 AS MATERIALIZED (SELECT l1.node,
+             |    coalesce(n2.nl, l1.l) AS l
+             |  FROM l1 LEFT JOIN n2 ON n2.u = l1.node),
+             |c3 AS MATERIALIZED (SELECT d.u, l.l,
+             |    CAST(count(*) AS BIGINT) AS c,
+             |    CAST(count(*) AS BIGINT) * 4294967296
+             |      + CAST(('0x' || substr(md5('lt:v1:' || l.l::VARCHAR),
+             |        1, 8)) AS BIGINT) AS pk
+             |  FROM dir d JOIN l2 l ON l.node = d.v GROUP BY 1, 2),
+             |m3 AS (SELECT u, max(pk) AS mx FROM c3 GROUP BY 1),
+             |n3 AS (SELECT c3.u, min(c3.l) AS nl FROM c3
+             |  JOIN m3 ON m3.u = c3.u AND c3.pk = m3.mx GROUP BY 1),
+             |l3 AS MATERIALIZED (SELECT l2.node,
+             |    coalesce(n3.nl, l2.l) AS l
+             |  FROM l2 LEFT JOIN n3 ON n3.u = l2.node),
+             |c4 AS MATERIALIZED (SELECT d.u, l.l,
+             |    CAST(count(*) AS BIGINT) AS c,
+             |    CAST(count(*) AS BIGINT) * 4294967296
+             |      + CAST(('0x' || substr(md5('lt:v1:' || l.l::VARCHAR),
+             |        1, 8)) AS BIGINT) AS pk
+             |  FROM dir d JOIN l3 l ON l.node = d.v GROUP BY 1, 2),
+             |m4 AS (SELECT u, max(pk) AS mx FROM c4 GROUP BY 1),
+             |n4 AS (SELECT c4.u, min(c4.l) AS nl FROM c4
+             |  JOIN m4 ON m4.u = c4.u AND c4.pk = m4.mx GROUP BY 1),
+             |l4 AS MATERIALIZED (SELECT l3.node,
+             |    coalesce(n4.nl, l3.l) AS l
+             |  FROM l3 LEFT JOIN n4 ON n4.u = l3.node),
+             |fb AS (SELECT node // 40 AS block, l FROM l4),
+             |bc AS MATERIALIZED (SELECT block, l,
+             |    CAST(count(*) AS BIGINT) AS c FROM fb GROUP BY 1, 2),
+             |bm AS (SELECT block, max(c) AS mc,
+             |    CAST(count(*) AS BIGINT) AS n_labels,
+             |    CAST(sum(c) AS BIGINT) AS n_nodes FROM bc GROUP BY 1)
+             |SELECT bm.block, bm.n_nodes, bm.n_labels,
+             |  CAST(min(bc.l) AS BIGINT) AS maj_label,
+             |  CAST(bm.mc * 1000000 // greatest(bm.n_nodes, 1) AS BIGINT)
+             |    AS purity_ppm,
+             |  bm.mc * 1000000 // greatest(bm.n_nodes, 1) >= 900000
+             |    AS recovered
+             |FROM bm JOIN bc ON bc.block = bm.block AND bc.c = bm.mc
+             |GROUP BY 1, 2, 3, bm.mc ORDER BY bm.block""".stripMargin))
   )
 
   private[graft] val updBatchIdOffset = 20000000L

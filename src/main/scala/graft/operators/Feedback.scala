@@ -94,6 +94,89 @@ object Feedback {
           "ELSE 'almost_perfect' END"))
       .orderBy(col("source"))
 
+  /** Planted Bradley–Terry games from seeded md5 lanes (stateless):
+    * uniform item a, uniform opponent b ≠ a, winner by the exact integer
+    * threshold u·(s_a+s_b) < 2^32·s_a over the 2^i strength ladder.
+    * Shared by q307 (batch) and the q313 streaming sibling.
+    */
+  private[graft] def btGames(events: DataFrame): DataFrame =
+    events
+      .withColumn("h",
+        expr("md5(concat('bt:v1:', CAST(event_id AS STRING)))"))
+      .select(
+        expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("u0"),
+        expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("u1"),
+        expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("u2"))
+      .select(expr("u0 % 8").as("a"),
+        expr("IF(u1 % 7 >= u0 % 8, u1 % 7 + 1, u1 % 7)").as("b"),
+        col("u2"))
+      .select(col("a"), col("b"),
+        expr("CAST(u2 * (shiftleft(1L, CAST(a AS INT)) " +
+          "+ shiftleft(1L, CAST(b AS INT))) " +
+          "< 4294967296L * shiftleft(1L, CAST(a AS INT)) AS BIGINT)")
+          .as("wa"))
+
+  /** The ONE (i, j) pair-count exchange — a single commutative stateful
+    * aggregation in streaming terms (28 state rows).
+    */
+  private[graft] def btPairs(games: DataFrame): DataFrame =
+    games
+      .groupBy(least(col("a"), col("b")).as("i"),
+        greatest(col("a"), col("b")).as("j"))
+      .agg(count(lit(1)).as("n_ij"),
+        sum(expr("IF(a < b, wa, 1L - wa)")).as("w_ij"))
+
+  /** 3 quantized Hunter-MM rounds + rank recovery over a collapsed pair
+    * table (runs batch-side in the streaming sibling, after the memory
+    * sink — everything here touches ≤56-row frames).
+    */
+  private[graft] def btRank(s: SparkSession, pr0: DataFrame): DataFrame = {
+    val pr = pr0.localCheckpoint() // consumers: directed edges + win totals
+    val dir = pr.select(col("i").as("item"), col("j").as("opp"), col("n_ij"))
+      .unionByName(
+        pr.select(col("j").as("item"), col("i").as("opp"), col("n_ij")))
+    val wins = pr.select(col("i").as("item"), col("w_ij").as("w"))
+      .unionByName(
+        pr.select(col("j").as("item"), (col("n_ij") - col("w_ij")).as("w")))
+      .groupBy(col("item")).agg(sum(col("w")).as("wins"))
+    val games = dir.groupBy(col("item")).agg(sum(col("n_ij")).as("games"))
+    val th0 = s.range(8)
+      .select(col("id").as("item"), lit(1000000L).as("th"))
+    def mm(th: DataFrame): DataFrame = {
+      val den = dir
+        .join(th.select(col("item").as("opp"), col("th").as("tho")),
+          Seq("opp"))
+        .join(th, Seq("item"))
+        .groupBy(col("item"))
+        .agg(sum(expr("CAST(n_ij AS DECIMAL(38,0)) * 1000000000000 " +
+          "div (th + tho)")).as("den"))
+      val thp = wins.join(den, Seq("item"))
+        .select(col("item"),
+          expr("CAST(wins AS DECIMAL(38,0)) * 1000000000000 " +
+            "div greatest(den, 1L)").as("thp"))
+      thp.crossJoin(thp.agg(sum(col("thp")).as("tot")))
+        .select(col("item"),
+          expr("CAST(thp AS DECIMAL(38,0)) * 8000000 " +
+            "div greatest(tot, 1L)").as("th"))
+        .localCheckpoint() // consumed twice by the next round's joins
+    }
+    val th3 = mm(mm(mm(th0)))
+    val wRank = Window.orderBy(col("theta_ppm").desc, col("item"))
+    th3.select(col("item"), col("th").as("theta_ppm"))
+      .join(wins, Seq("item")).join(games, Seq("item"))
+      .withColumn("strength_true",
+        expr("shiftleft(1L, CAST(item AS INT))"))
+      // 8-row frame: the unpartitioned rank window is value-domain
+      // bounded by the item ladder, never by corpus size
+      .withColumn("rank_hat", row_number().over(wRank).cast("long"))
+      .withColumn("rank_true", lit(8L) - col("item"))
+      .withColumn("recovered", col("rank_hat") === col("rank_true"))
+      .select(col("item"), col("strength_true"), col("games"),
+        col("wins"), col("theta_ppm"), col("rank_true"), col("rank_hat"),
+        col("recovered"))
+      .orderBy(col("item"))
+  }
+
   /** q306's oracle — shared VERBATIM by the q311 streaming sibling (the
     * q304/q294 batch/stream parity discipline: one oracle string is
     * itself the equivalence proof).
@@ -145,107 +228,11 @@ object Feedback {
              |    ELSE 'almost_perfect' END AS strength
              |FROM k ORDER BY source""".stripMargin
 
-  val entries: Seq[Entry] = Seq(
-
-    // q306: INTER-RATER AGREEMENT (Cohen's κ) — the acceptance gate on a
-    // labeling campaign: per source, two planted raters label each doc
-    // into 3 classes (true class + 20% symmetric noise, all md5-lane
-    // derived); κ = (p_o − p_e)/(1 − p_e) in exact ppm from one 9-sum
-    // aggregation (agree count + both raters' per-class marginals), with
-    // the Landis–Koch strength band as the interpretive column. The
-    // planted κ ≈ 0.49 ("moderate") is accuracy-derived, hence identical
-    // at every SF. Products are decimal-widened before `div` (the q305
-    // lesson): n² and marginal cross-products exceed int64 at large
-    // per-source counts.
-    Entry(
-      "q306_rater_agreement",
-      (s, d) => kappaProject(kappaRollup(kappaLabels(
-        T.documents(s, d).select(col("source"), col("doc_id"))))),
-      Some(KappaOracle)),
-
-    // q307: BRADLEY–TERRY PREFERENCE STRENGTHS (planted recovery) — fit
-    // pairwise-preference strengths with 3 quantized Hunter-MM rounds and
-    // recover the planted ranking. Planted model: 8 items with strengths
-    // 2^i (geometric — adjacent win rates differ by ≥8 points, so rank
-    // recovery is robust at every SF, per the SF-invariance rule); each
-    // event becomes one game via md5 lanes (uniform item a, uniform
-    // opponent b ≠ a, winner by exact integer threshold
-    // u·(s_a+s_b) < 2^32·s_a). EM-style float coupling is quantized each
-    // round (θ in ppm; denominators as integer 1e12-scaled sums) so the
-    // 3-round recurrence is bit-exact cross-engine. The game log
-    // collapses through ONE (i,j) exchange; MM runs on 28-row tables.
-    Entry(
-      "q307_bradley_terry",
-      (s, d) => {
-        val gm = T.events(s, d)
-          .select(col("event_id"))
-          .withColumn("h",
-            expr("md5(concat('bt:v1:', CAST(event_id AS STRING)))"))
-          .select(
-            expr("CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT)").as("u0"),
-            expr("CAST(conv(substring(h, 9, 8), 16, 10) AS BIGINT)").as("u1"),
-            expr("CAST(conv(substring(h, 17, 8), 16, 10) AS BIGINT)").as("u2"))
-          .select(expr("u0 % 8").as("a"),
-            expr("IF(u1 % 7 >= u0 % 8, u1 % 7 + 1, u1 % 7)").as("b"),
-            col("u2"))
-          .select(col("a"), col("b"),
-            expr("CAST(u2 * (shiftleft(1L, CAST(a AS INT)) " +
-              "+ shiftleft(1L, CAST(b AS INT))) " +
-              "< 4294967296L * shiftleft(1L, CAST(a AS INT)) AS BIGINT)")
-              .as("wa"))
-        val pr = gm
-          .groupBy(least(col("a"), col("b")).as("i"),
-            greatest(col("a"), col("b")).as("j"))
-          .agg(count(lit(1)).as("n_ij"),
-            sum(expr("IF(a < b, wa, 1L - wa)")).as("w_ij"))
-          .localCheckpoint() // consumers: directed edges + win totals
-        val dir = pr.select(col("i").as("item"), col("j").as("opp"), col("n_ij"))
-          .unionByName(
-            pr.select(col("j").as("item"), col("i").as("opp"), col("n_ij")))
-        val wins = pr.select(col("i").as("item"), col("w_ij").as("w"))
-          .unionByName(
-            pr.select(col("j").as("item"), (col("n_ij") - col("w_ij")).as("w")))
-          .groupBy(col("item")).agg(sum(col("w")).as("wins"))
-        val games = dir.groupBy(col("item")).agg(sum(col("n_ij")).as("games"))
-        val th0 = s.range(8)
-          .select(col("id").as("item"), lit(1000000L).as("th"))
-        // one Hunter-MM round, everything over ≤56-row frames:
-        // θ'_i = W_i·1e12 / Σ_j n_ij·1e12/(θ_i+θ_j), renormalized to Σθ=8e6
-        def mm(th: DataFrame): DataFrame = {
-          val den = dir
-            .join(th.select(col("item").as("opp"), col("th").as("tho")),
-              Seq("opp"))
-            .join(th, Seq("item"))
-            .groupBy(col("item"))
-            .agg(sum(expr("CAST(n_ij AS DECIMAL(38,0)) * 1000000000000 " +
-              "div (th + tho)")).as("den"))
-          val thp = wins.join(den, Seq("item"))
-            .select(col("item"),
-              expr("CAST(wins AS DECIMAL(38,0)) * 1000000000000 " +
-                "div greatest(den, 1L)").as("thp"))
-          thp.crossJoin(thp.agg(sum(col("thp")).as("tot")))
-            .select(col("item"),
-              expr("CAST(thp AS DECIMAL(38,0)) * 8000000 " +
-                "div greatest(tot, 1L)").as("th"))
-            .localCheckpoint() // consumed twice by the next round's joins
-        }
-        val th3 = mm(mm(mm(th0)))
-        val wRank = Window.orderBy(col("theta_ppm").desc, col("item"))
-        th3.select(col("item"), col("th").as("theta_ppm"))
-          .join(wins, Seq("item")).join(games, Seq("item"))
-          .withColumn("strength_true",
-            expr("shiftleft(1L, CAST(item AS INT))"))
-          // 8-row frame: the unpartitioned rank window is value-domain
-          // bounded by the item ladder, never by corpus size
-          .withColumn("rank_hat", row_number().over(wRank).cast("long"))
-          .withColumn("rank_true", lit(8L) - col("item"))
-          .withColumn("recovered", col("rank_hat") === col("rank_true"))
-          .select(col("item"), col("strength_true"), col("games"),
-            col("wins"), col("theta_ppm"), col("rank_true"), col("rank_hat"),
-            col("recovered"))
-          .orderBy(col("item"))
-      },
-      Some("""WITH g AS (SELECT
+  /** q307's oracle — shared VERBATIM by the q313 streaming sibling
+    * (the q304/q294 batch/stream parity discipline).
+    */
+  private[graft] val BtOracle: String =
+    """WITH g AS (SELECT
              |    CAST(('0x' || substr(md5('bt:v1:' || event_id::VARCHAR),
              |      1, 8)) AS BIGINT) AS u0,
              |    CAST(('0x' || substr(md5('bt:v1:' || event_id::VARCHAR),
@@ -314,6 +301,41 @@ object Feedback {
              |  JOIN gc ON gc.item = t3.item)
              |SELECT item, strength_true, games, wins, theta_ppm, rank_true,
              |  rank_hat, rank_hat = rank_true AS recovered
-             |FROM rk ORDER BY item""".stripMargin))
+             |FROM rk ORDER BY item""".stripMargin
+
+  val entries: Seq[Entry] = Seq(
+
+    // q306: INTER-RATER AGREEMENT (Cohen's κ) — the acceptance gate on a
+    // labeling campaign: per source, two planted raters label each doc
+    // into 3 classes (true class + 20% symmetric noise, all md5-lane
+    // derived); κ = (p_o − p_e)/(1 − p_e) in exact ppm from one 9-sum
+    // aggregation (agree count + both raters' per-class marginals), with
+    // the Landis–Koch strength band as the interpretive column. The
+    // planted κ ≈ 0.49 ("moderate") is accuracy-derived, hence identical
+    // at every SF. Products are decimal-widened before `div` (the q305
+    // lesson): n² and marginal cross-products exceed int64 at large
+    // per-source counts.
+    Entry(
+      "q306_rater_agreement",
+      (s, d) => kappaProject(kappaRollup(kappaLabels(
+        T.documents(s, d).select(col("source"), col("doc_id"))))),
+      Some(KappaOracle)),
+
+    // q307: BRADLEY–TERRY PREFERENCE STRENGTHS (planted recovery) — fit
+    // pairwise-preference strengths with 3 quantized Hunter-MM rounds and
+    // recover the planted ranking. Planted model: 8 items with strengths
+    // 2^i (geometric — adjacent win rates differ by ≥8 points, so rank
+    // recovery is robust at every SF, per the SF-invariance rule); each
+    // event becomes one game via md5 lanes (uniform item a, uniform
+    // opponent b ≠ a, winner by exact integer threshold
+    // u·(s_a+s_b) < 2^32·s_a). EM-style float coupling is quantized each
+    // round (θ in ppm; denominators as integer 1e12-scaled sums) so the
+    // 3-round recurrence is bit-exact cross-engine. The game log
+    // collapses through ONE (i,j) exchange; MM runs on 28-row tables.
+    Entry(
+      "q307_bradley_terry",
+      (s, d) => btRank(s, btPairs(btGames(
+        T.events(s, d).select(col("event_id"))))),
+      Some(BtOracle))
   )
 }

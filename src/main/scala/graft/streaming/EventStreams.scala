@@ -819,7 +819,35 @@ object EventStreams {
         query.awaitTermination()
         Feedback.kappaProject(s.table("graft_stream_kappa"))
       },
-      Some(graft.operators.Feedback.KappaOracle))
+      Some(graft.operators.Feedback.KappaOracle)),
+
+    // q313: STREAMING BRADLEY–TERRY — preference strengths fitted as the
+    // judgment stream arrives: the md5-lane game derivation is stateless,
+    // the (i, j) pair-count rollup is ONE commutative stateful
+    // aggregation (28 state rows in Complete mode over the bounded
+    // AvailableNow source), and the 3 Hunter-MM rounds + rank recovery
+    // run batch-side over the 28-row memory table — the iterate-on-
+    // collapsed-state shape every online preference fit at 100 TB has.
+    // Oracle SHARED VERBATIM with q307 (batch/stream parity proven).
+    Entry(
+      "q313_stream_bradley_terry",
+      (s, d) => {
+        import graft.operators.Feedback
+        val schema = s.read.parquet(s"$d/events.parquet").schema
+        val src = s.readStream.schema(schema).parquet(s"$d/events*")
+          .select(col("event_id"))
+        val agg = Feedback.btPairs(Feedback.btGames(src))
+        s.streams.active.filter(_.name == "graft_stream_bt").foreach(_.stop())
+        val query = agg.writeStream
+          .format("memory")
+          .queryName("graft_stream_bt")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        Feedback.btRank(s, s.table("graft_stream_bt"))
+      },
+      Some(graft.operators.Feedback.BtOracle))
   )
 
   /** q220's body: two deterministic arrival epochs through ONE streaming

@@ -133,6 +133,67 @@ class FeedbackSuite extends SparkTestBase {
     assert(out.map(_.getLong(4)).sliding(2).forall(p => p(0) < p(1)))
   }
 
+  test("q313 streaming Bradley-Terry == q307 batch row-for-row (parity)") {
+    val batch = Registry.byName("q307_bradley_terry").q(spark, sf)
+      .collect().map(_.toString)
+    val stream = Registry.byName("q313_stream_bradley_terry").q(spark, sf)
+      .collect().map(_.toString)
+    assert(batch.sameElements(stream))
+  }
+
+  test("q314 LPA replays bit-exactly from a JVM propagation; blocks recovered") {
+    // fabricate the identical SBM and run the identical 4 rounds
+    val nodes = (0 until 120).map(_.toLong)
+    val edges = for {
+      u <- nodes; v <- nodes if u < v
+      h = lane(md5hex(s"lp:v1:$u:$v"), 0)
+      if h < (if (u / 40 == v / 40) 1288490188L else 85899345L)
+    } yield (u, v)
+    val dir = edges ++ edges.map(e => (e._2, e._1))
+    var lbl = nodes.map(u => u -> u).toMap
+    for (_ <- 1 to 4) {
+      val byU = dir.groupBy(_._1)
+      lbl = nodes.map { u =>
+        byU.get(u) match {
+          case None => u -> lbl(u)
+          case Some(nb) =>
+            val cnt = nb.groupBy(e => lbl(e._2)).map { case (l, g) =>
+              (l, g.size.toLong)
+            }
+            val mx = cnt.map { case (l, c) =>
+              c * 4294967296L + lane(md5hex(s"lt:v1:$l"), 0)
+            }.max
+            val win = cnt.filter { case (l, c) =>
+              c * 4294967296L + lane(md5hex(s"lt:v1:$l"), 0) == mx
+            }.keys.min
+            u -> win
+        }
+      }.toMap
+    }
+    val out = Registry.byName("q314_label_prop_planted").q(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length == 3)
+    out.foreach { r =>
+      val b = r.getLong(0)
+      val members = nodes.filter(_ / 40 == b).map(lbl)
+      val grouped = members.groupBy(identity).map { case (l, g) =>
+        (l, g.size.toLong)
+      }
+      val mc = grouped.values.max
+      val maj = grouped.filter(_._2 == mc).keys.min
+      assert(r.getLong(1) == 40L, "block size")
+      assert(r.getLong(2) == grouped.size.toLong, s"block $b n_labels")
+      assert(r.getLong(3) == maj, s"block $b maj_label replay")
+      assert(r.getLong(4) == mc * 1000000L / 40L, s"block $b purity replay")
+      assert(r.getBoolean(5), s"block $b recovered")
+      // the winning label is a member of its own planted block — the
+      // hash tie-break prevented the min-label cross-block cascade
+      assert(maj / 40 == b, s"block $b majority label stayed intra-block")
+    }
+    // the three blocks converge to three DISTINCT labels
+    assert(out.map(_.getLong(3)).distinct.length == 3)
+  }
+
   // ----------------------------------------------------------------- q308
 
   test("q308 tar: GNU tar reads the synthesized shards (conformance)") {
