@@ -485,7 +485,8 @@ object Bench {
     "q311_stream_rater_agreement",
     "q312_jpeg_dc_decode",
     "q313_stream_bradley_terry",
-    "q314_label_prop_planted")
+    "q314_label_prop_planted",
+    "q315_zip_entry_index")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1842,8 +1842,186 @@ object Multimodal {
              |      128 + (doc_id * 7 + b * 13) % 200 - 100)),
              |    (a, v) -> (a * 131 + v) % 2147483647) AS BIGINT)
              |    AS dc_digest
-             |FROM p ORDER BY doc_id""".stripMargin))
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
+    // q315: ZIP ENTRY INDEX — the random-access container beside tar's
+    // sequential blocks (q308): per doc a real two-entry STORED zip
+    // (local file headers, central directory with back-offsets, EOCD),
+    // payload integrity by REAL CRC32 (java.util.zip.CRC32 at synthesis;
+    // recomputed and compared at parse). The walk is the production
+    // shape: EOCD from the tail, central directory scan, per-entry
+    // local-header cross-check (signature, name agreement, offsets in
+    // bounds) and CRC verification. doc_id % 41 gets the recorded CRC of
+    // entry 1 falsified in BOTH headers — the honest-negative lane the
+    // rollup counts. Oracle from the synthesis closed form; conformance
+    // in suite against the JDK's own java.util.zip.ZipFile (entry list +
+    // payload round-trip + its CRC rejection of the corrupted lane).
+    // Same typed batched mapPartitions shape as q43/q298/q308.
+    Entry(
+      "q315_zip_entry_index",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(zipIndexPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_archives"),
+            sum(col("n_members")).as("n_entries"),
+            sum(col("n_bad_checksum")).as("n_crc_bad"),
+            sum(col("payload_bytes")).as("payload_bytes"),
+            pmod(sum(col("name_digest")), lit(TarDigestP)).as("name_digest"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH m AS (SELECT source, doc_id,
+             |    CAST(strlen(text) AS BIGINT) AS sz1,
+             |    CAST(strlen('{"doc_id":' || doc_id || ',"n_chars":'
+             |      || n_chars || '}') AS BIGINT) AS sz2,
+             |    doc_id % 41 = 0 AS bad1,
+             |    'd' || doc_id || '.txt' AS n1,
+             |    'd' || doc_id || '.json' AS n2
+             |  FROM documents),
+             |dg AS (SELECT source,
+             |    CASE WHEN bad1 THEN 1 ELSE 0 END AS nbad,
+             |    CASE WHEN bad1 THEN 0 ELSE sz1 END + sz2 AS good_payload,
+             |    (CASE WHEN bad1 THEN 0 ELSE
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(n1) + 1),
+             |          i -> CAST(unicode(n1[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $TarDigestP) END
+             |     + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(n2) + 1),
+             |          i -> CAST(unicode(n2[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $TarDigestP))
+             |      % $TarDigestP AS dgs
+             |  FROM m)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_archives,
+             |  CAST(count(*) * 2 AS BIGINT) AS n_entries,
+             |  CAST(sum(nbad) AS BIGINT) AS n_crc_bad,
+             |  CAST(sum(good_payload) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(dgs) % $TarDigestP AS BIGINT) AS name_digest
+             |FROM dg GROUP BY source ORDER BY source""".stripMargin))
   )
+
+  // ---------------------------------------------------------------- q315
+  // Real ZIP container: stored entries, central directory, EOCD, CRC32.
+
+  private def crc32Of(b: Array[Byte]): Long = {
+    val c = new java.util.zip.CRC32(); c.update(b); c.getValue
+  }
+
+  /** Complete two-entry STORED zip for one doc (same planted-corruption
+    * contract as [[tarFullBytes]], on the % 41 lane).
+    */
+  private[graft] def zipFullBytes(t: TarIn): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    val entries = Seq(
+      (s"d${t.doc_id}.txt",
+        t.text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        t.doc_id % 41 == 0),
+      (s"d${t.doc_id}.json",
+        s"""{"doc_id":${t.doc_id},"n_chars":${t.n_chars}}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), false))
+    val offs = new Array[Long](2)
+    var i = 0
+    entries.foreach { case (name, p, corrupt) =>
+      offs(i) = out.size.toLong
+      val crc = crc32Of(p) ^ (if (corrupt) 1L else 0L)
+      le32(0x04034b50L); le16(20); le16(0); le16(0) // LFH, v2.0, no flags
+      le16(0); le16(0x21) // mod time 0, mod date 1980-01-01
+      le32(crc); le32(p.length.toLong); le32(p.length.toLong)
+      le16(name.length); le16(0)
+      out.write(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      out.write(p)
+      i += 1
+    }
+    val cdStart = out.size.toLong
+    i = 0
+    entries.foreach { case (name, p, corrupt) =>
+      val crc = crc32Of(p) ^ (if (corrupt) 1L else 0L)
+      le32(0x02014b50L); le16(20); le16(20); le16(0); le16(0) // CDH
+      le16(0); le16(0x21)
+      le32(crc); le32(p.length.toLong); le32(p.length.toLong)
+      le16(name.length); le16(0); le16(0) // name/extra/comment len
+      le16(0); le16(0); le32(0L) // disk, int attrs, ext attrs
+      le32(offs(i))
+      out.write(name.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      i += 1
+    }
+    val cdSize = out.size.toLong - cdStart
+    le32(0x06054b50L); le16(0); le16(0) // EOCD, disk numbers
+    le16(2); le16(2) // entries this disk / total
+    le32(cdSize); le32(cdStart); le16(0) // cd size, cd offset, comment len
+    out.toByteArray
+  }
+
+  /** Walk a zip via EOCD → central directory → local headers: per entry
+    * (name, size, crc_ok). None on ANY structural malformation.
+    */
+  private[graft] def parseZipEntries(
+      b: Array[Byte]): Option[Seq[(String, Long, Boolean)]] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (b.length < 22) return None
+    val eocd = b.length - 22 // no-comment archives only: EOCD is the tail
+    if (u32(eocd) != 0x06054b50L || u16(eocd + 20) != 0) return None
+    val n = u16(eocd + 10)
+    val cdOff = u32(eocd + 16)
+    if (cdOff < 0 || cdOff > eocd) return None
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+    var c = cdOff.toInt
+    var k = 0
+    while (k < n) {
+      if (c + 46 > eocd || u32(c) != 0x02014b50L) return None
+      val crcRec = u32(c + 16)
+      val size = u32(c + 24)
+      if (u32(c + 20) != size) return None // stored: csize == size
+      val nameLen = u16(c + 28)
+      val extraLen = u16(c + 30); val cmtLen = u16(c + 32)
+      val lfh = u32(c + 42)
+      if (c + 46 + nameLen > eocd) return None
+      val name = new String(b, c + 46, nameLen,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      // local header cross-check
+      val l = lfh.toInt
+      if (l < 0 || l + 30 > b.length || u32(l) != 0x04034b50L) return None
+      if (u16(l + 26) != nameLen) return None
+      val lname = new String(b, l + 30, nameLen,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (lname != name || u32(l + 14) != crcRec || u32(l + 18) != size)
+        return None
+      val dataOff = l + 30 + nameLen + u16(l + 28)
+      if (dataOff + size > b.length) return None
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, dataOff, size.toInt)
+      out += ((name, size, crc.getValue == crcRec))
+      c += 46 + nameLen + extraLen + cmtLen
+      k += 1
+    }
+    Some(out.toSeq)
+  }
+
+  def zipIndexPartition(rows: Iterator[TarIn]): Iterator[TarStats] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { t =>
+      parseZipEntries(zipFullBytes(t)) match {
+        case Some(ms) =>
+          val good = ms.filter(_._3)
+          TarStats(t.doc_id, t.source, ms.length.toLong,
+            (ms.length - good.length).toLong, good.map(_._2).sum,
+            good.map(m => tarNameDigest(m._1)).sum % TarDigestP)
+        case None => TarStats(t.doc_id, t.source, -1L, -1L, -1L, -1L)
+      }
+    })
 
   // ---------------------------------------------------------------- q312
   // Real JPEG DC entropy decode: canonical Huffman coding both ways.

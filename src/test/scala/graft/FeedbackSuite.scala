@@ -252,6 +252,60 @@ class FeedbackSuite extends SparkTestBase {
     }
   }
 
+  test("q315 zip: the JDK's own ZipFile agrees; CRC corruption rejected") {
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .filter(col("doc_id") === 3L).head()
+    val t = Multimodal.TarIn(doc.getLong(0), doc.getString(1),
+      doc.getString(2), doc.getLong(3))
+    val f = java.io.File.createTempFile("graft_zip", ".zip")
+    java.nio.file.Files.write(f.toPath, Multimodal.zipFullBytes(t))
+    val zf = new java.util.zip.ZipFile(f)
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = zf.entries().asScala.map(_.getName).toSeq
+      assert(names == Seq("d3.txt", "d3.json"),
+        "entry walk must agree with java.util.zip.ZipFile")
+      val in = zf.getInputStream(zf.getEntry("d3.txt"))
+      val back = new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(back == doc.getString(2), "payload round-trip through ZipFile")
+    } finally zf.close()
+    // the planted % 41 corruption: OUR parser flags it, and the JDK's
+    // CRC-checking stream REJECTS it — independent conformance both ways
+    val bad = Multimodal.TarIn(0L, "s", "hello graft", 11L)
+    val ms = Multimodal.parseZipEntries(Multimodal.zipFullBytes(bad)).get
+    assert(!ms(0)._3 && ms(1)._3, "exactly the corrupted entry flagged")
+    val zis = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(Multimodal.zipFullBytes(bad)))
+    zis.getNextEntry()
+    assert(
+      try { zis.readAllBytes(); zis.closeEntry(); false }
+      catch { case _: java.util.zip.ZipException => true },
+      "ZipInputStream must reject the falsified CRC")
+    // malformation battery
+    val good = Multimodal.zipFullBytes(Multimodal.TarIn(1L, "s", "x", 1L))
+    assert(Multimodal.parseZipEntries(good.dropRight(3)).isEmpty, "no EOCD")
+    val badSig = good.clone(); badSig(0) = 'Q'
+    assert(Multimodal.parseZipEntries(badSig).isEmpty, "bad LFH signature")
+    assert(Multimodal.parseZipEntries(good.take(40)).isEmpty, "truncated")
+  }
+
+  test("q315 rollup ties to the synthesis closed form") {
+    val out = Registry.byName("q315_zip_entry_index").q(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.length == bySrc.size)
+    out.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) == rows.length.toLong)
+      assert(r.getLong(2) == 2L * rows.length)
+      assert(r.getLong(3) == rows.count(_._2 % 41 == 0).toLong)
+    }
+  }
+
   // ------------------------------------------------------------ q309/q310
 
   /** JVM replay of the full 2-round unigram fit (packed-key Viterbi). */
