@@ -486,7 +486,8 @@ object Bench {
     "q312_jpeg_dc_decode",
     "q313_stream_bradley_terry",
     "q314_label_prop_planted",
-    "q315_zip_entry_index")
+    "q315_zip_entry_index",
+    "q316_stream_shard_audit")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

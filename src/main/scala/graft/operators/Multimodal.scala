@@ -1605,6 +1605,39 @@ object Multimodal {
 
   private val TarDigestP = 2147483647L
 
+  /** q308's oracle — shared VERBATIM by the q316 streaming sibling (the
+    * q304/q294 batch/stream parity discipline).
+    */
+  private[graft] val TarIndexOracle: String =
+    s"""WITH m AS (SELECT source, doc_id,
+             |    CAST(strlen(text) AS BIGINT) AS sz1,
+             |    CAST(strlen('{"doc_id":' || doc_id || ',"n_chars":'
+             |      || n_chars || '}') AS BIGINT) AS sz2,
+             |    doc_id % 37 = 0 AS bad1,
+             |    'd' || doc_id || '.txt' AS n1,
+             |    'd' || doc_id || '.json' AS n2
+             |  FROM documents),
+             |dg AS (SELECT source,
+             |    CASE WHEN bad1 THEN 1 ELSE 0 END AS nbad,
+             |    CASE WHEN bad1 THEN 0 ELSE sz1 END + sz2 AS good_payload,
+             |    (CASE WHEN bad1 THEN 0 ELSE
+             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(n1) + 1),
+             |          i -> CAST(unicode(n1[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $TarDigestP) END
+             |     + list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |        list_transform(range(1, length(n2) + 1),
+             |          i -> CAST(unicode(n2[i]) AS BIGINT))),
+             |        (a, c) -> (a * 131 + c) % $TarDigestP))
+             |      % $TarDigestP AS dgs
+             |  FROM m)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_archives,
+             |  CAST(count(*) * 2 AS BIGINT) AS n_members,
+             |  CAST(sum(nbad) AS BIGINT) AS n_bad_checksum,
+             |  CAST(sum(good_payload) AS BIGINT) AS payload_bytes,
+             |  CAST(sum(dgs) % $TarDigestP AS BIGINT) AS name_digest
+             |FROM dg GROUP BY source ORDER BY source""".stripMargin
+
   private def tarOctal(h: Array[Byte], off: Int, v: Long, digits: Int): Unit = {
     val s = java.lang.Long.toOctalString(v)
     val pad = "0" * (digits - s.length) + s
@@ -1770,34 +1803,7 @@ object Multimodal {
             pmod(sum(col("name_digest")), lit(TarDigestP)).as("name_digest"))
           .orderBy(col("source"))
       },
-      Some(s"""WITH m AS (SELECT source, doc_id,
-             |    CAST(strlen(text) AS BIGINT) AS sz1,
-             |    CAST(strlen('{"doc_id":' || doc_id || ',"n_chars":'
-             |      || n_chars || '}') AS BIGINT) AS sz2,
-             |    doc_id % 37 = 0 AS bad1,
-             |    'd' || doc_id || '.txt' AS n1,
-             |    'd' || doc_id || '.json' AS n2
-             |  FROM documents),
-             |dg AS (SELECT source,
-             |    CASE WHEN bad1 THEN 1 ELSE 0 END AS nbad,
-             |    CASE WHEN bad1 THEN 0 ELSE sz1 END + sz2 AS good_payload,
-             |    (CASE WHEN bad1 THEN 0 ELSE
-             |      list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(range(1, length(n1) + 1),
-             |          i -> CAST(unicode(n1[i]) AS BIGINT))),
-             |        (a, c) -> (a * 131 + c) % $TarDigestP) END
-             |     + list_reduce(list_prepend(CAST(0 AS BIGINT),
-             |        list_transform(range(1, length(n2) + 1),
-             |          i -> CAST(unicode(n2[i]) AS BIGINT))),
-             |        (a, c) -> (a * 131 + c) % $TarDigestP))
-             |      % $TarDigestP AS dgs
-             |  FROM m)
-             |SELECT source, CAST(count(*) AS BIGINT) AS n_archives,
-             |  CAST(count(*) * 2 AS BIGINT) AS n_members,
-             |  CAST(sum(nbad) AS BIGINT) AS n_bad_checksum,
-             |  CAST(sum(good_payload) AS BIGINT) AS payload_bytes,
-             |  CAST(sum(dgs) % $TarDigestP AS BIGINT) AS name_digest
-             |FROM dg GROUP BY source ORDER BY source""".stripMargin)),
+      Some(TarIndexOracle)),
 
     // q312: REAL JPEG DC ENTROPY DECODE — the upgrade q193's marker-walk
     // header parse documents as its asterisk, and the third real codec

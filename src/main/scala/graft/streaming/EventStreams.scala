@@ -847,7 +847,51 @@ object EventStreams {
         query.awaitTermination()
         Feedback.btRank(s, s.table("graft_stream_bt"))
       },
-      Some(graft.operators.Feedback.BtOracle))
+      Some(graft.operators.Feedback.BtOracle)),
+
+    // q316: STREAMING SHARD-INTEGRITY AUDIT — q308's tar member index as
+    // an ingest stream: shards are synthesized + parsed back per
+    // micro-batch by the SAME typed mapPartitions (stateless, so it
+    // composes under streaming), and the per-source integrity rollup
+    // (members, planted checksum corruptions, verified payload bytes,
+    // commutative name digest) is ONE Complete-mode stateful aggregation.
+    // This is the shape a 100 TB ingest pipeline audits WebDataset drops
+    // with: map-only validation at the edge, one bounded-state rollup.
+    // Oracle SHARED VERBATIM with q308 (batch/stream parity proven).
+    Entry(
+      "q316_stream_shard_audit",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.Multimodal
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val src = s.readStream.schema(schema).parquet(s"$d/documents*")
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, sr, txt, nc) => Multimodal.TarIn(id, sr, txt, nc) }
+          .mapPartitions(Multimodal.tarIndexPartition)
+          .toDF()
+        val agg = src.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_archives"),
+            sum(col("n_members")).as("n_members"),
+            sum(col("n_bad_checksum")).as("n_bad_checksum"),
+            sum(col("payload_bytes")).as("payload_bytes"),
+            sum(col("name_digest")).as("dgsum"))
+        s.streams.active.filter(_.name == "graft_stream_shard").foreach(_.stop())
+        val query = agg.writeStream
+          .format("memory")
+          .queryName("graft_stream_shard")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table("graft_stream_shard")
+          .select(col("source"), col("n_archives"), col("n_members"),
+            col("n_bad_checksum"), col("payload_bytes"),
+            pmod(col("dgsum"), lit(2147483647L)).as("name_digest"))
+          .orderBy(col("source"))
+      },
+      Some(graft.operators.Multimodal.TarIndexOracle))
   )
 
   /** q220's body: two deterministic arrival epochs through ONE streaming

@@ -237,6 +237,14 @@ class FeedbackSuite extends SparkTestBase {
       b1.dropRight(1024)).isEmpty, "terminator required")
   }
 
+  test("q316 streaming shard audit == q308 batch row-for-row (parity)") {
+    val batch = Registry.byName("q308_tar_member_index").q(spark, sf)
+      .collect().map(_.toString)
+    val stream = Registry.byName("q316_stream_shard_audit").q(spark, sf)
+      .collect().map(_.toString)
+    assert(batch.sameElements(stream))
+  }
+
   test("q308 rollup ties to the synthesis closed form") {
     val out = Registry.byName("q308_tar_member_index").q(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")

@@ -119,7 +119,7 @@ class IntegritySuite extends SparkTestBase {
     import org.apache.spark.sql.functions._
     val rows = Registry.byName("q222_power_iteration").q(spark, sf).collect()
     assert(rows.length == 64)
-    val x = rows.sortBy(_.getInt(0)).map(_.getLong(1).toDouble)
+    val x = rows.sortBy(_.getLong(0)).map(_.getLong(1).toDouble)
     // rebuild the scaled Gram matrix the query iterates with
     val cs = Tables.embeddings(spark, sf)
       .select(transform(col("embedding"),
