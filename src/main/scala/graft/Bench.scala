@@ -487,7 +487,8 @@ object Bench {
     "q313_stream_bradley_terry",
     "q314_label_prop_planted",
     "q315_zip_entry_index",
-    "q316_stream_shard_audit")
+    "q316_stream_shard_audit",
+    "q317_fleiss_kappa")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -336,6 +336,136 @@ object Feedback {
       "q307_bradley_terry",
       (s, d) => btRank(s, btPairs(btGames(
         T.events(s, d).select(col("event_id"))))),
-      Some(BtOracle))
+      Some(BtOracle)),
+
+    // q317: FLEISS' KAPPA (multi-rater agreement) — the n-rater member of
+    // the family (Cohen's 2-rater q306): FIVE planted raters per doc
+    // (true class + 20% symmetric noise each, lanes from two seeded md5
+    // digests), agreement measured as Fleiss' per-item pairwise
+    // concordance P-bar vs the marginal chance P_e, all in exact ppm.
+    // Per-doc category counts are stateless arithmetic; the corpus
+    // collapses through ONE per-source 5-sum exchange (Σ n_ic(n_ic−1) +
+    // the three class totals + count). Planted κ ≈ 0.49 is
+    // accuracy-derived, hence identical at every SF.
+    Entry(
+      "q317_fleiss_kappa",
+      (s, d) => {
+        val lbl = T.documents(s, d)
+          .select(col("source"), col("doc_id"))
+          .withColumn("h1",
+            expr("md5(concat('rate:v1:', CAST(doc_id AS STRING)))"))
+          .withColumn("h2",
+            expr("md5(concat('rate:v2:', CAST(doc_id AS STRING)))"))
+          .select(col("source"),
+            expr("CAST(conv(substring(h1, 1, 8), 16, 10) AS BIGINT)").as("u0"),
+            expr("CAST(conv(substring(h1, 9, 8), 16, 10) AS BIGINT)").as("u1"),
+            expr("CAST(conv(substring(h1, 17, 8), 16, 10) AS BIGINT)").as("u2"),
+            expr("CAST(conv(substring(h1, 25, 8), 16, 10) AS BIGINT)").as("u3"),
+            expr("CAST(conv(substring(h2, 1, 8), 16, 10) AS BIGINT)").as("u4"),
+            expr("CAST(conv(substring(h2, 9, 8), 16, 10) AS BIGINT)").as("u5"))
+        val withL = (1 to 5).foldLeft(lbl) { (df, k) =>
+          df.withColumn(s"l$k",
+            expr(s"IF(u$k < ${AccThresh}L, u0 % 3, " +
+              s"(u0 % 3 + 1 + u$k % 2) % 3)"))
+        }
+        val perDoc = withL
+          .withColumn("n0", expr("CAST(l1 = 0 AS BIGINT) + CAST(l2 = 0 AS " +
+            "BIGINT) + CAST(l3 = 0 AS BIGINT) + CAST(l4 = 0 AS BIGINT) + " +
+            "CAST(l5 = 0 AS BIGINT)"))
+          .withColumn("n1", expr("CAST(l1 = 1 AS BIGINT) + CAST(l2 = 1 AS " +
+            "BIGINT) + CAST(l3 = 1 AS BIGINT) + CAST(l4 = 1 AS BIGINT) + " +
+            "CAST(l5 = 1 AS BIGINT)"))
+          .withColumn("n2", lit(5L) - col("n0") - col("n1"))
+          .select(col("source"), col("n0"), col("n1"), col("n2"),
+            expr("n0 * (n0 - 1L) + n1 * (n1 - 1L) + n2 * (n2 - 1L)")
+              .as("pa"))
+        perDoc
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("pa")).as("spa"),
+            sum(col("n0")).as("t0"), sum(col("n1")).as("t1"),
+            sum(col("n2")).as("t2"))
+          .select(col("source"), col("n_docs"),
+            expr("CAST(spa AS DECIMAL(38,0)) * 1000000 " +
+              "div greatest(n_docs * 20L, 1L)").as("pbar_ppm"),
+            expr("(CAST(t0 AS DECIMAL(38,0)) * t0 " +
+              "+ CAST(t1 AS DECIMAL(38,0)) * t1 " +
+              "+ CAST(t2 AS DECIMAL(38,0)) * t2) * 1000000 " +
+              "div greatest(CAST(n_docs AS DECIMAL(38,0)) * n_docs * 25, 1L)")
+              .as("pe_ppm"))
+          .withColumn("kappa_ppm",
+            expr("(pbar_ppm - pe_ppm) * 1000000L " +
+              "div greatest(1000000L - pe_ppm, 1L)"))
+          .withColumn("strength", expr(
+            "CASE WHEN kappa_ppm < 0L THEN 'poor' " +
+              "WHEN kappa_ppm < 200000L THEN 'slight' " +
+              "WHEN kappa_ppm < 400000L THEN 'fair' " +
+              "WHEN kappa_ppm < 600000L THEN 'moderate' " +
+              "WHEN kappa_ppm < 800000L THEN 'substantial' " +
+              "ELSE 'almost_perfect' END"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH r AS (SELECT source,
+             |    CAST(('0x' || substr(md5('rate:v1:' || doc_id::VARCHAR),
+             |      1, 8)) AS BIGINT) AS u0,
+             |    CAST(('0x' || substr(md5('rate:v1:' || doc_id::VARCHAR),
+             |      9, 8)) AS BIGINT) AS u1,
+             |    CAST(('0x' || substr(md5('rate:v1:' || doc_id::VARCHAR),
+             |      17, 8)) AS BIGINT) AS u2,
+             |    CAST(('0x' || substr(md5('rate:v1:' || doc_id::VARCHAR),
+             |      25, 8)) AS BIGINT) AS u3,
+             |    CAST(('0x' || substr(md5('rate:v2:' || doc_id::VARCHAR),
+             |      1, 8)) AS BIGINT) AS u4,
+             |    CAST(('0x' || substr(md5('rate:v2:' || doc_id::VARCHAR),
+             |      9, 8)) AS BIGINT) AS u5
+             |  FROM documents),
+             |l AS (SELECT source,
+             |    CASE WHEN u1 < $AccThresh THEN u0 % 3
+             |      ELSE (u0 % 3 + 1 + u1 % 2) % 3 END AS l1,
+             |    CASE WHEN u2 < $AccThresh THEN u0 % 3
+             |      ELSE (u0 % 3 + 1 + u2 % 2) % 3 END AS l2,
+             |    CASE WHEN u3 < $AccThresh THEN u0 % 3
+             |      ELSE (u0 % 3 + 1 + u3 % 2) % 3 END AS l3,
+             |    CASE WHEN u4 < $AccThresh THEN u0 % 3
+             |      ELSE (u0 % 3 + 1 + u4 % 2) % 3 END AS l4,
+             |    CASE WHEN u5 < $AccThresh THEN u0 % 3
+             |      ELSE (u0 % 3 + 1 + u5 % 2) % 3 END AS l5
+             |  FROM r),
+             |c AS (SELECT source,
+             |    CAST((l1 = 0)::INT + (l2 = 0)::INT + (l3 = 0)::INT
+             |      + (l4 = 0)::INT + (l5 = 0)::INT AS BIGINT) AS n0,
+             |    CAST((l1 = 1)::INT + (l2 = 1)::INT + (l3 = 1)::INT
+             |      + (l4 = 1)::INT + (l5 = 1)::INT AS BIGINT) AS n1
+             |  FROM l),
+             |pa AS (SELECT source, n0, n1, 5 - n0 - n1 AS n2,
+             |    n0 * (n0 - 1) + n1 * (n1 - 1)
+             |      + (5 - n0 - n1) * (4 - n0 - n1) AS pa
+             |  FROM c),
+             |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(sum(pa) AS BIGINT) AS spa,
+             |    CAST(sum(n0) AS BIGINT) AS t0,
+             |    CAST(sum(n1) AS BIGINT) AS t1,
+             |    CAST(sum(n2) AS BIGINT) AS t2
+             |  FROM pa GROUP BY 1),
+             |k AS (SELECT source, n_docs,
+             |    CAST(spa * 1000000 // greatest(n_docs * 20, 1) AS BIGINT)
+             |      AS pbar_ppm,
+             |    CAST((t0 * t0 + t1 * t1 + t2 * t2) * 1000000
+             |      // greatest(n_docs * n_docs * 25, 1) AS BIGINT) AS pe_ppm
+             |  FROM g)
+             |SELECT source, n_docs, pbar_ppm, pe_ppm,
+             |  CAST((pbar_ppm - pe_ppm) * 1000000
+             |    // greatest(1000000 - pe_ppm, 1) AS BIGINT) AS kappa_ppm,
+             |  CASE WHEN (pbar_ppm - pe_ppm) * 1000000
+             |      // greatest(1000000 - pe_ppm, 1) < 0 THEN 'poor'
+             |    WHEN (pbar_ppm - pe_ppm) * 1000000
+             |      // greatest(1000000 - pe_ppm, 1) < 200000 THEN 'slight'
+             |    WHEN (pbar_ppm - pe_ppm) * 1000000
+             |      // greatest(1000000 - pe_ppm, 1) < 400000 THEN 'fair'
+             |    WHEN (pbar_ppm - pe_ppm) * 1000000
+             |      // greatest(1000000 - pe_ppm, 1) < 600000 THEN 'moderate'
+             |    WHEN (pbar_ppm - pe_ppm) * 1000000
+             |      // greatest(1000000 - pe_ppm, 1) < 800000 THEN 'substantial'
+             |    ELSE 'almost_perfect' END AS strength
+             |FROM k ORDER BY source""".stripMargin))
   )
 }

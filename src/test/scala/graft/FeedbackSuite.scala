@@ -82,6 +82,43 @@ class FeedbackSuite extends SparkTestBase {
     assert(scans.length == 1, "kappa must read the corpus exactly once")
   }
 
+  test("q317 Fleiss kappa replays bit-exactly from the seed (5 raters)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ref = docs.groupBy(_._1).map { case (src, rows) =>
+      var spa = 0L; var t0 = 0L; var t1 = 0L; var t2 = 0L
+      rows.foreach { case (_, id) =>
+        val h1 = md5hex(s"rate:v1:$id"); val h2 = md5hex(s"rate:v2:$id")
+        val u0 = lane(h1, 0); val c = u0 % 3
+        val us = Seq(lane(h1, 8), lane(h1, 16), lane(h1, 24),
+          lane(h2, 0), lane(h2, 8))
+        val ls = us.map(u =>
+          if (u < 3435973836L) c else (c + 1 + u % 2) % 3)
+        val n0 = ls.count(_ == 0L).toLong
+        val n1 = ls.count(_ == 1L).toLong
+        val n2 = 5L - n0 - n1
+        spa += n0 * (n0 - 1) + n1 * (n1 - 1) + n2 * (n2 - 1)
+        t0 += n0; t1 += n1; t2 += n2
+      }
+      val n = rows.length.toLong
+      val pbar = spa * 1000000L / (n * 20L)
+      val pe = (t0 * t0 + t1 * t1 + t2 * t2) * 1000000L / (n * n * 25L)
+      val kappa = (pbar - pe) * 1000000L / math.max(1000000L - pe, 1L)
+      src -> (n, pbar, pe, kappa)
+    }
+    val out = Registry.byName("q317_fleiss_kappa").q(spark, sf).collect()
+    assert(out.length == ref.size)
+    out.foreach { r =>
+      val (n, pbar, pe, kappa) = ref(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == pbar, s"${r.getString(0)} pbar_ppm replay")
+      assert(r.getLong(3) == pe, s"${r.getString(0)} pe_ppm replay")
+      assert(r.getLong(4) == kappa, s"${r.getString(0)} kappa_ppm replay")
+      assert(r.getLong(4) > 100000L && r.getLong(4) < 900000L)
+    }
+  }
+
   // ----------------------------------------------------------------- q307
 
   test("q307 Bradley-Terry: MM thetas replay bit-exactly; ranking recovered") {
