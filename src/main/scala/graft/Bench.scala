@@ -488,7 +488,11 @@ object Bench {
     "q314_label_prop_planted",
     "q315_zip_entry_index",
     "q316_stream_shard_audit",
-    "q317_fleiss_kappa")
+    "q317_fleiss_kappa",
+    "q318_hll_distinct",
+    "q319_gzip_member_stream",
+    "q320_tiff_ifd_walk",
+    "q321_bmp_decode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

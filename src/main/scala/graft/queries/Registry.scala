@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, StatTests, TextOps, Transforms, Unigram}
+import graft.operators.{Clustering, Containers, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, Sketches, StatTests, TextOps, Transforms, Unigram}
 import graft.sources.Sources
 import graft.streaming.EventStreams
 
@@ -44,7 +44,9 @@ object Registry {
       IntervalOps.entries ++
       Projection.entries ++
       Feedback.entries ++
-      Unigram.entries
+      Unigram.entries ++
+      Sketches.entries ++
+      Containers.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,
