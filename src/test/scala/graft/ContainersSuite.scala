@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Containers, Multimodal}
+import graft.queries.Registry
+
+/** Container decoders, continued (Containers.scala): every format is
+  * conformance-pinned against an independent reference decoder from the
+  * JDK, the planted corruption lane is proven rejected both by our parser
+  * and by the reference decoder, and the registered rollup ties to the
+  * synthesis closed form.
+  */
+class ContainersSuite extends SparkTestBase {
+
+  test("q319 gzip: GZIPInputStream agrees; CRC corruption rejected") {
+    val doc = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .filter(col("doc_id") === 3L).head()
+    val t = Multimodal.TarIn(doc.getLong(0), doc.getString(1),
+      doc.getString(2), doc.getLong(3))
+    val bytes = Containers.gzipFullBytes(t)
+    // the JDK's GZIPInputStream reads concatenated members transparently:
+    // the full decoded stream is text-bytes ++ json-bytes
+    val gis = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val back = new String(gis.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val expect = doc.getString(2) +
+      s"""{"doc_id":${doc.getLong(0)},"n_chars":${doc.getLong(3)}}"""
+    assert(back == expect, "multi-member payload round-trip through the JDK")
+    // our walk: two members, names, per-member lengths, all verified
+    val ms = Containers.parseGzipMembers(bytes).get
+    assert(ms.map(_._1) == Seq("d3.txt", "d3.json"))
+    assert(ms(0)._2 == doc.getString(2)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
+    assert(ms.forall(_._3), "both members verify on a clean doc")
+    // the planted % 43 corruption: OUR parser flags exactly member 1, and
+    // the JDK's CRC-checking stream REJECTS the stream
+    val bad = Multimodal.TarIn(0L, "s", "hello graft", 11L)
+    val bms = Containers.parseGzipMembers(Containers.gzipFullBytes(bad)).get
+    assert(!bms(0)._3 && bms(1)._3, "exactly the corrupted member flagged")
+    val bgis = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(Containers.gzipFullBytes(bad)))
+    assert(
+      try { bgis.readAllBytes(); false }
+      catch { case _: java.util.zip.ZipException => true },
+      "GZIPInputStream must reject the falsified CRC")
+    // malformation battery
+    val good = Containers.gzipFullBytes(Multimodal.TarIn(1L, "s", "x", 1L))
+    assert(Containers.parseGzipMembers(good.dropRight(3)).isEmpty,
+      "truncated trailer")
+    val badMagic = good.clone(); badMagic(0) = 'Q'
+    assert(Containers.parseGzipMembers(badMagic).isEmpty, "bad magic")
+    val badFlg = good.clone(); badFlg(3) = 0x14
+    assert(Containers.parseGzipMembers(badFlg).isEmpty, "unknown FLG bits")
+    assert(Containers.parseGzipMembers(good.take(20)).isEmpty,
+      "truncated deflate body")
+  }
+
+  test("q319 rollup ties to the synthesis closed form") {
+    val out = Registry.byName("q319_gzip_member_stream").q(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text"), col("n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.length == bySrc.size)
+    out.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) == rows.length.toLong, "n_shards")
+      assert(r.getLong(2) == 2L * rows.length, "n_members")
+      assert(r.getLong(3) == rows.count(_._2 % 43 == 0).toLong, "n_crc_bad")
+      val payload = rows.map { case (_, id, txt, nc) =>
+        val sz1 = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .length.toLong
+        val sz2 = s"""{"doc_id":$id,"n_chars":$nc}""".length.toLong
+        (if (id % 43 == 0) 0L else sz1) + sz2
+      }.sum
+      assert(r.getLong(4) == payload, "verified payload bytes")
+    }
+  }
+
+  test("q320 tiff: javax.imageio reproduces the pixels; bad lane rejected") {
+    val t = Multimodal.TarIn(3L, "s", "x", 1L)
+    val bytes = Containers.tiffFullBytes(t)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "the JDK TIFF reader must accept our file")
+    val w = 4 * (1 + 3 % 5); val h = 4 * (1 + 3 % 3)
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val expect = ((3L * 7L + (y.toLong * w + x) * 13L) % 251L).toInt
+      assert(img.getRaster.getSample(x, y, 0) == expect,
+        s"pixel ($x,$y) via ImageIO")
+    }
+    // our parse agrees on geometry and digests the same bytes
+    val Some((pw, ph, dg)) = Containers.parseTiffGray(bytes)
+    assert(pw == w.toLong && ph == h.toLong)
+    var expDg = 0L
+    for (i <- 0 until w * h)
+      expDg = (expDg * 131L + (3L * 7L + i.toLong * 13L) % 251L) % 2147483647L
+    assert(dg == expDg)
+    // the planted % 47 lane: strip byte count disagrees with geometry
+    assert(Containers.parseTiffGray(
+      Containers.tiffFullBytes(Multimodal.TarIn(47L, "s", "x", 1L))).isEmpty)
+    // malformation battery
+    val badMagic = bytes.clone(); badMagic(0) = 'M'
+    assert(Containers.parseTiffGray(badMagic).isEmpty, "bad byte order")
+    assert(Containers.parseTiffGray(bytes.take(60)).isEmpty, "truncated IFD")
+    assert(Containers.parseTiffGray(bytes.take(130)).isEmpty,
+      "strip out of bounds")
+  }
+
+  test("q321 bmp: javax.imageio reproduces the pixels; bad lane rejected") {
+    val id = 5L
+    val t = Multimodal.TarIn(id, "s", "x", 1L)
+    val bytes = Containers.bmpFullBytes(t)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "the JDK BMP reader must accept our file")
+    val w = (3 * (1 + id % 4)).toInt; val h = (2 * (1 + id % 3)).toInt
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val b = ((id + 3L * x + 7L * y) % 256L).toInt
+      val g = ((id * 2L + 5L * x + 11L * y) % 256L).toInt
+      val r = ((id * 3L + 11L * x + 13L * y) % 256L).toInt
+      assert(img.getRGB(x, y) == (0xff << 24 | r << 16 | g << 8 | b),
+        s"pixel ($x,$y) via ImageIO — bottom-up + stride undone")
+    }
+    // all four stride-pad widths round-trip through our parser
+    for (did <- 0L to 3L) {
+      val bb = Containers.bmpFullBytes(Multimodal.TarIn(did * 4L + 1L,
+        "s", "x", 1L)) // ids 1,5,9,13 → w 6,9,12,3 → pads 2,1,0,3
+      assert(Containers.parseBmp24(bb).isDefined, s"pad case id ${did * 4 + 1}")
+    }
+    // the planted % 31 lane: bfSize off by one
+    assert(Containers.parseBmp24(
+      Containers.bmpFullBytes(Multimodal.TarIn(31L, "s", "x", 1L))).isEmpty)
+    // malformation battery
+    val badMagic = bytes.clone(); badMagic(1) = 'Q'
+    assert(Containers.parseBmp24(badMagic).isEmpty, "bad magic")
+    assert(Containers.parseBmp24(bytes.take(53)).isEmpty, "truncated header")
+    val bad8 = bytes.clone(); bad8(28) = 8 // 8bpp claimed
+    assert(Containers.parseBmp24(bad8).isEmpty, "non-24bpp rejected")
+  }
+
+  test("q320/q321 rollups tie to the synthesis closed form") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    val tiff = Registry.byName("q320_tiff_ifd_walk").q(spark, sf).collect()
+    tiff.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) == rows.length.toLong)
+      assert(r.getLong(2) == rows.count(_._2 % 47 == 0).toLong)
+      assert(r.getLong(3) == rows.collect {
+        case (_, id) if id % 47 != 0 => 16L * (1 + id % 5) * (1 + id % 3)
+      }.sum)
+    }
+    val bmp = Registry.byName("q321_bmp_decode").q(spark, sf).collect()
+    bmp.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) == rows.length.toLong)
+      assert(r.getLong(2) == rows.count(_._2 % 31 == 0).toLong)
+      assert(r.getLong(3) == rows.collect {
+        case (_, id) if id % 31 != 0 => 18L * (1 + id % 4) * (1 + id % 3)
+      }.sum)
+    }
+  }
+}
