@@ -492,7 +492,8 @@ object Bench {
     "q318_hll_distinct",
     "q319_gzip_member_stream",
     "q320_tiff_ifd_walk",
-    "q321_bmp_decode")
+    "q321_bmp_decode",
+    "q322_stream_hll")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -66,7 +66,13 @@ object Sketches {
     * q316 streaming sibling reuses it verbatim.
     */
   private[graft] def hllRows(s: SparkSession, d: String): DataFrame =
-    T.lineitem(s, d)
+    hllProject(T.lineitem(s, d))
+
+  /** The same projection over ANY lineitem-shaped frame — including an
+    * unbounded streaming one (every expression is stateless).
+    */
+  private[graft] def hllProject(lineitem: DataFrame): DataFrame =
+    lineitem
       .select(expr("CAST(l_orderkey * 10 + l_linenumber AS STRING)").as("k"),
         col("l_suppkey"))
       .withColumn("h", md5(concat(lit("hll:v1:"), col("k"))))

@@ -891,7 +891,44 @@ object EventStreams {
             pmod(col("dgsum"), lit(2147483647L)).as("name_digest"))
           .orderBy(col("source"))
       },
-      Some(graft.operators.Multimodal.TarIndexOracle))
+      Some(graft.operators.Multimodal.TarIndexOracle)),
+
+    // q322: STREAMING HYPERLOGLOG — q318's distinct sketch as an ingest
+    // stream. The register build is the ONE stateful aggregation (1024
+    // bounded state rows in Complete mode: groupBy(bucket).max(rho) —
+    // max is commutative/idempotent, so Complete mode is exact under any
+    // micro-batching); the collapse, regime decision, and self-check run
+    // batch-side over the 1024-row memory table. merge_consistent here
+    // certifies STREAM/BATCH PARITY: the streamed registers' (S, V,
+    // digest) must equal a batch recompute's. Oracle SHARED VERBATIM
+    // with q318 (the q304/q294/q316 parity discipline). At 100 TB this
+    // is the live-cardinality monitor shape: unbounded input, 8 KB of
+    // state, no row ever retained.
+    Entry(
+      "q322_stream_hll",
+      (s, d) => {
+        import graft.operators.Sketches
+        val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+        val regs = Sketches.hllProject(
+          s.readStream.schema(schema).parquet(s"$d/lineitem*"))
+          .groupBy(col("bucket")).agg(max(col("rho")).as("m"))
+        s.streams.active.filter(_.name == "graft_stream_hll").foreach(_.stop())
+        val query = regs.writeStream
+          .format("memory")
+          .queryName("graft_stream_hll")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        val batchRows = Sketches.hllRows(s, d)
+        Sketches.hllReport(
+          Sketches.hllCollapse(s.table("graft_stream_hll"), "d"),
+          Sketches.hllCollapse(
+            batchRows.groupBy(col("bucket")).agg(max(col("rho")).as("m")),
+            "m"),
+          batchRows.agg(countDistinct(col("k")).as("n_exact")))
+      },
+      Some(graft.operators.Sketches.HllOracle))
   )
 
   /** q220's body: two deterministic arrival epochs through ONE streaming

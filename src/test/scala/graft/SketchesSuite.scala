@@ -50,6 +50,14 @@ class SketchesSuite extends SparkTestBase {
     assert(r.getLong(7) == 1L, "shard-merged sketch == direct sketch")
   }
 
+  test("q322 streaming HLL emits row-for-row the batch q318 report") {
+    val batch = Registry.byName("q318_hll_distinct").q(spark, sf)
+      .collect().map(_.toString)
+    val stream = Registry.byName("q322_stream_hll").q(spark, sf)
+      .collect().map(_.toString)
+    assert(batch.sameElements(stream))
+  }
+
   test("q318 HLL: register merge is associative under any sharding") {
     // Independent property: registers built per arbitrary shard then
     // max-merged equal the direct registers — on a different shard count
