@@ -493,7 +493,8 @@ object Bench {
     "q319_gzip_member_stream",
     "q320_tiff_ifd_walk",
     "q321_bmp_decode",
-    "q322_stream_hll")
+    "q322_stream_hll",
+    "q323_merkle_commitment")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

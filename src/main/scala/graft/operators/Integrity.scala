@@ -557,6 +557,84 @@ object Integrity {
     * aggregate per side (columns whose type matches on both sides). The
     * compare ships two 1-row digest frames — never data rows.
     */
+  /** Round-18: cryptographic dataset COMMITMENT. The existing integrity
+    * verbs localize damage (bucket digest diff) or measure movement
+    * (rendezvous); q323 is the publication-side primitive — one Merkle
+    * root per source that commits to every byte of every doc, so a
+    * downstream consumer can verify "this is exactly the corpus the
+    * datasheet describes" without trusting the publisher, and an
+    * inclusion proof for any single doc costs O(depth · 16) hashes
+    * (suite-proven, including tamper evidence).
+    *
+    * Tree shape: radix-16 over the leaf hash's own hex prefix, fixed
+    * depth 4 (root ← 16 ← 256 ← 4096 ← leaves). Every internal node
+    * aggregates ≤ 16 children (bounded BY CONSTRUCTION); only the leaf
+    * level's fan-in grows with the corpus — at 100 TB the depth is the
+    * knob (8 hex chars ⇒ ≤ corpus/2^32 leaves per node). Each level is
+    * one exchange keyed by a progressively shorter prefix; children are
+    * ordered by their OWN prefix (a total, data-independent order), so
+    * the root is partitioning- and engine-invariant.
+    */
+  val entries3: Seq[Entry] = Seq(
+    Entry(
+      "q323_merkle_commitment",
+      (s, d) => {
+        val leaves = T.documents(s, d)
+          .select(col("source"),
+            md5(concat(lit("leaf:v1:"), col("doc_id").cast("string"),
+              lit(":"), col("text"))).as("h"))
+        val l3 = leaves
+          .groupBy(col("source"), expr("substring(h, 1, 3)").as("p3"))
+          .agg(md5(array_join(sort_array(collect_list(col("h"))), ""))
+            .as("h"))
+        val l2 = l3
+          .groupBy(col("source"), expr("substring(p3, 1, 2)").as("p2"))
+          .agg(md5(array_join(
+            expr("transform(array_sort(collect_list(struct(p3, h)))," +
+              " x -> x.h)"), "")).as("h"))
+        val l1 = l2
+          .groupBy(col("source"), expr("substring(p2, 1, 1)").as("p1"))
+          .agg(md5(array_join(
+            expr("transform(array_sort(collect_list(struct(p2, h)))," +
+              " x -> x.h)"), "")).as("h"))
+        val root = l1
+          .groupBy(col("source"))
+          .agg(md5(array_join(
+            expr("transform(array_sort(collect_list(struct(p1, h)))," +
+              " x -> x.h)"), "")).as("merkle_root"))
+        val stats = leaves
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(expr("substring(h, 1, 3)")).as("n_leaf_nodes"))
+        stats.join(root, "source")
+          .select(col("source"), col("n_docs"), col("n_leaf_nodes"),
+            col("merkle_root"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH leaves AS (SELECT source,
+             |    md5('leaf:v1:' || doc_id || ':' || text) AS h
+             |  FROM documents),
+             |l3 AS (SELECT source, substr(h, 1, 3) AS p3,
+             |    md5(string_agg(h, '' ORDER BY h)) AS h
+             |  FROM leaves GROUP BY 1, 2),
+             |l2 AS (SELECT source, substr(p3, 1, 2) AS p2,
+             |    md5(string_agg(h, '' ORDER BY p3)) AS h
+             |  FROM l3 GROUP BY 1, 2),
+             |l1 AS (SELECT source, substr(p2, 1, 1) AS p1,
+             |    md5(string_agg(h, '' ORDER BY p2)) AS h
+             |  FROM l2 GROUP BY 1, 2),
+             |r AS (SELECT source,
+             |    md5(string_agg(h, '' ORDER BY p1)) AS merkle_root
+             |  FROM l1 GROUP BY 1),
+             |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |    CAST(count(DISTINCT substr(h, 1, 3)) AS BIGINT)
+             |      AS n_leaf_nodes
+             |  FROM leaves GROUP BY 1)
+             |SELECT n.source AS source, n_docs, n_leaf_nodes, merkle_root
+             |FROM n JOIN r ON n.source = r.source
+             |ORDER BY n.source""".stripMargin))
+  )
+
   private[graft] def schemaDrift(
       a: org.apache.spark.sql.DataFrame,
       b: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {

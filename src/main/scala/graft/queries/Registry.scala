@@ -37,6 +37,7 @@ object Registry {
       CorpusStats.entries2 ++
       Integrity.entries ++
       Integrity.entries2 ++
+      Integrity.entries3 ++
       StatTests.entries ++
       StatTests.entries2 ++
       Learn.entries ++

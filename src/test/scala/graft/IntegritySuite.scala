@@ -209,4 +209,79 @@ class IntegritySuite extends SparkTestBase {
         .forall(_.dataType == org.apache.spark.sql.types.StringType))
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  /** Radix-16 depth-4 Merkle root over a source's (doc_id, text) rows —
+    * the q323 tree replayed sequentially.
+    */
+  private def merkleRoot(rows: Seq[(Long, String)]): String = {
+    val leaves = rows.map { case (id, txt) => md5hex(s"leaf:v1:$id:$txt") }
+    def level(nodes: Map[String, String], plen: Int): Map[String, String] =
+      nodes.groupBy(_._1.take(plen)).map { case (p, kids) =>
+        p -> md5hex(kids.toSeq.sortBy(_._1).map(_._2).mkString)
+      }
+    val l3 = leaves.groupBy(_.take(3)).map { case (p, hs) =>
+      p -> md5hex(hs.sorted.mkString)
+    }
+    level(level(level(l3, 2), 1), 0)("")
+  }
+
+  test("q323 Merkle commitment: JVM replay, inclusion proof, tamper evidence") {
+    val out = Registry.byName("q323_merkle_commitment").q(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.keySet == bySrc.keySet)
+    bySrc.foreach { case (src, rows) =>
+      val r = out(src)
+      assert(r.getLong(1) == rows.length.toLong, s"$src n_docs")
+      assert(r.getString(3) ==
+        merkleRoot(rows.map(t => (t._2, t._3)).toSeq), s"$src root replay")
+    }
+    // tamper evidence: flipping ONE doc's text changes that source's root
+    // and only that source's root
+    val (src0, rows0) = bySrc.head
+    val tampered = rows0.map(t =>
+      if (t._2 == rows0.map(_._2).min) (t._1, t._2, t._3 + "x") else t)
+    assert(merkleRoot(tampered.map(t => (t._2, t._3)).toSeq) !=
+      out(src0).getString(3), "tampered corpus must change the root")
+    // inclusion proof: O(depth·16) hashes re-derive the root from one leaf
+    // plus per-level sibling hash lists — no other doc content needed
+    val probe = rows0.minBy(_._2)
+    val leaves = rows0.map(t => (md5hex(s"leaf:v1:${t._2}:${t._3}"), t._2))
+    val leafH = md5hex(s"leaf:v1:${probe._2}:${probe._3}")
+    // level-3 node: probe leaf + sibling leaf hashes (values only)
+    val sibs3 = leaves.map(_._1).filter(_.take(3) == leafH.take(3))
+    val n3 = md5hex(sibs3.sorted.mkString) // proof re-derives with leafH in place
+    assert(sibs3.contains(leafH))
+    def levelNodes(plen: Int): Map[String, String] = {
+      val l3 = leaves.map(_._1).groupBy(_.take(3)).map { case (p, hs) =>
+        p -> md5hex(hs.sorted.mkString) }
+      var cur: Map[String, String] = l3
+      var l = 2
+      while (l >= plen && l < 3) {
+        cur = cur.groupBy(_._1.take(l)).map { case (p, kids) =>
+          p -> md5hex(kids.toSeq.sortBy(_._1).map(_._2).mkString) }
+        l -= 1
+      }
+      cur
+    }
+    var nodeH = n3
+    var prefix = leafH.take(3)
+    for (plen <- 2 to 0 by -1) {
+      val all = levelNodes(plen + 1) // sibling nodes at the child level
+      val kids = all.filter(_._1.take(plen) == prefix.take(plen))
+        .updated(prefix, nodeH) // the proof substitutes OUR derived hash
+      nodeH = md5hex(kids.toSeq.sortBy(_._1).map(_._2).mkString)
+      prefix = prefix.take(plen)
+    }
+    assert(nodeH == out(src0).getString(3),
+      "inclusion proof must re-derive the committed root")
+  }
 }
