@@ -494,7 +494,8 @@ object Bench {
     "q320_tiff_ifd_walk",
     "q321_bmp_decode",
     "q322_stream_hll",
-    "q323_merkle_commitment")
+    "q323_merkle_commitment",
+    "q324_hilbert_layout")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.operators.{Clustering, Containers, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, Sketches, StatTests, TextOps, Transforms, Unigram}
-import graft.sources.Sources
+import graft.sources.{LayoutOps, Sources}
 import graft.streaming.EventStreams
 
 /** Single source of truth for the declared query inventory (SURVEY.md §2).
@@ -29,6 +29,7 @@ object Registry {
       Multimodal.entries2 ++
       Multimodal.entries3 ++
       Sources.entries ++
+      LayoutOps.entries ++
       CorpusOps.entries ++
       CorpusOps.entries2 ++
       Clustering.entries ++

@@ -395,4 +395,34 @@ class SourcesSuite extends SparkTestBase {
     assert(dirs.contains("gen-1") && dirs.contains("gen-2"))
     assert(graft.sources.Sources.currentGeneration(spark, root).endsWith("/gen-2"))
   }
+
+  test("q324 hilbert code is a bijection with grid-adjacent consecutives") {
+    // first principles: run the REGISTERED expression chain over the full
+    // 64x64 grid; the two defining Hilbert properties must hold exactly
+    val grid = spark.range(4096L)
+      .select(expr("id div 64").as("qa"), expr("id % 64").as("qb"))
+    val cells = graft.sources.LayoutOps.hilbertCode(grid, "qa", "qb")
+      .select(col("hd"), col("qa"), col("qb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(cells.map(_._1).sorted.sameElements(0L until 4096L),
+      "hd must be a bijection onto [0, 4096)")
+    val byD = cells.map(c => c._1 -> ((c._2, c._3))).toMap
+    for (i <- 0L until 4095L) {
+      val (x0, y0) = byD(i); val (x1, y1) = byD(i + 1)
+      assert(math.abs(x0 - x1) + math.abs(y0 - y1) == 1L,
+        s"positions $i and ${i + 1} must be grid-adjacent (Hilbert property)")
+    }
+  }
+
+  test("q324 hilbert beats morton on bbox area at non-aligned chunking") {
+    val rows = queries.Registry.byName("q324_hilbert_layout").q(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set("hilbert", "morton", "linear"))
+    assert(rows("hilbert")._2 == rows("morton")._2, "same row total")
+    assert(rows("hilbert")._3 < rows("morton")._3,
+      "hilbert files must carry strictly tighter bounding boxes")
+    assert(rows("hilbert")._4 >= rows("linear")._4,
+      "the 2D box predicate must prune at least as many hilbert files")
+  }
 }
