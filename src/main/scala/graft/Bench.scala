@@ -495,7 +495,8 @@ object Bench {
     "q321_bmp_decode",
     "q322_stream_hll",
     "q323_merkle_commitment",
-    "q324_hilbert_layout")
+    "q324_hilbert_layout",
+    "q325_utf8_audit")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -381,6 +381,107 @@ object Containers {
       }
     })
 
+  // ---------------------------------------------------------------- q325
+  // UTF-8 byte-level validation: the ingest gate BELOW q251's mojibake
+  // audit (which sees already-decoded strings) — raw crawl bytes, a real
+  // RFC 3629 state machine, per-error-class accounting.
+
+  final case class Utf8Stats(doc_id: Long, source: String, clean: Long,
+      n_overlong: Long, n_lone_cont: Long, n_truncated: Long,
+      n_surrogate: Long, valid_cp: Long)
+
+  /** Raw byte stream for one doc: the (ASCII) text, one genuine
+    * multi-byte codepoint (é = C3 A9 — proves acceptance, not just
+    * rejection), then the doc's planted corruption lanes IN FIXED ORDER,
+    * each lane independent so overlapping doc_ids carry several:
+    * %29 → overlong 2-byte slash (C0 AF), %17 → CESU-8 surrogate
+    * (ED A0 80), %23 → lone continuation (80), %19 → truncated 3-byte
+    * lead at EOF (E2 82).
+    */
+  private[graft] def utf8StreamBytes(t: TarIn): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(t.text.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(0xc3); out.write(0xa9)
+    if (t.doc_id % 29 == 0) { out.write(0xc0); out.write(0xaf) }
+    if (t.doc_id % 17 == 0) { out.write(0xed); out.write(0xa0); out.write(0x80) }
+    if (t.doc_id % 23 == 0) out.write(0x80)
+    if (t.doc_id % 19 == 0) { out.write(0xe2); out.write(0x82) }
+    out.toByteArray
+  }
+
+  /** RFC 3629 validator with an explicit CONSUME-PREFIX error policy:
+    * when a lead byte's sequence is invalid (bad continuation, overlong,
+    * surrogate, out-of-range, EOF), the lead AND every immediately
+    * following continuation byte (up to the declared length) are consumed
+    * and ONE error of the dominant class is recorded — so each planted
+    * corruption is exactly one error and counts are closed-form. C0/C1
+    * are classified as what they are (2-byte overlong leads), not generic
+    * garbage. Returns (overlong, lone_cont, truncated, surrogate,
+    * valid_codepoints).
+    */
+  private[graft] def utf8Validate(
+      b: Array[Byte]): (Long, Long, Long, Long, Long) = {
+    var (over, lone, trunc, surr, ok) = (0L, 0L, 0L, 0L, 0L)
+    var i = 0
+    while (i < b.length) {
+      val c = b(i) & 0xff
+      if (c < 0x80) { ok += 1; i += 1 }
+      else if (c < 0xc0) { lone += 1; i += 1 } // stray continuation
+      else {
+        val len =
+          if (c < 0xe0) 2 else if (c < 0xf0) 3 else if (c < 0xf8) 4 else 1
+        if (len == 1) { lone += 1; i += 1 } // F8-FF: never a lead
+        else {
+          var k = 1
+          while (k < len && i + k < b.length &&
+            (b(i + k) & 0xc0) == 0x80) k += 1
+          if (k < len && i + k >= b.length) { trunc += 1; i += k }
+          else if (k < len) { lone += 1; i += k } // bad continuation
+          else {
+            var cp = c & (0x7f >> len)
+            var j = 1
+            while (j < len) { cp = (cp << 6) | (b(i + j) & 0x3f); j += 1 }
+            val minCp = len match {
+              case 2 => 0x80; case 3 => 0x800; case _ => 0x10000
+            }
+            if (cp < minCp) over += 1
+            else if (cp >= 0xd800 && cp <= 0xdfff) surr += 1
+            else if (cp > 0x10ffff) lone += 1
+            else ok += 1
+            i += len
+          }
+        }
+      }
+    }
+    (over, lone, trunc, surr, ok)
+  }
+
+  def utf8AuditPartition(rows: Iterator[TarIn]): Iterator[Utf8Stats] =
+    rows.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.map { t =>
+      val (over, lone, trunc, surr, ok) = utf8Validate(utf8StreamBytes(t))
+      Utf8Stats(t.doc_id, t.source,
+        if (over + lone + trunc + surr == 0L) 1L else 0L,
+        over, lone, trunc, surr, ok)
+    })
+
+  private[graft] val Utf8Oracle: String =
+    """WITH m AS (SELECT source,
+      |    CASE WHEN doc_id % 29 = 0 THEN 1 ELSE 0 END AS ov,
+      |    CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 0 END AS lc,
+      |    CASE WHEN doc_id % 19 = 0 THEN 1 ELSE 0 END AS tr,
+      |    CASE WHEN doc_id % 17 = 0 THEN 1 ELSE 0 END AS su,
+      |    CAST(strlen(text) AS BIGINT) + 1 AS cp
+      |  FROM documents)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN ov + lc + tr + su = 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clean,
+      |  CAST(sum(ov) AS BIGINT) AS n_overlong,
+      |  CAST(sum(lc) AS BIGINT) AS n_lone_cont,
+      |  CAST(sum(tr) AS BIGINT) AS n_truncated,
+      |  CAST(sum(su) AS BIGINT) AS n_surrogate,
+      |  CAST(sum(cp) AS BIGINT) AS valid_cp
+      |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   private def imgRollup(df: DataFrame): DataFrame =
     df.groupBy(col("source"))
       .agg(
@@ -500,6 +601,38 @@ object Containers {
           .mapPartitions(bmpDecodePartition)
           .toDF())
       },
-      Some(BmpOracle))
+      Some(BmpOracle)),
+
+    // q325: UTF-8 BYTE-LEVEL VALIDATION AUDIT — raw crawl bytes through a
+    // real RFC 3629 state machine with a documented consume-prefix error
+    // policy, per-class accounting (overlong / lone continuation /
+    // truncated / surrogate) + the valid-codepoint count, every class
+    // planted on its own doc_id lane (lanes overlap — doc 0 carries all
+    // four). Genuine multi-byte acceptance proven in the same stream
+    // (every doc carries one é). Conformance: java.nio's strict
+    // CharsetDecoder rejects exactly the planted-corrupt docs (suite).
+    // Map-only until the per-source rollup.
+    Entry(
+      "q325_utf8_audit",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(utf8AuditPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("clean")).as("n_clean"),
+            sum(col("n_overlong")).as("n_overlong"),
+            sum(col("n_lone_cont")).as("n_lone_cont"),
+            sum(col("n_truncated")).as("n_truncated"),
+            sum(col("n_surrogate")).as("n_surrogate"),
+            sum(col("valid_cp")).as("valid_cp"))
+          .orderBy(col("source"))
+      },
+      Some(Utf8Oracle))
   )
 }

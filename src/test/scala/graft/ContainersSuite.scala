@@ -144,6 +144,57 @@ class ContainersSuite extends SparkTestBase {
     assert(Containers.parseBmp24(bad8).isEmpty, "non-24bpp rejected")
   }
 
+  test("q325 utf8: classes detected exactly once; java.nio agrees") {
+    import Containers.{utf8StreamBytes, utf8Validate}
+    // unit vectors: each corruption class alone
+    assert(utf8Validate(Array(0xc0, 0xaf).map(_.toByte)) ==
+      ((1L, 0L, 0L, 0L, 0L)), "overlong")
+    assert(utf8Validate(Array(0x80).map(_.toByte)) ==
+      ((0L, 1L, 0L, 0L, 0L)), "lone continuation")
+    assert(utf8Validate(Array(0xe2, 0x82).map(_.toByte)) ==
+      ((0L, 0L, 1L, 0L, 0L)), "truncated at EOF")
+    assert(utf8Validate(Array(0xed, 0xa0, 0x80).map(_.toByte)) ==
+      ((0L, 0L, 0L, 1L, 0L)), "surrogate")
+    assert(utf8Validate("héllo".getBytes("UTF-8")) ==
+      ((0L, 0L, 0L, 0L, 5L)), "clean multi-byte accepted")
+    // doc 0 carries ALL FOUR lanes in one stream — each exactly once
+    val all4 = utf8Validate(utf8StreamBytes(
+      Multimodal.TarIn(0L, "s", "abc", 3L)))
+    assert(all4 == ((1L, 1L, 1L, 1L, 4L)), s"doc-0 composite: $all4")
+    // conformance: java.nio strict decoding accepts exactly the clean docs
+    def javaAccepts(b: Array[Byte]): Boolean =
+      try {
+        java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+          .decode(java.nio.ByteBuffer.wrap(b))
+        true
+      } catch { case _: java.nio.charset.CharacterCodingException => false }
+    for (id <- 0L to 60L) {
+      val clean = id % 29 != 0 && id % 23 != 0 && id % 19 != 0 && id % 17 != 0
+      assert(javaAccepts(utf8StreamBytes(
+        Multimodal.TarIn(id, "s", "abc", 3L))) == clean,
+        s"java.nio verdict for doc $id must match the planted lanes")
+    }
+  }
+
+  test("q325 rollup ties to the planted lanes") {
+    val out = Registry.byName("q325_utf8_audit").q(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.length == bySrc.size)
+    out.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) == rows.length.toLong, "n_docs")
+      assert(r.getLong(2) == rows.count(t => t._2 % 29 != 0 &&
+        t._2 % 23 != 0 && t._2 % 19 != 0 && t._2 % 17 != 0).toLong, "n_clean")
+      assert(r.getLong(3) == rows.count(_._2 % 29 == 0).toLong, "overlong")
+      assert(r.getLong(7) == rows.map(_._3.length.toLong + 1L).sum, "valid_cp")
+    }
+  }
+
   test("q320/q321 rollups tie to the synthesis closed form") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), col("doc_id")).collect()
