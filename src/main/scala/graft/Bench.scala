@@ -496,7 +496,8 @@ object Bench {
     "q322_stream_hll",
     "q323_merkle_commitment",
     "q324_hilbert_layout",
-    "q325_utf8_audit")
+    "q325_utf8_audit",
+    "q326_int8_quant_audit")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1466,4 +1466,80 @@ object Similarity {
               |  CAST($topK * $nQueries AS BIGINT) AS n_exact,
               |  TRUE AS recall_ok""".stripMargin))
   )
+
+  /** Round-18: embedding deployment-side quantization. */
+  val entries3: Seq[Entry] = Seq(
+
+    // q326: INT8 QUANTIZATION AUDIT — the deploy decision every embedding
+    // serving stack makes (4× memory/bandwidth for how much error?):
+    // symmetric int8 with a POWER-OF-TWO scale (2^-8), so quantize /
+    // dequantize are exact dyadic arithmetic — the only float op per
+    // component is one floor(|v − q/256|·2^20), identical IEEE both
+    // engines; everything after is integer (max, Σe², clip counts, and an
+    // order-dependent per-vector digest of the quantized codes). The
+    // round is floor(x·256 + 0.5) — branchless, no round-half-to-even
+    // cross-engine hazard. Scale 2^-8 is chosen so the fixture genuinely
+    // CLIPS (|v|max ≈ 0.53 > 127/256 at sf0.01+) — the saturation
+    // accounting is exercised, not vacuous. One map pass over the
+    // array column (codegen HOFs: transform/zip_with/aggregate — no
+    // explode, rows never widen), one ≤10-row label rollup.
+    Entry(
+      "q326_int8_quant_audit",
+      (s, d) => {
+        val P = 2147483647L
+        Tables.embeddings(s, d)
+          .withColumn("qr", expr("transform(embedding, v -> " +
+            "CAST(floor(CAST(v AS DOUBLE) * 256D + 0.5D) AS BIGINT))"))
+          .withColumn("qc", expr("transform(qr, q -> " +
+            "least(greatest(q, -127L), 127L))"))
+          .withColumn("eq", expr("zip_with(embedding, qc, (v, q) -> " +
+            "CAST(floor(abs(CAST(v AS DOUBLE) - CAST(q AS DOUBLE) / 256D) " +
+            "* 1048576D) AS BIGINT))"))
+          .select(col("label"),
+            expr("CAST(size(filter(qr, q -> q > 127L OR q < -127L)) " +
+              "AS BIGINT)").as("nclip"),
+            expr(s"aggregate(qc, 0L, (a, q) -> (a * 131L + q + 128L) % ${P}L)")
+              .as("dg"),
+            expr("array_max(eq)").as("maxe"),
+            expr("aggregate(eq, 0L, (a, x) -> a + x * x)").as("se2"))
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(col("nclip")).as("n_clipped"),
+            max(col("maxe")).as("max_err_q20"),
+            sum(col("se2")).as("sum_err2"),
+            pmod(sum(col("dg")), lit(P)).as("q_digest"))
+          .orderBy(col("label"))
+      },
+      Some("""WITH e AS (SELECT label, vec_id, embedding FROM embeddings),
+             |v AS (SELECT label, vec_id, embedding,
+             |    list_transform(range(1, 65), i ->
+             |      CAST(floor(CAST(embedding[i] AS DOUBLE) * 256 + 0.5)
+             |        AS BIGINT)) AS qr
+             |  FROM e),
+             |m AS (SELECT label, embedding, qr,
+             |    list_transform(qr, q -> least(greatest(q, -127), 127)) AS qc
+             |  FROM v),
+             |s AS (SELECT label,
+             |    len(list_filter(qr, q -> q > 127 OR q < -127)) AS nclip,
+             |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |      list_transform(qc, q -> q + 128)),
+             |      (a, x) -> (a * 131 + x) % 2147483647) AS dg,
+             |    list_max(list_transform(range(1, 65), i ->
+             |      CAST(floor(abs(CAST(embedding[i] AS DOUBLE)
+             |        - CAST(qc[i] AS DOUBLE) / 256) * 1048576) AS BIGINT)))
+             |      AS maxe,
+             |    list_sum(list_transform(range(1, 65), i ->
+             |      CAST(floor(abs(CAST(embedding[i] AS DOUBLE)
+             |        - CAST(qc[i] AS DOUBLE) / 256) * 1048576) AS BIGINT)
+             |      * CAST(floor(abs(CAST(embedding[i] AS DOUBLE)
+             |        - CAST(qc[i] AS DOUBLE) / 256) * 1048576) AS BIGINT)))
+             |      AS se2
+             |  FROM m)
+             |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+             |  CAST(sum(nclip) AS BIGINT) AS n_clipped,
+             |  CAST(max(maxe) AS BIGINT) AS max_err_q20,
+             |  CAST(sum(se2) AS BIGINT) AS sum_err2,
+             |  CAST(sum(dg) % 2147483647 AS BIGINT) AS q_digest
+             |FROM s GROUP BY label ORDER BY label""".stripMargin))
+  )
 }

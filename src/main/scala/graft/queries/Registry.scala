@@ -25,6 +25,7 @@ object Registry {
       Dedup.entries2 ++
       Similarity.entries ++
       Similarity.entries2 ++
+      Similarity.entries3 ++
       Multimodal.entries ++
       Multimodal.entries2 ++
       Multimodal.entries3 ++

@@ -1013,4 +1013,44 @@ class DedupSimilaritySuite extends SparkTestBase {
     assert(df.collect().toSeq == exact,
       "hash-only containment diverges from the exact-string form")
   }
+
+  test("q326 int8 quant audit replays JVM-side bit-exactly; clamp path real") {
+    val out = queries.Registry.byName("q326_int8_quant_audit").q(spark, sf)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    val data = Tables.embeddings(spark, sf)
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+    val P = 2147483647L
+    val agg = scala.collection.mutable.Map
+      .empty[Int, (Long, Long, Long, Long, Long)]
+    data.foreach { case (lab, emb) =>
+      var (nclip, maxe, se2, dg) = (0L, 0L, 0L, 0L)
+      emb.foreach { vf =>
+        val v = vf.toDouble
+        val qr = math.floor(v * 256d + 0.5d).toLong
+        if (qr > 127L || qr < -127L) nclip += 1L
+        val qc = math.max(-127L, math.min(127L, qr))
+        val e = math.floor(math.abs(v - qc.toDouble / 256d) * 1048576d).toLong
+        maxe = math.max(maxe, e)
+        se2 += e * e
+        dg = (dg * 131L + qc + 128L) % P
+      }
+      val a = agg.getOrElse(lab, (0L, 0L, 0L, 0L, 0L))
+      agg(lab) = (a._1 + 1L, a._2 + nclip, math.max(a._3, maxe),
+        a._4 + se2, (a._5 + dg) % P)
+    }
+    assert(out.keySet == agg.keySet)
+    agg.foreach { case (lab, exp) =>
+      assert(out(lab) == exp, s"label $lab replay")
+    }
+    // the clamp path is real: a component above 127/256 must clip through
+    // the SAME expression text the query uses
+    val clipped = spark.sql(
+      "SELECT transform(array(CAST(0.6 AS FLOAT), CAST(-0.9 AS FLOAT))," +
+        " v -> least(greatest(CAST(floor(CAST(v AS DOUBLE) * 256D + 0.5D)" +
+        " AS BIGINT), -127L), 127L)) AS qc").head().getSeq[Long](0)
+    assert(clipped == Seq(127L, -127L), "saturation at both rails")
+  }
 }
