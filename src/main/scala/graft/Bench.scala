@@ -497,7 +497,8 @@ object Bench {
     "q323_merkle_commitment",
     "q324_hilbert_layout",
     "q325_utf8_audit",
-    "q326_int8_quant_audit")
+    "q326_int8_quant_audit",
+    "q327_wordpiece_encode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

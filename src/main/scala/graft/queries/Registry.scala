@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, Containers, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, Sketches, StatTests, TextOps, Transforms, Unigram}
+import graft.operators.{Clustering, Containers, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, Sketches, StatTests, TextOps, Transforms, Unigram, WordPiece}
 import graft.sources.{LayoutOps, Sources}
 import graft.streaming.EventStreams
 
@@ -49,7 +49,8 @@ object Registry {
       Feedback.entries ++
       Unigram.entries ++
       Sketches.entries ++
-      Containers.entries
+      Containers.entries ++
+      WordPiece.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,
