@@ -111,12 +111,14 @@ object Sketches {
       .withColumn("hll_est",
         expr(s"(${HllPow}L div ds) * ${HllAlphaPpm}L div 1000000L"))
       .select(col("n_exact"), col("hll_est"),
-        expr("abs(hll_est - n_exact) * 1000000L div n_exact").as("err_ppm"),
+        expr("abs(hll_est - n_exact) * 1000000L div greatest(n_exact, 1L)")
+          .as("err_ppm"),
         col("dv").as("v_empty"), col("ddg").as("reg_digest"),
         expr(s"CAST(dv > 0L AND hll_est * 2L < 5L * $HllM AS BIGINT)")
           .as("needs_lc"),
-        expr(s"CAST(abs(hll_est - n_exact) * 1000000L div n_exact " +
-          s"<= ${HllErrBoundPpm}L AS BIGINT)").as("within_bound"),
+        expr(s"CAST(abs(hll_est - n_exact) * 1000000L div " +
+          s"greatest(n_exact, 1L) <= ${HllErrBoundPpm}L AS BIGINT)")
+          .as("within_bound"),
         expr("CAST(ddg = mdg AND ds = ms AND dv = mv AS BIGINT)")
           .as("merge_consistent"))
       .orderBy(col("n_exact"))
@@ -155,11 +157,11 @@ object Sketches {
        |      AS hll_est
        |  FROM c, sc, n)
        |SELECT n_exact, hll_est,
-       |  CAST(abs(hll_est - n_exact) * 1000000 // n_exact AS BIGINT)
-       |    AS err_ppm,
+       |  CAST(abs(hll_est - n_exact) * 1000000 // greatest(n_exact, 1)
+       |    AS BIGINT) AS err_ppm,
        |  dv AS v_empty, ddg AS reg_digest,
        |  CAST(dv > 0 AND hll_est * 2 < 5 * $HllM AS BIGINT) AS needs_lc,
-       |  CAST(abs(hll_est - n_exact) * 1000000 // n_exact
+       |  CAST(abs(hll_est - n_exact) * 1000000 // greatest(n_exact, 1)
        |    <= $HllErrBoundPpm AS BIGINT) AS within_bound,
        |  CAST(ddg = mdg AND ds = ms AND dv = mv AS BIGINT)
        |    AS merge_consistent

@@ -115,7 +115,8 @@ object WordPiece {
             expr(s"CAST(sum((dg * (cnt % ${P}L)) % ${P}L) % ${P}L AS BIGINT)")
               .as("seg_digest"))
           .select(col("source"), col("n_tokens"), col("n_pieces"),
-            expr("n_pieces * 1000000L div n_tokens").as("ppt_ppm"),
+            expr("n_pieces * 1000000L div greatest(n_tokens, 1L)")
+              .as("ppt_ppm"),
             col("seg_digest"))
           .orderBy(col("source"))
       },
@@ -166,7 +167,8 @@ object WordPiece {
            |SELECT wc.source AS source, CAST(sum(wc.cnt) AS BIGINT)
            |    AS n_tokens,
            |  CAST(sum(g8.np * wc.cnt) AS BIGINT) AS n_pieces,
-           |  CAST(sum(g8.np * wc.cnt) * 1000000 // sum(wc.cnt) AS BIGINT)
+           |  CAST(sum(g8.np * wc.cnt) * 1000000
+           |      // greatest(sum(wc.cnt), 1) AS BIGINT)
            |    AS ppt_ppm,
            |  CAST(sum((g8.dg * (wc.cnt % $P)) % $P) % $P AS BIGINT)
            |    AS seg_digest
