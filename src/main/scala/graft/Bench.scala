@@ -498,7 +498,8 @@ object Bench {
     "q324_hilbert_layout",
     "q325_utf8_audit",
     "q326_int8_quant_audit",
-    "q327_wordpiece_encode")
+    "q327_wordpiece_encode",
+    "q328_ulaw_codec")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

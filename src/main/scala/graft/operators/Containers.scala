@@ -482,6 +482,177 @@ object Containers {
       |  CAST(sum(cp) AS BIGINT) AS valid_cp
       |FROM m GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- q328
+  // G.711 mu-law: the first LOSSY audio codec pair (q225 audits linear
+  // PCM; q312 is the image-side entropy decode) — logarithmic companding
+  // encode AND expand implemented from the ITU spec, both directions.
+
+  final case class UlawStats(doc_id: Long, source: String, ok: Long,
+      n_samples: Long, code_digest: Long, energy_out: Long,
+      sum_err2: Long, max_abs_err: Long)
+
+  /** ITU G.711 mu-law compress: clip to 32635, bias 132, segment =
+    * position of the magnitude's leading bit, 4-bit mantissa, ones'
+    * complement. Verified against the JDK's own expansion table (suite:
+    * all 256 codes agree).
+    */
+  private[graft] def ulawEncode(s: Int): Int = {
+    val sign = if (s < 0) 0x80 else 0
+    var x = math.min(if (s < 0) -s else s, 32635) + 132
+    var seg = 0
+    while (seg < 7 && x >= (256 << seg)) seg += 1
+    255 - (sign | (seg << 4) | ((x >> (seg + 3)) & 0x0f))
+  }
+
+  /** ITU G.711 mu-law expand — the exact inverse table the JDK ships. */
+  private[graft] def ulawDecode(code: Int): Int = {
+    val v = 255 - (code & 0xff)
+    val mag = (((v & 0x0f) * 8 + 132) << ((v >> 4) & 7)) - 132
+    if ((v & 0x80) != 0) -mag else mag
+  }
+
+  /** Complete mu-law WAV for one doc: RIFF/WAVE, 18-byte fmt chunk
+    * (format tag 7, mono, 8 kHz, 8-bit, cbSize 0), the spec-required
+    * fact chunk, data chunk of n encoded samples (q225's deterministic
+    * full-range generator). doc_id % 53 gets the fact count falsified —
+    * the honest-negative lane our parser's cross-check catches.
+    */
+  private[graft] def ulawWavBytes(t: TarIn): Array[Byte] = {
+    val n = (64 + t.doc_id % 64).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
+      out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
+    }
+    out.write("RIFF".getBytes); le32(4L + 26L + 12L + 8L + n)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); le32(18L)
+    le16(7); le16(1); le32(8000L); le32(8000L); le16(1); le16(8); le16(0)
+    out.write("fact".getBytes); le32(4L)
+    le32(n.toLong + (if (t.doc_id % 53L == 0L) 1L else 0L))
+    out.write("data".getBytes); le32(n.toLong)
+    var i = 0
+    while (i < n) {
+      out.write(ulawEncode(
+        (((t.doc_id * 31L + i.toLong * 40503L + 7L) % 65536L) - 32768L).toInt))
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Chunk walk (RIFF magic, fmt tag 7 / mono / 8-bit, fact-vs-data
+    * cross-check), then the real expand per byte. Returns the decoded
+    * samples; None on ANY malformation.
+    */
+  private[graft] def parseUlawWav(b: Array[Byte]): Option[Array[Int]] = {
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    def tag(o: Int): String = new String(b, o, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    if (b.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    if (u32(4) != b.length - 8L) return None
+    var p = 12
+    var fmtOk = false
+    var nFact = -1L
+    var data: Option[(Int, Int)] = None
+    while (p + 8 <= b.length) {
+      val t = tag(p); val sz = u32(p + 4)
+      if (p + 8 + sz > b.length) return None
+      t match {
+        case "fmt " =>
+          if (sz < 16 || u16(p + 8) != 7 || u16(p + 10) != 1 ||
+            u16(p + 22) != 8) return None
+          fmtOk = true
+        case "fact" =>
+          if (sz < 4) return None
+          nFact = u32(p + 8)
+        case "data" => data = Some((p + 8, sz.toInt))
+        case _ => // unknown chunks skipped, the RIFF contract
+      }
+      p += 8 + sz.toInt + (sz.toInt & 1)
+    }
+    (fmtOk, data) match {
+      case (true, Some((off, len))) if nFact == len.toLong =>
+        Some(Array.tabulate(len)(i => ulawDecode(b(off + i) & 0xff)))
+      case _ => None
+    }
+  }
+
+  def ulawAuditPartition(rows: Iterator[TarIn]): Iterator[UlawStats] =
+    rows.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.map { t =>
+      parseUlawWav(ulawWavBytes(t)) match {
+        case Some(decoded) =>
+          var (dg, eout, err2, mx) = (0L, 0L, 0L, 0L)
+          var i = 0
+          while (i < decoded.length) {
+            val s = (((t.doc_id * 31L + i.toLong * 40503L + 7L) % 65536L)
+              - 32768L).toInt
+            val c = ulawEncode(s)
+            dg = (dg * 131L + c) % DigP
+            val sh = decoded(i).toLong
+            eout += sh * sh
+            val e = math.abs(s.toLong - sh)
+            err2 += e * e
+            if (e > mx) mx = e
+            i += 1
+          }
+          UlawStats(t.doc_id, t.source, 1L, decoded.length.toLong,
+            dg, eout, err2, mx)
+        case None => UlawStats(t.doc_id, t.source, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+
+  /** The oracle's per-sample encode/decode, GENERATED from one expression
+    * builder (the Integrity.foldMod posture): S the generator sample, X
+    * the biased magnitude, SEG the leading-bit segment, CODE the mu-law
+    * byte, SHAT the expanded estimate, ERR the reconstruction error.
+    */
+  private[graft] val UlawOracle: String = {
+    val S = "((doc_id*31 + i*40503 + 7) % 65536 - 32768)"
+    val X = s"(least(CASE WHEN $S < 0 THEN -$S ELSE $S END, 32635) + 132)"
+    val SEG = s"(CASE WHEN $X >= 16384 THEN 7 WHEN $X >= 8192 THEN 6" +
+      s" WHEN $X >= 4096 THEN 5 WHEN $X >= 2048 THEN 4 WHEN $X >= 1024" +
+      s" THEN 3 WHEN $X >= 512 THEN 2 WHEN $X >= 256 THEN 1 ELSE 0 END)"
+    val POW = s"(CASE $SEG WHEN 0 THEN 8 WHEN 1 THEN 16 WHEN 2 THEN 32" +
+      " WHEN 3 THEN 64 WHEN 4 THEN 128 WHEN 5 THEN 256 WHEN 6 THEN 512" +
+      " ELSE 1024 END)"
+    val CODE = s"(255 - (CASE WHEN $S < 0 THEN 128 ELSE 0 END" +
+      s" + $SEG * 16 + ($X // $POW) % 16))"
+    val V = s"(255 - $CODE)"
+    val MAG = s"((($V % 16) * 8 + 132) * (CASE ($V // 16) % 8 WHEN 0" +
+      " THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16" +
+      " WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END) - 132)"
+    val SHAT = s"(CASE WHEN $V >= 128 THEN -$MAG ELSE $MAG END)"
+    val ERR = s"(CASE WHEN $S - $SHAT < 0 THEN $SHAT - $S" +
+      s" ELSE $S - $SHAT END)"
+    s"""WITH m AS (SELECT source, doc_id, 64 + doc_id % 64 AS n,
+       |    doc_id % 53 = 0 AS bad FROM documents),
+       |p AS (SELECT source, bad,
+       |    CASE WHEN bad THEN 0 ELSE n END AS ns,
+       |    CASE WHEN bad THEN CAST(0 AS BIGINT) ELSE
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(0, n), i -> CAST($CODE AS BIGINT))),
+       |        (a, c) -> (a * 131 + c) % $DigP) END AS dg,
+       |    CASE WHEN bad THEN 0 ELSE CAST(list_sum(list_transform(
+       |      range(0, n), i -> $SHAT * $SHAT)) AS BIGINT) END AS eout,
+       |    CASE WHEN bad THEN 0 ELSE CAST(list_sum(list_transform(
+       |      range(0, n), i -> $ERR * $ERR)) AS BIGINT) END AS err2,
+       |    CASE WHEN bad THEN 0 ELSE CAST(list_max(list_transform(
+       |      range(0, n), i -> $ERR)) AS BIGINT) END AS mx
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_clips,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       |  CAST(sum(ns) AS BIGINT) AS n_samples,
+       |  CAST(sum(dg) % $DigP AS BIGINT) AS code_digest,
+       |  CAST(sum(eout) AS BIGINT) AS energy_out,
+       |  CAST(sum(err2) AS BIGINT) AS sum_err2,
+       |  CAST(max(mx) AS BIGINT) AS max_abs_err
+       |FROM p GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private def imgRollup(df: DataFrame): DataFrame =
     df.groupBy(col("source"))
       .agg(
@@ -633,6 +804,39 @@ object Containers {
             sum(col("valid_cp")).as("valid_cp"))
           .orderBy(col("source"))
       },
-      Some(Utf8Oracle))
+      Some(Utf8Oracle)),
+
+    // q328: G.711 MU-LAW CODEC AUDIT — the first lossy AUDIO codec pair
+    // (closing the asterisk q312 closed for images): logarithmic
+    // companding encode at synthesis, chunk-walked mu-law WAV (fmt tag 7
+    // + the spec-required fact chunk, cross-checked against the data
+    // size — the % 53 falsification lane), REAL expand at decode, and
+    // the reconstruction-error audit lossy pipelines gate on (Σerr²,
+    // max |err| — bounded by the top mu-law segment's half-step).
+    // Conformance: the JDK's own ULAW expansion agrees code-for-code on
+    // all 256 values AND end-to-end through AudioSystem (suite).
+    // Map-only until the per-source rollup.
+    Entry(
+      "q328_ulaw_codec",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(ulawAuditPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_clips"),
+            sum(expr("1L - ok")).as("n_bad"),
+            sum(col("n_samples")).as("n_samples"),
+            pmod(sum(col("code_digest")), lit(DigP)).as("code_digest"),
+            sum(col("energy_out")).as("energy_out"),
+            sum(col("sum_err2")).as("sum_err2"),
+            max(col("max_abs_err")).as("max_abs_err"))
+          .orderBy(col("source"))
+      },
+      Some(UlawOracle))
   )
 }

@@ -195,6 +195,74 @@ class ContainersSuite extends SparkTestBase {
     }
   }
 
+  test("q328 mu-law: the JDK's ULAW expansion agrees on all 256 codes " +
+    "and end-to-end; bad lane rejected") {
+    import javax.sound.sampled._
+    // table-level conformance: decode every possible code through the
+    // JDK's own ULAW->PCM16 converter and compare with our expand
+    val codes = Array.tabulate[Byte](256)(_.toByte)
+    val src = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1,
+      8000f, false)
+    val dst = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16,
+      1, 2, 8000f, false)
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(codes), src, 256L)
+    val pcm = AudioSystem.getAudioInputStream(dst, in).readAllBytes()
+    for (c <- 0 until 256) {
+      val jdk = ((pcm(2 * c) & 0xff) | (pcm(2 * c + 1) << 8)).toShort.toInt
+      assert(jdk == Containers.ulawDecode(c), s"code $c: JDK vs ours")
+    }
+    // end-to-end: our complete mu-law WAV through AudioSystem's WAV
+    // reader + ULAW codec reproduces our decoded samples exactly
+    val t = Multimodal.TarIn(5L, "s", "x", 1L)
+    val wav = Containers.ulawWavBytes(t)
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getEncoding == AudioFormat.Encoding.ULAW)
+    val jdkPcm = AudioSystem.getAudioInputStream(dst, ais).readAllBytes()
+    val ours = Containers.parseUlawWav(wav).get
+    assert(jdkPcm.length == 2 * ours.length)
+    for (i <- ours.indices) {
+      val jdk = ((jdkPcm(2 * i) & 0xff) | (jdkPcm(2 * i + 1) << 8))
+        .toShort.toInt
+      assert(jdk == ours(i), s"sample $i end-to-end")
+    }
+    // round-trip error bound: mu-law's worst case is half the top
+    // segment's step (512) plus the clip region
+    val errs = ours.indices.map { i =>
+      val s0 = (((5L * 31L + i.toLong * 40503L + 7L) % 65536L) - 32768L).toInt
+      math.abs(s0 - ours(i))
+    }
+    assert(errs.max <= 644, s"reconstruction error bound (got ${errs.max})")
+    // the planted % 53 lane: fact/data cross-check fails
+    assert(Containers.parseUlawWav(Containers.ulawWavBytes(
+      Multimodal.TarIn(53L, "s", "x", 1L))).isEmpty)
+    // malformation battery
+    val badMagic = wav.clone(); badMagic(0) = 'Q'
+    assert(Containers.parseUlawWav(badMagic).isEmpty, "bad RIFF magic")
+    assert(Containers.parseUlawWav(wav.take(40)).isEmpty, "truncated")
+    val badFmt = wav.clone(); badFmt(20) = 1 // claims linear PCM
+    assert(Containers.parseUlawWav(badFmt).isEmpty, "non-mu-law fmt tag")
+  }
+
+  test("q328 rollup ties to the planted lanes") {
+    val out = Registry.byName("q328_ulaw_codec").q(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.length == bySrc.size)
+    out.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) == rows.length.toLong, "n_clips")
+      assert(r.getLong(2) == rows.count(_._2 % 53 == 0).toLong, "n_bad")
+      assert(r.getLong(3) == rows.collect {
+        case (_, id) if id % 53 != 0 => 64L + id % 64
+      }.sum, "n_samples")
+      assert(r.getLong(7) <= 644L, "max error within the mu-law bound")
+    }
+  }
+
   test("q320/q321 rollups tie to the synthesis closed form") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), col("doc_id")).collect()

@@ -21,11 +21,13 @@ if os.path.exists("/tmp/sf01_r18_cohort.json"):
         "failures": c["failures"],
         "note": "r18 cohort (q306-q326) via tools/check.py --only at HEAD"}
 
-if os.path.exists("/tmp/sf01_q327.json"):
-    c = json.load(open("/tmp/sf01_q327.json"))
-    d["q327"] = {
-        "pass": c["pass"], "fail": c["fail"],
-        "note": "q327_wordpiece_encode via --only at its landing HEAD"}
+for extra, name in (("/tmp/sf01_q327.json", "q327_wordpiece_encode"),
+                    ("/tmp/sf01_q328.json", "q328_ulaw_codec")):
+    if os.path.exists(extra):
+        c = json.load(open(extra))
+        d[name.split("_")[0]] = {
+            "pass": c["pass"], "fail": c["fail"],
+            "note": f"{name} via --only at its landing HEAD"}
 
 if os.path.exists("/tmp/sf01_r18_sweep.json"):
     s = json.load(open("/tmp/sf01_r18_sweep.json"))
