@@ -47,13 +47,19 @@ object Containers {
   // member boundaries. Real DEFLATE via java.util.zip both ways.
 
   final case class GzStats(doc_id: Long, source: String, n_members: Long,
-      n_bad_checksum: Long, payload_bytes: Long, name_digest: Long)
+      n_bad_checksum: Long, payload_bytes: Long, name_digest: Long,
+      n_parse_fail: Long)
 
   /** Two-member gzip stream for one doc: the text record then its JSON
     * sidecar, each a complete RFC 1952 member (FNAME flag set, MTIME 0,
     * OS 255, real Deflater body, CRC32 + ISIZE trailer). doc_id % 43 gets
     * member 1's RECORDED CRC falsified — the structure parses, only the
-    * integrity check fails (the honest-negative lane).
+    * integrity check fails (the honest-negative lane). doc_id % 59 gets
+    * the final trailer TRUNCATED (5 bytes dropped) — a STRUCTURAL
+    * malformation the walk cannot parse past, exercising the
+    * parse-failure lane for real (r18 advice: the old -1 sentinel rows
+    * flowed straight into the per-source sums; failures now carry an
+    * explicit n_parse_fail count and contribute nothing else).
     */
   private[graft] def gzipFullBytes(t: TarIn): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
@@ -85,7 +91,8 @@ object Containers {
     member(s"d${t.doc_id}.json",
       s"""{"doc_id":${t.doc_id},"n_chars":${t.n_chars}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8), false)
-    out.toByteArray
+    val b = out.toByteArray
+    if (t.doc_id % 59L == 0L) b.dropRight(5) else b
   }
 
   /** Walk a concatenated gzip stream member-by-member: header (magic, CM,
@@ -150,8 +157,10 @@ object Containers {
           val good = ms.filter(_._3)
           GzStats(t.doc_id, t.source, ms.length.toLong,
             (ms.length - good.length).toLong, good.map(_._2).sum,
-            good.map(m => nameDigest(m._1)).sum % DigP)
-        case None => GzStats(t.doc_id, t.source, -1L, -1L, -1L, -1L)
+            good.map(m => nameDigest(m._1)).sum % DigP, 0L)
+        // a shard the walk cannot parse contributes NOTHING to the
+        // member sums — only the explicit failure count
+        case None => GzStats(t.doc_id, t.source, 0L, 0L, 0L, 0L, 1L)
       }
     })
 
@@ -161,13 +170,18 @@ object Containers {
        |    CAST(strlen('{"doc_id":' || doc_id || ',"n_chars":'
        |      || n_chars || '}') AS BIGINT) AS sz2,
        |    doc_id % 43 = 0 AS bad1,
+       |    doc_id % 59 = 0 AS pfail,
        |    'd' || doc_id || '.txt' AS n1,
        |    'd' || doc_id || '.json' AS n2
        |  FROM documents),
        |dg AS (SELECT source,
-       |    CASE WHEN bad1 THEN 1 ELSE 0 END AS nbad,
-       |    CASE WHEN bad1 THEN 0 ELSE sz1 END + sz2 AS good_payload,
-       |    (CASE WHEN bad1 THEN 0 ELSE
+       |    CASE WHEN pfail THEN 0 ELSE 2 END AS nm,
+       |    CASE WHEN pfail THEN 1 ELSE 0 END AS nf,
+       |    CASE WHEN pfail THEN 0 WHEN bad1 THEN 1 ELSE 0 END AS nbad,
+       |    CASE WHEN pfail THEN 0 ELSE
+       |      CASE WHEN bad1 THEN 0 ELSE sz1 END + sz2 END AS good_payload,
+       |    CASE WHEN pfail THEN 0 ELSE
+       |     (CASE WHEN bad1 THEN 0 ELSE
        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
        |        list_transform(range(1, length(n1) + 1),
        |          i -> CAST(unicode(n1[i]) AS BIGINT))),
@@ -176,13 +190,14 @@ object Containers {
        |        list_transform(range(1, length(n2) + 1),
        |          i -> CAST(unicode(n2[i]) AS BIGINT))),
        |        (a, c) -> (a * 131 + c) % $DigP))
-       |      % $DigP AS dgs
+       |      % $DigP END AS dgs
        |  FROM m)
        |SELECT source, CAST(count(*) AS BIGINT) AS n_shards,
-       |  CAST(count(*) * 2 AS BIGINT) AS n_members,
+       |  CAST(sum(nm) AS BIGINT) AS n_members,
        |  CAST(sum(nbad) AS BIGINT) AS n_crc_bad,
        |  CAST(sum(good_payload) AS BIGINT) AS payload_bytes,
-       |  CAST(sum(dgs) % $DigP AS BIGINT) AS name_digest
+       |  CAST(sum(dgs) % $DigP AS BIGINT) AS name_digest,
+       |  CAST(sum(nf) AS BIGINT) AS n_parse_fail
        |FROM dg GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- q320
@@ -525,7 +540,11 @@ object Containers {
       out.write((v & 0xff).toInt); out.write(((v >> 8) & 0xff).toInt)
       out.write(((v >> 16) & 0xff).toInt); out.write(((v >> 24) & 0xff).toInt)
     }
-    out.write("RIFF".getBytes); le32(4L + 26L + 12L + 8L + n)
+    // RIFF size includes the pad byte an odd data chunk requires (r18
+    // advice: omitting it violated RIFF alignment and only worked because
+    // data was the last chunk — while the parser's own walk assumed the
+    // pad existed, so any chunk appended after data would have misparsed)
+    out.write("RIFF".getBytes); le32(4L + 26L + 12L + 8L + n + (n & 1))
     out.write("WAVE".getBytes)
     out.write("fmt ".getBytes); le32(18L)
     le16(7); le16(1); le32(8000L); le32(8000L); le16(1); le16(8); le16(0)
@@ -538,6 +557,7 @@ object Containers {
         (((t.doc_id * 31L + i.toLong * 40503L + 7L) % 65536L) - 32768L).toInt))
       i += 1
     }
+    if ((n & 1) == 1) out.write(0) // RIFF word-alignment pad
     out.toByteArray
   }
 
@@ -715,7 +735,9 @@ object Containers {
     // member with a REAL Inflater and both trailer checks. The compressed
     // bytes are never in the output (zlib-version-dependent); the decoded
     // lengths, integrity verdicts, and name digest are, and the oracle
-    // knows them in closed form. doc_id % 43 = member-1 CRC falsified.
+    // knows them in closed form. doc_id % 43 = member-1 CRC falsified
+    // (parses, fails integrity); doc_id % 59 = trailer truncated
+    // (structural parse failure → n_parse_fail lane, zero member stats).
     Entry(
       "q319_gzip_member_stream",
       (s, d) => {
@@ -732,7 +754,8 @@ object Containers {
             sum(col("n_members")).as("n_members"),
             sum(col("n_bad_checksum")).as("n_crc_bad"),
             sum(col("payload_bytes")).as("payload_bytes"),
-            pmod(sum(col("name_digest")), lit(DigP)).as("name_digest"))
+            pmod(sum(col("name_digest")), lit(DigP)).as("name_digest"),
+            sum(col("n_parse_fail")).as("n_parse_fail"))
           .orderBy(col("source"))
       },
       Some(GzipOracle)),

@@ -568,25 +568,61 @@ object Integrity {
     *
     * Tree shape: radix-16 over the leaf hash's own hex prefix, fixed
     * depth 4 (root ← 16 ← 256 ← 4096 ← leaves). Every internal node
-    * aggregates ≤ 16 children (bounded BY CONSTRUCTION); only the leaf
-    * level's fan-in grows with the corpus — at 100 TB the depth is the
-    * knob (8 hex chars ⇒ ≤ corpus/2^32 leaves per node). Each level is
-    * one exchange keyed by a progressively shorter prefix; children are
-    * ordered by their OWN prefix (a total, data-independent order), so
-    * the root is partitioning- and engine-invariant.
+    * aggregates ≤ 16 children (bounded BY CONSTRUCTION). The leaf level
+    * is the only one whose fan-in grows with the corpus, so it is NOT a
+    * collect_list aggregation (r18 verdict: a per-group buffer scaling
+    * as n_docs/4096 is a task OOM at 10^10 docs): leaves are
+    * hash-repartitioned on (source, prefix), sorted within partitions,
+    * and folded by a STREAMING incremental MD5 in mapPartitions — MD5 of
+    * a concatenation equals MD5 fed the parts in order, so the node hash
+    * is bit-identical to md5(string_agg) while per-group state is one
+    * 16-byte digest regardless of corpus size (suite-pinned: no
+    * collect_list below the bounded ≤16-children levels). Upper levels
+    * stay one exchange each keyed by a progressively shorter prefix;
+    * children are ordered by their OWN prefix (a total, data-independent
+    * order), so the root is partitioning- and engine-invariant.
     */
   val entries3: Seq[Entry] = Seq(
     Entry(
       "q323_merkle_commitment",
       (s, d) => {
+        import s.implicits._
         val leaves = T.documents(s, d)
           .select(col("source"),
             md5(concat(lit("leaf:v1:"), col("doc_id").cast("string"),
               lit(":"), col("text"))).as("h"))
+        // leaf level: O(1)-state streaming fold, never a per-group buffer
         val l3 = leaves
-          .groupBy(col("source"), expr("substring(h, 1, 3)").as("p3"))
-          .agg(md5(array_join(sort_array(collect_list(col("h"))), ""))
-            .as("h"))
+          .select(col("source"), expr("substring(h, 1, 3)").as("p3"),
+            col("h"))
+          .repartition(col("source"), col("p3"))
+          .sortWithinPartitions(col("source"), col("p3"), col("h"))
+          .as[(String, String, String)]
+          .mapPartitions { it =>
+            // groups are contiguous after the partition-local sort; emit
+            // one (source, p3, md5) row per group. The buffer holds one
+            // small tuple per GROUP (≤ 4096 prefixes per source), never
+            // per doc.
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+            var curSrc: String = null
+            var curP3: String = null
+            var md: java.security.MessageDigest = null
+            def flush(): Unit = if (md != null)
+              out += ((curSrc, curP3,
+                md.digest().map(b => f"${b & 0xff}%02x").mkString))
+            it.foreach { case (src, p3, h) =>
+              if (src != curSrc || p3 != curP3) {
+                flush()
+                curSrc = src; curP3 = p3
+                md = java.security.MessageDigest.getInstance("MD5")
+              }
+              md.update(h.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            }
+            flush()
+            out.iterator
+          }
+          .toDF("source", "p3", "h")
         val l2 = l3
           .groupBy(col("source"), expr("substring(p3, 1, 2)").as("p2"))
           .agg(md5(array_join(

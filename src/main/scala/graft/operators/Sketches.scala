@@ -174,10 +174,14 @@ object Sketches {
     // map pass feeds TWO bounded aggregates (direct: 1024-row register
     // table; sharded: ≤ 4096 rows then 1024) + the exact-distinct audit
     // column; every exchange after the scan carries register rows only.
+    // The per-row feed is deliberately NOT checkpointed (r18 verdict #4):
+    // it is a stateless codegen'd projection, and at 100 TB recomputing
+    // it per consumer is strictly cheaper than materializing a
+    // corpus-sized intermediate to executor-local disk.
     Entry(
       "q318_hll_distinct",
       (s, d) => {
-        val rows = hllRows(s, d).localCheckpoint()
+        val rows = hllRows(s, d)
         val direct = hllCollapse(
           rows.groupBy(col("bucket")).agg(max(col("rho")).as("m")), "d")
         val merged = hllCollapse(

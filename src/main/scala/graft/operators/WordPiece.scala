@@ -25,11 +25,17 @@ import graft.{Tables => T}
   *
   * Scale posture (the q309 discipline): the corpus collapses through ONE
   * (source, word) exchange; the fit, the per-(word, pos) longest-match
-  * jump table, and the 8-round greedy walk all run over the DISTINCT-WORD
+  * jump table, and the greedy walk all run over the DISTINCT-WORD
   * table (vocab-bounded — 31 rows here, |vocab|-ish at 100 TB), so the
-  * iterations cost nothing at scale. The walk is 8 rounds because the
-  * longest fixture word is 8 chars and each round consumes ≥ 1 char; the
-  * round count is the max-word-length knob, not a corpus property.
+  * iterations cost nothing at scale. The walk's round count is DERIVED
+  * from max(length(word)) over that table (each round consumes ≥ 1
+  * char, so maxWl rounds always finish every word — r18 advice: a
+  * hard-coded 8 was sufficient only because the longest fixture word is
+  * 8 chars, and a longer word would have been under-segmented
+  * IDENTICALLY to the 8-round oracle, passing parity while diverging
+  * from real WordPiece). The static oracle still unrolls exactly 8
+  * steps, so the suite pins maxWl == 8 on the fixture: a fixture drift
+  * past 8 now breaks the pin (and the hash) loudly instead of silently.
   *
   * Oracle: the same fit in SQL CTEs and the same 8 greedy steps unrolled,
   * each step's longest match a correlated scalar subquery against the
@@ -92,11 +98,16 @@ object WordPiece {
           .join(vocab, Seq("piece", "cls"))
           .groupBy(col("word"), col("pos"))
           .agg(max(col("len")).as("jl"))
-        // 8-round greedy walk over the distinct-word table
+        // greedy walk over the distinct-word table; rounds = the LONGEST
+        // word's length (1-row agg over the vocab-bounded table — the
+        // walk advances ≥ 1 char per round, so this always terminates
+        // every word regardless of corpus)
+        val maxWl = Option(dw.agg(max(length(col("word")))).head.get(0))
+          .map(_.asInstanceOf[Number].intValue).getOrElse(1)
         var g = dw
           .select(col("word"), expr("length(word)").as("wl"),
             lit(1).as("pos"), lit(0L).as("np"), lit(0L).as("dg"))
-        for (_ <- 1 to 8) {
+        for (_ <- 1 to maxWl) {
           g = g.join(jump, Seq("word", "pos"), "left")
             .select(col("word"), col("wl"),
               expr("IF(pos > wl, pos, pos + coalesce(jl, 1))").as("npos"),

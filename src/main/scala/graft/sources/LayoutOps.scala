@@ -56,18 +56,27 @@ object LayoutOps {
     s2.bitwiseOR(shiftleft(s2, 1)).bitwiseAND(lit(21845L))
   }
 
-  /** The 6 unrolled Hilbert levels as oracle CTE layers h1..h6 over h0. */
+  /** The 6 unrolled Hilbert levels as oracle CTE layers h1..h6 over h0.
+    * The rotated coordinates get DISTINCT names (nhx/nhy/nhd) inside each
+    * layer and are renamed back in an outer select (r18 advice: aliasing
+    * the new value back to hx while the same SELECT's other expressions
+    * reference hx relied on the engine resolving those to the FROM
+    * columns rather than the lateral aliases — true in DuckDB today, but
+    * an alias-shadowing edge no longer worth depending on).
+    */
   private def hilbertSqlLayers: String =
     Seq(32, 16, 8, 4, 2, 1).zipWithIndex.map { case (s0, i) =>
       s"""h${i + 1} AS (SELECT a, b, ma, mb, qa, qb,
+         |    nhx AS hx, nhy AS hy, nhd AS hd
+         |  FROM (SELECT a, b, ma, mb, qa, qb,
          |    CASE WHEN (hy & $s0) > 0 THEN hx
-         |      WHEN (hx & $s0) > 0 THEN 63 - hy ELSE hy END AS hx,
+         |      WHEN (hx & $s0) > 0 THEN 63 - hy ELSE hy END AS nhx,
          |    CASE WHEN (hy & $s0) > 0 THEN hy
-         |      WHEN (hx & $s0) > 0 THEN 63 - hx ELSE hx END AS hy,
+         |      WHEN (hx & $s0) > 0 THEN 63 - hx ELSE hx END AS nhy,
          |    hd + ${s0 * s0} * xor(
          |      3 * (CASE WHEN (hx & $s0) > 0 THEN 1 ELSE 0 END),
-         |      CASE WHEN (hy & $s0) > 0 THEN 1 ELSE 0 END) AS hd
-         |  FROM h$i)""".stripMargin
+         |      CASE WHEN (hy & $s0) > 0 THEN 1 ELSE 0 END) AS nhd
+         |  FROM h$i))""".stripMargin
     }.mkString(",\n")
 
   val entries: Seq[Entry] = Seq(

@@ -35,8 +35,9 @@ class ContainersSuite extends SparkTestBase {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8).length.toLong)
     assert(ms.forall(_._3), "both members verify on a clean doc")
     // the planted % 43 corruption: OUR parser flags exactly member 1, and
-    // the JDK's CRC-checking stream REJECTS the stream
-    val bad = Multimodal.TarIn(0L, "s", "hello graft", 11L)
+    // the JDK's CRC-checking stream REJECTS the stream (doc 43: CRC lane
+    // only — doc 0 now also carries the % 59 truncation lane)
+    val bad = Multimodal.TarIn(43L, "s", "hello graft", 11L)
     val bms = Containers.parseGzipMembers(Containers.gzipFullBytes(bad)).get
     assert(!bms(0)._3 && bms(1)._3, "exactly the corrupted member flagged")
     val bgis = new java.util.zip.GZIPInputStream(
@@ -45,6 +46,14 @@ class ContainersSuite extends SparkTestBase {
       try { bgis.readAllBytes(); false }
       catch { case _: java.util.zip.ZipException => true },
       "GZIPInputStream must reject the falsified CRC")
+    // the planted % 59 truncation: a STRUCTURAL failure the walk refuses
+    // (doc 0 carries both lanes — parse failure wins)
+    assert(Containers.parseGzipMembers(Containers.gzipFullBytes(
+      Multimodal.TarIn(59L, "s", "hello graft", 11L))).isEmpty,
+      "truncated-trailer lane must fail structurally")
+    assert(Containers.parseGzipMembers(Containers.gzipFullBytes(
+      Multimodal.TarIn(0L, "s", "hello graft", 11L))).isEmpty,
+      "doc 0 carries the truncation lane too")
     // malformation battery
     val good = Containers.gzipFullBytes(Multimodal.TarIn(1L, "s", "x", 1L))
     assert(Containers.parseGzipMembers(good.dropRight(3)).isEmpty,
@@ -67,16 +76,19 @@ class ContainersSuite extends SparkTestBase {
     assert(out.length == bySrc.size)
     out.foreach { r =>
       val rows = bySrc(r.getString(0))
+      val parsed = rows.filter(_._2 % 59 != 0)
       assert(r.getLong(1) == rows.length.toLong, "n_shards")
-      assert(r.getLong(2) == 2L * rows.length, "n_members")
-      assert(r.getLong(3) == rows.count(_._2 % 43 == 0).toLong, "n_crc_bad")
-      val payload = rows.map { case (_, id, txt, nc) =>
+      assert(r.getLong(2) == 2L * parsed.length, "n_members")
+      assert(r.getLong(3) == parsed.count(_._2 % 43 == 0).toLong, "n_crc_bad")
+      val payload = parsed.map { case (_, id, txt, nc) =>
         val sz1 = txt.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           .length.toLong
         val sz2 = s"""{"doc_id":$id,"n_chars":$nc}""".length.toLong
         (if (id % 43 == 0) 0L else sz1) + sz2
       }.sum
       assert(r.getLong(4) == payload, "verified payload bytes")
+      assert(r.getLong(6) == rows.count(_._2 % 59 == 0).toLong,
+        "n_parse_fail counts exactly the truncation lane")
     }
   }
 
@@ -183,6 +195,13 @@ class ContainersSuite extends SparkTestBase {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), col("doc_id"), col("text")).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // ASCII PIN (r18 advice): utf8StreamBytes encodes text with US_ASCII
+    // and the oracle counts valid_cp as strlen(text)+1 (UTF-8 BYTES) —
+    // both correct only while the fixture text is pure ASCII. Non-ASCII
+    // text would be mangled to '?' by getBytes(US_ASCII) AND diverge from
+    // the oracle; pin the assumption so fixture drift breaks here.
+    assert(docs.forall(_._3.forall(_ < 0x80)),
+      "q325's synthesis and oracle both assume pure-ASCII fixture text")
     val bySrc = docs.groupBy(_._1)
     assert(out.length == bySrc.size)
     out.foreach { r =>

@@ -231,6 +231,17 @@ class IntegritySuite extends SparkTestBase {
   }
 
   test("q323 Merkle commitment: JVM replay, inclusion proof, tamper evidence") {
+    // SCALE PIN (r18 verdict #2): the only collect_list aggregations left
+    // in the plan are the bounded ≤16-children internal levels (l2, l1,
+    // root = exactly 3); the corpus-proportional LEAF level must be the
+    // streaming mapPartitions fold over a (source, prefix) exchange — no
+    // aggregation buffer in the plan grows with n_docs.
+    val plan = Registry.byName("q323_merkle_commitment").q(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert("collect_list".r.findAllIn(plan).size == 3,
+      "leaf level must not be a collect_list aggregation")
+    assert(plan.contains("MapPartitions"),
+      "leaf fold must be the streaming mapPartitions form")
     val out = Registry.byName("q323_merkle_commitment").q(spark, sf)
       .collect().map(r => r.getString(0) -> r).toMap
     val docs = Tables.documents(spark, sf)

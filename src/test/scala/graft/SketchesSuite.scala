@@ -17,6 +17,14 @@ class SketchesSuite extends SparkTestBase {
       .map(b => f"${b & 0xff}%02x").mkString
 
   test("q318 HLL: registers, collapse, and estimate replay bit-exactly") {
+    // SCALE PIN (r18 verdict #4): the per-row register feed must be
+    // recomputed per consumer, never checkpointed — a localCheckpoint
+    // there materializes a corpus-sized intermediate (LogicalRDD) to
+    // executor-local disk to save a stateless codegen'd projection.
+    val plan = Registry.byName("q318_hll_distinct").q(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("LogicalRDD"),
+      "q318 plan must not checkpoint the per-row feed")
     val r = Registry.byName("q318_hll_distinct").q(spark, sf).collect().head
     val keys = Tables.lineitem(spark, sf)
       .select(expr("CAST(l_orderkey * 10 + l_linenumber AS STRING)"))

@@ -16,6 +16,16 @@ class WordPieceSuite extends SparkTestBase {
     val docs = Tables.documents(spark, sf)
       .select("source", "text").collect()
       .map(r => (r.getString(0), r.getString(1)))
+    // ORACLE-BOUND PIN (r18 advice): the Spark side now derives its walk
+    // round count from max(length(word)), but the static DuckDB oracle
+    // unrolls exactly 8 steps and the vocab-candidate piece length caps
+    // at 8 — both are sufficient only while the longest fixture word is
+    // ≤ 8 chars. Pin that bound so fixture drift breaks HERE, loudly.
+    val maxWl = docs.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .map(_.length).max
+    assert(maxWl == 8,
+      s"fixture max word length changed ($maxWl): re-derive the oracle's " +
+        "unrolled step count and the candidate piece-length cap")
     // fit replay
     val wcs = scala.collection.mutable.Map
       .empty[(String, String), Long].withDefaultValue(0L)
