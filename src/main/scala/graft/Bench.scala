@@ -499,7 +499,9 @@ object Bench {
     "q325_utf8_audit",
     "q326_int8_quant_audit",
     "q327_wordpiece_encode",
-    "q328_ulaw_codec")
+    "q328_ulaw_codec",
+    // round-19 cohort, standing from birth
+    "q329_jpeg_full_decode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2283,4 +2283,404 @@ object Multimodal {
         case None => JpegDc(m.doc_id, -1L, -1L, -1L, -1L)
       }
     })
+
+  // ---------------------------------------------------------------- q329
+  // FULL JPEG baseline decode — the r18 verdict's #1 missing family
+  // member: q312 stops at DC coefficients; this adds the AC run/size
+  // entropy layer, the zigzag scan, per-coefficient dequantization, and
+  // the 8×8 inverse DCT, down to clamped pixels. JPEG is the most common
+  // image format in crawl data, and pixel-level decode is what a
+  // dedup/quality pipeline actually consumes.
+
+  final case class JpegPix(doc_id: Long, source: String, ok: Long,
+      pix_bytes: Long, digest: Long)
+
+  /** T.81 figure A.6 zigzag: scan index k → natural index (row*8+col). */
+  private[graft] val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Fixed-point IDCT basis: T(k)(u) = round(2048 · C(u) ·
+    * cos((2k+1)·u·π/16)), C(0) = 1/√2 else 1. The double sum
+    * Σ F'(r,c)·T(y)(r)·T(x)(c) carries scale 2048²·4 = 2^24 (the 1/4 of
+    * the IDCT folds into the C-normalized table pair), so one
+    * bias-and-shift recovers the pixel: 128 + ((Σ + 2^23) >> 24). The
+    * ORACLE embeds the very same integers (generated from this array —
+    * the Integrity.foldMod one-generator posture), so Spark and DuckDB
+    * round identically by construction; conformance against a FOREIGN
+    * decoder (javax.imageio) is suite-pinned at the T.83-style ±1
+    * tolerance lossy codecs allow.
+    */
+  private[graft] val JpegIdctT: Array[Array[Long]] =
+    Array.tabulate(8, 8)((k, u) =>
+      math.round(2048.0 * (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0) *
+        math.cos((2 * k + 1) * u * math.Pi / 16.0)))
+
+  /** Planted natural-order quant table: q(r,c) = 8 + (3r + 5c) % 9. */
+  private def jpegQOf(n: Int): Int = (8 + (3 * (n / 8) + 5 * (n % 8)) % 9)
+
+  /** Planted AC coefficients at zigzag 1 / 6 / 20 — three nonzero runs
+    * (0, 4, and 13 preceding zeros) so the run/size grammar is exercised
+    * for real, values in ±[1..7] (≤ 3 magnitude bits).
+    */
+  private def jpegAc1Of(id: Long, b: Int): Int = {
+    val m = (1L + (id + 2L * b) % 7L).toInt
+    if ((id + b) % 2L == 0L) m else -m
+  }
+  private def jpegAc2Of(id: Long, b: Int): Int = {
+    val m = (1L + (id * 3L + b) % 7L).toInt
+    if ((id + b) % 3L == 0L) m else -m
+  }
+  private def jpegAc3Of(id: Long, b: Int): Int = {
+    val m = (1L + (id + 5L * b) % 5L).toInt
+    if (b % 2 == 0) m else -m
+  }
+
+  /** AC Huffman table declared in the DHT: EOB + the nine (run, size)
+    * symbols the planted coefficients need, all at code length 4 (10 of
+    * the 16 length-4 codes — the all-ones code stays unused, the T.81
+    * canonical-table requirement).
+    */
+  private val JpegFullAcBits: Array[Int] =
+    Array(0, 0, 0, 10, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegFullAcVals: Array[Int] =
+    Array(0x00, 0x01, 0x02, 0x03, 0x41, 0x42, 0x43, 0xd1, 0xd2, 0xd3)
+
+  /** Complete baseline grayscale JFIF with DC + three planted ACs per
+    * block, non-flat zigzag-stored quant table. doc_id % 61 gets the tail
+    * TRUNCATED (EOI + final scan bytes) — the structural honest-negative
+    * lane; the unstuffer can never find EOI, so decode refuses.
+    */
+  private[graft] def jpegFullBytes(id: Long): Array[Byte] = {
+    val bw = (1 + id % 4).toInt; val bh = (1 + id % 3).toInt
+    val w = 8 * bw; val h = 8 * bh
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b16(0xFFD8)
+    b16(0xFFE0); b16(16)
+    "JFIF".foreach(c => b8(c)); b8(0); b8(1); b8(1); b8(0)
+    b16(1); b16(1); b8(0); b8(0)
+    b16(0xFFDB); b16(67); b8(0x00) // DQT in ZIGZAG order (T.81 B.2.4.1)
+    for (k <- 0 until 64) b8(jpegQOf(JpegZigzag(k)))
+    b16(0xFFC0); b16(11); b8(8); b16(h); b16(w); b8(1)
+    b8(1); b8(0x11); b8(0)
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegDcVals.length); b8(0x00)
+    JpegDcBits.foreach(b8); JpegDcVals.foreach(b8)
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegFullAcVals.length); b8(0x10)
+    JpegFullAcBits.foreach(b8); JpegFullAcVals.foreach(b8)
+    b16(0xFFDA); b16(8); b8(1); b8(1); b8(0x00)
+    b8(0); b8(63); b8(0)
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegFullAcBits, JpegFullAcVals)
+    var acc = 0L; var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        b8(byte); if (byte == 0xff) b8(0x00)
+        nb -= 8
+      }
+    }
+    def size(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putMag(v: Int, sz: Int): Unit =
+      putBits(if (v > 0) v else v + (1 << sz) - 1, sz)
+    var pred = 0
+    for (b <- 0 until bw * bh) {
+      val dc = jpegDcOf(id, b)
+      val diff = dc - pred; pred = dc
+      val cat = size(diff)
+      val (hc, hl) = dcCodes(cat)
+      putBits(hc, hl)
+      if (cat > 0) putMag(diff, cat)
+      for ((run, v) <- Seq((0, jpegAc1Of(id, b)), (4, jpegAc2Of(id, b)),
+        (13, jpegAc3Of(id, b)))) {
+        val sz = size(v)
+        val (ac, al) = acCodes((run << 4) | sz)
+        putBits(ac, al); putMag(v, sz)
+      }
+      val (ec, el) = acCodes(0x00)
+      putBits(ec, el)
+    }
+    if (nb > 0) { val pad = 8 - nb; putBits((1 << pad) - 1, pad) }
+    b16(0xFFD9)
+    val bytes = out.toByteArray
+    if (id % 61L == 0L) bytes.dropRight(6) else bytes
+  }
+
+  /** Full baseline decode: marker walk, zigzag DQT, canonical Huffman
+    * (DC category + AC run/size with ZRL and mid-block EOB), per-block
+    * dequant + fixed-point IDCT + level shift + clamp. Returns (width,
+    * height, pixels in block-scan order: block row-major, then y, x);
+    * None on ANY malformation.
+    */
+  private[graft] def parseJpegFull(
+      b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    var w = -1; var h = -1
+    var qnat: Array[Int] = null
+    var dcTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
+    var acTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
+    def buildTab(bits: Array[Int], vals: Array[Int]) = {
+      val minC = new Array[Int](17); val maxC = new Array[Int](17)
+      val valP = new Array[Int](17)
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valP(len) = k
+        minC(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxC(len) = code - 1
+        code <<= 1
+      }
+      (minC, maxC, valP, vals)
+    }
+    var scan: Array[Byte] = null
+    while (scan == null) {
+      if (i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (i + 2 + len > b.length) return None
+      m match {
+        case 0xdb =>
+          if (len != 67 || (b(i + 4) & 0xff) != 0x00) return None
+          qnat = new Array[Int](64)
+          for (k <- 0 until 64) qnat(JpegZigzag(k)) = b(i + 5 + k) & 0xff
+          if (qnat.exists(_ < 1)) return None
+        case 0xc0 =>
+          if (len != 11 || (b(i + 4) & 0xff) != 8) return None
+          h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          if ((b(i + 9) & 0xff) != 1) return None
+          if ((b(i + 11) & 0xff) != 0x11) return None
+        case 0xc4 =>
+          var j = i + 4
+          while (j < i + 2 + len) {
+            val tcth = b(j) & 0xff
+            val bits = Array.tabulate(16)(t => b(j + 1 + t) & 0xff)
+            val n = bits.sum
+            if (j + 17 + n > i + 2 + len) return None
+            val vals = Array.tabulate(n)(t => b(j + 17 + t) & 0xff)
+            val tab = buildTab(bits, vals)
+            if (tcth == 0x00) dcTab = tab
+            else if (tcth == 0x10) acTab = tab
+            else return None
+            j += 17 + n
+          }
+        case 0xda =>
+          if (len != 8 || (b(i + 4) & 0xff) != 1) return None
+          if ((b(i + 6) & 0xff) != 0x00) return None
+          val buf = new java.io.ByteArrayOutputStream()
+          var k = i + 2 + len
+          var done = false
+          while (!done) {
+            if (k >= b.length) return None
+            val c = b(k) & 0xff
+            if (c == 0xff) {
+              if (k + 1 >= b.length) return None
+              val nxt = b(k + 1) & 0xff
+              if (nxt == 0x00) { buf.write(0xff); k += 2 }
+              else if (nxt == 0xd9) done = true
+              else return None
+            } else { buf.write(c); k += 1 }
+          }
+          scan = buf.toByteArray
+        case mm if mm >= 0xe0 && mm <= 0xef =>
+        case 0xfe =>
+        case _ => return None
+      }
+      if (scan == null) i += 2 + len
+    }
+    if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+    if (qnat == null || dcTab == null || acTab == null) return None
+    val nBlocks = (w / 8) * (h / 8)
+    var pos = 0
+    def readBit(): Int = {
+      if (pos >= scan.length * 8) return -1
+      val bit = (scan(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      bit
+    }
+    def decode(tab: (Array[Int], Array[Int], Array[Int], Array[Int])): Int = {
+      val (minC, maxC, valP, vals) = tab
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        val bit = readBit(); if (bit < 0) return -1
+        code = (code << 1) | bit
+        len += 1
+        if (maxC(len) >= minC(len) && code >= minC(len) && code <= maxC(len))
+          return vals(valP(len) + code - minC(len))
+      }
+      -1
+    }
+    def extend(v: Int, cat: Int): Int =
+      if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+    def readMag(cat: Int): Option[Int] = {
+      var v = 0
+      var t = 0
+      while (t < cat) {
+        val bit = readBit(); if (bit < 0) return None
+        v = (v << 1) | bit; t += 1
+      }
+      Some(extend(v, cat))
+    }
+    val pixels = new Array[Int](nBlocks * 64)
+    val coef = new Array[Int](64)
+    var pred = 0
+    var blk = 0
+    while (blk < nBlocks) {
+      java.util.Arrays.fill(coef, 0)
+      val cat = decode(dcTab)
+      if (cat < 0 || cat > 11) return None
+      val diff = if (cat == 0) 0 else readMag(cat).getOrElse(return None)
+      pred += diff
+      coef(0) = pred * qnat(0)
+      var k = 1
+      var eob = false
+      while (k <= 63 && !eob) {
+        val sym = decode(acTab)
+        if (sym < 0) return None
+        if (sym == 0x00) eob = true
+        else {
+          val r = sym >> 4; val sz = sym & 15
+          if (sz == 0) { if (r == 15) k += 16 else return None }
+          else {
+            k += r
+            if (k > 63) return None
+            val n = JpegZigzag(k)
+            coef(n) = readMag(sz).getOrElse(return None) * qnat(n)
+            k += 1
+          }
+        }
+      }
+      // sparse fixed-point IDCT over the nonzero coefficients
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var pre = 0L
+          var n = 0
+          while (n < 64) {
+            if (coef(n) != 0)
+              pre += coef(n) * JpegIdctT(y)(n / 8) * JpegIdctT(x)(n % 8)
+            n += 1
+          }
+          val pix = 128 + ((pre + (1L << 23)) >> 24)
+          pixels(blk * 64 + y * 8 + x) =
+            math.min(255L, math.max(0L, pix)).toInt
+          x += 1
+        }
+        y += 1
+      }
+      blk += 1
+    }
+    Some((w, h, pixels))
+  }
+
+  def jpegFullPartition(rows: Iterator[(Long, String)]): Iterator[JpegPix] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { case (id, src) =>
+      parseJpegFull(jpegFullBytes(id)) match {
+        case Some((w, h, px)) =>
+          var dg = 0L
+          var i = 0
+          while (i < px.length) {
+            dg = (dg * 131L + px(i)) % TarDigestP
+            i += 1
+          }
+          JpegPix(id, src, 1L, w.toLong * h, dg)
+        case None => JpegPix(id, src, 0L, 0L, 0L)
+      }
+    })
+
+  /** Oracle: pixels in closed form from the planted coefficients, through
+    * the SAME integer IDCT (the basis columns below are GENERATED from
+    * [[JpegIdctT]], so both engines round identically): per pixel,
+    * pre = Σ over the four planted (r,c) positions of
+    * coef·q·T(y)(r)·T(x)(c), pixel = clamp(128 + floor((pre+2^23)/2^24)).
+    * T(k)(0) = 1448 for every k, so the DC/row factors collapse to a
+    * constant. Division by 2^24 is exact in doubles (pre < 2^53), so
+    * floor() is bit-exact against the Scala arithmetic shift.
+    */
+  private[graft] val JpegFullOracle: String = {
+    val t00 = JpegIdctT(0)(0) // constant column u=0
+    def column(u: Int): String =
+      (0 until 8).map(k => JpegIdctT(k)(u)).mkString("[", ", ", "]")
+    val (t1, t3, t5) = (column(1), column(3), column(5))
+    val dc2 = t00 * t00
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT) AS nb,
+       |    doc_id % 61 = 0 AS bad
+       |  FROM documents),
+       |d AS (SELECT source, bad,
+       |    CASE WHEN bad THEN 0 ELSE nb * 64 END AS pix,
+       |    CASE WHEN bad THEN 0 ELSE
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(0, nb * 64), i ->
+       |          least(255, greatest(0, 128 + CAST(floor((
+       |            ((doc_id * 7 + (i // 64) * 13) % 200 - 100) * 8 * $dc2
+       |            + (CASE WHEN (doc_id + (i // 64)) % 2 = 0
+       |                THEN 1 ELSE -1 END)
+       |              * (1 + (doc_id + 2 * (i // 64)) % 7) * 13
+       |              * $t00 * ($t1)[(i % 8) + 1]
+       |            + (CASE WHEN (doc_id + (i // 64)) % 3 = 0
+       |                THEN 1 ELSE -1 END)
+       |              * (1 + (doc_id * 3 + (i // 64)) % 7) * 14
+       |              * $t00 * ($t3)[(i % 8) + 1]
+       |            + (CASE WHEN (i // 64) % 2 = 0 THEN 1 ELSE -1 END)
+       |              * (1 + (doc_id + 5 * (i // 64)) % 5) * 14
+       |              * $t00 * ($t5)[((i % 64) // 8) + 1]
+       |            + 8388608) / 16777216.0) AS BIGINT))))),
+       |        (a, v) -> (a * 131 + v) % $TarDigestP) END AS dg
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       |  CAST(sum(pix) AS BIGINT) AS pix_bytes,
+       |  CAST(sum(dg) % $TarDigestP AS BIGINT) AS pix_digest
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  val entries4: Seq[Entry] = Seq(
+
+    // q329: FULL JPEG BASELINE DECODE — q312's entropy decoder completed
+    // down to pixels: AC run/size symbols (three planted runs per block:
+    // 0, 4, and 13 preceding zeros), zigzag coefficient placement, a
+    // non-flat zigzag-stored quant table, and the 8×8 fixed-point inverse
+    // DCT with level shift + clamp. The digest folds every reconstructed
+    // PIXEL (block-scan order), so a Huffman, zigzag, dequant, or IDCT
+    // bug anywhere surfaces; the oracle rebuilds the pixels from the
+    // planted closed form through the SAME generated integer basis.
+    // doc_id % 61 = truncated tail (structural honest-negative lane).
+    // Conformance is not self-referential: the suite decodes the same
+    // bytes with javax.imageio and pins per-pixel agreement at the ±1
+    // tolerance the IDCT-accuracy spec (T.83 class) allows lossy codecs.
+    // Same typed batched mapPartitions shape and scale story as
+    // q298/q303/q312: map-only synthesis+decode, pixels reduced to a
+    // digest before the one per-source partial-agged exchange.
+    Entry(
+      "q329_jpeg_full_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).as[(Long, String)]
+          .mapPartitions(jpegFullPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(expr("1L - ok")).as("n_bad"),
+            sum(col("pix_bytes")).as("pix_bytes"),
+            pmod(sum(col("digest")), lit(TarDigestP)).as("pix_digest"))
+          .orderBy(col("source"))
+      },
+      Some(JpegFullOracle))
+  )
 }

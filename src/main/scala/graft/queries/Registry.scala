@@ -29,6 +29,7 @@ object Registry {
       Multimodal.entries ++
       Multimodal.entries2 ++
       Multimodal.entries3 ++
+      Multimodal.entries4 ++
       Sources.entries ++
       LayoutOps.entries ++
       CorpusOps.entries ++

@@ -411,4 +411,94 @@ class MultimodalSuite extends SparkTestBase {
       .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
     assert(scans == 1, s"q312 must be a single-scan map-only plan, got $scans")
   }
+
+  test("q329 JPEG full: ImageIO agrees within the lossy-codec tolerance; " +
+    "fixed-point IDCT tracks the exact cosine IDCT") {
+    for (id <- Seq(1L, 2L, 5L, 7L, 11L, 43L, 123L)) {
+      val bytes = Multimodal.jpegFullBytes(id)
+      val Some((w, h, px)) = Multimodal.parseJpegFull(bytes)
+      val bw = w / 8
+      assert(w == 8 * (1 + id % 4) && h == 8 * (1 + id % 3))
+      // conformance against a FOREIGN decoder: unlike the lossless
+      // formats (q298 PNG, q303 GIF) pixel equality is NOT required of
+      // two compliant JPEG decoders — the spec bounds IDCT accuracy
+      // (T.83 class), so the pin is per-pixel agreement within ±1
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must read the id=$id JPEG")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (b <- 0 until px.length / 64; y <- 0 until 8; x <- 0 until 8) {
+        val jdk = img.getRaster.getSample((b % bw) * 8 + x,
+          (b / bw) * 8 + y, 0)
+        val ours = px(b * 64 + y * 8 + x)
+        assert(math.abs(jdk - ours) <= 1,
+          s"id=$id block=$b px($x,$y): ImageIO $jdk vs ours $ours")
+      }
+      // accuracy: the 2048-scale integer basis must land within 1 of the
+      // EXACT double-precision IDCT of the planted dequantized
+      // coefficients — proving the fixed-point path is a real IDCT, not
+      // a self-consistent digest
+      def cf(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      for (b <- 0 until px.length / 64) {
+        // (natural row, col, dequantized value) of the planted coefs
+        val coefs = Seq(
+          (0, 0, (((id * 7 + b * 13) % 200) - 100).toDouble * 8),
+          (0, 1, {
+            val m = 1L + (id + 2L * b) % 7L
+            (if ((id + b) % 2L == 0L) m else -m).toDouble * 13
+          }),
+          (0, 3, {
+            val m = 1L + (id * 3L + b) % 7L
+            (if ((id + b) % 3L == 0L) m else -m).toDouble * 14
+          }),
+          (5, 0, {
+            val m = 1L + (id + 5L * b) % 5L
+            (if (b % 2 == 0) m else -m).toDouble * 14
+          }))
+        for (y <- 0 until 8; x <- 0 until 8) {
+          val exact = coefs.map { case (r, c, v) =>
+            0.25 * cf(r) * cf(c) * v *
+              math.cos((2 * y + 1) * r * math.Pi / 16.0) *
+              math.cos((2 * x + 1) * c * math.Pi / 16.0)
+          }.sum
+          val ideal = math.min(255.0, math.max(0.0, 128.0 + exact))
+          assert(math.abs(px(b * 64 + y * 8 + x) - ideal) <= 1.0,
+            s"id=$id block=$b px($x,$y): fixed-point vs exact IDCT")
+        }
+      }
+    }
+  }
+
+  test("q329 JPEG full: malformation battery, lane, and plan shape") {
+    // the % 61 truncation lane refuses to decode
+    assert(Multimodal.parseJpegFull(Multimodal.jpegFullBytes(0L)).isEmpty)
+    assert(Multimodal.parseJpegFull(Multimodal.jpegFullBytes(61L)).isEmpty)
+    val good = Multimodal.jpegFullBytes(7L)
+    assert(Multimodal.parseJpegFull(good.take(40)).isEmpty, "truncated")
+    val noSoi = good.clone(); noSoi(1) = 0x00
+    assert(Multimodal.parseJpegFull(noSoi).isEmpty, "bad SOI")
+    assert(Multimodal.parseJpegFull(good.dropRight(6)).isEmpty,
+      "truncated scan must reject, not mis-decode")
+    // a zeroed quant entry must be rejected (division-free check)
+    val badQ = good.clone()
+    badQ(2 + 18 + 5) = 0 // first DQT payload byte (after SOI+APP0+DQT hdr)
+    assert(Multimodal.parseJpegFull(badQ).isEmpty, "zero quant entry")
+    // registered query: per-source rollup, ok everywhere but the lane,
+    // map-only single scan before the one exchange
+    val df = queries.Registry.byName("q329_jpeg_full_decode").q(spark, sf)
+    val rows = df.collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val ds = bySrc(r.getString(0))
+      assert(r.getLong(1) == ds.length.toLong, "n_images")
+      assert(r.getLong(2) == ds.count(_._2 % 61 == 0).toLong, "n_bad")
+    }
+    val scans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 1, s"q329 must be a single-scan plan, got $scans")
+  }
 }
