@@ -501,7 +501,9 @@ object Bench {
     "q327_wordpiece_encode",
     "q328_ulaw_codec",
     // round-19 cohort, standing from birth
-    "q329_jpeg_full_decode")
+    "q329_jpeg_full_decode",
+    "q330_mp4_box_index",
+    "q331_tone_bin_energy")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

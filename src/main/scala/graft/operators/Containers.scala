@@ -630,8 +630,12 @@ object Containers {
     * the biased magnitude, SEG the leading-bit segment, CODE the mu-law
     * byte, SHAT the expanded estimate, ERR the reconstruction error.
     */
-  private[graft] val UlawOracle: String = {
-    val S = "((doc_id*31 + i*40503 + 7) % 65536 - 32768)"
+  /** (CODE, SHAT) closed forms for ANY integer sample expression S — one
+    * generator shared by the q328 codec audit and the q331 spectral
+    * probe (the Integrity.foldMod posture: both engines get the same
+    * fold, only the sample generator differs).
+    */
+  private def ulawSqlParts(S: String): (String, String) = {
     val X = s"(least(CASE WHEN $S < 0 THEN -$S ELSE $S END, 32635) + 132)"
     val SEG = s"(CASE WHEN $X >= 16384 THEN 7 WHEN $X >= 8192 THEN 6" +
       s" WHEN $X >= 4096 THEN 5 WHEN $X >= 2048 THEN 4 WHEN $X >= 1024" +
@@ -646,6 +650,14 @@ object Containers {
       " THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 WHEN 3 THEN 8 WHEN 4 THEN 16" +
       " WHEN 5 THEN 32 WHEN 6 THEN 64 ELSE 128 END) - 132)"
     val SHAT = s"(CASE WHEN $V >= 128 THEN -$MAG ELSE $MAG END)"
+    (CODE, SHAT)
+  }
+
+  private[graft] val UlawOracle: String = {
+    val S = "((doc_id*31 + i*40503 + 7) % 65536 - 32768)"
+    val (code, shat) = ulawSqlParts(S)
+    val CODE = code
+    val SHAT = shat
     val ERR = s"(CASE WHEN $S - $SHAT < 0 THEN $SHAT - $S" +
       s" ELSE $S - $SHAT END)"
     s"""WITH m AS (SELECT source, doc_id, 64 + doc_id % 64 AS n,
@@ -726,6 +738,312 @@ object Containers {
        |  CAST(sum(pix) AS BIGINT) AS pix_bytes,
        |  CAST(sum(dg) % $DigP AS BIGINT) AS pix_digest
        |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q330
+  // MP4 / ISO-BMFF (ISO 14496-12): the box-tree container video crawl
+  // data lands in — nested size+type boxes, full-box version/flags, and
+  // a sample-table INDEX (stsz sizes + stco chunk offsets) that addresses
+  // payload bytes in a separate mdat box by ABSOLUTE file offset. The
+  // content here is the recursive box walk plus the index/layout
+  // cross-check: recorded sizes and offsets must tile the mdat payload
+  // exactly, the property a remuxer or sample extractor depends on.
+
+  final case class Mp4Stats(doc_id: Long, source: String, ok: Long,
+      n_samples: Long, payload_bytes: Long, payload_digest: Long)
+
+  private def mp4SampleSize(id: Long, t: Int, j: Int): Int =
+    if (t == 1) (16L + (id * 7L + j * 13L) % 32L).toInt
+    else (8L + (id * 11L + j * 5L) % 24L).toInt
+  private def mp4Byte(id: Long, t: Int, j: Int, k: Int): Int =
+    ((id + t * 31L + j * 17L + k * 7L) % 251L).toInt
+
+  /** Complete two-track ISO-BMFF file for one doc: ftyp, moov with mvhd
+    * and two traks (vide + soun, each tkhd/mdia/mdhd/hdlr/minf/stbl with
+    * stsz + one-chunk stco), mdat carrying both tracks' samples
+    * back-to-back. The stco offsets are ABSOLUTE (computed after the moov
+    * is sized — the real two-pass muxer problem). doc_id % 67 gets track
+    * 1's LAST recorded stsz size inflated by one byte — the structure
+    * still parses; only the index-vs-layout cross-check catches it (the
+    * honest-negative lane).
+    */
+  private[graft] def mp4FullBytes(t: TarIn): Array[Byte] = {
+    val id = t.doc_id
+    val n1 = (3 + id % 5).toInt; val n2 = (2 + id % 4).toInt
+    val s1 = Array.tabulate(n1)(j => mp4SampleSize(id, 1, j))
+    val s2 = Array.tabulate(n2)(j => mp4SampleSize(id, 2, j))
+    val corrupt = id % 67L == 0L
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++
+        tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+    def fullBox(tp: String, ver: Int, flags: Int,
+        payload: Array[Byte]): Array[Byte] =
+      box(tp, be32(((ver.toLong << 24) | flags)) ++ payload)
+    val unity = // identity transform matrix, 16.16 / 2.30 fixed point
+      be32(0x00010000L) ++ be32(0L) ++ be32(0L) ++
+        be32(0L) ++ be32(0x00010000L) ++ be32(0L) ++
+        be32(0L) ++ be32(0L) ++ be32(0x40000000L)
+    val mvhd = fullBox("mvhd", 0, 0,
+      be32(0L) ++ be32(0L) ++ be32(1000L) ++ be32(0L) ++ // times/scale/dur
+        be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++ // rate, volume
+        be32(0L) ++ be32(0L) ++ unity ++ // reserved, matrix
+        Array.fill(24)(0.toByte) ++ be32(3L)) // pre_defined, next track
+    def trak(tid: Long, handler: String, sizes: Array[Int],
+        stcoOff: Long, inflateLast: Boolean): Array[Byte] = {
+      val tkhd = fullBox("tkhd", 0, 7,
+        be32(0L) ++ be32(0L) ++ be32(tid) ++ be32(0L) ++ be32(0L) ++
+          Array.fill(8)(0.toByte) ++ be16(0) ++ be16(0) ++ be16(0) ++
+          be16(0) ++ unity ++ be32(0L) ++ be32(0L))
+      val mdhd = fullBox("mdhd", 0, 0,
+        be32(0L) ++ be32(0L) ++ be32(8000L) ++ be32(0L) ++
+          be16(0x55c4) ++ be16(0)) // language "und", pre_defined
+      val hdlr = fullBox("hdlr", 0, 0,
+        be32(0L) ++
+          handler.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+          Array.fill(12)(0.toByte) ++ Array(0.toByte)) // name = ""
+      val stsz = fullBox("stsz", 0, 0,
+        be32(0L) ++ be32(sizes.length.toLong) ++
+          sizes.zipWithIndex.flatMap { case (s, i) =>
+            be32(if (inflateLast && i == sizes.length - 1) s + 1L else s.toLong)
+          })
+      val stco = fullBox("stco", 0, 0, be32(1L) ++ be32(stcoOff))
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++
+        box("minf", box("stbl", stsz ++ stco))))
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ be32(0x200L) ++ "isom".getBytes ++ "iso2".getBytes)
+    def moov(o1: Long, o2: Long): Array[Byte] = box("moov",
+      mvhd ++ trak(1L, "vide", s1, o1, corrupt) ++
+        trak(2L, "soun", s2, o2, inflateLast = false))
+    // two-pass: size the moov with placeholder offsets (stco is
+    // fixed-width), then write the real absolute offsets
+    val mdatPayloadStart = ftyp.length + moov(0L, 0L).length + 8L
+    val o1 = mdatPayloadStart
+    val o2 = mdatPayloadStart + s1.sum
+    val payload = new java.io.ByteArrayOutputStream()
+    for (j <- 0 until n1; k <- 0 until s1(j)) payload.write(mp4Byte(id, 1, j, k))
+    for (j <- 0 until n2; k <- 0 until s2(j)) payload.write(mp4Byte(id, 2, j, k))
+    ftyp ++ moov(o1, o2) ++ box("mdat", payload.toByteArray)
+  }
+
+  /** ISO-BMFF walk: top-level box scan (ftyp MUST lead — 14496-12 §4.3),
+    * recursive descent moov → trak → mdia → minf → stbl, hdlr handler
+    * type, stsz/stco full-box parse, then the INDEX CROSS-CHECK: the two
+    * tracks' (offset, Σsizes) regions must tile the mdat payload exactly
+    * — [o1, o1+Σs1) [o2, o2+Σs2) with o1 = mdat start, o1+Σs1 = o2,
+    * o2+Σs2 = mdat end. None on ANY structural malformation; Some with
+    * ok=0 (and no stats) when the structure parses but the index lies.
+    * Payload digest reads THROUGH the index (stco + recorded sizes), not
+    * the raw mdat — the access path a sample extractor uses.
+    */
+  private[graft] def parseMp4Index(
+      b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def tag(o: Int): String = new String(b, o, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    // walk one box level within [from, to); returns (type, payloadStart,
+    // payloadEnd) per box or None on malformation
+    def walk(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return None
+        val sz = u32(p)
+        if (sz < 8 || p + sz > to) return None // size 0/1 forms unsupported
+        out += ((tag(p + 4), p + 8, p + sz.toInt))
+        p += sz.toInt
+      }
+      Some(out.toSeq)
+    }
+    val top = walk(0, b.length).getOrElse(return None)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val moov = top.filter(_._1 == "moov") match {
+      case Seq(m) => m; case _ => return None
+    }
+    val mdat = top.filter(_._1 == "mdat") match {
+      case Seq(m) => m; case _ => return None
+    }
+    val traks = walk(moov._2, moov._3).getOrElse(return None)
+      .filter(_._1 == "trak")
+    if (traks.length != 2) return None
+    // (handler, stcoOffset, recorded sizes) per trak
+    val idx = traks.map { case (_, ts, te) =>
+      val mdia = walk(ts, te).getOrElse(return None)
+        .find(_._1 == "mdia").getOrElse(return None)
+      val inMdia = walk(mdia._2, mdia._3).getOrElse(return None)
+      val hdlr = inMdia.find(_._1 == "hdlr").getOrElse(return None)
+      if (hdlr._3 - hdlr._2 < 12) return None
+      val handler = tag(hdlr._2 + 8)
+      val minf = inMdia.find(_._1 == "minf").getOrElse(return None)
+      val stbl = walk(minf._2, minf._3).getOrElse(return None)
+        .find(_._1 == "stbl").getOrElse(return None)
+      val inStbl = walk(stbl._2, stbl._3).getOrElse(return None)
+      val stsz = inStbl.find(_._1 == "stsz").getOrElse(return None)
+      if (u32(stsz._2) != 0L || u32(stsz._2 + 4) != 0L) return None
+      val n = u32(stsz._2 + 8)
+      if (n < 0 || n > 10000 || stsz._2 + 12 + 4 * n > stsz._3) return None
+      val sizes = Array.tabulate(n.toInt)(j => u32(stsz._2 + 12 + 4 * j))
+      val stco = inStbl.find(_._1 == "stco").getOrElse(return None)
+      if (u32(stco._2) != 0L || u32(stco._2 + 4) != 1L) return None
+      (handler, u32(stco._2 + 8), sizes)
+    }
+    if (idx.map(_._1) != Seq("vide", "soun")) return None
+    val Seq((_, o1, s1), (_, o2, s2)) = idx
+    // the index/layout cross-check — the honest-negative lane's catch
+    val okIndex = o1 == mdat._2.toLong &&
+      o1 + s1.sum == o2 && o2 + s2.sum == mdat._3.toLong
+    if (!okIndex) return Some((0L, 0L, 0L, 0L))
+    var dg = 0L
+    var p = o1
+    for (s <- s1 ++ s2) {
+      var k = 0L
+      while (k < s) {
+        dg = (dg * 131L + (b((p + k).toInt) & 0xff)) % DigP
+        k += 1
+      }
+      p += s
+    }
+    Some((1L, (s1.length + s2.length).toLong, s1.sum + s2.sum, dg))
+  }
+
+  def mp4IndexPartition(rows: Iterator[TarIn]): Iterator[Mp4Stats] =
+    rows.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.map { t =>
+      parseMp4Index(mp4FullBytes(t)) match {
+        case Some((ok, n, pb, dg)) => Mp4Stats(t.doc_id, t.source, ok, n, pb, dg)
+        case None => Mp4Stats(t.doc_id, t.source, 0L, 0L, 0L, 0L)
+      }
+    })
+
+  private[graft] val Mp4Oracle: String =
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CAST(3 + doc_id % 5 AS BIGINT) AS n1,
+       |    CAST(2 + doc_id % 4 AS BIGINT) AS n2,
+       |    doc_id % 67 = 0 AS bad
+       |  FROM documents),
+       |x AS (SELECT source, doc_id, n1, n2, bad,
+       |    flatten(list_transform(range(0, n1), j ->
+       |      list_transform(range(0, 16 + (doc_id * 7 + j * 13) % 32),
+       |        k -> (doc_id + 31 + j * 17 + k * 7) % 251))) AS b1,
+       |    flatten(list_transform(range(0, n2), j ->
+       |      list_transform(range(0, 8 + (doc_id * 11 + j * 5) % 24),
+       |        k -> (doc_id + 62 + j * 17 + k * 7) % 251))) AS b2
+       |  FROM m),
+       |d AS (SELECT source, bad,
+       |    CASE WHEN bad THEN 0 ELSE n1 + n2 END AS ns,
+       |    CASE WHEN bad THEN 0 ELSE len(b1) + len(b2) END AS pb,
+       |    CASE WHEN bad THEN 0 ELSE
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_concat(b1, b2)),
+       |        (a, v) -> (a * 131 + v) % $DigP) END AS dg
+       |  FROM x)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bad_index,
+       |  CAST(sum(ns) AS BIGINT) AS n_samples,
+       |  CAST(sum(pb) AS BIGINT) AS payload_bytes,
+       |  CAST(sum(dg) % $DigP AS BIGINT) AS payload_digest
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- q331
+  // Spectral bin energy over the decoded mu-law PCM — the audio-quality
+  // probe a speech pipeline runs before training (q328 proves the codec;
+  // this consumes its output). Frames of 8 samples through the three
+  // INTEGER-EXACT bins of the 8-point DFT (k = 0, 2, 4, whose basis
+  // vectors are {0, ±1}-valued — a Goertzel at these bins needs no
+  // irrational coefficient), so Spark and DuckDB agree bit-for-bit with
+  // no float rule needed.
+
+  final case class ToneStats(doc_id: Long, source: String, recovered: Long,
+      e0: Long, e2: Long, e4: Long)
+
+  /** Planted test signal: a pure tone in bin 2·(doc_id % 3) of the
+    * 8-point DFT at amplitude 8000 + (doc_id % 7)·1000, plus a small
+    * deterministic dither (±4) so the off-bin energies are genuinely
+    * nonzero and the recovery below is a real argmax, not 0-vs-positive.
+    */
+  private[graft] def toneOf(id: Long, i: Int): Int = {
+    val amp = (8000L + (id % 7L) * 1000L).toInt
+    val tb = (2L * (id % 3L)).toInt
+    val base = tb match {
+      case 0 => amp
+      case 2 => (i % 4) match { case 0 => amp; case 2 => -amp; case _ => 0 }
+      case _ => if (i % 2 == 0) amp else -amp
+    }
+    base + (((id + i * 7L) % 9L) - 4L).toInt
+  }
+
+  def toneProbePartition(rows: Iterator[TarIn]): Iterator[ToneStats] =
+    rows.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.map { t =>
+      val id = t.doc_id
+      val n = (64L + 8L * (id % 8L)).toInt
+      // THROUGH the real codec: companding loss included in the energies
+      val xs = Array.tabulate(n)(i => ulawDecode(ulawEncode(toneOf(id, i))))
+      var (e0, e2, e4) = (0L, 0L, 0L)
+      var m = 0
+      while (m < n / 8) {
+        val o = 8 * m
+        val sum = (0 until 8).map(k => xs(o + k).toLong).sum
+        val re2 = xs(o).toLong - xs(o + 2) + xs(o + 4) - xs(o + 6)
+        val im2 = -xs(o + 1).toLong + xs(o + 3) - xs(o + 5) + xs(o + 7)
+        val alt = (0 until 8).map(k =>
+          (if (k % 2 == 0) 1L else -1L) * xs(o + k)).sum
+        e0 += sum * sum
+        e2 += re2 * re2 + im2 * im2
+        e4 += alt * alt
+        m += 1
+      }
+      val tb = 2L * (id % 3L)
+      val recovered =
+        if (tb == 0L) e0 >= e2 && e0 >= e4
+        else if (tb == 2L) e2 >= e0 && e2 >= e4
+        else e4 >= e0 && e4 >= e2
+      ToneStats(id, t.source, if (recovered) 1L else 0L, e0, e2, e4)
+    })
+
+  private[graft] val ToneOracle: String = {
+    val tone = "(CASE 2 * (doc_id % 3) WHEN 0 THEN 8000 + (doc_id % 7) * 1000" +
+      " WHEN 2 THEN (8000 + (doc_id % 7) * 1000) * (CASE i % 4 WHEN 0 THEN 1" +
+      " WHEN 2 THEN -1 ELSE 0 END)" +
+      " ELSE (8000 + (doc_id % 7) * 1000) * (1 - 2 * (i % 2)) END" +
+      " + (doc_id + i * 7) % 9 - 4)"
+    val (_, shat) = ulawSqlParts(tone)
+    def xi(k: Int): String = s"xs[8 * m + ${k + 1}]"
+    val sum = (0 until 8).map(xi).mkString("(", " + ", ")")
+    val re2 = s"(${xi(0)} - ${xi(2)} + ${xi(4)} - ${xi(6)})"
+    val im2 = s"(-${xi(1)} + ${xi(3)} - ${xi(5)} + ${xi(7)})"
+    val alt = (0 until 8).map(k =>
+      (if (k % 2 == 0) "+ " else "- ") + xi(k)).mkString("(", " ", ")")
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CAST(64 + 8 * (doc_id % 8) AS BIGINT) AS n,
+       |    CAST(2 * (doc_id % 3) AS BIGINT) AS tb
+       |  FROM documents),
+       |x AS (SELECT source, doc_id, n, tb,
+       |    list_transform(range(0, n), i -> CAST($shat AS BIGINT)) AS xs
+       |  FROM m),
+       |e AS (SELECT source, tb,
+       |    CAST(list_sum(list_transform(range(0, n // 8), m ->
+       |      $sum * $sum)) AS BIGINT) AS e0,
+       |    CAST(list_sum(list_transform(range(0, n // 8), m ->
+       |      $re2 * $re2 + $im2 * $im2)) AS BIGINT) AS e2,
+       |    CAST(list_sum(list_transform(range(0, n // 8), m ->
+       |      $alt * $alt)) AS BIGINT) AS e4
+       |  FROM x)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_clips,
+       |  CAST(sum(CASE WHEN (tb = 0 AND e0 >= e2 AND e0 >= e4)
+       |    OR (tb = 2 AND e2 >= e0 AND e2 >= e4)
+       |    OR (tb = 4 AND e4 >= e0 AND e4 >= e2)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+       |  CAST(sum(e0) AS BIGINT) AS e0_sum,
+       |  CAST(sum(e2) AS BIGINT) AS e2_sum,
+       |  CAST(sum(e4) AS BIGINT) AS e4_sum
+       |FROM e GROUP BY source ORDER BY source""".stripMargin
+  }
 
   val entries: Seq[Entry] = Seq(
 
@@ -860,6 +1178,62 @@ object Containers {
             max(col("max_abs_err")).as("max_abs_err"))
           .orderBy(col("source"))
       },
-      Some(UlawOracle))
+      Some(UlawOracle)),
+
+    // q330: MP4 / ISO-BMFF SAMPLE-TABLE INDEX — the q308/q315 container
+    // pattern applied to the video class: per doc a real two-track box
+    // tree (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsz/stco/
+    // mdat, absolute offsets written by the genuine two-pass muxer), the
+    // recursive walk back, and the index-vs-layout cross-check the
+    // doc_id % 67 inflated-stsz lane falsifies. Payload digested THROUGH
+    // the index (stco + recorded sizes), never by scanning mdat raw.
+    // Map-only until the per-source rollup exchange.
+    Entry(
+      "q330_mp4_box_index",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(mp4IndexPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(expr("1L - ok")).as("n_bad_index"),
+            sum(col("n_samples")).as("n_samples"),
+            sum(col("payload_bytes")).as("payload_bytes"),
+            pmod(sum(col("payload_digest")), lit(DigP)).as("payload_digest"))
+          .orderBy(col("source"))
+      },
+      Some(Mp4Oracle)),
+
+    // q331: SPECTRAL BIN ENERGY over decoded mu-law audio — planted-tone
+    // recovery through the REAL codec (q328's encode+expand), framed
+    // 8-sample integer-exact DFT bins 0/2/4, per-clip argmax recovery and
+    // per-source energy sums. The oracle regenerates the decoded samples
+    // through the SAME generated CODE/SHAT closed form (ulawSqlParts),
+    // then the same {0,±1}-basis energies — bit-exact, no float rule.
+    Entry(
+      "q331_tone_bin_energy",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(toneProbePartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_clips"),
+            sum(col("recovered")).as("n_recovered"),
+            sum(col("e0")).as("e0_sum"),
+            sum(col("e2")).as("e2_sum"),
+            sum(col("e4")).as("e4_sum"))
+          .orderBy(col("source"))
+      },
+      Some(ToneOracle))
   )
 }

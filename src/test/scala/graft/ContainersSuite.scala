@@ -306,4 +306,113 @@ class ContainersSuite extends SparkTestBase {
       }.sum)
     }
   }
+
+  test("q330 mp4: index walk replays the synthesis; inflated-stsz lane " +
+    "caught; malformation battery") {
+    val P = 2147483647L
+    // clean doc: the walk's index-driven read reproduces the closed form
+    val t = Multimodal.TarIn(5L, "s", "x", 1L)
+    val Some((ok, ns, pb, dg)) = Containers.parseMp4Index(
+      Containers.mp4FullBytes(t))
+    val n1 = (3 + 5 % 5); val n2 = (2 + 5 % 4)
+    assert(ok == 1L && ns == (n1 + n2).toLong)
+    var (expPb, expDg) = (0L, 0L)
+    for (tr <- 1 to 2; j <- 0 until (if (tr == 1) n1 else n2)) {
+      val sz = if (tr == 1) 16 + (5 * 7 + j * 13) % 32
+      else 8 + (5 * 11 + j * 5) % 24
+      expPb += sz
+      for (k <- 0 until sz)
+        expDg = (expDg * 131L + (5L + tr * 31 + j * 17 + k * 7) % 251L) % P
+    }
+    assert(pb == expPb && dg == expDg, "index-driven payload replay")
+    // the % 67 lane: structure PARSES, only the layout cross-check fails
+    val bad = Containers.parseMp4Index(
+      Containers.mp4FullBytes(Multimodal.TarIn(67L, "s", "x", 1L)))
+    assert(bad.contains((0L, 0L, 0L, 0L)),
+      "inflated stsz must fail the index cross-check, not the parse")
+    // malformation battery
+    val good = Containers.mp4FullBytes(t)
+    assert(Containers.parseMp4Index(good.drop(24)).isEmpty,
+      "ftyp must lead")
+    assert(Containers.parseMp4Index(good.dropRight(3)).isEmpty,
+      "truncated mdat (top-level size overruns)")
+    val badSz = good.clone(); badSz(3) = 5 // ftyp size < 8
+    assert(Containers.parseMp4Index(badSz).isEmpty, "undersized box")
+    // flip a stco full-box version byte: the strict parse refuses
+    val stcoAt = {
+      var i = -1
+      var p = 0
+      while (i < 0 && p + 8 <= good.length) {
+        if (new String(good, p + 4, 4, "US-ASCII") == "stco") i = p
+        else p += 1
+      }
+      i
+    }
+    assert(stcoAt > 0)
+    val badVer = good.clone(); badVer(stcoAt + 8) = 1
+    assert(Containers.parseMp4Index(badVer).isEmpty, "stco version != 0")
+    // registered rollup ties to the lanes
+    val out = Registry.byName("q330_mp4_box_index").q(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.length == bySrc.size)
+    out.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) == rows.length.toLong, "n_files")
+      assert(r.getLong(2) == rows.count(_._2 % 67 == 0).toLong, "n_bad_index")
+      assert(r.getLong(3) == rows.collect {
+        case (_, id) if id % 67 != 0 => (3 + id % 5) + (2 + id % 4)
+      }.sum, "n_samples over verified files")
+    }
+  }
+
+  test("q331 tone probe: planted bin recovered on every clip through the " +
+    "real codec; energies replay JVM-side") {
+    val out = Registry.byName("q331_tone_bin_energy").q(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.length == bySrc.size)
+    out.foreach { r =>
+      // the recovery pin: the planted bin dominates on EVERY clip — the
+      // dither and companding error must never flip the argmax
+      assert(r.getLong(2) == r.getLong(1),
+        s"${r.getString(0)}: n_recovered must equal n_clips")
+    }
+    // JVM replay for one doc of each planted bin, THROUGH the codec
+    for (id <- Seq(3L, 4L, 5L)) {
+      val n = (64L + 8L * (id % 8L)).toInt
+      val xs = Array.tabulate(n)(i =>
+        Containers.ulawDecode(Containers.ulawEncode(Containers.toneOf(id, i))))
+      var (e0, e2, e4) = (0L, 0L, 0L)
+      for (m <- 0 until n / 8) {
+        val o = 8 * m
+        val sum = (0 until 8).map(k => xs(o + k).toLong).sum
+        val re = xs(o).toLong - xs(o + 2) + xs(o + 4) - xs(o + 6)
+        val im = -xs(o + 1).toLong + xs(o + 3) - xs(o + 5) + xs(o + 7)
+        val alt = (0 until 8).map(k =>
+          (if (k % 2 == 0) 1L else -1L) * xs(o + k)).sum
+        e0 += sum * sum; e2 += re * re + im * im; e4 += alt * alt
+      }
+      val tb = 2L * (id % 3L)
+      val dominant = Seq(0L -> e0, 2L -> e2, 4L -> e4).maxBy(_._2)._1
+      assert(dominant == tb, s"id=$id: planted bin $tb, recovered $dominant")
+      // the codec is really in the loop: the compressed-domain energies
+      // must differ from the clean-tone energies (companding is lossy)
+      val clean = Array.tabulate(n)(i => Containers.toneOf(id, i))
+      var c2 = 0L
+      for (m <- 0 until n / 8) {
+        val o = 8 * m
+        val re = clean(o).toLong - clean(o + 2) + clean(o + 4) - clean(o + 6)
+        val im = -clean(o + 1).toLong + clean(o + 3) - clean(o + 5) +
+          clean(o + 7)
+        c2 += re * re + im * im
+      }
+      if (tb == 2L)
+        assert(e2 != c2, s"id=$id: codec loss must be visible in the energy")
+    }
+  }
 }
