@@ -631,8 +631,24 @@ object Bench {
     // want ("total_summary" is gate-sufficient, "total" is complete).
     println(
       f"""{"metric":"total_summary","value":$total%.3f,"unit":"sec","schema":4,"canary_s":$canary%.3f,"sf":"$sfDir"}""")
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","schema":4,"samples":$samples,"canary_s":$canary%.3f,"cold":$cold,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}""")
+    val fullLine =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","schema":4,"samples":$samples,"canary_s":$canary%.3f,"cold":$cold,"queries":${jsonObj(medians)},"queries_min":${jsonObj(mins)}$secondaryPart,"sf":"$sfDir"}"""
+    println(fullLine)
+    // SELF-ARCHIVE (r18 verdict #8): the driver's stdout capture
+    // truncates long tails, which made BENCH_r18.json's per-query map
+    // unrecoverable from the artifact alone. Persist the complete line
+    // to a file too, so every bench run is self-contained regardless of
+    // how much of stdout the harness kept. Best-effort: a read-only cwd
+    // must not fail the bench.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "BENCH_full_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] could not self-archive to $outPath: " +
+          e.getMessage)
+    }
     spark.stop()
   }
 }
