@@ -503,7 +503,9 @@ object Bench {
     // round-19 cohort, standing from birth
     "q329_jpeg_full_decode",
     "q330_mp4_box_index",
-    "q331_tone_bin_energy")
+    "q331_tone_bin_energy",
+    "q332_stream_mp4_audit",
+    "q333_jpeg_ycc_decode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -2323,7 +2323,34 @@ object Multimodal {
         math.cos((2 * k + 1) * u * math.Pi / 16.0)))
 
   /** Planted natural-order quant table: q(r,c) = 8 + (3r + 5c) % 9. */
-  private def jpegQOf(n: Int): Int = (8 + (3 * (n / 8) + 5 * (n % 8)) % 9)
+  private[graft] def jpegQOf(n: Int): Int =
+    (8 + (3 * (n / 8) + 5 * (n % 8)) % 9)
+
+  /** Fixed-point IDCT of one dequantized 8×8 block (natural order) to
+    * clamped [0,255] samples — the q329 arithmetic, shared with the
+    * q333 color path. Sparse: skips zero coefficients.
+    */
+  private[graft] def idctBlock(coef: Array[Int]): Array[Int] = {
+    val out = new Array[Int](64)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var pre = 0L
+        var n = 0
+        while (n < 64) {
+          if (coef(n) != 0)
+            pre += coef(n) * JpegIdctT(y)(n / 8) * JpegIdctT(x)(n % 8)
+          n += 1
+        }
+        val pix = 128 + ((pre + (1L << 23)) >> 24)
+        out(y * 8 + x) = math.min(255L, math.max(0L, pix)).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
 
   /** Planted AC coefficients at zigzag 1 / 6 / 20 — three nonzero runs
     * (0, 4, and 13 preceding zeros) so the run/size grammar is exercised
@@ -2563,24 +2590,7 @@ object Multimodal {
         }
       }
       // sparse fixed-point IDCT over the nonzero coefficients
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var pre = 0L
-          var n = 0
-          while (n < 64) {
-            if (coef(n) != 0)
-              pre += coef(n) * JpegIdctT(y)(n / 8) * JpegIdctT(x)(n % 8)
-            n += 1
-          }
-          val pix = 128 + ((pre + (1L << 23)) >> 24)
-          pixels(blk * 64 + y * 8 + x) =
-            math.min(255L, math.max(0L, pix)).toInt
-          x += 1
-        }
-        y += 1
-      }
+      System.arraycopy(idctBlock(coef), 0, pixels, blk * 64, 64)
       blk += 1
     }
     Some((w, h, pixels))
@@ -2648,6 +2658,376 @@ object Multimodal {
        |FROM d GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q333
+  // Interleaved 4:2:0 YCbCr JPEG — the layout real crawl photos use:
+  // three components, 2×2/1×1/1×1 sampling, per-MCU block interleave
+  // (4 Y + Cb + Cr), per-COMPONENT DC predictors and quant tables,
+  // chroma upsampling, and integer YCbCr→RGB conversion.
+
+  final case class JpegColor(doc_id: Long, source: String, ok: Long,
+      pix_bytes: Long, digest: Long)
+
+  /** Planted luma: DC + one AC at zigzag 1 per global Y block (q329
+    * proves the full AC grammar; the color content here is the MCU
+    * interleave). Chroma is DC-only and CONSTANT per image — flat chroma
+    * makes every upsampling filter (nearest, triangle, anything) yield
+    * the same samples, so conformance against a foreign decoder is not
+    * hostage to its upsampler choice.
+    */
+  private def jpegYDcOf(id: Long, b: Int): Int =
+    (((id * 5L + b * 11L) % 160L) - 80L).toInt
+  private def jpegYAcOf(id: Long, b: Int): Int = {
+    val m = (1L + (id + 3L * b) % 7L).toInt
+    if ((id + b) % 2L == 0L) m else -m
+  }
+  private def jpegCbOf(id: Long): Int = (((id * 3L) % 121L) - 60L).toInt
+  private def jpegCrOf(id: Long): Int = (((id * 7L) % 121L) - 60L).toInt
+
+  /** IJG-constant integer color conversion (libjpeg jdcolor.c scaled
+    * fixed-point: 1.40200/0.34414/0.71414/1.77200 at 16 fractional
+    * bits, round-half-up) — the same integers the oracle embeds.
+    */
+  private def jpegDescale(x: Long): Int = ((x + 32768L) >> 16).toInt
+  private def clamp255(v: Int): Int = math.min(255, math.max(0, v))
+
+  /** Complete interleaved baseline color JFIF: 4:2:0 sampling, two quant
+    * tables (luma zigzag-stored non-flat, chroma flat 8s), shared
+    * Huffman tables, h = 16, w = 16·(1 + id % 2) so two-MCU images
+    * exercise the cross-MCU predictor chains. doc_id % 71 truncated tail
+    * (structural lane).
+    */
+  private[graft] def jpegYccBytes(id: Long): Array[Byte] = {
+    val mw = (1 + id % 2).toInt
+    val w = 16 * mw; val h = 16
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b16(0xFFD8)
+    b16(0xFFE0); b16(16)
+    "JFIF".foreach(c => b8(c)); b8(0); b8(1); b8(1); b8(0)
+    b16(1); b16(1); b8(0); b8(0)
+    b16(0xFFDB); b16(67); b8(0x00) // luma table, zigzag order
+    for (k <- 0 until 64) b8(jpegQOf(JpegZigzag(k)))
+    b16(0xFFDB); b16(67); b8(0x01) // chroma table, flat
+    for (_ <- 0 until 64) b8(8)
+    b16(0xFFC0); b16(17); b8(8); b16(h); b16(w); b8(3)
+    b8(1); b8(0x22); b8(0) // Y: 2x2 sampling, luma table
+    b8(2); b8(0x11); b8(1) // Cb
+    b8(3); b8(0x11); b8(1) // Cr
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegDcVals.length); b8(0x00)
+    JpegDcBits.foreach(b8); JpegDcVals.foreach(b8)
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegFullAcVals.length); b8(0x10)
+    JpegFullAcBits.foreach(b8); JpegFullAcVals.foreach(b8)
+    b16(0xFFDA); b16(12); b8(3)
+    b8(1); b8(0x00); b8(2); b8(0x00); b8(3); b8(0x00)
+    b8(0); b8(63); b8(0)
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegFullAcBits, JpegFullAcVals)
+    var acc = 0L; var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        b8(byte); if (byte == 0xff) b8(0x00)
+        nb -= 8
+      }
+    }
+    def size(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putMag(v: Int, sz: Int): Unit =
+      putBits(if (v > 0) v else v + (1 << sz) - 1, sz)
+    def putDc(diff: Int): Unit = {
+      val cat = size(diff)
+      val (hc, hl) = dcCodes(cat)
+      putBits(hc, hl)
+      if (cat > 0) putMag(diff, cat)
+    }
+    def putEob(): Unit = { val (c, l) = acCodes(0x00); putBits(c, l) }
+    var (predY, predCb, predCr) = (0, 0, 0)
+    for (m <- 0 until mw) {
+      for (yb <- 0 until 4) {
+        val b = m * 4 + yb
+        val dc = jpegYDcOf(id, b)
+        putDc(dc - predY); predY = dc
+        val a1 = jpegYAcOf(id, b)
+        val sz = size(a1)
+        val (ac, al) = acCodes(sz) // run 0
+        putBits(ac, al); putMag(a1, sz)
+        putEob()
+      }
+      val cb = jpegCbOf(id)
+      putDc(cb - predCb); predCb = cb; putEob()
+      val cr = jpegCrOf(id)
+      putDc(cr - predCr); predCr = cr; putEob()
+    }
+    if (nb > 0) { val pad = 8 - nb; putBits((1 << pad) - 1, pad) }
+    b16(0xFFD9)
+    val bytes = out.toByteArray
+    if (id % 71L == 0L) bytes.dropRight(6) else bytes
+  }
+
+  /** Interleaved 4:2:0 decode: two quant tables, three per-component DC
+    * predictor chains, per-MCU 4×Y + Cb + Cr block decode (full AC
+    * grammar each), fixed-point IDCT per block, NEAREST chroma
+    * upsample, IJG integer color conversion. Returns (w, h, interleaved
+    * R,G,B per luma pixel in global-Y-block scan order); None on ANY
+    * malformation. The decoder does NOT assume flat chroma — it decodes
+    * and upsamples whatever the stream carries.
+    */
+  private[graft] def parseJpegYcc(
+      b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    var w = -1; var h = -1
+    val qtabs = new Array[Array[Int]](2)
+    var dcTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
+    var acTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
+    def buildTab(bits: Array[Int], vals: Array[Int]) = {
+      val minC = new Array[Int](17); val maxC = new Array[Int](17)
+      val valP = new Array[Int](17)
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valP(len) = k
+        minC(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxC(len) = code - 1
+        code <<= 1
+      }
+      (minC, maxC, valP, vals)
+    }
+    var scan: Array[Byte] = null
+    while (scan == null) {
+      if (i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (i + 2 + len > b.length) return None
+      m match {
+        case 0xdb =>
+          if (len != 67) return None
+          val pqtq = b(i + 4) & 0xff
+          if ((pqtq >> 4) != 0 || (pqtq & 15) > 1) return None
+          val q = new Array[Int](64)
+          for (k <- 0 until 64) q(JpegZigzag(k)) = b(i + 5 + k) & 0xff
+          if (q.exists(_ < 1)) return None
+          qtabs(pqtq & 15) = q
+        case 0xc0 =>
+          if (len != 17 || (b(i + 4) & 0xff) != 8) return None
+          h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          if ((b(i + 9) & 0xff) != 3) return None
+          // Y 2x2 on table 0; Cb/Cr 1x1 on table 1
+          if ((b(i + 11) & 0xff) != 0x22 || (b(i + 12) & 0xff) != 0)
+            return None
+          if ((b(i + 14) & 0xff) != 0x11 || (b(i + 15) & 0xff) != 1)
+            return None
+          if ((b(i + 17) & 0xff) != 0x11 || (b(i + 18) & 0xff) != 1)
+            return None
+        case 0xc4 =>
+          var j = i + 4
+          while (j < i + 2 + len) {
+            val tcth = b(j) & 0xff
+            val bits = Array.tabulate(16)(t => b(j + 1 + t) & 0xff)
+            val n = bits.sum
+            if (j + 17 + n > i + 2 + len) return None
+            val vals = Array.tabulate(n)(t => b(j + 17 + t) & 0xff)
+            val tab = buildTab(bits, vals)
+            if (tcth == 0x00) dcTab = tab
+            else if (tcth == 0x10) acTab = tab
+            else return None
+            j += 17 + n
+          }
+        case 0xda =>
+          if (len != 12 || (b(i + 4) & 0xff) != 3) return None
+          if ((b(i + 6) & 0xff) != 0 || (b(i + 8) & 0xff) != 0 ||
+            (b(i + 10) & 0xff) != 0) return None
+          val buf = new java.io.ByteArrayOutputStream()
+          var k = i + 2 + len
+          var done = false
+          while (!done) {
+            if (k >= b.length) return None
+            val c = b(k) & 0xff
+            if (c == 0xff) {
+              if (k + 1 >= b.length) return None
+              val nxt = b(k + 1) & 0xff
+              if (nxt == 0x00) { buf.write(0xff); k += 2 }
+              else if (nxt == 0xd9) done = true
+              else return None
+            } else { buf.write(c); k += 1 }
+          }
+          scan = buf.toByteArray
+        case mm if mm >= 0xe0 && mm <= 0xef =>
+        case 0xfe =>
+        case _ => return None
+      }
+      if (scan == null) i += 2 + len
+    }
+    if (w <= 0 || h <= 0 || w % 16 != 0 || h % 16 != 0) return None
+    if (qtabs(0) == null || qtabs(1) == null ||
+      dcTab == null || acTab == null) return None
+    var pos = 0
+    def readBit(): Int = {
+      if (pos >= scan.length * 8) return -1
+      val bit = (scan(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1
+      bit
+    }
+    def decode(tab: (Array[Int], Array[Int], Array[Int], Array[Int])): Int = {
+      val (minC, maxC, valP, vals) = tab
+      var code = 0
+      var len = 0
+      while (len < 16) {
+        val bit = readBit(); if (bit < 0) return -1
+        code = (code << 1) | bit
+        len += 1
+        if (maxC(len) >= minC(len) && code >= minC(len) && code <= maxC(len))
+          return vals(valP(len) + code - minC(len))
+      }
+      -1
+    }
+    def extend(v: Int, cat: Int): Int =
+      if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+    def readMag(cat: Int): Option[Int] = {
+      var v = 0
+      var t = 0
+      while (t < cat) {
+        val bit = readBit(); if (bit < 0) return None
+        v = (v << 1) | bit; t += 1
+      }
+      Some(extend(v, cat))
+    }
+    // one entropy-coded block through the full grammar; returns the
+    // clamped IDCT samples and the new predictor, or None
+    def decodeBlock(pred: Int, q: Array[Int]): Option[(Array[Int], Int)] = {
+      val coef = new Array[Int](64)
+      val cat = decode(dcTab)
+      if (cat < 0 || cat > 11) return None
+      val diff = if (cat == 0) 0 else readMag(cat).getOrElse(return None)
+      val dc = pred + diff
+      coef(0) = dc * q(0)
+      var k = 1
+      var eob = false
+      while (k <= 63 && !eob) {
+        val sym = decode(acTab)
+        if (sym < 0) return None
+        if (sym == 0x00) eob = true
+        else {
+          val r = sym >> 4; val sz = sym & 15
+          if (sz == 0) { if (r == 15) k += 16 else return None }
+          else {
+            k += r
+            if (k > 63) return None
+            val n = JpegZigzag(k)
+            coef(n) = readMag(sz).getOrElse(return None) * q(n)
+            k += 1
+          }
+        }
+      }
+      Some((idctBlock(coef), dc))
+    }
+    val mw = w / 16; val mh = h / 16
+    val out = new Array[Int](mw * mh * 4 * 64 * 3)
+    var (predY, predCb, predCr) = (0, 0, 0)
+    var mcu = 0
+    while (mcu < mw * mh) {
+      val lum = new Array[Array[Int]](4)
+      var yb = 0
+      while (yb < 4) {
+        val (px, p) = decodeBlock(predY, qtabs(0)).getOrElse(return None)
+        lum(yb) = px; predY = p
+        yb += 1
+      }
+      val (cbA, pcb) = decodeBlock(predCb, qtabs(1)).getOrElse(return None)
+      predCb = pcb
+      val (crA, pcr) = decodeBlock(predCr, qtabs(1)).getOrElse(return None)
+      predCr = pcr
+      yb = 0
+      while (yb < 4) {
+        val (ly0, lx0) = ((yb / 2) * 8, (yb % 2) * 8)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val yp = lum(yb)(y * 8 + x)
+            val ci = ((ly0 + y) / 2) * 8 + (lx0 + x) / 2
+            val cb0 = cbA(ci) - 128; val cr0 = crA(ci) - 128
+            val o = ((mcu * 4 + yb) * 64 + y * 8 + x) * 3
+            out(o) = clamp255(yp + jpegDescale(91881L * cr0))
+            out(o + 1) =
+              clamp255(yp + jpegDescale(-22554L * cb0 - 46802L * cr0))
+            out(o + 2) = clamp255(yp + jpegDescale(116130L * cb0))
+            x += 1
+          }
+          y += 1
+        }
+        yb += 1
+      }
+      mcu += 1
+    }
+    Some((w, h, out))
+  }
+
+  def jpegYccPartition(rows: Iterator[(Long, String)]): Iterator[JpegColor] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { case (id, src) =>
+      parseJpegYcc(jpegYccBytes(id)) match {
+        case Some((w, h, px)) =>
+          var dg = 0L
+          var i = 0
+          while (i < px.length) {
+            dg = (dg * 131L + px(i)) % TarDigestP
+            i += 1
+          }
+          JpegColor(id, src, 1L, px.length.toLong, dg)
+        case None => JpegColor(id, src, 0L, 0L, 0L)
+      }
+    })
+
+  /** Oracle: luma pixels through the same generated integer IDCT basis
+    * as q329 (DC + one zigzag-1 AC here); the flat planted chroma
+    * collapses exactly (the 2048-scale basis reproduces a DC-only block
+    * as 128 + dc·q/8 bit-exactly for |dc·q| ≤ 18 k), so the per-image
+    * R/G/B adjustments are three closed-form integers through the same
+    * IJG fixed-point constants the decoder uses.
+    */
+  private[graft] val JpegYccOracle: String = {
+    val t00 = JpegIdctT(0)(0)
+    val t1 = (0 until 8).map(k => JpegIdctT(k)(1)).mkString("[", ", ", "]")
+    val dc2 = t00 * t00
+    val CB = "((doc_id * 3) % 121 - 60)"
+    val CR = "((doc_id * 7) % 121 - 60)"
+    val RADJ = s"CAST(floor((91881 * $CR + 32768) / 65536.0) AS BIGINT)"
+    val GADJ = s"CAST(floor((-22554 * $CB - 46802 * $CR + 32768) / 65536.0)" +
+      " AS BIGINT)"
+    val BADJ = s"CAST(floor((116130 * $CB + 32768) / 65536.0) AS BIGINT)"
+    val YPIX = s"""least(255, greatest(0, 128 + CAST(floor((
+       |            ((doc_id * 5 + (i // 192) * 11) % 160 - 80) * 8 * $dc2
+       |            + (CASE WHEN (doc_id + (i // 192)) % 2 = 0
+       |                THEN 1 ELSE -1 END)
+       |              * (1 + (doc_id + 3 * (i // 192)) % 7) * 13
+       |              * $t00 * ($t1)[((i % 192) // 3) % 8 + 1]
+       |            + 8388608) / 16777216.0) AS BIGINT)))"""
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CAST(4 * (1 + doc_id % 2) AS BIGINT) AS nyb,
+       |    doc_id % 71 = 0 AS bad
+       |  FROM documents),
+       |d AS (SELECT source, bad,
+       |    CASE WHEN bad THEN 0 ELSE nyb * 192 END AS pix,
+       |    CASE WHEN bad THEN 0 ELSE
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(0, nyb * 192), i ->
+       |          least(255, greatest(0,
+       |            $YPIX
+       |            + CASE i % 3 WHEN 0 THEN $RADJ WHEN 1 THEN $GADJ
+       |              ELSE $BADJ END)))),
+       |        (a, v) -> (a * 131 + v) % $TarDigestP) END AS dg
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       |  CAST(sum(pix) AS BIGINT) AS pix_bytes,
+       |  CAST(sum(dg) % $TarDigestP AS BIGINT) AS pix_digest
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val entries4: Seq[Entry] = Seq(
 
     // q329: FULL JPEG BASELINE DECODE — q312's entropy decoder completed
@@ -2681,6 +3061,35 @@ object Multimodal {
             pmod(sum(col("digest")), lit(TarDigestP)).as("pix_digest"))
           .orderBy(col("source"))
       },
-      Some(JpegFullOracle))
+      Some(JpegFullOracle)),
+
+    // q333: INTERLEAVED 4:2:0 YCbCr JPEG DECODE — the color layout real
+    // crawl photos use, on top of q329's grayscale path: per-MCU
+    // 4×Y + Cb + Cr block interleave with per-COMPONENT DC predictor
+    // chains and quant tables, chroma upsampling (decoder: honest
+    // nearest over whatever the stream carries; the PLANTED chroma is
+    // image-constant so any conformant upsampler agrees), and IJG
+    // fixed-point YCbCr→RGB. Digest folds every R,G,B byte in
+    // Y-block-scan order; oracle from the planted closed form through
+    // the SAME integer basis and color constants. doc_id % 71 truncated
+    // tail. Suite pins javax.imageio per-channel agreement within the
+    // lossy tolerance. Map-only + one per-source exchange, as q329.
+    Entry(
+      "q333_jpeg_ycc_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).as[(Long, String)]
+          .mapPartitions(jpegYccPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(expr("1L - ok")).as("n_bad"),
+            sum(col("pix_bytes")).as("pix_bytes"),
+            pmod(sum(col("digest")), lit(TarDigestP)).as("pix_digest"))
+          .orderBy(col("source"))
+      },
+      Some(JpegYccOracle))
   )
 }

@@ -928,7 +928,53 @@ object EventStreams {
             "m"),
           batchRows.agg(countDistinct(col("k")).as("n_exact")))
       },
-      Some(graft.operators.Sketches.HllOracle))
+      Some(graft.operators.Sketches.HllOracle)),
+
+    // q332: STREAMING MP4 INDEX AUDIT — q330's box-walk + index
+    // cross-check as an ingest stream (the q316 shape on the video
+    // container class): per micro-batch the synthesis + recursive walk +
+    // index-vs-layout verification run in a stateless typed
+    // mapPartitions; the per-source integrity rollup is the ONE
+    // Complete-mode stateful aggregation (≤ |sources| state rows — all
+    // sums, commutative and idempotent-safe under re-batching). Oracle
+    // SHARED VERBATIM with q330 (the q304/q294/q316 parity discipline).
+    // At 100 TB this is the live crawl-ingest gate: every arriving video
+    // shard's sample table proven self-consistent before admission, with
+    // bounded state and no payload ever retained.
+    Entry(
+      "q332_stream_mp4_audit",
+      (s, d) => {
+        import s.implicits._
+        import graft.operators.{Containers, Multimodal}
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val src = s.readStream.schema(schema).parquet(s"$d/documents*")
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, sr, txt, nc) => Multimodal.TarIn(id, sr, txt, nc) }
+          .mapPartitions(Containers.mp4IndexPartition)
+          .toDF()
+        val agg = src.groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(expr("1L - ok")).as("n_bad_index"),
+            sum(col("n_samples")).as("n_samples"),
+            sum(col("payload_bytes")).as("payload_bytes"),
+            sum(col("payload_digest")).as("dgsum"))
+        s.streams.active.filter(_.name == "graft_stream_mp4").foreach(_.stop())
+        val query = agg.writeStream
+          .format("memory")
+          .queryName("graft_stream_mp4")
+          .outputMode(OutputMode.Complete)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+        s.table("graft_stream_mp4")
+          .select(col("source"), col("n_files"), col("n_bad_index"),
+            col("n_samples"), col("payload_bytes"),
+            pmod(col("dgsum"), lit(2147483647L)).as("payload_digest"))
+          .orderBy(col("source"))
+      },
+      Some(graft.operators.Containers.Mp4Oracle))
   )
 
   /** q220's body: two deterministic arrival epochs through ONE streaming

@@ -282,6 +282,14 @@ class FeedbackSuite extends SparkTestBase {
     assert(batch.sameElements(stream))
   }
 
+  test("q332 streaming mp4 audit == q330 batch row-for-row (parity)") {
+    val batch = Registry.byName("q330_mp4_box_index").q(spark, sf)
+      .collect().map(_.toString)
+    val stream = Registry.byName("q332_stream_mp4_audit").q(spark, sf)
+      .collect().map(_.toString)
+    assert(batch.sameElements(stream))
+  }
+
   test("q308 rollup ties to the synthesis closed form") {
     val out = Registry.byName("q308_tar_member_index").q(spark, sf).collect()
     val docs = spark.read.parquet(s"$sf/documents.parquet")

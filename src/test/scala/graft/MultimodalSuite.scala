@@ -469,6 +469,64 @@ class MultimodalSuite extends SparkTestBase {
     }
   }
 
+  test("q333 YCbCr 4:2:0: ImageIO agrees per channel within the lossy " +
+    "tolerance; planted replay; malformation battery") {
+    for (id <- Seq(1L, 2L, 3L, 5L, 11L, 72L)) {
+      val bytes = Multimodal.jpegYccBytes(id)
+      val Some((w, h, px)) = Multimodal.parseJpegYcc(bytes)
+      assert(w == 16 * (1 + id % 2) && h == 16)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must read the id=$id color JPEG")
+      assert(img.getWidth == w && img.getHeight == h)
+      // per-channel conformance: Y carries ±1 IDCT tolerance and the
+      // color conversion compounds it — allow ±2 per channel
+      for (b <- 0 until px.length / 192; y <- 0 until 8; x <- 0 until 8) {
+        val (mcu, yb) = (b / 4, b % 4)
+        val ix = mcu * 16 + (yb % 2) * 8 + x
+        val iy = (yb / 2) * 8 + y
+        val rgb = img.getRGB(ix, iy)
+        val o = (b * 64 + y * 8 + x) * 3
+        assert(math.abs(((rgb >> 16) & 0xff) - px(o)) <= 2,
+          s"id=$id b=$b ($x,$y) R: ImageIO ${(rgb >> 16) & 0xff} vs ${px(o)}")
+        assert(math.abs(((rgb >> 8) & 0xff) - px(o + 1)) <= 2,
+          s"id=$id b=$b ($x,$y) G")
+        assert(math.abs((rgb & 0xff) - px(o + 2)) <= 2,
+          s"id=$id b=$b ($x,$y) B")
+      }
+      // planted replay: flat chroma collapses to exact per-image R/G/B
+      // adjustments; luma replays the closed form through the real basis
+      val cb = ((id * 3) % 121 - 60).toInt
+      val cr = ((id * 7) % 121 - 60).toInt
+      def descale(v: Long): Int = ((v + 32768L) >> 16).toInt
+      val (rA, gA, bA) = (descale(91881L * cr),
+        descale(-22554L * cb - 46802L * cr), descale(116130L * cb))
+      for (b <- 0 until px.length / 192; y <- 0 until 8; x <- 0 until 8) {
+        val coef = new Array[Int](64)
+        coef(0) = (((id * 5 + b * 11) % 160) - 80).toInt * 8
+        val m = (1L + (id + 3L * b) % 7L).toInt
+        coef(1) = (if ((id + b) % 2 == 0) m else -m) * 13
+        val yp = Multimodal.idctBlock(coef)(y * 8 + x)
+        val o = (b * 64 + y * 8 + x) * 3
+        assert(px(o) == math.min(255, math.max(0, yp + rA)), "R replay")
+        assert(px(o + 1) == math.min(255, math.max(0, yp + gA)), "G replay")
+        assert(px(o + 2) == math.min(255, math.max(0, yp + bA)), "B replay")
+      }
+    }
+    // lane + malformation battery
+    assert(Multimodal.parseJpegYcc(Multimodal.jpegYccBytes(0L)).isEmpty)
+    assert(Multimodal.parseJpegYcc(Multimodal.jpegYccBytes(71L)).isEmpty)
+    val good = Multimodal.jpegYccBytes(3L)
+    assert(Multimodal.parseJpegYcc(good.take(60)).isEmpty, "truncated")
+    assert(Multimodal.parseJpegYcc(good.dropRight(6)).isEmpty,
+      "truncated scan")
+    // q329's grayscale parser must refuse the color stream and vice versa
+    assert(Multimodal.parseJpegFull(good).isEmpty,
+      "grayscale parser rejects 3-component SOF")
+    assert(Multimodal.parseJpegYcc(Multimodal.jpegFullBytes(3L)).isEmpty,
+      "color parser rejects 1-component SOF")
+  }
+
   test("q329 JPEG full: malformation battery, lane, and plan shape") {
     // the % 61 truncation lane refuses to decode
     assert(Multimodal.parseJpegFull(Multimodal.jpegFullBytes(0L)).isEmpty)
