@@ -505,7 +505,8 @@ object Bench {
     "q330_mp4_box_index",
     "q331_tone_bin_energy",
     "q332_stream_mp4_audit",
-    "q333_jpeg_ycc_decode")
+    "q333_jpeg_ycc_decode",
+    "q334_jpeg_restart_decode")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

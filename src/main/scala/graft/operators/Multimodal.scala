@@ -2453,6 +2453,7 @@ object Multimodal {
       return None
     var i = 2
     var w = -1; var h = -1
+    var ri = 0 // restart interval in MCUs (DRI; 0 = no restarts)
     var qnat: Array[Int] = null
     var dcTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
     var acTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
@@ -2469,8 +2470,11 @@ object Multimodal {
       }
       (minC, maxC, valP, vals)
     }
-    var scan: Array[Byte] = null
-    while (scan == null) {
+    // entropy data split at restart markers: segments + the RSTn indices
+    // seen between them (empty rstSeq when the stream has no restarts)
+    var segs: Array[Array[Byte]] = null
+    val rstSeq = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (segs == null) {
       if (i + 4 > b.length) return None
       if ((b(i) & 0xff) != 0xff) return None
       val m = b(i + 1) & 0xff
@@ -2502,10 +2506,14 @@ object Multimodal {
             else return None
             j += 17 + n
           }
+        case 0xdd => // DRI
+          if (len != 4) return None
+          ri = ((b(i + 4) & 0xff) << 8) | (b(i + 5) & 0xff)
         case 0xda =>
           if (len != 8 || (b(i + 4) & 0xff) != 1) return None
           if ((b(i + 6) & 0xff) != 0x00) return None
-          val buf = new java.io.ByteArrayOutputStream()
+          val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+          var buf = new java.io.ByteArrayOutputStream()
           var k = i + 2 + len
           var done = false
           while (!done) {
@@ -2516,23 +2524,40 @@ object Multimodal {
               val nxt = b(k + 1) & 0xff
               if (nxt == 0x00) { buf.write(0xff); k += 2 }
               else if (nxt == 0xd9) done = true
+              else if (nxt >= 0xd0 && nxt <= 0xd7) { // RSTn: segment cut
+                out += buf.toByteArray
+                buf = new java.io.ByteArrayOutputStream()
+                rstSeq += (nxt - 0xd0)
+                k += 2
+              }
               else return None
             } else { buf.write(c); k += 1 }
           }
-          scan = buf.toByteArray
+          out += buf.toByteArray
+          segs = out.toArray
         case mm if mm >= 0xe0 && mm <= 0xef =>
         case 0xfe =>
         case _ => return None
       }
-      if (scan == null) i += 2 + len
+      if (segs == null) i += 2 + len
     }
     if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
     if (qnat == null || dcTab == null || acTab == null) return None
     val nBlocks = (w / 8) * (h / 8)
+    // restart discipline: segment count from DRI, RSTn indices cycle 0..7
+    // (T.81 E.1.4); a stream with restarts but no DRI (or vice versa) is
+    // malformed
+    if (ri == 0 && segs.length != 1) return None
+    if (ri > 0) {
+      if (segs.length != (nBlocks + ri - 1) / ri) return None
+      for (k <- rstSeq.indices) if (rstSeq(k) != k % 8) return None
+    }
+    var seg = segs(0)
+    var segIdx = 0
     var pos = 0
     def readBit(): Int = {
-      if (pos >= scan.length * 8) return -1
-      val bit = (scan(pos >> 3) >> (7 - (pos & 7))) & 1
+      if (pos >= seg.length * 8) return -1
+      val bit = (seg(pos >> 3) >> (7 - (pos & 7))) & 1
       pos += 1
       bit
     }
@@ -2565,6 +2590,14 @@ object Multimodal {
     var pred = 0
     var blk = 0
     while (blk < nBlocks) {
+      // restart boundary: byte-align into the next segment, reset the
+      // DC predictor (T.81 F.2.1.3.1)
+      if (ri > 0 && blk > 0 && blk % ri == 0) {
+        segIdx += 1
+        seg = segs(segIdx)
+        pos = 0
+        pred = 0
+      }
       java.util.Arrays.fill(coef, 0)
       val cat = decode(dcTab)
       if (cat < 0 || cat > 11) return None
@@ -2620,7 +2653,7 @@ object Multimodal {
     * constant. Division by 2^24 is exact in doubles (pre < 2^53), so
     * floor() is bit-exact against the Scala arithmetic shift.
     */
-  private[graft] val JpegFullOracle: String = {
+  private def jpegPixOracleSql(seed: String, laneMod: Int): String = {
     val t00 = JpegIdctT(0)(0) // constant column u=0
     def column(u: Int): String =
       (0 until 8).map(k => JpegIdctT(k)(u)).mkString("[", ", ", "]")
@@ -2628,7 +2661,7 @@ object Multimodal {
     val dc2 = t00 * t00
     s"""WITH m AS (SELECT source, doc_id,
        |    CAST((1 + doc_id % 4) * (1 + doc_id % 3) AS BIGINT) AS nb,
-       |    doc_id % 61 = 0 AS bad
+       |    doc_id % $laneMod = 0 AS bad
        |  FROM documents),
        |d AS (SELECT source, bad,
        |    CASE WHEN bad THEN 0 ELSE nb * 64 END AS pix,
@@ -2636,17 +2669,17 @@ object Multimodal {
        |      list_reduce(list_prepend(CAST(0 AS BIGINT),
        |        list_transform(range(0, nb * 64), i ->
        |          least(255, greatest(0, 128 + CAST(floor((
-       |            ((doc_id * 7 + (i // 64) * 13) % 200 - 100) * 8 * $dc2
-       |            + (CASE WHEN (doc_id + (i // 64)) % 2 = 0
+       |            (($seed * 7 + (i // 64) * 13) % 200 - 100) * 8 * $dc2
+       |            + (CASE WHEN ($seed + (i // 64)) % 2 = 0
        |                THEN 1 ELSE -1 END)
-       |              * (1 + (doc_id + 2 * (i // 64)) % 7) * 13
+       |              * (1 + ($seed + 2 * (i // 64)) % 7) * 13
        |              * $t00 * ($t1)[(i % 8) + 1]
-       |            + (CASE WHEN (doc_id + (i // 64)) % 3 = 0
+       |            + (CASE WHEN ($seed + (i // 64)) % 3 = 0
        |                THEN 1 ELSE -1 END)
-       |              * (1 + (doc_id * 3 + (i // 64)) % 7) * 14
+       |              * (1 + ($seed * 3 + (i // 64)) % 7) * 14
        |              * $t00 * ($t3)[(i % 8) + 1]
        |            + (CASE WHEN (i // 64) % 2 = 0 THEN 1 ELSE -1 END)
-       |              * (1 + (doc_id + 5 * (i // 64)) % 5) * 14
+       |              * (1 + ($seed + 5 * (i // 64)) % 5) * 14
        |              * $t00 * ($t5)[((i % 64) // 8) + 1]
        |            + 8388608) / 16777216.0) AS BIGINT))))),
        |        (a, v) -> (a * 131 + v) % $TarDigestP) END AS dg
@@ -2657,6 +2690,106 @@ object Multimodal {
        |  CAST(sum(dg) % $TarDigestP AS BIGINT) AS pix_digest
        |FROM d GROUP BY source ORDER BY source""".stripMargin
   }
+
+  private[graft] val JpegFullOracle: String = jpegPixOracleSql("doc_id", 61)
+
+  /** q334's oracle: geometry and lane from doc_id, coefficients planted
+    * at seed doc_id + 7 — restart markers are an ENCODING-layer feature,
+    * so the pixels are exactly the q329 closed form at the shifted seed.
+    */
+  private[graft] val JpegRstOracle: String =
+    jpegPixOracleSql("(doc_id + 7)", 73)
+
+  /** Complete baseline grayscale JFIF with DRI = 2 and RSTn markers every
+    * 2 MCUs (byte-aligned 1-padded boundaries, cycling marker indices,
+    * per-interval DC predictor reset) — the restart discipline every
+    * camera JPEG carries so a corrupted interval doesn't kill the frame.
+    * Coefficients planted at seed id + 7 (distinct from q329 so a
+    * cross-wired decode path can't pass both). doc_id % 73 truncated.
+    */
+  private[graft] def jpegRstBytes(id: Long): Array[Byte] = {
+    val seed = id + 7
+    val bw = (1 + id % 4).toInt; val bh = (1 + id % 3).toInt
+    val w = 8 * bw; val h = 8 * bh
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b16(0xFFD8)
+    b16(0xFFE0); b16(16)
+    "JFIF".foreach(c => b8(c)); b8(0); b8(1); b8(1); b8(0)
+    b16(1); b16(1); b8(0); b8(0)
+    b16(0xFFDB); b16(67); b8(0x00)
+    for (k <- 0 until 64) b8(jpegQOf(JpegZigzag(k)))
+    b16(0xFFC0); b16(11); b8(8); b16(h); b16(w); b8(1)
+    b8(1); b8(0x11); b8(0)
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegDcVals.length); b8(0x00)
+    JpegDcBits.foreach(b8); JpegDcVals.foreach(b8)
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegFullAcVals.length); b8(0x10)
+    JpegFullAcBits.foreach(b8); JpegFullAcVals.foreach(b8)
+    b16(0xFFDD); b16(4); b16(2) // DRI: restart interval 2 MCUs
+    b16(0xFFDA); b16(8); b8(1); b8(1); b8(0x00)
+    b8(0); b8(63); b8(0)
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegFullAcBits, JpegFullAcVals)
+    var acc = 0L; var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        b8(byte); if (byte == 0xff) b8(0x00)
+        nb -= 8
+      }
+    }
+    def pad(): Unit =
+      if (nb > 0) { val p = 8 - nb; putBits((1 << p) - 1, p) }
+    def size(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putMag(v: Int, sz: Int): Unit =
+      putBits(if (v > 0) v else v + (1 << sz) - 1, sz)
+    var pred = 0
+    var rst = 0
+    val n = bw * bh
+    for (b <- 0 until n) {
+      val dc = jpegDcOf(seed, b)
+      val diff = dc - pred; pred = dc
+      val cat = size(diff)
+      val (hc, hl) = dcCodes(cat)
+      putBits(hc, hl)
+      if (cat > 0) putMag(diff, cat)
+      for ((run, v) <- Seq((0, jpegAc1Of(seed, b)), (4, jpegAc2Of(seed, b)),
+        (13, jpegAc3Of(seed, b)))) {
+        val sz = size(v)
+        val (ac, al) = acCodes((run << 4) | sz)
+        putBits(ac, al); putMag(v, sz)
+      }
+      val (ec, el) = acCodes(0x00)
+      putBits(ec, el)
+      if (b < n - 1 && (b + 1) % 2 == 0) { // restart boundary
+        pad()
+        b8(0xFF); b8(0xD0 + rst % 8)
+        rst += 1
+        pred = 0 // the decoder's predictor resets; so must the encoder's
+      }
+    }
+    pad()
+    b16(0xFFD9)
+    val bytes = out.toByteArray
+    if (id % 73L == 0L) bytes.dropRight(6) else bytes
+  }
+
+  def jpegRstPartition(rows: Iterator[(Long, String)]): Iterator[JpegPix] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { case (id, src) =>
+      parseJpegFull(jpegRstBytes(id)) match {
+        case Some((w, h, px)) =>
+          var dg = 0L
+          var i = 0
+          while (i < px.length) {
+            dg = (dg * 131L + px(i)) % TarDigestP
+            i += 1
+          }
+          JpegPix(id, src, 1L, w.toLong * h, dg)
+        case None => JpegPix(id, src, 0L, 0L, 0L)
+      }
+    })
 
   // ---------------------------------------------------------------- q333
   // Interleaved 4:2:0 YCbCr JPEG — the layout real crawl photos use:
@@ -3090,6 +3223,35 @@ object Multimodal {
             pmod(sum(col("digest")), lit(TarDigestP)).as("pix_digest"))
           .orderBy(col("source"))
       },
-      Some(JpegYccOracle))
+      Some(JpegYccOracle)),
+
+    // q334: JPEG RESTART-MARKER DECODE — the DRI/RSTn discipline every
+    // camera JPEG carries (resync points so a corrupted interval doesn't
+    // kill the frame): byte-aligned restart boundaries every 2 MCUs,
+    // cycling marker indices (T.81 E.1.4), per-interval DC predictor
+    // resets. parseJpegFull handles BOTH forms with one grammar (a
+    // no-DRI stream with restart markers, a broken marker cycle, or a
+    // wrong segment count are each malformed); pixels are the q329
+    // closed form at seed doc_id + 7, so the oracle is the same
+    // generated basis. doc_id % 73 truncated tail. Suite pins
+    // javax.imageio agreement (±1) over the restart-laden bytes and a
+    // marker-sequence falsification battery.
+    Entry(
+      "q334_jpeg_restart_decode",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).as[(Long, String)]
+          .mapPartitions(jpegRstPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(expr("1L - ok")).as("n_bad"),
+            sum(col("pix_bytes")).as("pix_bytes"),
+            pmod(sum(col("digest")), lit(TarDigestP)).as("pix_digest"))
+          .orderBy(col("source"))
+      },
+      Some(JpegRstOracle))
   )
 }

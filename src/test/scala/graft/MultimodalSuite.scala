@@ -527,6 +527,65 @@ class MultimodalSuite extends SparkTestBase {
       "color parser rejects 1-component SOF")
   }
 
+  test("q334 JPEG restarts: ImageIO agrees over restart-laden bytes; " +
+    "marker-discipline battery") {
+    for (id <- Seq(2L, 5L, 11L, 74L)) { // up to 12 blocks → 6 intervals
+      val bytes = Multimodal.jpegRstBytes(id)
+      val Some((w, h, px)) = Multimodal.parseJpegFull(bytes)
+      assert(w == 8 * (1 + id % 4) && h == 8 * (1 + id % 3))
+      // pixels must equal the q329 closed form at seed id+7 — restarts
+      // are an encoding-layer feature and may not change a single sample
+      for (b <- 0 until px.length / 64) {
+        val coef = new Array[Int](64)
+        def q(n: Int): Int = 8 + (3 * (n / 8) + 5 * (n % 8)) % 9
+        val seed = id + 7
+        coef(0) = (((seed * 7 + b * 13) % 200) - 100).toInt * q(0)
+        val m1 = (1L + (seed + 2L * b) % 7L).toInt
+        coef(1) = (if ((seed + b) % 2 == 0) m1 else -m1) * q(1)
+        val m2 = (1L + (seed * 3L + b) % 7L).toInt
+        coef(3) = (if ((seed + b) % 3 == 0) m2 else -m2) * q(3)
+        val m3 = (1L + (seed + 5L * b) % 5L).toInt
+        coef(40) = (if (b % 2 == 0) m3 else -m3) * q(40)
+        val ideal = Multimodal.idctBlock(coef)
+        for (j <- 0 until 64)
+          assert(px(b * 64 + j) == ideal(j), s"id=$id b=$b j=$j replay")
+      }
+      // foreign-decoder conformance over the restart-laden stream
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must read the id=$id restart JPEG")
+      val bw = w / 8
+      for (b <- 0 until px.length / 64; y <- 0 until 8; x <- 0 until 8) {
+        val jdk = img.getRaster.getSample((b % bw) * 8 + x,
+          (b / bw) * 8 + y, 0)
+        assert(math.abs(jdk - px(b * 64 + y * 8 + x)) <= 1,
+          s"id=$id b=$b ($x,$y): ImageIO $jdk vs ${px(b * 64 + y * 8 + x)}")
+      }
+    }
+    // marker-discipline battery (id 11 → 12 blocks, 6 segments, 5 RSTs)
+    val good = Multimodal.jpegRstBytes(11L)
+    assert(Multimodal.parseJpegFull(good).isDefined)
+    // falsify the first RSTn's index: the cycle check must refuse
+    val rstAt = {
+      var i = -1
+      var p = 2
+      while (i < 0 && p + 1 < good.length) {
+        if ((good(p) & 0xff) == 0xff && (good(p + 1) & 0xff) == 0xd0) i = p
+        else p += 1
+      }
+      i
+    }
+    assert(rstAt > 0)
+    val badSeq = good.clone(); badSeq(rstAt + 1) = 0xd3.toByte
+    assert(Multimodal.parseJpegFull(badSeq).isEmpty,
+      "broken RSTn cycle must be malformed")
+    // the % 73 truncation lane
+    assert(Multimodal.parseJpegFull(Multimodal.jpegRstBytes(0L)).isEmpty)
+    assert(Multimodal.parseJpegFull(Multimodal.jpegRstBytes(73L)).isEmpty)
+    // a restart-free stream still decodes (q329 regression, same parser)
+    assert(Multimodal.parseJpegFull(Multimodal.jpegFullBytes(11L)).isDefined)
+  }
+
   test("q329 JPEG full: malformation battery, lane, and plan shape") {
     // the % 61 truncation lane refuses to decode
     assert(Multimodal.parseJpegFull(Multimodal.jpegFullBytes(0L)).isEmpty)
