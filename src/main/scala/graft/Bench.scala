@@ -506,7 +506,8 @@ object Bench {
     "q331_tone_bin_energy",
     "q332_stream_mp4_audit",
     "q333_jpeg_ycc_decode",
-    "q334_jpeg_restart_decode")
+    "q334_jpeg_restart_decode",
+    "q335_mp4_chunk_offsets")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -920,6 +920,302 @@ object Containers {
       }
     })
 
+  // ---------------------------------------------------------------- q335
+  // Multi-chunk sample tables — the layout REAL muxers emit: samples
+  // grouped into interleaved chunks (video chunk, audio chunk, video
+  // chunk ...), addressed by the stsc (sample→chunk runs) / stco (chunk
+  // offsets) / stts (time-to-sample) trio. q330 proves the box walk on
+  // the one-chunk degenerate case; this proves the INDEX RECONSTRUCTION:
+  // per-sample absolute offsets derived from the three tables must tile
+  // the mdat exactly, and the stts durations must foot to the mdhd.
+
+  final case class Mp4ChunkStats(doc_id: Long, source: String, ok: Long,
+      n_samples: Long, n_chunks: Long, payload_bytes: Long,
+      payload_digest: Long, dur_ticks: Long)
+
+  /** Chunked two-track ISO-BMFF: track 1's samples split into two chunks
+    * INTERLEAVED around track 2's single chunk (v-chunk, a-chunk,
+    * v-chunk — the real streaming layout), stsc carrying genuine
+    * multi-run entries, stts one run per track (delta 1024 / 800), mdhd
+    * duration = Σ stts. doc_id % 79 gets the mdhd duration falsified
+    * (+1024) — the structure parses; only the stts-vs-mdhd footing
+    * catches it.
+    */
+  private[graft] def mp4ChunkedBytes(t: TarIn): Array[Byte] = {
+    val id = t.doc_id
+    val n1 = (3 + id % 5).toInt; val n2 = (2 + id % 4).toInt
+    val s1 = Array.tabulate(n1)(j => mp4SampleSize(id, 1, j))
+    val s2 = Array.tabulate(n2)(j => mp4SampleSize(id, 2, j))
+    val h1 = (n1 + 1) / 2 // track-1 chunk split: ceil half
+    val badDur = id % 79L == 0L
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8L) ++
+        tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ payload
+    def fullBox(tp: String, ver: Int, flags: Int,
+        payload: Array[Byte]): Array[Byte] =
+      box(tp, be32(((ver.toLong << 24) | flags)) ++ payload)
+    val unity =
+      be32(0x00010000L) ++ be32(0L) ++ be32(0L) ++
+        be32(0L) ++ be32(0x00010000L) ++ be32(0L) ++
+        be32(0L) ++ be32(0L) ++ be32(0x40000000L)
+    val mvhd = fullBox("mvhd", 0, 0,
+      be32(0L) ++ be32(0L) ++ be32(1000L) ++ be32(0L) ++
+        be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++
+        be32(0L) ++ be32(0L) ++ unity ++
+        Array.fill(24)(0.toByte) ++ be32(3L))
+    def trak(tid: Long, handler: String, sizes: Array[Int], delta: Long,
+        chunks: Seq[(Long, Int)], stscRuns: Seq[(Long, Long)],
+        durBump: Long): Array[Byte] = {
+      // chunks: (offset, nSamples) in chunk-index order; stscRuns:
+      // (firstChunk, samplesPerChunk) runs
+      val tkhd = fullBox("tkhd", 0, 7,
+        be32(0L) ++ be32(0L) ++ be32(tid) ++ be32(0L) ++ be32(0L) ++
+          Array.fill(8)(0.toByte) ++ be16(0) ++ be16(0) ++ be16(0) ++
+          be16(0) ++ unity ++ be32(0L) ++ be32(0L))
+      val mdhd = fullBox("mdhd", 0, 0,
+        be32(0L) ++ be32(0L) ++ be32(8000L) ++
+          be32(sizes.length * delta + durBump) ++
+          be16(0x55c4) ++ be16(0))
+      val hdlr = fullBox("hdlr", 0, 0,
+        be32(0L) ++
+          handler.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+          Array.fill(12)(0.toByte) ++ Array(0.toByte))
+      val stts = fullBox("stts", 0, 0,
+        be32(1L) ++ be32(sizes.length.toLong) ++ be32(delta))
+      val stsc = fullBox("stsc", 0, 0,
+        be32(stscRuns.length.toLong) ++ stscRuns.flatMap { case (fc, spc) =>
+          be32(fc) ++ be32(spc) ++ be32(1L)
+        })
+      val stsz = fullBox("stsz", 0, 0,
+        be32(0L) ++ be32(sizes.length.toLong) ++
+          sizes.flatMap(s => be32(s.toLong)))
+      val stco = fullBox("stco", 0, 0,
+        be32(chunks.length.toLong) ++ chunks.flatMap(c => be32(c._1)))
+      box("trak", tkhd ++ box("mdia", mdhd ++ hdlr ++
+        box("minf", box("stbl", stts ++ stsc ++ stsz ++ stco))))
+    }
+    val ftyp = box("ftyp",
+      "isom".getBytes ++ be32(0x200L) ++ "isom".getBytes ++ "iso2".getBytes)
+    val c1a = s1.take(h1).sum.toLong // track-1 chunk 1 bytes
+    val c2 = s2.sum.toLong // track-2 chunk bytes
+    def moov(base: Long): Array[Byte] = box("moov",
+      mvhd ++
+        trak(1L, "vide", s1, 1024L,
+          Seq((base, h1), (base + c1a + c2, n1 - h1)),
+          if (h1 == n1 - h1) Seq((1L, h1.toLong))
+          else Seq((1L, h1.toLong), (2L, (n1 - h1).toLong)),
+          if (badDur) 1024L else 0L) ++
+        trak(2L, "soun", s2, 800L, Seq((base + c1a, n2)),
+          Seq((1L, n2.toLong)), 0L))
+    val base0 = ftyp.length + moov(0L).length + 8L
+    val payload = new java.io.ByteArrayOutputStream()
+    // PHYSICAL order: v-chunk 1, a-chunk, v-chunk 2 (interleaved)
+    for (j <- 0 until h1; k <- 0 until s1(j)) payload.write(mp4Byte(id, 1, j, k))
+    for (j <- 0 until n2; k <- 0 until s2(j)) payload.write(mp4Byte(id, 2, j, k))
+    for (j <- h1 until n1; k <- 0 until s1(j))
+      payload.write(mp4Byte(id, 1, j, k))
+    ftyp ++ moov(base0) ++ box("mdat", payload.toByteArray)
+  }
+
+  /** Chunked walk: per trak parse stts/stsc/stsz/stco + the mdhd
+    * duration, EXPAND the stsc runs to per-chunk sample counts, derive
+    * every sample's absolute offset, then cross-check (a) the chunk
+    * regions of BOTH tracks tile the mdat payload exactly (sorted, no
+    * gap, no overlap), (b) Σ stts counts == sample count and
+    * Σ count·delta == mdhd duration (the % 79 lane's catch). Digest
+    * reads samples in LOGICAL track/sample order through the derived
+    * offsets — over the interleaved physical layout, equality with the
+    * q330-style closed form proves the reconstruction reorders
+    * correctly. None on structural malformation; Some(ok=0) on a lying
+    * index.
+    */
+  private[graft] def parseMp4Chunked(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    def tag(o: Int): String = new String(b, o, 4,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    def walk(from: Int, to: Int): Option[Seq[(String, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var p = from
+      while (p < to) {
+        if (p + 8 > to) return None
+        val sz = u32(p)
+        if (sz < 8 || p + sz > to) return None
+        out += ((tag(p + 4), p + 8, p + sz.toInt))
+        p += sz.toInt
+      }
+      Some(out.toSeq)
+    }
+    val top = walk(0, b.length).getOrElse(return None)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val moov = top.filter(_._1 == "moov") match {
+      case Seq(m) => m; case _ => return None
+    }
+    val mdat = top.filter(_._1 == "mdat") match {
+      case Seq(m) => m; case _ => return None
+    }
+    val traks = walk(moov._2, moov._3).getOrElse(return None)
+      .filter(_._1 == "trak")
+    if (traks.length != 2) return None
+    // per trak: (handler, duration, sttsRuns, chunk offsets, per-chunk
+    // sample counts expanded from stsc, sizes)
+    val idx = traks.map { case (_, ts, te) =>
+      val mdia = walk(ts, te).getOrElse(return None)
+        .find(_._1 == "mdia").getOrElse(return None)
+      val inMdia = walk(mdia._2, mdia._3).getOrElse(return None)
+      val mdhd = inMdia.find(_._1 == "mdhd").getOrElse(return None)
+      if (mdhd._3 - mdhd._2 < 24) return None
+      val dur = u32(mdhd._2 + 16)
+      val hdlr = inMdia.find(_._1 == "hdlr").getOrElse(return None)
+      if (hdlr._3 - hdlr._2 < 12) return None
+      val handler = tag(hdlr._2 + 8)
+      val minf = inMdia.find(_._1 == "minf").getOrElse(return None)
+      val stbl = walk(minf._2, minf._3).getOrElse(return None)
+        .find(_._1 == "stbl").getOrElse(return None)
+      val inStbl = walk(stbl._2, stbl._3).getOrElse(return None)
+      // full-box payload bounds (after the version+flags word, which
+      // must be 0); Option so the failure propagates via getOrElse —
+      // a bare `return` inside a nested def would exit the def, not
+      // the parser
+      def full(name: String): Option[(Int, Int)] =
+        inStbl.find(_._1 == name).flatMap { bx =>
+          if (u32(bx._2) != 0L) None else Some((bx._2 + 4, bx._3))
+        }
+      val (sttsP, sttsE) = full("stts").getOrElse(return None)
+      val nStts = u32(sttsP)
+      if (nStts < 1 || nStts > 1000 || sttsP + 4 + 8 * nStts > sttsE)
+        return None
+      val sttsRuns = Array.tabulate(nStts.toInt)(r =>
+        (u32(sttsP + 4 + 8 * r), u32(sttsP + 8 + 8 * r)))
+      val (stscP, stscE) = full("stsc").getOrElse(return None)
+      val nStsc = u32(stscP)
+      if (nStsc < 1 || nStsc > 1000 || stscP + 4 + 12 * nStsc > stscE)
+        return None
+      val stscRuns = Array.tabulate(nStsc.toInt)(r =>
+        (u32(stscP + 4 + 12 * r), u32(stscP + 8 + 12 * r),
+          u32(stscP + 12 + 12 * r)))
+      if (stscRuns.exists(_._3 != 1L)) return None // one sample desc
+      val (stszP, stszE) = full("stsz").getOrElse(return None)
+      if (u32(stszP) != 0L) return None
+      val nSamp = u32(stszP + 4)
+      if (nSamp < 1 || nSamp > 10000 || stszP + 8 + 4 * nSamp > stszE)
+        return None
+      val sizes = Array.tabulate(nSamp.toInt)(j => u32(stszP + 8 + 4 * j))
+      val (stcoP, stcoE) = full("stco").getOrElse(return None)
+      val nChunk = u32(stcoP)
+      if (nChunk < 1 || nChunk > 1000 || stcoP + 4 + 4 * nChunk > stcoE)
+        return None
+      val offs = Array.tabulate(nChunk.toInt)(c => u32(stcoP + 4 + 4 * c))
+      // expand stsc runs → per-chunk sample counts (14496-12 §8.7.4:
+      // a run applies from first_chunk until the next run begins)
+      if (stscRuns.head._1 != 1L) return None
+      val perChunk = new Array[Long](nChunk.toInt)
+      var r = 0
+      for (c <- 0 until nChunk.toInt) {
+        if (r + 1 < stscRuns.length && stscRuns(r + 1)._1 == c + 1L) r += 1
+        perChunk(c) = stscRuns(r)._2
+      }
+      if (perChunk.sum != nSamp) return None
+      (handler, dur, sttsRuns, offs, perChunk, sizes)
+    }
+    if (idx.map(_._1) != Seq("vide", "soun")) return None
+    // stts footing per track: counts sum to samples, ticks to mdhd
+    var durOk = true
+    idx.foreach { case (_, dur, sttsRuns, _, _, sizes) =>
+      if (sttsRuns.map(_._1).sum != sizes.length.toLong) return None
+      if (sttsRuns.map { case (n, d) => n * d }.sum != dur) durOk = false
+    }
+    // derive per-sample offsets; collect chunk regions for the tiling
+    val regions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val sampleOffs = idx.map { case (_, _, _, offs, perChunk, sizes) =>
+      val so = new Array[Long](sizes.length)
+      var j = 0
+      for (c <- offs.indices) {
+        var p = offs(c)
+        var t = 0L
+        while (t < perChunk(c)) {
+          so(j) = p; p += sizes(j); j += 1; t += 1
+        }
+        regions += ((offs(c), p - offs(c)))
+      }
+      so
+    }
+    val sorted = regions.sortBy(_._1)
+    var cur = mdat._2.toLong
+    sorted.foreach { case (o, l) =>
+      if (o != cur) return Some((0L, 0L, 0L, 0L, 0L, 0L))
+      cur = o + l
+    }
+    if (cur != mdat._3.toLong || !durOk)
+      return Some((0L, 0L, 0L, 0L, 0L, 0L))
+    var dg = 0L
+    var pb = 0L
+    for (t <- 0 to 1) {
+      val (_, _, _, _, _, sizes) = idx(t)
+      val so = sampleOffs(t)
+      for (j <- sizes.indices) {
+        var k = 0L
+        while (k < sizes(j)) {
+          dg = (dg * 131L + (b((so(j) + k).toInt) & 0xff)) % DigP
+          k += 1
+        }
+        pb += sizes(j)
+      }
+    }
+    Some((1L, idx.map(_._6.length.toLong).sum, regions.length.toLong, pb,
+      dg, idx.map(_._2).sum))
+  }
+
+  def mp4ChunkedPartition(rows: Iterator[TarIn]): Iterator[Mp4ChunkStats] =
+    rows.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.map { t =>
+      parseMp4Chunked(mp4ChunkedBytes(t)) match {
+        case Some((ok, n, nc, pb, dg, dur)) =>
+          Mp4ChunkStats(t.doc_id, t.source, ok, n, nc, pb, dg, dur)
+        case None => Mp4ChunkStats(t.doc_id, t.source, 0L, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+
+  private[graft] val Mp4ChunkOracle: String =
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CAST(3 + doc_id % 5 AS BIGINT) AS n1,
+       |    CAST(2 + doc_id % 4 AS BIGINT) AS n2,
+       |    doc_id % 79 = 0 AS bad
+       |  FROM documents),
+       |x AS (SELECT source, doc_id, n1, n2, bad,
+       |    flatten(list_transform(range(0, n1), j ->
+       |      list_transform(range(0, 16 + (doc_id * 7 + j * 13) % 32),
+       |        k -> (doc_id + 31 + j * 17 + k * 7) % 251))) AS b1,
+       |    flatten(list_transform(range(0, n2), j ->
+       |      list_transform(range(0, 8 + (doc_id * 11 + j * 5) % 24),
+       |        k -> (doc_id + 62 + j * 17 + k * 7) % 251))) AS b2
+       |  FROM m),
+       |d AS (SELECT source, bad,
+       |    CASE WHEN bad THEN 0 ELSE n1 + n2 END AS ns,
+       |    CASE WHEN bad THEN 0 ELSE 3 END AS nc,
+       |    CASE WHEN bad THEN 0 ELSE len(b1) + len(b2) END AS pb,
+       |    CASE WHEN bad THEN 0 ELSE
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        list_concat(b1, b2)),
+       |        (a, v) -> (a * 131 + v) % $DigP) END AS dg,
+       |    CASE WHEN bad THEN 0 ELSE n1 * 1024 + n2 * 800 END AS dur
+       |  FROM x)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bad_index,
+       |  CAST(sum(ns) AS BIGINT) AS n_samples,
+       |  CAST(sum(nc) AS BIGINT) AS n_chunks,
+       |  CAST(sum(pb) AS BIGINT) AS payload_bytes,
+       |  CAST(sum(dg) % $DigP AS BIGINT) AS payload_digest,
+       |  CAST(sum(dur) AS BIGINT) AS dur_ticks
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+
   private[graft] val Mp4Oracle: String =
     s"""WITH m AS (SELECT source, doc_id,
        |    CAST(3 + doc_id % 5 AS BIGINT) AS n1,
@@ -1234,6 +1530,38 @@ object Containers {
             sum(col("e4")).as("e4_sum"))
           .orderBy(col("source"))
       },
-      Some(ToneOracle))
+      Some(ToneOracle)),
+
+    // q335: MULTI-CHUNK SAMPLE-TABLE RECONSTRUCTION — the full
+    // stsc/stco/stts/stsz walk over the INTERLEAVED chunk layout real
+    // muxers emit (v-chunk, a-chunk, v-chunk): per-sample offsets derived
+    // by expanding the stsc runs, chunk regions proven to tile the mdat
+    // exactly, stts footed against the mdhd duration (the % 79 falsified
+    // duration lane). The digest reads samples in LOGICAL track/sample
+    // order through the derived offsets — equality with the closed form
+    // over the physically interleaved layout proves the reconstruction
+    // reorders correctly. Map-only until the per-source rollup.
+    Entry(
+      "q335_mp4_chunk_offsets",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(mp4ChunkedPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(expr("1L - ok")).as("n_bad_index"),
+            sum(col("n_samples")).as("n_samples"),
+            sum(col("n_chunks")).as("n_chunks"),
+            sum(col("payload_bytes")).as("payload_bytes"),
+            pmod(sum(col("payload_digest")), lit(DigP)).as("payload_digest"),
+            sum(col("dur_ticks")).as("dur_ticks"))
+          .orderBy(col("source"))
+      },
+      Some(Mp4ChunkOracle))
   )
 }

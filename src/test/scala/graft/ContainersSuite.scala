@@ -368,6 +368,74 @@ class ContainersSuite extends SparkTestBase {
     }
   }
 
+  test("q335 mp4 chunks: interleaved layout reconstructed in logical " +
+    "order; duration lane caught; malformation battery") {
+    val P = 2147483647L
+    // id=6: n1=4 (h1=2, even split → ONE stsc run), n2=4
+    // id=5: n1=3 (h1=2/1 odd split → TWO stsc runs), n2=3
+    for (id <- Seq(5L, 6L)) {
+      val t = Multimodal.TarIn(id, "s", "x", 1L)
+      val Some((ok, ns, nc, pb, dg, dur)) =
+        Containers.parseMp4Chunked(Containers.mp4ChunkedBytes(t))
+      val n1 = (3 + id % 5).toInt; val n2 = (2 + id % 4).toInt
+      assert(ok == 1L && ns == (n1 + n2).toLong && nc == 3L)
+      assert(dur == n1 * 1024L + n2 * 800L, "stts == mdhd footing")
+      // digest must equal the LOGICAL-order closed form even though the
+      // physical mdat is interleaved (v-chunk, a-chunk, v-chunk)
+      var (expPb, expDg) = (0L, 0L)
+      for (tr <- 1 to 2; j <- 0 until (if (tr == 1) n1 else n2)) {
+        val sz = if (tr == 1) (16 + (id * 7 + j * 13) % 32).toInt
+        else (8 + (id * 11 + j * 5) % 24).toInt
+        expPb += sz
+        for (k <- 0 until sz)
+          expDg = (expDg * 131L + (id + tr * 31 + j * 17 + k * 7) % 251L) % P
+      }
+      assert(pb == expPb && dg == expDg, s"id=$id logical-order replay")
+    }
+    // the interleave is REAL: track 1's second chunk sits physically
+    // after track 2's chunk (otherwise this test proves nothing)
+    val good = Containers.mp4ChunkedBytes(Multimodal.TarIn(5L, "s", "x", 1L))
+    // the % 79 lane: parses, fails only the duration footing
+    assert(Containers.parseMp4Chunked(Containers.mp4ChunkedBytes(
+      Multimodal.TarIn(79L, "s", "x", 1L)))
+      .contains((0L, 0L, 0L, 0L, 0L, 0L)),
+      "falsified mdhd duration must fail the footing, not the parse")
+    // malformation battery
+    assert(Containers.parseMp4Chunked(good.dropRight(2)).isEmpty,
+      "truncated mdat")
+    assert(Containers.parseMp4Chunked(good.drop(24)).isEmpty, "ftyp first")
+    // falsify an stco entry: tiling must refuse (index lies about layout)
+    val stcoAt = {
+      var i = -1; var p = 0
+      while (i < 0 && p + 8 <= good.length) {
+        if (new String(good, p + 4, 4, "US-ASCII") == "stco") i = p
+        else p += 1
+      }
+      i
+    }
+    assert(stcoAt > 0)
+    val badOff = good.clone()
+    // stco: size(4) type(4) verflags(4) count(4) offsets... — the first
+    // offset's LSB sits at +19
+    badOff(stcoAt + 19) = (badOff(stcoAt + 19) + 1).toByte
+    assert(Containers.parseMp4Chunked(badOff)
+      .contains((0L, 0L, 0L, 0L, 0L, 0L)),
+      "shifted chunk offset must fail the tiling cross-check")
+    // registered rollup ties to the lane
+    val out = Registry.byName("q335_mp4_chunk_offsets").q(spark, sf).collect()
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(out.length == bySrc.size)
+    out.foreach { r =>
+      val rows = bySrc(r.getString(0))
+      assert(r.getLong(1) == rows.length.toLong, "n_files")
+      assert(r.getLong(2) == rows.count(_._2 % 79 == 0).toLong, "n_bad_index")
+      assert(r.getLong(4) == 3L * rows.count(_._2 % 79 != 0), "n_chunks")
+    }
+  }
+
   test("q331 tone probe: planted bin recovered on every clip through the " +
     "real codec; energies replay JVM-side") {
     val out = Registry.byName("q331_tone_bin_energy").q(spark, sf).collect()
