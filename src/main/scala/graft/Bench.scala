@@ -507,7 +507,8 @@ object Bench {
     "q332_stream_mp4_audit",
     "q333_jpeg_ycc_decode",
     "q334_jpeg_restart_decode",
-    "q335_mp4_chunk_offsets")
+    "q335_mp4_chunk_offsets",
+    "q336_mp3_frame_walk")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

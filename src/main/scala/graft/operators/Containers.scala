@@ -1302,6 +1302,138 @@ object Containers {
       ToneStats(id, t.source, if (recovered) 1L else 0L, e0, e2, e4)
     })
 
+  // ---------------------------------------------------------------- q336
+  // MPEG-1 Layer III frame-sync walk — the podcast/speech-crawl audio
+  // container beside WAV (q104/q225) and mu-law (q328): no global
+  // directory, just self-describing 4-byte frame headers chained by the
+  // length formula len = 144·bitrate/samplerate + padding. A walker
+  // with a wrong table or formula lands mid-frame and loses sync — the
+  // structure IS the checksum.
+
+  final case class Mp3Stats(doc_id: Long, source: String, ok: Long,
+      n_frames: Long, payload_bytes: Long, kbps_sum: Long, digest: Long)
+
+  /** MPEG-1 Layer III bitrate table (kbps), index 1..14. */
+  private val Mp3Kbps: Array[Int] =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Sr: Array[Int] = Array(44100, 48000, 32000)
+
+  private def mp3Bi(id: Long, f: Int): Int = (1L + (id + f * 3L) % 14L).toInt
+  private def mp3Pad(id: Long, f: Int): Int = ((id + f) % 2L).toInt
+  private def mp3FrameLen(id: Long, f: Int): Int = {
+    val sr = Mp3Sr((id % 3L).toInt)
+    (144000L * Mp3Kbps(mp3Bi(id, f)) / sr).toInt + mp3Pad(id, f)
+  }
+
+  /** VBR MPEG-1 Layer III stream for one doc: 4 + id % 6 frames, the
+    * bitrate index VARYING per frame (the real VBR shape — a reader
+    * cannot multiply its way through, it must walk), samplerate fixed
+    * per doc, padding alternating, mono, protection=1 (no CRC16).
+    * Payload filler is the deterministic generator. doc_id % 83 gets
+    * frame 1's bitrate index set to the FORBIDDEN 0xF — a structural
+    * malformation mid-stream (the walk must refuse, not resync past it).
+    */
+  private[graft] def mp3Bytes(t: TarIn): Array[Byte] = {
+    val id = t.doc_id
+    val n = (4 + id % 6).toInt
+    val si = (id % 3L).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    for (f <- 0 until n) {
+      val bi = if (id % 83L == 0L && f == 1) 0xf else mp3Bi(id, f)
+      val pad = mp3Pad(id, f)
+      // header: sync(11) version 11 (MPEG-1), layer 01 (III),
+      // protection 1; then bitrate(4) samplerate(2) padding(1)
+      // private(0); channel mode 11 (mono), rest zeros
+      out.write(0xff); out.write(0xfb)
+      out.write((bi << 4) | (si << 2) | (pad << 1))
+      out.write(0xc0)
+      // the corrupted-lane frame still carries its true-length payload:
+      // only the HEADER lies, which is exactly what the walk must catch
+      val len = mp3FrameLen(id, f)
+      for (k <- 0 until len - 4)
+        out.write(((id + f * 13L + k * 7L) % 251L).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** Frame walk: per frame verify the sync word, version/layer bits,
+    * a LEGAL bitrate index and samplerate, recompute the frame length
+    * from the tables, digest the payload, and jump. The stream must end
+    * exactly on a frame boundary. None on ANY malformation — including
+    * the forbidden bitrate index and a final truncated frame.
+    */
+  private[graft] def parseMp3(
+      b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    var p = 0
+    var nf = 0L
+    var pb = 0L
+    var kb = 0L
+    var dg = 0L
+    while (p < b.length) {
+      if (p + 4 > b.length) return None
+      if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xff) != 0xfb) return None
+      val h2 = b(p + 2) & 0xff
+      val bi = h2 >> 4
+      val si = (h2 >> 2) & 3
+      val pad = (h2 >> 1) & 1
+      if (bi < 1 || bi > 14 || si > 2) return None
+      if ((b(p + 3) & 0xff) != 0xc0) return None
+      val len = (144000L * Mp3Kbps(bi) / Mp3Sr(si)).toInt + pad
+      if (p + len > b.length) return None
+      var k = 4
+      while (k < len) {
+        dg = (dg * 131L + (b(p + k) & 0xff)) % DigP
+        k += 1
+      }
+      nf += 1; pb += len - 4; kb += Mp3Kbps(bi)
+      p += len
+    }
+    if (nf == 0L) None else Some((nf, pb, kb, dg))
+  }
+
+  def mp3IndexPartition(rows: Iterator[TarIn]): Iterator[Mp3Stats] =
+    rows.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.map { t =>
+      parseMp3(mp3Bytes(t)) match {
+        case Some((nf, pb, kb, dg)) =>
+          Mp3Stats(t.doc_id, t.source, 1L, nf, pb, kb, dg)
+        case None => Mp3Stats(t.doc_id, t.source, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+
+  private[graft] val Mp3Oracle: String = {
+    // the bitrate table as a generated CASE over the per-frame index
+    val BI = "(1 + (doc_id + f * 3) % 14)"
+    val KBPS = s"(CASE $BI " + (1 to 14).map(i =>
+      s"WHEN $i THEN ${Mp3Kbps(i)}").mkString(" ") + " END)"
+    val SR = "(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000" +
+      " ELSE 32000 END)"
+    val LEN = s"(144000 * $KBPS // $SR + (doc_id + f) % 2)"
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CAST(4 + doc_id % 6 AS BIGINT) AS n,
+       |    doc_id % 83 = 0 AS bad
+       |  FROM documents),
+       |d AS (SELECT source, bad,
+       |    CASE WHEN bad THEN 0 ELSE n END AS nf,
+       |    CASE WHEN bad THEN 0 ELSE CAST(list_sum(list_transform(
+       |      range(0, n), f -> $LEN - 4)) AS BIGINT) END AS pb,
+       |    CASE WHEN bad THEN 0 ELSE CAST(list_sum(list_transform(
+       |      range(0, n), f -> $KBPS)) AS BIGINT) END AS kb,
+       |    CASE WHEN bad THEN 0 ELSE
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        flatten(list_transform(range(0, n), f ->
+       |          list_transform(range(0, $LEN - 4),
+       |            k -> (doc_id + f * 13 + k * 7) % 251)))),
+       |        (a, v) -> (a * 131 + v) % $DigP) END AS dg
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       |  CAST(sum(nf) AS BIGINT) AS n_frames,
+       |  CAST(sum(pb) AS BIGINT) AS payload_bytes,
+       |  CAST(sum(kb) AS BIGINT) AS kbps_sum,
+       |  CAST(sum(dg) % $DigP AS BIGINT) AS payload_digest
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private[graft] val ToneOracle: String = {
     val tone = "(CASE 2 * (doc_id % 3) WHEN 0 THEN 8000 + (doc_id % 7) * 1000" +
       " WHEN 2 THEN (8000 + (doc_id % 7) * 1000) * (CASE i % 4 WHEN 0 THEN 1" +
@@ -1562,6 +1694,35 @@ object Containers {
             sum(col("dur_ticks")).as("dur_ticks"))
           .orderBy(col("source"))
       },
-      Some(Mp4ChunkOracle))
+      Some(Mp4ChunkOracle)),
+
+    // q336: MPEG-1 LAYER III FRAME-SYNC WALK — self-describing frame
+    // headers chained by the 144·bitrate/samplerate + padding formula,
+    // bitrate VARYING per frame (real VBR: the walker must walk, not
+    // multiply); sync/version/layer/table-legality verified per frame,
+    // stream must end exactly on a frame boundary. doc_id % 83 plants
+    // the forbidden bitrate index 0xF mid-stream — the walk refuses
+    // rather than resyncing past it. Map-only until the rollup.
+    Entry(
+      "q336_mp3_frame_walk",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(mp3IndexPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(expr("1L - ok")).as("n_bad"),
+            sum(col("n_frames")).as("n_frames"),
+            sum(col("payload_bytes")).as("payload_bytes"),
+            sum(col("kbps_sum")).as("kbps_sum"),
+            pmod(sum(col("digest")), lit(DigP)).as("payload_digest"))
+          .orderBy(col("source"))
+      },
+      Some(Mp3Oracle))
   )
 }

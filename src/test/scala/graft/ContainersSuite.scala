@@ -436,6 +436,47 @@ class ContainersSuite extends SparkTestBase {
     }
   }
 
+  test("q336 mp3: frame walk replays the closed form; forbidden-index " +
+    "lane; malformation battery") {
+    val P = 2147483647L
+    // canonical length pin against the PUBLIC formula: 128 kbps at
+    // 44100 Hz, no padding → floor(144·128000/44100) = 417 bytes
+    assert(144000L * 128 / 44100 == 417L)
+    for (id <- Seq(3L, 4L, 7L)) {
+      val t = Multimodal.TarIn(id, "s", "x", 1L)
+      val Some((nf, pb, kb, dg)) = Containers.parseMp3(Containers.mp3Bytes(t))
+      val n = (4 + id % 6).toInt
+      val sr = Array(44100, 48000, 32000)((id % 3L).toInt)
+      val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+        224, 256, 320)
+      assert(nf == n.toLong)
+      var (expPb, expKb, expDg) = (0L, 0L, 0L)
+      for (f <- 0 until n) {
+        val bi = (1L + (id + f * 3L) % 14L).toInt
+        val len = (144000L * kbps(bi) / sr).toInt + ((id + f) % 2L).toInt
+        expPb += len - 4; expKb += kbps(bi)
+        for (k <- 0 until len - 4)
+          expDg = (expDg * 131L + (id + f * 13L + k * 7L) % 251L) % P
+      }
+      assert(pb == expPb && kb == expKb && dg == expDg, s"id=$id replay")
+    }
+    // the % 83 lane: forbidden bitrate index refuses mid-stream
+    assert(Containers.parseMp3(Containers.mp3Bytes(
+      Multimodal.TarIn(83L, "s", "x", 1L))).isEmpty)
+    assert(Containers.parseMp3(Containers.mp3Bytes(
+      Multimodal.TarIn(0L, "s", "x", 1L))).isEmpty)
+    // malformation battery
+    val good = Containers.mp3Bytes(Multimodal.TarIn(3L, "s", "x", 1L))
+    assert(Containers.parseMp3(good.dropRight(1)).isEmpty,
+      "stream must end exactly on a frame boundary")
+    val badSync = good.clone(); badSync(0) = 0x7f
+    assert(Containers.parseMp3(badSync).isEmpty, "broken sync word")
+    val badSr = good.clone()
+    badSr(2) = ((badSr(2) & 0xf1) | (3 << 2)).toByte // reserved rate
+    assert(Containers.parseMp3(badSr).isEmpty, "reserved samplerate")
+    assert(Containers.parseMp3(Array[Byte]()).isEmpty, "empty stream")
+  }
+
   test("q331 tone probe: planted bin recovered on every clip through the " +
     "real codec; energies replay JVM-side") {
     val out = Registry.byName("q331_tone_bin_energy").q(spark, sf).collect()
