@@ -436,6 +436,27 @@ class ContainersSuite extends SparkTestBase {
     }
   }
 
+  test("r19 container cohort: every registered plan is one scan into one " +
+    "rollup exchange (the map-only scale shape)") {
+    for (name <- Seq("q330_mp4_box_index", "q331_tone_bin_energy",
+      "q333_jpeg_ycc_decode", "q334_jpeg_restart_decode",
+      "q335_mp4_chunk_offsets", "q336_mp3_frame_walk")) {
+      val df = Registry.byName(name).q(spark, sf)
+      val plan = flattenPlan(df.queryExecution.executedPlan)
+      val scans = plan.count(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+      assert(scans == 1, s"$name must be a single-scan plan, got $scans")
+      // ≤ 2 exchanges: the per-source rollup, plus the final ORDER BY
+      // over the ≤|sources|-row result (immaterial at any scale) — the
+      // corpus-sized data crosses the wire exactly once
+      val exchanges = plan.count(_.isInstanceOf[
+        org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(exchanges <= 2,
+        s"$name: corpus data must shuffle exactly once, got $exchanges " +
+          "exchanges")
+    }
+  }
+
   test("q336 mp3: frame walk replays the closed form; forbidden-index " +
     "lane; malformation battery") {
     val P = 2147483647L
