@@ -508,7 +508,8 @@ object Bench {
     "q333_jpeg_ycc_decode",
     "q334_jpeg_restart_decode",
     "q335_mp4_chunk_offsets",
-    "q336_mp3_frame_walk")
+    "q336_mp3_frame_walk",
+    "q337_exif_orientation")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -3161,6 +3161,175 @@ object Multimodal {
        |FROM d GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q337
+  // Exif APP1 metadata — the camera-metadata sidecar riding INSIDE the
+  // JPEG container (an image pipeline reads orientation before any
+  // pixel): "Exif\0\0" + a little-endian TIFF structure whose IFD
+  // entries are offset-addressed when the value exceeds 4 bytes. The
+  // walk content is the indirection: SHORT values inline, ASCII values
+  // through absolute offsets into the TIFF value area.
+
+  final case class ExifStats(doc_id: Long, source: String, ok: Long,
+      orientation: Long, desc_digest: Long, dt_digest: Long)
+
+  private def exifDesc(id: Long): String = s"doc $id"
+  private def exifDateTime(id: Long): String =
+    f"2026:08:16 00:${id % 60}%02d:${(id * 7) % 60}%02d"
+
+  /** q329's stream with an Exif APP1 spliced in after SOI: II TIFF
+    * header, IFD0 with Orientation (SHORT, inline), ImageDescription and
+    * DateTime (ASCII, offset-addressed into the value area). doc_id % 89
+    * plants orientation 0 — structurally parseable, OUTSIDE the legal
+    * 1..8 range (the honest-negative lane a rotation stage must catch).
+    */
+  private[graft] def jpegExifBytes(id: Long): Array[Byte] = {
+    val desc = exifDesc(id).getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
+    val dt = exifDateTime(id).getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII) :+ 0.toByte
+    val tiff = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { tiff.write(v & 0xff); tiff.write((v >> 8) & 0xff) }
+    def le32(v: Long): Unit = {
+      tiff.write((v & 0xff).toInt); tiff.write(((v >> 8) & 0xff).toInt)
+      tiff.write(((v >> 16) & 0xff).toInt); tiff.write(((v >> 24) & 0xff).toInt)
+    }
+    tiff.write('I'); tiff.write('I'); le16(42); le32(8L) // header → IFD0
+    val valuesAt = 8 + 2 + 3 * 12 + 4 // after count, entries, next-IFD
+    le16(3) // three entries, tag-ascending (TIFF requirement)
+    le16(0x010e); le16(2); le32(desc.length.toLong) // ImageDescription
+    le32(valuesAt.toLong)
+    le16(0x0112); le16(3); le32(1L) // Orientation, SHORT, inline
+    le16(if (id % 89L == 0L) 0 else (1 + id % 8).toInt); le16(0)
+    le16(0x0132); le16(2); le32(dt.length.toLong) // DateTime
+    le32(valuesAt.toLong + desc.length)
+    le32(0L) // no next IFD
+    tiff.write(desc); tiff.write(dt)
+    val t = tiff.toByteArray
+    val app1 = new java.io.ByteArrayOutputStream()
+    app1.write(0xff); app1.write(0xe1)
+    val len = 2 + 6 + t.length
+    app1.write((len >> 8) & 0xff); app1.write(len & 0xff)
+    "Exif".foreach(c => app1.write(c)); app1.write(0); app1.write(0)
+    app1.write(t)
+    val body = jpegFullBytes(if (id % 61L == 0L) id + 1L else id) // decodable
+    body.take(2) ++ app1.toByteArray ++ body.drop(2)
+  }
+
+  /** APP1/Exif walk: find the Exif APP1 before SOS, parse the TIFF
+    * header (II, magic 42), walk IFD0's tag-ascending entries, read the
+    * SHORT orientation inline and the ASCII fields THROUGH their
+    * absolute offsets (bounds-checked, NUL-terminated), digest both.
+    * ok=0 when orientation is outside 1..8 (the lane). None on ANY
+    * structural malformation.
+    */
+  private[graft] def parseJpegExif(
+      b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    var tOff = -1; var tEnd = -1
+    while (tOff < 0) {
+      if (i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      if (m == 0xda || m == 0xd9) return None // scan reached: no Exif
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (i + 2 + len > b.length) return None
+      if (m == 0xe1 && len >= 8 + 8 &&
+        new String(b, i + 4, 4,
+          java.nio.charset.StandardCharsets.US_ASCII) == "Exif" &&
+        b(i + 8) == 0 && b(i + 9) == 0) {
+        tOff = i + 10; tEnd = i + 2 + len
+      }
+      i += 2 + len
+    }
+    def u16(o: Int): Int = (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    if (tOff + 8 > tEnd) return None
+    if (b(tOff) != 'I' || b(tOff + 1) != 'I' || u16(tOff + 2) != 42)
+      return None
+    val ifd = tOff + u32(tOff + 4).toInt
+    if (ifd + 2 > tEnd) return None
+    val n = u16(ifd)
+    if (ifd + 2 + 12 * n + 4 > tEnd) return None
+    var orientation = -1L
+    var descDg = -1L
+    var dtDg = -1L
+    var lastTag = -1
+    def asciiDigest(off: Int, count: Int): Option[Long] = {
+      if (count < 1) return None
+      val at = tOff + off
+      if (at + count > tEnd) return None
+      if (b(at + count - 1) != 0) return None // NUL-terminated
+      var dg = 0L
+      for (k <- 0 until count - 1) dg = (dg * 131L + (b(at + k) & 0xff)) % TarDigestP
+      Some(dg)
+    }
+    for (e <- 0 until n) {
+      val p = ifd + 2 + 12 * e
+      val tag = u16(p)
+      if (tag <= lastTag) return None // TIFF: ascending tag order
+      lastTag = tag
+      val tpe = u16(p + 2)
+      val cnt = u32(p + 4)
+      tag match {
+        case 0x010e =>
+          if (tpe != 2) return None
+          descDg = asciiDigest(u32(p + 8).toInt, cnt.toInt)
+            .getOrElse(return None)
+        case 0x0112 =>
+          if (tpe != 3 || cnt != 1L) return None
+          orientation = u16(p + 8).toLong // SHORT fits inline
+        case 0x0132 =>
+          if (tpe != 2) return None
+          dtDg = asciiDigest(u32(p + 8).toInt, cnt.toInt)
+            .getOrElse(return None)
+        case _ => // unknown tags skipped, the TIFF contract
+      }
+    }
+    if (orientation < 0 || descDg < 0 || dtDg < 0) return None
+    val ok = if (orientation >= 1 && orientation <= 8) 1L else 0L
+    Some((ok, orientation, descDg, dtDg))
+  }
+
+  def jpegExifPartition(rows: Iterator[(Long, String)]): Iterator[ExifStats] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { case (id, src) =>
+      parseJpegExif(jpegExifBytes(id)) match {
+        case Some((ok, o, ddg, tdg)) => ExifStats(id, src, ok, o, ddg, tdg)
+        case None => ExifStats(id, src, 0L, -1L, 0L, 0L)
+      }
+    })
+
+  private[graft] val ExifOracle: String = {
+    def foldChars(sqlStr: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length($sqlStr) + 1),
+         |        i2 -> CAST(unicode(($sqlStr)[i2]) AS BIGINT))),
+         |      (a, c) -> (a * 131 + c) % $TarDigestP)""".stripMargin
+    val DESC = "('doc ' || doc_id)"
+    val DT = "('2026:08:16 00:' || lpad(CAST(doc_id % 60 AS VARCHAR)," +
+      " 2, '0') || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0'))"
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CASE WHEN doc_id % 89 = 0 THEN 0
+       |      ELSE 1 + doc_id % 8 END AS orient
+       |  FROM documents),
+       |d AS (SELECT source,
+       |    CASE WHEN orient BETWEEN 1 AND 8 THEN 1 ELSE 0 END AS ok,
+       |    orient,
+       |    ${foldChars(DESC)} AS ddg,
+       |    ${foldChars(DT)} AS tdg
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(sum(1 - ok) AS BIGINT) AS n_bad_orient,
+       |  CAST(sum(CASE WHEN ok = 1 THEN orient ELSE 0 END) AS BIGINT)
+       |    AS orient_sum,
+       |  CAST(sum(ddg) % $TarDigestP AS BIGINT) AS desc_digest,
+       |  CAST(sum(tdg) % $TarDigestP AS BIGINT) AS dt_digest
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val entries4: Seq[Entry] = Seq(
 
     // q329: FULL JPEG BASELINE DECODE — q312's entropy decoder completed
@@ -3252,6 +3421,35 @@ object Multimodal {
             pmod(sum(col("digest")), lit(TarDigestP)).as("pix_digest"))
           .orderBy(col("source"))
       },
-      Some(JpegRstOracle))
+      Some(JpegRstOracle)),
+
+    // q337: EXIF APP1 METADATA WALK — the camera-metadata sidecar inside
+    // the JPEG container (orientation is read before any pixel in a real
+    // image pipeline): "Exif\0\0" + little-endian TIFF, IFD0 with the
+    // SHORT orientation inline and the ASCII description/datetime
+    // OFFSET-ADDRESSED into the value area (the TIFF indirection q320
+    // proves on standalone files, here nested inside APP1). Ascending
+    // tag order and NUL termination enforced; doc_id % 89 plants
+    // orientation 0 — parseable, outside the legal 1..8 range (counted,
+    // excluded from the orientation sum). The carrying stream stays a
+    // REAL decodable q329 JPEG (suite-pinned). Map-only + one rollup.
+    Entry(
+      "q337_exif_orientation",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).as[(Long, String)]
+          .mapPartitions(jpegExifPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(expr("1L - ok")).as("n_bad_orient"),
+            sum(expr("IF(ok = 1L, orientation, 0L)")).as("orient_sum"),
+            pmod(sum(col("desc_digest")), lit(TarDigestP)).as("desc_digest"),
+            pmod(sum(col("dt_digest")), lit(TarDigestP)).as("dt_digest"))
+          .orderBy(col("source"))
+      },
+      Some(ExifOracle))
   )
 }

@@ -586,6 +586,47 @@ class MultimodalSuite extends SparkTestBase {
     assert(Multimodal.parseJpegFull(Multimodal.jpegFullBytes(11L)).isDefined)
   }
 
+  test("q337 Exif: walk replays the planted metadata; carrying JPEG still " +
+    "decodes; malformation battery") {
+    val P = 2147483647L
+    def strDg(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 131L + c) % P)
+    for (id <- Seq(1L, 5L, 42L, 90L)) {
+      val bytes = Multimodal.jpegExifBytes(id)
+      val Some((ok, o, ddg, tdg)) = Multimodal.parseJpegExif(bytes)
+      assert(ok == 1L && o == 1 + id % 8, s"id=$id orientation")
+      assert(ddg == strDg(s"doc $id"), s"id=$id description digest")
+      assert(tdg == strDg(
+        f"2026:08:16 00:${id % 60}%02d:${(id * 7) % 60}%02d"),
+        s"id=$id datetime digest")
+      // the APP1 splice must not break the image: the same bytes still
+      // decode through the full pixel path AND through ImageIO
+      assert(Multimodal.parseJpegFull(bytes).isDefined,
+        s"id=$id carrying stream decodes")
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes)) != null,
+        s"id=$id ImageIO reads the Exif-bearing JPEG")
+    }
+    // the % 89 lane: parses, orientation 0 is outside 1..8
+    val Some((ok89, o89, _, _)) =
+      Multimodal.parseJpegExif(Multimodal.jpegExifBytes(89L))
+    assert(ok89 == 0L && o89 == 0L, "invalid orientation flagged, not lost")
+    // malformation battery
+    val good = Multimodal.jpegExifBytes(5L)
+    assert(Multimodal.parseJpegExif(Multimodal.jpegFullBytes(5L)).isEmpty,
+      "a JPEG without APP1/Exif has no metadata to walk")
+    val badMagic = good.clone(); badMagic(12) = 'M' // TIFF endian flag
+    assert(Multimodal.parseJpegExif(badMagic).isEmpty, "non-II TIFF")
+    assert(Multimodal.parseJpegExif(good.take(30)).isEmpty, "truncated")
+    // corrupt the first IFD entry's tag (layout: SOI 2 + APP1 hdr 10 →
+    // TIFF at 12, IFD0 at 20, first tag at 22, little-endian): the tag
+    // becomes 0x01FF > 0x0112, so the ascending-order check refuses
+    val swapped = good.clone()
+    swapped(22) = 0xff.toByte
+    assert(Multimodal.parseJpegExif(swapped).isEmpty,
+      "tag-order violation must be malformed")
+  }
+
   test("q329 JPEG full: malformation battery, lane, and plan shape") {
     // the % 61 truncation lane refuses to decode
     assert(Multimodal.parseJpegFull(Multimodal.jpegFullBytes(0L)).isEmpty)
