@@ -509,7 +509,8 @@ object Bench {
     "q334_jpeg_restart_decode",
     "q335_mp4_chunk_offsets",
     "q336_mp3_frame_walk",
-    "q337_exif_orientation")
+    "q337_exif_orientation",
+    "q338_png_text_chunks")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

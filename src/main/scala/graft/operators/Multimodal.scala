@@ -3330,6 +3330,197 @@ object Multimodal {
        |FROM d GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q338
+  // PNG metadata chunks — the text sidecars (tEXt plain, zTXt REAL
+  // zlib-compressed) riding in the container q298 decodes at the pixel
+  // level: keyword\0value accounting with the q298 CRC discipline, and a
+  // real Inflater on every zTXt (metadata extraction is how alt-text /
+  // provenance reaches a training pipeline).
+
+  final case class PngMetaStats(doc_id: Long, source: String, ok: Long,
+      n_txt: Long, kw_digest: Long, txt_digest: Long)
+
+  private def pngMetaText(id: Long): String =
+    s"synthetic corpus document $id, lane ${id % 5}"
+
+  /** Minimal real PNG (1×1 gray, stored-zlib IDAT, CRC'd chunks) carrying
+    * a tEXt ("Title" → "Doc <id>") and a zTXt ("Comment" → the Deflater-
+    * compressed descriptor). doc_id % 97 gets the zTXt compression METHOD
+    * byte set to 1 — only 0 is defined (PNG §11.3.3.3): the chunk (and
+    * its CRC!) parse, the method is illegal; counted, excluded from the
+    * digests.
+    */
+  private[graft] def pngMetaBytes(id: Long): Array[Byte] = {
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(PngSignature, 0, 8)
+    def chunk(typ: String, payload: Array[Byte]): Unit = {
+      def be(v: Long): Array[Byte] = Array(
+        ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+      png.write(be(payload.length.toLong), 0, 4)
+      val tb = typ.getBytes("US-ASCII")
+      png.write(tb, 0, 4)
+      png.write(payload, 0, payload.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb, 0, 4); crc.update(payload, 0, payload.length)
+      png.write(be(crc.getValue), 0, 4)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(3) = 1; ihdr(7) = 1; ihdr(8) = 8 // 1×1, 8-bit gray
+    chunk("IHDR", ihdr)
+    chunk("tEXt",
+      ("Title".getBytes("US-ASCII") :+ 0.toByte) ++
+        s"Doc $id".getBytes("US-ASCII"))
+    val d = new java.util.zip.Deflater()
+    val txt = pngMetaText(id).getBytes("US-ASCII")
+    d.setInput(txt); d.finish()
+    val zOut = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) zOut.write(buf, 0, d.deflate(buf))
+    d.end()
+    val method: Byte = if (id % 97L == 0L) 1 else 0
+    chunk("zTXt",
+      ("Comment".getBytes("US-ASCII") :+ 0.toByte) ++ (method +:
+        zOut.toByteArray))
+    chunk("IDAT", {
+      val raw = Array[Byte](0, ((id * 31) % 251).toByte) // filter 0 + pixel
+      // stored zlib, tiny: CMF/FLG, one final stored block, Adler-32
+      val z = new java.io.ByteArrayOutputStream()
+      z.write(0x78); z.write(0x01)
+      z.write(1); z.write(2); z.write(0); z.write(0xfd); z.write(0xff)
+      z.write(raw, 0, 2)
+      val ad = new java.util.zip.Adler32(); ad.update(raw, 0, 2)
+      val a = ad.getValue
+      z.write(((a >>> 24) & 0xff).toInt); z.write(((a >>> 16) & 0xff).toInt)
+      z.write(((a >>> 8) & 0xff).toInt); z.write((a & 0xff).toInt)
+      z.toByteArray
+    })
+    chunk("IEND", Array.emptyByteArray)
+    png.toByteArray
+  }
+
+  /** Metadata walk with the full q298 container discipline — signature,
+    * IHDR-first/IEND-last, CRC32 verified on EVERY chunk — then per
+    * tEXt/zTXt: keyword split at the first NUL (1..79 chars, PNG
+    * §11.3.4.2), zTXt method byte checked and the payload run through a
+    * REAL Inflater. A chunk with an illegal method is counted bad and
+    * excluded from the digests; any structural failure (CRC, keyword,
+    * zlib, layout) is None.
+    */
+  private[graft] def parsePngMeta(
+      b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+    if (b.length < 8 || !b.take(8).sameElements(PngSignature)) return None
+    def u32(o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    var i = 8
+    var first = true
+    var ended = false
+    var nTxt = 0L
+    var nBad = 0L
+    var kwDg = 0L
+    var txtDg = 0L
+    def foldInto(acc: Long, bytes: Array[Byte], from: Int, until: Int): Long = {
+      var a = 0L
+      var k = from
+      while (k < until) { a = (a * 131L + (bytes(k) & 0xff)) % TarDigestP; k += 1 }
+      (acc + a) % TarDigestP
+    }
+    while (i < b.length) {
+      if (ended || i + 12 > b.length) return None
+      val len = u32(i)
+      if (i + 12 + len > b.length) return None
+      val typ = new String(b, i + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, i + 4, 4 + len.toInt)
+      if (crc.getValue != u32(i + 8 + len.toInt)) return None
+      if (first && typ != "IHDR") return None
+      first = false
+      val ps = i + 8; val pe = ps + len.toInt
+      typ match {
+        case "tEXt" =>
+          var z = ps
+          while (z < pe && b(z) != 0) z += 1
+          val kwLen = z - ps
+          if (z >= pe || kwLen < 1 || kwLen > 79) return None
+          nTxt += 1
+          kwDg = foldInto(kwDg, b, ps, z)
+          txtDg = foldInto(txtDg, b, z + 1, pe)
+        case "zTXt" =>
+          var z = ps
+          while (z < pe && b(z) != 0) z += 1
+          val kwLen = z - ps
+          if (z + 1 >= pe || kwLen < 1 || kwLen > 79) return None
+          if ((b(z + 1) & 0xff) != 0) nBad += 1 // illegal method: counted
+          else {
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(b, z + 2, pe - z - 2)
+            val out = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](256)
+            try {
+              while (!inf.finished()) {
+                val n = inf.inflate(buf)
+                if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+                  return None
+                out.write(buf, 0, n)
+              }
+            } catch {
+              case _: java.util.zip.DataFormatException => return None
+            } finally inf.end()
+            val t = out.toByteArray
+            nTxt += 1
+            kwDg = foldInto(kwDg, b, ps, z)
+            txtDg = foldInto(txtDg, t, 0, t.length)
+          }
+        case "IEND" =>
+          if (len != 0L) return None
+          ended = true
+        case _ => // IHDR/IDAT and any ancillary chunk: CRC checked, skipped
+      }
+      i += 12 + len.toInt
+    }
+    if (!ended) return None
+    Some((nTxt, nBad, kwDg, txtDg))
+  }
+
+  def pngMetaPartition(rows: Iterator[(Long, String)]): Iterator[PngMetaStats] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { case (id, src) =>
+      parsePngMeta(pngMetaBytes(id)) match {
+        case Some((nTxt, nBad, kw, tx)) =>
+          PngMetaStats(id, src, if (nBad == 0L) 1L else 0L, nTxt, kw, tx)
+        case None => PngMetaStats(id, src, 0L, -1L, 0L, 0L)
+      }
+    })
+
+  private[graft] val PngMetaOracle: String = {
+    def foldChars(sqlStr: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(range(1, length($sqlStr) + 1),
+         |        i2 -> CAST(unicode(($sqlStr)[i2]) AS BIGINT))),
+         |      (a, c) -> (a * 131 + c) % $TarDigestP)""".stripMargin
+    val ZT = "('synthetic corpus document ' || doc_id || ', lane '" +
+      " || doc_id % 5)"
+    s"""WITH m AS (SELECT source, doc_id, doc_id % 97 = 0 AS bad
+       |  FROM documents),
+       |d AS (SELECT source,
+       |    CASE WHEN bad THEN 0 ELSE 1 END AS ok,
+       |    CASE WHEN bad THEN 1 ELSE 2 END AS ntxt,
+       |    (${foldChars("'Title'")}
+       |      + CASE WHEN bad THEN 0 ELSE ${foldChars("'Comment'")} END)
+       |      % $TarDigestP AS kwdg,
+       |    (${foldChars("('Doc ' || doc_id)")}
+       |      + CASE WHEN bad THEN 0 ELSE ${foldChars(ZT)} END)
+       |      % $TarDigestP AS txtdg
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_images,
+       |  CAST(sum(1 - ok) AS BIGINT) AS n_bad_meta,
+       |  CAST(sum(ntxt) AS BIGINT) AS n_txt,
+       |  CAST(sum(kwdg) % $TarDigestP AS BIGINT) AS kw_digest,
+       |  CAST(sum(txtdg) % $TarDigestP AS BIGINT) AS txt_digest
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val entries4: Seq[Entry] = Seq(
 
     // q329: FULL JPEG BASELINE DECODE — q312's entropy decoder completed
@@ -3450,6 +3641,32 @@ object Multimodal {
             pmod(sum(col("dt_digest")), lit(TarDigestP)).as("dt_digest"))
           .orderBy(col("source"))
       },
-      Some(ExifOracle))
+      Some(ExifOracle)),
+
+    // q338: PNG METADATA CHUNKS — tEXt/zTXt extraction with the full
+    // q298 container discipline (CRC32 on every chunk, IHDR-first /
+    // IEND-last) and a REAL Inflater on every zTXt payload; keyword
+    // rules (NUL split, 1..79 chars) enforced. doc_id % 97 plants an
+    // illegal zTXt compression method — the chunk and its CRC parse,
+    // the method is undefined: counted, excluded from the digests.
+    // Map-only + one rollup exchange.
+    Entry(
+      "q338_png_text_chunks",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).as[(Long, String)]
+          .mapPartitions(pngMetaPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(expr("1L - ok")).as("n_bad_meta"),
+            sum(col("n_txt")).as("n_txt"),
+            pmod(sum(col("kw_digest")), lit(TarDigestP)).as("kw_digest"),
+            pmod(sum(col("txt_digest")), lit(TarDigestP)).as("txt_digest"))
+          .orderBy(col("source"))
+      },
+      Some(PngMetaOracle))
   )
 }

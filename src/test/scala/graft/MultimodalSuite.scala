@@ -627,6 +627,54 @@ class MultimodalSuite extends SparkTestBase {
       "tag-order violation must be malformed")
   }
 
+  test("q338 PNG text chunks: metadata replays; ImageIO still reads; " +
+    "illegal-method lane; malformation battery") {
+    val P = 2147483647L
+    def strDg(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 131L + c) % P)
+    for (id <- Seq(1L, 4L, 42L, 98L)) {
+      val bytes = Multimodal.pngMetaBytes(id)
+      val Some((nTxt, nBad, kw, tx)) = Multimodal.parsePngMeta(bytes)
+      assert(nTxt == 2L && nBad == 0L)
+      assert(kw == (strDg("Title") + strDg("Comment")) % P, s"id=$id kw")
+      assert(tx == (strDg(s"Doc $id") +
+        strDg(s"synthetic corpus document $id, lane ${id % 5}")) % P,
+        s"id=$id txt")
+      // the carrier is a REAL PNG: ImageIO reads it (1×1 gray)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null && img.getWidth == 1 && img.getHeight == 1)
+      assert(img.getRaster.getSample(0, 0, 0) == ((id * 31) % 251).toInt,
+        s"id=$id planted pixel through ImageIO")
+    }
+    // the % 97 lane: chunk + CRC parse, method is illegal → counted
+    val Some((n97, b97, _, _)) =
+      Multimodal.parsePngMeta(Multimodal.pngMetaBytes(97L))
+    assert(n97 == 1L && b97 == 1L, "illegal zTXt method counted, not lost")
+    // malformation battery
+    val good = Multimodal.pngMetaBytes(4L)
+    assert(Multimodal.parsePngMeta(good.dropRight(4)).isEmpty,
+      "truncated IEND CRC")
+    val badCrc = good.clone()
+    badCrc(badCrc.length - 1) = (badCrc(badCrc.length - 1) ^ 1).toByte
+    assert(Multimodal.parsePngMeta(badCrc).isEmpty, "flipped CRC bit")
+    // corrupt the zTXt zlib body (after 'Comment\0' + method): Inflater
+    // must refuse — find the chunk, flip a payload byte
+    val zAt = {
+      var i = -1; var p = 8
+      while (i < 0 && p + 8 <= good.length) {
+        if (new String(good, p + 4, 4, "US-ASCII") == "zTXt") i = p
+        else p += 1
+      }
+      i
+    }
+    assert(zAt > 0)
+    val badZ = good.clone()
+    badZ(zAt + 8 + 9 + 2) = (badZ(zAt + 8 + 9 + 2) ^ 0x55).toByte
+    assert(Multimodal.parsePngMeta(badZ).isEmpty,
+      "corrupted zlib body must fail CRC or inflate, not mis-decode")
+  }
+
   test("q329 JPEG full: malformation battery, lane, and plan shape") {
     // the % 61 truncation lane refuses to decode
     assert(Multimodal.parseJpegFull(Multimodal.jpegFullBytes(0L)).isEmpty)
