@@ -510,7 +510,8 @@ object Bench {
     "q335_mp4_chunk_offsets",
     "q336_mp3_frame_walk",
     "q337_exif_orientation",
-    "q338_png_text_chunks")
+    "q338_png_text_chunks",
+    "q339_url_canonicalize")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, Containers, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, Sketches, StatTests, TextOps, Transforms, Unigram, WordPiece}
+import graft.operators.{Clustering, Containers, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, Sketches, StatTests, TextOps, Transforms, Unigram, UrlOps, WordPiece}
 import graft.sources.{LayoutOps, Sources}
 import graft.streaming.EventStreams
 
@@ -51,6 +51,7 @@ object Registry {
       Unigram.entries ++
       Sketches.entries ++
       Containers.entries ++
+      UrlOps.entries ++
       WordPiece.entries
 
   require(

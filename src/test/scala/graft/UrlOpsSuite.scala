@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Registry
+
+/** q339 URL canonicalization: rules replayed JVM-side from first
+  * principles, real collapse measured, and the all-expression plan shape
+  * pinned (no object boundary anywhere — this op must stay inside
+  * whole-stage codegen).
+  */
+class UrlOpsSuite extends SparkTestBase {
+
+  private def messyOf(id: Long): String = {
+    val u = id / 40
+    val v = id / 20
+    val scheme =
+      if (u % 2 == 0) { if (v % 2 == 0) "HTTP" else "http" }
+      else { if (v % 2 == 0) "HTTPS" else "https" }
+    val host = if (v % 2 == 0) s"WWW.Example${u % 7}.COM"
+    else s"example${u % 7}.com"
+    val port = if (u % 2 == 0 && v % 4 == 0) ":80"
+    else if (u % 2 == 1 && v % 4 == 2) ":443" else ""
+    val slash = if (v % 5 == 0) "/" else ""
+    val q = if (v % 2 == 0) s"?b=2&a=${u % 9}&utm_source=feed"
+    else s"?a=${u % 9}&b=2"
+    val frag = if (v % 3 == 0) s"#sec${v % 4}" else ""
+    s"$scheme://$host$port/A/b/${u % 50}$slash$q$frag"
+  }
+
+  private def canonOf(id: Long): String = {
+    val u = id / 40
+    val scheme = if (u % 2 == 0) "http" else "https"
+    s"$scheme://example${u % 7}.com/A/b/${u % 50}?a=${u % 9}&b=2"
+  }
+
+  test("q339 canonicalization replays the rule set; collapse is real; " +
+    "plan is pure codegen") {
+    val out = Registry.byName("q339_url_canonicalize").q(spark, sf)
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val P = 2147483647L
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val r = rows(src)
+      assert(r.getLong(1) == ds.length.toLong, "n_urls")
+      assert(r.getLong(2) == ds.map(d => canonOf(d._2)).distinct.length,
+        s"$src n_unique from the first-principles canonical")
+      assert(r.getLong(3) == ds.count(d => (d._2 / 20) % 3 == 0).toLong,
+        "frag lane")
+      assert(r.getLong(4) == ds.count(d =>
+        (d._2 / 40) % 2 == 0 && (d._2 / 20) % 4 == 0).toLong,
+        "port-strip lane (:80 carriers: http URL, %4 spelling)")
+      val dg = ds.map(d => canonOf(d._2)
+        .foldLeft(0L)((a, c) => (a * 131L + c) % P)).sum % P
+      assert(r.getLong(5) == dg, s"$src canonical digest")
+    }
+    // the dedup purpose: at this SF the canonical space is smaller than
+    // the corpus, so the collapse must be genuine somewhere
+    val totalUrls = rows.values.map(_.getLong(1)).sum
+    val totalUnique = rows.values.map(_.getLong(2)).sum
+    assert(totalUnique < totalUrls,
+      "canonicalization must actually collapse spellings")
+    // all-expression pin: no object boundary, one scan
+    val plan = flattenPlan(out.queryExecution.executedPlan)
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SerializeFromObjectExec]),
+      "q339 must stay in codegen — no typed object boundary")
+    assert(plan.count(
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]) == 1)
+    // assert the JVM messy-URL builder agrees with the REGISTERED
+    // generator (same SQL string the query and oracle both use)
+    val gen = Tables.documents(spark, sf)
+      .filter(col("doc_id").isin(0L, 3L, 4L, 5L, 12L, 90L))
+      .select(col("doc_id"),
+        expr(graft.operators.UrlOps.messy("STRING", "div")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    gen.foreach { case (id, m) =>
+      assert(m == messyOf(id), s"id=$id messy synthesis agreement")
+    }
+  }
+}
