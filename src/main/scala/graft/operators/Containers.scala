@@ -1467,9 +1467,9 @@ object Containers {
        |    OR (tb = 2 AND e2 >= e0 AND e2 >= e4)
        |    OR (tb = 4 AND e4 >= e0 AND e4 >= e2)
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
-       |  CAST(sum(e0) AS BIGINT) AS e0_sum,
-       |  CAST(sum(e2) AS BIGINT) AS e2_sum,
-       |  CAST(sum(e4) AS BIGINT) AS e4_sum
+       |  CAST(sum(e0 % 2147483647) % 2147483647 AS BIGINT) AS e0_sum,
+       |  CAST(sum(e2 % 2147483647) % 2147483647 AS BIGINT) AS e2_sum,
+       |  CAST(sum(e4 % 2147483647) % 2147483647 AS BIGINT) AS e4_sum
        |FROM e GROUP BY source ORDER BY source""".stripMargin
   }
 
@@ -1657,9 +1657,14 @@ object Containers {
           .agg(
             count(lit(1)).as("n_clips"),
             sum(col("recovered")).as("n_recovered"),
-            sum(col("e0")).as("e0_sum"),
-            sum(col("e2")).as("e2_sum"),
-            sum(col("e4")).as("e4_sum"))
+            // mod-P folds like every sibling digest (r19 ADVICE): a raw
+            // sum of ~1e11-per-clip energies wraps Spark's Long silently
+            // at very large per-source corpora while DuckDB promotes to
+            // HUGEINT — the fold keeps both sides bounded and identical.
+            // Per-clip energies stay raw (clip length ≤ 120 samples).
+            pmod(sum(pmod(col("e0"), lit(DigP))), lit(DigP)).as("e0_sum"),
+            pmod(sum(pmod(col("e2"), lit(DigP))), lit(DigP)).as("e2_sum"),
+            pmod(sum(pmod(col("e4"), lit(DigP))), lit(DigP)).as("e4_sum"))
           .orderBy(col("source"))
       },
       Some(ToneOracle)),

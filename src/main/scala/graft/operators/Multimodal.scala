@@ -3489,7 +3489,11 @@ object Multimodal {
       parsePngMeta(pngMetaBytes(id)) match {
         case Some((nTxt, nBad, kw, tx)) =>
           PngMetaStats(id, src, if (nBad == 0L) 1L else 0L, nTxt, kw, tx)
-        case None => PngMetaStats(id, src, 0L, -1L, 0L, 0L)
+        // n_txt = 0 (not a -1 sentinel): n_txt feeds sum(n_txt) in the
+        // rollup, and a sentinel would silently skew it (r19 ADVICE; the
+        // same defect class q319 fixed with an explicit n_parse_fail lane).
+        // ok = 0 already carries the failure into n_bad_meta.
+        case None => PngMetaStats(id, src, 0L, 0L, 0L, 0L)
       }
     })
 

@@ -110,8 +110,11 @@ object UrlOps {
             countDistinct(col("canon")).as("n_unique"),
             sum(expr("CAST(messy LIKE '%#%' AS BIGINT)"))
               .as("n_frag_dropped"),
-            sum(expr("CAST(hostport LIKE '%:80' AS BIGINT)"))
-              .as("n_port_stripped"),
+            // both default ports: canonicalization strips :80 from http
+            // AND :443 from https, so the metric counts both carriers
+            // (r19 ADVICE — previously :80 only, under-reporting)
+            sum(expr("CAST(hostport LIKE '%:80' OR hostport LIKE '%:443' " +
+              "AS BIGINT)")).as("n_port_stripped"),
             pmod(sum(expr(
               s"aggregate(sequence(1, length(canon)), 0L, (a, i) -> " +
                 s"(a * 131L + ascii(substring(canon, i, 1))) % ${P}L)")),
@@ -156,13 +159,139 @@ object UrlOps {
          |  CAST(count(DISTINCT canon) AS BIGINT) AS n_unique,
          |  CAST(sum(CASE WHEN contains(messy, '#') THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_frag_dropped,
-         |  CAST(sum(CASE WHEN hostport LIKE '%:80' THEN 1 ELSE 0 END)
+         |  CAST(sum(CASE WHEN hostport LIKE '%:80'
+         |      OR hostport LIKE '%:443' THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_port_stripped,
          |  CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      list_transform(range(1, length(canon) + 1),
          |        i -> CAST(unicode(canon[i]) AS BIGINT))),
          |      (a, c) -> (a * 131 + c) % $P)) % $P AS BIGINT)
          |    AS url_digest
-         |FROM u9 GROUP BY source ORDER BY source""".stripMargin))
+         |FROM u9 GROUP BY source ORDER BY source""".stripMargin)),
+
+    // q342: REGISTRABLE-DOMAIN (eTLD+1) ROLLUP — the host-level unit
+    // every crawl quota, politeness and per-site dedup system keys on.
+    // An embedded public-suffix rule SAMPLE exercises all four rule
+    // kinds of the public-suffix algorithm: exact single-label (com),
+    // exact multi-label (co.uk, github.io), wildcard (*.kawasaki.jp),
+    // exception (!city.kawasaki.jp — its registrable domain is
+    // city.kawasaki.jp itself, so every siteN host under it collapses
+    // to ONE domain), and the implicit default-* rule (.example).
+    // Hosts are synthesized with case noise (doc_id parity upper-cases
+    // the spelling; ids 2k/2k+1 are the same logical host) and
+    // subdomain depth noise (www. / a.b. / bare). PURE CATALYST end to
+    // end — label split, unrolled suffix candidates k=1..4, literal
+    // rule array membership — one exchange on the ~30-key domain
+    // rollup; the oracle re-runs the same public-suffix ALGORITHM
+    // generically over DuckDB lists.
+    Entry(
+      "q342_etld1_rollup",
+      (s, d) => {
+        val rules = "array('com','org','net','uk','co.uk','ac.uk','jp'," +
+          "'github.io','io','*.kawasaki.jp','!city.kawasaki.jp')"
+        T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr(hostExpr("STRING", "div")).as("host"))
+          .withColumn("hostc", expr("lower(host)"))
+          .withColumn("labels", expr("split(hostc, '[.]')"))
+          .withColumn("n", expr("size(labels)"))
+          .withColumn("suf1", expr(
+            "IF(n >= 1, array_join(slice(labels, -1, 1), '.'), NULL)"))
+          .withColumn("suf2", expr(
+            "IF(n >= 2, array_join(slice(labels, -2, 2), '.'), NULL)"))
+          .withColumn("suf3", expr(
+            "IF(n >= 3, array_join(slice(labels, -3, 3), '.'), NULL)"))
+          .withColumn("suf4", expr(
+            "IF(n >= 4, array_join(slice(labels, -4, 4), '.'), NULL)"))
+          .withColumn("exc", expr("greatest(" + (2 to 4).map(k =>
+            s"IF(suf$k IS NOT NULL AND array_contains($rules, " +
+              s"concat('!', suf$k)), $k, 0)").mkString(", ") + ")"))
+          .withColumn("exact", expr("greatest(" + (1 to 4).map(k =>
+            s"IF(suf$k IS NOT NULL AND array_contains($rules, suf$k), " +
+              s"$k, 0)").mkString(", ") + ")"))
+          .withColumn("wild", expr("greatest(" + (2 to 4).map(k =>
+            s"IF(suf${k - 1} IS NOT NULL AND n >= $k AND array_contains(" +
+              s"$rules, concat('*.', suf${k - 1})), $k, 0)")
+            .mkString(", ") + ")"))
+          .withColumn("ps", expr(
+            "IF(exc > 0, exc - 1, greatest(exact, wild, 1))"))
+          .withColumn("rule_kind", expr(
+            "CASE WHEN exc > 0 THEN 'exception' " +
+              "WHEN wild > exact THEN 'wildcard' " +
+              "WHEN exact > 0 THEN 'exact' ELSE 'default' END"))
+          .withColumn("etld1", expr(
+            "IF(n > ps, array_join(slice(labels, -(ps + 1), ps + 1), '.'), " +
+              "NULL)"))
+          .groupBy(col("etld1"))
+          .agg(
+            count(lit(1)).as("n_pages"),
+            countDistinct(col("hostc")).as("n_hosts"),
+            countDistinct(col("source")).as("n_sources"),
+            min(col("rule_kind")).as("rule_kind"),
+            sum(expr("CAST(n > ps + 1 AS BIGINT)")).as("n_deep"))
+          .orderBy(col("etld1"))
+      },
+      Some(s"""WITH d0 AS (SELECT source, doc_id,
+         |    ${hostExpr("VARCHAR", "//")} AS host FROM documents),
+         |d1 AS (SELECT source, lower(host) AS hostc FROM d0),
+         |d2 AS (SELECT source, hostc, string_split(hostc, '.') AS labels,
+         |    len(string_split(hostc, '.')) AS n FROM d1),
+         |d3 AS (SELECT source, hostc, labels, n,
+         |    CASE WHEN n >= 1 THEN array_to_string(labels[n:n], '.') END AS suf1,
+         |    CASE WHEN n >= 2 THEN array_to_string(labels[n-1:n], '.') END AS suf2,
+         |    CASE WHEN n >= 3 THEN array_to_string(labels[n-2:n], '.') END AS suf3,
+         |    CASE WHEN n >= 4 THEN array_to_string(labels[n-3:n], '.') END AS suf4
+         |  FROM d2),
+         |d4 AS (SELECT source, hostc, labels, n,
+         |    greatest(${(2 to 4).map(k =>
+              s"CASE WHEN suf$k IS NOT NULL AND list_contains($EtldRulesSql, " +
+                s"'!' || suf$k) THEN $k ELSE 0 END").mkString(", ")}) AS exc,
+         |    greatest(${(1 to 4).map(k =>
+              s"CASE WHEN suf$k IS NOT NULL AND list_contains($EtldRulesSql, " +
+                s"suf$k) THEN $k ELSE 0 END").mkString(", ")}) AS exact,
+         |    greatest(${(2 to 4).map(k =>
+              s"CASE WHEN suf${k - 1} IS NOT NULL AND n >= $k AND " +
+                s"list_contains($EtldRulesSql, '*.' || suf${k - 1}) " +
+                s"THEN $k ELSE 0 END").mkString(", ")}) AS wild
+         |  FROM d3),
+         |d5 AS (SELECT source, hostc, labels, n,
+         |    CASE WHEN exc > 0 THEN exc - 1
+         |      ELSE greatest(exact, wild, 1) END AS ps,
+         |    CASE WHEN exc > 0 THEN 'exception'
+         |      WHEN wild > exact THEN 'wildcard'
+         |      WHEN exact > 0 THEN 'exact' ELSE 'default' END AS rule_kind
+         |  FROM d4),
+         |d6 AS (SELECT source, hostc, rule_kind, n, ps,
+         |    CASE WHEN n > ps
+         |      THEN array_to_string(labels[n-ps:n], '.') END AS etld1
+         |  FROM d5)
+         |SELECT etld1, CAST(count(*) AS BIGINT) AS n_pages,
+         |  CAST(count(DISTINCT hostc) AS BIGINT) AS n_hosts,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |  min(rule_kind) AS rule_kind,
+         |  CAST(sum(CASE WHEN n > ps + 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_deep
+         |FROM d6 GROUP BY etld1 ORDER BY etld1""".stripMargin))
   )
+
+  /** Shared host synthesis for q342: u = doc_id div 2 makes ids 2k/2k+1
+    * two SPELLINGS (case) of one logical host; u % 7 picks the suffix
+    * lane (exact / multi-label exact / wildcard / exception / default),
+    * u % 3 the subdomain depth, u % 4 the site label.
+    */
+  private[graft] def hostExpr(t: String, dv: String): String = {
+    val u = s"(doc_id $dv 2)"
+    s"CASE WHEN doc_id % 2 = 0 THEN upper(h0) ELSE h0 END".replace("h0",
+      s"concat(CASE WHEN $u % 3 = 0 THEN 'www.' WHEN $u % 3 = 1 " +
+        s"THEN 'a.b.' ELSE '' END, 'site', CAST($u % 4 AS $t), '.', " +
+        s"CASE $u % 7 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' " +
+        s"WHEN 2 THEN 'org' WHEN 3 THEN 'github.io' " +
+        s"WHEN 4 THEN 'blog.kawasaki.jp' WHEN 5 THEN 'city.kawasaki.jp' " +
+        s"ELSE 'example' END)")
+  }
+
+  // def, not val: entries is initialized ABOVE this declaration, so a val
+  // here would still be null while the oracle string interpolates it
+  private def EtldRulesSql: String = "['com','org','net','uk','co.uk'," +
+    "'ac.uk','jp','github.io','io','*.kawasaki.jp','!city.kawasaki.jp']"
 }

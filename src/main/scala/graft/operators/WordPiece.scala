@@ -61,7 +61,12 @@ object WordPiece {
           .groupBy(col("source"), col("word"))
           .agg(count(lit(1)).as("cnt"))
           .localCheckpoint() // feeds the fit AND the final rollup
+        // materialized (vocab-bounded, tiny): dw feeds the fit, the jump
+        // table, the greedy walk AND the eager maxWl bound below — without
+        // this the maxWl .head action re-runs the distinct-word aggregation
+        // as a separate job at plan-construction time (r19 ADVICE).
         val dw = wc.groupBy(col("word")).agg(sum(col("cnt")).as("cnt"))
+          .localCheckpoint()
         val tot = dw.agg(sum(col("cnt")).as("t"))
         val cand = dw
           .select(col("word"), col("cnt"),

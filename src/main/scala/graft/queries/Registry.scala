@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.operators.{Clustering, Containers, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, Sketches, StatTests, TextOps, Transforms, Unigram, UrlOps, WordPiece}
+import graft.operators.{Clustering, Containers, CorpusOps, CorpusStats, Dedup, EventOps, Feedback, Forecast, HtmlOps, Integrity, IntervalOps, Learn, Multimodal, Projection, Relational, Relational3, RelationalExt, Similarity, Sketches, StatTests, TextOps, Transforms, Unigram, UrlOps, WordPiece}
 import graft.sources.{LayoutOps, Sources}
 import graft.streaming.EventStreams
 
@@ -52,7 +52,8 @@ object Registry {
       Sketches.entries ++
       Containers.entries ++
       UrlOps.entries ++
-      WordPiece.entries
+      WordPiece.entries ++
+      HtmlOps.entries
 
   require(
     entries.map(_.name).distinct.size == entries.size,

@@ -48,9 +48,11 @@ class UrlOpsSuite extends SparkTestBase {
         s"$src n_unique from the first-principles canonical")
       assert(r.getLong(3) == ds.count(d => (d._2 / 20) % 3 == 0).toLong,
         "frag lane")
-      assert(r.getLong(4) == ds.count(d =>
-        (d._2 / 40) % 2 == 0 && (d._2 / 20) % 4 == 0).toLong,
-        "port-strip lane (:80 carriers: http URL, %4 spelling)")
+      assert(r.getLong(4) == ds.count { d =>
+        val (u, v) = (d._2 / 40, d._2 / 20)
+        (u % 2 == 0 && v % 4 == 0) || (u % 2 == 1 && v % 4 == 2)
+      }.toLong,
+        "port-strip lane (both carriers: http :80 AND https :443)")
       val dg = ds.map(d => canonOf(d._2)
         .foldLeft(0L)((a, c) => (a * 131L + c) % P)).sum % P
       assert(r.getLong(5) == dg, s"$src canonical digest")
@@ -78,5 +80,74 @@ class UrlOpsSuite extends SparkTestBase {
     gen.foreach { case (id, m) =>
       assert(m == messyOf(id), s"id=$id messy synthesis agreement")
     }
+  }
+
+  test("q342 eTLD+1: all four public-suffix rule kinds replayed from " +
+    "first principles; exception collapse and case collapse are real") {
+    val out = Registry.byName("q342_etld1_rollup").q(spark, sf)
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    // first-principles replay of BOTH the synthesis and the PSL algorithm
+    def hostOf(id: Long): String = {
+      val u = id / 2
+      val sub = if (u % 3 == 0) "www." else if (u % 3 == 1) "a.b." else ""
+      val sufx = (u % 7) match {
+        case 0 => "com"; case 1 => "co.uk"; case 2 => "org"
+        case 3 => "github.io"; case 4 => "blog.kawasaki.jp"
+        case 5 => "city.kawasaki.jp"; case _ => "example"
+      }
+      val h0 = s"${sub}site${u % 4}.$sufx"
+      if (id % 2 == 0) h0.toUpperCase else h0
+    }
+    val rules = Set("com", "org", "net", "uk", "co.uk", "ac.uk", "jp",
+      "github.io", "io", "*.kawasaki.jp", "!city.kawasaki.jp")
+    // (etld1, rule kind, subdomain depth below the registrable domain)
+    def pslOf(host: String): (String, String, Boolean) = {
+      val labels = host.toLowerCase.split('.')
+      val n = labels.length
+      def suf(k: Int) = labels.takeRight(k).mkString(".")
+      def best(ks: Range, f: Int => Boolean) =
+        ks.filter(k => k <= n && f(k)).maxOption.getOrElse(0)
+      val exc = best(2 to 4, k => rules.contains("!" + suf(k)))
+      val exact = best(1 to 4, k => rules.contains(suf(k)))
+      val wild = best(2 to 4, k => rules.contains("*." + suf(k - 1)))
+      val ps = if (exc > 0) exc - 1 else math.max(math.max(exact, wild), 1)
+      val kind = if (exc > 0) "exception"
+      else if (wild > exact) "wildcard"
+      else if (exact > 0) "exact" else "default"
+      (labels.takeRight(ps + 1).mkString("."), kind, n > ps + 1)
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expected = docs.map { case (src, id) =>
+      val h = hostOf(id)
+      val (dom, kind, deep) = pslOf(h)
+      (dom, kind, deep, h.toLowerCase, src)
+    }
+    val grouped = expected.groupBy(_._1)
+    assert(rows.size == grouped.size, "one row per registrable domain")
+    grouped.foreach { case (dom, ds) =>
+      val r = rows(dom)
+      assert(r.getLong(1) == ds.length.toLong, s"$dom n_pages")
+      assert(r.getLong(2) == ds.map(_._4).distinct.length.toLong,
+        s"$dom n_hosts (lowercased spellings counted once)")
+      assert(r.getLong(3) == ds.map(_._5).distinct.length.toLong,
+        s"$dom n_sources")
+      assert(r.getString(4) == ds.head._2, s"$dom rule kind")
+      assert(r.getLong(5) == ds.count(_._3).toLong, s"$dom n_deep")
+    }
+    // all four rule kinds must actually occur in the corpus
+    val kinds = rows.values.map(_.getString(4)).toSet
+    assert(kinds == Set("exact", "wildcard", "exception", "default"),
+      s"rule-kind coverage, got $kinds")
+    // the exception rule's signature behavior: every siteN.city.kawasaki.jp
+    // host collapses into the ONE registrable domain city.kawasaki.jp
+    assert(rows("city.kawasaki.jp").getLong(2) > 1,
+      "exception collapse across distinct hosts")
+    // pure-expression plan: no typed object boundary anywhere
+    val plan = flattenPlan(out.queryExecution.executedPlan)
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SerializeFromObjectExec]),
+      "q342 must stay in codegen — no typed object boundary")
   }
 }
