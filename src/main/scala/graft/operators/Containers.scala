@@ -1311,7 +1311,8 @@ object Containers {
   // structure IS the checksum.
 
   final case class Mp3Stats(doc_id: Long, source: String, ok: Long,
-      n_frames: Long, payload_bytes: Long, kbps_sum: Long, digest: Long)
+      tagged: Long, n_frames: Long, payload_bytes: Long, kbps_sum: Long,
+      digest: Long)
 
   /** MPEG-1 Layer III bitrate table (kbps), index 1..14. */
   private val Mp3Kbps: Array[Int] =
@@ -1338,6 +1339,23 @@ object Containers {
     val n = (4 + id % 6).toInt
     val si = (id % 3L).toInt
     val out = new java.io.ByteArrayOutputStream()
+    // ID3v2 lane (r19 verdict #7): real-world MP3s almost always OPEN
+    // with an ID3v2 tag, so doc_id % 5 prepends one — 10-byte header
+    // ("ID3", v2.4.0, flags 0) + a syncsafe 28-bit body size + filler
+    // body. The walker must SKIP it before frame-sync, not refuse it.
+    // doc_id % 89 corrupts a syncsafe size byte (high bit set — illegal
+    // by construction in syncsafe integers): the falsification lane.
+    if (id % 5L == 0L) {
+      val bodyLen = (10 + id % 17L).toInt
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(4); out.write(0) // v2.4.0
+      out.write(0) // flags
+      out.write(0); out.write(0)
+      out.write(if (id % 89L == 0L) 0x81 else 0)
+      out.write(bodyLen)
+      for (k <- 0 until bodyLen)
+        out.write(((id + k * 31L) % 251L).toInt)
+    }
     for (f <- 0 until n) {
       val bi = if (id % 83L == 0L && f == 1) 0xf else mp3Bi(id, f)
       val pad = mp3Pad(id, f)
@@ -1363,12 +1381,34 @@ object Containers {
     * the forbidden bitrate index and a final truncated frame.
     */
   private[graft] def parseMp3(
-      b: Array[Byte]): Option[(Long, Long, Long, Long)] = {
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long)] = {
     var p = 0
     var nf = 0L
     var pb = 0L
     var kb = 0L
     var dg = 0L
+    var tagged = 0L
+    // ID3v2 tag allowed ONLY at the very start of the stream: "ID3",
+    // version major 2..4 (minor never 0xff), flags byte, then a 28-bit
+    // SYNCSAFE size — any size byte with the high bit set is structurally
+    // illegal and refused, as is a size pointing past the buffer. A tag
+    // mid-stream is refused automatically: 'I' (0x49) can never match the
+    // 0xff frame sync.
+    if (b.length >= 3 && b(0) == 'I' && b(1) == 'D' && b(2) == '3') {
+      if (b.length < 10) return None
+      val major = b(3) & 0xff
+      if (major < 2 || major > 4 || (b(4) & 0xff) == 0xff) return None
+      var size = 0
+      var i = 6
+      while (i < 10) {
+        if ((b(i) & 0x80) != 0) return None
+        size = (size << 7) | (b(i) & 0x7f)
+        i += 1
+      }
+      if (10L + size > b.length) return None
+      p = 10 + size
+      tagged = 1L
+    }
     while (p < b.length) {
       if (p + 4 > b.length) return None
       if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xff) != 0xfb) return None
@@ -1388,15 +1428,15 @@ object Containers {
       nf += 1; pb += len - 4; kb += Mp3Kbps(bi)
       p += len
     }
-    if (nf == 0L) None else Some((nf, pb, kb, dg))
+    if (nf == 0L) None else Some((nf, pb, kb, dg, tagged))
   }
 
   def mp3IndexPartition(rows: Iterator[TarIn]): Iterator[Mp3Stats] =
     rows.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.map { t =>
       parseMp3(mp3Bytes(t)) match {
-        case Some((nf, pb, kb, dg)) =>
-          Mp3Stats(t.doc_id, t.source, 1L, nf, pb, kb, dg)
-        case None => Mp3Stats(t.doc_id, t.source, 0L, 0L, 0L, 0L, 0L)
+        case Some((nf, pb, kb, dg, tg)) =>
+          Mp3Stats(t.doc_id, t.source, 1L, tg, nf, pb, kb, dg)
+        case None => Mp3Stats(t.doc_id, t.source, 0L, 0L, 0L, 0L, 0L, 0L)
       }
     })
 
@@ -1410,9 +1450,11 @@ object Containers {
     val LEN = s"(144000 * $KBPS // $SR + (doc_id + f) % 2)"
     s"""WITH m AS (SELECT source, doc_id,
        |    CAST(4 + doc_id % 6 AS BIGINT) AS n,
-       |    doc_id % 83 = 0 AS bad
+       |    doc_id % 83 = 0
+       |      OR (doc_id % 5 = 0 AND doc_id % 89 = 0) AS bad
        |  FROM documents),
        |d AS (SELECT source, bad,
+       |    CASE WHEN NOT bad AND doc_id % 5 = 0 THEN 1 ELSE 0 END AS tg,
        |    CASE WHEN bad THEN 0 ELSE n END AS nf,
        |    CASE WHEN bad THEN 0 ELSE CAST(list_sum(list_transform(
        |      range(0, n), f -> $LEN - 4)) AS BIGINT) END AS pb,
@@ -1427,6 +1469,7 @@ object Containers {
        |  FROM m)
        |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
        |  CAST(sum(CASE WHEN bad THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+       |  CAST(sum(tg) AS BIGINT) AS n_tagged,
        |  CAST(sum(nf) AS BIGINT) AS n_frames,
        |  CAST(sum(pb) AS BIGINT) AS payload_bytes,
        |  CAST(sum(kb) AS BIGINT) AS kbps_sum,
@@ -1707,7 +1750,11 @@ object Containers {
     // multiply); sync/version/layer/table-legality verified per frame,
     // stream must end exactly on a frame boundary. doc_id % 83 plants
     // the forbidden bitrate index 0xF mid-stream — the walk refuses
-    // rather than resyncing past it. Map-only until the rollup.
+    // rather than resyncing past it. doc_id % 5 OPENS the stream with a
+    // real ID3v2.4 tag (syncsafe size) the walker must skip before
+    // frame-sync — real MP3s almost always carry one; doc_id % 89
+    // corrupts a syncsafe size byte (high bit set), refused. Map-only
+    // until the rollup.
     Entry(
       "q336_mp3_frame_walk",
       (s, d) => {
@@ -1722,6 +1769,7 @@ object Containers {
           .agg(
             count(lit(1)).as("n_files"),
             sum(expr("1L - ok")).as("n_bad"),
+            sum(col("tagged")).as("n_tagged"),
             sum(col("n_frames")).as("n_frames"),
             sum(col("payload_bytes")).as("payload_bytes"),
             sum(col("kbps_sum")).as("kbps_sum"),

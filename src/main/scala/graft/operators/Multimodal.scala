@@ -3525,6 +3525,501 @@ object Multimodal {
        |FROM d GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q341
+  // PROGRESSIVE JPEG (SOF2) — spectral selection + successive
+  // approximation, the encoding most large web JPEGs actually use (the
+  // r19 verdict's #2 remaining gap): six scans — DC first at Al=1, two
+  // AC spectral bands (1..10, 11..63) at Al=1 with EOBRUN coding, a DC
+  // refinement bit pass, and the full G.1.2.3 AC refinement grammar
+  // (correction bits for previously-nonzero coefficients buffered across
+  // runs and EOB runs, newly-nonzero insertion via (run,1)+sign).
+  // Coefficients planted at seed id + 11: progressive is an
+  // ENCODING-layer feature, so the pixels are exactly the q329 closed
+  // form at the shifted seed (the q334 restart-marker precedent).
+
+  /** Progressive AC table: EOBn 0x00/0x10/0x20/0x30, ZRL, and the
+    * (run, size) symbols the planted bands need under Al=1 scaling —
+    * runs 0/4/5 in band one (position 1 may scale to zero), run 9 in
+    * band two, sizes 1..2 — 13 symbols, all at code length 4.
+    */
+  private val JpegProgAcBits: Array[Int] =
+    Array(0, 0, 0, 13, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegProgAcVals: Array[Int] = Array(
+    0x00, 0x10, 0x20, 0x30, 0xf0,
+    0x01, 0x02, 0x41, 0x42, 0x51, 0x52, 0x91, 0x92)
+
+  /** The two spectral bands: zigzag 1..10 carries the planted zigzag-1
+    * and zigzag-6 coefficients, 11..63 the zigzag-20 one.
+    */
+  private val JpegProgBands: Seq[(Int, Int)] = Seq((1, 10), (11, 63))
+
+  /** Complete progressive grayscale JFIF. doc_id % 67 gets the tail
+    * truncated (EOI + final refinement bits) — the structural lane.
+    */
+  private[graft] def jpegProgBytes(id: Long): Array[Byte] = {
+    val seed = id + 11
+    val bw = (1 + id % 4).toInt; val bh = (1 + id % 3).toInt
+    val w = 8 * bw; val h = 8 * bh
+    val n = bw * bh
+    val dc = Array.tabulate(n)(b => jpegDcOf(seed, b))
+    // quantized AC values by ZIGZAG position
+    val ac = Array.tabulate(n) { b =>
+      val a = new Array[Int](64)
+      a(1) = jpegAc1Of(seed, b)
+      a(6) = jpegAc2Of(seed, b)
+      a(20) = jpegAc3Of(seed, b)
+      a
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def b8(v: Int): Unit = out.write(v & 0xff)
+    def b16(v: Int): Unit = { b8(v >> 8); b8(v) }
+    b16(0xFFD8)
+    b16(0xFFE0); b16(16)
+    "JFIF".foreach(c => b8(c)); b8(0); b8(1); b8(1); b8(0)
+    b16(1); b16(1); b8(0); b8(0)
+    b16(0xFFDB); b16(67); b8(0x00)
+    for (k <- 0 until 64) b8(jpegQOf(JpegZigzag(k)))
+    b16(0xFFC2); b16(11); b8(8); b16(h); b16(w); b8(1) // SOF2
+    b8(1); b8(0x11); b8(0)
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegDcVals.length); b8(0x00)
+    JpegDcBits.foreach(b8); JpegDcVals.foreach(b8)
+    b16(0xFFC4); b16(2 + 1 + 16 + JpegProgAcVals.length); b8(0x10)
+    JpegProgAcBits.foreach(b8); JpegProgAcVals.foreach(b8)
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegProgAcBits, JpegProgAcVals)
+    var acc = 0L; var nb = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1L << len) - 1)); nb += len
+      while (nb >= 8) {
+        val byte = ((acc >> (nb - 8)) & 0xff).toInt
+        b8(byte); if (byte == 0xff) b8(0x00)
+        nb -= 8
+      }
+    }
+    def pad(): Unit =
+      if (nb > 0) { val p = 8 - nb; putBits((1 << p) - 1, p) }
+    def size(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def putMag(v: Int, sz: Int): Unit =
+      putBits(if (v > 0) v else v + (1 << sz) - 1, sz)
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      b16(0xFFDA); b16(8); b8(1); b8(1); b8(0x00)
+      b8(ss); b8(se); b8((ah << 4) | al)
+    }
+    // SCAN 1 — DC first, Al=1: diffs of the ARITHMETIC shift dc >> 1
+    // (T.81 G.1.2.1; the refinement bit below restores the LSB exactly,
+    // two's complement OR included)
+    sos(0, 0, 0, 1)
+    var pred = 0
+    for (b <- 0 until n) {
+      val v = dc(b) >> 1
+      val diff = v - pred; pred = v
+      val cat = size(diff)
+      val (hc, hl) = dcCodes(cat); putBits(hc, hl)
+      if (cat > 0) putMag(diff, cat)
+    }
+    pad()
+    // SCANS 2-3 — AC first per band, Al=1: magnitudes shifted toward
+    // zero (|v| = 1 scales to ZERO here and is inserted by refinement —
+    // the newly-nonzero grammar is exercised for real), EOB runs
+    // accumulated across blocks and coded as EOBn + extra bits
+    var eobrun = 0
+    def emitEobrunFirst(): Unit = if (eobrun > 0) {
+      val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+      val (c, l) = acCodes(nbits << 4); putBits(c, l)
+      if (nbits > 0) putBits(eobrun & ((1 << nbits) - 1), nbits)
+      eobrun = 0
+    }
+    for ((ss, se) <- JpegProgBands) {
+      sos(ss, se, 0, 1)
+      eobrun = 0
+      for (b <- 0 until n) {
+        val band = (ss to se).map { k =>
+          val v = ac(b)(k)
+          if (v < 0) -((-v) >> 1) else v >> 1
+        }
+        if (band.forall(_ == 0)) {
+          eobrun += 1
+          if (eobrun == 0x7fff) emitEobrunFirst()
+        } else {
+          emitEobrunFirst()
+          var r = 0
+          for (sv <- band) {
+            if (sv == 0) r += 1
+            else {
+              while (r > 15) {
+                val (zc, zl) = acCodes(0xf0); putBits(zc, zl); r -= 16
+              }
+              val sz = size(sv)
+              val (c, l) = acCodes((r << 4) | sz)
+              putBits(c, l); putMag(sv, sz)
+              r = 0
+            }
+          }
+          if (r > 0) eobrun += 1 // trailing zeros: this block ends in EOB
+        }
+      }
+      emitEobrunFirst()
+      pad()
+    }
+    // SCAN 4 — DC refinement, Ah=1 Al=0: one raw LSB per block
+    sos(0, 0, 1, 0)
+    for (b <- 0 until n) putBits(dc(b) & 1, 1)
+    pad()
+    // SCANS 5-6 — AC refinement per band (G.1.2.3): correction bits for
+    // previously-nonzero coefficients are BUFFERED while walking runs
+    // and emitted after the next (run,1)+sign symbol or EOBn flush
+    for ((ss, se) <- JpegProgBands) {
+      sos(ss, se, 1, 0)
+      eobrun = 0
+      val be = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def emitEobrunRefine(): Unit = if (eobrun > 0) {
+        val nbits = 31 - Integer.numberOfLeadingZeros(eobrun)
+        val (c, l) = acCodes(nbits << 4); putBits(c, l)
+        if (nbits > 0) putBits(eobrun & ((1 << nbits) - 1), nbits)
+        eobrun = 0
+        be.foreach(putBits(_, 1)); be.clear()
+      }
+      for (b <- 0 until n) {
+        val band = (ss to se).map(k => ac(b)(k))
+        val absv = band.map(math.abs)
+        val eobPos = band.indices.filter(absv(_) == 1)
+          .lastOption.getOrElse(-1)
+        var r = 0
+        val br = scala.collection.mutable.ArrayBuffer.empty[Int]
+        for (i <- band.indices) {
+          val temp = absv(i)
+          if (temp == 0) r += 1
+          else {
+            while (r > 15 && i <= eobPos) {
+              emitEobrunRefine()
+              val (zc, zl) = acCodes(0xf0); putBits(zc, zl)
+              r -= 16
+              br.foreach(putBits(_, 1)); br.clear()
+            }
+            if (temp > 1) br += (temp & 1) // history coefficient: buffer
+            else { // newly nonzero: flush EOB run, emit (run,1) + sign
+              emitEobrunRefine()
+              val (c, l) = acCodes((r << 4) | 1); putBits(c, l)
+              putBits(if (band(i) < 0) 0 else 1, 1)
+              br.foreach(putBits(_, 1)); br.clear()
+              r = 0
+            }
+          }
+        }
+        if (r > 0 || br.nonEmpty) {
+          eobrun += 1
+          be ++= br
+          if (eobrun == 0x7fff) emitEobrunRefine()
+        }
+      }
+      emitEobrunRefine()
+      pad()
+    }
+    b16(0xFFD9)
+    val bytes = out.toByteArray
+    if (id % 67L == 0L) bytes.dropRight(6) else bytes
+  }
+
+  /** Progressive decode: SOF2 marker walk, per-scan (Ss, Se, Ah, Al)
+    * progression tracking (first pass then Ah = previous Al per
+    * position, every position refined down to Al = 0 by EOI — an
+    * INCOMPLETE progressive stream is refused: this is an ingest gate,
+    * not a best-effort renderer), DC first/refine, AC first with EOBRUN,
+    * and the full AC refinement walk (correction bits inside runs, EOB
+    * completion of the current block, newly-nonzero placement). Dequant
+    * + IDCT after the last scan. None on ANY malformation.
+    */
+  private[graft] def parseJpegProg(
+      b: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (b.length < 4 || (b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8)
+      return None
+    var i = 2
+    var w = -1; var h = -1
+    var qnat: Array[Int] = null
+    var dcTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
+    var acTab: (Array[Int], Array[Int], Array[Int], Array[Int]) = null
+    def buildTab(bits: Array[Int], vals: Array[Int]) = {
+      val minC = new Array[Int](17); val maxC = new Array[Int](17)
+      val valP = new Array[Int](17)
+      var code = 0; var k = 0
+      for (len <- 1 to 16) {
+        valP(len) = k
+        minC(len) = code
+        code += bits(len - 1); k += bits(len - 1)
+        maxC(len) = code - 1
+        code <<= 1
+      }
+      (minC, maxC, valP, vals)
+    }
+    // header walk to the first SOS
+    var atScan = false
+    while (!atScan) {
+      if (i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff) return None
+      val m = b(i + 1) & 0xff
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (i + 2 + len > b.length) return None
+      m match {
+        case 0xdb =>
+          if (len != 67 || (b(i + 4) & 0xff) != 0x00) return None
+          qnat = new Array[Int](64)
+          for (k <- 0 until 64) qnat(JpegZigzag(k)) = b(i + 5 + k) & 0xff
+          if (qnat.exists(_ < 1)) return None
+        case 0xc2 => // SOF2: progressive
+          if (len != 11 || (b(i + 4) & 0xff) != 8) return None
+          h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          if ((b(i + 9) & 0xff) != 1) return None
+          if ((b(i + 11) & 0xff) != 0x11) return None
+        case 0xc0 => return None // baseline stream: wrong decoder
+        case 0xc4 =>
+          var j = i + 4
+          while (j < i + 2 + len) {
+            val tcth = b(j) & 0xff
+            val bits = Array.tabulate(16)(t => b(j + 1 + t) & 0xff)
+            val nv = bits.sum
+            if (j + 17 + nv > i + 2 + len) return None
+            val vals = Array.tabulate(nv)(t => b(j + 17 + t) & 0xff)
+            val tab = buildTab(bits, vals)
+            if (tcth == 0x00) dcTab = tab
+            else if (tcth == 0x10) acTab = tab
+            else return None
+            j += 17 + nv
+          }
+        case 0xda => atScan = true
+        case mm if mm >= 0xe0 && mm <= 0xef =>
+        case 0xfe =>
+        case _ => return None
+      }
+      if (!atScan) i += 2 + len
+    }
+    if (w <= 0 || h <= 0 || w % 8 != 0 || h % 8 != 0) return None
+    if (qnat == null || dcTab == null || acTab == null) return None
+    val nBlocks = (w / 8) * (h / 8)
+    // coefficient state by ZIGZAG position, plus per-position point
+    // transform progression (-1 = untouched)
+    val coef = Array.ofDim[Int](nBlocks, 64)
+    val alState = Array.fill(64)(-1)
+    var pred = 0
+    var sawEoi = false
+    while (!sawEoi) {
+      // scan header
+      if (i + 4 > b.length) return None
+      if ((b(i) & 0xff) != 0xff || (b(i + 1) & 0xff) != 0xda) return None
+      val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+      if (len != 8 || i + 2 + len > b.length) return None
+      if ((b(i + 4) & 0xff) != 1 || (b(i + 5) & 0xff) != 1) return None
+      val ss = b(i + 7) & 0xff
+      val se = b(i + 8) & 0xff
+      val ah = (b(i + 9) & 0xff) >> 4
+      val al = b(i + 9) & 0x0f
+      if (ss > se || se > 63) return None
+      if (ss == 0 && se != 0) return None // DC never mixes with AC
+      if (ss > 0 && alState(0) == -1) return None // DC first precedes AC
+      for (k <- ss to se) {
+        if (ah == 0) { if (alState(k) != -1) return None }
+        else if (alState(k) != ah || al != ah - 1) return None
+        alState(k) = al
+      }
+      // entropy data: unstuff to the next marker
+      val data = new java.io.ByteArrayOutputStream()
+      var k2 = i + 2 + len
+      var endMarker = -1
+      while (endMarker < 0) {
+        if (k2 >= b.length) return None
+        val c = b(k2) & 0xff
+        if (c == 0xff) {
+          if (k2 + 1 >= b.length) return None
+          val nxt = b(k2 + 1) & 0xff
+          if (nxt == 0x00) { data.write(0xff); k2 += 2 }
+          else { endMarker = nxt }
+        } else { data.write(c); k2 += 1 }
+      }
+      val seg = data.toByteArray
+      var pos = 0
+      def readBit(): Int = {
+        if (pos >= seg.length * 8) return -1
+        val bit = (seg(pos >> 3) >> (7 - (pos & 7))) & 1
+        pos += 1
+        bit
+      }
+      def decode(
+          tab: (Array[Int], Array[Int], Array[Int], Array[Int])): Int = {
+        val (minC, maxC, valP, vals) = tab
+        var code = 0
+        var l = 0
+        while (l < 16) {
+          val bit = readBit(); if (bit < 0) return -1
+          code = (code << 1) | bit
+          l += 1
+          if (maxC(l) >= minC(l) && code >= minC(l) && code <= maxC(l))
+            return vals(valP(l) + code - minC(l))
+        }
+        -1
+      }
+      def extend(v: Int, cat: Int): Int =
+        if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+      def readBits(cnt: Int): Int = {
+        var v = 0
+        var t = 0
+        while (t < cnt) {
+          val bit = readBit(); if (bit < 0) return -1
+          v = (v << 1) | bit; t += 1
+        }
+        v
+      }
+      if (ss == 0 && ah == 0) { // DC first
+        pred = 0
+        for (blk <- 0 until nBlocks) {
+          val cat = decode(dcTab)
+          if (cat < 0 || cat > 11) return None
+          val diff =
+            if (cat == 0) 0
+            else {
+              val v = readBits(cat); if (v < 0) return None
+              extend(v, cat)
+            }
+          pred += diff
+          coef(blk)(0) = pred << al
+        }
+      } else if (ss == 0) { // DC refinement: one raw bit per block
+        val p1 = 1 << al
+        for (blk <- 0 until nBlocks) {
+          val bit = readBit(); if (bit < 0) return None
+          if (bit == 1) coef(blk)(0) |= p1
+        }
+      } else if (ah == 0) { // AC first with EOBRUN
+        var eobrun = 0
+        for (blk <- 0 until nBlocks) {
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            var break = false
+            while (k <= se && !break) {
+              val sym = decode(acTab); if (sym < 0) return None
+              val r = sym >> 4; val s = sym & 15
+              if (s > 0) {
+                k += r
+                if (k > se) return None
+                val v = readBits(s); if (v < 0) return None
+                coef(blk)(k) = extend(v, s) << al
+                k += 1
+              } else if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1
+                if (r > 0) {
+                  val ex = readBits(r); if (ex < 0) return None
+                  eobrun += ex
+                }
+                break = true
+              }
+            }
+          }
+        }
+        if (eobrun != 0) return None // EOB run past the last block
+      } else { // AC refinement (G.1.2.3)
+        val p1 = 1 << al; val m1 = -p1
+        var eobrun = 0
+        for (blk <- 0 until nBlocks) {
+          var k = ss
+          if (eobrun == 0) {
+            var break = false
+            while (k <= se && !break) {
+              val sym = decode(acTab); if (sym < 0) return None
+              var r = sym >> 4; val s = sym & 15
+              var newval = 0
+              if (s != 0) {
+                if (s != 1) return None // only size 1 legal here
+                val bit = readBit(); if (bit < 0) return None
+                newval = if (bit == 1) p1 else m1
+              } else if (r != 15) {
+                eobrun = 1 << r
+                if (r > 0) {
+                  val ex = readBits(r); if (ex < 0) return None
+                  eobrun += ex
+                }
+                break = true // EOB completion below finishes this block
+              }
+              if (!break) {
+                // advance over the run, correcting history coefficients
+                var done = false
+                while (k <= se && !done) {
+                  if (coef(blk)(k) != 0) {
+                    val bit = readBit(); if (bit < 0) return None
+                    if (bit == 1 && (math.abs(coef(blk)(k)) & p1) == 0)
+                      coef(blk)(k) += (if (coef(blk)(k) >= 0) p1 else m1)
+                  } else {
+                    if (r == 0) done = true
+                    else r -= 1
+                  }
+                  if (!done) k += 1
+                }
+                if (newval != 0) {
+                  if (k > se) return None
+                  coef(blk)(k) = newval
+                }
+                k += 1
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB completion: correction bits for the rest of the block
+            while (k <= se) {
+              if (coef(blk)(k) != 0) {
+                val bit = readBit(); if (bit < 0) return None
+                if (bit == 1 && (math.abs(coef(blk)(k)) & p1) == 0)
+                  coef(blk)(k) += (if (coef(blk)(k) >= 0) p1 else m1)
+              }
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        if (eobrun != 0) return None
+      }
+      i = k2
+      if (endMarker == 0xd9) sawEoi = true
+      else if (endMarker != 0xda) return None
+      if (!sawEoi) { /* next scan header parsed at loop top */ }
+    }
+    // progression complete: every position refined down to Al = 0
+    if (alState.exists(_ != 0)) return None
+    val pixels = new Array[Int](nBlocks * 64)
+    val cnat = new Array[Int](64)
+    for (blk <- 0 until nBlocks) {
+      java.util.Arrays.fill(cnat, 0)
+      for (k <- 0 until 64) {
+        val nat = JpegZigzag(k)
+        cnat(nat) = coef(blk)(k) * qnat(nat)
+      }
+      System.arraycopy(idctBlock(cnat), 0, pixels, blk * 64, 64)
+    }
+    Some((w, h, pixels))
+  }
+
+  def jpegProgPartition(rows: Iterator[(Long, String)]): Iterator[JpegPix] =
+    rows.grouped(decodeBatchSize).flatMap(_.iterator.map { case (id, src) =>
+      parseJpegProg(jpegProgBytes(id)) match {
+        case Some((w, h, px)) =>
+          var dg = 0L
+          var i = 0
+          while (i < px.length) {
+            dg = (dg * 131L + px(i)) % TarDigestP
+            i += 1
+          }
+          JpegPix(id, src, 1L, w.toLong * h, dg)
+        case None => JpegPix(id, src, 0L, 0L, 0L)
+      }
+    })
+
+  /** q341's oracle: geometry and lane from doc_id, coefficients planted
+    * at seed doc_id + 11 — progressive scan structure is an
+    * ENCODING-layer feature, so the pixels are exactly the q329 closed
+    * form at the shifted seed (the q334 precedent).
+    */
+  private[graft] val JpegProgOracle: String =
+    jpegPixOracleSql("(doc_id + 11)", 67)
+
   val entries4: Seq[Entry] = Seq(
 
     // q329: FULL JPEG BASELINE DECODE — q312's entropy decoder completed
@@ -3671,6 +4166,36 @@ object Multimodal {
             pmod(sum(col("txt_digest")), lit(TarDigestP)).as("txt_digest"))
           .orderBy(col("source"))
       },
-      Some(PngMetaOracle))
+      Some(PngMetaOracle)),
+
+    // q341: PROGRESSIVE JPEG DECODE (SOF2) — the encoding most large web
+    // JPEGs use, completing the family (q329 baseline, q333 color, q334
+    // restarts): six scans exercising spectral selection (bands 1-10 /
+    // 11-63), DC successive approximation (first at Al=1 + refinement
+    // bit pass), and the full G.1.2.3 AC refinement grammar — EOBRUN
+    // accumulation, buffered correction bits, newly-nonzero insertion
+    // (|v| = 1 coefficients vanish in the Al=1 first pass and are
+    // restored by refinement). Pixels are pinned equal to the q329
+    // closed form at seed doc_id + 11 (scan structure is encoding-layer)
+    // and conformance against javax.imageio is suite-pinned at the ±1
+    // lossy tolerance. doc_id % 67 = truncated tail (structural lane).
+    // Same map-only typed mapPartitions shape as the rest of the family.
+    Entry(
+      "q341_jpeg_progressive",
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("source")).as[(Long, String)]
+          .mapPartitions(jpegProgPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_images"),
+            sum(expr("1L - ok")).as("n_bad"),
+            sum(col("pix_bytes")).as("pix_bytes"),
+            pmod(sum(col("digest")), lit(TarDigestP)).as("pix_digest"))
+          .orderBy(col("source"))
+      },
+      Some(JpegProgOracle))
   )
 }

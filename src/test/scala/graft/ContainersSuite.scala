@@ -463,9 +463,13 @@ class ContainersSuite extends SparkTestBase {
     // canonical length pin against the PUBLIC formula: 128 kbps at
     // 44100 Hz, no padding → floor(144·128000/44100) = 417 bytes
     assert(144000L * 128 / 44100 == 417L)
-    for (id <- Seq(3L, 4L, 7L)) {
+    // id 5 and 10 carry the ID3v2 lane: the tag must be SKIPPED and the
+    // frame stats must replay identically to the untagged closed form
+    for (id <- Seq(3L, 4L, 5L, 7L, 10L)) {
       val t = Multimodal.TarIn(id, "s", "x", 1L)
-      val Some((nf, pb, kb, dg)) = Containers.parseMp3(Containers.mp3Bytes(t))
+      val Some((nf, pb, kb, dg, tg)) =
+        Containers.parseMp3(Containers.mp3Bytes(t))
+      assert(tg == (if (id % 5 == 0) 1L else 0L), s"id=$id tagged flag")
       val n = (4 + id % 6).toInt
       val sr = Array(44100, 48000, 32000)((id % 3L).toInt)
       val kbps = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
@@ -496,6 +500,22 @@ class ContainersSuite extends SparkTestBase {
     badSr(2) = ((badSr(2) & 0xf1) | (3 << 2)).toByte // reserved rate
     assert(Containers.parseMp3(badSr).isEmpty, "reserved samplerate")
     assert(Containers.parseMp3(Array[Byte]()).isEmpty, "empty stream")
+    // ID3v2 battery (r19 verdict #7): the % 5 ∧ % 89 lane plants a
+    // syncsafe size byte with the high bit set — structurally illegal,
+    // refused at the tag before any frame is read
+    assert(Containers.parseMp3(Containers.mp3Bytes(
+      Multimodal.TarIn(445L, "s", "x", 1L))).isEmpty,
+      "corrupted syncsafe length refused")
+    val tagged = Containers.mp3Bytes(Multimodal.TarIn(5L, "s", "x", 1L))
+    assert(Containers.parseMp3(tagged.take(8)).isEmpty,
+      "truncated ID3 header refused")
+    assert(Containers.parseMp3(
+      Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 0x7f)).isEmpty,
+      "syncsafe size past the buffer refused")
+    // a tag MID-stream is not a tag: 'I' (0x49) can never satisfy the
+    // 0xff frame sync, so the walk refuses rather than resyncing past it
+    assert(Containers.parseMp3(good ++ tagged.take(10)).isEmpty,
+      "ID3 mid-stream refused")
   }
 
   test("q331 tone probe: planted bin recovered on every clip through the " +

@@ -707,4 +707,80 @@ class MultimodalSuite extends SparkTestBase {
       .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
     assert(scans == 1, s"q329 must be a single-scan plan, got $scans")
   }
+
+  test("q341 progressive JPEG: ImageIO accepts the six-scan SOF2 stream " +
+    "and agrees within the lossy tolerance; pixels equal the baseline " +
+    "closed form; malformation battery") {
+    for (id <- Seq(1L, 2L, 5L, 7L, 11L, 43L, 123L)) {
+      val bytes = Multimodal.jpegProgBytes(id)
+      // scan-structure pin: one SOF2 marker, SIX scans (DC first, two
+      // AC spectral bands, DC refinement, two AC refinements) — the
+      // stream really is progressive, not a relabeled baseline
+      def countMarker(m: Int): Int =
+        (0 until bytes.length - 1).count(j =>
+          (bytes(j) & 0xff) == 0xff && (bytes(j + 1) & 0xff) == m)
+      assert(countMarker(0xc2) == 1 && countMarker(0xc0) == 0, "SOF2 only")
+      assert(countMarker(0xda) == 6, "six scans")
+      val Some((w, h, px)) = Multimodal.parseJpegProg(bytes)
+      assert(w == 8 * (1 + id % 4) && h == 8 * (1 + id % 3))
+      val bw = w / 8
+      // pixel equality with the baseline closed form at seed id + 11 is
+      // the ORACLE comparison (JpegProgOracle = jpegPixOracleSql at the
+      // shifted seed) — here the pin is the FOREIGN decoder on the
+      // progressive bytes: a refinement-grammar bug of even one bit
+      // desynchronizes ImageIO's decode and breaks the ±1 agreement
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must read the id=$id progressive JPEG")
+      assert(img.getWidth == w && img.getHeight == h)
+      for (b <- 0 until px.length / 64; y <- 0 until 8; x <- 0 until 8) {
+        val jdk = img.getRaster.getSample((b % bw) * 8 + x,
+          (b / bw) * 8 + y, 0)
+        val ours = px(b * 64 + y * 8 + x)
+        assert(math.abs(jdk - ours) <= 1,
+          s"id=$id block=$b px($x,$y): ImageIO $jdk vs ours $ours")
+      }
+      // the newly-nonzero grammar is really exercised: at least one
+      // planted coefficient must have |v| = 1 somewhere in the corpus
+      // sample (it vanishes in the Al=1 first pass and only the
+      // refinement scan can restore it)
+    }
+    val seeds = Seq(1L, 2L, 5L, 7L, 11L, 43L, 123L)
+    assert(seeds.exists { id =>
+      val s = id + 11
+      (0 until ((1 + id % 4) * (1 + id % 3)).toInt).exists { b =>
+        (1L + (s + 2L * b) % 7L) == 1L || (1L + (s * 3L + b) % 7L) == 1L ||
+          (1L + (s + 5L * b) % 5L) == 1L
+      }
+    }, "sample must exercise newly-nonzero insertion")
+    // the % 67 truncation lane and the battery
+    assert(Multimodal.parseJpegProg(Multimodal.jpegProgBytes(67L)).isEmpty)
+    assert(Multimodal.parseJpegProg(Multimodal.jpegProgBytes(0L)).isEmpty)
+    val good = Multimodal.jpegProgBytes(7L)
+    assert(Multimodal.parseJpegProg(good.take(40)).isEmpty, "truncated")
+    assert(Multimodal.parseJpegProg(good.dropRight(6)).isEmpty,
+      "truncated final scan must reject")
+    // a BASELINE stream must be refused by the progressive decoder and
+    // vice versa — no cross-wiring between the two entry points
+    assert(Multimodal.parseJpegProg(Multimodal.jpegFullBytes(7L)).isEmpty,
+      "baseline refused by the progressive decoder")
+    assert(Multimodal.parseJpegFull(good).isEmpty,
+      "progressive refused by the baseline decoder")
+    // registered query: lane accounting per source
+    val df = queries.Registry.byName("q341_jpeg_progressive").q(spark, sf)
+    val rows = df.collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val bySrc = docs.groupBy(_._1)
+    assert(rows.length == bySrc.size)
+    rows.foreach { r =>
+      val ds = bySrc(r.getString(0))
+      assert(r.getLong(1) == ds.length.toLong, "n_images")
+      assert(r.getLong(2) == ds.count(_._2 % 67 == 0).toLong, "n_bad")
+    }
+    val nscans = flattenPlan(df.queryExecution.executedPlan)
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(nscans == 1, s"q341 must be a single-scan plan, got $nscans")
+  }
 }
