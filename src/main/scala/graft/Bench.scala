@@ -511,7 +511,12 @@ object Bench {
     "q336_mp3_frame_walk",
     "q337_exif_orientation",
     "q338_png_text_chunks",
-    "q339_url_canonicalize")
+    "q339_url_canonicalize",
+    // round-20 cohort, standing from birth
+    "q340_html_text_extract",
+    "q341_jpeg_progressive",
+    "q342_etld1_rollup",
+    "q343_webm_ebml_walk")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

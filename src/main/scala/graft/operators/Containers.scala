@@ -1477,6 +1477,275 @@ object Containers {
        |FROM d GROUP BY source ORDER BY source""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q343
+  // WebM/Matroska (EBML) walk — the other dominant video container
+  // beside MP4 (q330/q335): no fixed-width boxes, everything is
+  // (varint id, varint size, content). A walker with a wrong varint
+  // marker rule lands mid-element and loses the tree — the framing IS
+  // the checksum.
+
+  final case class WebmStats(doc_id: Long, source: String, ok: Long,
+      n_clusters: Long, n_blocks: Long, frame_bytes: Long, digest: Long,
+      tc_sum: Long)
+
+  /** EBML varint size encoding (minimal length, 1-2 bytes cover every
+    * size this synthesis emits; the WALKER decodes 1..8 generically).
+    */
+  private def ebmlSize(v: Int): Array[Byte] =
+    if (v < 0x7f) Array((0x80 | v).toByte)
+    else {
+      require(v < 0x3fff, s"ebmlSize: $v")
+      Array((0x40 | (v >> 8)).toByte, (v & 0xff).toByte)
+    }
+
+  private def ebmlElem(id: Array[Int], payload: Array[Byte]): Array[Byte] =
+    id.map(_.toByte) ++ ebmlSize(payload.length) ++ payload
+
+  private def ebmlUint(id: Array[Int], v: Long): Array[Byte] = {
+    var n = 1
+    while (n < 8 && (v >> (8 * n)) != 0) n += 1
+    ebmlElem(id, Array.tabulate(n)(k => ((v >> (8 * (n - 1 - k))) & 0xff).toByte))
+  }
+
+  private val EbmlHeader = Array(0x1a, 0x45, 0xdf, 0xa3)
+  private val EbmlSegment = Array(0x18, 0x53, 0x80, 0x67)
+  private val EbmlInfo = Array(0x15, 0x49, 0xa9, 0x66)
+  private val EbmlTcScale = Array(0x2a, 0xd7, 0xb1)
+  private val EbmlTracks = Array(0x16, 0x54, 0xae, 0x6b)
+  private val EbmlTrackEntry = Array(0xae)
+  private val EbmlTrackNum = Array(0xd7)
+  private val EbmlTrackType = Array(0x83)
+  private val EbmlCodecId = Array(0x86)
+  private val EbmlCluster = Array(0x1f, 0x43, 0xb6, 0x75)
+  private val EbmlTimecode = Array(0xe7)
+  private val EbmlSimpleBlock = Array(0xa3)
+  private val EbmlDocType = Array(0x42, 0x82)
+  private val EbmlVersion = Array(0x42, 0x86)
+
+  /** Per-doc synthesis closed forms (shared with the oracle and suite):
+    * 2 + id % 3 clusters, 1 + (id + c) % 3 SimpleBlocks per cluster,
+    * frame length 5 + (id + c + b) % 9, frame byte
+    * (id + 17c + 13b + 7k) % 251, block track 1 + (b + c) % 2, relative
+    * timecode 40b, cluster timecode 1000c — except the doc_id % 59 lane,
+    * where the LAST TWO cluster timecodes are swapped (parses fine; only
+    * the monotonicity footing catches it). doc_id % 71 inflates one
+    * SimpleBlock's declared size by 3 — the children stop tiling the
+    * cluster: structural, refused.
+    */
+  private[graft] def webmClusterTc(id: Long, c: Int, nc: Int): Long =
+    if (id % 59L == 0L && c == nc - 2) 1000L * (nc - 1)
+    else if (id % 59L == 0L && c == nc - 1) 1000L * (nc - 2)
+    else 1000L * c
+
+  private[graft] def webmBytes(t: TarIn): Array[Byte] = {
+    val id = t.doc_id
+    val nc = (2 + id % 3).toInt
+    val header = ebmlElem(EbmlHeader,
+      ebmlUint(EbmlVersion, 1L) ++
+        ebmlElem(EbmlDocType, "webm".getBytes(
+          java.nio.charset.StandardCharsets.US_ASCII)))
+    val info = ebmlElem(EbmlInfo, ebmlUint(EbmlTcScale, 1000000L))
+    def track(num: Long, tpe: Long, codec: String): Array[Byte] =
+      ebmlElem(EbmlTrackEntry,
+        ebmlUint(EbmlTrackNum, num) ++ ebmlUint(EbmlTrackType, tpe) ++
+          ebmlElem(EbmlCodecId, codec.getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)))
+    val tracks = ebmlElem(EbmlTracks,
+      track(1L, 1L, "V_VP9") ++ track(2L, 2L, "A_OPUS"))
+    val clusters = (0 until nc).flatMap { c =>
+      val nb = (1 + (id + c) % 3).toInt
+      val blocks = (0 until nb).flatMap { b =>
+        val fl = (5 + (id + c + b) % 9).toInt
+        val tn = 1 + ((b + c) % 2)
+        val payload =
+          Array((0x80 | tn).toByte, // track number varint
+            ((40 * b) >> 8).toByte, (40 * b & 0xff).toByte, // rel tc
+            0x80.toByte) ++ // flags: keyframe
+            Array.tabulate(fl)(k => ((id + 17L * c + 13L * b + 7L * k) % 251L).toByte)
+        val el = ebmlElem(EbmlSimpleBlock, payload)
+        // the % 71 lane: inflate THIS block's declared size by 3 (first
+        // block of the first cluster) — the element claims bytes the
+        // cluster doesn't have
+        if (id % 71L == 0L && c == 0 && b == 0) {
+          val sz = ebmlSize(payload.length + 3)
+          EbmlSimpleBlock.map(_.toByte) ++ sz ++ payload
+        } else el
+      }.toArray
+      ebmlElem(EbmlCluster,
+        ebmlUint(EbmlTimecode, webmClusterTc(id, c, nc)) ++ blocks)
+    }.toArray
+    header ++ ebmlElem(EbmlSegment, info ++ tracks ++ clusters)
+  }
+
+  /** EBML walk: generic varint id/size decode (1..4-byte ids, 1..8-byte
+    * sizes, zero-marker and unknown-size refused), every element must
+    * tile its parent exactly, DocType must be webm, TimecodeScale
+    * verified, SimpleBlock track numbers must name a declared track,
+    * cluster timecodes must be STRICTLY increasing (the % 59 lane's
+    * catch — Some(ok=0), it parsed but lies). None on ANY structural
+    * malformation.
+    */
+  private[graft] def parseWebm(
+      b: Array[Byte]): Option[(Long, Long, Long, Long, Long, Long)] = {
+    // returns (ok, nClusters, nBlocks, frameBytes, digest, tcSum)
+    def readId(p: Int, end: Int): Option[(Long, Int)] = {
+      if (p >= end) return None
+      val f = b(p) & 0xff
+      if (f == 0) return None
+      val n = Integer.numberOfLeadingZeros(f) - 23 // 1..8 for f in 1..255
+      if (n < 1 || n > 4 || p + n > end) return None
+      var v = f.toLong // ids keep their marker bits
+      for (k <- 1 until n) v = (v << 8) | (b(p + k) & 0xff)
+      Some((v, n))
+    }
+    def readSize(p: Int, end: Int): Option[(Long, Int)] = {
+      if (p >= end) return None
+      val f = b(p) & 0xff
+      if (f == 0) return None
+      val n = Integer.numberOfLeadingZeros(f) - 23
+      if (n < 1 || n > 8 || p + n > end) return None
+      var v = (f & (0xff >> n)).toLong
+      var all1 = v == (0xffL >> n)
+      for (k <- 1 until n) {
+        val c = b(p + k) & 0xff
+        v = (v << 8) | c
+        all1 &&= c == 0xff
+      }
+      if (all1) return None // unknown-size elements refused: ingest gate
+      Some((v, n))
+    }
+    def idOf(a: Array[Int]): Long =
+      a.foldLeft(0L)((acc, x) => (acc << 8) | x)
+    // walk children of [from, to): (id, contentFrom, contentTo)
+    def walk(from: Int, to: Int): Option[Seq[(Long, Int, Int)]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int)]
+      var p = from
+      while (p < to) {
+        val (id, in) = readId(p, to).getOrElse(return None)
+        val (sz, sn) = readSize(p + in, to).getOrElse(return None)
+        val cs = p + in + sn
+        if (cs + sz > to) return None
+        out += ((id, cs, (cs + sz).toInt))
+        p = (cs + sz).toInt
+      }
+      Some(out.toSeq)
+    }
+    def uintOf(from: Int, to: Int): Option[Long] = {
+      if (to - from < 1 || to - from > 8) return None
+      var v = 0L
+      for (k <- from until to) v = (v << 8) | (b(k) & 0xff)
+      Some(v)
+    }
+    val top = walk(0, b.length).getOrElse(return None)
+    if (top.length != 2) return None
+    if (top(0)._1 != idOf(EbmlHeader) || top(1)._1 != idOf(EbmlSegment))
+      return None
+    val hdr = walk(top(0)._2, top(0)._3).getOrElse(return None)
+    val doctype = hdr.find(_._1 == idOf(EbmlDocType)).getOrElse(return None)
+    if (new String(b, doctype._2, doctype._3 - doctype._2,
+      java.nio.charset.StandardCharsets.US_ASCII) != "webm") return None
+    val seg = walk(top(1)._2, top(1)._3).getOrElse(return None)
+    val info = seg.find(_._1 == idOf(EbmlInfo)).getOrElse(return None)
+    val inInfo = walk(info._2, info._3).getOrElse(return None)
+    val tcs = inInfo.find(_._1 == idOf(EbmlTcScale)).getOrElse(return None)
+    if (!uintOf(tcs._2, tcs._3).contains(1000000L)) return None
+    val trks = seg.find(_._1 == idOf(EbmlTracks)).getOrElse(return None)
+    val entries = walk(trks._2, trks._3).getOrElse(return None)
+      .filter(_._1 == idOf(EbmlTrackEntry))
+    if (entries.isEmpty) return None
+    val trackNums = entries.map { case (_, f, t) =>
+      val in = walk(f, t).getOrElse(return None)
+      val tn = in.find(_._1 == idOf(EbmlTrackNum)).getOrElse(return None)
+      uintOf(tn._2, tn._3).getOrElse(return None)
+    }.toSet
+    var (ncl, nbl, fb, dg, tcSum) = (0L, 0L, 0L, 0L, 0L)
+    var lastTc = -1L
+    var monotonic = true
+    for ((cid, cf, ct) <- seg if cid == idOf(EbmlCluster)) {
+      ncl += 1
+      val children = walk(cf, ct).getOrElse(return None)
+      val tce = children.find(_._1 == idOf(EbmlTimecode))
+        .getOrElse(return None)
+      val ctc = uintOf(tce._2, tce._3).getOrElse(return None)
+      if (ctc <= lastTc) monotonic = false
+      lastTc = ctc
+      for ((bid, bf, bt) <- children if bid == idOf(EbmlSimpleBlock)) {
+        // block payload: track varint, s16 relative timecode, flags
+        if (bt - bf < 4) return None
+        val tf = b(bf) & 0xff
+        if (tf == 0) return None
+        val tn2 = Integer.numberOfLeadingZeros(tf) - 23
+        if (tn2 != 1) return None // tracks 1..2: 1-byte varint
+        val tnum = (tf & 0x7f).toLong
+        if (!trackNums.contains(tnum)) return None
+        val rel = ((b(bf + 1) & 0xff) << 8) | (b(bf + 2) & 0xff)
+        nbl += 1
+        tcSum += ctc + rel
+        var k = bf + 4
+        while (k < bt) {
+          dg = (dg * 131L + (b(k) & 0xff)) % DigP
+          fb += 1
+          k += 1
+        }
+      }
+    }
+    if (ncl == 0L) return None
+    Some((if (monotonic) 1L else 0L, ncl, nbl, fb, dg, tcSum))
+  }
+
+  def webmPartition(rows: Iterator[TarIn]): Iterator[WebmStats] =
+    rows.grouped(Multimodal.decodeBatchSize).flatMap(_.iterator.map { t =>
+      parseWebm(webmBytes(t)) match {
+        case Some((ok, nc, nb, fb, dg, tc)) =>
+          WebmStats(t.doc_id, t.source, ok, nc, nb, fb, dg, tc)
+        case None => WebmStats(t.doc_id, t.source, -1L, 0L, 0L, 0L, 0L, 0L)
+      }
+    })
+
+  private[graft] val WebmOracle: String = {
+    val NB = "(1 + (doc_id + c) % 3)"
+    val FL = "(5 + (doc_id + c + b) % 9)"
+    val CTC = """(CASE WHEN doc_id % 59 = 0 AND c = nc - 2
+      THEN 1000 * (nc - 1)
+      WHEN doc_id % 59 = 0 AND c = nc - 1 THEN 1000 * (nc - 2)
+      ELSE 1000 * c END)"""
+    s"""WITH m AS (SELECT source, doc_id,
+       |    CAST(2 + doc_id % 3 AS BIGINT) AS nc,
+       |    doc_id % 71 = 0 AS struct_bad,
+       |    doc_id % 59 = 0 AND doc_id % 71 <> 0 AS foot_bad
+       |  FROM documents),
+       |d AS (SELECT source, struct_bad, foot_bad,
+       |    CASE WHEN struct_bad THEN 0 ELSE nc END AS ncl,
+       |    CASE WHEN struct_bad THEN 0 ELSE CAST(list_sum(list_transform(
+       |      range(0, nc), c -> $NB)) AS BIGINT) END AS nbl,
+       |    CASE WHEN struct_bad THEN 0 ELSE CAST(list_sum(list_transform(
+       |      range(0, nc), c -> CAST(list_sum(list_transform(
+       |        range(0, $NB), b -> $FL)) AS BIGINT))) AS BIGINT) END AS fb,
+       |    CASE WHEN struct_bad THEN 0 ELSE
+       |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |        flatten(list_transform(range(0, nc), c ->
+       |          flatten(list_transform(range(0, $NB), b ->
+       |            list_transform(range(0, $FL), k ->
+       |              (doc_id + 17 * c + 13 * b + 7 * k) % 251)))))),
+       |        (a, v) -> (a * 131 + v) % $DigP) END AS dg,
+       |    CASE WHEN struct_bad THEN 0 ELSE CAST(list_sum(list_transform(
+       |      range(0, nc), c -> CAST(list_sum(list_transform(
+       |        range(0, $NB), b -> $CTC + 40 * b))
+       |        AS BIGINT))) AS BIGINT) END AS tc
+       |  FROM m)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_files,
+       |  CAST(sum(CASE WHEN struct_bad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_parse_fail,
+       |  CAST(sum(CASE WHEN foot_bad THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_foot_fail,
+       |  CAST(sum(ncl) AS BIGINT) AS n_clusters,
+       |  CAST(sum(nbl) AS BIGINT) AS n_blocks,
+       |  CAST(sum(fb) AS BIGINT) AS frame_bytes,
+       |  CAST(sum(dg) % $DigP AS BIGINT) AS frame_digest,
+       |  CAST(sum(tc % $DigP) % $DigP AS BIGINT) AS tc_digest
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
+  }
+
   private[graft] val ToneOracle: String = {
     val tone = "(CASE 2 * (doc_id % 3) WHEN 0 THEN 8000 + (doc_id % 7) * 1000" +
       " WHEN 2 THEN (8000 + (doc_id % 7) * 1000) * (CASE i % 4 WHEN 0 THEN 1" +
@@ -1776,6 +2045,40 @@ object Containers {
             pmod(sum(col("digest")), lit(DigP)).as("payload_digest"))
           .orderBy(col("source"))
       },
-      Some(Mp3Oracle))
+      Some(Mp3Oracle)),
+
+    // q343: WebM/MATROSKA (EBML) WALK — the q330 discipline on the other
+    // dominant video container: generic varint id/size framing (zero
+    // markers and unknown-size refused), exact parent tiling, DocType +
+    // TimecodeScale verification, Tracks → Cluster/SimpleBlock walk with
+    // track-number validation and per-block absolute timecodes.
+    // doc_id % 71 inflates a SimpleBlock's declared size (structural —
+    // refused); doc_id % 59 swaps the last two cluster timecodes (parses
+    // fine — only the monotonicity footing catches it). Map-only until
+    // the per-source rollup.
+    Entry(
+      "q343_webm_ebml_walk",
+      (s, d) => {
+        import s.implicits._
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+          .as[(Long, String, String, Long)]
+          .map { case (id, src, txt, nc) => TarIn(id, src, txt, nc) }
+          .mapPartitions(webmPartition)
+          .toDF()
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum(expr("CAST(ok = -1L AS BIGINT)")).as("n_parse_fail"),
+            sum(expr("CAST(ok = 0L AS BIGINT)")).as("n_foot_fail"),
+            sum(col("n_clusters")).as("n_clusters"),
+            sum(col("n_blocks")).as("n_blocks"),
+            sum(col("frame_bytes")).as("frame_bytes"),
+            pmod(sum(col("digest")), lit(DigP)).as("frame_digest"),
+            pmod(sum(pmod(col("tc_sum"), lit(DigP))), lit(DigP))
+              .as("tc_digest"))
+          .orderBy(col("source"))
+      },
+      Some(WebmOracle))
   )
 }

@@ -440,7 +440,8 @@ class ContainersSuite extends SparkTestBase {
     "rollup exchange (the map-only scale shape)") {
     for (name <- Seq("q330_mp4_box_index", "q331_tone_bin_energy",
       "q333_jpeg_ycc_decode", "q334_jpeg_restart_decode",
-      "q335_mp4_chunk_offsets", "q336_mp3_frame_walk")) {
+      "q335_mp4_chunk_offsets", "q336_mp3_frame_walk",
+      "q343_webm_ebml_walk")) {
       val df = Registry.byName(name).q(spark, sf)
       val plan = flattenPlan(df.queryExecution.executedPlan)
       val scans = plan.count(
@@ -564,5 +565,76 @@ class ContainersSuite extends SparkTestBase {
       if (tb == 2L)
         assert(e2 != c2, s"id=$id: codec loss must be visible in the energy")
     }
+  }
+
+  test("q343 webm: EBML walk replays the closed form; inflated-size and " +
+    "timecode-swap lanes; malformation battery") {
+    val P = 2147483647L
+    for (id <- Seq(3L, 4L, 7L, 10L)) {
+      val t = Multimodal.TarIn(id, "s", "x", 1L)
+      val Some((ok, nc, nb, fb, dg, tc)) =
+        Containers.parseWebm(Containers.webmBytes(t))
+      assert(ok == 1L, s"id=$id clean doc")
+      val encl = (2 + id % 3).toInt
+      assert(nc == encl.toLong)
+      var (enb, efb, edg, etc) = (0L, 0L, 0L, 0L)
+      for (c <- 0 until encl; b <- 0 until (1 + (id + c) % 3).toInt) {
+        val fl = (5 + (id + c + b) % 9).toInt
+        enb += 1; efb += fl
+        etc += 1000L * c + 40L * b
+        for (k <- 0 until fl)
+          edg = (edg * 131L + (id + 17L * c + 13L * b + 7L * k) % 251L) % P
+      }
+      assert(nb == enb && fb == efb && dg == edg && tc == etc,
+        s"id=$id closed-form replay")
+    }
+    // the % 59 lane: parses fine, the monotonicity footing flags it, and
+    // the stats replay with the SWAPPED timecodes
+    val foot = Multimodal.TarIn(59L, "s", "x", 1L)
+    val Some((fok, fnc, _, _, _, ftc)) =
+      Containers.parseWebm(Containers.webmBytes(foot))
+    assert(fok == 0L, "timecode swap must fail the footing, not the parse")
+    var etc59 = 0L
+    for (c <- 0 until fnc.toInt; b <- 0 until (1 + (59L + c) % 3).toInt)
+      etc59 += Containers.webmClusterTc(59L, c, fnc.toInt) + 40L * b
+    assert(ftc == etc59, "stats carry the swapped timecodes")
+    // the % 71 lane: inflated SimpleBlock size — children stop tiling
+    // the cluster: structural refusal
+    assert(Containers.parseWebm(Containers.webmBytes(
+      Multimodal.TarIn(71L, "s", "x", 1L))).isEmpty)
+    assert(Containers.parseWebm(Containers.webmBytes(
+      Multimodal.TarIn(0L, "s", "x", 1L))).isEmpty,
+      "doc 0 carries the structural lane")
+    // malformation battery
+    val good = Containers.webmBytes(Multimodal.TarIn(3L, "s", "x", 1L))
+    assert(Containers.parseWebm(good.dropRight(1)).isEmpty, "truncated")
+    assert(Containers.parseWebm(Array[Byte]()).isEmpty, "empty")
+    val zeroMarker = good.clone(); zeroMarker(0) = 0
+    assert(Containers.parseWebm(zeroMarker).isEmpty,
+      "zero id marker byte is not a valid EBML varint")
+    // unknown-size element (all size bits set) refused — this is an
+    // ingest gate, not a streaming best-effort reader
+    val unkSize = good.clone()
+    unkSize(4) = 0xff.toByte // EBML header's 1-byte size varint
+    assert(Containers.parseWebm(unkSize).isEmpty, "unknown-size refused")
+    // foreign DocType refused
+    val badDoc = good.clone()
+    val idx = (0 until good.length - 4).find(j =>
+      good(j) == 'w' && good(j + 1) == 'e' && good(j + 2) == 'b' &&
+        good(j + 3) == 'm').get
+    badDoc(idx + 3) = 'x'
+    assert(Containers.parseWebm(badDoc).isEmpty, "DocType webx refused")
+    // a SimpleBlock naming an undeclared track refused: find the first
+    // block's track varint (0x81 or 0x82) inside the first cluster and
+    // point it at track 5
+    val cl = (0 until good.length - 4).find(j =>
+      (good(j) & 0xff) == 0x1f && (good(j + 1) & 0xff) == 0x43 &&
+        (good(j + 2) & 0xff) == 0xb6 && (good(j + 3) & 0xff) == 0x75).get
+    val sb = (cl until good.length - 1).find(j =>
+      (good(j) & 0xff) == 0xa3).get
+    val badTrack = good.clone()
+    badTrack(sb + 2) = 0x85.toByte // id 0xa3, 1-byte size, then track
+    assert(Containers.parseWebm(badTrack).isEmpty,
+      "undeclared track number refused")
   }
 }
