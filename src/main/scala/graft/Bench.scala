@@ -516,7 +516,8 @@ object Bench {
     "q340_html_text_extract",
     "q341_jpeg_progressive",
     "q342_etld1_rollup",
-    "q343_webm_ebml_walk")
+    "q343_webm_ebml_walk",
+    "q344_robots_politeness")
 
   private def exec(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

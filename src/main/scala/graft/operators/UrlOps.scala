@@ -274,6 +274,90 @@ object UrlOps {
          |FROM d6 GROUP BY etld1 ORDER BY etld1""".stripMargin))
   )
 
+  val entries2: Seq[Entry] = Seq(
+
+    // q344: ROBOTS.TXT POLITENESS EVALUATION — the gate every crawl URL
+    // passes after canonicalization (q339) and before fetch: RFC 9309
+    // longest-match rule resolution — the most specific (longest)
+    // matching pattern wins, ALLOW wins ties, unmatched paths default
+    // to allow — over an embedded rule sample exercising prefix rules,
+    // a suffix-anchored wildcard rule (*.json), an allow carve-out
+    // INSIDE a disallowed subtree (/private/pub/ under /private/), and
+    // the carve-out-vs-wildcard interaction (a .json under /private/pub/
+    // stays allowed: 13 > 6). PURE CATALYST: per-rule prefix/LIKE tests
+    // + greatest() specificity fold, one exchange for the per-source
+    // rollup; the oracle re-runs the same ALGORITHM in DuckDB.
+    Entry(
+      "q344_robots_politeness",
+      (s, d) => {
+        T.documents(s, d)
+          .select(col("source"), col("doc_id"),
+            expr(pathExpr("STRING", "div")).as("path"))
+          // specificity of each matching rule, -1 when unmatched:
+          // allow rules and disallow rules folded separately so the
+          // allow-wins-ties rule is a single >= comparison
+          .withColumn("a_spec", expr(
+            "greatest(IF(startswith(path, '/private/pub/'), 13, -1), " +
+              "IF(startswith(path, '/'), 1, -1))"))
+          .withColumn("d_spec", expr(
+            "greatest(IF(startswith(path, '/private/'), 9, -1), " +
+              "IF(startswith(path, '/tmp'), 4, -1), " +
+              "IF(path LIKE '%.json', 6, -1))"))
+          .withColumn("allowed", expr("CAST(a_spec >= d_spec AS BIGINT)"))
+          .groupBy(col("source"))
+          .agg(
+            count(lit(1)).as("n_urls"),
+            sum(col("allowed")).as("n_allowed"),
+            sum(expr("1L - allowed")).as("n_blocked"),
+            sum(expr("CAST(allowed = 0 AND path LIKE '%.json' AS BIGINT)"))
+              .as("n_json_blocked"),
+            pmod(sum(expr(
+              s"IF(allowed = 0, aggregate(sequence(1, length(path)), 0L, " +
+                s"(a, i) -> (a * 131L + ascii(substring(path, i, 1))) " +
+                s"% ${P}L), 0L)")), lit(P)).as("blocked_digest"))
+          .orderBy(col("source"))
+      },
+      Some(s"""WITH p0 AS (SELECT source, ${pathExpr("VARCHAR", "//")} AS path
+         |  FROM documents),
+         |p1 AS (SELECT source, path,
+         |    greatest(CASE WHEN starts_with(path, '/private/pub/')
+         |        THEN 13 ELSE -1 END,
+         |      CASE WHEN starts_with(path, '/') THEN 1 ELSE -1 END)
+         |      AS a_spec,
+         |    greatest(CASE WHEN starts_with(path, '/private/')
+         |        THEN 9 ELSE -1 END,
+         |      CASE WHEN starts_with(path, '/tmp') THEN 4 ELSE -1 END,
+         |      CASE WHEN path LIKE '%.json' THEN 6 ELSE -1 END) AS d_spec
+         |  FROM p0),
+         |p2 AS (SELECT source, path,
+         |    CASE WHEN a_spec >= d_spec THEN 1 ELSE 0 END AS allowed
+         |  FROM p1)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_urls,
+         |  CAST(sum(allowed) AS BIGINT) AS n_allowed,
+         |  CAST(sum(1 - allowed) AS BIGINT) AS n_blocked,
+         |  CAST(sum(CASE WHEN allowed = 0 AND path LIKE '%.json'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_json_blocked,
+         |  CAST(sum(CASE WHEN allowed = 0 THEN
+         |      list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(range(1, length(path) + 1),
+         |          i -> CAST(unicode(path[i]) AS BIGINT))),
+         |        (a, c) -> (a * 131 + c) % $P)
+         |    ELSE 0 END) % $P AS BIGINT) AS blocked_digest
+         |FROM p2 GROUP BY source ORDER BY source""".stripMargin))
+  )
+
+  /** q344 path synthesis: u = doc_id div 2 picks the subtree lane
+    * (public / private / the private/pub carve-out / tmp), doc_id % 7
+    * appends the .json suffix the wildcard rule targets.
+    */
+  private[graft] def pathExpr(t: String, dv: String): String = {
+    val u = s"(doc_id $dv 2)"
+    s"concat(CASE $u % 4 WHEN 0 THEN '/public/p' WHEN 1 THEN '/private/x' " +
+      s"WHEN 2 THEN '/private/pub/y' ELSE '/tmp/z' END, " +
+      s"CAST($u % 20 AS $t), " +
+      s"CASE WHEN doc_id % 7 = 0 THEN '.json' ELSE '' END)"
+  }
+
   /** Shared host synthesis for q342: u = doc_id div 2 makes ids 2k/2k+1
     * two SPELLINGS (case) of one logical host; u % 7 picks the suffix
     * lane (exact / multi-label exact / wildcard / exception / default),

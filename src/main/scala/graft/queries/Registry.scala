@@ -52,6 +52,7 @@ object Registry {
       Sketches.entries ++
       Containers.entries ++
       UrlOps.entries ++
+      UrlOps.entries2 ++
       WordPiece.entries ++
       HtmlOps.entries
 

@@ -150,4 +150,59 @@ class UrlOpsSuite extends SparkTestBase {
       _.isInstanceOf[org.apache.spark.sql.execution.SerializeFromObjectExec]),
       "q342 must stay in codegen — no typed object boundary")
   }
+
+  test("q344 robots: RFC 9309 longest-match with allow-tiebreak replayed " +
+    "from first principles; carve-out and wildcard interactions") {
+    val out = Registry.byName("q344_robots_politeness").q(spark, sf)
+    val rows = out.collect().map(r => r.getString(0) -> r).toMap
+    def pathOf(id: Long): String = {
+      val u = id / 2
+      val base = (u % 4) match {
+        case 0 => "/public/p"; case 1 => "/private/x"
+        case 2 => "/private/pub/y"; case _ => "/tmp/z"
+      }
+      base + (u % 20) + (if (id % 7 == 0) ".json" else "")
+    }
+    // the rule set, resolved from first principles: longest matching
+    // pattern wins, allow wins ties, default allow
+    def allowedOf(p: String): Boolean = {
+      val allow = Seq("/private/pub/", "/").filter(p.startsWith).map(_.length)
+      val dis = Seq("/private/", "/tmp").filter(p.startsWith).map(_.length) ++
+        (if (p.endsWith(".json")) Seq("*.json".length) else Nil)
+      allow.max >= (if (dis.isEmpty) -1 else dis.max)
+    }
+    // spot semantics: the carve-out under a disallowed subtree is
+    // allowed; its .json variant STAYS allowed (13 beats 6); a public
+    // .json is blocked (6 beats 1); plain private is blocked
+    assert(allowedOf("/public/p3"))
+    assert(!allowedOf("/public/p3.json"))
+    assert(!allowedOf("/private/x1"))
+    assert(allowedOf("/private/pub/y1"))
+    assert(allowedOf("/private/pub/y1.json"))
+    assert(!allowedOf("/tmp/z9"))
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val P = 2147483647L
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val r = rows(src)
+      val paths = ds.map(d => pathOf(d._2))
+      assert(r.getLong(1) == paths.length.toLong, s"$src n_urls")
+      assert(r.getLong(2) == paths.count(allowedOf).toLong, s"$src n_allowed")
+      assert(r.getLong(3) == paths.count(!allowedOf(_)).toLong,
+        s"$src n_blocked")
+      assert(r.getLong(4) == paths.count(p =>
+        !allowedOf(p) && p.endsWith(".json")).toLong, s"$src n_json_blocked")
+      val dg = paths.filter(!allowedOf(_))
+        .map(_.foldLeft(0L)((a, c) => (a * 131L + c) % P)).sum % P
+      assert(r.getLong(5) == dg, s"$src blocked digest")
+    }
+    // both verdicts must occur, and the wildcard must really block
+    assert(rows.values.map(_.getLong(3)).sum > 0, "some URLs blocked")
+    assert(rows.values.map(_.getLong(4)).sum > 0, "wildcard lane exercised")
+    val plan = flattenPlan(out.queryExecution.executedPlan)
+    assert(!plan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.SerializeFromObjectExec]),
+      "q344 must stay in codegen — no typed object boundary")
+  }
 }
