@@ -1678,7 +1678,10 @@ object Containers {
         if (tn2 != 1) return None // tracks 1..2: 1-byte varint
         val tnum = (tf & 0x7f).toLong
         if (!trackNums.contains(tnum)) return None
-        val rel = ((b(bf + 1) & 0xff) << 8) | (b(bf + 2) & 0xff)
+        // s16 big-endian (Matroska spec): sign-extend — a negative
+        // relative timecode must not inflate tc_sum by 65536
+        val rel = ((((b(bf + 1) & 0xff) << 8) |
+          (b(bf + 2) & 0xff)).toShort).toLong
         nbl += 1
         tcSum += ctc + rel
         var k = bf + 4
@@ -1779,9 +1782,9 @@ object Containers {
        |    OR (tb = 2 AND e2 >= e0 AND e2 >= e4)
        |    OR (tb = 4 AND e4 >= e0 AND e4 >= e2)
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
-       |  CAST(sum(e0 % 2147483647) % 2147483647 AS BIGINT) AS e0_sum,
-       |  CAST(sum(e2 % 2147483647) % 2147483647 AS BIGINT) AS e2_sum,
-       |  CAST(sum(e4 % 2147483647) % 2147483647 AS BIGINT) AS e4_sum
+       |  CAST(sum(e0 % $DigP) % $DigP AS BIGINT) AS e0_sum,
+       |  CAST(sum(e2 % $DigP) % $DigP AS BIGINT) AS e2_sum,
+       |  CAST(sum(e4 % $DigP) % $DigP AS BIGINT) AS e4_sum
        |FROM e GROUP BY source ORDER BY source""".stripMargin
   }
 

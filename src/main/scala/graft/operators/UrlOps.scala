@@ -187,8 +187,7 @@ object UrlOps {
     Entry(
       "q342_etld1_rollup",
       (s, d) => {
-        val rules = "array('com','org','net','uk','co.uk','ac.uk','jp'," +
-          "'github.io','io','*.kawasaki.jp','!city.kawasaki.jp')"
+        val rules = EtldRulesSpark
         T.documents(s, d)
           .select(col("source"), col("doc_id"),
             expr(hostExpr("STRING", "div")).as("host"))
@@ -374,8 +373,16 @@ object UrlOps {
         s"ELSE 'example' END)")
   }
 
-  // def, not val: entries is initialized ABOVE this declaration, so a val
-  // here would still be null while the oracle string interpolates it
-  private def EtldRulesSql: String = "['com','org','net','uk','co.uk'," +
-    "'ac.uk','jp','github.io','io','*.kawasaki.jp','!city.kawasaki.jp']"
+  // ONE rule list rendered into both dialects — a rule added to only one
+  // side would make engine and oracle diverge on the rule SET rather
+  // than the algorithm. defs, not vals: entries is initialized ABOVE
+  // these declarations, so a val here would still be null while the
+  // oracle string interpolates it.
+  private def EtldRules: Seq[String] = Seq("com", "org", "net", "uk",
+    "co.uk", "ac.uk", "jp", "github.io", "io", "*.kawasaki.jp",
+    "!city.kawasaki.jp")
+  private def EtldRulesSpark: String =
+    EtldRules.map(r => s"'$r'").mkString("array(", ",", ")")
+  private def EtldRulesSql: String =
+    EtldRules.map(r => s"'$r'").mkString("[", ",", "]")
 }

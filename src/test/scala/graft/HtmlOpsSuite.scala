@@ -28,6 +28,16 @@ class HtmlOpsSuite extends SparkTestBase {
     // comment hiding fake markup
     val (_, b3, _, u3, t3, _) = HtmlOps.parseHtml("<!-- <b>x</b> -->y")
     assert(t3 == HtmlOps.fold("y") && b3 == 1L && u3 == 0L)
+    // case-insensitive rawtext close (HTML5 script-data end-tag rule):
+    // an uppercase close tag must end the block, not swallow the rest
+    val (_, b2b, _, _, t2b, _) = HtmlOps.parseHtml(
+      "<SCRIPT>var x = 1;</SCRIPT>after")
+    assert(t2b == HtmlOps.fold("after") && b2b == 1L,
+      "uppercase script close must end rawtext")
+    // <scripty> is an ORDINARY tag, not a rawtext open (name delimiter)
+    val (_, b2c, _, u2c, t2c, _) = HtmlOps.parseHtml("<scripty>ok</scripty>")
+    assert(t2c == HtmlOps.fold("ok") && b2c == 0L && u2c == 0L,
+      "<scripty> must not enter script rawtext mode")
     // malformation battery: unterminated script / comment / tag never
     // throw — extraction degrades to what was seen
     val (_, b4, _, _, t4, _) = HtmlOps.parseHtml("<p>a <script>never closed")

@@ -96,6 +96,25 @@ def cmp_cell(a, b):
     return a == b
 
 
+def sf_data_fingerprint():
+    """Stat-level fingerprint of the sf dir's parquet inputs (sorted
+    name:size lines). Oracle results depend on (SQL, data); the SQL is in
+    the cache key, and this tripwires regenerated testdata under the same
+    sf dir name (a size-preserving regeneration would still slip through —
+    acceptable for driver-pinned fixtures)."""
+    parts = []
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        try:
+            parts.append(f"{t}:{os.path.getsize(p)}")
+        except OSError:
+            parts.append(f"{t}:absent")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
+_SF_FP = None
+
+
 def oracle_eval(con, name, sql):
     """Evaluate one oracle, through the persistent cache when enabled.
 
@@ -107,6 +126,9 @@ def oracle_eval(con, name, sql):
     if CACHE is None:
         rel = con.sql(sql)
         return list(rel.columns), [str(t) for t in rel.types], rel.fetchall(), False
+    global _SF_FP
+    if _SF_FP is None:
+        _SF_FP = sf_data_fingerprint()
     sf_tag = os.path.basename(os.path.normpath(SF))
     key = hashlib.sha256(sql.encode()).hexdigest()[:24]
     base = os.path.join(CACHE, f"{name}.{sf_tag}.{key}")
@@ -114,6 +136,12 @@ def oracle_eval(con, name, sql):
     if os.path.exists(meta_p) and os.path.exists(parq_p):
         try:
             meta = json.load(open(meta_p))
+            # data tripwire: an entry recorded against different input
+            # parquet (regenerated testdata) is a miss, not a hit.
+            # Entries written before the field existed are accepted.
+            if meta.get("data_fp", _SF_FP) != _SF_FP:
+                raise ValueError(
+                    f"data fingerprint {meta['data_fp']} != {_SF_FP}")
             rel = con.sql(f"SELECT * FROM read_parquet('{parq_p}')")
             cols = list(rel.columns)
             types = [str(t) for t in rel.types]
@@ -123,7 +151,7 @@ def oracle_eval(con, name, sql):
                 return cols, types, rel.fetchall(), True
             print(f"  [cache] {name}: type roundtrip mismatch, running live")
         except Exception as e:
-            print(f"  [cache] {name}: unreadable entry ({e}), running live")
+            print(f"  [cache] {name}: stale/unreadable entry ({e}), running live")
     # live run, materialized once so the (possibly 45-min) SQL is not
     # executed a second time just to persist it
     con.execute(f"CREATE OR REPLACE TEMP TABLE _oracle_cache_t AS {sql}")
@@ -139,6 +167,7 @@ def oracle_eval(con, name, sql):
         with open(meta_p + f".tmp{os.getpid()}", "w") as f:
             json.dump({"cols": cols, "types": types, "sql_sha256_24": key,
                        "sf": sf_tag, "rows": len(rows),
+                       "data_fp": _SF_FP,
                        "written": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                                 time.gmtime())}, f)
         os.replace(meta_p + f".tmp{os.getpid()}", meta_p)
@@ -191,7 +220,10 @@ def main():
         if os.path.exists(JSON_OUT):
             try:
                 prev = json.load(open(JSON_OUT))
-                if prev.get("sf_dir") == SF:
+                # normalize both spellings: a resumed sweep invoked with a
+                # trailing slash or relative path must still merge
+                if os.path.normpath(prev.get("sf_dir", "")) == \
+                        os.path.normpath(SF):
                     for n, r in prev.get("results", {}).items():
                         merged_results.setdefault(n, r)
                     mine = {f["name"] for f in merged_failures}
@@ -302,6 +334,9 @@ def main():
                 print(f"ROWS {d}: unreadable: {e}")
     print(f"== {npass} pass / {nfail} fail")
     if JSON_OUT:
+        # flush even for a zero-match run so the artifact (and the
+        # message below) always reflects reality
+        flush_json()
         print(f"wrote {JSON_OUT}")
     sys.exit(1 if nfail else 0)
 
