@@ -76,6 +76,20 @@ object GraftExtensions {
             intArg(es(1), "planes"),
             intArg(es(2), "bands"),
             longArg(es(3), "seed")))
+    // char-polynomial digest kernels (r21 optimization round): the native
+    // forms of the house (a*131 + codepoint) % (2^31-1) fold family — see
+    // PolyKernels scaladoc for the exact HOF equivalences each replaces.
+    reg("char_poly", es => CharPoly(es(0)))
+    reg("token_polys", es => TokenPolys(es(0)))
+    reg("poly_slide",
+        es => PolySlide(
+          es(0),
+          intArg(es(1), "l"),
+          longArg(es(2), "scale"),
+          longArg(es(3), "offset")))
+    reg("poly_blocks", es => PolyBlocks(es(0), intArg(es(1), "width")))
+    reg("cdc_chunks", es => CdcChunks(es(0)))
+    reg("cls_score", es => ClsScore(es(0)))
 
     // the Rule[LogicalPlan] tier of the extension surface: collapse
     // defensively-stacked normalize_text calls at plan time (sound by

@@ -496,3 +496,147 @@ case class RhpBands(child: Expression, planes: Int, bands: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Whole-string char-polynomial digest ([[PolyKernels.charPoly]]) — the
+  * native form of the house `(a*131 + codepoint) % (2^31-1)` fold that the
+  * span/dedup family previously spelled as an interpreted
+  * `aggregate(filter(split(s, '')))` HOF chain (r21 optimization round;
+  * the L2SqLong precedent). Identical value, one static call per row.
+  */
+case class CharPoly(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "char_poly"
+
+  override protected def nullSafeEval(s: Any): Any =
+    PolyKernels.charPoly(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyKernels.charPoly($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-token char-poly digests ([[PolyKernels.tokenPolys]]): split on single
+  * spaces with empty tokens kept (split limit -1 semantics), each token
+  * folded as [[CharPoly]] — the native ThExpr.
+  */
+case class TokenPolys(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_polys"
+
+  override protected def nullSafeEval(s: Any): Any =
+    PolyKernels.tokenPolys(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyKernels.tokenPolys($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Sliding L-window poly fold over a long array, each hash emitted as
+  * `fold * scale + offset` ([[PolyKernels.polySlide]]) — the q216 gram
+  * array (scale=1, offset=0) and the q292 packed ladder key (scale=64,
+  * offset=L).
+  */
+case class PolySlide(child: Expression, l: Int, scale: Long, offset: Long)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_slide"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyKernels.polySlide(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], l, scale, offset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"graft.functions.PolyKernels.polySlide($c, $l, ${scale}L, ${offset}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Non-overlapping `width`-block poly folds over a long array
+  * ([[PolyKernels.polyBlocks]]) — the native q283 BhArrExpr.
+  */
+case class PolyBlocks(child: Expression, width: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "poly_blocks"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyKernels.polyBlocks(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyKernels.polyBlocks($c, $width)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Hashed unigram+bigram classifier score ([[PolyKernels.clsScore]]) — the
+  * q194 linear model inference over a filtered token array, bigrams chained
+  * through the fold instead of materialized as strings.
+  */
+case class ClsScore(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cls_score"
+
+  override protected def nullSafeEval(a: Any): Any =
+    PolyKernels.clsScore(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyKernels.clsScore($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Content-defined chunking under the q229 cut rule
+  * ([[PolyKernels.cdcChunks]]): per chunk (clen, chash) in one native pass —
+  * the 16-codepoint rolling-hash boundary scan was O(16·len) interpreted
+  * HOF work per row.
+  */
+case class CdcChunks(child: Expression)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("clen", LongType, nullable = false),
+      StructField("chash", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(s: Any): Any =
+    PolyKernels.cdcChunks(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.PolyKernels.cdcChunks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -463,15 +463,15 @@ object CorpusStats {
     Entry(
       "q216_dup_spans",
       (s, d) => {
-        val th = "transform(t, w -> aggregate(filter(split(w, ''), ch -> ch != ''), " +
-          "0L, (a, c) -> (a * 131 + ascii(c)) % 2147483647))"
-        val grams = "if(size(th) >= 8, transform(sequence(1, size(th) - 7), i -> " +
-          "aggregate(transform(sequence(0, 7), k -> element_at(th, i + k)), " +
-          "0L, (a, c) -> (a * 131 + c) % 2147483647)), array())"
+        // token char-poly hashes + sliding 8-gram folds via the native
+        // kernels (r21: identical arithmetic to the former interpreted
+        // HOF chain — see PolyKernels scaladoc)
         val c = T.documents(s, d)
-          .select(col("doc_id"), col("source"), toks.as("t"))
-          .select(col("doc_id"), col("source"), expr(th).as("th"))
-          .select(col("doc_id"), col("source"), explode(expr(grams)).as("gh"))
+          .select(col("doc_id"), col("source"),
+            call_function("token_polys", col("text")).as("th"))
+          .select(col("doc_id"), col("source"),
+            explode(call_function("poly_slide", col("th"),
+              lit(8), lit(1L), lit(0L))).as("gh"))
           .groupBy(col("gh"), col("doc_id"), col("source"))
           .agg(count(lit(1)).as("npos"))
           .localCheckpoint() // consumers: per-gram doc counts + join-back
@@ -1022,16 +1022,17 @@ object CorpusStats {
     Entry(
       "q292_dup_resolution_ladder",
       (s, d) => {
-        val th = "transform(t, w -> aggregate(filter(split(w, ''), " +
-          "ch -> ch != ''), 0L, (a, c) -> (a * 131 + ascii(c)) % 2147483647))"
-        val keys = "flatten(transform(array(4, 8, 16, 32), L -> " +
-          "if(size(th) >= L, transform(sequence(1, size(th) - L + 1), i -> " +
-          "aggregate(transform(sequence(0, L - 1), k -> element_at(th, i + k)), " +
-          "0L, (a, c) -> (a * 131 + c) % 2147483647) * 64 + L), array())))"
+        // ladder keys via the native kernels (r21): per L, sliding L-gram
+        // folds packed as gh*64 + L — identical to the former HOF flatten
+        // over array(4, 8, 16, 32)
+        def ladder(l: Int) = call_function("poly_slide", col("th"),
+          lit(l), lit(64L), lit(l.toLong))
         val c = T.documents(s, d)
-          .select(col("doc_id"), col("source"), toks.as("t"))
-          .select(col("doc_id"), col("source"), expr(th).as("th"))
-          .select(col("doc_id"), col("source"), explode(expr(keys)).as("key"))
+          .select(col("doc_id"), col("source"),
+            call_function("token_polys", col("text")).as("th"))
+          .select(col("doc_id"), col("source"),
+            explode(concat(ladder(4), ladder(8), ladder(16), ladder(32)))
+              .as("key"))
           .groupBy(col("key"), col("doc_id"), col("source"))
           .agg(count(lit(1)).as("npos"))
           .localCheckpoint() // consumers: per-gram doc counts + join-back
@@ -1102,12 +1103,9 @@ object CorpusStats {
         expr("filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')").as("u"))
       .select(
         col("doc_id"),
-        expr("""aggregate(concat(u, zip_with(slice(u, 1, greatest(size(u) - 1, 0)),
-            slice(u, 2, greatest(size(u) - 1, 0)), (a, b) -> concat(a, ' ', b))),
-          0L, (acc, f) -> acc +
-          ((aggregate(filter(split(f, ''), ch -> ch != ''), 0L,
-              (a, c) -> (a * 31L + ascii(c)) % 4096L)
-            * 2654435761L) % 2003L) - 1001L)""").as("score"),
+        // r21: native cls_score kernel — identical value to the former
+        // nested-aggregate HOF over concat(u, zip_with(...))
+        expr("cls_score(u)").as("score"),
         size(col("t")).cast("long").as("n_words"),
         size(array_distinct(col("t"))).cast("long").as("n_distinct"),
         expr(maxRun("t")).as("max_w"),

@@ -2355,37 +2355,22 @@ object Dedup {
   }
 
   /** Per-chunk rows (doc_id, source, clen, chash) under the q229 cut rule —
-    * all boundary detection and hashing as per-row scalar HOFs; the only
-    * explode is chunk-level (~len/64 rows per doc). The char CODES are
-    * materialized ONCE per row and indexed with element_at (O(1)): the
-    * naive per-position `substring(text, i, 1)` is O(i) on UTF-8 (byte
-    * scan to the char boundary), which made the rolling hash O(16·len²)
-    * — measured 65.8 s at sf0.1 vs ~1 s for this form. Chunk hashes fold
-    * SLICES of the same code array, so chunk strings never materialize.
+    * boundary detection and chunk hashing in ONE native kernel pass
+    * (`cdc_chunks`, PolyKernels — r21 optimization round); the only explode
+    * is chunk-level (~len/64 rows per doc). History of this hot path: the
+    * per-position `substring(text, i, 1)` HOF was O(16·len²) (65.8 s at
+    * sf0.1), the element_at code-array HOF form ~4.6 s (interpreted
+    * 16·len fold per row), the native kernel runs the identical arithmetic
+    * inside whole-stage codegen. Values are unchanged — the DuckDB oracle
+    * still spells the HOF math and adjudicates.
     */
-  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
-    val marks =
-      """transform(sequence(16, greatest(size(codes), 16)), i ->
-        |  if(i <= size(codes) and aggregate(transform(sequence(0, 15),
-        |      k -> element_at(codes, i - 15 + k)),
-        |    0L, (a, c) -> (a * 131 + c) % 2147483647) % 64 = 0, i, -1))"""
-        .stripMargin
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) > 0)
-      .withColumn("codes",
-        expr("transform(filter(split(text, ''), c -> c != ''), c -> ascii(c))"))
-      .withColumn("cuts", expr(s"filter($marks, x -> x != -1)"))
-      .withColumn("starts", expr("concat(array(0), cuts)"))
-      .withColumn("ends", expr("concat(cuts, array(size(codes)))"))
-      .withColumn("span", explode(expr(
-        "zip_with(starts, ends, (st, en) -> struct(st AS st, en AS en))")))
-      .filter(col("span.en") > col("span.st"))
       .select(col("doc_id"), col("source"),
-        (col("span.en") - col("span.st")).cast("long").as("clen"),
-        expr("(aggregate(slice(codes, span.st + 1, span.en - span.st), 0L, " +
-          "(a, c) -> (a * 131 + c) % 2147483647) " +
-          "* 131 + (span.en - span.st)) % 2147483647").as("chash"))
-  }
+        explode(call_function("cdc_chunks", col("text"))).as("ch"))
+      .select(col("doc_id"), col("source"),
+        col("ch.clen").as("clen"), col("ch.chash").as("chash"))
 
   /** q219's body over any (doc_id, text) table — exposed so the suite can
     * prove the ASYMMETRIC case the fixture lacks: a short doc pasted inside

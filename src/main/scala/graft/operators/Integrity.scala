@@ -51,8 +51,9 @@ object Integrity {
     * in the corruption CASE).
     */
   private def docSparkDigest(t: String): String = foldMod(Seq(
-    s"aggregate(filter(split($t, ''), ch -> ch != ''), 0L, " +
-      "(a, c) -> (a * 131 + ascii(c)) % 2147483647)",
+    // r21: native char_poly kernel — identical value to the former
+    // aggregate(filter(split(...))) HOF fold the DuckDB side still spells
+    s"char_poly($t)",
     "doc_id % 2147483647",
     "CAST(ascii(lang) AS BIGINT)",
     "CAST(ascii(source) AS BIGINT)",
@@ -678,8 +679,8 @@ object Integrity {
     val tb = b.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
     val names = (ta.keySet ++ tb.keySet).toSeq.sorted
     def dig(c: String) =
-      s"sum(aggregate(filter(split(coalesce(cast(`$c` as string), 'NUL'), ''), " +
-        "ch -> ch != ''), 0L, (acc, ch) -> (acc * 131 + ascii(ch)) % 2147483647))"
+      // r21: native char_poly kernel, identical value to the former HOF fold
+      s"sum(char_poly(coalesce(cast(`$c` as string), 'NUL')))"
     val comparable = names.filter(n => ta.get(n).isDefined && ta.get(n) == tb.get(n))
     val digA = a.agg(
       expr(dig(comparable.head)).as(s"da_${comparable.head}"),

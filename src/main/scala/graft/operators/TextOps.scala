@@ -58,7 +58,17 @@ object TextOps {
       cur0: org.apache.spark.sql.DataFrame,
       rounds: Int,
       checkpointPerRound: Boolean): org.apache.spark.sql.DataFrame = {
-    var cur = cur0
+    // r21: materialize the SERIALIZED corpus once. Every round's pair-count
+    // AND toks_after aggregate replans from `cur0`, so the pure form paid
+    // the upstream serialization (regex tokenize / hex byte split — the
+    // most expensive projection in the tree) ~2·rounds+1 times; one
+    // localCheckpoint makes every recomputation start from the materialized
+    // strings (A/B at sf0.1: 22.4 s vs 28.1 s over the 5-query BPE family).
+    // Values are bit-identical (the checkpoint only cuts lineage); the
+    // per-round replace recomputation (quadratic in rounds, linear at
+    // fixture N=4) is still governed by graft.bpe.perRoundCheckpoint as
+    // documented above.
+    var cur = cur0.localCheckpoint()
     val perRound = (1 to rounds).map { r =>
       val toksOf = filter(split(trim(col("s")), "  "), t => t =!= "")
       val n1 = greatest(size(toksOf) - 1, lit(0))
@@ -155,15 +165,11 @@ object TextOps {
         expr("filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')")
           .as("u"))
       .select(col("doc_id"), col("lang"),
-        expr("concat(u, zip_with(slice(u, 1, greatest(size(u) - 1, 0)), " +
-          "slice(u, 2, greatest(size(u) - 1, 0)), " +
-          "(a, b) -> concat(a, ' ', b)))").as("feats"))
-      .select(col("doc_id"), col("lang"),
-        size(col("feats")).cast("long").as("n_feats"),
-        expr("""aggregate(feats, 0L, (acc, f) -> acc +
-          ((aggregate(filter(split(f, ''), ch -> ch != ''), 0L,
-              (a, c) -> (a * 31L + ascii(c)) % 4096L)
-            * 2654435761L) % 2003L) - 1001L)""").as("score"))
+        // n unigrams + max(n-1, 0) bigrams, without materializing them
+        greatest(size(col("u")).cast("long") * 2 - 1, lit(0L)).as("n_feats"),
+        // r21: native cls_score kernel — identical value to the former
+        // nested-aggregate HOF over concat(u, zip_with(...))
+        expr("cls_score(u)").as("score"))
 
   /** Fixed-L sequence packing over a (doc_id, n) token-count table (q96's
     * body — see that entry's doc for the two-phase prefix scan): returns

@@ -526,8 +526,7 @@ object Transforms {
       (s, d) => {
         val keyed = T.documents(s, d)
           .select(col("doc_id"), col("source"),
-            expr("aggregate(filter(split(text, ''), ch -> ch != ''), " +
-              s"0L, (a, c) -> (a * 131 + ascii(c)) % $P)").as("dg"),
+            expr("char_poly(text)").as("dg"),
             length(col("text")).cast("long").as("len"))
           .localCheckpoint() // consumers: reps + member join
         val reps = keyed.groupBy(col("dg"), col("len"))
@@ -779,8 +778,7 @@ object Transforms {
     val nIn = docs.groupBy(col("source")).agg(count(lit(1)).as("n_in"))
     // stage 1 — exact dedup on (char-poly digest, length)
     val keyed = docs
-      .withColumn("dg", expr("aggregate(filter(split(text, ''), " +
-        s"ch -> ch != ''), 0L, (a, c) -> (a * 131 + ascii(c)) % $P)"))
+      .withColumn("dg", expr("char_poly(text)"))
       .withColumn("len", length(col("text")).cast("long"))
     val firstsE = keyed.groupBy(col("dg"), col("len"))
       .agg(min(col("doc_id")).as("mn"))
@@ -894,13 +892,12 @@ object Transforms {
   /** Shared q283/q287 expression strings: per-token char-poly hashes and
     * the per-block fold over them (expects columns `text`/`th`/`n`).
     */
-  private val ThExpr = "transform(split(text, ' '), w -> " +
-    "aggregate(filter(split(w, ''), ch -> ch != ''), " +
-    s"0L, (a, c) -> (a * 131 + ascii(c)) % $P))"
-  private val BhArrExpr =
-    "if(n div 8 >= 1, transform(sequence(1L, n div 8), i -> " +
-      "aggregate(slice(th, cast((i - 1) * 8 + 1 as int), 8), " +
-      s"0L, (a, c) -> (a * 131 + c) % $P)), array())"
+  // r21: native kernel forms of the per-token char-poly hashes and the
+  // per-block folds — identical arithmetic to the former interpreted HOF
+  // chains (PolyKernels scaladoc documents the exact equivalences; the
+  // DuckDB oracles still spell the HOF math and keep adjudicating values)
+  private val ThExpr = "token_polys(text)"
+  private val BhArrExpr = "poly_blocks(th, 8)"
 
   private[graft] def spanBlocks(docs: DataFrame): DataFrame = {
     val tailterm = s"if(n % 8 > 0, aggregate(" +
@@ -1266,8 +1263,8 @@ object Transforms {
     cand.getPath
   }
 
-  /** Whole-doc char-polynomial digest (the q291 exact-key idiom). */
-  private val DocDigestExpr =
-    "aggregate(filter(split(text, ''), ch -> ch != ''), " +
-      s"0L, (a, c) -> (a * 131 + ascii(c)) % $P)"
+  /** Whole-doc char-polynomial digest (the q291 exact-key idiom) — native
+    * kernel form (r21), identical value to the former HOF fold.
+    */
+  private val DocDigestExpr = "char_poly(text)"
 }
