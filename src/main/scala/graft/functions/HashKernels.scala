@@ -579,6 +579,28 @@ object HashKernels {
       inter
     }
 
+  /** Exact intersection count over two sorted duplicate-free STRING arrays
+    * (binary UTF8String order — `array_sort`'s order) — the q219 exact-
+    * string containment confirm (r21): one merge pass per candidate pair,
+    * replacing the explode-join + re-group that shipped Σ|A| rows per
+    * candidate. Same internal-only / engine-constructed-input contract as
+    * [[intersectCountSorted]].
+    */
+  def intersectCountSortedStr(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Minimum rolling-window fingerprint over `w`-byte windows — the
     * single-value degenerate form of [[winnowFps]] (one selection window
     * spanning the whole string), robust to small appends/prefixes.

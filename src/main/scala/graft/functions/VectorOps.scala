@@ -80,6 +80,21 @@ object VectorOps {
     s
   }
 
+  /** Squared L2 distance between two equal-length DOUBLE vectors, summed
+    * left-to-right — bit-identical to the HOF form
+    * `aggregate(zip_with(a, b, (x, y) -> (x-y)*(x-y)), 0D, (acc, v) -> acc+v)`
+    * it replaces in the PQ Lloyd rounds (r21; the L2SqLong precedent).
+    */
+  def l2sqDouble(a0: ArrayData, b0: ArrayData): Double = {
+    val a = a0.toDoubleArray()
+    val b = b0.toDoubleArray()
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   def l2norm(a0: ArrayData): Double = {
     val a = a0.toDoubleArray()
     var s = 0.0

@@ -150,6 +150,15 @@ object GraftColumns {
         ColumnShim.expression(a),
         ColumnShim.expression(b)))
 
+  /** See [[HashKernels.intersectCountSortedStr]] — the string-array form,
+    * same sorted-input precondition and internal-only status.
+    */
+  def intersectCountSortedStr(a: Column, b: Column): Column =
+    ColumnShim.column(
+      IntersectCountSortedStr(
+        ColumnShim.expression(a),
+        ColumnShim.expression(b)))
+
   /** See [[HashKernels.firstAgreeIdx]] — the band self-join's
     * dedup-free-candidates emission test. Internal-only: it is meaningful
     * only against the band arrays the engine's own plans construct.
@@ -164,6 +173,20 @@ object GraftColumns {
   def l2sqLong(a: Column, b: Column): Column =
     ColumnShim.column(
       L2SqLong(
+        ColumnShim.expression(a),
+        ColumnShim.expression(b)))
+
+  /** See [[VectorOps.l2sqDouble]] — the PQ Lloyd-round distance (r21). */
+  def l2sqDouble(a: Column, b: Column): Column =
+    ColumnShim.column(
+      L2SqDouble(
+        ColumnShim.expression(a),
+        ColumnShim.expression(b)))
+
+  /** See [[VectorOps.dot]] — the PQ ADC lookup dot product (r21). */
+  def dotDouble(a: Column, b: Column): Column =
+    ColumnShim.column(
+      DotDouble(
         ColumnShim.expression(a),
         ColumnShim.expression(b)))
 }
@@ -246,6 +269,89 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       ctx,
       ev,
       (a, b) => s"graft.functions.HashKernels.intersectCountSorted($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance between two double vectors ([[VectorOps.l2sqDouble]])
+  * — the PQ Lloyd-round distance kernel (r21), bit-identical to the
+  * `aggregate(zip_with(...))` HOF it replaces (same left-to-right fold).
+  * Internal-only (constructed via [[GraftColumns.l2sqDouble]]).
+  */
+case class L2SqDouble(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2sq_double"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2sqDouble(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.l2sqDouble($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Dot product of two double vectors ([[VectorOps.dot]]) — the PQ ADC
+  * lookup-table kernel (r21), bit-identical to the
+  * `aggregate(zip_with(...))` HOF it replaces. Internal-only.
+  */
+case class DotDouble(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_double"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+/** Intersection size of two sorted duplicate-free STRING arrays
+  * ([[HashKernels.intersectCountSortedStr]]) — the q219 exact-string
+  * containment confirm (r21). Internal-only (not SQL-registered), same
+  * plan-shape sortedness precondition as [[IntersectCountSorted]].
+  */
+case class IntersectCountSortedStr(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "intersect_count_sorted_str"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.intersectCountSortedStr(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      (a, b) => s"graft.functions.HashKernels.intersectCountSortedStr($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression,

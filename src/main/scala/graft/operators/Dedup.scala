@@ -2427,7 +2427,6 @@ object Dedup {
     val sh = (if (hashOnly) shRaw.select(col("doc_id"), xxhash64(col("sh")).as("sh"))
       else shRaw)
       .localCheckpoint() // consumers: sizes, DF table, pair join sides
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
     val dfTab = sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .localCheckpoint() // consumers: band filter + per-doc min-df picks
@@ -2471,16 +2470,31 @@ object Dedup {
       .select(least(col("p_id"), col("o_id")).as("a_id"),
         greatest(col("p_id"), col("o_id")).as("b_id"))
     val cand = cand1.unionByName(cand2).distinct()
-    // exact intersection over ALL shingles for the candidate pairs: the
-    // shared-shingle join rows ARE the intersection (candidate-sized work)
-    val full = cand
-      .join(sh.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(count(lit(1)).as("n_inter"))
-    full
-      .join(sizes.select(col("doc_id").as("a_id"), col("nsh").as("a_n")), Seq("a_id"))
-      .join(sizes.select(col("doc_id").as("b_id"), col("nsh").as("b_n")), Seq("b_id"))
+    // exact intersection over ALL shingles for the candidate pairs — r21
+    // confirm restructure: the former explode-join form re-joined every
+    // candidate against BOTH docs' full shingle rows and re-grouped
+    // (Σ_cand |A| exploded rows through an exchange — measured 6.3 s of
+    // q219's 10.2 s at sf0.1 against 436 k candidate pairs). Now each doc's
+    // DISTINCT shingle set collapses once into a sorted array (one
+    // doc-keyed exchange over the already-checkpointed sh rows) and the
+    // candidate pairs attach the two arrays (pair-sized joins, the
+    // attachFeatures shape); n_inter is one native sorted-merge per pair
+    // (intersect_count_sorted / _str — exact set intersection, identical
+    // value to counting the shared-shingle join rows), and the sizes
+    // join-back disappears (a_n/b_n ARE the array sizes). Guide §2.3/§3.3:
+    // ship candidate-sized metadata once, never exploded feature rows.
+    val featArr = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("arr"))
+    val inter: (Column, Column) => Column =
+      if (hashOnly) graft.functions.GraftColumns.intersectCountSorted
+      else graft.functions.GraftColumns.intersectCountSortedStr
+    cand
+      .join(featArr.select(col("doc_id").as("a_id"), col("arr").as("a_arr")), Seq("a_id"))
+      .join(featArr.select(col("doc_id").as("b_id"), col("arr").as("b_arr")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(col("a_arr")).cast("long").as("a_n"),
+        size(col("b_arr")).cast("long").as("b_n"),
+        inter(col("a_arr"), col("b_arr")).as("n_inter"))
       .withColumn("containment_ppm",
         expr("n_inter * 1000000L div least(a_n, b_n)"))
       .withColumn("jaccard_ppm",

@@ -202,12 +202,13 @@ object Similarity {
       .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
     val assigned = nearestCent(ivfTrainingSample(s, d), seeds, 1)
       .select(col("cid"), col("v"))
+    // r21: element-wise mean as ONE aggregation (64 per-dimension avg
+    // buffers) instead of posexplode → (cid, pos) avg → collect_list +
+    // struct-sort regroup — two exchanges and a 64× row expansion removed
+    // per training pass; same per-dimension mean over the same rows.
     assigned
-      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
       .groupBy(col("cid"))
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
-        st => st.getField("x")).as("cv"))
+      .agg(array((0 until 64).map(i => avg(col("v").getItem(i))): _*).as("cv"))
   }
 
   private[graft] def ivfTopK(s: SparkSession, d: String): DataFrame = {
@@ -256,11 +257,15 @@ object Similarity {
       s"transform(sequence(0, ${pqSubs - 1}), s -> slice(v, s * $pqSubDim + 1, $pqSubDim))"))
       .as(Seq("sub", "sv")))
 
+  // r21: native codegen kernels (bit-identical to the former
+  // aggregate(zip_with(...)) HOFs — same left-to-right fold; the HOF pair
+  // was interpreted and allocated an intermediate array per slice×codeword
+  // in the Lloyd rounds, the L2SqLong lesson replayed on doubles)
   private def l2sq(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+    graft.functions.GraftColumns.l2sqDouble(col(a), col(b))
 
   private def dotC(a: String, b: String): Column =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    graft.functions.GraftColumns.dotDouble(col(a), col(b))
 
   /** Per-subspace codebooks: seeded by the first `pqK` vectors' slices, then
     * `pqLloydRounds` (= 2) Lloyd rounds over [[ivfTrainingSample]] ONLY
@@ -282,12 +287,13 @@ object Similarity {
         .groupBy(col("sub"), col("vec_id"))
         .agg(min(struct(col("dist"), col("cid"))).as("am"), first(col("sv")).as("sv"))
         .select(col("sub"), col("am.cid").as("cid"), col("sv"))
+      // r21: element-wise mean as ONE aggregation per round (8 per-dim avg
+      // buffers) — the posexplode → (sub, cid, pos) avg → regroup form paid
+      // two exchanges and an 8× row expansion per Lloyd round.
       cb = assigned
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("sub"), col("cid"), col("pos")).agg(avg(col("x")).as("x"))
         .groupBy(col("sub"), col("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("x")))),
-          st => st.getField("x")).as("cw"))
+        .agg(array((0 until pqSubDim).map(i => avg(col("sv").getItem(i))): _*)
+          .as("cw"))
     }
     cb
   }
