@@ -1058,33 +1058,17 @@ object Clustering {
     * non-convergence; see neardupClusters' doc for why iterate-with-
     * materialization IS the canonical Spark shape here).
     */
+  /** r21: delegate to the shared [[graft.operators.Dedup.minLabelLoop]]
+    * (self-loop-carried prev + two pointer jumps per round — see its doc;
+    * same fixed point, fewer rounds). `edges` arrives already symmetrized
+    * here (q203's core-core edge set); minLabelLoop re-symmetrizes, which
+    * only duplicates each directed row — harmless under min.
+    */
   private def minLabelComponents(
-      s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame = {
-    val maxRounds = s.conf.get("graft.dedup.ccMaxRounds", "20").toInt
-    var labels = nodes.select(col("id").as("node"), col("id").as("label"))
-      .localCheckpoint()
-    var converged = false
-    var r = 0
-    while (!converged && r < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("node").as("dst"), col("label").as("nl")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("nl")).as("nm"))
-      val stepped = labels
-        .join(nbrMin.select(col("src").as("node"), col("nm")), Seq("node"), "left_outer")
-        .select(col("node"), col("label").as("prev"),
-          least(col("label"), coalesce(col("nm"), col("label"))).as("lbl"))
-      val next = stepped
-        .join(stepped.select(col("node").as("jn"), col("lbl").as("l2")),
-          col("lbl") === col("jn"), "left_outer")
-        .select(col("node"), col("prev"), coalesce(col("l2"), col("lbl")).as("label"))
-        .localCheckpoint()
-      converged = next.filter(col("label") =!= col("prev")).isEmpty
-      labels = next.select(col("node"), col("label"))
-      r += 1
-    }
-    require(converged, s"component labeling did not converge in $maxRounds rounds")
-    labels
-  }
+      s: SparkSession, nodes: DataFrame, edges: DataFrame): DataFrame =
+    Dedup.minLabelLoop(s,
+      nodes.select(col("id").as("node")),
+      edges.select(col("src").as("a_id"), col("dst").as("b_id")))
 
   private[graft] val batchIdOffset = 10000000L
 

@@ -276,7 +276,16 @@ object Dedup {
     * keeps the pruned output equal to brute force on any realistic corpus,
     * and equality is verified on the fixtures by suite + oracle.
     */
-  private[operators] def clusteredNeardup(
+  /** The pre-expansion internals of [[clusteredNeardup]] (r21): confirmed
+    * REPRESENTATIVE pairs (ga, gb, jac) plus the member→group assignment
+    * (doc_id, gid). Exposed so component-level consumers (q87/q186/q293)
+    * can run their label loops over the condensed group graph — doc-graph
+    * connectivity equals group-graph connectivity (intra-group members are
+    * pairwise connected at jac 1.0 and gid = min member doc_id, so the
+    * min-label of a doc component equals the min gid of its group
+    * component) — instead of over the clique-expanded doc pairs.
+    */
+  private[operators] def clusteredNeardupParts(
       docs: DataFrame, // (doc_id, text)
       featOf: Column => Column, // text → feature set array
       sigOf: Column => Column, // text → k-component MinHash signature
@@ -298,7 +307,7 @@ object Dedup {
       // set true when featOf already emits 64-bit hashes (q36's shingles);
       // string feature sets are xxhash64-hashed before the confirm — see
       // the confirm comment below for why and for the collision trade
-      featHashed: Boolean = false): DataFrame = {
+      featHashed: Boolean = false): (DataFrame, DataFrame) = {
     val estBound = threshold - 5.0 * math.sqrt(threshold * (1 - threshold) / sigK)
     // Cluster stage (clusterFirst): group identical feature sets with a
     // partial-agged groupBy keyed on the 64-bit xxhash64 of the set — the
@@ -311,11 +320,17 @@ object Dedup {
     // set-equality check as the join residual: the exchange key is the long.
     val (reps0, memberOf) =
       if (clusterFirst) {
+        // r21: the featurized corpus feeds BOTH the group aggregate and the
+        // member join (and, through parts consumers, the confirm pipeline
+        // and the member expansion separately) — one materialization
+        // instead of recomputing the tokenize+sort projection per consumer
         val base = docs
           .select(col("doc_id"), array_sort(featOf(col("text"))).as("feat"))
           .withColumn("fh", xxhash64(col("feat")))
+          .localCheckpoint()
         val groups = base.groupBy(col("fh"), col("feat"))
           .agg(min(col("doc_id")).as("gid"))
+          .localCheckpoint() // consumers: reps (sig/bands) + member join
         val reps = groups.select(
           col("gid"),
           col("feat"),
@@ -377,26 +392,47 @@ object Dedup {
         graft.functions.GraftColumns.jaccardSortedUnchecked(col("a_hf"), col("b_hf")))
       .filter(col("jac") >= threshold)
       .select(col("a_id").as("ga"), col("b_id").as("gb"), col("jac"))
-    val expanded =
-      if (!clusterFirst)
-        // every doc is its own group: ga < gb are already doc-id pairs
-        confirmed.select(col("ga").as("a_id"), col("gb").as("b_id"), col("jac"))
-      else {
-        val m = memberOf
-        val inter = confirmed
-          .join(m.select(col("gid").as("ga"), col("doc_id").as("x_id")), "ga")
-          .join(m.select(col("gid").as("gb"), col("doc_id").as("y_id")), "gb")
-          .select(
-            least(col("x_id"), col("y_id")).as("a_id"),
-            greatest(col("x_id"), col("y_id")).as("b_id"),
-            col("jac"))
-        val intra = m.select(col("gid"), col("doc_id").as("a_id"))
-          .join(m.select(col("gid"), col("doc_id").as("b_id")), "gid")
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
-        inter.unionByName(intra)
-      }
-    expanded
+    (confirmed, memberOf)
+  }
+
+  /** Clique-expand confirmed representative pairs back to doc pairs —
+    * [[clusteredNeardup]]'s output grain. `clusterFirst = false` means every
+    * doc is its own group (rep pairs ARE doc pairs).
+    */
+  private[operators] def expandRepPairs(
+      confirmed: DataFrame, // (ga, gb, jac)
+      memberOf: DataFrame, // (doc_id, gid)
+      clusterFirst: Boolean): DataFrame =
+    if (!clusterFirst)
+      confirmed.select(col("ga").as("a_id"), col("gb").as("b_id"), col("jac"))
+    else {
+      val m = memberOf
+      val inter = confirmed
+        .join(m.select(col("gid").as("ga"), col("doc_id").as("x_id")), "ga")
+        .join(m.select(col("gid").as("gb"), col("doc_id").as("y_id")), "gb")
+        .select(
+          least(col("x_id"), col("y_id")).as("a_id"),
+          greatest(col("x_id"), col("y_id")).as("b_id"),
+          col("jac"))
+      val intra = m.select(col("gid"), col("doc_id").as("a_id"))
+        .join(m.select(col("gid"), col("doc_id").as("b_id")), "gid")
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), lit(1.0).as("jac"))
+      inter.unionByName(intra)
+    }
+
+  private[operators] def clusteredNeardup(
+      docs: DataFrame, // (doc_id, text)
+      featOf: Column => Column,
+      sigOf: Column => Column,
+      sigK: Int,
+      threshold: Double,
+      estPrefilter: Boolean = false,
+      clusterFirst: Boolean = false,
+      featHashed: Boolean = false): DataFrame = {
+    val (confirmed, memberOf) = clusteredNeardupParts(
+      docs, featOf, sigOf, sigK, threshold, estPrefilter, clusterFirst, featHashed)
+    expandRepPairs(confirmed, memberOf, clusterFirst)
       .select(col("a_id"), col("b_id"), round(col("jac"), 4).as("jac"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -451,6 +487,22 @@ object Dedup {
       0.95,
       // word sets are order/multiplicity-insensitive → identical sets are
       // common and clustering pays for itself many times over
+      clusterFirst = true)
+
+  /** The CONDENSED form of [[wordsetNeardup]] (r21): confirmed
+    * representative pairs + member assignment, for consumers that only
+    * need component structure (q87/q186/q293) — the clique expansion
+    * multiplies the fixture's duplicate mass into ~191 k doc pairs whose
+    * only further use was to be re-collapsed by the label loop.
+    */
+  private[graft] def wordsetNeardupParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    clusteredNeardupParts(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      t => array_distinct(split(t, " ")),
+      t => call_function("minhash_sig", t, lit(32), lit(1)),
+      32,
+      0.95,
       clusterFirst = true)
 
   /** Exact embedding-cosine pair join as a GRID-BLOCKED theta-join (the
@@ -642,11 +694,23 @@ object Dedup {
     * partition-parallel; the expensive pair relation is materialized ONCE
     * up front and reused by every round.
     */
-  private def neardupClusters(s: SparkSession, d: String): DataFrame =
-    neardupLabels(s, d, wordsetNeardup(s, d).select(col("a_id"), col("b_id")))
+  private def neardupClusters(s: SparkSession, d: String): DataFrame = {
+    // r21: label-propagate over the CONDENSED group graph (see
+    // wordsetNeardupParts — identical components by the gid = min-member
+    // argument there), then expand labels to members with one join. The
+    // former form expanded ~191 k doc pairs (sf0.1) only for the loop to
+    // re-collapse them: the loop's per-round edge join now runs over the
+    // confirmed REP pairs instead.
+    val (repPairs, members) = wordsetNeardupParts(s, d)
+    val mem = members.localCheckpoint() // consumers: node set + label join
+    val repLabels = minLabelLoop(s,
+      mem.select(col("gid").as("node")).distinct(),
+      repPairs.select(col("ga").as("a_id"), col("gb").as("b_id")))
+    mem.join(repLabels.select(col("node").as("gid"), col("label")), Seq("gid"))
       .groupBy(col("label").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"))
       .orderBy(col("cluster_id"))
+  }
 
   /** q87's label-propagation + pointer-jumping loop over an arbitrary
     * undirected pair set — exposed so q293 can reuse the SAME cluster
@@ -654,15 +718,26 @@ object Dedup {
     * Returns (node, label) with label = min doc_id of the component.
     */
   private[graft] def neardupLabels(
-      s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+      s: SparkSession, d: String, pairs: DataFrame): DataFrame =
+    minLabelLoop(s,
+      Tables.documents(s, d).select(col("doc_id").as("node")),
+      pairs)
+
+  /** [[neardupLabels]] over an explicit node universe — r21: exposed so the
+    * condensed-graph consumers (q87/q186/q293) can run the loop over group
+    * representatives instead of expanded doc pairs. Semantics unchanged:
+    * label = min node id of the connected component.
+    */
+  private[graft] def minLabelLoop(
+      s: SparkSession, nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val maxRounds = s.conf.get("graft.dedup.ccMaxRounds", "20").toInt
     require(maxRounds >= 1, s"graft.dedup.ccMaxRounds must be >= 1, got $maxRounds")
     val edges = pairs
       .unionByName(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .toDF("src", "dst")
       .localCheckpoint()
-    var labels = Tables.documents(s, d)
-      .select(col("doc_id").as("node"), col("doc_id").as("label"))
+    var labels = nodes
+      .select(col("node"), col("node").as("label"))
       .localCheckpoint()
     var converged = false
     var r = 0
@@ -674,7 +749,7 @@ object Dedup {
         .join(nbrMin.select(col("src").as("node"), col("nm")), Seq("node"), "left_outer")
         .select(col("node"), col("label").as("prev"),
           least(col("label"), coalesce(col("nm"), col("label"))).as("lbl"))
-      // pointer jump: label ← label(label); every label IS a doc id, so the
+      // pointer jump: label ← label(label); every label IS a node id, so the
       // mapping join hits (left_outer only guards plan-shape edge cases)
       val next = stepped
         .join(stepped.select(col("node").as("jn"), col("lbl").as("l2")),
