@@ -90,6 +90,10 @@ object GraftExtensions {
     reg("poly_blocks", es => PolyBlocks(es(0), intArg(es(1), "width")))
     reg("cdc_chunks", es => CdcChunks(es(0)))
     reg("cls_score", es => ClsScore(es(0)))
+    reg("token_shingle_hashes",
+        es => TokenShingleHashes(es(0), intArg(es(1), "n")))
+    reg("char_gram_hashes",
+        es => CharGramHashes(es(0), intArg(es(1), "n")))
 
     // the Rule[LogicalPlan] tier of the extension surface: collapse
     // defensively-stacked normalize_text calls at plan time (sound by

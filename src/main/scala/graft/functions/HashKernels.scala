@@ -579,6 +579,111 @@ object HashKernels {
       inter
     }
 
+  /** Distinct xxhash64 (Spark's seed-42 XXH64 over UTF-8 bytes) of every
+    * `n`-token shingle — identical values to the former interpreted HOF
+    * `array_distinct(transform(sequence(0, greatest(nt - n, 0)), i ->
+    * xxhash64(concat_ws(' ', slice(t, i + 1, n)))))` over `t = split(text,
+    * ' ')` (r21): tokens are single-space-separated byte spans of the
+    * input (EMPTY tokens kept, split limit -1 semantics), so shingle i is
+    * exactly the contiguous byte span from the start of token i to the end
+    * of token i + n − 1 and no shingle string is ever materialized. Output
+    * order is first occurrence (array_distinct's), though every consumer
+    * sorts or set-treats it.
+    */
+  def tokenShingleHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val nb = bytes.length
+    // token spans WITH empties: boundaries at every space
+    var nTok = 1
+    var i = 0
+    while (i < nb) { if (bytes(i) == ' ') nTok += 1; i += 1 }
+    val starts = new Array[Int](nTok)
+    val ends = new Array[Int](nTok)
+    var tIdx = 0
+    starts(0) = 0
+    i = 0
+    while (i < nb) {
+      if (bytes(i) == ' ') {
+        ends(tIdx) = i
+        tIdx += 1
+        starts(tIdx) = i + 1
+      }
+      i += 1
+    }
+    ends(tIdx) = nb
+    val nSh = math.max(nTok - n, 0) + 1
+    val out = new Array[Long](nSh)
+    val seen = new LongDedup(nSh)
+    var k = 0
+    var t = 0
+    while (t < nSh) {
+      val from = starts(t)
+      val until = ends(math.min(t + n - 1, nTok - 1))
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
+  /** Tiny open-addressing long set for per-row first-occurrence dedup —
+    * O(1) adds, zero boxing; sized once per row from the window count.
+    */
+  private final class LongDedup(expected: Int) {
+    private val cap = {
+      var c = 8
+      while (c < expected * 2) c <<= 1
+      c
+    }
+    private val keys = new Array[Long](cap)
+    private val used = new Array[Boolean](cap)
+    private val mask = cap - 1
+
+    /** true iff `h` was not present (and is now added). */
+    def add(h: Long): Boolean = {
+      var i = (splitmix64(h) & 0x7fffffffffffffffL).toInt & mask
+      while (used(i)) {
+        if (keys(i) == h) return false
+        i = (i + 1) & mask
+      }
+      used(i) = true
+      keys(i) = h
+      true
+    }
+  }
+
+  /** Distinct xxhash64 of every `n`-CODEPOINT window — identical values to
+    * the former `array_distinct(transform(sequence(1, greatest(len - n + 1,
+    * 1)), i -> xxhash64(substr(text, i, n))))` (r21, q55's char-trigram
+    * featurization): windows are codepoint-aligned byte spans, so no gram
+    * string is materialized.
+    */
+  def charGramHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val starts = codepointStarts(bytes)
+    val nc = if (starts == null) bytes.length else starts.length
+    val nG = math.max(nc - n + 1, 1)
+    val out = new Array[Long](nG)
+    val seen = new LongDedup(nG)
+    var k = 0
+    var t = 0
+    while (t < nG) {
+      val from = if (nc == 0) 0 else if (starts == null) t else starts(t)
+      val until =
+        if (t + n >= nc) bytes.length
+        else if (starts == null) t + n
+        else starts(t + n)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from,
+          until - from, 42L)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+
   /** Exact intersection count over two sorted duplicate-free STRING arrays
     * (binary UTF8String order — `array_sort`'s order) — the q219 exact-
     * string containment confirm (r21): one merge pass per candidate pair,

@@ -328,6 +328,55 @@ case class DotDouble(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(left = newLeft, right = newRight)
 }
 
+/** Distinct xxhash64 of every n-token shingle
+  * ([[HashKernels.tokenShingleHashes]]) — the q36/q76 shingle featurization
+  * (r21), identical values to the former interpreted
+  * `array_distinct(transform(..., i -> xxhash64(concat_ws(' ', slice(t,
+  * i+1, n)))))` chain without materializing shingle strings.
+  */
+case class TokenShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "token_shingle_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.tokenShingleHashes(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct xxhash64 of every n-codepoint window
+  * ([[HashKernels.charGramHashes]]) — the q55 char-trigram featurization
+  * (r21), identical values to the former
+  * `array_distinct(transform(..., i -> xxhash64(substr(text, i, n))))`.
+  */
+case class CharGramHashes(child: Expression, n: Int)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override protected def nullSafeEval(s: Any): Any =
+    HashKernels.charGramHashes(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charGramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Intersection size of two sorted duplicate-free STRING arrays
   * ([[HashKernels.intersectCountSortedStr]]) — the q219 exact-string
   * containment confirm (r21). Internal-only (not SQL-registered), same

@@ -85,13 +85,23 @@ object CorpusOps {
   private def boilerplateScrubPlan(
       s: SparkSession, d: String, hashOnly: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withGram = Tables.documents(s, d)
-      .select(col("doc_id"), explode(gramsCol).as("gram"))
-      .withColumn("gh", xxhash64(col("gram")))
-    // hash-only: project the string away BEFORE the window exchange — the
-    // whole point of the variant is what the shuffle carries
+    // hash-only (q127): the gram STRINGS never materialize at all — the
+    // native token_shingle_hashes kernel (r21) emits the distinct xxhash64
+    // of the same 8-token spans the string form builds and hashes (byte-
+    // span identity, see the kernel doc), guarded to the same
+    // size >= 8 → else-empty rule as gramsCol. q110 keeps the string form:
+    // its oracle compares exact gram text.
     val exploded =
-      if (hashOnly) withGram.select(col("doc_id"), col("gh")) else withGram
+      if (hashOnly)
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(when(
+            size(split(col("text"), " ")) >= ngramN,
+            call_function("token_shingle_hashes", col("text"), lit(ngramN)))
+            .otherwise(lit(Array.empty[Long]))).as("gh"))
+      else
+        Tables.documents(s, d)
+          .select(col("doc_id"), explode(gramsCol).as("gram"))
+          .withColumn("gh", xxhash64(col("gram")))
     val partCols =
       if (hashOnly) Seq(col("gh")) else Seq(col("gh"), col("gram"))
     // grams are per-doc distinct, so count(1) == number of containing docs

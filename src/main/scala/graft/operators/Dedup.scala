@@ -446,13 +446,12 @@ object Dedup {
     * hash-the-content-first trade q35 makes, and the MinHash signature
     * itself already lives on these hashes.
     */
-  private def shingleFeat(text: Column): Column = {
-    val t = split(text, " ")
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(size(t) - 3, lit(0))),
-        i => xxhash64(concat_ws(" ", slice(t, i + 1, lit(3))))))
-  }
+  private def shingleFeat(text: Column): Column =
+    // r21: native kernel — identical values to the former interpreted
+    // array_distinct(transform(sequence(...), i -> xxhash64(concat_ws(' ',
+    // slice(t, i+1, 3))))) chain (shingles are contiguous byte spans of the
+    // text, so no shingle string materializes; see tokenShingleHashes doc)
+    call_function("token_shingle_hashes", text, lit(3))
 
   /** MinHash-LSH-pruned near-dup pairs by exact 3-token-shingle Jaccard:
     * cluster-first (see clusteredNeardup), candidates from 16 bands × 2 rows

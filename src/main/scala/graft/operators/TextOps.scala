@@ -532,14 +532,16 @@ object TextOps {
       (s, d) =>
         Dedup.clusteredNeardup(
           Tables.documents(s, d).select(col("doc_id"), col("text")),
-          t => array_distinct(
-            transform(
-              sequence(lit(1), greatest(length(t) - 2, lit(1))),
-              i => t.substr(i, lit(3)))),
+          // r21: native kernel — distinct xxhash64 of the same codepoint
+          // windows the former array_distinct(transform(substr)) built as
+          // strings; the confirm already ran on xxhash64'd sets (the
+          // hashedFeat trade), so values are unchanged
+          t => call_function("char_gram_hashes", t, lit(3)),
           t => call_function("minhash_sig_chars", t, lit(32), lit(3)),
           32,
           0.9,
-          estPrefilter = true),
+          estPrefilter = true,
+          featHashed = true),
       Some("""WITH g AS (SELECT doc_id,
              |  list_distinct(list_transform(range(1, greatest(length(text)-2, 1) + 1),
              |    i -> substr(text, i, 3))) AS g

@@ -116,6 +116,28 @@ class PolyKernelsSuite extends SparkTestBase {
       "expected at least one mid-document cut on the fixture corpus")
   }
 
+  test("token_shingle_hashes equals the HOF xxhash64-shingle chain") {
+    val hof = "array_distinct(transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0)), " +
+      "i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i + 1, 3)))))"
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select(col("text"))
+      .unionByName(df.filter(length(col("text")) > 0))
+    val rows = corpus
+      .select(expr(hof).as("hof"), expr("token_shingle_hashes(text, 3)").as("k"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
+  test("char_gram_hashes equals the HOF xxhash64-substr chain") {
+    val hof = "array_distinct(transform(sequence(1, greatest(length(text) - 2, 1)), " +
+      "i -> xxhash64(substr(text, i, 3))))"
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select(col("text"))
+      .unionByName(df.filter(length(col("text")) > 0))
+    val rows = corpus
+      .select(expr(hof).as("hof"), expr("char_gram_hashes(text, 3)").as("k"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r.toString))
+  }
+
   test("cls_score equals the HOF nested-aggregate classifier fold") {
     val hofU = "filter(split(lower(text), ' '), w -> w rlike '^[a-z0-9]+$')"
     val hofScore = """aggregate(concat(u, zip_with(slice(u, 1, greatest(size(u) - 1, 0)),
