@@ -194,6 +194,11 @@ def main():
     npass = nfail = 0
     failures = []
     results = {}  # name -> "pass" | "fail" (merged into JSON_OUT)
+    # r20 verdict #7: surface per-invocation oracle-cache usage in the
+    # artifact so a judge can verify a sweep's oracle side was not silently
+    # all-stale (counts are THIS invocation's — a resumed sweep's artifact
+    # shows the resuming run's split).
+    cache_stats = {"hits": 0, "live": 0}
     fingerprint = env_fingerprint(duckdb)  # once — it shells out to java
 
     def record(name, ok, err=None, cells=None):
@@ -240,6 +245,8 @@ def main():
                 "n_queries": len(merged_results),
                 "pass": sum(1 for r in merged_results.values() if r == "pass"),
                 "fail": sum(1 for r in merged_results.values() if r != "pass"),
+                "oracle_cache_hits": cache_stats["hits"],
+                "oracle_live": cache_stats["live"],
                 "failures": merged_failures,
                 "results": dict(sorted(merged_results.items())),
                 "env": fingerprint}
@@ -260,6 +267,7 @@ def main():
         try:
             o_cols, o_type_strs, o_rows, cached = oracle_eval(
                 con, name, oracles[name])
+            cache_stats["hits" if cached else "live"] += 1
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             record(name, False, f"oracle SQL error: {e}")
